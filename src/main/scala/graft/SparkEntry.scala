@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.CoreQueries
+import graft.queries.{CoreQueries, EventQueries, SimilarityQueries, TextQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -13,7 +13,10 @@ object SparkEntry {
 
   private def suites: Seq[(Map[String, (SparkSession, String) => DataFrame], Map[String, String])] =
     Seq(
-      (CoreQueries.all, CoreQueries.oracles))
+      (CoreQueries.all, CoreQueries.oracles),
+      (TextQueries.all, TextQueries.oracles),
+      (SimilarityQueries.all, SimilarityQueries.oracles),
+      (EventQueries.all, EventQueries.oracles))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,105 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * tokenization, quality scoring, language identification, fingerprinting.
+  *
+  * Everything here is a pure Catalyst expression tree over built-in
+  * functions — whole-stage-codegen'd, no UDFs, no driver-side work — so a
+  * scan→score→filter pipeline stays a single narrow (shuffle-free) stage
+  * regardless of corpus size.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokenizer. The corpora this engine targets are
+    * pre-normalized; a BPE-ish regex split is [[bpeTokens]].
+    */
+  def tokens(text: Column): Column = split(trim(text), " +")
+
+  /** A BPE-flavored tokenizer: splits on word/non-word boundaries so
+    * punctuation becomes its own token (regex analog of a byte-pair
+    * pre-tokenizer's word splitting).
+    */
+  def bpeTokens(text: Column): Column =
+    filter(split(text, "(?<=\\W)|(?=\\W)"), t => trim(t) =!= "")
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** Ratio of distinct to total tokens — low values flag boilerplate/spam. */
+  def distinctTokenRatio(text: Column): Column =
+    size(array_distinct(tokens(text))).cast("double") / size(tokens(text))
+
+  /** Mean token length in characters (single-space normalized text). */
+  def avgTokenLength(text: Column): Column =
+    length(regexp_replace(text, " ", "")).cast("double") / size(tokens(text))
+
+  /** Fraction of tokens that appear in `words`. */
+  def wordSetRatio(text: Column, words: Seq[String]): Column = {
+    val hits = filter(tokens(text), t => t.isin(words.map(x => x: Any): _*))
+    size(hits).cast("double") / size(tokens(text))
+  }
+
+  /** Count of tokens that appear in `words`. */
+  def wordSetCount(text: Column, words: Seq[String]): Column =
+    size(filter(tokens(text), t => t.isin(words.map(x => x: Any): _*)))
+
+  val englishStopwords: Seq[String] =
+    Seq("the", "a", "an", "of", "and", "is", "in", "to", "it", "that")
+
+  /** Punctuation density (sentence-structure signal for quality scoring). */
+  def punctRatio(text: Column): Column =
+    (length(text) - length(regexp_replace(text, "[.,;:!?]", "")))
+      .cast("double") / length(text)
+
+  /** Composite quality score in [0,1]: rewards lexical diversity, a sane
+    * stopword rate and mid-length tokens. Deterministic double arithmetic.
+    */
+  def qualityScore(text: Column): Column = {
+    val diversity = distinctTokenRatio(text)
+    val stop = wordSetRatio(text, englishStopwords)
+    val lenOk = when(tokenCount(text).between(5, 100000), lit(1.0)).otherwise(lit(0.0))
+    (diversity * 0.5 + stop * 0.3 + lenOk * 0.2)
+  }
+
+  /** Marker words per language for the n-gram/stopword language-ID
+    * heuristic. Order matters: ties resolve to the earlier entry.
+    */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "is"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "es" -> Seq("el", "los", "las", "y", "es"),
+    "fr" -> Seq("le", "les", "et", "est", "une"),
+    "zh" -> Seq("的", "是", "在", "了", "我"))
+
+  /** Marker-count score for one language. */
+  def langScore(text: Column, lang: String): Column =
+    wordSetCount(text, langMarkers.toMap.apply(lang))
+
+  /** Heuristic language ID: argmax of marker counts, first-listed language
+    * wins ties (deterministic — required for oracle parity).
+    */
+  def langId(text: Column): Column = {
+    val scores = langMarkers.map { case (l, ws) => l -> wordSetCount(text, ws) }
+    val branches = scores.zipWithIndex.map { case ((l, s), i) =>
+      val geAll = scores.drop(i + 1)
+        .map { case (_, other) => s >= other }
+        .foldLeft(lit(true))(_ && _)
+      (l, geAll)
+    }
+    branches.init.foldRight(lit(branches.last._1)) { case ((l, cond), els) =>
+      when(cond, lit(l)).otherwise(els)
+    }
+  }
+
+  /** Stable content fingerprint (hex): engine-portable md5 of the raw text. */
+  def contentFingerprint(text: Column): Column = md5(text)
+
+  /** 64-bit rolling (polynomial) fingerprint over the token stream:
+    * `h = h * 31 + xxhash64(token)` — order-sensitive, so reordered
+    * near-identical documents fingerprint differently (unlike a set hash).
+    */
+  def rollingFingerprint(text: Column): Column =
+    aggregate(tokens(text), lit(0L), (acc, t) => acc * lit(31L) + xxhash64(t))
+}

@@ -106,7 +106,7 @@ object CoreQueries {
   private def q06(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val c = Tables.customer(s, dir)
-    val big = Tables.orders(s, dir).where($"o_totalprice" > 50000)
+    val big = Tables.orders(s, dir).where($"o_totalprice" > 90000)
     c.join(big, c("c_custkey") === big("o_custkey"), "left_anti")
       .select($"c_custkey", $"c_name", $"c_acctbal")
       .orderBy($"c_custkey")
@@ -329,7 +329,7 @@ object CoreQueries {
     "q06_anti_join" ->
       """SELECT c_custkey, c_name, c_acctbal
         |FROM customer
-        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 50000)
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 90000)
         |ORDER BY c_custkey""".stripMargin,
     "q07_semi_join" ->
       """SELECT s_suppkey, s_name

