@@ -1,0 +1,100 @@
+package graft.agg
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+
+/** Statistics + acceptance module (SURVEY.md §2.5, A1–A12):
+  * global stats, media-type histogram, per-file stats, the acceptance
+  * oracle, and the Markdown report renderer.
+  *
+  * All aggregation is one distributed `agg` (partial+final via
+  * HashAggregateExec); only the final scalar row is collected.
+  */
+object Statistics {
+
+  /** A1–A7 in one pass (reference evaluate_test_run.py:91-104,
+    * aggregator.yml:169-176).
+    */
+  case class GlobalStats(totalRecords: Long, errorCount: Long,
+      avgProcessingTime: Double, medianProcessingTime: Double,
+      maxProcessingTime: Double, totalProcessingTime: Double) {
+    def errorRate: Double =
+      if (totalRecords == 0) 0.0 else errorCount.toDouble / totalRecords
+  }
+
+  def globalStats(df: DataFrame): GlobalStats = {
+    val r: Row = df.agg(
+      count(lit(1)).as("n"),
+      count(when(col("error").isNotNull, 1)).as("errors"),
+      avg(col("processing_time")).as("avg_pt"),
+      median(col("processing_time")).as("median_pt"),
+      max(col("processing_time")).as("max_pt"),
+      sum(col("processing_time")).as("sum_pt")).head()
+    def d(i: Int) = if (r.isNullAt(i)) 0.0 else r.getDouble(i)
+    GlobalStats(r.getLong(0), r.getLong(1), d(2), d(3), d(4), d(5))
+  }
+
+  /** A8: media_type histogram sorted desc (aggregator.yml:174,200-202). */
+  def mediaTypeHistogram(df: DataFrame): DataFrame =
+    df.groupBy(col("media_type"))
+      .agg(count(lit(1)).as("count"))
+      .orderBy(desc("count"), col("media_type"))
+
+  /** A10: records per source file (aggregator.yml:140-149). */
+  def perFileStats(df: DataFrame): DataFrame =
+    df.groupBy(input_file_name().as("file"))
+      .agg(count(lit(1)).as("records"))
+      .orderBy(col("file"))
+
+  /** A12: the acceptance oracle — records ≥ minRecords ∧ avg < maxAvg ∧
+    * error rate < maxErrorRate (reference evaluate_test_run.py:107-113).
+    */
+  case class Acceptance(minRecords: Long = 8, maxAvgSeconds: Double = 30.0,
+      maxErrorRate: Double = 0.2)
+
+  def accept(stats: GlobalStats, a: Acceptance = Acceptance()): Boolean =
+    stats.totalRecords >= a.minRecords &&
+      stats.avgProcessingTime < a.maxAvgSeconds &&
+      stats.errorRate < a.maxErrorRate
+
+  /** K4: statistics.json payload (aggregator.yml:169-181). */
+  def statsJson(stats: GlobalStats, histogram: Seq[(String, Long)],
+      filesCombined: Long): String = {
+    def esc(s: String) = s.flatMap {
+      case '"' => "\\\""; case '\\' => "\\\\"; case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
+    val mt = histogram.map { case (k, v) => s""""${esc(Option(k).getOrElse("null"))}": $v""" }
+      .mkString("{", ", ", "}")
+    s"""{
+       |  "total_records": ${stats.totalRecords},
+       |  "files_combined": $filesCombined,
+       |  "avg_processing_time": ${stats.avgProcessingTime},
+       |  "total_processing_time": ${stats.totalProcessingTime},
+       |  "error_count": ${stats.errorCount},
+       |  "error_rate": ${stats.errorRate},
+       |  "media_types": $mt
+       |}""".stripMargin
+  }
+
+  /** K5: human report (aggregator.yml:184-203, processor.local.yml:84-92). */
+  def markdownReport(stats: GlobalStats, histogram: Seq[(String, Long)],
+      filesCombined: Long): String = {
+    val rows = histogram.map { case (k, v) =>
+      s"| ${Option(k).getOrElse("(unknown)")} | $v |" }.mkString("\n")
+    f"""# Aggregation Summary
+       |
+       |- **Total records:** ${stats.totalRecords}%,d
+       |- **Files combined:** $filesCombined%,d
+       |- **Average processing time:** ${stats.avgProcessingTime}%.2f s
+       |- **Total processing time:** ${stats.totalProcessingTime}%.2f s
+       |- **Errors:** ${stats.errorCount}%,d (${stats.errorRate * 100}%.1f%%)
+       |
+       |## Media types
+       |
+       || Media type | Count |
+       ||---|---|
+       |$rows
+       |""".stripMargin
+  }
+}

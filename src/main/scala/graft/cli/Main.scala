@@ -1,0 +1,76 @@
+package graft.cli
+
+import org.apache.spark.sql.SparkSession
+
+import graft.enrich.SyntheticFetcher
+import graft.pipeline.Pipelines
+
+/** CLI mirroring the reference's workflow_dispatch surfaces
+  * (.github/workflows/test_parquet_processor.yml:4-33,
+  * test_parquet_coordinator.yml:4-25, test_parquet_aggregator.yml:4-14).
+  *
+  * Usage:
+  *   graft.cli.Main process   <urlList.json> <outDir> [maxRecords] [totalTarget]
+  *   graft.cli.Main canary    <urlList.json> <outDir> [records]
+  *   graft.cli.Main aggregate <shardsDir> <outDir>
+  *   graft.cli.Main plan      <totalRecords> <numSegments> <avgSecPerRecord>
+  *
+  * The fetcher is the deterministic SyntheticFetcher (the Selenium
+  * equivalent is a Fetcher implementation plugged in by the deployment,
+  * not baked into the engine).
+  */
+object Main {
+
+  private def session(): SparkSession = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val s = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", s"local[$cpus]"))
+      .appName("graft")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  def main(args: Array[String]): Unit = args.toList match {
+    case "process" :: urlList :: outDir :: rest =>
+      val maxRecords = rest.headOption.map(_.toInt).getOrElse(50)
+      val target = rest.drop(1).headOption.map(_.toLong).getOrElse(Long.MaxValue)
+      val spark = session()
+      val c = Pipelines.processAll(spark, urlList, outDir,
+        () => new SyntheticFetcher, maxRecords, s"$outDir/cursor.txt", target)
+      println(c.toKeyValue)
+      spark.stop()
+
+    case "canary" :: urlList :: outDir :: rest =>
+      val records = rest.headOption.map(_.toInt).getOrElse(10)
+      val spark = session()
+      val (ok, avg) = Pipelines.canary(spark, urlList, outDir,
+        () => new SyntheticFetcher, records)
+      println(s"success=$ok")
+      println(f"avg_time=$avg%.4f")
+      spark.stop()
+      if (!ok) sys.exit(1)
+
+    case "aggregate" :: shardsDir :: outDir :: Nil =>
+      val spark = session()
+      val stats = Pipelines.aggregator(spark, shardsDir, outDir)
+      println(s"total_records=${stats.totalRecords}")
+      println(f"avg_processing_time=${stats.avgProcessingTime}%.4f")
+      println(f"error_rate=${stats.errorRate}%.4f")
+      spark.stop()
+
+    case "plan" :: total :: segments :: avgSec :: Nil =>
+      val p = Pipelines.plan(total.toLong, segments.toInt, avgSec.toDouble)
+      p.segments.foreach { case (s, e, n) => println(s"segment,$s,$e,$n") }
+      println(f"est_hours_per_segment=${p.estHoursPerSegment}%.4f")
+      println(f"est_hours_total=${p.estHoursTotal}%.4f")
+
+    case other =>
+      System.err.println(s"unknown command: ${other.mkString(" ")}")
+      System.err.println("commands: process | canary | aggregate | plan")
+      sys.exit(2)
+  }
+}

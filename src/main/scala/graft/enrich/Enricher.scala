@@ -1,0 +1,154 @@
+package graft.enrich
+
+import java.sql.Timestamp
+import java.util.concurrent.{Executors, TimeUnit, TimeoutException}
+
+import org.apache.spark.sql.{DataFrame, Encoders, Row}
+import org.apache.spark.sql.functions._
+
+import graft.model.MediaSchema
+
+/** The per-row enrichment stage: URL → wide media record, with per-record
+  * retry, wall-clock timeout, attempt/processing-time metadata, and
+  * permissive error-in-row semantics plus a dead-letter side channel
+  * (reference test_parquet_processor.py:268-389 — SURVEY.md §2.11, T4).
+  *
+  * Deliberately OUTSIDE Catalyst: a side-effecting, slow, retrying fetch
+  * does not belong in an Expression. `mapPartitions` gives one Fetcher per
+  * partition (connection reuse), and the stage stays narrow — a 100 TB URL
+  * list enriches with zero shuffles; parallelism = input partitions.
+  *
+  * Semantics preserved from the reference (NOT silently upgraded to
+  * exactly-once): failures after `maxAttempts` or `recordTimeoutMs` become
+  * dead-letter rows; transient failures that later succeed are recorded
+  * in-row via `attempt > 1`; the job never aborts on record errors.
+  */
+object Enricher {
+
+  /** Reference defaults: 2 attempts, 10 s/record, 1 s backoff
+    * (test_parquet_processor.py:274-275,332).
+    */
+  case class Config(maxAttempts: Int = 2, recordTimeoutMs: Long = 10000,
+      backoffMs: Long = 1000, startIndex: Long = 0)
+
+  val deadLetterSchema =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("url", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("index", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("reason", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("processing_time", org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("attempts", org.apache.spark.sql.types.IntegerType)))
+
+  /** Internal union schema: superset media record + dead-letter columns +
+    * a discriminator, so one enrichment pass feeds both sinks.
+    */
+  private val unifiedSchema = org.apache.spark.sql.types.StructType(
+    MediaSchema.superset.fields ++ Seq(
+      org.apache.spark.sql.types.StructField("__dead", org.apache.spark.sql.types.BooleanType),
+      org.apache.spark.sql.types.StructField("__reason", org.apache.spark.sql.types.StringType)))
+
+  /** Result pair: `records` follow MediaSchema.superset; `deadLetter`
+    * follows [[deadLetterSchema]] (reason ∈ timeout | max_attempts).
+    */
+  case class Enriched(records: DataFrame, deadLetter: DataFrame)
+
+  /** Enrich a URL dataset. Input must have a `url` string column; a stable
+    * `batch_index` is assigned as `startIndex + position` in the input's
+    * current order (impose an orderBy upstream — SURVEY.md §7.4).
+    */
+  def enrich(urls: DataFrame, fetcherFactory: () => Fetcher,
+      config: Config = Config()): Enriched = {
+    val spark = urls.sparkSession
+    val cfg = config
+    val indexed = urls.select(col("url")).rdd
+      .zipWithIndex() // stable: preserves input order per partition chain
+      .map { case (row, i) => (row.getString(0), cfg.startIndex + i) }
+
+    val unified = spark.createDataFrame(
+      indexed.mapPartitions { it =>
+        val fetcher = fetcherFactory()
+        val timer = Executors.newSingleThreadExecutor { r =>
+          val t = new Thread(r, "graft-enrich-timeout"); t.setDaemon(true); t
+        }
+        val out = it.map { case (url, idx) =>
+          processOne(url, idx, fetcher, timer, cfg)
+        }
+        // mapPartitions iterators are lazy; close resources on exhaustion
+        new Iterator[Row] {
+          def hasNext: Boolean = {
+            val h = out.hasNext
+            if (!h) { timer.shutdownNow(); fetcher.close() }
+            h
+          }
+          def next(): Row = out.next()
+        }
+      },
+      unifiedSchema)
+
+    // One pass feeds two sinks: persist so the split doesn't re-fetch.
+    unified.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val records = unified.where(!col("__dead"))
+      .select(MediaSchema.superset.fieldNames.map(col).toSeq: _*)
+    val dead = unified.where(col("__dead")).select(
+      col("url"), col("batch_index").cast("long").as("index"),
+      col("__reason").as("reason"), col("processing_time"),
+      col("attempt").as("attempts"))
+    Enriched(records, dead)
+  }
+
+  /** Retry/timeout state machine for one record
+    * (test_parquet_processor.py:294-360).
+    */
+  private def processOne(url: String, idx: Long, fetcher: Fetcher,
+      timer: java.util.concurrent.ExecutorService, cfg: Config): Row = {
+    val t0 = System.nanoTime()
+    def elapsedSec = (System.nanoTime() - t0) / 1e9
+    var attempt = 0
+    var lastError: String = null
+    var fields: Map[String, String] = null
+    var timedOut = false
+    while (fields == null && !timedOut && attempt < cfg.maxAttempts) {
+      attempt += 1
+      val remainingMs = cfg.recordTimeoutMs - (System.nanoTime() - t0) / 1000000
+      if (remainingMs <= 0) timedOut = true
+      else {
+        val task = timer.submit(new java.util.concurrent.Callable[Map[String, String]] {
+          def call(): Map[String, String] = fetcher.fetch(url)
+        })
+        try fields = task.get(remainingMs, TimeUnit.MILLISECONDS)
+        catch {
+          case _: TimeoutException =>
+            task.cancel(true); timedOut = true; lastError = "timeout"
+          case e: Exception =>
+            lastError = Option(e.getCause).getOrElse(e).getMessage
+            fetcher.reset()
+            if (attempt < cfg.maxAttempts) Thread.sleep(cfg.backoffMs min 50)
+        }
+      }
+    }
+    val procTime = elapsedSec
+    val now = new Timestamp(System.currentTimeMillis())
+    if (fields != null) {
+      val mediaType = fields.getOrElse("Media Type", null)
+      val wanted = Option(mediaType).map(MediaSchema.fieldsForType)
+        .getOrElse(MediaSchema.baseFields)
+        .map(MediaSchema.normalizeFieldName).toSet
+      val normalized = fields.map { case (k, v) =>
+        MediaSchema.normalizeFieldName(k) -> MediaSchema.normalizeValue(v)
+      }
+      // P5: only the media type's field sections are extracted; everything
+      // else stays null even if the page offered it.
+      val data = MediaSchema.dataColumns.map { c =>
+        if (wanted.contains(c)) normalized.getOrElse(c, null) else null
+      }
+      Row.fromSeq(Seq(url, now, null, idx.toInt, attempt, procTime) ++ data ++ Seq(false, null))
+    } else if (timedOut) {
+      Row.fromSeq(Seq(url, now, "timeout", idx.toInt, attempt, procTime) ++
+        MediaSchema.dataColumns.map(_ => null) ++ Seq(true, "timeout"))
+    } else {
+      Row.fromSeq(Seq(url, now, s"failed after $attempt attempts: $lastError",
+        idx.toInt, attempt, procTime) ++
+        MediaSchema.dataColumns.map(_ => null) ++ Seq(true, "max_attempts"))
+    }
+  }
+}

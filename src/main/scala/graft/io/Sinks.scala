@@ -1,0 +1,48 @@
+package graft.io
+
+import java.nio.file.{Files, Paths, StandardOpenOption}
+
+import org.apache.spark.sql.DataFrame
+
+/** Sink operators K1–K7 (SURVEY.md §2.2).
+  *
+  * Scale note: the reference coalesces everything into single files (fine
+  * at 10⁵ rows). Here single-file outputs are opt-in via `singleFile` so
+  * the same sinks work at 100 TB (many-file parallel write) and in the
+  * reference's one-artifact mode.
+  */
+object Sinks {
+
+  /** K1: append a batch of records as a new parquet shard
+    * (reference test_parquet_processor.py:391-401).
+    */
+  def appendParquet(df: DataFrame, dir: String): Unit =
+    df.write.mode("append").parquet(dir)
+
+  /** K2: combined parquet output (aggregator.yml:159-161). */
+  def parquet(df: DataFrame, path: String, singleFile: Boolean = false): Unit =
+    (if (singleFile) df.coalesce(1) else df)
+      .write.mode("overwrite").parquet(path)
+
+  /** K3: CSV with header (aggregator.yml:164-166). */
+  def csv(df: DataFrame, path: String, singleFile: Boolean = false): Unit =
+    (if (singleFile) df.coalesce(1) else df)
+      .write.mode("overwrite").option("header", true).csv(path)
+
+  /** K6: dead-letter JSON side output
+    * (reference test_parquet_processor.py:336-349).
+    */
+  def deadLetterJson(df: DataFrame, dir: String): Unit =
+    df.write.mode("append").json(dir)
+
+  /** K4/K5: driver-side small-artifact writers (stats JSON, Markdown
+    * report). These hold collected aggregates — bytes, not data — so a
+    * plain file write is the right tool even at cluster scale.
+    */
+  def writeText(path: String, content: String): Unit = {
+    val p = Paths.get(path)
+    if (p.getParent != null) Files.createDirectories(p.getParent)
+    Files.writeString(p, content,
+      StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+  }
+}

@@ -1,0 +1,53 @@
+package graft.io
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Source operators S1–S4, S7 (SURVEY.md §2.1).
+  *
+  * All readers are thin declarative wrappers so Catalyst keeps predicate
+  * pushdown / column pruning / partition pruning on the scan.
+  */
+object Sources {
+
+  /** S1+S2: URL-list source — JSON array of objects, project `url`, drop
+    * null/missing (reference test_parquet_processor.py:31-38,426-429).
+    */
+  def urlList(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("multiLine", true).json(path)
+      .select("url").where(col("url").isNotNull)
+
+  /** S3: single-file/directory parquet scan. */
+  def parquet(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** S4: recursive shard discovery under nested artifact directories
+    * (reference evaluate_test_run.py:52-64, aggregator.yml:120-127).
+    */
+  def parquetTree(spark: SparkSession, dir: String): DataFrame =
+    spark.read
+      .option("recursiveFileLookup", true)
+      .option("pathGlobFilter", "*.parquet")
+      .parquet(dir)
+
+  /** S4+U1: recursive read with schema-merge union across heterogeneous
+    * shards (reference aggregator.yml:151 `pd.concat` alignment).
+    */
+  def parquetTreeMerged(spark: SparkSession, dir: String): DataFrame =
+    spark.read
+      .option("recursiveFileLookup", true)
+      .option("pathGlobFilter", "*.parquet")
+      .option("mergeSchema", true)
+      .parquet(dir)
+
+  /** U1 on already-loaded frames: union-by-name with null-fill. */
+  def unionMerged(dfs: Seq[DataFrame]): DataFrame =
+    dfs.reduce(_.unionByName(_, allowMissingColumns = true))
+
+  /** S7: deterministic pagination — `urls[start:start+count]` over an
+    * explicit total order (reference test_parquet_processor.py:277-279).
+    * The ordering column is mandatory: parquet row order is not a contract.
+    */
+  def slice(df: DataFrame, orderCol: String, start: Int, count: Int): DataFrame =
+    df.orderBy(col(orderCol)).offset(start).limit(count)
+}

@@ -96,10 +96,12 @@ object TextAnalysis {
   /** Stable content fingerprint (hex): engine-portable md5 of the raw text. */
   def contentFingerprint(text: Column): Column = md5(text)
 
-  /** 64-bit rolling (polynomial) fingerprint over the token stream:
-    * `h = h * 31 + xxhash64(token)` — order-sensitive, so reordered
+  /** 64-bit rolling fingerprint over the token stream:
+    * `h = xxhash64(h, token)` — order-sensitive, so reordered
     * near-identical documents fingerprint differently (unlike a set hash).
+    * (A chained hash rather than `h*31+x`: ANSI mode forbids the
+    * wraparound multiply.)
     */
   def rollingFingerprint(text: Column): Column =
-    aggregate(tokens(text), lit(0L), (acc, t) => acc * lit(31L) + xxhash64(t))
+    aggregate(tokens(text), lit(0L), (acc, t) => xxhash64(acc, t))
 }

@@ -1,0 +1,139 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.agg.Statistics
+import graft.enrich.{Enricher, Fetcher}
+import graft.io.{Sinks, Sources}
+import graft.model.MediaSchema
+
+/** The three reference entry points (SURVEY.md §3), collapsed into Spark
+  * jobs. The coordinator's canary → cost model → fan-out (§3.2) becomes
+  * partition-count arithmetic + Spark's own scheduler: one application,
+  * no polling barriers, no workflow mutexes.
+  */
+object Pipelines {
+
+  // ------------------------------------------------------------- processor
+
+  /** §3.1: url list → slice by cursor → enrich → shard + dead-letter +
+    * cursor. Narrow pipeline: zero shuffles end-to-end.
+    *
+    * @return the advanced cursor (also persisted to `cursorPath`)
+    */
+  def processor(spark: SparkSession, urlListPath: String, outDir: String,
+      fetcherFactory: () => Fetcher, maxRecords: Int,
+      cursorPath: String, totalTarget: Long = Long.MaxValue,
+      numPartitions: Int = 0): Cursor = {
+    val cur = Cursor.read(cursorPath)
+    val remaining = totalTarget - cur.totalProcessed
+    if (remaining <= 0 || !cur.hasMore) {
+      val done = cur.copy(hasMore = false)
+      Cursor.write(cursorPath, done)
+      return done
+    }
+    val take = math.min(maxRecords.toLong, remaining).toInt
+
+    val urls = Sources.urlList(spark, urlListPath)
+    val slice0 = Sources.slice(urls, "url", cur.nextIndex.toInt, take)
+    val slice = if (numPartitions > 0) slice0.repartition(numPartitions) else slice0
+
+    val enriched = Enricher.enrich(slice, fetcherFactory,
+      Enricher.Config(startIndex = cur.nextIndex))
+    Sinks.appendParquet(enriched.records, s"$outDir/shards")
+    Sinks.deadLetterJson(enriched.deadLetter, s"$outDir/dead_letter")
+
+    val produced = enriched.records.count()
+    val errors = enriched.records.where(col("error").isNotNull).count()
+    val dead = enriched.deadLetter.count()
+    val consumed = produced + dead
+    val next = Cursor(
+      nextIndex = cur.nextIndex + consumed,
+      totalProcessed = cur.totalProcessed + consumed,
+      hasMore = consumed > 0 && cur.totalProcessed + consumed < totalTarget &&
+        consumed >= take, // short read = source exhausted
+      errorCount = cur.errorCount + errors,
+      skippedCount = cur.skippedCount + dead)
+    Cursor.write(cursorPath, next)
+    next
+  }
+
+  /** Drive [[processor]] to completion (the coordinator's fan-out loop,
+    * §3.2, as a driver loop — each iteration is a distributed job).
+    */
+  def processAll(spark: SparkSession, urlListPath: String, outDir: String,
+      fetcherFactory: () => Fetcher, batchSize: Int,
+      cursorPath: String, totalTarget: Long): Cursor = {
+    var c = Cursor.read(cursorPath)
+    while (c.hasMore && c.totalProcessed < totalTarget) {
+      c = processor(spark, urlListPath, outDir, fetcherFactory, batchSize,
+        cursorPath, totalTarget)
+    }
+    c
+  }
+
+  // ------------------------------------------------------------ coordinator
+
+  /** X2: the canary cost model — segment count + runtime estimate from a
+    * measured avg seconds/record (coordinator.yml:251-282). In Spark the
+    * "segments" are just input partitions of one job.
+    */
+  case class Plan(segments: Seq[(Long, Long, String)], estHoursPerSegment: Double,
+      estHoursTotal: Double)
+
+  def plan(totalRecords: Long, numSegments: Int, avgSecondsPerRecord: Double,
+      maxConcurrent: Int = 3): Plan = {
+    val per = totalRecords / numSegments
+    val segments = (0 until numSegments).map { i =>
+      val start = i * per
+      val end = if (i == numSegments - 1) totalRecords else (i + 1) * per
+      (start, end, s"${start / 1000}k-${end / 1000}k")
+    }
+    Plan(segments,
+      estHoursPerSegment = avgSecondsPerRecord * per / 3600.0,
+      estHoursTotal = avgSecondsPerRecord * totalRecords / (3600.0 * maxConcurrent))
+  }
+
+  /** X1: the 10-record canary gate — measure, evaluate acceptance, return
+    * (pass, avgSecondsPerRecord) (coordinator.yml:38-241).
+    */
+  def canary(spark: SparkSession, urlListPath: String, outDir: String,
+      fetcherFactory: () => Fetcher, records: Int = 10): (Boolean, Double) = {
+    val c = processor(spark, urlListPath, outDir, fetcherFactory,
+      maxRecords = records, cursorPath = s"$outDir/canary_cursor.txt",
+      totalTarget = records)
+    val df = Sources.parquetTreeMerged(spark, s"$outDir/shards")
+    val stats = Statistics.globalStats(df)
+    (Statistics.accept(stats), stats.avgProcessingTime)
+  }
+
+  // ------------------------------------------------------------- aggregator
+
+  /** §3.3: shard tree → contract validation → schema-merge union → stats →
+    * parquet + csv + statistics.json + markdown. The only shuffle in the
+    * whole system is the tiny media_type histogram.
+    */
+  def aggregator(spark: SparkSession, shardsDir: String, outDir: String,
+      singleFile: Boolean = false): Statistics.GlobalStats = {
+    val merged = Sources.parquetTreeMerged(spark, shardsDir)
+    val df = MediaSchema.validate(merged) match {
+      case Right(ok) => ok
+      case Left(missing) =>
+        throw new IllegalArgumentException(
+          s"shards violate read contract; missing columns: $missing")
+    }
+    val stats = Statistics.globalStats(df)
+    val histogram = Statistics.mediaTypeHistogram(df).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    val nFiles = df.select(input_file_name()).distinct().count()
+
+    Sinks.parquet(df, s"$outDir/combined.parquet", singleFile)
+    Sinks.csv(df.select(df.columns.map(col).toSeq: _*), s"$outDir/combined.csv", singleFile)
+    Sinks.writeText(s"$outDir/statistics.json",
+      Statistics.statsJson(stats, histogram, nFiles))
+    Sinks.writeText(s"$outDir/aggregation_summary.md",
+      Statistics.markdownReport(stats, histogram, nFiles))
+    stats
+  }
+}

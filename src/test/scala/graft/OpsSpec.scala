@@ -1,0 +1,123 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Dedup, Similarity, TextAnalysis}
+
+class OpsSpec extends SparkSuite {
+
+  private lazy val docs = Tables.documents(spark, sfDir)
+
+  test("jaccard on known arrays") {
+    import spark.implicits._
+    val df = Seq((Seq("a", "b", "c"), Seq("b", "c", "d"))).toDF("x", "y")
+    val j = df.select(Dedup.jaccard($"x", $"y")).head().getDouble(0)
+    assert(j === 2.0 / 4.0)
+  }
+
+  test("shingles: 3-grams of a 5-token doc, short docs empty") {
+    import spark.implicits._
+    val df = Seq("a b c d e", "a b").toDF("text")
+    val sh = df.select(Dedup.shingles($"text", 3)).collect()
+    assert(sh(0).getSeq[String](0).toSet === Set("a b c", "b c d", "c d e"))
+    assert(sh(1).getSeq[String](0).isEmpty)
+  }
+
+  test("exactDedup keeps the lowest id per duplicate text") {
+    import spark.implicits._
+    val df = Seq((3L, "same"), (1L, "same"), (2L, "other")).toDF("doc_id", "text")
+    val kept = Dedup.exactDedup(df, "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept === Set(1L, 2L))
+  }
+
+  test("minhash near-dups find exact duplicates and respect threshold") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "spark query engine fast scan join"),
+      (2L, "spark query engine fast scan join"), // dup of 1
+      (3L, "completely different words entirely here now")).toDF("doc_id", "text")
+    val pairs = Dedup.minhashNearDups(df, "doc_id", "text", threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(pairs.map(p => (p._1, p._2)).toSet === Set((1L, 2L)))
+    assert(pairs.head._3 === 1.0)
+  }
+
+  test("minhash candidates are a superset of high-jaccard exact pairs on real docs") {
+    val exact = Dedup.blockedJaccardPairs(docs, "doc_id", "text", "lang", 0.99)
+      .select("idA", "idB").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val mh = Dedup.minhashNearDups(docs, "doc_id", "text", threshold = 0.99)
+      .select("idA", "idB").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // jaccard ≈ 1 pairs collide in every band — LSH cannot miss them
+    assert(exact.subsetOf(mh))
+  }
+
+  test("simhash: identical docs at distance 0, near docs at small distance") {
+    import spark.implicits._
+    val df = Seq((1L, "a", "w1 w2 w3 w4 w5 w6 w7 w8"),
+      (2L, "a", "w1 w2 w3 w4 w5 w6 w7 w8"),
+      (3L, "a", "z1 z2 z3 z4 z5 z6 z7 z8")).toDF("doc_id", "lang", "text")
+    val pairs = Dedup.simhashNearDups(df, "doc_id", "text", "lang", maxBits = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSet === Set((1L, 2L)))
+  }
+
+  test("cosine matches hand-computed value") {
+    import spark.implicits._
+    val df = Seq((Seq(1.0f, 0.0f, 1.0f), Seq(1.0f, 1.0f, 0.0f))).toDF("a", "b")
+    val c = df.select(Similarity.cosine($"a", $"b")).head().getDouble(0)
+    assert(math.abs(c - 0.5) < 1e-12) // dot=1, norms=sqrt(2) each
+  }
+
+  test("brute-force top-k is ordered and excludes the query vector") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val top = Similarity.bruteForceTopK(emb, "vec_id", "embedding", 0L, 5).collect()
+    assert(top.length === 5)
+    assert(!top.map(_.getLong(0)).contains(0L))
+    val sims = top.map(_.getDouble(1))
+    assert(sims.sameElements(sims.sorted.reverse))
+  }
+
+  test("ann top-k results are a subset of brute-force ranking universe") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val ann = Similarity.annTopK(emb, "vec_id", "embedding", 0L, 5, planes = 2)
+      .collect()
+    assert(ann.nonEmpty)
+    // every ANN hit must carry the true cosine (spot check one)
+    val bf = Similarity.bruteForceTopK(emb, "vec_id", "embedding", 0L, 500)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    ann.foreach(r => assert(math.abs(bf(r.getLong(0)) - r.getDouble(1)) < 1e-12))
+  }
+
+  test("langId: marker argmax with deterministic first-listed tie-break") {
+    import spark.implicits._
+    val df = Seq("der und ist text", "the of and text", "nomarkers at all")
+      .toDF("text")
+    val out = df.select(TextAnalysis.langId($"text")).collect().map(_.getString(0))
+    assert(out(0) === "de")
+    assert(out(1) === "en")
+    assert(out(2) === "en") // all-zero scores → first listed
+  }
+
+  test("quality metrics: token count, diversity, avg length") {
+    import spark.implicits._
+    val df = Seq("aa bb aa").toDF("text")
+    val r = df.select(
+      TextAnalysis.tokenCount($"text"),
+      TextAnalysis.distinctTokenRatio($"text"),
+      TextAnalysis.avgTokenLength($"text")).head()
+    assert(r.getInt(0) === 3)
+    assert(math.abs(r.getDouble(1) - 2.0 / 3.0) < 1e-12)
+    assert(math.abs(r.getDouble(2) - 2.0) < 1e-12)
+  }
+
+  test("rolling fingerprint is order-sensitive, md5 fingerprint is not") {
+    import spark.implicits._
+    val df = Seq(("a b c", "c b a")).toDF("x", "y")
+    val r = df.select(
+      TextAnalysis.rollingFingerprint($"x") =!= TextAnalysis.rollingFingerprint($"y"),
+      TextAnalysis.contentFingerprint($"x") =!= TextAnalysis.contentFingerprint($"y")).head()
+    assert(r.getBoolean(0))
+    assert(r.getBoolean(1))
+  }
+}
