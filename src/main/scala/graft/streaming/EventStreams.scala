@@ -1,0 +1,114 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+import org.apache.spark.sql.types.StructType
+
+/** Structured-Streaming surfaces (SURVEY.md §2.10).
+  *
+  * The reference hand-rolls micro-batch incrementalism (cursor state +
+  * flush-every-10-records, test_parquet_processor.py:277-386); here the
+  * same semantics come from the file source + checkpointed offsets with
+  * `Trigger.AvailableNow` (T1–T3 — exactly-once into the parquet sink,
+  * an upgrade the batch pipeline deliberately does NOT silently make).
+  * Watermarked windows and stateful sessionization are the §7.5/T5
+  * extensions over the `events` table shape.
+  */
+object EventStreams {
+
+  /** T1–T3: incremental parquet→parquet micro-batch pipeline. Processes
+    * whatever files are present, checkpoints offsets, terminates
+    * (`Trigger.AvailableNow`) — rerunning picks up only new files, the
+    * streaming analog of the cursor loop.
+    */
+  def incrementalCopy(spark: SparkSession, schema: StructType, inDir: String,
+      outDir: String, checkpointDir: String,
+      transform: DataFrame => DataFrame = identity): StreamingQuery = {
+    val in = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 16) // micro-batch granularity
+      .parquet(inDir)
+    transform(in).writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
+  /** Events with a proper µs timestamp column derived from epoch-ns longs
+    * (see graft.Tables.events for why `ts` arrives as Long).
+    */
+  def withEventTime(df: DataFrame): DataFrame =
+    df.withColumn("event_time", timestamp_micros(expr("ts DIV 1000")))
+
+  /** T5: watermarked tumbling-window aggregation. Late events beyond
+    * `watermark` are dropped; state is bounded, so the query runs forever
+    * on an unbounded stream — the 100 TB/day design point.
+    */
+  def windowedCounts(events: DataFrame, window: String = "15 minutes",
+      watermark: String = "30 minutes"): DataFrame =
+    withEventTime(events)
+      .withWatermark("event_time", watermark)
+      .groupBy(
+        org.apache.spark.sql.functions.window(col("event_time"), window),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+
+  case class SessionEvent(user_id: Long, event_id: Long, tsNs: Long)
+  case class SessionState(start: Long, last: Long, events: Int)
+  case class SessionOut(user_id: Long, n_events: Int, durationNs: Long)
+
+  /** T5: custom stateful sessionization via flatMapGroupsWithState — the
+    * streaming twin of queries.EventQueries q35. A session closes after
+    * `gapNs` of inactivity (processing-time timeout in live mode).
+    */
+  def sessionize(spark: SparkSession, events: DataFrame,
+      gapNs: Long = 1800L * 1000000000L): DataFrame = {
+    import spark.implicits._
+    val typed = events
+      .select(col("user_id").cast("long"), col("event_id").cast("long"),
+        col("ts").cast("long").as("tsNs"))
+      .as[SessionEvent]
+
+    val out = typed
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(
+        (userId: Long, batch: Iterator[SessionEvent], state: GroupState[SessionState]) => {
+          // Events within a micro-batch are not ordered — sort the chunk.
+          val sorted = batch.toSeq.sortBy(e => (e.tsNs, e.event_id))
+          var st = state.getOption.orNull
+          val closed = Seq.newBuilder[SessionOut]
+          sorted.foreach { e =>
+            st match {
+              case null =>
+                st = SessionState(e.tsNs, e.tsNs, 1)
+              case s if e.tsNs - s.last > gapNs =>
+                closed += SessionOut(userId, s.events, s.last - s.start)
+                st = SessionState(e.tsNs, e.tsNs, 1)
+              case s =>
+                st = SessionState(s.start, e.tsNs, s.events + 1)
+            }
+          }
+          if (st != null) state.update(st) else state.remove()
+          closed.result().iterator
+        })
+    out.toDF()
+  }
+
+  /** Run a streaming DataFrame to completion against a memory sink and
+    * return the materialized result (hermetic local testing; complete
+    * mode for aggregations).
+    */
+  def runToMemory(spark: SparkSession, stream: DataFrame, name: String,
+      outputMode: String = "complete"): DataFrame = {
+    val q = stream.writeStream
+      .format("memory").queryName(name)
+      .outputMode(outputMode)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+}

@@ -1,0 +1,80 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.streaming.EventStreams
+
+/** Structured-Streaming module (SURVEY.md §2.10 T1–T5): incremental
+  * micro-batch copy with checkpointed offsets, watermarked windows, and
+  * stateful sessionization — each checked against its batch twin.
+  */
+class StreamingSpec extends SparkSuite {
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  test("incrementalCopy processes files once and resumes from the checkpoint") {
+    import spark.implicits._
+    val in = tmp("stream-in")
+    val out = tmp("stream-out")
+    val ckpt = tmp("stream-ckpt")
+
+    val first = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    first.write.mode("append").parquet(in)
+
+    EventStreams.incrementalCopy(spark, first.schema, in, out, ckpt)
+      .awaitTermination()
+    assert(spark.read.parquet(out).count() === 2)
+
+    // New file arrives; rerun picks up ONLY the new offsets (cursor T2/T3).
+    Seq((3L, "c")).toDF("id", "v").write.mode("append").parquet(in)
+    EventStreams.incrementalCopy(spark, first.schema, in, out, ckpt)
+      .awaitTermination()
+    val rows = spark.read.parquet(out)
+    assert(rows.count() === 3) // no reprocessing of files 1-2
+    assert(rows.select("id").as[Long].collect().sorted === Array(1L, 2L, 3L))
+  }
+
+  test("windowedCounts matches the batch tumbling-window aggregation") {
+    val events = Tables.events(spark, sfDir)
+    // file stream sources read directories, not single files
+    val inDir = tmp("stream-events")
+    Files.copy(java.nio.file.Paths.get(s"$sfDir/events.parquet"),
+      java.nio.file.Paths.get(inDir, "events.parquet"),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    val streamed = EventStreams.runToMemory(
+      spark,
+      EventStreams.windowedCounts(
+        spark.readStream.schema(events.schema).parquet(inDir),
+        window = "15 minutes", watermark = "0 seconds"),
+      name = "windowed_counts")
+      .select(col("window.start").as("ws"), col("event_type"), col("n"))
+
+    val batch = EventStreams.withEventTime(events)
+      .groupBy(window(col("event_time"), "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("ws"), col("event_type"), col("n"))
+
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
+
+  test("sessionize (flatMapGroupsWithState) agrees with the q35 batch count") {
+    import spark.implicits._
+    // Closed sessions per user from the stateful op + the one still-open
+    // session per active user must equal q35's total session count.
+    val events = Tables.events(spark, sfDir)
+    val closed = EventStreams.sessionize(spark, events)
+      .groupBy($"user_id").agg(count(lit(1)).as("n_closed"))
+
+    val batch = graft.queries.EventQueries.all("q35_sessionization")(spark, sfDir)
+      .select($"user_id", $"n_sessions")
+
+    val joined = batch.join(closed, Seq("user_id"), "left")
+      .select($"user_id", $"n_sessions",
+        (coalesce($"n_closed", lit(0L)) + 1).as("streamed_total"))
+    val bad = joined.where($"n_sessions" =!= $"streamed_total").count()
+    assert(bad === 0)
+  }
+}
