@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{CoreQueries, EventQueries, SimilarityQueries, TextQueries}
+import graft.queries.{CoreQueries, EventQueries, MultimodalQueries, SimilarityQueries, TextQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -16,7 +16,8 @@ object SparkEntry {
       (CoreQueries.all, CoreQueries.oracles),
       (TextQueries.all, TextQueries.oracles),
       (SimilarityQueries.all, SimilarityQueries.oracles),
-      (EventQueries.all, EventQueries.oracles))
+      (EventQueries.all, EventQueries.oracles),
+      (MultimodalQueries.all, MultimodalQueries.oracles))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

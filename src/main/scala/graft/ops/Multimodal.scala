@@ -1,0 +1,121 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, Encoders}
+import org.apache.spark.sql.functions._
+
+/** Multimodal columns: image/audio/video payloads carried as opaque
+  * `binary` columns with typed metadata, plus the decode / feature-extract
+  * / resize / frame-sample plumbing of a training-data pipeline.
+  *
+  * Scale design (100 TB target):
+  *  - payload bytes never leave the executor: every operator is either a
+  *    codegen'd expression over the binary column or a `mapPartitions`
+  *    batch (the JVM analog of an Arrow `mapInPandas` — one decoder
+  *    instance per partition, rows streamed through it);
+  *  - the decode stage is pluggable ([[Decoder]]); real image/audio codecs
+  *    are NOT available in this environment, so [[StubDecoder]] is a
+  *    clearly-marked deterministic fake — the schema, partitioning, batch
+  *    shape and UDF signature are the real contract and are tested;
+  *  - frame sampling is pure expression algebra (slice/posexplode), so a
+  *    decode→sample→filter pipeline is one narrow codegen'd stage with no
+  *    shuffle and no driver involvement.
+  */
+/** Decoded media features. For the stub these are hash-derived; a real
+  * decoder fills them from the codec (dimensions, duration, channels).
+  * (Top-level: encoder codegen requires publicly accessible classes.)
+  */
+case class MediaFeatures(asset_id: Long, kind: String, byte_len: Long,
+    width: Int, height: Int, channels: Int, feature: Array[Float])
+
+case class RawAsset(asset_id: Long, kind: String, payload: Array[Byte])
+
+object Multimodal {
+
+  /** Per-partition media decoder — the seam where a real codec plugs in.
+    * One instance per partition (mirrors connection/codec reuse in the
+    * enrichment stage, SURVEY.md §2.11).
+    */
+  trait Decoder extends Serializable {
+    def decode(assetId: Long, kind: String, payload: Array[Byte]): MediaFeatures
+  }
+
+  /** STUB — deterministic fake standing in for an image/audio/video codec
+    * (none are installed in this container). Features are derived purely
+    * from the payload bytes, so results are reproducible on any cluster;
+    * swap for a real codec without touching any calling plan.
+    */
+  object StubDecoder extends Decoder {
+    def decode(assetId: Long, kind: String, payload: Array[Byte]): MediaFeatures = {
+      val h = java.util.Arrays.hashCode(payload).toLong & 0x7fffffffL
+      val dim = 16
+      val feature = Array.tabulate(dim) { i =>
+        // fake embedding: byte-histogram-ish fold over a stride
+        var acc = 0L
+        var j = i
+        while (j < payload.length) { acc += (payload(j) & 0xff); j += dim }
+        (acc % 997).toFloat / 997f
+      }
+      MediaFeatures(assetId, kind, payload.length.toLong,
+        width = (h % 1920).toInt + 1, height = (h / 1920 % 1080).toInt + 1,
+        channels = if (kind == "audio") 2 else 3, feature = feature)
+    }
+  }
+
+  /** Decode a `(asset_id, kind, payload binary)` DataFrame into
+    * [[MediaFeatures]] rows. Batched per partition; payloads stay
+    * executor-side end-to-end (the `mapInPandas` shape, JVM-native).
+    */
+  def decode(df: DataFrame, decoder: Decoder = StubDecoder): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("asset_id").cast("long"), col("kind"), col("payload"))
+      .as[RawAsset]
+      .mapPartitions { it => it.map(a => decoder.decode(a.asset_id, a.kind, a.payload)) }
+      .toDF()
+  }
+
+  /** Resize: recompute features at a target resolution. With the stub this
+    * just rescales the fake dimensions; the contract (same schema out,
+    * narrow stage) is what a real resampler must satisfy.
+    */
+  def resize(decoded: DataFrame, w: Int, h: Int): DataFrame =
+    decoded.withColumn("width", least(col("width"), lit(w)))
+      .withColumn("height", least(col("height"), lit(h)))
+
+  /** Split a binary payload into fixed-size frames and keep every
+    * `stride`-th one — pure expression algebra (slice the byte range per
+    * frame), codegen'd, no UDF. The last frame may be short.
+    *
+    * Output: one row per sampled frame with `frame_idx` (0-based index in
+    * the full frame sequence) and the frame bytes.
+    */
+  def frameSample(df: DataFrame, payload: Column, frameBytes: Int,
+      stride: Int): DataFrame = {
+    val nFrames = ceil(length(payload).cast("double") / frameBytes).cast("int")
+    df.withColumn("__n_frames", nFrames)
+      .withColumn("frame_idx",
+        explode(sequence(lit(0), greatest(col("__n_frames"), lit(1)) - 1, lit(stride))))
+      .withColumn("frame",
+        // substring is 1-based; works on binary and returns binary
+        substring(payload, col("frame_idx") * frameBytes + 1, lit(frameBytes)))
+      .withColumn("frame_len", length(col("frame")))
+      .drop("__n_frames")
+  }
+
+  /** Frame accounting without materializing frames (planning/stats pass):
+    * total frames and sampled-frame count/bytes per asset, O(1) per row.
+    */
+  def frameStats(payloadLen: Column, frameBytes: Int, stride: Int): (Column, Column, Column) = {
+    val n = ceil(payloadLen.cast("double") / frameBytes).cast("long")
+    val nClamped = greatest(n, lit(1L))
+    // Column./ is double division; floor+cast gives integral div (args ≥ 0)
+    val sampled = floor((nClamped - 1) / stride).cast("long") + 1
+    // all sampled frames are full except possibly the last (short) frame,
+    // which is sampled iff (n-1) % stride == 0
+    val lastLen = payloadLen - (nClamped - 1) * frameBytes
+    val lastSampled = (nClamped - 1) % stride === 0
+    val bytes = when(lastSampled, (sampled - 1) * frameBytes + lastLen)
+      .otherwise(sampled * frameBytes)
+    (nClamped, sampled, bytes)
+  }
+}
