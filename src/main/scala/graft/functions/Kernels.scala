@@ -1,0 +1,236 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.XXH64
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+
+/** Tight JIT-compiled loops behind the custom expressions in this package.
+  * Called both from interpreted eval and from whole-stage-generated code
+  * (via Scala's static forwarders), so a plan using these stays inside one
+  * codegen stage while the per-row work runs at primitive-array speed —
+  * unlike Catalyst higher-order functions (transform/aggregate), which
+  * interpret their lambda per element.
+  *
+  * Numeric contract: all folds accumulate left-to-right in Double, the
+  * same operation sequence as the `aggregate(zip_with(...))` formulation
+  * they replace — results are bit-identical (required for oracle parity).
+  */
+object Kernels {
+
+  private final val HashSeed = 42L // xxhash64's fixed seed in Spark
+
+  /** Σ a_i·b_i over float arrays (sequential double fold). */
+  def dotF(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      acc += a.getFloat(i).toDouble * b.getFloat(i).toDouble
+      i += 1
+    }
+    acc
+  }
+
+  /** Σ a_i·b_i over double arrays. */
+  def dotD(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) { acc += a.getDouble(i) * b.getDouble(i); i += 1 }
+    acc
+  }
+
+  /** √(Σ x²) over a float array. */
+  def normF(a: ArrayData): Double = {
+    var acc = 0.0
+    var i = 0
+    val n = a.numElements()
+    while (i < n) {
+      val x = a.getFloat(i).toDouble
+      acc += x * x
+      i += 1
+    }
+    math.sqrt(acc)
+  }
+
+  /** √(Σ x²) over a double array. */
+  def normD(a: ArrayData): Double = {
+    var acc = 0.0
+    var i = 0
+    val n = a.numElements()
+    while (i < n) { val x = a.getDouble(i); acc += x * x; i += 1 }
+    math.sqrt(acc)
+  }
+
+  /** dot/(|a|·|b|) over float arrays in one pass. Per-accumulator op
+    * sequence identical to dotF/normF run separately.
+    */
+  def cosineF(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a.getFloat(i).toDouble
+      val y = b.getFloat(i).toDouble
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  def cosineD(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a.getDouble(i)
+      val y = b.getDouble(i)
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  /** MinHash signature over a string array: sig[j] = min over tokens of
+    * the `xxhash64(token, j)` chain (string hashed once with seed 42,
+    * then the index mixed in via hashInt — the exact value Spark's
+    * built-in xxhash64 produces for those two arguments). One string hash
+    * per token, then k cheap int-mixes — no per-element lambda
+    * interpretation and no allocation beyond the signature.
+    */
+  def minhash(tokens: ArrayData, k: Int): ArrayData = {
+    val sig = new Array[Long](k)
+    java.util.Arrays.fill(sig, Long.MaxValue)
+    val n = tokens.numElements()
+    var i = 0
+    while (i < n) {
+      if (!tokens.isNullAt(i)) {
+        val base = XXH64.hashUTF8String(tokens.getUTF8String(i), HashSeed)
+        var j = 0
+        while (j < k) {
+          val h = XXH64.hashInt(j, base)
+          if (h < sig(j)) sig(j) = h
+          j += 1
+        }
+      }
+      i += 1
+    }
+    new GenericArrayData(sig)
+  }
+
+  /** Jaccard similarity of two distinct-element string arrays:
+    * |A∩B| / |A∪B| with |A∪B| = |A|+|B|−|A∩B| (inputs are sets, as
+    * produced by array_distinct). Same integer counts — hence the same
+    * double quotient — as size(array_intersect)/size(array_union), with
+    * one hash probe per element instead of two allocated result arrays.
+    */
+  def jaccard(a: ArrayData, b: ArrayData): Double = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    if (na == 0 && nb == 0) return Double.NaN // 0/0, as the HOF version
+    val (small, large, ns, nl) = if (na <= nb) (a, b, na, nb) else (b, a, nb, na)
+    val set = new java.util.HashSet[org.apache.spark.unsafe.types.UTF8String](ns * 2)
+    var i = 0
+    while (i < ns) {
+      if (!small.isNullAt(i)) set.add(small.getUTF8String(i))
+      i += 1
+    }
+    var inter = 0
+    i = 0
+    while (i < nl) {
+      if (!large.isNullAt(i) && set.contains(large.getUTF8String(i))) inter += 1
+      i += 1
+    }
+    inter.toDouble / (na + nb - inter)
+  }
+
+  /** Distinct word n-gram shingles of a token array, first-occurrence
+    * order, space-joined; empty when the document has fewer than n
+    * tokens. Same element set as
+    * array_distinct(transform(sequence(...), i => concat_ws(" ", slice(toks, i, n)))).
+    */
+  def shingles(tokens: ArrayData, n: Int): ArrayData = {
+    val total = tokens.numElements()
+    if (total < n) return new GenericArrayData(Array.empty[Any])
+    val space = org.apache.spark.unsafe.types.UTF8String.fromString(" ")
+    val seen = new java.util.LinkedHashSet[org.apache.spark.unsafe.types.UTF8String]()
+    val window = new Array[org.apache.spark.unsafe.types.UTF8String](n)
+    var i = 0
+    while (i <= total - n) {
+      var j = 0
+      while (j < n) { window(j) = tokens.getUTF8String(i + j); j += 1 }
+      seen.add(org.apache.spark.unsafe.types.UTF8String.concatWs(space, window: _*))
+      i += 1
+    }
+    new GenericArrayData(seen.toArray.asInstanceOf[Array[AnyRef]])
+  }
+
+  /** Sorted distinct xxh64 hashes of a string array — the compact set
+    * representation for repeated similarity comparisons. Hashing each
+    * token once per document (instead of once per pair) turns pairwise
+    * Jaccard into an allocation-free merge of two sorted long arrays.
+    */
+  def sortedTokenHashes(tokens: ArrayData): ArrayData = {
+    val n = tokens.numElements()
+    val hs = new Array[Long](n)
+    var m = 0
+    var i = 0
+    while (i < n) {
+      if (!tokens.isNullAt(i)) {
+        hs(m) = XXH64.hashUTF8String(tokens.getUTF8String(i), HashSeed)
+        m += 1
+      }
+      i += 1
+    }
+    java.util.Arrays.sort(hs, 0, m)
+    // drop duplicate hashes so the array is a set
+    var out = 0
+    i = 0
+    while (i < m) {
+      if (out == 0 || hs(i) != hs(out - 1)) { hs(out) = hs(i); out += 1 }
+      i += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(hs, out))
+  }
+
+  /** Jaccard of two sorted distinct long arrays (set semantics) via a
+    * two-pointer merge: zero allocation, O(|A|+|B|) long compares.
+    */
+  def jaccardSorted(a: ArrayData, b: ArrayData): Double = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    if (na == 0 && nb == 0) return Double.NaN
+    var i = 0; var j = 0; var inter = 0
+    while (i < na && j < nb) {
+      val x = a.getLong(i)
+      val y = b.getLong(j)
+      if (x == y) { inter += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    inter.toDouble / (na + nb - inter)
+  }
+
+  /** 64-bit SimHash over a string array: bit b of the result is the
+    * majority vote of bit b across xxh64(token, 42).
+    */
+  def simhash64(tokens: ArrayData): Long = {
+    val votes = new Array[Int](64)
+    val n = tokens.numElements()
+    var i = 0
+    while (i < n) {
+      if (!tokens.isNullAt(i)) {
+        val h = XXH64.hashUTF8String(tokens.getUTF8String(i), HashSeed)
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (votes(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
+}

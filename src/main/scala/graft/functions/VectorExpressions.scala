@@ -1,0 +1,257 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult.{TypeCheckFailure, TypeCheckSuccess}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, Literal, UnaryExpression}
+import org.apache.spark.sql.types._
+
+/** Custom Catalyst expressions for the hot per-row loops of similarity
+  * search and near-dup detection.
+  *
+  * Why not `aggregate(zip_with(...))`: Catalyst higher-order functions
+  * interpret their lambda once per array element, which made the pairwise
+  * stages of q26–q28/q31 the benchmark bottleneck. These expressions emit
+  * a single static call into [[Kernels]] from generated code, so the
+  * surrounding plan stays in one whole-stage-codegen span and the inner
+  * loop runs as JIT-compiled primitive code (~50× less overhead/row).
+  */
+private[functions] trait ArrayOfNumericCheck { self: Expression =>
+  protected def vectorInputs: Seq[Expression]
+
+  protected def elementType: DataType =
+    vectorInputs.head.dataType.asInstanceOf[ArrayType].elementType
+
+  protected def isFloat: Boolean = elementType == FloatType
+
+  def checkVectorTypes(): TypeCheckResult = {
+    val ok = vectorInputs.forall(_.dataType match {
+      case ArrayType(FloatType | DoubleType, _) => true
+      case _ => false
+    })
+    val same = vectorInputs.map(_.dataType.asInstanceOf[ArrayType].elementType)
+      .distinct.sizeIs == 1
+    if (ok && same) TypeCheckSuccess
+    else TypeCheckFailure(
+      s"$prettyName requires array<float> or array<double> args of one element type, " +
+        s"got ${vectorInputs.map(_.dataType.simpleString).mkString(", ")}")
+  }
+}
+
+/** dot(a, b): Σ aᵢ·bᵢ as a left-to-right Double fold. */
+case class VectorDot(left: Expression, right: Expression)
+    extends BinaryExpression with ArrayOfNumericCheck {
+  override protected def vectorInputs: Seq[Expression] = Seq(left, right)
+  override def checkInputDataTypes(): TypeCheckResult = checkVectorTypes()
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_dot"
+
+  private lazy val kernel = if (isFloat) "dotF" else "dotD"
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val (x, y) = (a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+    if (isFloat) Kernels.dotF(x, y) else Kernels.dotD(x, y)
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev,
+      (a, b) => s"${ev.value} = graft.functions.Kernels.$kernel($a, $b);")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): VectorDot =
+    copy(left = l, right = r)
+}
+
+/** norm(a): √(Σ aᵢ²). */
+case class VectorNorm(child: Expression)
+    extends UnaryExpression with ArrayOfNumericCheck {
+  override protected def vectorInputs: Seq[Expression] = Seq(child)
+  override def checkInputDataTypes(): TypeCheckResult = checkVectorTypes()
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_norm"
+
+  private lazy val kernel = if (isFloat) "normF" else "normD"
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    if (isFloat) Kernels.normF(x) else Kernels.normD(x)
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.functions.Kernels.$kernel($a)")
+  override protected def withNewChildInternal(c: Expression): VectorNorm =
+    copy(child = c)
+}
+
+/** cosine(a, b): dot/(|a|·|b|) in one pass; bit-identical to computing the
+  * three folds separately (each accumulator keeps its own sequence).
+  */
+case class VectorCosine(left: Expression, right: Expression)
+    extends BinaryExpression with ArrayOfNumericCheck {
+  override protected def vectorInputs: Seq[Expression] = Seq(left, right)
+  override def checkInputDataTypes(): TypeCheckResult = checkVectorTypes()
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_cosine"
+
+  private lazy val kernel = if (isFloat) "cosineF" else "cosineD"
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val (x, y) = (a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+    if (isFloat) Kernels.cosineF(x, y) else Kernels.cosineD(x, y)
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev,
+      (a, b) => s"${ev.value} = graft.functions.Kernels.$kernel($a, $b);")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): VectorCosine =
+    copy(left = l, right = r)
+}
+
+/** minhash(tokens, k): k-element MinHash signature of a string array. */
+case class MinHashSignature(child: Expression, numHashes: Int)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) if numHashes > 0 => TypeCheckSuccess
+    case _ => TypeCheckFailure(s"$prettyName requires array<string> and k > 0")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_minhash"
+
+  override def nullSafeEval(a: Any): Any =
+    Kernels.minhash(a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], numHashes)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.functions.Kernels.minhash($a, $numHashes)")
+  override protected def withNewChildInternal(c: Expression): MinHashSignature =
+    copy(child = c)
+}
+
+/** shingles(tokens, n): distinct word n-grams of a string array. */
+case class WordShingles(child: Expression, n: Int) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) if n > 0 => TypeCheckSuccess
+    case _ => TypeCheckFailure(s"$prettyName requires array<string> and n > 0")
+  }
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_shingles"
+
+  override def nullSafeEval(a: Any): Any =
+    Kernels.shingles(a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.functions.Kernels.shingles($a, $n)")
+  override protected def withNewChildInternal(c: Expression): WordShingles =
+    copy(child = c)
+}
+
+/** token_hashes(tokens): sorted distinct xxh64 set of a string array. */
+case class SortedTokenHashes(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckSuccess
+    case _ => TypeCheckFailure(s"$prettyName requires array<string>")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_token_hashes"
+
+  override def nullSafeEval(a: Any): Any =
+    Kernels.sortedTokenHashes(a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.functions.Kernels.sortedTokenHashes($a)")
+  override protected def withNewChildInternal(c: Expression): SortedTokenHashes =
+    copy(child = c)
+}
+
+/** jaccard_sorted(a, b): Jaccard of two sorted distinct long arrays. */
+case class JaccardSorted(left: Expression, right: Expression) extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) => TypeCheckSuccess
+      case _ => TypeCheckFailure(s"$prettyName requires two array<long> args")
+    }
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_jaccard_sorted"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    Kernels.jaccardSorted(a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev,
+      (a, b) => s"${ev.value} = graft.functions.Kernels.jaccardSorted($a, $b);")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): JaccardSorted =
+    copy(left = l, right = r)
+}
+
+/** jaccard(a, b): |A∩B|/|A∪B| of two distinct-element string arrays. */
+case class JaccardSim(left: Expression, right: Expression) extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(StringType, _), ArrayType(StringType, _)) => TypeCheckSuccess
+      case _ => TypeCheckFailure(s"$prettyName requires two array<string> args")
+    }
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_jaccard"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    Kernels.jaccard(a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev,
+      (a, b) => s"${ev.value} = graft.functions.Kernels.jaccard($a, $b);")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): JaccardSim =
+    copy(left = l, right = r)
+}
+
+/** simhash64(tokens): 64-bit SimHash of a string array. */
+case class SimHash(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckSuccess
+    case _ => TypeCheckFailure(s"$prettyName requires array<string>")
+  }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_simhash64"
+
+  override def nullSafeEval(a: Any): Any =
+    Kernels.simhash64(a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.functions.Kernels.simhash64($a)")
+  override protected def withNewChildInternal(c: Expression): SimHash =
+    copy(child = c)
+}
+
+/** Registration for the custom expressions: [[GraftFunctions.register]]
+  * for an existing session, or `spark.sql.extensions=graft.functions.
+  * GraftExtensions` at session build.
+  */
+object GraftFunctions {
+
+  private def intArg(e: Expression, what: String): Int = e match {
+    case Literal(v: Int, IntegerType) => v
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
+  }
+
+  val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "graft_dot" -> (args => VectorDot(args(0), args(1))),
+    "graft_norm" -> (args => VectorNorm(args(0))),
+    "graft_cosine" -> (args => VectorCosine(args(0), args(1))),
+    "graft_minhash" -> (args => MinHashSignature(args(0), intArg(args(1), "numHashes"))),
+    "graft_simhash64" -> (args => SimHash(args(0))),
+    "graft_jaccard" -> (args => JaccardSim(args(0), args(1))),
+    "graft_shingles" -> (args => WordShingles(args(0), intArg(args(1), "n"))),
+    "graft_token_hashes" -> (args => SortedTokenHashes(args(0))),
+    "graft_jaccard_sorted" -> (args => JaccardSorted(args(0), args(1))))
+
+  /** Idempotent per-session registration (temp functions). */
+  def register(spark: SparkSession): Unit =
+    builders.foreach { case (name, builder) =>
+      spark.sessionState.functionRegistry
+        .createOrReplaceTempFunction(name, builder, "built-in")
+    }
+}
+
+/** `SparkSessionExtensions` hook so the functions exist in every session
+  * of a cluster configured with
+  * `spark.sql.extensions=graft.functions.GraftExtensions`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftFunctions.builders.foreach { case (name, builder) =>
+      ext.injectFunction((FunctionIdentifier(name),
+        new ExpressionInfo("graft.functions.VectorExpressions", name), builder))
+    }
+}

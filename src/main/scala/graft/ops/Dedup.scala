@@ -22,19 +22,17 @@ object Dedup {
   def tokenSet(text: Column): Column = array_distinct(TextAnalysis.tokens(text))
 
   /** Distinct n-gram (word shingle) set; empty when the doc is shorter
-    * than `n` tokens.
+    * than `n` tokens. Custom codegen'd expression — one sliding-window
+    * pass instead of an interpreted slice+concat per position.
     */
-  def shingles(text: Column, n: Int): Column = {
-    val toks = TextAnalysis.tokens(text)
-    when(size(toks) >= n,
-      array_distinct(transform(sequence(lit(1), size(toks) - (n - 1)),
-        i => concat_ws(" ", slice(toks, i, lit(n))))))
-      .otherwise(array().cast("array<string>"))
-  }
+  def shingles(text: Column, n: Int): Column =
+    call_function("graft_shingles", TextAnalysis.tokens(text), lit(n))
 
-  /** Exact Jaccard similarity of two pre-deduplicated string arrays. */
-  def jaccard(a: Column, b: Column): Column =
-    size(array_intersect(a, b)).cast("double") / size(array_union(a, b))
+  /** Exact Jaccard similarity of two pre-deduplicated string arrays
+    * (custom codegen'd one-pass expression; same counts and quotient as
+    * size(array_intersect)/size(array_union) on set inputs).
+    */
+  def jaccard(a: Column, b: Column): Column = call_function("graft_jaccard", a, b)
 
   // ------------------------------------------------------------ exact dedup
 
@@ -51,11 +49,13 @@ object Dedup {
   // --------------------------------------------------------------- MinHash
 
   /** MinHash signature: element k = min over tokens of xxhash64(token, k).
-    * One pass over the tokens per document, no shuffle.
+    * One pass over the tokens per document, no shuffle. Custom codegen'd
+    * expression (graft.functions.MinHashSignature) — hashes each token
+    * once and mixes the index in, instead of interpreting a lambda per
+    * (token, k) pair.
     */
   def minhashSignature(tokenArr: Column, numHashes: Int): Column =
-    transform(sequence(lit(0), lit(numHashes - 1)),
-      k => array_min(transform(tokenArr, t => xxhash64(t, k))))
+    call_function("graft_minhash", tokenArr, lit(numHashes))
 
   /** LSH band keys: the signature split into `bands` bands of
     * `numHashes / bands` rows, each band hashed to one 64-bit key.
@@ -99,11 +99,15 @@ object Dedup {
   def minhashNearDups(df: DataFrame, idCol: String, textCol: String,
       threshold: Double, numHashes: Int = 64, bands: Int = 4): DataFrame = {
     val cands = lshCandidates(df, idCol, textCol, numHashes, bands)
-    val toks = df.select(col(idCol).as("__tid"), tokenSet(col(textCol)).as("__toks"))
+    // hashed token sets for verification — see blockedJaccardPairs
+    val toks = df.select(col(idCol).as("__tid"),
+      call_function("graft_token_hashes", TextAnalysis.tokens(col(textCol)))
+        .as("__toks"))
     cands
       .join(toks.withColumnRenamed("__tid", "idA").withColumnRenamed("__toks", "__ta"), Seq("idA"))
       .join(toks.withColumnRenamed("__tid", "idB").withColumnRenamed("__toks", "__tb"), Seq("idB"))
-      .select(col("idA"), col("idB"), jaccard(col("__ta"), col("__tb")).as("jaccard"))
+      .select(col("idA"), col("idB"),
+        call_function("graft_jaccard_sorted", col("__ta"), col("__tb")).as("jaccard"))
       .where(col("jaccard") >= threshold)
   }
 
@@ -113,13 +117,33 @@ object Dedup {
     */
   def blockedJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       blockCol: String, threshold: Double): DataFrame = {
+    // Each document's token set is hashed once into a sorted long array
+    // (graft_token_hashes); the N² stage then compares longs, not
+    // strings. Set sizes are distinct-hash counts: a 64-bit in-pair
+    // collision (P ≈ n²/2⁶⁴ per pair) is the only way this can deviate
+    // from string-set Jaccard.
     val t = df.select(col(blockCol).as("__blk"), col(idCol).as("__id"),
-      tokenSet(col(textCol)).as("__toks"))
-    val a = t.select(col("__blk"), col("__id").as("idA"), col("__toks").as("__ta"))
-    val b = t.select(col("__blk"), col("__id").as("idB"), col("__toks").as("__tb"))
-    a.join(b, Seq("__blk"))
+      call_function("graft_token_hashes", TextAnalysis.tokens(col(textCol)))
+        .as("__toks"))
+    val a = t.select(col("__blk"), col("__id").as("idA"), col("__toks").as("__ta"),
+      size(col("__ta")).as("__sa"))
+    val b = t.select(col("__blk"), col("__id").as("idB"), col("__toks").as("__tb"),
+      size(col("__tb")).as("__sb"))
+    // Broadcast the build side, and spread the probe side across the
+    // cluster first: a handful of block keys would otherwise hash-shuffle
+    // every pair through as many tasks as there are blocks, and a small
+    // input (one parquet file) would probe in a single task. (This
+    // exact-quadratic op is the test-scale ground truth; at corpus scale
+    // use minhashNearDups, whose bucket keys are high-cardinality.)
+    a.repartition().join(broadcast(b), Seq("__blk"))
       .where(col("idA") < col("idB"))
-      .select(col("idA"), col("idB"), jaccard(col("__ta"), col("__tb")).as("jaccard"))
+      // Exact size prefilter: J(A,B) ≤ min/max, and double rounding is
+      // monotonic, so no pair with J ≥ t is pruned — same result, but the
+      // expensive intersect/union runs on a fraction of the pairs.
+      .where(least(col("__sa"), col("__sb")).cast("double")
+        / greatest(col("__sa"), col("__sb")) >= threshold)
+      .select(col("idA"), col("idB"),
+        call_function("graft_jaccard_sorted", col("__ta"), col("__tb")).as("jaccard"))
       .where(col("jaccard") >= threshold)
   }
 
@@ -127,17 +151,12 @@ object Dedup {
 
   /** 64-bit SimHash over the token set: bit b of the fingerprint is the
     * majority vote of bit b across xxhash64(token). Near-identical docs
-    * differ in few bits (compare with [[hammingDistance]]).
+    * differ in few bits (compare with [[hammingDistance]]). Custom
+    * codegen'd expression — one token hash + 64 vote updates per token,
+    * vs the doubly-nested interpreted aggregate it replaced.
     */
-  def simhash64(tokenArr: Column): Column = {
-    val hashes = transform(tokenArr, t => xxhash64(t))
-    aggregate(sequence(lit(0), lit(63)), lit(0L), (acc, b) => {
-      val votes = aggregate(hashes, lit(0),
-        (v, h) => v + when(call_function("shiftright", h, b)
-          .bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1))
-      acc + when(votes > 0, call_function("shiftleft", lit(1L), b)).otherwise(lit(0L))
-    })
-  }
+  def simhash64(tokenArr: Column): Column =
+    call_function("graft_simhash64", tokenArr)
 
   def hammingDistance(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
@@ -150,7 +169,8 @@ object Dedup {
       simhash64(tokenSet(col(textCol))).as("__sh"))
     val a = t.select(col("__blk"), col("__id").as("idA"), col("__sh").as("__sa"))
     val b = t.select(col("__blk"), col("__id").as("idB"), col("__sh").as("__sb"))
-    a.join(b, Seq("__blk"))
+    // see blockedJaccardPairs on broadcast + probe-side spreading
+    a.repartition().join(broadcast(b), Seq("__blk"))
       .where(col("idA") < col("idB"))
       .select(col("idA"), col("idB"),
         hammingDistance(col("__sa"), col("__sb")).as("hamming"))

