@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.execution.ExplainMode
+
+/** Plan-shape assertions: the properties that keep these queries viable
+  * at the 100 TB target — filter/projection pushdown into the parquet
+  * scan, broadcast joins for dimension tables, and bounded shuffle
+  * counts. A regression here can still pass value checks at test scale
+  * while destroying cluster-scale performance.
+  */
+class PlanSpec extends SparkSuite {
+
+  private def formatted(name: String): String =
+    SparkEntry.queries(name)(spark, sfDir)
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+
+  /** Count plan NODES of a kind: "(7) Exchange" detail entries, so tree
+    * and detail sections aren't double-counted and BroadcastExchange is
+    * not conflated with shuffle Exchange.
+    */
+  private def countNodes(plan: String, node: String): Int =
+    ("""\(\d+\) """ + node + """\b""").r.findAllIn(plan).length
+
+  test("q03: predicate and projection reach the parquet scan") {
+    val p = formatted("q03_filter_project")
+    assert(p.contains("PushedFilters"), p)
+    assert(p.contains("GreaterThan(l_discount"), p)
+    assert(p.contains("LessThan(l_quantity"), p)
+    // projection pruned: the wide money/date columns are not read
+    assert(!p.contains("l_shipdate"), p)
+    assert(!p.contains("l_returnflag"), p)
+  }
+
+  test("q04: dimension joins broadcast, fact side never shuffles pre-agg") {
+    val p = formatted("q04_top_nations")
+    assert(countNodes(p, "BroadcastHashJoin") >= 2, p)
+    assert(p.contains("BroadcastExchange"), p)
+  }
+
+  test("q05: two broadcast joins, no sort-merge") {
+    val p = formatted("q05_broadcast_dims")
+    assert(countNodes(p, "BroadcastHashJoin") === 2, p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(countNodes(p, "Exchange") === 1, p) // only the final sort
+  }
+
+  test("q02: single shuffle (partial + final hash aggregate)") {
+    val p = formatted("q02_pricing_summary")
+    assert(p.contains("HashAggregate"), p)
+    // one shuffle for the groupBy, one for the final orderBy
+    assert(countNodes(p, "Exchange") <= 2, p)
+    assert(p.contains("PushedFilters"), p)
+  }
+
+  test("q01: global agg stays a two-phase aggregate with no wide shuffle") {
+    val p = formatted("q01_stats_global")
+    assert(p.contains("HashAggregate") || p.contains("SortAggregate"), p)
+    // partial-aggregate then single-partition exchange only
+    assert(countNodes(p, "Exchange") <= 1, p)
+  }
+
+  test("q30: brute-force ANN is scan + broadcast probe + TakeOrdered (no sort/shuffle of the corpus)") {
+    val p = formatted("q30_ann_bruteforce")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
+  }
+
+  test("whole-stage codegen covers the kernel expressions") {
+    val df = SparkEntry.queries("q31_cosine_neardup")(spark, sfDir)
+    df.collect() // materialize THIS plan so AQE finalizes it
+    val p = df.queryExecution
+      .explainString(ExplainMode.fromString("formatted"))
+    // kernel expressions sit inside codegen stages, not in a fallback
+    assert(p.contains("graft_dot"), p)
+    assert(p.contains("codegen id"), p)
+  }
+}
