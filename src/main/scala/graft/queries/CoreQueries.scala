@@ -260,7 +260,37 @@ object CoreQueries {
       .limit(10)
   }
 
+  /** Distinct aggregation (exact): distinct parts/suppliers per return
+    * flag — the two-phase distinct-agg shuffle shape.
+    */
+  private def q41(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, dir)
+      .groupBy($"l_returnflag")
+      .agg(
+        countDistinct($"l_partkey").as("n_parts"),
+        countDistinct($"l_suppkey").as("n_supps"),
+        count(lit(1)).as("n_rows"))
+      .orderBy($"l_returnflag")
+  }
+
+  /** Sketched distinct (HyperLogLog++): the 100 TB path where exact
+    * distinct's per-key shuffle is too expensive. Rows-only check — the
+    * sketch estimate is implementation-specific (deterministic in Spark).
+    */
+  private def q42(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, dir)
+      .groupBy($"l_returnflag")
+      .agg(
+        approx_count_distinct($"l_partkey", 0.01).as("approx_parts"),
+        approx_count_distinct($"l_orderkey", 0.01).as("approx_orders"))
+      .orderBy($"l_returnflag")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q41_distinct_agg" -> (q41 _),
+    "q42_approx_distinct" -> (q42 _),
     "q01_stats_global" -> (q01 _),
     "q02_pricing_summary" -> (q02 _),
     "q03_filter_project" -> (q03 _),
@@ -285,6 +315,14 @@ object CoreQueries {
   // ---------------------------------------------------------------- oracles
 
   val oracles: Map[String, String] = Map(
+    "q41_distinct_agg" ->
+      """SELECT l_returnflag,
+        |       count(DISTINCT l_partkey) AS n_parts,
+        |       count(DISTINCT l_suppkey) AS n_supps,
+        |       count(*) AS n_rows
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
     "q01_stats_global" ->
       """SELECT count(*) AS n_rows,
         |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty,

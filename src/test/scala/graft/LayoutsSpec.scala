@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.execution.ExplainMode
+import org.apache.spark.sql.functions._
+
+import graft.io.Layouts
+
+/** Bucketed layout: co-located joins and aggregations must run with no
+  * shuffle exchange — the write-time partitioning contract the 100 TB
+  * deployment depends on.
+  */
+class LayoutsSpec extends SparkSuite {
+
+  private def withNoBroadcast[A](body: => A): A = {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try body finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("join of co-bucketed tables has zero shuffle exchanges") {
+    Layouts.writeBucketed(Tables.orders(spark, sfDir), "b_orders", "o_custkey", 8)
+    Layouts.writeBucketed(
+      Tables.customer(spark, sfDir).withColumnRenamed("c_custkey", "o_custkey"),
+      "b_customer", "o_custkey", 8)
+    withNoBroadcast {
+      val joined = spark.table("b_orders")
+        .join(spark.table("b_customer"), "o_custkey")
+      joined.collect()
+      val p = joined.queryExecution
+        .explainString(ExplainMode.fromString("formatted"))
+      assert("""\(\d+\) Exchange\b""".r.findAllIn(p).isEmpty, p)
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"), p)
+      assert(p.contains("SelectedBucketsCount"), p)
+    }
+  }
+
+  test("aggregation on the bucket key needs no exchange before the agg") {
+    val agg = spark.table("b_orders").groupBy("o_custkey")
+      .agg(count(lit(1)).as("n"))
+    agg.collect()
+    val p = agg.queryExecution
+      .explainString(ExplainMode.fromString("formatted"))
+    assert("""\(\d+\) Exchange\b""".r.findAllIn(p).isEmpty, p)
+  }
+
+  test("range-clustered write produces pruned ordered files") {
+    val dir = java.nio.file.Files.createTempDirectory("range-clustered").toString
+    Layouts.writeRangeClustered(Tables.orders(spark, sfDir), dir, "o_orderkey", 8)
+    val back = spark.read.parquet(dir)
+    assert(back.count() === Tables.orders(spark, sfDir).count())
+    // each file covers a disjoint key range
+    val ranges = back
+      .groupBy(input_file_name().as("f"))
+      .agg(min("o_orderkey").as("lo"), max("o_orderkey").as("hi"))
+      .orderBy("lo").collect()
+    val overlaps = ranges.sliding(2).count {
+      case Array(a, b) => b.getAs[Long]("lo") <= a.getAs[Long]("hi")
+      case _ => false
+    }
+    assert(overlaps === 0)
+  }
+}
