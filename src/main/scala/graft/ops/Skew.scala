@@ -1,0 +1,66 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew mitigation for heavy-hitter keys.
+  *
+  * AQE's skew-join split (`spark.sql.adaptive.skewJoin.enabled`, on by
+  * default in this engine's sessions) handles most runtime skew; these
+  * operators cover the two cases AQE cannot re-plan:
+  *  - a single group key receiving most rows in an aggregation (one
+  *    reducer owns the heavy key no matter how partitions split);
+  *  - a broadcast-ineligible join where one probe key dominates.
+  *
+  * Both trade one skewed shuffle for balanced ones, at the cost of a
+  * `salts`-way fan-out of the small/partial side.
+  */
+object Skew {
+
+  /** Deterministic salt in [0, salts) derived from the full row's
+    * partition-local position — spreads a heavy key's rows uniformly
+    * without needing a random source (reproducible plans).
+    */
+  private def saltCol(salts: Int): Column =
+    pmod(spark_partition_id() * 31 + monotonically_increasing_id(), lit(salts))
+
+  /** Salted two-phase count: groupBy(key, salt) partial counts, then
+    * groupBy(key) sums the partials. Identical result to
+    * `df.groupBy(key).count()`; the heavy key's rows spread over `salts`
+    * reducers in the wide first shuffle while the second shuffle carries
+    * only `distinct_keys × salts` rows.
+    */
+  def saltedCount(df: DataFrame, key: String, salts: Int = 16): DataFrame =
+    df.withColumn("__salt", saltCol(salts))
+      .groupBy(col(key), col("__salt"))
+      .agg(count(lit(1)).as("__partial"))
+      .groupBy(col(key))
+      .agg(sum(col("__partial")).as("count"))
+
+  /** Salted sum — same two-phase shape for an associative aggregate. Use
+    * exact types (long / decimal) for the summed column: partial order
+    * differs from the unsalted plan, so float sums would not be
+    * bit-stable.
+    */
+  def saltedSum(df: DataFrame, key: String, valueCol: String,
+      salts: Int = 16): DataFrame =
+    df.withColumn("__salt", saltCol(salts))
+      .groupBy(col(key), col("__salt"))
+      .agg(sum(col(valueCol)).as("__partial"))
+      .groupBy(col(key))
+      .agg(sum(col("__partial")).as(s"sum_$valueCol"))
+
+  /** Skew-proof equi-join: the big (skewed) side gets a per-row salt in
+    * [0, salts); the small side is replicated `salts` times; the join key
+    * becomes (key, salt), so a heavy key's rows land on `salts` tasks
+    * instead of one. Result equals `big.join(small, key, "inner")`
+    * (small's key must be unique or duplicates multiply as usual).
+    */
+  def saltedJoin(big: DataFrame, small: DataFrame, key: String,
+      salts: Int = 16): DataFrame = {
+    val saltedBig = big.withColumn("__salt", saltCol(salts))
+    val replicated = small.withColumn("__salt",
+      explode(sequence(lit(0L), lit(salts - 1L))))
+    saltedBig.join(replicated, Seq(key, "__salt")).drop("__salt")
+  }
+}

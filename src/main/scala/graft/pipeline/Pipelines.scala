@@ -41,12 +41,23 @@ object Pipelines {
 
     val enriched = Enricher.enrich(slice, fetcherFactory,
       Enricher.Config(startIndex = cur.nextIndex))
-    Sinks.appendParquet(enriched.records, s"$outDir/shards")
-    Sinks.deadLetterJson(enriched.deadLetter, s"$outDir/dead_letter")
 
-    val produced = enriched.records.count()
-    val errors = enriched.records.where(col("error").isNotNull).count()
-    val dead = enriched.deadLetter.count()
+    // A11 running counters ride on the sink jobs as observed metrics
+    // (df.observe) instead of separate count() jobs — the batch loop
+    // runs exactly two jobs: shard write and dead-letter write.
+    val recObs = org.apache.spark.sql.Observation()
+    val deadObs = org.apache.spark.sql.Observation()
+    Sinks.appendParquet(
+      enriched.records.observe(recObs,
+        count(lit(1)).as("produced"), count(col("error")).as("errors")),
+      s"$outDir/shards")
+    Sinks.deadLetterJson(
+      enriched.deadLetter.observe(deadObs, count(lit(1)).as("dead")),
+      s"$outDir/dead_letter")
+
+    val produced = recObs.get("produced").asInstanceOf[Long]
+    val errors = recObs.get("errors").asInstanceOf[Long]
+    val dead = deadObs.get("dead").asInstanceOf[Long]
     val consumed = produced + dead
     val next = Cursor(
       nextIndex = cur.nextIndex + consumed,

@@ -11,6 +11,21 @@ import graft.io.Layouts
   */
 class LayoutsSpec extends SparkSuite {
 
+  /** Drop the table AND its warehouse directory — the in-memory catalog
+    * forgets tables between JVMs but the filesystem location survives,
+    * and saveAsTable refuses to overwrite an orphan location.
+    */
+  private def cleanTable(name: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $name")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete(); ()
+    }
+    val wh = new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath
+    val loc = new java.io.File(wh, name)
+    if (loc.exists()) rm(loc)
+  }
+
   private def withNoBroadcast[A](body: => A): A = {
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
@@ -18,6 +33,7 @@ class LayoutsSpec extends SparkSuite {
   }
 
   test("join of co-bucketed tables has zero shuffle exchanges") {
+    cleanTable("b_orders"); cleanTable("b_customer")
     Layouts.writeBucketed(Tables.orders(spark, sfDir), "b_orders", "o_custkey", 8)
     Layouts.writeBucketed(
       Tables.customer(spark, sfDir).withColumnRenamed("c_custkey", "o_custkey"),
