@@ -1,0 +1,57 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.enrich.{Enricher, Fetcher}
+import graft.io.Sinks
+
+/** Structured-Streaming twin of `pipeline.Pipelines.processor` (T1–T4):
+  * URL-list files land in a directory; each micro-batch enriches its
+  * slice and appends shard parquet + dead-letter JSON.
+  *
+  * The cursor (T2) is the streaming checkpoint: file offsets are
+  * committed after each batch, so a restart resumes exactly where the
+  * last run stopped — the reference's `start_index`/`has_more` chain
+  * without hand-rolled state. Enrichment keeps the batch pipeline's
+  * at-least-once, error-in-row semantics: a batch that dies mid-write
+  * may re-run, exactly as a re-dispatched reference workflow re-scrapes
+  * its segment (SURVEY.md §7.4 — deliberately NOT silently upgraded,
+  * because the shard sink append is not idempotent across retries).
+  */
+object StreamingProcessor {
+
+  /** Start (or resume) the incremental enrichment over `inDir`.
+    * `Trigger.AvailableNow` drains pending files and terminates;
+    * production streams can pass a processing-time trigger instead.
+    */
+  def start(spark: SparkSession, inDir: String, outDir: String,
+      checkpointDir: String, fetcherFactory: () => Fetcher,
+      config: Enricher.Config = Enricher.Config(),
+      maxFilesPerTrigger: Int = 16,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    val urls = spark.readStream
+      .schema("url STRING")
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .json(inDir)
+      .where(col("url").isNotNull)
+
+    urls.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // batch_index restarts per micro-batch; globally unique ids come
+        // from (micro_batch_id, batch_index)
+        val enriched = Enricher.enrich(batch, fetcherFactory, config)
+        Sinks.appendParquet(
+          enriched.records.withColumn("micro_batch_id", lit(batchId)),
+          s"$outDir/shards")
+        Sinks.deadLetterJson(
+          enriched.deadLetter.withColumn("micro_batch_id", lit(batchId)),
+          s"$outDir/dead_letter")
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .start()
+  }
+}

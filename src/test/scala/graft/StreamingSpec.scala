@@ -60,6 +60,31 @@ class StreamingSpec extends SparkSuite {
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
   }
 
+  test("StreamingProcessor enriches incrementally with checkpointed offsets") {
+    import spark.implicits._
+    val in = tmp("sp-in")
+    val out = tmp("sp-out")
+    val ckpt = tmp("sp-ckpt")
+
+    Seq("""{"url": "http://a/1"}""", """{"url": "http://a/2"}""")
+      .toDF("value").write.mode("append").text(in)
+    graft.streaming.StreamingProcessor.start(spark, in, out, ckpt,
+      () => new graft.enrich.SyntheticFetcher).awaitTermination()
+    val first = spark.read.parquet(s"$out/shards")
+    assert(first.count() === 2)
+    assert(first.columns.contains("media_type") &&
+      first.columns.contains("micro_batch_id"))
+
+    // a new file arrives: only it is processed on resume
+    Seq("""{"url": "http://a/3"}""").toDF("value").write.mode("append").text(in)
+    graft.streaming.StreamingProcessor.start(spark, in, out, ckpt,
+      () => new graft.enrich.SyntheticFetcher).awaitTermination()
+    val after = spark.read.parquet(s"$out/shards")
+    assert(after.count() === 3)
+    assert(after.select("url").as[String].collect().sorted ===
+      Array("http://a/1", "http://a/2", "http://a/3"))
+  }
+
   test("sessionize (flatMapGroupsWithState) agrees with the q35 batch count") {
     import spark.implicits._
     // Closed sessions per user from the stateful op + the one still-open
