@@ -210,6 +210,33 @@ object Kernels {
     inter.toDouble / (na + nb - inter)
   }
 
+  /** Index of the centroid (rows of `centroids`, a 2-D float array) with
+    * the highest cosine similarity to `vec`; ties break to the lower
+    * index. One fused pass per centroid, no allocation.
+    */
+  def nearestCentroid(vec: ArrayData, centroids: Array[Array[Float]]): Int = {
+    var best = 0
+    var bestSim = Double.NegativeInfinity
+    val n = vec.numElements()
+    var c = 0
+    while (c < centroids.length) {
+      val cent = centroids(c)
+      val m = math.min(n, cent.length)
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < m) {
+        val x = vec.getFloat(i).toDouble
+        val y = cent(i).toDouble
+        dot += x * y; na += x * x; nb += y * y
+        i += 1
+      }
+      val sim = dot / (math.sqrt(na) * math.sqrt(nb))
+      if (sim > bestSim) { bestSim = sim; best = c }
+      c += 1
+    }
+    best
+  }
+
   /** 64-bit SimHash over a string array: bit b of the result is the
     * majority vote of bit b across xxh64(token, 42).
     */

@@ -213,6 +213,32 @@ case class SimHash(child: Expression) extends UnaryExpression {
     copy(child = c)
 }
 
+/** nearest_centroid(vec, centroids-literal): index of the most-cosine-
+  * similar row of a small 2-D float-array model. The model arrives as a
+  * foldable literal (typedLit), is unpacked once at plan time, and rides
+  * into generated code as a referenced object — the scan-side "broadcast
+  * a tiny model into an expression" pattern used by the IVF index.
+  */
+case class NearestCentroid(child: Expression, centroids: Array[Array[Float]])
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) if centroids.nonEmpty => TypeCheckSuccess
+    case _ => TypeCheckFailure(s"$prettyName requires array<float> and ≥1 centroid")
+  }
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "graft_nearest_centroid"
+
+  override def nullSafeEval(a: Any): Any =
+    Kernels.nearestCentroid(
+      a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], centroids)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("centroids", centroids, "float[][]")
+    defineCodeGen(ctx, ev, a => s"graft.functions.Kernels.nearestCentroid($a, $ref)")
+  }
+  override protected def withNewChildInternal(c: Expression): NearestCentroid =
+    copy(child = c)
+}
+
 /** Registration for the custom expressions: [[GraftFunctions.register]]
   * for an existing session, or `spark.sql.extensions=graft.functions.
   * GraftExtensions` at session build.
@@ -225,6 +251,15 @@ object GraftFunctions {
       s"$what must be an integer literal, got $other")
   }
 
+  private def centroidsArg(e: Expression): Array[Array[Float]] = e match {
+    case l @ Literal(_, ArrayType(ArrayType(FloatType, _), _)) =>
+      l.value.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        .toObjectArray(ArrayType(FloatType))
+        .map(_.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toFloatArray())
+    case other => throw new IllegalArgumentException(
+      s"centroids must be an array<array<float>> literal (typedLit), got $other")
+  }
+
   val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "graft_dot" -> (args => VectorDot(args(0), args(1))),
     "graft_norm" -> (args => VectorNorm(args(0))),
@@ -234,14 +269,28 @@ object GraftFunctions {
     "graft_jaccard" -> (args => JaccardSim(args(0), args(1))),
     "graft_shingles" -> (args => WordShingles(args(0), intArg(args(1), "n"))),
     "graft_token_hashes" -> (args => SortedTokenHashes(args(0))),
-    "graft_jaccard_sorted" -> (args => JaccardSorted(args(0), args(1))))
+    "graft_jaccard_sorted" -> (args => JaccardSorted(args(0), args(1))),
+    "graft_nearest_centroid" -> (args => NearestCentroid(args(0), centroidsArg(args(1)))))
+
+  private val registered =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession, java.lang.Boolean]())
 
   /** Idempotent per-session registration (temp functions). */
   def register(spark: SparkSession): Unit =
-    builders.foreach { case (name, builder) =>
-      spark.sessionState.functionRegistry
-        .createOrReplaceTempFunction(name, builder, "built-in")
+    if (registered.put(spark, java.lang.Boolean.TRUE) == null) {
+      builders.foreach { case (name, builder) =>
+        spark.sessionState.functionRegistry
+          .createOrReplaceTempFunction(name, builder, "built-in")
+      }
     }
+
+  /** Register into the thread's active session — called by every ops
+    * helper that emits a `graft_*` call, so Column-only APIs work on any
+    * session without an explicit setup step.
+    */
+  def ensureRegistered(): Unit =
+    SparkSession.getActiveSession.foreach(register)
 }
 
 /** `SparkSessionExtensions` hook so the functions exist in every session

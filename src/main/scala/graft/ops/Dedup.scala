@@ -18,6 +18,14 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** call_function on a graft_* expression, auto-registering in the
+    * active session first (idempotent).
+    */
+  private def graftFn(name: String, args: Column*): Column = {
+    graft.functions.GraftFunctions.ensureRegistered()
+    call_function(name, args: _*)
+  }
+
   /** Whitespace-token set of a document (order-insensitive). */
   def tokenSet(text: Column): Column = array_distinct(TextAnalysis.tokens(text))
 
@@ -26,13 +34,13 @@ object Dedup {
     * pass instead of an interpreted slice+concat per position.
     */
   def shingles(text: Column, n: Int): Column =
-    call_function("graft_shingles", TextAnalysis.tokens(text), lit(n))
+    graftFn("graft_shingles", TextAnalysis.tokens(text), lit(n))
 
   /** Exact Jaccard similarity of two pre-deduplicated string arrays
     * (custom codegen'd one-pass expression; same counts and quotient as
     * size(array_intersect)/size(array_union) on set inputs).
     */
-  def jaccard(a: Column, b: Column): Column = call_function("graft_jaccard", a, b)
+  def jaccard(a: Column, b: Column): Column = graftFn("graft_jaccard", a, b)
 
   // ------------------------------------------------------------ exact dedup
 
@@ -55,7 +63,7 @@ object Dedup {
     * (token, k) pair.
     */
   def minhashSignature(tokenArr: Column, numHashes: Int): Column =
-    call_function("graft_minhash", tokenArr, lit(numHashes))
+    graftFn("graft_minhash", tokenArr, lit(numHashes))
 
   /** LSH band keys: the signature split into `bands` bands of
     * `numHashes / bands` rows, each band hashed to one 64-bit key.
@@ -101,13 +109,13 @@ object Dedup {
     val cands = lshCandidates(df, idCol, textCol, numHashes, bands)
     // hashed token sets for verification — see blockedJaccardPairs
     val toks = df.select(col(idCol).as("__tid"),
-      call_function("graft_token_hashes", TextAnalysis.tokens(col(textCol)))
+      graftFn("graft_token_hashes", TextAnalysis.tokens(col(textCol)))
         .as("__toks"))
     cands
       .join(toks.withColumnRenamed("__tid", "idA").withColumnRenamed("__toks", "__ta"), Seq("idA"))
       .join(toks.withColumnRenamed("__tid", "idB").withColumnRenamed("__toks", "__tb"), Seq("idB"))
       .select(col("idA"), col("idB"),
-        call_function("graft_jaccard_sorted", col("__ta"), col("__tb")).as("jaccard"))
+        graftFn("graft_jaccard_sorted", col("__ta"), col("__tb")).as("jaccard"))
       .where(col("jaccard") >= threshold)
   }
 
@@ -123,7 +131,7 @@ object Dedup {
     // collision (P ≈ n²/2⁶⁴ per pair) is the only way this can deviate
     // from string-set Jaccard.
     val t = df.select(col(blockCol).as("__blk"), col(idCol).as("__id"),
-      call_function("graft_token_hashes", TextAnalysis.tokens(col(textCol)))
+      graftFn("graft_token_hashes", TextAnalysis.tokens(col(textCol)))
         .as("__toks"))
     val a = t.select(col("__blk"), col("__id").as("idA"), col("__toks").as("__ta"),
       size(col("__ta")).as("__sa"))
@@ -143,7 +151,7 @@ object Dedup {
       .where(least(col("__sa"), col("__sb")).cast("double")
         / greatest(col("__sa"), col("__sb")) >= threshold)
       .select(col("idA"), col("idB"),
-        call_function("graft_jaccard_sorted", col("__ta"), col("__tb")).as("jaccard"))
+        graftFn("graft_jaccard_sorted", col("__ta"), col("__tb")).as("jaccard"))
       .where(col("jaccard") >= threshold)
   }
 
@@ -156,7 +164,7 @@ object Dedup {
     * vs the doubly-nested interpreted aggregate it replaced.
     */
   def simhash64(tokenArr: Column): Column =
-    call_function("graft_simhash64", tokenArr)
+    graftFn("graft_simhash64", tokenArr)
 
   def hammingDistance(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 

@@ -19,19 +19,27 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
+  /** call_function on a graft_* expression, auto-registering in the
+    * active session first (idempotent).
+    */
+  private def graftFn(name: String, args: Column*): Column = {
+    graft.functions.GraftFunctions.ensureRegistered()
+    call_function(name, args: _*)
+  }
+
   /** Dot product in Double (sequential fold — custom codegen'd expression,
     * bit-identical to the `aggregate(zip_with(...))` formulation it
     * replaced but ~50× cheaper per row; see graft.functions).
     */
-  def dotProduct(a: Column, b: Column): Column = call_function("graft_dot", a, b)
+  def dotProduct(a: Column, b: Column): Column = graftFn("graft_dot", a, b)
 
   /** L2 norm in Double. */
-  def l2Norm(a: Column): Column = call_function("graft_norm", a)
+  def l2Norm(a: Column): Column = graftFn("graft_norm", a)
 
   /** Cosine similarity, computed as dot/(|a|*|b|) like the oracle (one
     * fused kernel pass; per-accumulator fold order unchanged).
     */
-  def cosine(a: Column, b: Column): Column = call_function("graft_cosine", a, b)
+  def cosine(a: Column, b: Column): Column = graftFn("graft_cosine", a, b)
 
   /** Exact top-k nearest neighbors of the vector with id `queryId` by
     * cosine similarity. The query row is broadcast; the corpus is scanned
@@ -96,6 +104,63 @@ object Similarity {
     */
   def signLshBuckets(emb: DataFrame, vecCol: String, planes: Int): DataFrame =
     emb.withColumn("bucket", signLshBucket(col(vecCol), planes))
+
+  // ------------------------------------------------------------------- IVF
+
+  /** Deterministic IVF "training": the `numCentroids` corpus vectors with
+    * the lowest xxhash64(id) (a hash-random sample — no iterative k-means,
+    * reproducible on any cluster). The model is tiny (k × dim floats) and
+    * lives on the driver / in the plan, never in a shuffle.
+    */
+  def ivfCentroids(emb: DataFrame, idCol: String, vecCol: String,
+      numCentroids: Int): Array[Array[Float]] =
+    emb.select(col(vecCol)).orderBy(xxhash64(col(idCol)))
+      .limit(numCentroids)
+      .collect()
+      .map(_.getSeq[Float](0).toArray)
+
+  /** Corpus partitioned into IVF cells: adds `centroid_id` computed
+    * scan-side by a custom expression carrying the centroid model as a
+    * plan literal — zero shuffle, zero per-row model lookup cost beyond
+    * the k fused cosine folds. Persist (or partition the table) by
+    * `centroid_id` so ANN queries prune to `nprobe` cells.
+    */
+  def ivfAssign(emb: DataFrame, vecCol: String,
+      centroids: Array[Array[Float]]): DataFrame =
+    emb.withColumn("centroid_id",
+      graftFn("graft_nearest_centroid", col(vecCol),
+        typedLit(centroids.map(_.toSeq).toSeq)))
+
+  /** Approximate top-k via IVF: scan only the `nprobe` cells whose
+    * centroids are most similar to the query vector, exact cosine rank
+    * within them. Recall grows with `nprobe`; `nprobe = numCentroids`
+    * degenerates to exact brute force.
+    */
+  def ivfTopK(emb: DataFrame, idCol: String, vecCol: String, queryId: Long,
+      k: Int, centroids: Array[Array[Float]], nprobe: Int = 2): DataFrame = {
+    val assigned = ivfAssign(emb, vecCol, centroids)
+    val q = assigned.where(col(idCol) === queryId)
+      .select(col(vecCol).as("__qvec"))
+    // nprobe most-similar cells for the query vector (driver-side over
+    // the tiny model — this is query planning, not a data-path collect)
+    val qvec = q.collect().head.getSeq[Float](0).toArray
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      val m = math.min(a.length, b.length)
+      while (i < m) { dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i); i += 1 }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val probes = centroids.zipWithIndex
+      .sortBy { case (c, i) => (-cos(qvec, c), i) }
+      .take(nprobe).map(_._2)
+    assigned
+      .where(col("centroid_id").isin(probes.toSeq: _*) && col(idCol) =!= queryId)
+      .crossJoin(broadcast(q))
+      .select(col(idCol), cosine(col(vecCol), col("__qvec")).as("cosine"))
+      .orderBy(desc("cosine"), col(idCol))
+      .limit(k)
+  }
 
   /** Approximate top-k: exact ranking restricted to the query's LSH
     * bucket. Fast path for the 100 TB corpus; recall < 1 by construction.

@@ -59,11 +59,23 @@ object SimilarityQueries {
       .orderBy($"label")
   }
 
+  /** ANN via IVF cell pruning (deterministic hash-sampled centroids;
+    * approximate — rows-only check).
+    */
+  private def q43(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables.embeddings(s, dir)
+    val centroids = Similarity.ivfCentroids(emb, "vec_id", "embedding", 16)
+    Similarity.ivfTopK(emb, "vec_id", "embedding", queryId = 0L, k = 10,
+      centroids, nprobe = 4)
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_ann_bruteforce" -> (q30 _),
     "q31_cosine_neardup" -> (q31 _),
     "q32_ann_lsh" -> (q32 _),
-    "q33_label_stats" -> (q33 _))
+    "q33_label_stats" -> (q33 _),
+    "q43_ann_ivf" -> (q43 _))
 
   val oracles: Map[String, String] = Map(
     "q30_ann_bruteforce" ->

@@ -120,4 +120,33 @@ class OpsSpec extends SparkSuite {
     assert(r.getBoolean(0))
     assert(r.getBoolean(1))
   }
+  test("IVF: deterministic centroids, total cell assignment, sane recall") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sfDir)
+    val cents = Similarity.ivfCentroids(emb, "vec_id", "embedding", 8)
+    assert(cents.length === 8)
+    // deterministic: same model twice
+    val again = Similarity.ivfCentroids(emb, "vec_id", "embedding", 8)
+    assert(cents.map(_.toSeq) === again.map(_.toSeq))
+
+    val assigned = Similarity.ivfAssign(emb, "embedding", cents)
+    assert(assigned.where($"centroid_id".isNull).count() === 0)
+    assert(assigned.where($"centroid_id" < 0 || $"centroid_id" >= 8).count() === 0)
+    assert(assigned.count() === emb.count())
+
+    // probing every cell degenerates to exact brute force
+    val all = Similarity.ivfTopK(emb, "vec_id", "embedding", 0L, 10, cents,
+      nprobe = 8).select($"vec_id")
+    val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding", 0L, 10)
+      .select($"vec_id")
+    assert(all.collect().map(_.getLong(0)).toSeq ===
+      exact.collect().map(_.getLong(0)).toSeq)
+
+    // partial probe returns k rows ordered by cosine desc
+    val approx = Similarity.ivfTopK(emb, "vec_id", "embedding", 0L, 10, cents,
+      nprobe = 2).collect()
+    assert(approx.length === 10)
+    val sims = approx.map(_.getDouble(1))
+    assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })
+  }
 }
