@@ -1,0 +1,108 @@
+package graft
+
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.unsafe.types.UTF8String
+import org.scalacheck.{Gen, Prop, Properties}
+import org.scalacheck.Prop.{forAll, propBoolean}
+
+import graft.functions.Kernels
+import graft.model.MediaSchema
+import graft.pipeline.Pipelines
+
+/** Property tests over the pure kernels and pure planning functions — no
+  * Spark session, so hundreds of generated cases run in milliseconds.
+  */
+object KernelProps extends Properties("graft") {
+
+  private def strArr(xs: Seq[String]): GenericArrayData =
+    new GenericArrayData(xs.map(UTF8String.fromString).toArray[Any])
+
+  private val token: Gen[String] = Gen.nonEmptyListOf(Gen.alphaNumChar).map(_.mkString)
+  private val tokenSeq: Gen[List[String]] = Gen.listOf(token)
+
+  property("jaccard ∈ [0,1] and jaccard(A,A)=1 for nonempty sets") =
+    forAll(tokenSeq) { xs =>
+      val set = xs.distinct
+      val j = Kernels.jaccard(strArr(set), strArr(set))
+      if (set.isEmpty) j.isNaN else j == 1.0
+    }
+
+  property("jaccard matches the Set-algebra model") =
+    forAll(tokenSeq, tokenSeq) { (xs, ys) =>
+      val (a, b) = (xs.distinct, ys.distinct)
+      (a.nonEmpty || b.nonEmpty) ==> {
+        val expected = a.toSet.intersect(b.toSet).size.toDouble /
+          a.toSet.union(b.toSet).size
+        Kernels.jaccard(strArr(a), strArr(b)) == expected
+      }
+    }
+
+  property("jaccardSorted over token hashes equals string jaccard (collision-free inputs)") =
+    forAll(tokenSeq, tokenSeq) { (xs, ys) =>
+      val (a, b) = (xs.distinct, ys.distinct)
+      (a.nonEmpty || b.nonEmpty) ==> {
+        val ha = Kernels.sortedTokenHashes(strArr(a))
+        val hb = Kernels.sortedTokenHashes(strArr(b))
+        // hash-distinct sizes equal string-distinct sizes on these inputs
+        (ha.numElements() == a.size && hb.numElements() == b.size) ==>
+          (Kernels.jaccardSorted(ha, hb) == Kernels.jaccard(strArr(a), strArr(b)))
+      }
+    }
+
+  property("minhash of a union is the elementwise min of the signatures") =
+    forAll(tokenSeq, tokenSeq) { (xs, ys) =>
+      val k = 16
+      val sa = Kernels.minhash(strArr(xs), k)
+      val sb = Kernels.minhash(strArr(ys), k)
+      val su = Kernels.minhash(strArr(xs ++ ys), k)
+      (0 until k).forall(i =>
+        su.getLong(i) == math.min(sa.getLong(i), sb.getLong(i)))
+    }
+
+  property("simhash of one token is that token's xxh64") =
+    forAll(token) { t =>
+      Kernels.simhash64(strArr(Seq(t))) ==
+        org.apache.spark.sql.catalyst.expressions.XXH64
+          .hashUTF8String(UTF8String.fromString(t), 42L)
+    }
+
+  property("shingle count is len-n+1 for distinct tokens, 0 when too short") =
+    forAll(tokenSeq.map(_.distinct), Gen.choose(1, 5)) { (toks, n) =>
+      val count = Kernels.shingles(strArr(toks), n).numElements()
+      if (toks.size < n) count == 0
+      else count <= toks.size - n + 1 // ≤: adjacent windows can repeat
+    }
+
+  property("normalizeFieldName is idempotent and emits no spaces/parens") =
+    forAll(Gen.listOf(Gen.oneOf(Gen.alphaNumChar, Gen.oneOf(' ', '(', ')', '_')))
+        .map(_.mkString)) { s =>
+      val once = MediaSchema.normalizeFieldName(s)
+      MediaSchema.normalizeFieldName(once) == once &&
+        !once.exists(c => c == ' ' || c == '(' || c == ')') &&
+        once == once.toLowerCase
+    }
+
+  property("coordinator plan partitions [0,total) exactly") =
+    forAll(Gen.choose(1L, 1000000L), Gen.choose(1, 32)) { (total, nseg) =>
+      (total >= nseg) ==> {
+        val p = Pipelines.plan(total, nseg, avgSecondsPerRecord = 1.0)
+        val segs = p.segments
+        segs.head._1 == 0L && segs.last._2 == total &&
+          segs.sliding(2).forall {
+            case Seq(a, b) => a._2 == b._1 // contiguous, no gap/overlap
+            case _ => true
+          } && segs.forall { case (s, e, _) => e > s }
+      }
+    }
+
+  property("frameStats algebra: sampled bytes never exceed payload, frames cover it") =
+    forAll(Gen.choose(0L, 100000L), Gen.choose(1, 8)) { (len, stride) =>
+      val frameBytes = 256
+      val nf = math.max(math.ceil(len / 256.0).toLong, 1L)
+      val ns = (nf - 1) / stride + 1
+      val lastLen = len - (nf - 1) * frameBytes
+      val nb = if ((nf - 1) % stride == 0) (ns - 1) * frameBytes + lastLen
+        else ns * frameBytes
+      nb <= math.max(len, 0L) + frameBytes && ns >= 1 && nf * frameBytes >= len
+    }
+}
