@@ -25,7 +25,20 @@ object Bench {
     Tables.names.foreach(n => Tables.load(spark, sfDir, n).write.format("noop")
       .mode("overwrite").save())
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Steady-state measurement: run each query once against the smallest
+    // scale factor first so codegen compilation and JIT warm on identical
+    // generated code, then time the target-scale run. Skipped when no
+    // warmup dir exists.
+    val warmupDir = sys.env.getOrElse("SPARK_GRAFT_WARMUP_DIR",
+      "/root/testdata/sf0.001")
+    val doWarmup = new java.io.File(warmupDir).isDirectory && warmupDir != sfDir
+    val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+    if (doWarmup) ordered.foreach { case (_, fn) =>
+      try fn(spark, warmupDir).write.format("noop").mode("overwrite").save()
+      catch { case _: Throwable => }
+    }
+
+    val results = ordered.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => }

@@ -168,6 +168,41 @@ object Dedup {
 
   def hammingDistance(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
+  /** Scale path: SimHash near-dup candidates via bit-band buckets —
+    * the 64-bit fingerprint splits into `bands` chunks; documents
+    * sharing any chunk become candidates (one high-cardinality-key
+    * shuffle, like MinHash-LSH banding), then exact Hamming verification.
+    * Recall: pairs within `maxBits` differing bits collide on a band
+    * unless every band catches a flipped bit — guaranteed complete when
+    * `maxBits < bands`, probabilistic above that.
+    */
+  def simhashNearDupsBanded(df: DataFrame, idCol: String, textCol: String,
+      maxBits: Int, bands: Int = 4, maxBucket: Int = 10000): DataFrame = {
+    val bits = 64 / bands
+    val sh = df.select(col(idCol).as("__id"),
+      simhash64(tokenSet(col(textCol))).as("__sh"))
+    val keyed = sh.select(col("__id"), col("__sh"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          b => call_function("shiftrightunsigned", col("__sh"), b * bits)
+            .bitwiseAND(lit((1L << bits) - 1))))
+          .as(Seq("band", "key")))
+    val capped = keyed
+      .withColumn("__n", count(lit(1)).over(
+        Window.partitionBy(col("band"), col("key"))))
+      .where(col("__n") <= maxBucket)
+      .drop("__n")
+    val l = capped.select(col("band"), col("key"),
+      col("__id").as("idA"), col("__sh").as("__sa"))
+    val r = capped.select(col("band"), col("key"),
+      col("__id").as("idB"), col("__sh").as("__sb"))
+    l.join(r, Seq("band", "key"))
+      .where(col("idA") < col("idB"))
+      .select(col("idA"), col("idB"),
+        hammingDistance(col("__sa"), col("__sb")).as("hamming"))
+      .distinct()
+      .where(col("hamming") <= maxBits)
+  }
+
   /** SimHash near-dup pairs within `blockCol` blocks at ≤ `maxBits`
     * differing bits.
     */

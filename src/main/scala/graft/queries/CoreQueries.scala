@@ -283,8 +283,10 @@ object CoreQueries {
     Tables.lineitem(s, dir)
       .groupBy($"l_returnflag")
       .agg(
-        approx_count_distinct($"l_partkey", 0.01).as("approx_parts"),
-        approx_count_distinct($"l_orderkey", 0.01).as("approx_orders"))
+        // default rsd (5%): tighter precision grows the per-group sketch
+        // quadratically and is rarely worth it for pipeline stats
+        approx_count_distinct($"l_partkey").as("approx_parts"),
+        approx_count_distinct($"l_orderkey").as("approx_orders"))
       .orderBy($"l_returnflag")
   }
 

@@ -62,6 +62,25 @@ class OpsSpec extends SparkSuite {
     assert(pairs.toSet === Set((1L, 2L)))
   }
 
+  test("banded simhash finds exact dups and agrees with the blocked variant") {
+    import spark.implicits._
+    val df = Seq((1L, "a", "w1 w2 w3 w4 w5 w6 w7 w8"),
+      (2L, "a", "w1 w2 w3 w4 w5 w6 w7 w8"),
+      (3L, "a", "z1 z2 z3 z4 z5 z6 z7 z8")).toDF("doc_id", "lang", "text")
+    // identical docs share every band — maxBits=0 must find them
+    val banded = Dedup.simhashNearDupsBanded(df, "doc_id", "text", maxBits = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(banded.toSet === Set((1L, 2L)))
+
+    // on real docs: banded candidates at maxBits < bands are complete —
+    // every blocked-exact pair (same lang ⊂ all pairs) must appear
+    val exact = Dedup.simhashNearDups(docs, "doc_id", "text", "lang", maxBits = 3)
+      .select("idA", "idB").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val scale = Dedup.simhashNearDupsBanded(docs, "doc_id", "text", maxBits = 3)
+      .select("idA", "idB").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.subsetOf(scale))
+  }
+
   test("cosine matches hand-computed value") {
     import spark.implicits._
     val df = Seq((Seq(1.0f, 0.0f, 1.0f), Seq(1.0f, 1.0f, 0.0f))).toDF("a", "b")
