@@ -76,6 +76,31 @@ object Similarity {
       .where(col("cosine") > threshold)
   }
 
+  /** Scale path for embedding near-dup: pair only within sign-LSH
+    * buckets (high-cardinality keys → one balanced shuffle instead of a
+    * quadratic cross join). Recall is probabilistic: a near-dup pair
+    * lands in the same bucket iff no hyperplane separates the two
+    * vectors — more planes = finer buckets = faster but lower recall.
+    * Identical vectors always collide.
+    */
+  def cosineNearDupPairsBucketed(emb: DataFrame, idCol: String,
+      vecCol: String, threshold: Double, planes: Int = 4): DataFrame = {
+    val t = signLshBuckets(emb, vecCol, planes)
+      .select(col("bucket"), col(idCol).as("__id"), col(vecCol).as("__v"),
+        l2Norm(col(vecCol)).as("__n"))
+    val a = t.select(col("bucket"), col("__id").as("idA"),
+      col("__v").as("__va"), col("__n").as("__na"))
+    val b = t.select(col("bucket"), col("__id").as("idB"),
+      col("__v").as("__vb"), col("__n").as("__nb"))
+    a.join(b, Seq("bucket"))
+      .where(col("idA") < col("idB"))
+      .select(col("idA"), col("idB"),
+        (dotProduct(col("__va"), col("__vb")) / (col("__na") * col("__nb")))
+          .as("cosine"))
+      .where(col("cosine") > threshold)
+      .distinct()
+  }
+
   /** Deterministic pseudo-random hyperplane component in [-1, 1), derived
     * from xxhash64(plane, dimension) — no stored model, reproducible on
     * any cluster.

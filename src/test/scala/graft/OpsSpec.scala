@@ -108,6 +108,18 @@ class OpsSpec extends SparkSuite {
     ann.foreach(r => assert(math.abs(bf(r.getLong(0)) - r.getDouble(1)) < 1e-12))
   }
 
+  test("bucketed cosine pairs are a verified subset of the exact pairs") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sfDir)
+    val exact = Similarity.cosineNearDupPairs(emb, "vec_id", "embedding", 0.3)
+      .select($"idA", $"idB", $"cosine")
+    val bucketed = Similarity.cosineNearDupPairsBucketed(
+      emb, "vec_id", "embedding", 0.3, planes = 2)
+    // every bucketed pair is a true pair with the true cosine
+    assert(bucketed.exceptAll(exact).isEmpty)
+    assert(bucketed.count() > 0)
+  }
+
   test("langId: marker argmax with deterministic first-listed tie-break") {
     import spark.implicits._
     val df = Seq("der und ist text", "the of and text", "nomarkers at all")
