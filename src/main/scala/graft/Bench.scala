@@ -18,6 +18,11 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true") // events.ts
+      // test-SF input files are ~1–11 MB: the 128m default would scan
+      // each table in ONE task; 1m splits them across the local cores
+      // (at production scale the default is right — this is per-SF sizing)
+      .config("spark.sql.files.maxPartitionBytes",
+        sys.env.getOrElse("SPARK_GRAFT_MAX_PARTITION_BYTES", "1m"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
