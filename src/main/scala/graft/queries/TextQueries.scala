@@ -116,7 +116,26 @@ object TextQueries {
       .orderBy($"doc_id")
   }
 
+  /** BPE-ish tokenization + order-sensitive rolling fingerprint
+    * (Spark-only: the tokenizer regex uses lookarounds, which DuckDB's
+    * RE2 lacks, and the rolling hash chains xxhash64 — rows-only check;
+    * determinism is pinned by OpsSpec/KernelProps instead).
+    */
+  private def q44(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select(
+        $"doc_id",
+        size(TextAnalysis.bpeTokens($"text")).as("n_bpe_tokens"),
+        TextAnalysis.tokenCount($"text").as("n_ws_tokens"),
+        TextAnalysis.rollingFingerprint($"text").as("rolling_fp"),
+        TextAnalysis.punctRatio($"text").as("punct_ratio"),
+        TextAnalysis.qualityScore($"text").as("quality"))
+      .orderBy($"doc_id")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q44_text_extras" -> (q44 _),
     "q21_token_stats" -> (q21 _),
     "q22_doc_quality" -> (q22 _),
     "q23_lang_id" -> (q23 _),
