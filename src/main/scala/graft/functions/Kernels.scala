@@ -117,30 +117,37 @@ object Kernels {
     new GenericArrayData(sig)
   }
 
-  /** Jaccard similarity of two distinct-element string arrays:
-    * |A∩B| / |A∪B| with |A∪B| = |A|+|B|−|A∩B| (inputs are sets, as
-    * produced by array_distinct). Same integer counts — hence the same
-    * double quotient — as size(array_intersect)/size(array_union), with
-    * one hash probe per element instead of two allocated result arrays.
+  /** Jaccard set similarity of two string arrays — exactly
+    * size(array_intersect(a,b)) / size(array_union(a,b)) for ARBITRARY
+    * inputs (duplicates collapse, a null element is one set member, as
+    * in Spark's set operations), with hash probes instead of two
+    * allocated result arrays. 0/0 → NaN, matching double division.
     */
   def jaccard(a: ArrayData, b: ArrayData): Double = {
     val na = a.numElements()
     val nb = b.numElements()
-    if (na == 0 && nb == 0) return Double.NaN // 0/0, as the HOF version
-    val (small, large, ns, nl) = if (na <= nb) (a, b, na, nb) else (b, a, nb, na)
-    val set = new java.util.HashSet[org.apache.spark.unsafe.types.UTF8String](ns * 2)
+    val setA = new java.util.HashSet[org.apache.spark.unsafe.types.UTF8String](na * 2)
+    var nullA = false
     var i = 0
-    while (i < ns) {
-      if (!small.isNullAt(i)) set.add(small.getUTF8String(i))
+    while (i < na) {
+      if (a.isNullAt(i)) nullA = true else setA.add(a.getUTF8String(i))
+      i += 1
+    }
+    val setB = new java.util.HashSet[org.apache.spark.unsafe.types.UTF8String](nb * 2)
+    var nullB = false
+    i = 0
+    while (i < nb) {
+      if (b.isNullAt(i)) nullB = true else setB.add(b.getUTF8String(i))
       i += 1
     }
     var inter = 0
-    i = 0
-    while (i < nl) {
-      if (!large.isNullAt(i) && set.contains(large.getUTF8String(i))) inter += 1
-      i += 1
-    }
-    inter.toDouble / (na + nb - inter)
+    val itB = setB.iterator()
+    while (itB.hasNext) if (setA.contains(itB.next())) inter += 1
+    if (nullA && nullB) inter += 1
+    val distinctA = setA.size + (if (nullA) 1 else 0)
+    val distinctB = setB.size + (if (nullB) 1 else 0)
+    val union = distinctA + distinctB - inter
+    inter.toDouble / union
   }
 
   /** Distinct word n-gram shingles of a token array, first-occurrence

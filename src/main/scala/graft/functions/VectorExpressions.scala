@@ -298,9 +298,11 @@ object GraftFunctions {
   * `spark.sql.extensions=graft.functions.GraftExtensions`.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.builders.foreach { case (name, builder) =>
       ext.injectFunction((FunctionIdentifier(name),
         new ExpressionInfo("graft.functions.VectorExpressions", name), builder))
     }
+    ext.injectOptimizerRule(_ => graft.plans.RewriteJaccard)
+  }
 }
