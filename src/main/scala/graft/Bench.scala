@@ -6,34 +6,19 @@ import org.apache.spark.sql.SparkSession
   *
   * Each query executes to completion through the `noop` sink (full plan
   * runs, every row materialized — unlike count(), which lets Catalyst
-  * prune work the query would really do). A warmup pass first touches
-  * every table and runs one trivial job so no query is billed for
-  * session/codegen/filesystem initialization.
+  * prune work the query would really do). Warmup: every table is
+  * touched, then each query runs once at the smallest scale factor so
+  * codegen compilation and JIT warm on identical generated code before
+  * the timed target-scale run.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true") // events.ts
-      // test-SF input files are ~1–11 MB: the 128m default would scan
-      // each table in ONE task; 1m splits them across the local cores
-      // (at production scale the default is right — this is per-SF sizing)
-      .config("spark.sql.files.maxPartitionBytes",
-        sys.env.getOrElse("SPARK_GRAFT_MAX_PARTITION_BYTES", "1m"))
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = GraftSession.local("graft-bench")
 
     Tables.names.foreach(n => Tables.load(spark, sfDir, n).write.format("noop")
       .mode("overwrite").save())
 
-    // Steady-state measurement: run each query once against the smallest
-    // scale factor first so codegen compilation and JIT warm on identical
-    // generated code, then time the target-scale run. Skipped when no
-    // warmup dir exists.
     val warmupDir = sys.env.getOrElse("SPARK_GRAFT_WARMUP_DIR",
       "/root/testdata/sf0.001")
     val doWarmup = new java.io.File(warmupDir).isDirectory && warmupDir != sfDir

@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Session factory encoding the engine's recommended configuration —
+  * one place where local test runs and cluster deployments agree.
+  *
+  * Cluster deployments set master/executor topology externally and get
+  * the same SQL behavior by passing
+  * `spark.sql.extensions=graft.functions.GraftExtensions` (injected here
+  * too, so `graft_*` expressions and the Jaccard rewrite exist in every
+  * derived session, not just ones that touched [[Tables]]).
+  */
+object GraftSession {
+
+  /** env-tunable knobs shared by Verify/Bench/CLI. */
+  def cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+
+  def builder(appName: String = "graft"): SparkSession.Builder =
+    SparkSession.builder()
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      // events.ts is parquet TIMESTAMP(NANOS) — read as epoch-ns Long
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // test-SF files are single-digit MB; 128m would scan one-task.
+      // Cluster runs override (or unset) for production file sizes.
+      .config("spark.sql.files.maxPartitionBytes",
+        sys.env.getOrElse("SPARK_GRAFT_MAX_PARTITION_BYTES", "1m"))
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+      .config("spark.ui.enabled", "false")
+
+  /** Local session sized by SPARK_GRAFT_CPUS (the shape Verify/Bench and
+    * the CLI run with; SPARK_MASTER overrides for a real cluster).
+    */
+  def local(appName: String = "graft"): SparkSession = {
+    val s = builder(appName)
+      .master(sys.env.getOrElse("SPARK_MASTER", s"local[$cpus]"))
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}
