@@ -25,12 +25,20 @@ object StreamingProcessor {
   /** Start (or resume) the incremental enrichment over `inDir`.
     * `Trigger.AvailableNow` drains pending files and terminates;
     * production streams can pass a processing-time trigger instead.
+    *
+    * @param exactlyOnce opt-in idempotent sink: each micro-batch
+    *   overwrites its own `micro_batch_id=N` partition directory, so a
+    *   batch replayed after a mid-write failure replaces its partial
+    *   output instead of appending a duplicate — exactly-once into the
+    *   shard sink (reads see `micro_batch_id` as a partition column).
+    *   Default keeps the reference's at-least-once append semantics.
     */
   def start(spark: SparkSession, inDir: String, outDir: String,
       checkpointDir: String, fetcherFactory: () => Fetcher,
       config: Enricher.Config = Enricher.Config(),
       maxFilesPerTrigger: Int = 16,
-      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+      trigger: Trigger = Trigger.AvailableNow(),
+      exactlyOnce: Boolean = false): StreamingQuery = {
     val urls = spark.readStream
       .schema("url STRING")
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
@@ -42,12 +50,19 @@ object StreamingProcessor {
         // batch_index restarts per micro-batch; globally unique ids come
         // from (micro_batch_id, batch_index)
         val enriched = Enricher.enrich(batch, fetcherFactory, config)
-        Sinks.appendParquet(
-          enriched.records.withColumn("micro_batch_id", lit(batchId)),
-          s"$outDir/shards")
-        Sinks.deadLetterJson(
-          enriched.deadLetter.withColumn("micro_batch_id", lit(batchId)),
-          s"$outDir/dead_letter")
+        if (exactlyOnce) {
+          enriched.records.write.mode("overwrite")
+            .parquet(s"$outDir/shards/micro_batch_id=$batchId")
+          enriched.deadLetter.write.mode("overwrite")
+            .json(s"$outDir/dead_letter/micro_batch_id=$batchId")
+        } else {
+          Sinks.appendParquet(
+            enriched.records.withColumn("micro_batch_id", lit(batchId)),
+            s"$outDir/shards")
+          Sinks.deadLetterJson(
+            enriched.deadLetter.withColumn("micro_batch_id", lit(batchId)),
+            s"$outDir/dead_letter")
+        }
         ()
       }
       .option("checkpointLocation", checkpointDir)

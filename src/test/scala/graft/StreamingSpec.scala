@@ -85,6 +85,28 @@ class StreamingSpec extends SparkSuite {
       Array("http://a/1", "http://a/2", "http://a/3"))
   }
 
+  test("exactly-once mode: a replayed batch overwrites instead of duplicating") {
+    import spark.implicits._
+    val in = tmp("eo-in")
+    val out = tmp("eo-out")
+
+    Seq("""{"url": "http://b/1"}""", """{"url": "http://b/2"}""")
+      .toDF("value").write.mode("append").text(in)
+    graft.streaming.StreamingProcessor.start(spark, in, out, tmp("eo-ckpt1"),
+      () => new graft.enrich.SyntheticFetcher, exactlyOnce = true)
+      .awaitTermination()
+    assert(spark.read.parquet(s"$out/shards").count() === 2)
+
+    // lost checkpoint → the same files replay as batch 0 again; the
+    // idempotent sink replaces rather than appends
+    graft.streaming.StreamingProcessor.start(spark, in, out, tmp("eo-ckpt2"),
+      () => new graft.enrich.SyntheticFetcher, exactlyOnce = true)
+      .awaitTermination()
+    val rows = spark.read.parquet(s"$out/shards")
+    assert(rows.count() === 2)
+    assert(rows.columns.contains("micro_batch_id")) // partition column
+  }
+
   test("sessionize (flatMapGroupsWithState) agrees with the q35 batch count") {
     import spark.implicits._
     // Closed sessions per user from the stateful op + the one still-open
