@@ -26,6 +26,18 @@ object Dedup {
     call_function(name, args: _*)
   }
 
+  /** Spread a narrow input across the cluster before compute-heavy
+    * per-row work (signatures, token hashing). A small corpus arrives as
+    * one or two parquet row-groups — without this, scan-side kernels run
+    * on one core. No-op (no shuffle) when the input is already wider
+    * than half the default parallelism, i.e. always at production scale.
+    */
+  private[ops] def spread(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < (target + 1) / 2) df.repartition(target)
+    else df
+  }
+
   /** Whitespace-token set of a document (order-insensitive). */
   def tokenSet(text: Column): Column = array_distinct(TextAnalysis.tokens(text))
 
@@ -86,18 +98,21 @@ object Dedup {
       numHashes: Int = 64, bands: Int = 4,
       maxBucket: Int = 1000): DataFrame = {
     val sig = minhashSignature(tokenSet(col(textCol)), numHashes)
-    val keyed = df.select(col(idCol).as("__id"),
+    val keyed = spread(df).select(col(idCol).as("__id"),
         posexplode(bandKeys(sig, numHashes, bands)).as(Seq("band", "key")))
-    val capped = keyed
-      .withColumn("__n", count(lit(1)).over(
-        Window.partitionBy(col("band"), col("key"))))
-      .where(col("__n") <= maxBucket)
-      .drop("__n")
-    val l = capped.select(col("band"), col("key"), col("__id").as("idA"))
-    val r = capped.select(col("band"), col("key"), col("__id").as("idB"))
-    l.join(r, Seq("band", "key"))
-      .where(col("idA") < col("idB"))
-      .select("idA", "idB")
+    // One shuffle: gather each bucket's ids, emit its pairs inline —
+    // no second pass over the keyed exchange and no per-bucket sort, as
+    // a windowed-count + self-join formulation would need. Buckets are
+    // capped, so the pair expansion per group is bounded.
+    val buckets = keyed.groupBy(col("band"), col("key"))
+      .agg(collect_list(col("__id")).as("__ids"))
+      .where(size(col("__ids")).between(2, maxBucket))
+    buckets
+      .select(explode(flatten(transform(col("__ids"), (x, i) =>
+        transform(slice(col("__ids"), i + 2, size(col("__ids"))),
+          y => struct(least(x, y).as("idA"), greatest(x, y).as("idB"))))))
+        .as("__p"))
+      .select(col("__p.idA"), col("__p.idB"))
       .distinct()
   }
 
@@ -108,7 +123,7 @@ object Dedup {
       threshold: Double, numHashes: Int = 64, bands: Int = 4): DataFrame = {
     val cands = lshCandidates(df, idCol, textCol, numHashes, bands)
     // hashed token sets for verification — see blockedJaccardPairs
-    val toks = df.select(col(idCol).as("__tid"),
+    val toks = spread(df).select(col(idCol).as("__tid"),
       graftFn("graft_token_hashes", TextAnalysis.tokens(col(textCol)))
         .as("__toks"))
     cands
@@ -130,20 +145,19 @@ object Dedup {
     // strings. Set sizes are distinct-hash counts: a 64-bit in-pair
     // collision (P ≈ n²/2⁶⁴ per pair) is the only way this can deviate
     // from string-set Jaccard.
-    val t = df.select(col(blockCol).as("__blk"), col(idCol).as("__id"),
+    val t = spread(df).select(col(blockCol).as("__blk"), col(idCol).as("__id"),
       graftFn("graft_token_hashes", TextAnalysis.tokens(col(textCol)))
         .as("__toks"))
     val a = t.select(col("__blk"), col("__id").as("idA"), col("__toks").as("__ta"),
       size(col("__ta")).as("__sa"))
     val b = t.select(col("__blk"), col("__id").as("idB"), col("__toks").as("__tb"),
       size(col("__tb")).as("__sb"))
-    // Broadcast the build side, and spread the probe side across the
-    // cluster first: a handful of block keys would otherwise hash-shuffle
-    // every pair through as many tasks as there are blocks, and a small
-    // input (one parquet file) would probe in a single task. (This
-    // exact-quadratic op is the test-scale ground truth; at corpus scale
-    // use minhashNearDups, whose bucket keys are high-cardinality.)
-    a.repartition().join(broadcast(b), Seq("__blk"))
+    // Broadcast the build side (a handful of block keys would otherwise
+    // hash-shuffle every pair through as many tasks as there are
+    // blocks); the probe side is already spread. (This exact-quadratic
+    // op is the test-scale ground truth; at corpus scale use
+    // minhashNearDups, whose bucket keys are high-cardinality.)
+    a.join(broadcast(b), Seq("__blk"))
       .where(col("idA") < col("idB"))
       // Exact size prefilter: J(A,B) ≤ min/max, and double rounding is
       // monotonic, so no pair with J ≥ t is pruned — same result, but the
@@ -179,7 +193,7 @@ object Dedup {
   def simhashNearDupsBanded(df: DataFrame, idCol: String, textCol: String,
       maxBits: Int, bands: Int = 4, maxBucket: Int = 10000): DataFrame = {
     val bits = 64 / bands
-    val sh = df.select(col(idCol).as("__id"),
+    val sh = spread(df).select(col(idCol).as("__id"),
       simhash64(tokenSet(col(textCol))).as("__sh"))
     val keyed = sh.select(col("__id"), col("__sh"),
         posexplode(transform(sequence(lit(0), lit(bands - 1)),
@@ -208,12 +222,12 @@ object Dedup {
     */
   def simhashNearDups(df: DataFrame, idCol: String, textCol: String,
       blockCol: String, maxBits: Int): DataFrame = {
-    val t = df.select(col(blockCol).as("__blk"), col(idCol).as("__id"),
+    val t = spread(df).select(col(blockCol).as("__blk"), col(idCol).as("__id"),
       simhash64(tokenSet(col(textCol))).as("__sh"))
     val a = t.select(col("__blk"), col("__id").as("idA"), col("__sh").as("__sa"))
     val b = t.select(col("__blk"), col("__id").as("idB"), col("__sh").as("__sb"))
-    // see blockedJaccardPairs on broadcast + probe-side spreading
-    a.repartition().join(broadcast(b), Seq("__blk"))
+    // see blockedJaccardPairs on broadcast of the build side
+    a.join(broadcast(b), Seq("__blk"))
       .where(col("idA") < col("idB"))
       .select(col("idA"), col("idB"),
         hammingDistance(col("__sa"), col("__sb")).as("hamming"))
