@@ -49,7 +49,7 @@ object Similarity {
       queryId: Long, k: Int): DataFrame = {
     val q = emb.where(col(idCol) === queryId)
       .select(col(vecCol).as("__qvec"))
-    emb.where(col(idCol) =!= queryId)
+    Dedup.spread(emb).where(col(idCol) =!= queryId)
       .crossJoin(broadcast(q))
       .select(col(idCol), cosine(col(vecCol), col("__qvec")).as("cosine"))
       .orderBy(desc("cosine"), col(idCol))
@@ -64,7 +64,7 @@ object Similarity {
       threshold: Double): DataFrame = {
     // Norms are computed once per vector (N of them), not once per pair
     // (N²); dot/(na·nb) yields the same doubles as the fused cosine.
-    val a = emb.select(col(idCol).as("idA"), col(vecCol).as("__va"),
+    val a = Dedup.spread(emb).select(col(idCol).as("idA"), col(vecCol).as("__va"),
       l2Norm(col(vecCol)).as("__na"))
     val b = emb.select(col(idCol).as("idB"), col(vecCol).as("__vb"),
       l2Norm(col(vecCol)).as("__nb"))
@@ -85,7 +85,7 @@ object Similarity {
     */
   def cosineNearDupPairsBucketed(emb: DataFrame, idCol: String,
       vecCol: String, threshold: Double, planes: Int = 4): DataFrame = {
-    val t = signLshBuckets(emb, vecCol, planes)
+    val t = signLshBuckets(Dedup.spread(emb), vecCol, planes)
       .select(col("bucket"), col(idCol).as("__id"), col(vecCol).as("__v"),
         l2Norm(col(vecCol)).as("__n"))
     val a = t.select(col("bucket"), col("__id").as("idA"),
