@@ -32,7 +32,7 @@ object Dedup {
     * on one core. No-op (no shuffle) when the input is already wider
     * than half the default parallelism, i.e. always at production scale.
     */
-  private[ops] def spread(df: DataFrame): DataFrame = {
+  private[graft] def spread(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions < (target + 1) / 2) df.repartition(target)
     else df
