@@ -50,9 +50,23 @@ object EnrichQueries {
       .orderBy(desc("n"), $"media_type")
   }
 
+  /** Dead-letter side channel (K6/T4): permanently-failing URLs after
+    * max attempts, excluded from the record stream.
+    */
+  private def q47(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val urls = graft.ops.Dedup.spread(
+      Tables.documents(s, dir)
+        .select(concat(lit("http://synth/"), $"doc_id").as("url")))
+    Enricher.enrich(urls, () => new SyntheticFetcher).deadLetter
+      .select($"url", $"reason", $"attempts")
+      .orderBy($"url")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q45_enrich_records" -> (q45 _),
-    "q46_enrich_histogram" -> (q46 _))
+    "q46_enrich_histogram" -> (q46 _),
+    "q47_enrich_deadletter" -> (q47 _))
 
   /** The md5-derived fetcher model, restated in SQL: records whose
     * md5(url) starts "00" dead-letter (excluded); a trailing 'f' fails
@@ -83,5 +97,12 @@ object EnrichQueries {
         |      FROM u WHERE h NOT LIKE '00%')
         |SELECT media_type, count(*) AS n, max(attempt) AS max_attempt
         |FROM r GROUP BY media_type
-        |ORDER BY n DESC, media_type""".stripMargin)
+        |ORDER BY n DESC, media_type""".stripMargin,
+    "q47_enrich_deadletter" ->
+      """SELECT 'http://synth/' || doc_id AS url,
+        |       'max_attempts' AS reason,
+        |       2 AS attempts
+        |FROM documents
+        |WHERE md5('http://synth/' || doc_id) LIKE '00%'
+        |ORDER BY url""".stripMargin)
 }
