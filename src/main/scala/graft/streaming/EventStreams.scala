@@ -55,6 +55,26 @@ object EventStreams {
         col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
 
+  /** T5: session windows via the built-in `session_window` — the
+    * idiomatic path when per-session output is an aggregate (count,
+    * duration) rather than custom state. Works identically over a
+    * stream (with the watermark bounding state) and a batch frame;
+    * gap semantics match [[sessionize]] except that an event landing
+    * exactly `gap` after its predecessor starts a new session here
+    * (exclusive window end) — unobservable at nanosecond timestamps.
+    */
+  def sessionWindows(events: DataFrame, gap: String = "30 minutes",
+      watermark: String = "30 minutes"): DataFrame =
+    withEventTime(events)
+      .withWatermark("event_time", watermark)
+      .groupBy(session_window(col("event_time"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(
+        col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"))
+
   case class SessionEvent(user_id: Long, event_id: Long, tsNs: Long)
   case class SessionState(start: Long, last: Long, events: Int)
   case class SessionOut(user_id: Long, n_events: Int, durationNs: Long)

@@ -85,6 +85,20 @@ class StreamingSpec extends SparkSuite {
       Array("http://a/1", "http://a/2", "http://a/3"))
   }
 
+  test("session_window aggregation agrees with the q35 lag-based count") {
+    import spark.implicits._
+    val events = Tables.events(spark, sfDir)
+    val viaWindow = EventStreams.sessionWindows(events)
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_sessions"), sum($"n_events").as("n_events"))
+    val viaLag = graft.queries.EventQueries.all("q35_sessionization")(spark, sfDir)
+    val joined = viaLag.join(viaWindow.withColumnRenamed("n_sessions", "w_sessions")
+        .withColumnRenamed("n_events", "w_events"), Seq("user_id"))
+    val bad = joined.where($"n_sessions" =!= $"w_sessions" ||
+      $"n_events" =!= $"w_events").count()
+    assert(bad === 0)
+  }
+
   test("exactly-once mode: a replayed batch overwrites instead of duplicating") {
     import spark.implicits._
     val in = tmp("eo-in")
