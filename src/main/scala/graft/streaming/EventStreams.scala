@@ -55,6 +55,19 @@ object EventStreams {
         col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
 
+  /** Streaming exact dedup: keep the first arrival per key, with state
+    * bounded by the watermark — duplicates arriving within `watermark`
+    * of the original are dropped; later ones (state already evicted)
+    * pass through. The streaming twin of `ops.Dedup.exactDedup` for
+    * continuous ingestion, where an unbounded seen-set is impossible at
+    * 100 TB/day.
+    */
+  def streamingDedup(events: DataFrame, keyCols: Seq[String],
+      watermark: String = "1 hour"): DataFrame =
+    withEventTime(events)
+      .withWatermark("event_time", watermark)
+      .dropDuplicatesWithinWatermark(keyCols)
+
   /** T5: session windows via the built-in `session_window` — the
     * idiomatic path when per-session output is an aggregate (count,
     * duration) rather than custom state. Works identically over a

@@ -85,6 +85,25 @@ class StreamingSpec extends SparkSuite {
       Array("http://a/1", "http://a/2", "http://a/3"))
   }
 
+  test("streamingDedup drops in-watermark duplicates across micro-batches") {
+    import spark.implicits._
+    val in = tmp("dedup-in")
+    val schema = "doc_key STRING, ts LONG"
+    // batch 1: two distinct keys; batch 2 (same event times): one dup + one new
+    Seq(("a", 1000000000000L), ("b", 1000000001000L))
+      .toDF("doc_key", "ts").coalesce(1).write.mode("append").parquet(in)
+    Seq(("a", 1000000002000L), ("c", 1000000003000L))
+      .toDF("doc_key", "ts").coalesce(1).write.mode("append").parquet(in)
+
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(in)
+    val out = EventStreams.runToMemory(spark,
+      EventStreams.streamingDedup(stream, Seq("doc_key")),
+      name = "dedup_stream", outputMode = "append")
+    assert(out.select("doc_key").as[String].collect().sorted ===
+      Array("a", "b", "c"))
+  }
+
   test("session_window aggregation agrees with the q35 lag-based count") {
     import spark.implicits._
     val events = Tables.events(spark, sfDir)
