@@ -169,6 +169,56 @@ object Dedup {
       .where(col("jaccard") >= threshold)
   }
 
+  // ------------------------------------------------- cluster collapse
+
+  /** Connected components over near-dup pairs by iterative min-label
+    * propagation: every document ends up labeled with the smallest id
+    * reachable through the pair graph. Converges in O(component
+    * diameter) rounds — near-dup clusters are shallow (dups of dups of
+    * one original), so a handful of balanced self-joins, each a plain
+    * shuffle on id. `localCheckpoint` truncates lineage per round so
+    * plans stay flat at scale.
+    *
+    * @param pairs (idA, idB) near-dup pairs (any of the pair detectors)
+    * @return (id, label) for every id appearing in `pairs`
+    */
+  def clusterLabels(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col("idA").as("src"), col("idB").as("dst"))
+      .union(pairs.select(col("idB").as("src"), col("idA").as("dst")))
+      .localCheckpoint()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+    var iter = 0
+    var converged = false
+    while (iter < maxIter && !converged) {
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("id", "dst"), Seq("dst"))
+        .groupBy(col("src").as("id"))
+        .agg(min(col("label")).as("nmin"))
+      val next = labels.join(neighborMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
+        .localCheckpoint()
+      converged = next.join(labels.withColumnRenamed("label", "old"), Seq("id"))
+        .where(col("label") =!= col("old")).isEmpty
+      labels = next
+      iter += 1
+    }
+    labels
+  }
+
+  /** Collapse near-dup clusters to one representative each: drops every
+    * row whose id is in a pair but is not its cluster's minimum id.
+    * Rows never seen in a pair survive untouched. The standard final
+    * step after LSH/SimHash pair detection in a dedup pipeline.
+    */
+  def collapseNearDups(df: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
+    val losers = clusterLabels(pairs)
+      .where(col("id") =!= col("label"))
+      .select(col("id").as(idCol))
+    df.join(losers, Seq(idCol), "left_anti")
+  }
+
   // --------------------------------------------------------------- SimHash
 
   /** 64-bit SimHash over the token set: bit b of the fingerprint is the

@@ -134,7 +134,20 @@ object TextQueries {
       .orderBy($"doc_id")
   }
 
+  /** Near-dup cluster labels: connected components over the exact
+    * blocked pairs (q26's output) via min-label propagation, checked
+    * against DuckDB's recursive-CTE transitive closure.
+    */
+  private def q48(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pairs = Dedup.blockedJaccardPairs(Tables.documents(s, dir),
+      "doc_id", "text", "lang", 0.95)
+    Dedup.clusterLabels(pairs)
+      .orderBy($"id")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q48_neardup_clusters" -> (q48 _),
     "q44_text_extras" -> (q44 _),
     "q21_token_stats" -> (q21 _),
     "q22_doc_quality" -> (q22 _),
@@ -204,6 +217,20 @@ object TextQueries {
         |WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
         |        / len(list_distinct(list_concat(a.toks, b.toks))) >= 0.95
         |ORDER BY idA, idB""".stripMargin,
+    "q48_neardup_clusters" ->
+      """WITH RECURSIVE t AS (SELECT doc_id, lang, list_distinct(string_split_regex(trim(text), ' +')) AS toks
+        |           FROM documents),
+        |p AS (SELECT a.doc_id AS idA, b.doc_id AS idB
+        |      FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        |      WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+        |              / len(list_distinct(list_concat(a.toks, b.toks))) >= 0.95),
+        |e AS (SELECT idA AS src, idB AS dst FROM p UNION ALL SELECT idB, idA FROM p),
+        |reach AS (
+        |  SELECT src AS id, src AS r FROM e
+        |  UNION
+        |  SELECT e.src, reach.r FROM e JOIN reach ON e.dst = reach.id)
+        |SELECT id, min(r) AS label
+        |FROM reach GROUP BY id ORDER BY id""".stripMargin,
     "q29_dedup_exact" ->
       """SELECT doc_id, lang, n_chars
         |FROM (SELECT doc_id, lang, n_chars,

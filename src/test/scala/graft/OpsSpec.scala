@@ -62,6 +62,20 @@ class OpsSpec extends SparkSuite {
     assert(pairs.toSet === Set((1L, 2L)))
   }
 
+  test("clusterLabels resolves transitive chains; collapse keeps minima + unpaired") {
+    import spark.implicits._
+    // chain 1-2-3 and island 5-6; 9 is unpaired
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("idA", "idB")
+    val labels = Dedup.clusterLabels(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 6L -> 5L))
+
+    val df = Seq(1L, 2L, 3L, 5L, 6L, 9L).toDF("doc_id")
+    val kept = Dedup.collapseNearDups(df, "doc_id", pairs)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept === Set(1L, 5L, 9L))
+  }
+
   test("banded simhash finds exact dups and agrees with the blocked variant") {
     import spark.implicits._
     val df = Seq((1L, "a", "w1 w2 w3 w4 w5 w6 w7 w8"),
