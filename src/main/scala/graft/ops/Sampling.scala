@@ -1,0 +1,53 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic content-hash sampling for training-data pipelines.
+  *
+  * `Dataset.sample` draws per-partition with a seeded RNG, so its
+  * output changes whenever partitioning, file order, or cluster layout
+  * changes — unacceptable for reproducible train/validation splits at
+  * 100 TB. Hash sampling decides per ROW from a key column: the same
+  * row lands in the same split on any cluster, any layout, any day,
+  * and new data joins splits in the same proportions. Pure codegen'd
+  * expressions — a narrow filter, no shuffle, no RNG state.
+  */
+object Sampling {
+
+  private val Buckets = 1000000L
+
+  /** Uniform pseudo-random bucket in [0, 1e6) from the key (+ salt to
+    * decorrelate independent samples over the same key).
+    */
+  def hashBucket(key: Column, salt: Int = 0): Column =
+    pmod(xxhash64(key, lit(salt)), lit(Buckets))
+
+  /** Keep ≈`fraction` of rows, chosen deterministically by key hash.
+    * Selections for nested fractions are monotone: the 1% sample is a
+    * subset of the 10% sample (same salt).
+    */
+  def hashSample(df: DataFrame, keyCol: String, fraction: Double,
+      salt: Int = 0): DataFrame = {
+    require(fraction >= 0 && fraction <= 1, s"fraction out of range: $fraction")
+    df.where(hashBucket(col(keyCol), salt) < (fraction * Buckets).toLong)
+  }
+
+  /** Partition rows into disjoint, exhaustive splits with the given
+    * weights (normalized), e.g. train/val/test = 0.9/0.05/0.05. Adds a
+    * `split` column with the split index.
+    */
+  def hashSplit(df: DataFrame, keyCol: String, weights: Seq[Double],
+      salt: Int = 0): DataFrame = {
+    require(weights.nonEmpty && weights.forall(_ > 0), "weights must be positive")
+    val total = weights.sum
+    val cutoffs = weights.scanLeft(0.0)(_ + _).tail
+      .map(w => (w / total * Buckets).toLong)
+    val b = hashBucket(col(keyCol), salt)
+    val splitCol = cutoffs.init.zipWithIndex.foldRight(
+        lit(cutoffs.length - 1): Column) {
+      case ((cut, i), els) => when(b < cut, lit(i)).otherwise(els)
+    }
+    df.withColumn("split", splitCol)
+  }
+}
