@@ -93,6 +93,25 @@ object TextAnalysis {
     }
   }
 
+  /** PII redaction rules: (pattern, replacement), applied in order.
+    * Patterns are RE2-compatible (no lookaround/backreferences) so the
+    * same rules run identically on Spark (java.util.regex) and any
+    * RE2-based engine — verified against the DuckDB oracle.
+    */
+  val redactionRules: Seq[(String, String)] = Seq(
+    ("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "<IP>"),
+    ("\\+?\\d{10,15}", "<NUM>"))
+
+  /** Scrub emails, IPv4 addresses, and long digit runs (phone/account
+    * numbers) from a text column — a chained regexp_replace, codegen'd,
+    * narrow. Extend [[redactionRules]] for deployment-specific PII.
+    */
+  def redact(text: Column): Column =
+    redactionRules.foldLeft(text) { case (c, (pattern, repl)) =>
+      regexp_replace(c, pattern, repl)
+    }
+
   /** Stable content fingerprint (hex): engine-portable md5 of the raw text. */
   def contentFingerprint(text: Column): Column = md5(text)
 

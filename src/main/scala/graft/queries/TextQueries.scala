@@ -146,7 +146,21 @@ object TextQueries {
       .orderBy($"id")
   }
 
+  /** PII redaction over the corpus, fingerprinted (md5 keeps the result
+    * compact; equality proves both engines agree on every byte of the
+    * redacted text).
+    */
+  private def q49(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select($"doc_id",
+        md5(TextAnalysis.redact($"text")).as("redacted_md5"),
+        (TextAnalysis.redact($"text") =!= $"text").as("was_redacted"))
+      .orderBy($"doc_id")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q49_pii_redact" -> (q49 _),
     "q48_neardup_clusters" -> (q48 _),
     "q44_text_extras" -> (q44 _),
     "q21_token_stats" -> (q21 _),
@@ -217,6 +231,19 @@ object TextQueries {
         |WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
         |        / len(list_distinct(list_concat(a.toks, b.toks))) >= 0.95
         |ORDER BY idA, idB""".stripMargin,
+    "q49_pii_redact" ->
+      """WITH r AS (
+        |  SELECT doc_id,
+        |         regexp_replace(
+        |           regexp_replace(
+        |             regexp_replace(text,
+        |               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |             '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+        |           '\+?\d{10,15}', '<NUM>', 'g') AS red,
+        |         text
+        |  FROM documents)
+        |SELECT doc_id, md5(red) AS redacted_md5, red <> text AS was_redacted
+        |FROM r ORDER BY doc_id""".stripMargin,
     "q48_neardup_clusters" ->
       """WITH RECURSIVE t AS (SELECT doc_id, lang, list_distinct(string_split_regex(trim(text), ' +')) AS toks
         |           FROM documents),

@@ -156,6 +156,20 @@ class OpsSpec extends SparkSuite {
     assert(math.abs(r.getDouble(2) - 2.0) < 1e-12)
   }
 
+  test("redact scrubs emails, IPs, and long numbers; leaves clean text alone") {
+    import spark.implicits._
+    val df = Seq(
+      "mail me at jo.doe+x@exa-mple.org now",
+      "server 10.0.255.7 port",
+      "call +14155550123 or 12345678901",
+      "a clean sentence 42").toDF("text")
+    val out = df.select(TextAnalysis.redact($"text")).as[String].collect()
+    assert(out(0) === "mail me at <EMAIL> now")
+    assert(out(1) === "server <IP> port")
+    assert(out(2) === "call <NUM> or <NUM>")
+    assert(out(3) === "a clean sentence 42")
+  }
+
   test("rolling fingerprint is order-sensitive, md5 fingerprint is not") {
     import spark.implicits._
     val df = Seq(("a b c", "c b a")).toDF("x", "y")
