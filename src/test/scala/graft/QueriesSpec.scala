@@ -22,4 +22,16 @@ class QueriesSpec extends SparkSuite {
       df.count() // executes the plan
     }
   }
+
+  // Queries without an oracle get only a rows-only check from the
+  // driver; determinism is their remaining correctness obligation —
+  // two evaluations must produce identical rows.
+  (SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet).toSeq.sorted
+    .foreach { name =>
+      test(s"$name (rows-only) is deterministic") {
+        val a = SparkEntry.queries(name)(spark, sfDir)
+        val b = SparkEntry.queries(name)(spark, sfDir)
+        assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+      }
+    }
 }
