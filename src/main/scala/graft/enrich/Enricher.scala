@@ -27,9 +27,12 @@ object Enricher {
 
   /** Reference defaults: 2 attempts, 10 s/record, 1 s backoff
     * (test_parquet_processor.py:274-275,332).
+    *
+    * `numPartitions` sets fetch-stage parallelism (0 = auto via
+    * [[graft.ops.Dedup.spread]]).
     */
   case class Config(maxAttempts: Int = 2, recordTimeoutMs: Long = 10000,
-      backoffMs: Long = 1000, startIndex: Long = 0)
+      backoffMs: Long = 1000, startIndex: Long = 0, numPartitions: Int = 0)
 
   val deadLetterSchema =
     org.apache.spark.sql.types.StructType(Seq(
@@ -53,25 +56,33 @@ object Enricher {
   case class Enriched(records: DataFrame, deadLetter: DataFrame)
 
   /** Enrich a URL dataset. Input must have a `url` string column; a stable
-    * `batch_index` is assigned as `startIndex + position` in the input's
-    * current order (impose an orderBy upstream — SURVEY.md §7.4).
+    * `batch_index` is assigned as `startIndex + rank` in `url` order —
+    * deterministic regardless of input layout (SURVEY.md §7.4).
+    *
+    * Stays in the Dataset API end-to-end: the index is a `row_number`
+    * window in the plan (one job — no `zipWithIndex` count pass, no RDD
+    * detour). The global window sorts on a single partition, which is fine
+    * because the processor bounds each micro-batch by `maxRecords`; the
+    * fetch stage is re-spread to `numPartitions` afterwards so retry
+    * backoffs and slow fetches run in parallel.
     */
   def enrich(urls: DataFrame, fetcherFactory: () => Fetcher,
       config: Config = Config()): Enriched = {
-    val spark = urls.sparkSession
     val cfg = config
-    val indexed = urls.select(col("url")).rdd
-      .zipWithIndex() // stable: preserves input order per partition chain
-      .map { case (row, i) => (row.getString(0), cfg.startIndex + i) }
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("url"))
+    val indexed0 = urls.select(col("url"))
+      .withColumn("__idx", row_number().over(w).cast("long") - 1 + cfg.startIndex)
+    val indexed =
+      if (cfg.numPartitions > 0) indexed0.repartition(cfg.numPartitions)
+      else graft.ops.Dedup.spread(indexed0)
 
-    val unified = spark.createDataFrame(
-      indexed.mapPartitions { it =>
+    val unified = indexed.mapPartitions { it =>
         val fetcher = fetcherFactory()
         val timer = Executors.newSingleThreadExecutor { r =>
           val t = new Thread(r, "graft-enrich-timeout"); t.setDaemon(true); t
         }
-        val out = it.map { case (url, idx) =>
-          processOne(url, idx, fetcher, timer, cfg)
+        val out = it.map { row =>
+          processOne(row.getString(0), row.getLong(1), fetcher, timer, cfg)
         }
         // mapPartitions iterators are lazy; close resources on exhaustion
         new Iterator[Row] {
@@ -82,8 +93,7 @@ object Enricher {
           }
           def next(): Row = out.next()
         }
-      },
-      unifiedSchema)
+      }(Encoders.row(unifiedSchema))
 
     // One pass feeds two sinks: persist so the split doesn't re-fetch.
     unified.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

@@ -244,6 +244,150 @@ object Kernels {
     best
   }
 
+  // -------------------------------------------------- md5-basis kernels
+  //
+  // Cross-engine-reproducible variants: every hash is md5 of a short
+  // ASCII-framed string, parsed from the leading hex digits — DuckDB can
+  // compute the identical value (('0x' || substr(md5(s),1,15))::BIGINT),
+  // so LSH bucket assignment itself becomes oracle-checkable. The xxh64
+  // kernels above remain the fast default where the oracle only needs the
+  // VERIFIED output (exact jaccard / cosine), not the bucketing.
+
+  private val md5Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** First 8 digest bytes, big-endian — the unsigned value of the first
+    * 16 hex chars of the md5 string, as a signed long bit pattern.
+    */
+  private def md5Long64(bytes: Array[Byte]): Long = {
+    val d = md5Local.get()
+    d.reset()
+    val h = d.digest(bytes)
+    ((h(0) & 0xffL) << 56) | ((h(1) & 0xffL) << 48) | ((h(2) & 0xffL) << 40) |
+      ((h(3) & 0xffL) << 32) | ((h(4) & 0xffL) << 24) | ((h(5) & 0xffL) << 16) |
+      ((h(6) & 0xffL) << 8) | (h(7) & 0xffL)
+  }
+
+  /** First 15 hex chars of md5(s) as a non-negative long in [0, 2^60) —
+    * exactly `('0x' || substr(md5(s), 1, 15))::BIGINT` in DuckDB.
+    */
+  def md5Hash60(s: String): Long =
+    md5Long64(s.getBytes(java.nio.charset.StandardCharsets.UTF_8)) >>> 4
+
+  /** Deterministic hyperplane matrix [plane][dim]: component (g, i) =
+    * md5Hash60("plane:g:i") / 2^59 - 1 ∈ [-1, 1). Derived once per
+    * (planes, dim) and cached — per-row cost is pure multiply-adds, the
+    * md5s amortize to zero. No stored model, reproducible on any cluster
+    * AND in the DuckDB oracle.
+    */
+  private val planeCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int), Array[Array[Double]]]()
+
+  def planeMatrix(planes: Int, dim: Int): Array[Array[Double]] =
+    planeCache.computeIfAbsent((planes, dim), { key =>
+      Array.tabulate(key._1, key._2) { (g, i) =>
+        md5Hash60(s"plane:$g:$i").toDouble / (1L << 59).toDouble - 1.0
+      }
+    })
+
+  /** Sign-LSH band keys over a float vector: `bands` keys, key b's bit p
+    * is the sign of the projection onto global hyperplane b·planesPerBand
+    * + p. All bands in one fused pass (one vector copy + planes×dim
+    * multiply-adds); each projection folds left-to-right in Double, the
+    * sequence DuckDB's list_dot_product uses.
+    */
+  def lshBandsF(vec: ArrayData, planesPerBand: Int, bands: Int): ArrayData = {
+    val n = vec.numElements()
+    val xs = new Array[Double](n)
+    var i = 0
+    while (i < n) { xs(i) = vec.getFloat(i).toDouble; i += 1 }
+    new GenericArrayData(lshKeys(xs, planesPerBand, bands))
+  }
+
+  def lshBandsD(vec: ArrayData, planesPerBand: Int, bands: Int): ArrayData = {
+    val n = vec.numElements()
+    val xs = new Array[Double](n)
+    var i = 0
+    while (i < n) { xs(i) = vec.getDouble(i); i += 1 }
+    new GenericArrayData(lshKeys(xs, planesPerBand, bands))
+  }
+
+  private def lshKeys(xs: Array[Double], planesPerBand: Int, bands: Int): Array[Long] = {
+    val total = planesPerBand * bands
+    val m = planeMatrix(total, xs.length)
+    val keys = new Array[Long](bands)
+    var g = 0
+    while (g < total) {
+      val row = m(g)
+      var acc = 0.0
+      var i = 0
+      while (i < xs.length) { acc += xs(i) * row(i); i += 1 }
+      if (acc > 0) keys(g / planesPerBand) |= 1L << (g % planesPerBand)
+      g += 1
+    }
+    keys
+  }
+
+  /** Single sign-LSH bucket id in [0, 2^planes) — [[lshKeys]] with one band. */
+  def lshBucketF(vec: ArrayData, planes: Int): Long =
+    lshBandsF(vec, planes, 1).getLong(0)
+
+  def lshBucketD(vec: ArrayData, planes: Int): Long =
+    lshBandsD(vec, planes, 1).getLong(0)
+
+  /** 64-bit SimHash with md5 token hashes (first 16 hex chars of
+    * md5(token), big-endian) — bit-vote semantics identical to
+    * [[simhash64]]; DuckDB reproduces the token hash as
+    * `('0x' || substr(md5(tok),1,16))::UBIGINT`.
+    */
+  def simhashMd5(tokens: ArrayData): Long = {
+    val votes = new Array[Int](64)
+    val n = tokens.numElements()
+    var i = 0
+    while (i < n) {
+      if (!tokens.isNullAt(i)) {
+        val h = md5Long64(tokens.getUTF8String(i).getBytes)
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (votes(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
+
+  /** MinHash signature with md5 hashes: sig[j] = min over tokens of
+    * md5Hash60(j + ":" + token) — DuckDB-reproducible
+    * (min(('0x' || substr(md5(j || ':' || tok),1,15))::BIGINT) per j).
+    * Empty inputs yield Long.MaxValue rows, as [[minhash]] does.
+    */
+  def minhashMd5(tokens: ArrayData, k: Int): ArrayData = {
+    val sig = new Array[Long](k)
+    java.util.Arrays.fill(sig, Long.MaxValue)
+    val n = tokens.numElements()
+    var i = 0
+    while (i < n) {
+      if (!tokens.isNullAt(i)) {
+        val tok = tokens.getUTF8String(i).toString
+        var j = 0
+        while (j < k) {
+          val h = md5Hash60(j + ":" + tok)
+          if (h < sig(j)) sig(j) = h
+          j += 1
+        }
+      }
+      i += 1
+    }
+    new GenericArrayData(sig)
+  }
+
   /** 64-bit SimHash over a string array: bit b of the result is the
     * majority vote of bit b across xxh64(token, 42).
     */

@@ -213,6 +213,97 @@ case class SimHash(child: Expression) extends UnaryExpression {
     copy(child = c)
 }
 
+/** lsh_bucket(vec, planes): sign-LSH bucket id in [0, 2^planes) from the
+  * md5-derived hyperplane matrix — one fused pass over the vector instead
+  * of an interpreted `aggregate(zip_with(...))` per plane.
+  */
+case class LshBucket(child: Expression, planes: Int)
+    extends UnaryExpression with ArrayOfNumericCheck {
+  override protected def vectorInputs: Seq[Expression] = Seq(child)
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (planes < 1 || planes > 62)
+      TypeCheckFailure(s"$prettyName requires 1 <= planes <= 62")
+    else checkVectorTypes()
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_lsh_bucket"
+
+  private lazy val kernel = if (isFloat) "lshBucketF" else "lshBucketD"
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    if (isFloat) Kernels.lshBucketF(x, planes) else Kernels.lshBucketD(x, planes)
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.functions.Kernels.$kernel($a, $planes)")
+  override protected def withNewChildInternal(c: Expression): LshBucket =
+    copy(child = c)
+}
+
+/** lsh_bands(vec, planesPerBand, bands): one sign-LSH key per band, all
+  * bands computed in a single fused pass (multi-band OR-ing for recall,
+  * as in MinHash banding).
+  */
+case class LshBands(child: Expression, planesPerBand: Int, bands: Int)
+    extends UnaryExpression with ArrayOfNumericCheck {
+  override protected def vectorInputs: Seq[Expression] = Seq(child)
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (planesPerBand < 1 || planesPerBand > 62 || bands < 1)
+      TypeCheckFailure(s"$prettyName requires 1 <= planesPerBand <= 62 and bands >= 1")
+    else checkVectorTypes()
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_lsh_bands"
+
+  private lazy val kernel = if (isFloat) "lshBandsF" else "lshBandsD"
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    if (isFloat) Kernels.lshBandsF(x, planesPerBand, bands)
+    else Kernels.lshBandsD(x, planesPerBand, bands)
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      a => s"graft.functions.Kernels.$kernel($a, $planesPerBand, $bands)")
+  override protected def withNewChildInternal(c: Expression): LshBands =
+    copy(child = c)
+}
+
+/** simhash_md5(tokens): 64-bit SimHash on md5 token hashes — the
+  * cross-engine-checkable twin of [[SimHash]].
+  */
+case class SimHashMd5(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckSuccess
+    case _ => TypeCheckFailure(s"$prettyName requires array<string>")
+  }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_simhash_md5"
+
+  override def nullSafeEval(a: Any): Any =
+    Kernels.simhashMd5(a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.functions.Kernels.simhashMd5($a)")
+  override protected def withNewChildInternal(c: Expression): SimHashMd5 =
+    copy(child = c)
+}
+
+/** minhash_md5(tokens, k): MinHash signature on md5 hashes — the
+  * cross-engine-checkable twin of [[MinHashSignature]].
+  */
+case class MinHashMd5(child: Expression, numHashes: Int)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) if numHashes > 0 => TypeCheckSuccess
+    case _ => TypeCheckFailure(s"$prettyName requires array<string> and k > 0")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_minhash_md5"
+
+  override def nullSafeEval(a: Any): Any =
+    Kernels.minhashMd5(a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], numHashes)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.functions.Kernels.minhashMd5($a, $numHashes)")
+  override protected def withNewChildInternal(c: Expression): MinHashMd5 =
+    copy(child = c)
+}
+
 /** nearest_centroid(vec, centroids-literal): index of the most-cosine-
   * similar row of a small 2-D float-array model. The model arrives as a
   * foldable literal (typedLit), is unpacked once at plan time, and rides
@@ -269,6 +360,11 @@ object GraftFunctions {
     "graft_jaccard" -> (args => JaccardSim(args(0), args(1))),
     "graft_shingles" -> (args => WordShingles(args(0), intArg(args(1), "n"))),
     "graft_token_hashes" -> (args => SortedTokenHashes(args(0))),
+    "graft_lsh_bucket" -> (args => LshBucket(args(0), intArg(args(1), "planes"))),
+    "graft_lsh_bands" -> (args => LshBands(args(0),
+      intArg(args(1), "planesPerBand"), intArg(args(2), "bands"))),
+    "graft_simhash_md5" -> (args => SimHashMd5(args(0))),
+    "graft_minhash_md5" -> (args => MinHashMd5(args(0), intArg(args(1), "numHashes"))),
     "graft_jaccard_sorted" -> (args => JaccardSorted(args(0), args(1))),
     "graft_nearest_centroid" -> (args => NearestCentroid(args(0), centroidsArg(args(1)))))
 

@@ -92,14 +92,34 @@ object Dedup {
     * @param maxBucket safety cap: buckets larger than this are dropped
     *                  (mass-duplicate clusters explode quadratically; at
     *                  100 TB they must be handled by exact dedup first)
+    * @param md5Basis  use md5-derived MinHash values and raw signature
+    *                  slices as band keys — identical plan shape (one
+    *                  (band, key) shuffle of ids, capped buckets, inline
+    *                  pair emission) but every value is reproducible in
+    *                  the DuckDB oracle, so the LSH pipeline itself can
+    *                  be hash-checked (q52). Default xxh64 basis is the
+    *                  faster production path.
     * @return (idA, idB) with idA < idB, distinct
     */
   def lshCandidates(df: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 64, bands: Int = 4,
-      maxBucket: Int = 1000): DataFrame = {
-    val sig = minhashSignature(tokenSet(col(textCol)), numHashes)
-    val keyed = spread(df).select(col(idCol).as("__id"),
-        posexplode(bandKeys(sig, numHashes, bands)).as(Seq("band", "key")))
+      maxBucket: Int = 1000, md5Basis: Boolean = false): DataFrame = {
+    val toks = tokenSet(col(textCol))
+    val keyed =
+      if (md5Basis) {
+        // band key = the band's raw signature slice (array<long> — Spark
+        // groups/joins on arrays by value, and DuckDB can rebuild the
+        // identical lists)
+        val sig = graftFn("graft_minhash_md5", toks, lit(numHashes))
+        val rows = numHashes / bands
+        spread(df).select(col(idCol).as("__id"),
+          posexplode(transform(sequence(lit(0), lit(bands - 1)),
+            b => slice(sig, b * rows + 1, lit(rows)))).as(Seq("band", "key")))
+      } else {
+        val sig = minhashSignature(toks, numHashes)
+        spread(df).select(col(idCol).as("__id"),
+          posexplode(bandKeys(sig, numHashes, bands)).as(Seq("band", "key")))
+      }
     // One shuffle: gather each bucket's ids, emit its pairs inline —
     // no second pass over the keyed exchange and no per-bucket sort, as
     // a windowed-count + self-join formulation would need. Buckets are
@@ -120,8 +140,10 @@ object Dedup {
     * token sets so the output is deterministic given the banding config.
     */
   def minhashNearDups(df: DataFrame, idCol: String, textCol: String,
-      threshold: Double, numHashes: Int = 64, bands: Int = 4): DataFrame = {
-    val cands = lshCandidates(df, idCol, textCol, numHashes, bands)
+      threshold: Double, numHashes: Int = 64, bands: Int = 4,
+      md5Basis: Boolean = false): DataFrame = {
+    val cands = lshCandidates(df, idCol, textCol, numHashes, bands,
+      md5Basis = md5Basis)
     // hashed token sets for verification — see blockedJaccardPairs
     val toks = spread(df).select(col(idCol).as("__tid"),
       graftFn("graft_token_hashes", TextAnalysis.tokens(col(textCol)))
@@ -233,6 +255,20 @@ object Dedup {
     df.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** The end-to-end near-dup dedup pipeline an LLM-data user actually
+    * runs: MinHash-LSH candidate pairs → exact Jaccard verification →
+    * connected-component collapse → survivor rows (lowest id per
+    * cluster). One banded shuffle + the O(log diameter) CC rounds; no
+    * stage is quadratic in the corpus.
+    */
+  def nearDupPipeline(df: DataFrame, idCol: String, textCol: String,
+      threshold: Double, numHashes: Int = 64, bands: Int = 4,
+      md5Basis: Boolean = false): DataFrame = {
+    val pairs = minhashNearDups(df, idCol, textCol, threshold, numHashes,
+      bands, md5Basis)
+    collapseNearDups(df, idCol, pairs)
+  }
+
   // --------------------------------------------------------------- SimHash
 
   /** 64-bit SimHash over the token set: bit b of the fingerprint is the
@@ -255,10 +291,12 @@ object Dedup {
     * `maxBits < bands`, probabilistic above that.
     */
   def simhashNearDupsBanded(df: DataFrame, idCol: String, textCol: String,
-      maxBits: Int, bands: Int = 4, maxBucket: Int = 10000): DataFrame = {
+      maxBits: Int, bands: Int = 4, maxBucket: Int = 10000,
+      md5Basis: Boolean = false): DataFrame = {
     val bits = 64 / bands
-    val sh = spread(df).select(col(idCol).as("__id"),
-      simhash64(tokenSet(col(textCol))).as("__sh"))
+    val fp = if (md5Basis) graftFn("graft_simhash_md5", tokenSet(col(textCol)))
+             else simhash64(tokenSet(col(textCol)))
+    val sh = spread(df).select(col(idCol).as("__id"), fp.as("__sh"))
     val keyed = sh.select(col("__id"), col("__sh"),
         posexplode(transform(sequence(lit(0), lit(bands - 1)),
           b => call_function("shiftrightunsigned", col("__sh"), b * bits)

@@ -76,46 +76,74 @@ object Similarity {
       .where(col("cosine") > threshold)
   }
 
-  /** Scale path for embedding near-dup: pair only within sign-LSH
-    * buckets (high-cardinality keys → one balanced shuffle instead of a
-    * quadratic cross join). Recall is probabilistic: a near-dup pair
-    * lands in the same bucket iff no hyperplane separates the two
-    * vectors — more planes = finer buckets = faster but lower recall.
-    * Identical vectors always collide.
+  /** Scale path for embedding near-dup: multi-band sign-LSH candidate
+    * generation (bit-parity twin of MinHash banding) + exact cosine
+    * verification. One high-cardinality (band, key) shuffle carrying only
+    * ids, pair emission inside capped buckets, then a join back to the
+    * vectors — never an all-pairs cross join, and the `bands`-way
+    * explosion never carries vector payloads. Recall: a pair survives iff
+    * SOME band's hyperplanes all agree — more bands = higher recall,
+    * more planes/band = finer buckets = cheaper. Every emitted pair is
+    * exact-cosine-verified, so precision is 1.0 relative to
+    * [[cosineNearDupPairs]] by construction; the md5-derived plane basis
+    * makes the full candidate set reproducible in the DuckDB oracle
+    * (q50 hash-checks this exact plan).
     */
   def cosineNearDupPairsBucketed(emb: DataFrame, idCol: String,
-      vecCol: String, threshold: Double, planes: Int = 4): DataFrame = {
-    val t = signLshBuckets(Dedup.spread(emb), vecCol, planes)
-      .select(col("bucket"), col(idCol).as("__id"), col(vecCol).as("__v"),
-        l2Norm(col(vecCol)).as("__n"))
-    val a = t.select(col("bucket"), col("__id").as("idA"),
-      col("__v").as("__va"), col("__n").as("__na"))
-    val b = t.select(col("bucket"), col("__id").as("idB"),
-      col("__v").as("__vb"), col("__n").as("__nb"))
-    a.join(b, Seq("bucket"))
-      .where(col("idA") < col("idB"))
+      vecCol: String, threshold: Double, planesPerBand: Int = 8,
+      bands: Int = 4, maxBucket: Int = 10000): DataFrame = {
+    val src = Dedup.spread(emb)
+    val keyed = src.select(col(idCol).as("__id"),
+      posexplode(graftFn("graft_lsh_bands", col(vecCol),
+        lit(planesPerBand), lit(bands))).as(Seq("band", "key")))
+    val cands = keyed.groupBy(col("band"), col("key"))
+      .agg(collect_list(col("__id")).as("__ids"))
+      .where(size(col("__ids")).between(2, maxBucket))
+      .select(explode(flatten(transform(col("__ids"), (x, i) =>
+        transform(slice(col("__ids"), i + 2, size(col("__ids"))),
+          y => struct(least(x, y).as("idA"), greatest(x, y).as("idB"))))))
+        .as("__p"))
+      .select(col("__p.idA"), col("__p.idB"))
+      .distinct()
+    val vecs = src.select(col(idCol).as("__vid"), col(vecCol).as("__v"),
+      l2Norm(col(vecCol)).as("__n"))
+    cands
+      .join(vecs.select(col("__vid").as("idA"), col("__v").as("__va"),
+        col("__n").as("__na")), Seq("idA"))
+      .join(vecs.select(col("__vid").as("idB"), col("__v").as("__vb"),
+        col("__n").as("__nb")), Seq("idB"))
       .select(col("idA"), col("idB"),
         (dotProduct(col("__va"), col("__vb")) / (col("__na") * col("__nb")))
           .as("cosine"))
       .where(col("cosine") > threshold)
-      .distinct()
   }
 
-  /** Deterministic pseudo-random hyperplane component in [-1, 1), derived
-    * from xxhash64(plane, dimension) — no stored model, reproducible on
-    * any cluster.
-    */
-  private def planeComponent(plane: Int, dim: Column): Column =
-    (xxhash64(lit(plane), dim).cast("double") / lit(Long.MaxValue.toDouble))
-
   /** Sign-LSH bucket id in [0, 2^planes): bit p is the sign of the
-    * projection onto pseudo-random hyperplane p. Computed scan-side.
+    * projection onto deterministic md5-derived hyperplane p. Computed
+    * scan-side by a fused codegen kernel (one pass over the vector for
+    * all planes; the plane matrix is cached — md5 cost amortizes to
+    * zero). [[signLshBucketReference]] pins bit-parity.
     */
-  def signLshBucket(vec: Column, planes: Int): Column = {
+  def signLshBucket(vec: Column, planes: Int): Column =
+    graftFn("graft_lsh_bucket", vec, lit(planes))
+
+  /** The declarative formulation the kernel replaces (interpreted HOFs,
+    * ~10-30× slower): plane component = md5Hash60("plane:g:i")/2^59 - 1,
+    * projection = left-to-right double fold. Kept (test scope) as the
+    * bit-parity reference for FunctionsSpec; `firstPlane` selects the
+    * global plane range [firstPlane, firstPlane + planes) so band keys of
+    * [[cosineNearDupPairsBucketed]] are checkable band by band.
+    */
+  private[graft] def signLshBucketReference(vec: Column, planes: Int,
+      firstPlane: Int = 0): Column = {
+    def component(plane: Int, i: Column): Column =
+      conv(substring(md5(encode(
+          concat(lit(s"plane:$plane:"), i.cast("string")), "UTF-8")), 1, 15),
+        16, 10).cast("long").cast("double") / lit((1L << 59).toDouble) - 1.0
     val projections = (0 until planes).map { p =>
       aggregate(
         zip_with(vec, sequence(lit(0), size(vec) - 1),
-          (x, i) => x.cast("double") * planeComponent(p, i)),
+          (x, i) => x.cast("double") * component(firstPlane + p, i)),
         lit(0.0), (acc, v) => acc + v)
     }
     projections.zipWithIndex.map { case (proj, p) =>

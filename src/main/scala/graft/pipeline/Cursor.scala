@@ -47,7 +47,8 @@ object Cursor {
         }.toMap
       def long(k: String) = kv.get(k).flatMap(_.toLongOption).getOrElse(0L)
       Cursor(long("next_index"), long("total_processed"),
-        kv.get("has_more").forall(_.toBoolean), long("error_count"),
+        kv.get("has_more").flatMap(_.toBooleanOption).getOrElse(true),
+        long("error_count"),
         long("skipped_count"))
     }
   }

@@ -36,27 +36,32 @@ object Pipelines {
     val take = math.min(maxRecords.toLong, remaining).toInt
 
     val urls = Sources.urlList(spark, urlListPath)
-    val slice0 = Sources.slice(urls, "url", cur.nextIndex.toInt, take)
-    val slice = if (numPartitions > 0) slice0.repartition(numPartitions) else slice0
+    val slice = Sources.slice(urls, "url", cur.nextIndex.toInt, take)
 
     val enriched = Enricher.enrich(slice, fetcherFactory,
-      Enricher.Config(startIndex = cur.nextIndex))
+      Enricher.Config(startIndex = cur.nextIndex, numPartitions = numPartitions))
 
     // A11 running counters ride on the sink jobs as observed metrics
     // (df.observe) instead of separate count() jobs — the batch loop
     // runs exactly two jobs: shard write and dead-letter write.
+    // error_count follows the reference's semantics: every failed ATTEMPT
+    // counts, including transient failures that later succeeded (attempt>1
+    // means attempt-1 failures) and every attempt behind a dead letter.
     val recObs = org.apache.spark.sql.Observation()
     val deadObs = org.apache.spark.sql.Observation()
     Sinks.appendParquet(
       enriched.records.observe(recObs,
-        count(lit(1)).as("produced"), count(col("error")).as("errors")),
+        count(lit(1)).as("produced"),
+        coalesce(sum(col("attempt") - 1), lit(0L)).as("errors")),
       s"$outDir/shards")
     Sinks.deadLetterJson(
-      enriched.deadLetter.observe(deadObs, count(lit(1)).as("dead")),
+      enriched.deadLetter.observe(deadObs, count(lit(1)).as("dead"),
+        coalesce(sum(col("attempts")), lit(0L)).as("dead_attempts")),
       s"$outDir/dead_letter")
 
     val produced = recObs.get("produced").asInstanceOf[Long]
-    val errors = recObs.get("errors").asInstanceOf[Long]
+    val errors = recObs.get("errors").asInstanceOf[Long] +
+      deadObs.get("dead_attempts").asInstanceOf[Long]
     val dead = deadObs.get("dead").asInstanceOf[Long]
     val consumed = produced + dead
     val next = Cursor(

@@ -116,8 +116,10 @@ object MultimodalQueries {
         |              THEN ((nf - 1) // 4) * 256 + (len - (nf - 1) * 256)
         |              ELSE ((nf - 1) // 4 + 1) * 256 END AS nb
         |  FROM t)
-        |SELECT kind, count(*) AS n_assets, sum(nf) AS total_frames,
-        |       sum(ns) AS sampled_frames, sum(nb) AS sampled_bytes
+        |SELECT kind, count(*) AS n_assets,
+        |       CAST(sum(nf) AS BIGINT) AS total_frames,
+        |       CAST(sum(ns) AS BIGINT) AS sampled_frames,
+        |       CAST(sum(nb) AS BIGINT) AS sampled_bytes
         |FROM u GROUP BY kind ORDER BY kind""".stripMargin,
     "q39_frame_sample" ->
       """WITH t AS (

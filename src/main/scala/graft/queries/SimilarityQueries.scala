@@ -70,12 +70,26 @@ object SimilarityQueries {
       centroids, nprobe = 4)
   }
 
+  /** The 100 TB-scale near-dup plan — multi-band sign-LSH candidates +
+    * exact cosine verification — hash-checked end to end: the md5-derived
+    * plane matrix lets DuckDB rebuild the exact bucket assignment, so the
+    * oracle reproduces candidates AND verification bit-for-bit. Subset of
+    * q31's exact pair set by construction (recall = rows(q50)/rows(q31)).
+    */
+  private def q50(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Similarity.cosineNearDupPairsBucketed(Tables.embeddings(s, dir),
+        "vec_id", "embedding", threshold = 0.3, planesPerBand = 8, bands = 4)
+      .orderBy($"idA", $"idB")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_ann_bruteforce" -> (q30 _),
     "q31_cosine_neardup" -> (q31 _),
     "q32_ann_lsh" -> (q32 _),
     "q33_label_stats" -> (q33 _),
-    "q43_ann_ivf" -> (q43 _))
+    "q43_ann_ivf" -> (q43 _),
+    "q50_cosine_neardup_bucketed" -> (q50 _))
 
   val oracles: Map[String, String] = Map(
     "q30_ann_bruteforce" ->
@@ -99,5 +113,33 @@ object SimilarityQueries {
         |           FROM embeddings)
         |SELECT label, count(*) AS n_vecs, max(norm) AS max_norm,
         |       min(c0) AS min_c0, max(c0) AS max_c0
-        |FROM t GROUP BY label ORDER BY label""".stripMargin)
+        |FROM t GROUP BY label ORDER BY label""".stripMargin,
+    // Rebuilds the md5-derived hyperplane matrix (component (g,i) =
+    // hex60(md5('plane:g:i'))/2^59 - 1), assigns every vector its 4 band
+    // keys, pairs within (band, key), verifies exact cosine — the same
+    // computation the Spark kernel runs, value-identical.
+    "q50_cosine_neardup_bucketed" ->
+      """WITH pl AS (
+        |  SELECT b.b AS band, pp.p AS p, d.i AS i,
+        |         (('0x' || substr(md5('plane:' || (b.b*8 + pp.p) || ':' || d.i), 1, 15))::BIGINT
+        |           / 576460752303423488.0) - 1.0 AS c
+        |  FROM (SELECT unnest(range(0, 4)) AS b) b,
+        |       (SELECT unnest(range(0, 8)) AS p) pp,
+        |       (SELECT unnest(range(0, 64)) AS i) d),
+        |pv AS (SELECT band, p, list(c ORDER BY i) AS pvec FROM pl GROUP BY band, p),
+        |proj AS (SELECT e.vec_id, pv.band, pv.p,
+        |                list_dot_product(e.embedding::DOUBLE[], pv.pvec) AS pr
+        |         FROM embeddings e, pv),
+        |k AS (SELECT vec_id, band,
+        |             sum(CASE WHEN pr > 0 THEN (1::BIGINT << p) ELSE 0 END) AS key
+        |      FROM proj GROUP BY vec_id, band),
+        |cand AS (SELECT DISTINCT a.vec_id AS idA, b.vec_id AS idB
+        |         FROM k a JOIN k b ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id)
+        |SELECT c.idA, c.idB,
+        |       list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]) AS cosine
+        |FROM cand c
+        |JOIN embeddings ea ON ea.vec_id = c.idA
+        |JOIN embeddings eb ON eb.vec_id = c.idB
+        |WHERE list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]) > 0.3
+        |ORDER BY idA, idB""".stripMargin)
 }

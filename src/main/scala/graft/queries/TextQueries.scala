@@ -159,7 +159,37 @@ object TextQueries {
       .orderBy($"doc_id")
   }
 
+  /** The banded-SimHash scale plan, hash-checked: with md5 token hashes
+    * the fingerprints are DuckDB-reproducible, and with maxBits (3) <
+    * bands (4) the banding is provably COMPLETE (pigeonhole: ≤3 flipped
+    * bits can't touch all 4 bands), so the oracle is simply all pairs at
+    * Hamming ≤ 3 — yet the Spark plan is the real one: banded
+    * (band, key) shuffle, windowed bucket cap, Hamming verification.
+    */
+  private def q51(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Dedup.simhashNearDupsBanded(Tables.documents(s, dir), "doc_id", "text",
+        maxBits = 3, bands = 4, md5Basis = true)
+      .orderBy($"idA", $"idB")
+  }
+
+  /** End-to-end dedup pipeline (the operation an LLM-data user actually
+    * runs): MinHash-LSH pairs → Jaccard verify → connected-component
+    * collapse → survivor ids. md5 basis makes every stage — signatures,
+    * band keys, candidates, verification, closure — reproducible in the
+    * oracle's SQL (recursive CTE for the closure, as q48 established).
+    */
+  private def q52(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Dedup.nearDupPipeline(Tables.documents(s, dir), "doc_id", "text",
+        threshold = 0.9, numHashes = 16, bands = 8, md5Basis = true)
+      .select($"doc_id")
+      .orderBy($"doc_id")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q51_simhash_banded" -> (q51 _),
+    "q52_dedup_pipeline" -> (q52 _),
     "q49_pii_redact" -> (q49 _),
     "q48_neardup_clusters" -> (q48 _),
     "q44_text_extras" -> (q44 _),
@@ -264,5 +294,58 @@ object TextQueries {
         |             row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
         |      FROM documents)
         |WHERE rn = 1
+        |ORDER BY doc_id""".stripMargin,
+    // md5-SimHash fingerprint as a 64-char bitstring (bit 63 first);
+    // banding with maxBits < bands is complete, so the oracle is the
+    // exact all-pairs Hamming-≤-3 set (the bucket cap cannot trigger at
+    // sf0.01: every bucket ≤ total docs < 10000).
+    "q51_simhash_banded" ->
+      """WITH t AS (SELECT doc_id, list_distinct(string_split_regex(trim(text), ' +')) AS toks
+        |           FROM documents),
+        |tok AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+        |th AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 16))::UBIGINT AS h FROM tok),
+        |v AS (SELECT doc_id, b.b AS b,
+        |             sum(CASE WHEN ((h >> b.b) & 1) = 1 THEN 1 ELSE -1 END) AS vote
+        |      FROM th, (SELECT unnest(range(0, 64)) AS b) b GROUP BY doc_id, b.b),
+        |fp AS (SELECT doc_id,
+        |              string_agg(CASE WHEN vote > 0 THEN '1' ELSE '0' END, '' ORDER BY b DESC) AS bits
+        |       FROM v GROUP BY doc_id),
+        |p AS (SELECT a.doc_id AS idA, b.doc_id AS idB,
+        |             CAST(list_sum(list_transform(range(1, 65),
+        |               k -> CASE WHEN substr(a.bits, k, 1) = substr(b.bits, k, 1)
+        |                         THEN 0 ELSE 1 END)) AS INTEGER) AS hamming
+        |      FROM fp a JOIN fp b ON a.doc_id < b.doc_id)
+        |SELECT idA, idB, hamming FROM p
+        |WHERE hamming <= 3
+        |ORDER BY idA, idB""".stripMargin,
+    // Full pipeline: md5-MinHash signatures (16 hashes), 8 bands of 2
+    // rows keyed by the raw signature slice, candidate pairs, exact
+    // token-set Jaccard ≥ 0.9, recursive-CTE transitive closure, then
+    // survivors = docs that are not a non-minimum member of a cluster.
+    "q52_dedup_pipeline" ->
+      """WITH RECURSIVE t AS (SELECT doc_id, list_distinct(string_split_regex(trim(text), ' +')) AS toks
+        |           FROM documents),
+        |tok AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+        |mh AS (SELECT doc_id, j.j AS j,
+        |              min(('0x' || substr(md5(j.j || ':' || tok), 1, 15))::BIGINT) AS h
+        |       FROM tok, (SELECT unnest(range(0, 16)) AS j) j GROUP BY doc_id, j.j),
+        |sig AS (SELECT doc_id, list(h ORDER BY j) AS sig FROM mh GROUP BY doc_id),
+        |k AS (SELECT doc_id, b.b AS band, list_slice(sig, b.b*2 + 1, b.b*2 + 2) AS key
+        |      FROM sig, (SELECT unnest(range(0, 8)) AS b) b),
+        |cand AS (SELECT DISTINCT a.doc_id AS idA, b.doc_id AS idB
+        |         FROM k a JOIN k b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+        |p AS (SELECT c.idA, c.idB
+        |      FROM cand c JOIN t a ON a.doc_id = c.idA JOIN t b ON b.doc_id = c.idB
+        |      WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+        |              / len(list_distinct(list_concat(a.toks, b.toks))) >= 0.9),
+        |e AS (SELECT idA AS src, idB AS dst FROM p UNION ALL SELECT idB, idA FROM p),
+        |reach AS (
+        |  SELECT src AS id, src AS r FROM e
+        |  UNION
+        |  SELECT e.src, reach.r FROM e JOIN reach ON e.dst = reach.id),
+        |losers AS (SELECT id FROM (SELECT id, min(r) AS label FROM reach GROUP BY id)
+        |           WHERE id <> label)
+        |SELECT doc_id FROM documents
+        |WHERE doc_id NOT IN (SELECT id FROM losers)
         |ORDER BY doc_id""".stripMargin)
 }

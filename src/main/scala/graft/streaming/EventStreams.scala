@@ -94,7 +94,12 @@ object EventStreams {
 
   /** T5: custom stateful sessionization via flatMapGroupsWithState — the
     * streaming twin of queries.EventQueries q35. A session closes after
-    * `gapNs` of inactivity (processing-time timeout in live mode).
+    * `gapNs` of EVENT-time inactivity observed in the stream; in live
+    * (streaming) mode an idle user's open session is additionally flushed
+    * after ~`gapNs` of PROCESSING time with no new events
+    * (`ProcessingTimeTimeout`), so final sessions are eventually emitted.
+    * In batch execution timeouts never fire, so the last open session per
+    * user is not emitted (StreamingSpec pins this with its +1 adjustment).
     */
   def sessionize(spark: SparkSession, events: DataFrame,
       gapNs: Long = 1800L * 1000000000L): DataFrame = {
@@ -107,25 +112,35 @@ object EventStreams {
     val out = typed
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append,
-        GroupStateTimeout.NoTimeout)(
+        GroupStateTimeout.ProcessingTimeTimeout)(
         (userId: Long, batch: Iterator[SessionEvent], state: GroupState[SessionState]) => {
-          // Events within a micro-batch are not ordered — sort the chunk.
-          val sorted = batch.toSeq.sortBy(e => (e.tsNs, e.event_id))
-          var st = state.getOption.orNull
-          val closed = Seq.newBuilder[SessionOut]
-          sorted.foreach { e =>
-            st match {
-              case null =>
-                st = SessionState(e.tsNs, e.tsNs, 1)
-              case s if e.tsNs - s.last > gapNs =>
-                closed += SessionOut(userId, s.events, s.last - s.start)
-                st = SessionState(e.tsNs, e.tsNs, 1)
-              case s =>
-                st = SessionState(s.start, e.tsNs, s.events + 1)
+          if (state.hasTimedOut) {
+            // gapNs of processing time with no events: close the open session.
+            val s = state.get
+            state.remove()
+            Iterator.single(SessionOut(userId, s.events, s.last - s.start))
+          } else {
+            // Events within a micro-batch are not ordered — sort the chunk.
+            val sorted = batch.toSeq.sortBy(e => (e.tsNs, e.event_id))
+            var st = state.getOption.orNull
+            val closed = Seq.newBuilder[SessionOut]
+            sorted.foreach { e =>
+              st match {
+                case null =>
+                  st = SessionState(e.tsNs, e.tsNs, 1)
+                case s if e.tsNs - s.last > gapNs =>
+                  closed += SessionOut(userId, s.events, s.last - s.start)
+                  st = SessionState(e.tsNs, e.tsNs, 1)
+                case s =>
+                  st = SessionState(s.start, e.tsNs, s.events + 1)
+              }
             }
+            if (st != null) {
+              state.update(st)
+              state.setTimeoutDuration(gapNs / 1000000L)
+            } else state.remove()
+            closed.result().iterator
           }
-          if (st != null) state.update(st) else state.remove()
-          closed.result().iterator
         })
     out.toDF()
   }

@@ -129,6 +129,78 @@ class FunctionsSpec extends SparkSuite {
     assert(short.isEmpty)
   }
 
+  test("graft_lsh_bucket matches the md5-HOF reference formulation bit-for-bit") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val bad = emb.select(
+        call_function("graft_lsh_bucket", $"embedding", lit(6)).as("nw"),
+        graft.ops.Similarity.signLshBucketReference($"embedding", 6).as("od"))
+      .where($"nw" =!= $"od").count()
+    assert(bad === 0)
+  }
+
+  test("graft_lsh_bands: every band key matches the per-band reference") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val pp = 4
+    val bands = 3
+    val withBands = emb.limit(200).select($"embedding",
+      call_function("graft_lsh_bands", $"embedding", lit(pp), lit(bands)).as("ks"))
+    (0 until bands).foreach { b =>
+      val bad = withBands.select(
+          element_at($"ks", b + 1).as("nw"),
+          graft.ops.Similarity.signLshBucketReference($"embedding", pp, b * pp).as("od"))
+        .where($"nw" =!= $"od").count()
+      assert(bad === 0, s"band $b mismatch")
+    }
+    // single band degenerates to the bucket expression
+    val one = emb.limit(50).select(
+        element_at(call_function("graft_lsh_bands", $"embedding", lit(5), lit(1)), 1).as("a"),
+        call_function("graft_lsh_bucket", $"embedding", lit(5)).as("b"))
+      .where($"a" =!= $"b").count()
+    assert(one === 0)
+  }
+
+  test("graft_minhash_md5 matches min over conv(md5(j:token)) exactly") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val toks = Tables.documents(spark, sfDir).limit(50)
+      .select($"doc_id", Dedup.tokenSet($"text").as("t"))
+    val k = 6
+    val old = transform(sequence(lit(0), lit(k - 1)),
+      j => array_min(transform($"t", x =>
+        conv(substring(md5(encode(concat(j.cast("string"), lit(":"), x), "UTF-8")), 1, 15),
+          16, 10).cast("long"))))
+    val bad = toks.select(
+        call_function("graft_minhash_md5", $"t", lit(k)).as("nw"), old.as("od"))
+      .where($"nw" =!= $"od").count()
+    assert(bad === 0)
+  }
+
+  test("graft_simhash_md5 is the bit-majority of md5 token hashes") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    // 64-bit md5 token hash rebuilt from two 32-bit conv halves (conv of
+    // 16 hex chars would overflow signed long); shiftleft wraps exactly
+    val df = Tables.documents(spark, sfDir).limit(30)
+      .select(Dedup.tokenSet($"text").as("t"))
+    val hashes = transform($"t", x => {
+      val hex = md5(encode(x, "UTF-8"))
+      shiftleft(conv(substring(hex, 1, 8), 16, 10).cast("long"), 32)
+        .bitwiseOR(conv(substring(hex, 9, 8), 16, 10).cast("long"))
+    })
+    val expected = aggregate(sequence(lit(0), lit(63)), lit(0L), (acc, b) => {
+      val votes = aggregate(hashes, lit(0),
+        (v, h) => v + when(call_function("shiftrightunsigned", h, b)
+          .bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1))
+      acc + when(votes > 0, call_function("shiftleft", lit(1L), b)).otherwise(lit(0L))
+    })
+    val bad = df.select(
+        call_function("graft_simhash_md5", $"t").as("nw"), expected.as("od"))
+      .where($"nw" =!= $"od").count()
+    assert(bad === 0)
+  }
+
   test("size prefilter does not change blockedJaccardPairs results") {
     import spark.implicits._
     val docs = Tables.documents(spark, sfDir)

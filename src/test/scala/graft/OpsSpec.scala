@@ -128,7 +128,7 @@ class OpsSpec extends SparkSuite {
     val exact = Similarity.cosineNearDupPairs(emb, "vec_id", "embedding", 0.3)
       .select($"idA", $"idB", $"cosine")
     val bucketed = Similarity.cosineNearDupPairsBucketed(
-      emb, "vec_id", "embedding", 0.3, planes = 2)
+      emb, "vec_id", "embedding", 0.3, planesPerBand = 2, bands = 2)
     // every bucketed pair is a true pair with the true cosine
     assert(bucketed.exceptAll(exact).isEmpty)
     assert(bucketed.count() > 0)

@@ -65,6 +65,16 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
   }
 
+  test("q50: bucketed near-dup has no cross join and keeps the LSH kernel in codegen") {
+    val df = SparkEntry.queries("q50_cosine_neardup_bucketed")(spark, sfDir)
+    df.collect() // materialize so AQE finalizes the plan
+    val p = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("graft_lsh_bands"), p)
+    assert(p.contains("codegen id"), p)
+  }
+
   test("whole-stage codegen covers the kernel expressions") {
     val df = SparkEntry.queries("q31_cosine_neardup")(spark, sfDir)
     df.collect() // materialize THIS plan so AQE finalizes it
