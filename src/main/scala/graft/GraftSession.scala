@@ -40,4 +40,34 @@ object GraftSession {
     s.sparkContext.setLogLevel("WARN")
     s
   }
+
+  // ------------------------------------------------------- X5 cancellation
+  //
+  // The reference's only operational kill switch is a workflow that
+  // cancels every in-flight processor/coordinator/aggregator run
+  // (cancel_workflows.yml:22-61). Spark's analog is job groups: tag each
+  // pipeline's jobs with its group id, and a cancel request aborts every
+  // running stage of that group (interrupting executor threads).
+
+  /** The three pipeline group ids, mirroring the reference's cancel list. */
+  val PipelineGroups: Seq[String] =
+    Seq("graft-processor", "graft-coordinator", "graft-aggregator")
+
+  /** Run `body`'s jobs under a cancellable group tag. */
+  def runCancellable[T](spark: SparkSession, groupId: String,
+      description: String = "")(body: => T): T = {
+    spark.sparkContext.setJobGroup(groupId, description, interruptOnCancel = true)
+    try body finally spark.sparkContext.clearJobGroup()
+  }
+
+  /** Cancel every running job of one group. */
+  def cancel(spark: SparkSession, groupId: String): Unit =
+    spark.sparkContext.cancelJobGroup(groupId)
+
+  /** The kill switch: cancel all graft pipeline groups
+    * (cancel_workflows.yml's loop over its three workflows).
+    */
+  def cancelAll(spark: SparkSession,
+      groups: Seq[String] = PipelineGroups): Unit =
+    groups.foreach(cancel(spark, _))
 }

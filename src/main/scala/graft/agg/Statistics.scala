@@ -46,6 +46,74 @@ object Statistics {
       .agg(count(lit(1)).as("records"))
       .orderBy(col("file"))
 
+  /** Normalize a file URI to a bare path, identically in Scala and SQL
+    * (input_file_name yields `file:///x`; Hadoop listings yield
+    * `file:/x`).
+    */
+  private val SchemeRe = "^[a-zA-Z0-9+.-]+:/*"
+  private def uriPath(s: String): String = s.replaceFirst(SchemeRe, "/")
+
+  /** Recursive parquet listing with byte sizes via the Hadoop FS API —
+    * O(files) metadata calls, never a data scan (the scale-safe
+    * replacement for counting files through `input_file_name()`).
+    * Paths are scheme-normalized; sorted.
+    */
+  def listParquetFiles(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Seq[(String, Long)] = {
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) Seq.empty
+    else {
+      val it = fs.listFiles(root, true)
+      val buf = Seq.newBuilder[(String, Long)]
+      while (it.hasNext) {
+        val st = it.next()
+        if (st.isFile && st.getPath.getName.endsWith(".parquet"))
+          buf += ((uriPath(st.getPath.toUri.toString), st.getLen))
+      }
+      buf.result().sortBy(_._1)
+    }
+  }
+
+  /** A10 with byte sizes (aggregator.yml:140-149's file_stats): records
+    * per file from one scan-side aggregate, byte length from the FS
+    * listing, joined on the normalized path. The listing side is
+    * file-count-sized → broadcast.
+    */
+  def perFileStatsWithSize(spark: org.apache.spark.sql.SparkSession,
+      df: DataFrame, dir: String): DataFrame = {
+    import spark.implicits._
+    val sizes = broadcast(listParquetFiles(spark, dir).toDF("file", "bytes"))
+    df.groupBy(regexp_replace(input_file_name(), SchemeRe, "/").as("file"))
+      .agg(count(lit(1)).as("records"))
+      .join(sizes, Seq("file"), "left")
+      .orderBy(col("file"))
+  }
+
+  /** A9 file variant (aggregator.yml:124-128): the largest parquet per
+    * segment, where a segment is an immediate child directory of `dir`.
+    * Pure FS metadata — O(files).
+    */
+  def largestPerSegment(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Seq[(String, String, Long)] = {
+    val rootPath = uriPath(
+      new org.apache.hadoop.fs.Path(dir).getFileSystem(
+        spark.sparkContext.hadoopConfiguration)
+        .makeQualified(new org.apache.hadoop.fs.Path(dir)).toUri.toString)
+    val prefix = if (rootPath.endsWith("/")) rootPath else rootPath + "/"
+    listParquetFiles(spark, dir)
+      .flatMap { case (p, len) =>
+        if (p.startsWith(prefix)) {
+          val rel = p.substring(prefix.length)
+          val segment = rel.takeWhile(_ != '/')
+          if (rel.contains('/')) Some((segment, p, len)) else None
+        } else None
+      }
+      .groupBy(_._1)
+      .map { case (_, files) => files.maxBy(f => (f._3, f._2)) }
+      .toSeq.sortBy(_._1)
+  }
+
   /** A12: the acceptance oracle — records ≥ minRecords ∧ avg < maxAvg ∧
     * error rate < maxErrorRate (reference evaluate_test_run.py:107-113).
     */
@@ -77,11 +145,20 @@ object Statistics {
        |}""".stripMargin
   }
 
-  /** K5: human report (aggregator.yml:184-203, processor.local.yml:84-92). */
+  /** K5: human report (aggregator.yml:184-203, processor.local.yml:84-92);
+    * `fileStats` rows are (path, records, bytes) — the reference's
+    * per-file file_stats table (aggregator.yml:140-149).
+    */
   def markdownReport(stats: GlobalStats, histogram: Seq[(String, Long)],
-      filesCombined: Long): String = {
+      filesCombined: Long,
+      fileStats: Seq[(String, Long, Long)] = Nil): String = {
     val rows = histogram.map { case (k, v) =>
       s"| ${Option(k).getOrElse("(unknown)")} | $v |" }.mkString("\n")
+    val fileSection =
+      if (fileStats.isEmpty) ""
+      else fileStats.map { case (f, n, b) => s"| $f | $n | $b |" }
+        .mkString("\n## Files\n\n| File | Records | Bytes |\n|---|---|---|\n",
+          "\n", "\n")
     f"""# Aggregation Summary
        |
        |- **Total records:** ${stats.totalRecords}%,d
@@ -95,6 +172,6 @@ object Statistics {
        || Media type | Count |
        ||---|---|
        |$rows
-       |""".stripMargin
+       |$fileSection""".stripMargin
   }
 }

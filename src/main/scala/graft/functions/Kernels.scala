@@ -276,6 +276,16 @@ object Kernels {
   def md5Hash60(s: String): Long =
     md5Long64(s.getBytes(java.nio.charset.StandardCharsets.UTF_8)) >>> 4
 
+  /** md5 digest (16 raw bytes) of a byte payload — the byte-level view of
+    * the same hex string DuckDB's `md5` returns (digest byte i = hex
+    * chars 2i+1..2i+2).
+    */
+  def md5Digest(bytes: Array[Byte]): Array[Byte] = {
+    val d = md5Local.get()
+    d.reset()
+    d.digest(bytes)
+  }
+
   /** Deterministic hyperplane matrix [plane][dim]: component (g, i) =
     * md5Hash60("plane:g:i") / 2^59 - 1 ∈ [-1, 1). Derived once per
     * (planes, dim) and cached — per-row cost is pure multiply-adds, the

@@ -45,4 +45,14 @@ object Sinks {
     Files.writeString(p, content,
       StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
   }
+
+  /** K8: structured progress log — one appended line per batch (the
+    * reference's per-run processor.log, test_parquet_processor.py:19-29).
+    */
+  def appendText(path: String, line: String): Unit = {
+    val p = Paths.get(path)
+    if (p.getParent != null) Files.createDirectories(p.getParent)
+    Files.writeString(p, line + "\n",
+      StandardOpenOption.CREATE, StandardOpenOption.APPEND)
+  }
 }

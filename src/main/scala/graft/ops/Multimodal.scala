@@ -40,21 +40,22 @@ object Multimodal {
   }
 
   /** STUB — deterministic fake standing in for an image/audio/video codec
-    * (none are installed in this container). Features are derived purely
-    * from the payload bytes, so results are reproducible on any cluster;
-    * swap for a real codec without touching any calling plan.
+    * (none are installed in this container). Every feature derives from
+    * the md5 of the payload bytes, so results are reproducible on any
+    * cluster AND in the DuckDB oracle (q40 hash-checks the decode
+    * pipeline's output): width/height from the leading 60 hex bits
+    * (`('0x' || substr(md5(payload),1,15))::BIGINT`), feature[i] =
+    * digest byte i / 256 (exact in Float — 256 is a power of two).
+    * Swap for a real codec without touching any calling plan.
     */
   object StubDecoder extends Decoder {
     def decode(assetId: Long, kind: String, payload: Array[Byte]): MediaFeatures = {
-      val h = java.util.Arrays.hashCode(payload).toLong & 0x7fffffffL
-      val dim = 16
-      val feature = Array.tabulate(dim) { i =>
-        // fake embedding: byte-histogram-ish fold over a stride
-        var acc = 0L
-        var j = i
-        while (j < payload.length) { acc += (payload(j) & 0xff); j += dim }
-        (acc % 997).toFloat / 997f
-      }
+      val digest = graft.functions.Kernels.md5Digest(payload)
+      val h = (((digest(0) & 0xffL) << 56) | ((digest(1) & 0xffL) << 48) |
+        ((digest(2) & 0xffL) << 40) | ((digest(3) & 0xffL) << 32) |
+        ((digest(4) & 0xffL) << 24) | ((digest(5) & 0xffL) << 16) |
+        ((digest(6) & 0xffL) << 8) | (digest(7) & 0xffL)) >>> 4
+      val feature = Array.tabulate(16)(i => (digest(i) & 0xff).toFloat / 256f)
       MediaFeatures(assetId, kind, payload.length.toLong,
         width = (h % 1920).toInt + 1, height = (h / 1920 % 1080).toInt + 1,
         channels = if (kind == "audio") 2 else 3, feature = feature)

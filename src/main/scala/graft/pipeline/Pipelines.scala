@@ -34,6 +34,7 @@ object Pipelines {
       return done
     }
     val take = math.min(maxRecords.toLong, remaining).toInt
+    val t0 = System.nanoTime()
 
     val urls = Sources.urlList(spark, urlListPath)
     val slice = Sources.slice(urls, "url", cur.nextIndex.toInt, take)
@@ -49,15 +50,18 @@ object Pipelines {
     // means attempt-1 failures) and every attempt behind a dead letter.
     val recObs = org.apache.spark.sql.Observation()
     val deadObs = org.apache.spark.sql.Observation()
-    Sinks.appendParquet(
-      enriched.records.observe(recObs,
-        count(lit(1)).as("produced"),
-        coalesce(sum(col("attempt") - 1), lit(0L)).as("errors")),
-      s"$outDir/shards")
-    Sinks.deadLetterJson(
-      enriched.deadLetter.observe(deadObs, count(lit(1)).as("dead"),
-        coalesce(sum(col("attempts")), lit(0L)).as("dead_attempts")),
-      s"$outDir/dead_letter")
+    graft.GraftSession.runCancellable(spark, "graft-processor",
+        s"enrich [${cur.nextIndex}, ${cur.nextIndex + take})") {
+      Sinks.appendParquet(
+        enriched.records.observe(recObs,
+          count(lit(1)).as("produced"),
+          coalesce(sum(col("attempt") - 1), lit(0L)).as("errors")),
+        s"$outDir/shards")
+      Sinks.deadLetterJson(
+        enriched.deadLetter.observe(deadObs, count(lit(1)).as("dead"),
+          coalesce(sum(col("attempts")), lit(0L)).as("dead_attempts")),
+        s"$outDir/dead_letter")
+    }
 
     val produced = recObs.get("produced").asInstanceOf[Long]
     val errors = recObs.get("errors").asInstanceOf[Long] +
@@ -72,6 +76,27 @@ object Pipelines {
       errorCount = cur.errorCount + errors,
       skippedCount = cur.skippedCount + dead)
     Cursor.write(cursorPath, next)
+
+    // K8 parity: per-run processing_summary.md
+    // (processor.local.yml:84-92) + an appended per-batch progress line
+    // (the reference's processor.log heartbeat).
+    val elapsed = (System.nanoTime() - t0) / 1e9
+    Sinks.writeText(s"$outDir/processing_summary.md",
+      s"""Processing Summary
+         |==================
+         |
+         |- Timestamp: ${java.time.Instant.now()}
+         |- Batch Size: $take
+         |- Max Records: $maxRecords
+         |- Start Index: ${cur.nextIndex}
+         |- Produced: $produced
+         |- Dead-lettered: $dead
+         |- Failed attempts: $errors
+         |""".stripMargin)
+    Sinks.appendText(s"$outDir/processor.log",
+      f"${java.time.Instant.now()} batch=[${cur.nextIndex},${cur.nextIndex + consumed}) " +
+        f"produced=$produced dead=$dead failed_attempts=${next.errorCount - cur.errorCount} " +
+        f"elapsed=$elapsed%.2fs has_more=${next.hasMore}")
     next
   }
 
@@ -139,17 +164,24 @@ object Pipelines {
         throw new IllegalArgumentException(
           s"shards violate read contract; missing columns: $missing")
     }
-    val stats = Statistics.globalStats(df)
-    val histogram = Statistics.mediaTypeHistogram(df).collect()
-      .map(r => (r.getString(0), r.getLong(1))).toSeq
-    val nFiles = df.select(input_file_name()).distinct().count()
+    graft.GraftSession.runCancellable(spark, "graft-aggregator", shardsDir) {
+      val stats = Statistics.globalStats(df)
+      val histogram = Statistics.mediaTypeHistogram(df).collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSeq
+      // File census from FS metadata — O(files), not a second data scan.
+      val files = Statistics.listParquetFiles(spark, shardsDir)
+      val fileStats = Statistics.perFileStatsWithSize(spark, df, shardsDir)
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1),
+          if (r.isNullAt(2)) 0L else r.getLong(2))).toSeq
 
-    Sinks.parquet(df, s"$outDir/combined.parquet", singleFile)
-    Sinks.csv(df.select(df.columns.map(col).toSeq: _*), s"$outDir/combined.csv", singleFile)
-    Sinks.writeText(s"$outDir/statistics.json",
-      Statistics.statsJson(stats, histogram, nFiles))
-    Sinks.writeText(s"$outDir/aggregation_summary.md",
-      Statistics.markdownReport(stats, histogram, nFiles))
-    stats
+      Sinks.parquet(df, s"$outDir/combined.parquet", singleFile)
+      Sinks.csv(df.select(df.columns.map(col).toSeq: _*), s"$outDir/combined.csv", singleFile)
+      Sinks.writeText(s"$outDir/statistics.json",
+        Statistics.statsJson(stats, histogram, files.size.toLong))
+      Sinks.writeText(s"$outDir/aggregation_summary.md",
+        Statistics.markdownReport(stats, histogram, files.size.toLong, fileStats))
+      stats
+    }
   }
 }

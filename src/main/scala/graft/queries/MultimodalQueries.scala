@@ -70,8 +70,11 @@ object MultimodalQueries {
       .orderBy($"doc_id", $"frame_idx")
   }
 
-  /** Stub-decoded features (mapPartitions batch decode — rows-only: the
-    * fake codec isn't SQL; the plumbing contract is what's exercised).
+  /** Stub-decoded features (mapPartitions batch decode). Hash-checked:
+    * the stub derives every feature from md5(payload), which DuckDB
+    * reproduces from md5(text) (payload = UTF-8 of text). feature[0] ×
+    * 256 recovers digest byte 0 exactly (no float-rounding ambiguity in
+    * the cross-engine sum).
     */
   private def q40(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -82,8 +85,8 @@ object MultimodalQueries {
         sum($"byte_len").as("sum_bytes"),
         max($"width").as("max_width"),
         max($"channels").as("max_channels"),
-        sum(element_at($"feature", 1).cast("double") * 1000000).cast("long")
-          .as("f0_millionths"))
+        sum(element_at($"feature", 1).cast("double") * 256).cast("long")
+          .as("f0_byte_sum"))
       .orderBy($"kind")
   }
 
@@ -129,5 +132,21 @@ object MultimodalQueries {
         |SELECT doc_id, CAST(g.i AS INTEGER) AS frame_idx,
         |       CAST(least(256, len - g.i * 256) AS INTEGER) AS frame_len
         |FROM t, LATERAL (SELECT unnest(range(0, nf, 4)) AS i) g
-        |ORDER BY doc_id, frame_idx""".stripMargin)
+        |ORDER BY doc_id, frame_idx""".stripMargin,
+    "q40_decoded_features" ->
+      """WITH a AS (
+        |  SELECT doc_id,
+        |         CASE WHEN doc_id % 3 = 0 THEN 'image'
+        |              WHEN doc_id % 3 = 1 THEN 'audio'
+        |              ELSE 'video' END AS kind,
+        |         octet_length(encode(text)) AS len,
+        |         ('0x' || substr(md5(text), 1, 15))::BIGINT AS h,
+        |         ('0x' || substr(md5(text), 1, 2))::BIGINT AS b0
+        |  FROM documents)
+        |SELECT kind, count(*) AS n_assets,
+        |       CAST(sum(len) AS BIGINT) AS sum_bytes,
+        |       CAST(max(h % 1920 + 1) AS INTEGER) AS max_width,
+        |       CAST(max(CASE WHEN kind = 'audio' THEN 2 ELSE 3 END) AS INTEGER) AS max_channels,
+        |       CAST(sum(b0) AS BIGINT) AS f0_byte_sum
+        |FROM a GROUP BY kind ORDER BY kind""".stripMargin)
 }

@@ -116,21 +116,32 @@ object TextQueries {
       .orderBy($"doc_id")
   }
 
-  /** BPE-ish tokenization + order-sensitive rolling fingerprint
-    * (Spark-only: the tokenizer regex uses lookarounds, which DuckDB's
-    * RE2 lacks, and the rolling hash chains xxhash64 — rows-only check;
-    * determinism is pinned by OpsSpec/KernelProps instead).
+  /** Whitespace token counts, punctuation ratio and the composite quality
+    * score — RE2-expressible, hash-checked against DuckDB.
     */
   private def q44(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     Tables.documents(s, dir)
       .select(
         $"doc_id",
-        size(TextAnalysis.bpeTokens($"text")).as("n_bpe_tokens"),
         TextAnalysis.tokenCount($"text").as("n_ws_tokens"),
-        TextAnalysis.rollingFingerprint($"text").as("rolling_fp"),
         TextAnalysis.punctRatio($"text").as("punct_ratio"),
         TextAnalysis.qualityScore($"text").as("quality"))
+      .orderBy($"doc_id")
+  }
+
+  /** BPE-ish tokenization + order-sensitive rolling fingerprint
+    * (Spark-only: the tokenizer regex uses lookarounds, which DuckDB's
+    * RE2 lacks, and the rolling hash chains xxhash64 — rows-only check;
+    * determinism is pinned by OpsSpec/KernelProps instead).
+    */
+  private def q44b(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select(
+        $"doc_id",
+        size(TextAnalysis.bpeTokens($"text")).as("n_bpe_tokens"),
+        TextAnalysis.rollingFingerprint($"text").as("rolling_fp"))
       .orderBy($"doc_id")
   }
 
@@ -193,6 +204,7 @@ object TextQueries {
     "q49_pii_redact" -> (q49 _),
     "q48_neardup_clusters" -> (q48 _),
     "q44_text_extras" -> (q44 _),
+    "q44b_text_spark_only" -> (q44b _),
     "q21_token_stats" -> (q21 _),
     "q22_doc_quality" -> (q22 _),
     "q23_lang_id" -> (q23 _),
@@ -295,6 +307,17 @@ object TextQueries {
         |      FROM documents)
         |WHERE rn = 1
         |ORDER BY doc_id""".stripMargin,
+    "q44_text_extras" ->
+      """WITH t AS (SELECT doc_id, text, string_split_regex(trim(text), ' +') AS toks
+        |           FROM documents)
+        |SELECT doc_id,
+        |       len(toks) AS n_ws_tokens,
+        |       (length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')))::DOUBLE
+        |         / length(text) AS punct_ratio,
+        |       (CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)) * 0.5
+        |         + (CAST(len(list_filter(toks, s -> s IN ('the','a','an','of','and','is','in','to','it','that'))) AS DOUBLE) / len(toks)) * 0.3
+        |         + (CASE WHEN len(toks) BETWEEN 5 AND 100000 THEN 1.0 ELSE 0.0 END) * 0.2 AS quality
+        |FROM t ORDER BY doc_id""".stripMargin,
     // md5-SimHash fingerprint as a 64-char bitstring (bit 63 first);
     // banding with maxBits < bands is complete, so the oracle is the
     // exact all-pairs Hamming-≤-3 set (the bucket cap cannot trigger at

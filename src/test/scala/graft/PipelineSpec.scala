@@ -53,6 +53,102 @@ class PipelineSpec extends SparkSuite {
     assert(md.contains("Total records"))
   }
 
+  test("processor writes processing_summary.md and appends processor.log per batch") {
+    val urlPath = writeUrlList(50)
+    val out = Files.createTempDirectory("graft-sum").toString
+    Pipelines.processAll(spark, urlPath, out, () => new SyntheticFetcher,
+      batchSize = 25, cursorPath = s"$out/cursor.txt", totalTarget = 50)
+    val md = Files.readString(java.nio.file.Paths.get(s"$out/processing_summary.md"))
+    assert(md.contains("Processing Summary"))
+    assert(md.contains("- Batch Size: 25"))
+    assert(md.contains("- Start Index: 25")) // last batch's start
+    val log = Files.readString(java.nio.file.Paths.get(s"$out/processor.log"))
+    val lines = log.trim.linesIterator.toSeq
+    assert(lines.length >= 2) // one appended line per batch
+    assert(lines.head.contains("batch=[0,"))
+    assert(lines.last.contains("has_more=false"))
+  }
+
+  test("processor error_count counts failed attempts (retries + dead letters)") {
+    val urlPath = writeUrlList(400)
+    val out = Files.createTempDirectory("graft-err").toString
+    val c = Pipelines.processAll(spark, urlPath, out, () => new SyntheticFetcher,
+      batchSize = 400, cursorPath = s"$out/cursor.txt", totalTarget = 400)
+    import org.apache.spark.sql.functions._
+    val retried = Sources.parquetTreeMerged(spark, s"$out/shards")
+      .where(col("attempt") > 1).count()
+    // every retried success contributed attempt-1 = 1 failure; every dead
+    // letter contributed its (maxAttempts = 2) failed attempts
+    assert(c.errorCount === retried + 2 * c.skippedCount)
+    assert(c.errorCount > 0, "synthetic corpus should exercise retries")
+  }
+
+  test("aggregator file stats come from FS metadata with byte sizes") {
+    val urlPath = writeUrlList(60)
+    val out = Files.createTempDirectory("graft-fs").toString
+    Pipelines.processAll(spark, urlPath, out, () => new SyntheticFetcher,
+      batchSize = 30, cursorPath = s"$out/cursor.txt", totalTarget = 60)
+    Pipelines.aggregator(spark, s"$out/shards", s"$out/agg")
+
+    val files = graft.agg.Statistics.listParquetFiles(spark, s"$out/shards")
+    assert(files.nonEmpty)
+    assert(files.forall(_._2 > 0), "FS listing must carry real byte sizes")
+
+    val df = Sources.parquetTreeMerged(spark, s"$out/shards")
+    val withSize = graft.agg.Statistics.perFileStatsWithSize(spark, df, s"$out/shards")
+      .collect()
+    assert(withSize.length === files.length)
+    assert(withSize.forall(r => !r.isNullAt(2) && r.getLong(2) > 0),
+      "every scanned file must join to its FS byte size")
+    assert(withSize.map(_.getLong(1)).sum === df.count())
+
+    val md = Files.readString(java.nio.file.Paths.get(s"$out/agg/aggregation_summary.md"))
+    assert(md.contains("## Files"))
+    assert(md.contains("| Records | Bytes |"))
+  }
+
+  test("largestPerSegment picks the biggest parquet per child directory") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-seg").toString
+    Seq.fill(1000)("x").toDF("a").coalesce(1).write.parquet(s"$dir/seg1/big")
+    Seq("y").toDF("a").coalesce(1).write.parquet(s"$dir/seg1/small")
+    Seq("z").toDF("a").coalesce(1).write.parquet(s"$dir/seg2/only")
+    val largest = graft.agg.Statistics.largestPerSegment(spark, dir)
+    assert(largest.map(_._1) === Seq("seg1", "seg2"))
+    val seg1 = largest.find(_._1 == "seg1").get
+    assert(seg1._2.contains("/big/"), seg1)
+    assert(seg1._3 > 0)
+  }
+
+  test("cancelAll aborts running jobs in a tagged pipeline group (X5)") {
+    import spark.implicits._
+    val result = scala.concurrent.Promise[Long]()
+    val t = new Thread(() => {
+      try result.success(
+        graft.GraftSession.runCancellable(spark, "graft-processor", "spec") {
+          spark.range(1000000).mapPartitions { it =>
+            it.map { i => Thread.sleep(1); i }
+          }.count()
+        })
+      catch { case e: Throwable => result.failure(e) }
+    })
+    t.start()
+    // wait (via the status tracker) until the tagged job is running
+    val tracker = spark.sparkContext.statusTracker
+    def running = tracker.getJobIdsForGroup("graft-processor").exists(id =>
+      tracker.getJobInfo(id)
+        .exists(_.status() == org.apache.spark.JobExecutionStatus.RUNNING))
+    val deadline = System.nanoTime() + 30L * 1000000000L
+    while (!running && System.nanoTime() < deadline) Thread.sleep(50)
+    assert(running, "tagged job never started")
+    graft.GraftSession.cancelAll(spark)
+    t.join(30000)
+    val r = result.future.value.get
+    assert(r.isFailure, "cancelled job must not complete")
+    val msg = r.failed.get.getMessage
+    assert(msg != null && msg.toLowerCase.contains("cancel"), msg)
+  }
+
   test("coordinator plan mirrors the reference cost model") {
     val p = Pipelines.plan(totalRecords = 25000, numSegments = 5,
       avgSecondsPerRecord = 5.0, maxConcurrent = 3)
