@@ -169,13 +169,19 @@ object Similarity {
   // ------------------------------------------------------------------- IVF
 
   /** Deterministic IVF "training": the `numCentroids` corpus vectors with
-    * the lowest xxhash64(id) (a hash-random sample — no iterative k-means,
-    * reproducible on any cluster). The model is tiny (k × dim floats) and
-    * lives on the driver / in the plan, never in a shuffle.
+    * the lowest md5-derived hash of the id (a hash-random sample — no
+    * iterative k-means, reproducible on any cluster AND in the DuckDB
+    * oracle: `('0x' || substr(md5(id), 1, 15))::BIGINT`). The model is
+    * tiny (k × dim floats) and lives on the driver / in the plan, never
+    * in a shuffle.
     */
   def ivfCentroids(emb: DataFrame, idCol: String, vecCol: String,
       numCentroids: Int): Array[Array[Float]] =
-    emb.select(col(vecCol)).orderBy(xxhash64(col(idCol)))
+    emb.select(col(vecCol))
+      .orderBy(
+        conv(substring(md5(encode(col(idCol).cast("string"), "UTF-8")), 1, 15),
+          16, 10).cast("long"),
+        col(idCol))
       .limit(numCentroids)
       .collect()
       .map(_.getSeq[Float](0).toArray)

@@ -33,7 +33,10 @@ object SimilarityQueries {
       .orderBy($"idA", $"idB")
   }
 
-  /** ANN via sign-LSH bucket pruning (approximate — rows-only check). */
+  /** ANN via sign-LSH bucket pruning. Approximate (recall < 1 vs q30)
+    * but fully deterministic, and the md5-derived plane basis lets DuckDB
+    * rebuild the bucket assignment — hash-checked.
+    */
   private def q32(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     Similarity.annTopK(Tables.embeddings(s, dir),
@@ -59,8 +62,11 @@ object SimilarityQueries {
       .orderBy($"label")
   }
 
-  /** ANN via IVF cell pruning (deterministic hash-sampled centroids;
-    * approximate — rows-only check).
+  /** ANN via IVF cell pruning. Approximate but deterministic: centroids
+    * are the 16 vectors with the lowest md5(vec_id) hash, assignment is
+    * argmax cosine (ties to the lower cell), probes are the query's 4
+    * best cells — every stage is md5/cosine arithmetic DuckDB reproduces,
+    * so the full index → assign → probe → rank pipeline is hash-checked.
     */
   private def q43(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -114,6 +120,55 @@ object SimilarityQueries {
         |SELECT label, count(*) AS n_vecs, max(norm) AS max_norm,
         |       min(c0) AS min_c0, max(c0) AS max_c0
         |FROM t GROUP BY label ORDER BY label""".stripMargin,
+    // Single-band, 2-plane variant of the q50 bucket machinery: assign
+    // every vector its bucket, keep the query's bucket, exact top-10.
+    "q32_ann_lsh" ->
+      """WITH pl AS (
+        |  SELECT pp.p AS p, d.i AS i,
+        |         (('0x' || substr(md5('plane:' || pp.p || ':' || d.i), 1, 15))::BIGINT
+        |           / 576460752303423488.0) - 1.0 AS c
+        |  FROM (SELECT unnest(range(0, 2)) AS p) pp,
+        |       (SELECT unnest(range(0, 64)) AS i) d),
+        |pv AS (SELECT p, list(c ORDER BY i) AS pvec FROM pl GROUP BY p),
+        |k AS (SELECT e.vec_id,
+        |             sum(CASE WHEN list_dot_product(e.embedding::DOUBLE[], pv.pvec) > 0
+        |                      THEN (1::BIGINT << p) ELSE 0 END) AS bucket
+        |      FROM embeddings e, pv GROUP BY e.vec_id),
+        |q AS (SELECT e.embedding AS qe, k.bucket AS qb
+        |      FROM embeddings e JOIN k ON k.vec_id = e.vec_id
+        |      WHERE e.vec_id = 0)
+        |SELECT e.vec_id,
+        |       list_cosine_similarity(e.embedding::DOUBLE[], q.qe::DOUBLE[]) AS cosine
+        |FROM embeddings e JOIN k ON k.vec_id = e.vec_id, q
+        |WHERE k.bucket = q.qb AND e.vec_id <> 0
+        |ORDER BY cosine DESC, e.vec_id
+        |LIMIT 10""".stripMargin,
+    // IVF: centroids = 16 lowest-md5(vec_id) vectors; cells = argmax
+    // cosine (ties to lower cell id); probe the query's best 4 cells.
+    "q43_ann_ivf" ->
+      """WITH h AS (SELECT vec_id, embedding,
+        |             ('0x' || substr(md5(vec_id::VARCHAR), 1, 15))::BIGINT AS hh
+        |           FROM embeddings),
+        |cent AS (SELECT row_number() OVER (ORDER BY hh, vec_id) - 1 AS cid,
+        |                embedding AS cvec
+        |         FROM h ORDER BY hh, vec_id LIMIT 16),
+        |asg AS (SELECT e.vec_id, c.cid,
+        |               row_number() OVER (PARTITION BY e.vec_id
+        |                 ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], c.cvec::DOUBLE[]) DESC,
+        |                          c.cid) AS rn
+        |        FROM embeddings e, cent c),
+        |cells AS (SELECT vec_id, cid FROM asg WHERE rn = 1),
+        |qv AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+        |probes AS (SELECT c.cid FROM cent c, qv
+        |           ORDER BY list_cosine_similarity(qv.qe::DOUBLE[], c.cvec::DOUBLE[]) DESC, c.cid
+        |           LIMIT 4)
+        |SELECT e.vec_id,
+        |       list_cosine_similarity(e.embedding::DOUBLE[], qv.qe::DOUBLE[]) AS cosine
+        |FROM embeddings e
+        |JOIN cells ON cells.vec_id = e.vec_id, qv
+        |WHERE cells.cid IN (SELECT cid FROM probes) AND e.vec_id <> 0
+        |ORDER BY cosine DESC, e.vec_id
+        |LIMIT 10""".stripMargin,
     // Rebuilds the md5-derived hyperplane matrix (component (g,i) =
     // hex60(md5('plane:g:i'))/2^59 - 1), assigns every vector its 4 band
     // keys, pairs within (band, key), verifies exact cosine — the same
