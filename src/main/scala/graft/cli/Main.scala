@@ -2,7 +2,7 @@ package graft.cli
 
 import org.apache.spark.sql.SparkSession
 
-import graft.enrich.SyntheticFetcher
+import graft.enrich.{Fetcher, HtmlFetcher, SyntheticFetcher}
 import graft.pipeline.Pipelines
 
 /** CLI mirroring the reference's workflow_dispatch surfaces
@@ -15,13 +15,20 @@ import graft.pipeline.Pipelines
   *   graft.cli.Main aggregate <shardsDir> <outDir>
   *   graft.cli.Main plan      <totalRecords> <numSegments> <avgSecPerRecord>
   *
-  * The fetcher is the deterministic SyntheticFetcher (the Selenium
-  * equivalent is a Fetcher implementation plugged in by the deployment,
-  * not baked into the engine).
+  * GRAFT_FETCHER selects the enrichment fetcher: `html` (the real
+  * HTTP/HTML scrape, the reference's live behavior) or `synthetic`
+  * (default — deterministic md5-derived records, no network; what the
+  * hermetic test environment runs).
   */
 object Main {
 
   private def session(): SparkSession = graft.GraftSession.local("graft-cli")
+
+  private def fetcher(): () => Fetcher =
+    sys.env.getOrElse("GRAFT_FETCHER", "synthetic") match {
+      case "html" => () => new HtmlFetcher()
+      case _ => () => new SyntheticFetcher
+    }
 
   def main(args: Array[String]): Unit = args.toList match {
     case "process" :: urlList :: outDir :: rest =>
@@ -29,7 +36,7 @@ object Main {
       val target = rest.drop(1).headOption.map(_.toLong).getOrElse(Long.MaxValue)
       val spark = session()
       val c = Pipelines.processAll(spark, urlList, outDir,
-        () => new SyntheticFetcher, maxRecords, s"$outDir/cursor.txt", target)
+        fetcher(), maxRecords, s"$outDir/cursor.txt", target)
       println(c.toKeyValue)
       spark.stop()
 
@@ -37,7 +44,7 @@ object Main {
       val records = rest.headOption.map(_.toInt).getOrElse(10)
       val spark = session()
       val (ok, avg) = Pipelines.canary(spark, urlList, outDir,
-        () => new SyntheticFetcher, records)
+        fetcher(), records)
       println(s"success=$ok")
       println(f"avg_time=$avg%.4f")
       spark.stop()

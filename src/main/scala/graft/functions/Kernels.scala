@@ -373,23 +373,42 @@ object Kernels {
     out
   }
 
+  /** Per-k cached "j:" prefixes for [[minhashMd5]] — the digest streams
+    * prefix bytes then token bytes, avoiding a string concat + re-encode
+    * per (token, j) pair.
+    */
+  private val minhashPrefixCache =
+    new java.util.concurrent.ConcurrentHashMap[Integer, Array[Array[Byte]]]()
+
   /** MinHash signature with md5 hashes: sig[j] = min over tokens of
     * md5Hash60(j + ":" + token) — DuckDB-reproducible
     * (min(('0x' || substr(md5(j || ':' || tok),1,15))::BIGINT) per j).
     * Empty inputs yield Long.MaxValue rows, as [[minhash]] does.
     */
   def minhashMd5(tokens: ArrayData, k: Int): ArrayData = {
+    val prefixes = minhashPrefixCache.computeIfAbsent(k,
+      kk => Array.tabulate(kk)(j =>
+        (j + ":").getBytes(java.nio.charset.StandardCharsets.UTF_8)))
     val sig = new Array[Long](k)
     java.util.Arrays.fill(sig, Long.MaxValue)
+    val d = md5Local.get()
     val n = tokens.numElements()
     var i = 0
     while (i < n) {
       if (!tokens.isNullAt(i)) {
-        val tok = tokens.getUTF8String(i).toString
+        val tokBytes = tokens.getUTF8String(i).getBytes
         var j = 0
         while (j < k) {
-          val h = md5Hash60(j + ":" + tok)
-          if (h < sig(j)) sig(j) = h
+          d.reset()
+          d.update(prefixes(j))
+          d.update(tokBytes)
+          val h = d.digest()
+          val h64 = ((h(0) & 0xffL) << 56) | ((h(1) & 0xffL) << 48) |
+            ((h(2) & 0xffL) << 40) | ((h(3) & 0xffL) << 32) |
+            ((h(4) & 0xffL) << 24) | ((h(5) & 0xffL) << 16) |
+            ((h(6) & 0xffL) << 8) | (h(7) & 0xffL)
+          val v = h64 >>> 4
+          if (v < sig(j)) sig(j) = v
           j += 1
         }
       }

@@ -89,7 +89,23 @@ object SimilarityQueries {
       .orderBy($"idA", $"idB")
   }
 
+  /** Embedding-corpus dedup end to end: banded-LSH cosine pairs (q50's
+    * plan) → connected-component collapse → surviving vec_ids. The
+    * embedding twin of the q52 document pipeline, hash-checked the same
+    * way (md5-reproducible buckets + recursive-CTE closure).
+    */
+  private def q53(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables.embeddings(s, dir)
+    val pairs = Similarity.cosineNearDupPairsBucketed(emb,
+      "vec_id", "embedding", threshold = 0.3, planesPerBand = 8, bands = 4)
+    graft.ops.Dedup.collapseNearDups(emb, "vec_id", pairs)
+      .select($"vec_id")
+      .orderBy($"vec_id")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q53_embedding_dedup" -> (q53 _),
     "q30_ann_bruteforce" -> (q30 _),
     "q31_cosine_neardup" -> (q31 _),
     "q32_ann_lsh" -> (q32 _),
@@ -196,5 +212,39 @@ object SimilarityQueries {
         |JOIN embeddings ea ON ea.vec_id = c.idA
         |JOIN embeddings eb ON eb.vec_id = c.idB
         |WHERE list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]) > 0.3
-        |ORDER BY idA, idB""".stripMargin)
+        |ORDER BY idA, idB""".stripMargin,
+    // q50's verified pair set + recursive-CTE transitive closure →
+    // survivors = vectors that are not a non-minimum cluster member.
+    "q53_embedding_dedup" ->
+      """WITH RECURSIVE pl AS (
+        |  SELECT b.b AS band, pp.p AS p, d.i AS i,
+        |         (('0x' || substr(md5('plane:' || (b.b*8 + pp.p) || ':' || d.i), 1, 15))::BIGINT
+        |           / 576460752303423488.0) - 1.0 AS c
+        |  FROM (SELECT unnest(range(0, 4)) AS b) b,
+        |       (SELECT unnest(range(0, 8)) AS p) pp,
+        |       (SELECT unnest(range(0, 64)) AS i) d),
+        |pv AS (SELECT band, p, list(c ORDER BY i) AS pvec FROM pl GROUP BY band, p),
+        |proj AS (SELECT e.vec_id, pv.band, pv.p,
+        |                list_dot_product(e.embedding::DOUBLE[], pv.pvec) AS pr
+        |         FROM embeddings e, pv),
+        |k AS (SELECT vec_id, band,
+        |             sum(CASE WHEN pr > 0 THEN (1::BIGINT << p) ELSE 0 END) AS key
+        |      FROM proj GROUP BY vec_id, band),
+        |cand AS (SELECT DISTINCT a.vec_id AS idA, b.vec_id AS idB
+        |         FROM k a JOIN k b ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id),
+        |p AS (SELECT c.idA, c.idB
+        |      FROM cand c
+        |      JOIN embeddings ea ON ea.vec_id = c.idA
+        |      JOIN embeddings eb ON eb.vec_id = c.idB
+        |      WHERE list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]) > 0.3),
+        |e AS (SELECT idA AS src, idB AS dst FROM p UNION ALL SELECT idB, idA FROM p),
+        |reach AS (
+        |  SELECT src AS id, src AS r FROM e
+        |  UNION
+        |  SELECT e.src, reach.r FROM e JOIN reach ON e.dst = reach.id),
+        |losers AS (SELECT id FROM (SELECT id, min(r) AS label FROM reach GROUP BY id)
+        |           WHERE id <> label)
+        |SELECT vec_id FROM embeddings
+        |WHERE vec_id NOT IN (SELECT id FROM losers)
+        |ORDER BY vec_id""".stripMargin)
 }
