@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{CoreQueries, EnrichQueries, EventQueries, MultimodalQueries, SimilarityQueries, TextQueries}
+import graft.queries.{CoreQueries, EnrichQueries, EventQueries, MultimodalQueries, SamplingQueries, SimilarityQueries, TextQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -18,6 +18,7 @@ object SparkEntry {
       (SimilarityQueries.all, SimilarityQueries.oracles),
       (EventQueries.all, EventQueries.oracles),
       (MultimodalQueries.all, MultimodalQueries.oracles),
+      (SamplingQueries.all, SamplingQueries.oracles),
       (EnrichQueries.all, EnrichQueries.oracles))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -33,6 +33,51 @@ object Sampling {
     df.where(hashBucket(col(keyCol), salt) < (fraction * Buckets).toLong)
   }
 
+  /** md5-basis bucket in [0, 1e6): like [[hashBucket]] but reproducible
+    * in the DuckDB oracle (`('0x' || substr(md5(salt || ':' || key),
+    * 1, 15))::BIGINT % 1000000`). Pure built-in codegen expressions.
+    */
+  def md5Bucket(key: Column, salt: String): Column =
+    pmod(
+      conv(substring(md5(encode(
+          concat(lit(salt + ":"), key.cast("string")), "UTF-8")), 1, 15),
+        16, 10).cast("long"),
+      lit(Buckets))
+
+  /** Deterministic per-stratum cap: keep the `n` rows of each `keyCol`
+    * group that sort first by md5(orderCol) — a reproducible "take at
+    * most n per class" for balancing training corpora. One shuffle on
+    * the stratum key; the per-group window sort is bounded by the
+    * stratum size (for mega-strata at 100 TB, pre-thin with
+    * [[hashSample]] first — the nested-monotone property keeps the
+    * final selection stable).
+    */
+  def stratifiedTake(df: DataFrame, keyCol: String, orderCol: String,
+      n: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col(keyCol))
+      .orderBy(md5(encode(col(orderCol).cast("string"), "UTF-8")), col(orderCol))
+    df.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= n)
+      .drop("__rn")
+  }
+
+  /** Weighted corpus mixture: subsample each named source to its
+    * fraction (decided per row by [[md5Bucket]] salted with the source
+    * name, so sources sharing keys stay independent) and union by name
+    * with a `source` tag — the deterministic mixing step in front of
+    * training-data interleaving. Narrow per-source filters + union: no
+    * shuffle, reproducible on any layout.
+    */
+  def mixCorpora(sources: Seq[(String, DataFrame, Double)],
+      keyCol: String): DataFrame = {
+    require(sources.nonEmpty, "at least one source")
+    sources.map { case (name, df, frac) =>
+      require(frac >= 0 && frac <= 1, s"fraction out of range: $frac")
+      df.where(md5Bucket(col(keyCol), name) < (frac * Buckets).toLong)
+        .withColumn("source", lit(name))
+    }.reduce(_.unionByName(_))
+  }
+
   /** Partition rows into disjoint, exhaustive splits with the given
     * weights (normalized), e.g. train/val/test = 0.9/0.05/0.05. Adds a
     * `split` column with the split index.

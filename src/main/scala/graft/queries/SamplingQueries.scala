@@ -1,0 +1,66 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.ops.Sampling
+
+/** Deterministic sampling/mixing operators as oracle-checked queries:
+  * the md5 bucket basis makes per-row selection reproducible in DuckDB,
+  * so class-balanced capping and weighted corpus mixing are verified
+  * row-for-row (the xxh64 `hashSample`/`hashSplit` production twins are
+  * spec-verified in `SamplingSpec`; same plan shape, faster hash).
+  */
+object SamplingQueries {
+
+  /** Class-balanced cap: at most 30 documents per language, chosen by
+    * md5(doc_id) order — the deterministic stratified downsample used to
+    * balance a training corpus.
+    */
+  private def q54(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Sampling.stratifiedTake(Tables.documents(s, dir), "lang", "doc_id", 30)
+      .select($"doc_id", $"lang")
+      .orderBy($"doc_id")
+  }
+
+  /** Weighted mixture of two corpora (English at 80%, the rest at 30%)
+    * with per-source-salted selection and a provenance tag.
+    */
+  private def q55(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    Sampling.mixCorpora(Seq(
+        ("en", docs.where($"lang" === "en"), 0.8),
+        ("rest", docs.where($"lang" =!= "en"), 0.3)), "doc_id")
+      .select($"doc_id", $"lang", $"source")
+      .orderBy($"doc_id", $"source")
+  }
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q54_stratified_take" -> (q54 _),
+    "q55_corpus_mix" -> (q55 _))
+
+  val oracles: Map[String, String] = Map(
+    "q54_stratified_take" ->
+      """SELECT doc_id, lang FROM (
+        |  SELECT doc_id, lang,
+        |         row_number() OVER (PARTITION BY lang
+        |           ORDER BY md5(doc_id::VARCHAR), doc_id) AS rn
+        |  FROM documents)
+        |WHERE rn <= 30
+        |ORDER BY doc_id""".stripMargin,
+    "q55_corpus_mix" ->
+      """WITH b AS (
+        |  SELECT doc_id, lang,
+        |         ('0x' || substr(md5('en:' || doc_id), 1, 15))::BIGINT % 1000000 AS b_en,
+        |         ('0x' || substr(md5('rest:' || doc_id), 1, 15))::BIGINT % 1000000 AS b_rest
+        |  FROM documents)
+        |SELECT doc_id, lang, 'en' AS source FROM b
+        |WHERE lang = 'en' AND b_en < 800000
+        |UNION ALL
+        |SELECT doc_id, lang, 'rest' AS source FROM b
+        |WHERE lang <> 'en' AND b_rest < 300000
+        |ORDER BY doc_id, source""".stripMargin)
+}

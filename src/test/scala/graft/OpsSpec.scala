@@ -134,6 +134,35 @@ class OpsSpec extends SparkSuite {
     assert(bucketed.count() > 0)
   }
 
+  test("clusterLabels matches a local union-find on random graphs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    (1 to 3).foreach { trial =>
+      val n = 50 + trial * 50
+      val edges = Seq.fill(n * 2) {
+        val a = rnd.nextInt(n).toLong
+        val b = rnd.nextInt(n).toLong
+        (math.min(a, b), math.max(a, b))
+      }.filter(e => e._1 != e._2).distinct
+      // local union-find with union-by-min: each root is its set's minimum
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int = {
+        var r = x
+        while (parent(r) != r) r = parent(r)
+        r
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expected = edges.flatMap(e => Seq(e._1, e._2)).distinct
+        .map(id => id -> find(id.toInt).toLong).toMap
+      val got = Dedup.clusterLabels(edges.toDF("idA", "idB")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === expected, s"trial $trial (n=$n, edges=${edges.size})")
+    }
+  }
+
   test("langId: marker argmax with deterministic first-listed tie-break") {
     import spark.implicits._
     val df = Seq("der und ist text", "the of and text", "nomarkers at all")
