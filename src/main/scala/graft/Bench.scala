@@ -108,20 +108,32 @@ object Bench {
         ((dv, _) => Dedup.minhashNearDups(dv, "doc_id", "text", 0.95)),
       "simhash_banded_pairs" ->
         ((dv, _) => Dedup.simhashNearDupsBanded(dv, "doc_id", "text", maxBits = 3)))
+    // a failed case reports -1, never a bogus partial timing
     def time(df: => DataFrame): Double = {
       val t0 = System.nanoTime()
-      try df.write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => }
-      (System.nanoTime() - t0) / 1e9
+      try {
+        df.write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      } catch { case scala.util.control.NonFatal(_) => -1.0 }
     }
     // 1× vs R× on identical scan shapes: the pair of timings per case IS
     // the scaling measurement (quadratic ops grow ~R², banded ops ~R·dup)
     val timed = cases.map { case (name, fn) =>
       val t1 = time(fn(docs, emb))
       val tr = time(fn(d, e))
-      s"""\"$name\":{"x1":$t1,"x$r":$tr,"growth":${tr / math.max(t1, 1e-9)}}"""
+      val growth = if (t1 > 0 && tr > 0) tr / t1 else -1.0
+      s"""\"$name\":{"x1":$t1,"x$r":$tr,"growth":$growth}"""
     }
     val qs = timed.mkString("{", ",", "}")
-    s""","scale":{"replicas":$r,"docs":${docsN.count()},"vecs":${embN.count()},"queries":$qs}"""
+    val nDocs = docsN.count()
+    val nVecs = embN.count()
+    // the replicated corpus is scratch data — don't leave it in /tmp
+    try {
+      import java.nio.file.{Files, Path}
+      import java.util.Comparator
+      Files.walk(Path.of(dir)).sorted(Comparator.reverseOrder[Path]())
+        .forEach(p => Files.deleteIfExists(p))
+    } catch { case scala.util.control.NonFatal(_) => }
+    s""","scale":{"replicas":$r,"docs":$nDocs,"vecs":$nVecs,"queries":$qs}"""
   }
 }

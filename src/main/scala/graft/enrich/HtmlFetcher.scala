@@ -113,12 +113,16 @@ object HtmlFetcher {
       }
     }.toSeq
 
-  /** Tag-strip + minimal entity unescape + trim. */
+  /** Tag-strip + minimal entity unescape + trim. `&amp;` is unescaped
+    * LAST so entity-escaped sequences unescape exactly once (`&amp;lt;`
+    * → `&lt;`, not `<`), matching a browser's single-pass decode.
+    */
   private[enrich] def text(fragment: String): String =
     fragment.replaceAll("(?is)<[^>]+>", " ")
-      .replace("&nbsp;", " ").replace("&amp;", "&")
+      .replace("&nbsp;", " ")
       .replace("&lt;", "<").replace("&gt;", ">")
       .replace("&quot;", "\"").replace("&#39;", "'")
+      .replace("&amp;", "&")
       .replaceAll("[ \\t\\x0B\\f\\r]+", " ")
       .trim
 }

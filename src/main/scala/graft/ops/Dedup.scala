@@ -105,21 +105,30 @@ object Dedup {
       numHashes: Int = 64, bands: Int = 4,
       maxBucket: Int = 1000, md5Basis: Boolean = false): DataFrame = {
     val toks = tokenSet(col(textCol))
-    val keyed =
+    // Band keys are built as one array(struct(band, key)) projection over
+    // plain (non-lambda) expressions: the signature subtree repeats per
+    // band, but whole-stage codegen's subexpression elimination computes
+    // it ONCE per row. The previous `transform(sequence(...), b => ...)`
+    // formulation interpreted the lambda — recomputing the full MinHash
+    // signature once per band per row.
+    val rows = numHashes / bands
+    def banded(sig: Column, key: (Int, Column) => Column): Column =
+      array((0 until bands).map { b =>
+        struct(lit(b).as("band"),
+          key(b, slice(sig, b * rows + 1, rows)).as("key"))
+      }: _*)
+    val bandCol =
       if (md5Basis) {
         // band key = the band's raw signature slice (array<long> — Spark
         // groups/joins on arrays by value, and DuckDB can rebuild the
         // identical lists)
-        val sig = graftFn("graft_minhash_md5", toks, lit(numHashes))
-        val rows = numHashes / bands
-        spread(df).select(col(idCol).as("__id"),
-          posexplode(transform(sequence(lit(0), lit(bands - 1)),
-            b => slice(sig, b * rows + 1, lit(rows)))).as(Seq("band", "key")))
+        banded(graftFn("graft_minhash_md5", toks, lit(numHashes)), (_, sl) => sl)
       } else {
-        val sig = minhashSignature(toks, numHashes)
-        spread(df).select(col(idCol).as("__id"),
-          posexplode(bandKeys(sig, numHashes, bands)).as(Seq("band", "key")))
+        banded(minhashSignature(toks, numHashes), (b, sl) => xxhash64(lit(b), sl))
       }
+    val keyed = spread(df)
+      .select(col(idCol).as("__id"), explode(bandCol).as("__bk"))
+      .select(col("__id"), col("__bk.band").as("band"), col("__bk.key").as("key"))
     // One shuffle: gather each bucket's ids, emit its pairs inline —
     // no second pass over the keyed exchange and no per-bucket sort, as
     // a windowed-count + self-join formulation would need. Buckets are
@@ -222,13 +231,16 @@ object Dedup {
       spark.createDataFrame(r, df.schema)
     }
 
-    val nodes = pairs.select(col("idA").as("id"))
-      .union(pairs.select(col("idB").as("id"))).distinct()
-
     // undirected edge set, one row per edge, no self-loops
     var star = materialize(
       pairs.select(col("idA").as("a"), col("idB").as("b"))
         .where(col("a") =!= col("b")).distinct())
+    val initialRdd = lastRdd
+    // node set from the PERSISTED edges — never re-evaluates the
+    // (expensive) upstream pair-detection plan; pair detectors emit
+    // idA < idB, so self-pairs (which the edge set drops) don't occur
+    val nodes = star.select(col("a").as("id"))
+      .union(star.select(col("b").as("id"))).distinct()
     // star only shrinks toward the fixpoint star graph; (count, sum a,
     // sum b) equality is the cheap fixpoint signal, and the aggregate is
     // the action that populates the round's cache
@@ -269,7 +281,8 @@ object Dedup {
       val prevRdd = lastRdd
       star = materialize(small)
       val sig = signature(star)
-      prevRdd.unpersist(blocking = false)
+      // keep the initial edges cached: `nodes` reads them in the final join
+      if (prevRdd ne initialRdd) prevRdd.unpersist(blocking = false)
       converged = sig == prevSig
       prevSig = sig
       iter += 1
@@ -278,9 +291,17 @@ object Dedup {
     }
     // fixpoint edges form stars (v → component minimum); min-collapse is
     // a no-op there but keeps labels well-defined if maxIter cut early
-    nodes.join(star.groupBy(col("a").as("id")).agg(min(col("b")).as("label")),
-        Seq("id"), "left")
-      .select(col("id"), coalesce(col("label"), col("id")).as("label"))
+    val finalStarRdd = lastRdd
+    val labels = materialize(
+      nodes.join(star.groupBy(col("a").as("id")).agg(min(col("b")).as("label")),
+          Seq("id"), "left")
+        .select(col("id"), coalesce(col("label"), col("id")).as("label")))
+    labels.count() // populate before releasing the edge caches
+    initialRdd.unpersist(blocking = false)
+    if (finalStarRdd ne initialRdd) finalStarRdd.unpersist(blocking = false)
+    // the node-sized labels RDD stays cached for the caller; Spark's
+    // ContextCleaner unpersists it once the returned frame is unreachable
+    labels
   }
 
   /** Collapse near-dup clusters to one representative each: drops every

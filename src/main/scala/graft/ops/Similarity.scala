@@ -77,17 +77,23 @@ object Similarity {
   }
 
   /** Scale path for embedding near-dup: multi-band sign-LSH candidate
-    * generation (bit-parity twin of MinHash banding) + exact cosine
-    * verification. One high-cardinality (band, key) shuffle carrying only
-    * ids, pair emission inside capped buckets, then a join back to the
-    * vectors — never an all-pairs cross join, and the `bands`-way
-    * explosion never carries vector payloads. Recall: a pair survives iff
-    * SOME band's hyperplanes all agree — more bands = higher recall,
-    * more planes/band = finer buckets = cheaper. Every emitted pair is
-    * exact-cosine-verified, so precision is 1.0 relative to
-    * [[cosineNearDupPairs]] by construction; the md5-derived plane basis
-    * makes the full candidate set reproducible in the DuckDB oracle
-    * (q50 hash-checks this exact plan).
+    * generation (the MinHash-banding shape) + exact cosine verification.
+    * One (band, key) shuffle carrying only ids, a streamed self-join
+    * within capped buckets, then a join back to the vectors — never an
+    * all-pairs cross join, and the `bands`-way explosion never carries
+    * vector payloads. Every emitted pair is exact-cosine-verified, so
+    * precision is 1.0 relative to [[cosineNearDupPairs]] by
+    * construction; the md5-derived plane basis makes the full candidate
+    * set reproducible in the DuckDB oracle (q50 hash-checks this exact
+    * plan).
+    *
+    * SIZE THE KEY SPACE: unlike MinHash banding (64-bit keys), sign-LSH
+    * has exactly 2^planesPerBand buckets per band, and buckets over
+    * `maxBucket` are DROPPED (their pairs sacrificed — the cap bounds
+    * the quadratic within-bucket blowup). Choose planesPerBand ≈
+    * log2(N / targetBucketSize) — e.g. ~24 planes for 10⁸ vectors at
+    * ~6k/bucket — and add bands to buy recall back; the defaults here
+    * fit the 10³–10⁵ test scales.
     */
   def cosineNearDupPairsBucketed(emb: DataFrame, idCol: String,
       vecCol: String, threshold: Double, planesPerBand: Int = 8,

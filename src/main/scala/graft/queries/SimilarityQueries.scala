@@ -188,7 +188,10 @@ object SimilarityQueries {
     // Rebuilds the md5-derived hyperplane matrix (component (g,i) =
     // hex60(md5('plane:g:i'))/2^59 - 1), assigns every vector its 4 band
     // keys, pairs within (band, key), verifies exact cosine — the same
-    // computation the Spark kernel runs, value-identical.
+    // computation the Spark kernel runs, value-identical. The Spark
+    // plan's maxBucket cap (10000) is not modeled: at sf0.01 every
+    // bucket ≤ total vectors (1000), so it provably cannot trigger
+    // (same argument as q51; q52/q53 likewise).
     "q50_cosine_neardup_bucketed" ->
       """WITH pl AS (
         |  SELECT b.b AS band, pp.p AS p, d.i AS i,
