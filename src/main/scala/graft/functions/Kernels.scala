@@ -171,6 +171,43 @@ object Kernels {
     new GenericArrayData(seen.toArray.asInstanceOf[Array[AnyRef]])
   }
 
+  /** Word n-gram repetition statistics in one pass (the Gopher/C4-family
+    * repetition signals): returns [n_grams, top_count, dup_count] where
+    * n_grams = total n-gram occurrences (len − n + 1), top_count = the
+    * occurrence count of the most frequent n-gram, dup_count = total
+    * occurrences belonging to n-grams that occur more than once. A
+    * per-row open hash of the gram strings — equivalent to
+    * explode + groupBy(gram) + re-aggregate, but narrow: no shuffle, no
+    * per-element lambda interpretation.
+    */
+  def gramStats(tokens: ArrayData, n: Int): ArrayData = {
+    val total = tokens.numElements()
+    val cnt = total - n + 1
+    if (cnt <= 0) return new GenericArrayData(Array(0L, 0L, 0L))
+    val space = org.apache.spark.unsafe.types.UTF8String.fromString(" ")
+    val window = new Array[org.apache.spark.unsafe.types.UTF8String](n)
+    val counts =
+      new java.util.HashMap[org.apache.spark.unsafe.types.UTF8String, Array[Int]](cnt * 2)
+    var i = 0
+    while (i < cnt) {
+      var j = 0
+      while (j < n) { window(j) = tokens.getUTF8String(i + j); j += 1 }
+      val gram = org.apache.spark.unsafe.types.UTF8String.concatWs(space, window: _*)
+      val c = counts.get(gram)
+      if (c == null) counts.put(gram, Array(1)) else c(0) += 1
+      i += 1
+    }
+    var top = 0L
+    var dup = 0L
+    val it = counts.values().iterator()
+    while (it.hasNext) {
+      val c = it.next()(0)
+      if (c > top) top = c
+      if (c > 1) dup += c
+    }
+    new GenericArrayData(Array(cnt.toLong, top, dup))
+  }
+
   /** Sorted distinct xxh64 hashes of a string array — the compact set
     * representation for repeated similarity comparisons. Hashing each
     * token once per document (instead of once per pair) turns pairwise

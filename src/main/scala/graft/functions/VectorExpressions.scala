@@ -139,6 +139,26 @@ case class WordShingles(child: Expression, n: Int) extends UnaryExpression {
     copy(child = c)
 }
 
+/** gram_stats(tokens, n): [n_grams, top_count, dup_count] — n-gram
+  * repetition statistics (Gopher/C4-family quality signals) in one
+  * narrow pass; see [[Kernels.gramStats]].
+  */
+case class GramStats(child: Expression, n: Int) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) if n > 0 => TypeCheckSuccess
+    case _ => TypeCheckFailure(s"$prettyName requires array<string> and n > 0")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_gram_stats"
+
+  override def nullSafeEval(a: Any): Any =
+    Kernels.gramStats(a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.functions.Kernels.gramStats($a, $n)")
+  override protected def withNewChildInternal(c: Expression): GramStats =
+    copy(child = c)
+}
+
 /** token_hashes(tokens): sorted distinct xxh64 set of a string array. */
 case class SortedTokenHashes(child: Expression) extends UnaryExpression {
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
@@ -360,6 +380,7 @@ object GraftFunctions {
     "graft_jaccard" -> (args => JaccardSim(args(0), args(1))),
     "graft_shingles" -> (args => WordShingles(args(0), intArg(args(1), "n"))),
     "graft_token_hashes" -> (args => SortedTokenHashes(args(0))),
+    "graft_gram_stats" -> (args => GramStats(args(0), intArg(args(1), "n"))),
     "graft_lsh_bucket" -> (args => LshBucket(args(0), intArg(args(1), "planes"))),
     "graft_lsh_bands" -> (args => LshBands(args(0),
       intArg(args(1), "planesPerBand"), intArg(args(2), "bands"))),

@@ -1,0 +1,54 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Benchmark decontamination: flag training documents that share word
+  * n-gram shingles with a benchmark/eval corpus, so they can be dropped
+  * before training (the standard n-gram-overlap decontamination used for
+  * LLM training sets).
+  *
+  * Scale design (100 TB corpus, benchmark of at most a few million
+  * shingles): the benchmark side reduces to a distinct shingle set and is
+  * **broadcast** — the corpus side is a narrow scan (shingling is a
+  * codegen'd per-row kernel), a broadcast hash join that keeps only
+  * matching shingles, and one aggregation shuffled on doc id that carries
+  * matched shingles only. The corpus is never shuffled by shingle, and
+  * nothing data-sized reaches the driver.
+  */
+object Decontamination {
+
+  /** Per-document contamination scores against `bench`: the number of
+    * distinct `n`-gram shingles shared with any benchmark document, and
+    * that count as a fraction of the document's distinct shingles. Only
+    * documents with `n_overlap >= minOverlap` are returned (untouched
+    * documents vanish in the broadcast join — on a real corpus almost
+    * every document, so the aggregate is tiny).
+    *
+    * Real eval-set decontamination uses longer windows (8–13-gram); `n`
+    * is a parameter because the synthetic test corpus is too short for
+    * overlaps at that length.
+    *
+    * @return columns: `idCol`, n_shingles, n_overlap, overlap_frac
+    */
+  def contaminationScores(corpus: DataFrame, bench: DataFrame,
+      idCol: String, textCol: String, n: Int = 8,
+      minOverlap: Int = 1): DataFrame = {
+    val benchShingles = bench
+      .select(explode(Dedup.shingles(col(textCol), n)).as("__sh"))
+      .distinct()
+    val corpusShingles = Dedup.spread(corpus)
+      .select(col(idCol), Dedup.shingles(col(textCol), n).as("__shs"))
+      .select(col(idCol), size(col("__shs")).cast("long").as("n_shingles"),
+        explode(col("__shs")).as("__sh"))
+    corpusShingles
+      .join(broadcast(benchShingles), Seq("__sh"))
+      .groupBy(col(idCol))
+      // n_shingles is constant per doc; max() just carries it through
+      .agg(max(col("n_shingles")).as("n_shingles"),
+        count(lit(1)).as("n_overlap"))
+      .where(col("n_overlap") >= minOverlap)
+      .withColumn("overlap_frac",
+        col("n_overlap").cast("double") / col("n_shingles"))
+  }
+}

@@ -66,6 +66,49 @@ object Dedup {
       .drop("__rn")
   }
 
+  /** Chunk-level exact substring dedup (the chunked approximation of
+    * suffix-array substring dedup used on web-scale corpora): split each
+    * document's token stream into consecutive `chunkTokens`-token chunks,
+    * keep only the globally FIRST occurrence of every distinct chunk
+    * (lowest (`idCol`, chunk position) wins — deterministic), and
+    * reassemble each document from its surviving chunks in order.
+    * Documents reduced to nothing (every chunk seen earlier) drop out.
+    *
+    * Scale: two shuffles — one on the chunk fingerprint (md5, so the
+    * exchange and the window compare 128-bit keys, not chunk text — the
+    * text rides alongside once) and one on doc id for reassembly. Both
+    * are data-proportional with map-side-prunable columns; nothing is
+    * quadratic and no state outlives a task.
+    *
+    * @return columns: `idCol`, n_chunks (original), n_kept, dedup_text
+    */
+  def chunkDedup(df: DataFrame, idCol: String, textCol: String,
+      chunkTokens: Int = 20): DataFrame = {
+    val k = chunkTokens
+    val toks = TextAnalysis.tokens(col(textCol))
+    val base = spread(df).select(col(idCol), toks.as("__toks"),
+      ((size(toks) + lit(k - 1)).cast("long") / lit(k)).cast("long").as("n_chunks"))
+    val chunked = base
+      .select(col(idCol), col("n_chunks"), col("__toks"),
+        explode(sequence(lit(0), (col("n_chunks") - 1).cast("int"))).as("chunk_idx"))
+      .select(col(idCol), col("n_chunks"), col("chunk_idx"),
+        concat_ws(" ", slice(col("__toks"), col("chunk_idx") * k + 1, lit(k)))
+          .as("__chunk"))
+    val w = Window.partitionBy(col("__h")).orderBy(col(idCol), col("chunk_idx"))
+    val survivors = chunked
+      .withColumn("__h", md5(col("__chunk")))
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1)
+    survivors
+      .groupBy(col(idCol), col("n_chunks"))
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(
+          transform(array_sort(collect_list(struct(col("chunk_idx"), col("__chunk")))),
+            s => s.getField("__chunk")),
+          " ").as("dedup_text"))
+      .select(col(idCol), col("n_chunks"), col("n_kept"), col("dedup_text"))
+  }
+
   // --------------------------------------------------------------- MinHash
 
   /** MinHash signature: element k = min over tokens of xxhash64(token, k).

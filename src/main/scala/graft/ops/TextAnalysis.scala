@@ -13,6 +13,14 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
+  /** call_function on a graft_* expression, auto-registering in the
+    * active session first (idempotent).
+    */
+  private def graftFn(name: String, args: Column*): Column = {
+    graft.functions.GraftFunctions.ensureRegistered()
+    call_function(name, args: _*)
+  }
+
   /** Whitespace tokenizer. The corpora this engine targets are
     * pre-normalized; a BPE-ish regex split is [[bpeTokens]].
     */
@@ -111,6 +119,33 @@ object TextAnalysis {
     redactionRules.foldLeft(text) { case (c, (pattern, repl)) =>
       regexp_replace(c, pattern, repl)
     }
+
+  /** Word n-gram repetition statistics `[n_grams, top_count, dup_count]`
+    * (the Gopher/C4-family repetition quality signals: total n-gram
+    * occurrences, the most frequent n-gram's count, and occurrences
+    * belonging to n-grams seen more than once). One narrow codegen'd
+    * pass per row ([[graft.functions.Kernels.gramStats]]) — the
+    * explode + groupBy(gram) formulation would shuffle every n-gram of
+    * a 100 TB corpus to compute a per-document scalar.
+    */
+  def gramStats(text: Column, n: Int): Column =
+    graftFn("graft_gram_stats", tokens(text), lit(n))
+
+  /** Fraction of n-gram occurrences taken by the single most frequent
+    * n-gram — high values flag template/boilerplate text.
+    */
+  def topGramFraction(text: Column, n: Int): Column = {
+    val gs = gramStats(text, n)
+    element_at(gs, 2).cast("double") / element_at(gs, 1)
+  }
+
+  /** Fraction of n-gram occurrences belonging to n-grams that repeat
+    * within the document (the "duplicated n-grams" Gopher rule).
+    */
+  def dupGramFraction(text: Column, n: Int): Column = {
+    val gs = gramStats(text, n)
+    element_at(gs, 3).cast("double") / element_at(gs, 1)
+  }
 
   /** Stable content fingerprint (hex): engine-portable md5 of the raw text. */
   def contentFingerprint(text: Column): Column = md5(text)

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.ops.{Dedup, TextAnalysis}
+import graft.ops.{Decontamination, Dedup, TextAnalysis}
 
 /** Text-analysis + deduplication operators over the `documents` table —
   * the training-data-pipeline surface (builder brief + SURVEY.md §7.5).
@@ -198,7 +198,54 @@ object TextQueries {
       .orderBy($"doc_id")
   }
 
+  /** Benchmark decontamination: corpus docs sharing 3-gram shingles with
+    * the held-out eval slice (doc_id ≡ 0 mod 97). 3-grams because the
+    * synthetic corpus is too short for the production 8–13-gram windows;
+    * the plan (broadcast bench shingle set, narrow corpus scan, one
+    * doc-id aggregate) is the one that runs at 100 TB.
+    */
+  private def q56(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    Decontamination.contaminationScores(
+        docs.where($"doc_id" % 97 =!= 0),
+        docs.where($"doc_id" % 97 === 0),
+        "doc_id", "text", n = 3)
+      .orderBy($"doc_id")
+  }
+
+  /** Gopher-style n-gram repetition quality signals, computed by the
+    * one-pass graft_gram_stats kernel (narrow — no per-gram shuffle).
+    */
+  private def q57(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val g2 = TextAnalysis.gramStats($"text", 2)
+    Tables.documents(s, dir)
+      .select($"doc_id",
+        element_at(g2, 1).as("n_2grams"),
+        element_at(g2, 2).as("top_2gram_count"),
+        element_at(g2, 3).as("dup_2gram_count"),
+        TextAnalysis.topGramFraction($"text", 2).as("top_2gram_frac"),
+        TextAnalysis.dupGramFraction($"text", 3).as("dup_3gram_frac"))
+      .orderBy($"doc_id")
+  }
+
+  /** Chunk-level exact substring dedup with document reassembly (the
+    * chunked Lee-et-al.-style span dedup an LLM-data pipeline runs after
+    * doc-level dedup). Hash-checked end to end including the rebuilt
+    * text.
+    */
+  private def q58(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Dedup.chunkDedup(Tables.documents(s, dir), "doc_id", "text",
+        chunkTokens = 20)
+      .orderBy($"doc_id")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q56_decontaminate" -> (q56 _),
+    "q57_repetition_stats" -> (q57 _),
+    "q58_chunk_dedup" -> (q58 _),
     "q51_simhash_banded" -> (q51 _),
     "q52_dedup_pipeline" -> (q52 _),
     "q49_pii_redact" -> (q49 _),
@@ -216,6 +263,58 @@ object TextQueries {
     "q29_dedup_exact" -> (q29 _))
 
   val oracles: Map[String, String] = Map(
+    "q56_decontaminate" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(text), ' +') AS toks FROM documents),
+        |s AS (SELECT doc_id,
+        |        CASE WHEN len(toks) >= 3
+        |             THEN list_distinct(list_transform(range(1, len(toks) - 1),
+        |                    i -> array_to_string(list_slice(toks, i, i + 2), ' ')))
+        |             ELSE [] END AS sh
+        |      FROM t),
+        |bench AS (SELECT DISTINCT unnest(sh) AS g FROM s WHERE doc_id % 97 = 0),
+        |corp AS (SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS g
+        |         FROM s WHERE doc_id % 97 <> 0)
+        |SELECT c.doc_id,
+        |       CAST(max(c.n_sh) AS BIGINT) AS n_shingles,
+        |       CAST(count(*) AS BIGINT) AS n_overlap,
+        |       CAST(count(*) AS DOUBLE) / max(c.n_sh) AS overlap_frac
+        |FROM corp c JOIN bench USING (g)
+        |GROUP BY c.doc_id
+        |ORDER BY c.doc_id""".stripMargin,
+    "q57_repetition_stats" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(text), ' +') AS toks FROM documents),
+        |g2 AS (SELECT doc_id, array_to_string(list_slice(toks, i, i + 1), ' ') AS gram
+        |       FROM t, UNNEST(range(1, len(toks))) AS u(i)),
+        |c2 AS (SELECT doc_id, gram, count(*) AS cnt FROM g2 GROUP BY 1, 2),
+        |a2 AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_2grams,
+        |              CAST(max(cnt) AS BIGINT) AS top_2gram_count,
+        |              CAST(sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS BIGINT) AS dup_2gram_count
+        |       FROM c2 GROUP BY doc_id),
+        |g3 AS (SELECT doc_id, array_to_string(list_slice(toks, i, i + 2), ' ') AS gram
+        |       FROM t, UNNEST(range(1, len(toks) - 1)) AS u(i)),
+        |c3 AS (SELECT doc_id, gram, count(*) AS cnt FROM g3 GROUP BY 1, 2),
+        |a3 AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_3grams,
+        |              CAST(sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS BIGINT) AS dup_3gram_count
+        |       FROM c3 GROUP BY doc_id)
+        |SELECT a2.doc_id, n_2grams, top_2gram_count, dup_2gram_count,
+        |       CAST(top_2gram_count AS DOUBLE) / n_2grams AS top_2gram_frac,
+        |       CAST(dup_3gram_count AS DOUBLE) / n_3grams AS dup_3gram_frac
+        |FROM a2 JOIN a3 ON a2.doc_id = a3.doc_id
+        |ORDER BY a2.doc_id""".stripMargin,
+    "q58_chunk_dedup" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(text), ' +') AS toks FROM documents),
+        |c AS (SELECT doc_id,
+        |        CAST((len(toks) + 19) // 20 AS BIGINT) AS n_chunks,
+        |        CAST(u.i AS INT) AS chunk_idx,
+        |        array_to_string(list_slice(toks, u.i * 20 + 1, u.i * 20 + 20), ' ') AS chunk
+        |      FROM t, UNNEST(range(0, (len(toks) + 19) // 20)) AS u(i)),
+        |s AS (SELECT *, row_number() OVER (PARTITION BY chunk ORDER BY doc_id, chunk_idx) AS rn
+        |      FROM c)
+        |SELECT doc_id, n_chunks, CAST(count(*) AS BIGINT) AS n_kept,
+        |       string_agg(chunk, ' ' ORDER BY chunk_idx) AS dedup_text
+        |FROM s WHERE rn = 1
+        |GROUP BY doc_id, n_chunks
+        |ORDER BY doc_id""".stripMargin,
     "q21_token_stats" ->
       """WITH t AS (SELECT lang, len(string_split_regex(trim(text), ' +')) AS n_tokens, n_chars
         |           FROM documents)

@@ -49,6 +49,16 @@ object KernelProps extends Properties("graft") {
       }
     }
 
+  property("gramStats matches the groupBy-count model") =
+    forAll(tokenSeq, Gen.choose(1, 4)) { (xs, n) =>
+      val out = Kernels.gramStats(strArr(xs), n)
+      val grams = xs.sliding(n).filter(_.size == n).map(_.mkString(" ")).toList
+      val counts = grams.groupBy(identity).map(_._2.size)
+      out.getLong(0) == grams.size.toLong &&
+        out.getLong(1) == (if (counts.isEmpty) 0L else counts.max.toLong) &&
+        out.getLong(2) == counts.filter(_ > 1).sum.toLong
+    }
+
   property("minhash of a union is the elementwise min of the signatures") =
     forAll(tokenSeq, tokenSeq) { (xs, ys) =>
       val k = 16

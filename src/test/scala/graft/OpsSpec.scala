@@ -208,6 +208,59 @@ class OpsSpec extends SparkSuite {
     assert(r.getBoolean(0))
     assert(r.getBoolean(1))
   }
+  test("gramStats: repetition counts on a known doc") {
+    import spark.implicits._
+    // 2-grams of "a b a b c": "a b"×2, "b a"×1, "b c"×1 → n=4, top=2, dup=2
+    val df = Seq("a b a b c").toDF("text")
+    val r = df.select(TextAnalysis.gramStats($"text", 2)).head().getSeq[Long](0)
+    assert(r === Seq(4L, 2L, 2L))
+    val frac = df.select(
+      TextAnalysis.topGramFraction($"text", 2),
+      TextAnalysis.dupGramFraction($"text", 2)).head()
+    assert(frac.getDouble(0) === 0.5)
+    assert(frac.getDouble(1) === 0.5)
+  }
+
+  test("chunkDedup removes later duplicate chunks and reassembles in order") {
+    import spark.implicits._
+    // k=2 chunks: doc 1 = [a b][c d], doc 2 = [a b][x y], doc 3 = [x y]
+    val df = Seq((1L, "a b c d"), (2L, "a b x y"), (3L, "x y"))
+      .toDF("doc_id", "text")
+    val out = Dedup.chunkDedup(df, "doc_id", "text", chunkTokens = 2)
+      .orderBy("doc_id").collect()
+    assert(out.map(_.getLong(0)).toSeq === Seq(1L, 2L))
+    assert(out(0).getAs[String]("dedup_text") === "a b c d")
+    assert(out(0).getAs[Long]("n_chunks") === 2L)
+    assert(out(0).getAs[Long]("n_kept") === 2L)
+    // doc 2 loses "a b" (seen in doc 1); doc 3 loses "x y" (doc 2) entirely
+    assert(out(1).getAs[String]("dedup_text") === "x y")
+    assert(out(1).getAs[Long]("n_kept") === 1L)
+  }
+
+  test("chunkDedup: within-doc repeats keep the first occurrence") {
+    import spark.implicits._
+    val df = Seq((7L, "a b a b c d")).toDF("doc_id", "text")
+    val out = Dedup.chunkDedup(df, "doc_id", "text", chunkTokens = 2).head()
+    assert(out.getAs[String]("dedup_text") === "a b c d")
+    assert(out.getAs[Long]("n_chunks") === 3L)
+    assert(out.getAs[Long]("n_kept") === 2L)
+  }
+
+  test("contaminationScores finds the planted overlap and only it") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "p q r s t u"),          // shares 3-gram "p q r" etc. with bench
+      (2L, "zz yy xx ww vv uu")).toDF("doc_id", "text")
+    val bench = Seq((100L, "p q r s extra words")).toDF("doc_id", "text")
+    val out = graft.ops.Decontamination.contaminationScores(
+      corpus, bench, "doc_id", "text", n = 3).collect()
+    assert(out.map(_.getLong(0)).toSeq === Seq(1L))
+    // doc 1: 4 shingles, overlap = {"p q r","q r s"} → 2
+    assert(out(0).getAs[Long]("n_shingles") === 4L)
+    assert(out(0).getAs[Long]("n_overlap") === 2L)
+    assert(out(0).getAs[Double]("overlap_frac") === 0.5)
+  }
+
   test("IVF: deterministic centroids, total cell assignment, sane recall") {
     import spark.implicits._
     val emb = Tables.embeddings(spark, sfDir)

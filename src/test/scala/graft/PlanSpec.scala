@@ -75,6 +75,27 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("codegen id"), p)
   }
 
+  test("q56: benchmark shingle set broadcasts; corpus side never shuffles by shingle") {
+    val p = formatted("q56_decontaminate")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    // shuffles: bench-distinct (tiny), doc-id aggregate, final sort, plus
+    // spread()'s test-scale-only repartition — none keyed by corpus shingle
+    assert(countNodes(p, "Exchange") <= 4, p)
+  }
+
+  test("q57: gram-stats kernel runs narrow inside codegen (no pre-sort shuffle)") {
+    val df = SparkEntry.queries("q57_repetition_stats")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(p.contains("graft_gram_stats"), p)
+    assert(p.contains("codegen id"), p)
+    // per-doc scalars need no shuffle at all before the final orderBy
+    // (count the AQE final plan only — the Initial Plan section repeats
+    // the same exchange under a second node id)
+    assert(countNodes(p.split("== Initial Plan ==")(0), "Exchange") <= 1, p)
+  }
+
   test("whole-stage codegen covers the kernel expressions") {
     val df = SparkEntry.queries("q31_cosine_neardup")(spark, sfDir)
     df.collect() // materialize THIS plan so AQE finalizes it
