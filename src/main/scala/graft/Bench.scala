@@ -50,42 +50,60 @@ object Bench {
   }
 
   /** Scale guardrail: replicate documents/embeddings `R`× (deterministic
-    * id offsets; per-replica text marker; circularly-shifted vectors so
-    * replicas aren't trivially identical) and time the quadratic
-    * ground-truth pair detectors HEAD-TO-HEAD against their
-    * bucketed/banded scale paths on the same corpus. The measured ratio —
-    * exact grows ~R², LSH ~R — is the evidence that the registered scale
-    * plans actually scale; it rides in the bench JSON as a "scale"
-    * object. Disable with SPARK_GRAFT_SCALE_BENCH=0; replicas via
-    * SPARK_GRAFT_SCALE_REPLICAS (default 10).
+    * id offsets; per-replica text marker; circularly-shifted vectors,
+    * except every 50th vector which stays identical across replicas —
+    * planted duplicate cliques, the mass-duplication shape near-dup
+    * detection exists for) and time the quadratic ground-truth pair
+    * detectors HEAD-TO-HEAD against their bucketed/banded scale paths on
+    * the same corpus. Cosine detectors run at the dedup-regime threshold
+    * (0.95) — at loose thresholds (the q50 correctness setting) sign-LSH
+    * needs coarse bands for recall and stops being the cheap path; the
+    * 100 TB question is the tight-threshold one. The measured ratio —
+    * exact grows ~R², banded ~R·dup-density — rides in the bench JSON as
+    * a "scale" object. Disable with SPARK_GRAFT_SCALE_BENCH=0; replicas
+    * via SPARK_GRAFT_SCALE_REPLICAS (default 20).
     *
     * Reading the numbers: on a 32-core single node the quadratic
-    * detectors stay competitive up to ~10⁴–10⁵ rows because a broadcast
+    * detectors stay competitive up to ~10⁴ rows because a broadcast
     * nested-loop over codegen'd kernels has near-zero per-pair overhead;
     * the banded paths pay fixed stage/shuffle latency but grow with the
-    * data, not its square — the growth column, not the absolute time, is
-    * what extrapolates to a 10⁸-row shard on a cluster.
+    * data (times the duplicate density, which R× replication itself
+    * inflates: every replica pair duplicates the marked docs), not with
+    * its square — the growth column, not the absolute time, is what
+    * extrapolates to a 10⁸-row shard on a cluster.
     */
   private def scaleProfile(spark: SparkSession, sfDir: String): String = {
     if (sys.env.getOrElse("SPARK_GRAFT_SCALE_BENCH", "1") == "0") return ""
     if (!new java.io.File(s"$sfDir/documents.parquet").exists()) return ""
     import org.apache.spark.sql.functions._
-    val r = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPLICAS", "10").toInt
+    val r = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPLICAS", "20").toInt
 
     val docs = Tables.documents(spark, sfDir)
     val emb = Tables.embeddings(spark, sfDir)
     val docsN = (0 until r).map { k =>
-      docs.withColumn("doc_id", col("doc_id") + lit(k * 100000000L))
-        .withColumn("text",
-          if (k == 0) col("text") else concat(col("text"), lit(s" graftreplica$k")))
+      // 5 replica-distinct marker tokens push cross-replica Jaccard to
+      // ~0.86 (< the 0.95 detection threshold); every 50th doc keeps its
+      // base text — planted exact-duplicate cliques, like the vectors
+      val marked =
+        if (k == 0) col("text")
+        else concat(col("text"), lit((1 to 5).map(i => s" graftr${k}m$i").mkString))
+      docs.select(
+        (col("doc_id") + lit(k * 100000000L)).as("doc_id"),
+        when(col("doc_id") % 50 === 0, col("text")).otherwise(marked).as("text"),
+        col("lang"))
     }.reduce(_ unionByName _)
     val embN = (0 until r).map { k =>
-      val s = (k * 7) % 64
-      emb.withColumn("vec_id", col("vec_id") + lit(k * 100000000L))
-        .withColumn("embedding",
-          if (s == 0) col("embedding")
-          else concat(slice(col("embedding"), s + 1, 64 - s),
-            slice(col("embedding"), 1, s)))
+      val s = (k * 7) % 64 // 7 invertible mod 64: all 20 shifts distinct
+      val shifted =
+        if (s == 0) col("embedding")
+        else concat(slice(col("embedding"), s + 1, 64 - s),
+          slice(col("embedding"), 1, s))
+      emb.select(
+        (col("vec_id") + lit(k * 100000000L)).as("vec_id"),
+        // every 50th vector is identical in all replicas: planted
+        // duplicate cliques for the tight-threshold detectors to find
+        when(col("vec_id") % 50 === 0, col("embedding"))
+          .otherwise(shifted).as("embedding"))
     }.reduce(_ unionByName _)
     // materialize so the timed plans scan parquet, like every other query
     val dir = java.nio.file.Files.createTempDirectory("graft-bench-scale").toString
@@ -99,9 +117,10 @@ object Bench {
     type Case = (DataFrame, DataFrame) => DataFrame
     val cases: Seq[(String, Case)] = Seq(
       "exact_cosine_pairs" ->
-        ((_, ev) => Similarity.cosineNearDupPairs(ev, "vec_id", "embedding", 0.3)),
+        ((_, ev) => Similarity.cosineNearDupPairs(ev, "vec_id", "embedding", 0.95)),
       "bucketed_cosine_pairs" ->
-        ((_, ev) => Similarity.cosineNearDupPairsBucketed(ev, "vec_id", "embedding", 0.3)),
+        ((_, ev) => Similarity.cosineNearDupPairsBucketed(ev, "vec_id", "embedding",
+          0.95, planesPerBand = 16, bands = 8)),
       "blocked_jaccard_pairs" ->
         ((dv, _) => Dedup.blockedJaccardPairs(dv, "doc_id", "text", "lang", 0.95)),
       "minhash_pairs" ->

@@ -1,0 +1,42 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** End-to-end corpus curation: the filter→decontaminate→dedup pipeline a
+  * training-data run executes as one job, composed from the individually
+  * verified operators ([[TextAnalysis]], [[Decontamination]], [[Dedup]]).
+  *
+  * Scale shape: quality scoring is a narrow codegen'd scan (no shuffle);
+  * decontamination broadcasts the eval shingle set and anti-joins the
+  * (small) flagged-id set; exact dedup is the single md5 hash-shuffle.
+  * The whole pipeline shuffles the corpus once.
+  */
+object Curation {
+
+  /** Curate `corpus` against an eval set: keep documents that
+    *  1. have at least `minTokens` whitespace tokens,
+    *  2. have a duplicated-2-gram fraction ≤ `maxDupGramFraction`
+    *     (the Gopher repetition rule via [[TextAnalysis.dupGramFraction]]),
+    *  3. share no `contaminationN`-gram shingle with `bench`
+    *     ([[Decontamination.contaminationScores]]), and
+    *  4. survive exact dedup (lowest id per identical text).
+    *
+    * @return `idCol`, n_tokens, dup_2gram_frac for surviving documents
+    */
+  def curate(corpus: DataFrame, bench: DataFrame, idCol: String,
+      textCol: String, minTokens: Int = 20,
+      maxDupGramFraction: Double = 0.2, contaminationN: Int = 8): DataFrame = {
+    val flagged = Decontamination.contaminationScores(
+        corpus, bench, idCol, textCol, n = contaminationN)
+      .select(col(idCol))
+    val scored = corpus.select(col(idCol), col(textCol),
+        TextAnalysis.tokenCount(col(textCol)).cast("long").as("n_tokens"),
+        TextAnalysis.dupGramFraction(col(textCol), 2).as("dup_2gram_frac"))
+      .where(col("n_tokens") >= minTokens &&
+        col("dup_2gram_frac") <= maxDupGramFraction)
+    val clean = scored.join(broadcast(flagged), Seq(idCol), "left_anti")
+    Dedup.exactDedup(clean, idCol, textCol)
+      .select(col(idCol), col("n_tokens"), col("dup_2gram_frac"))
+  }
+}

@@ -242,7 +242,25 @@ object TextQueries {
       .orderBy($"doc_id")
   }
 
+  /** The full curation pipeline as one job: quality thresholds →
+    * decontamination (vs the doc_id ≡ 0 mod 97 eval slice) → exact
+    * dedup. The composed operation an LLM-data user actually ships;
+    * every stage is individually verified by q22/q56/q57/q29 and the
+    * composition is hash-checked here.
+    */
+  private def q59(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    graft.ops.Curation.curate(
+        docs.where($"doc_id" % 97 =!= 0),
+        docs.where($"doc_id" % 97 === 0),
+        "doc_id", "text", minTokens = 20, maxDupGramFraction = 0.2,
+        contaminationN = 3)
+      .orderBy($"doc_id")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q59_curation_pipeline" -> (q59 _),
     "q56_decontaminate" -> (q56 _),
     "q57_repetition_stats" -> (q57 _),
     "q58_chunk_dedup" -> (q58 _),
@@ -263,6 +281,36 @@ object TextQueries {
     "q29_dedup_exact" -> (q29 _))
 
   val oracles: Map[String, String] = Map(
+    "q59_curation_pipeline" ->
+      """WITH t AS (SELECT doc_id, text, string_split_regex(trim(text), ' +') AS toks
+        |           FROM documents WHERE doc_id % 97 <> 0),
+        |g2 AS (SELECT doc_id, array_to_string(list_slice(toks, i, i + 1), ' ') AS gram
+        |       FROM t, UNNEST(range(1, len(toks))) AS u(i)),
+        |c2 AS (SELECT doc_id, gram, count(*) AS cnt FROM g2 GROUP BY 1, 2),
+        |rep AS (SELECT doc_id,
+        |          CAST(sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS DOUBLE) / sum(cnt) AS dup2
+        |        FROM c2 GROUP BY doc_id),
+        |sh AS (SELECT doc_id,
+        |         CASE WHEN len(toks) >= 3
+        |              THEN list_distinct(list_transform(range(1, len(toks) - 1),
+        |                     i -> array_to_string(list_slice(toks, i, i + 2), ' ')))
+        |              ELSE [] END AS sh
+        |       FROM (SELECT doc_id, string_split_regex(trim(text), ' +') AS toks
+        |             FROM documents)),
+        |bench AS (SELECT DISTINCT unnest(sh) AS g FROM sh WHERE doc_id % 97 = 0),
+        |flagged AS (SELECT DISTINCT c.doc_id
+        |            FROM (SELECT doc_id, unnest(sh) AS g FROM sh WHERE doc_id % 97 <> 0) c
+        |            JOIN bench USING (g)),
+        |filtered AS (SELECT t.doc_id, t.text, len(t.toks) AS n_tokens, rep.dup2
+        |             FROM t JOIN rep USING (doc_id)
+        |             WHERE len(t.toks) >= 20 AND rep.dup2 <= 0.2
+        |               AND NOT EXISTS (SELECT 1 FROM flagged f WHERE f.doc_id = t.doc_id)),
+        |surv AS (SELECT doc_id, n_tokens, dup2,
+        |                row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+        |         FROM filtered)
+        |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, dup2 AS dup_2gram_frac
+        |FROM surv WHERE rn = 1
+        |ORDER BY doc_id""".stripMargin,
     "q56_decontaminate" ->
       """WITH t AS (SELECT doc_id, string_split_regex(trim(text), ' +') AS toks FROM documents),
         |s AS (SELECT doc_id,

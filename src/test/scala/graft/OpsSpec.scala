@@ -261,6 +261,21 @@ class OpsSpec extends SparkSuite {
     assert(out(0).getAs[Double]("overlap_frac") === 0.5)
   }
 
+  test("curate drops short, repetitive, contaminated and duplicate docs") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"),   // clean survivor
+      (2L, "too short"),                         // fails minTokens
+      (3L, "r r r r r r r r r r"),               // all-duplicate 2-grams
+      (4L, "e1 e2 e3 e4 e5 e6 e7 e8 e9 e10"),    // contaminated vs bench
+      (5L, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"))    // exact dup of 1
+      .toDF("doc_id", "text")
+    val bench = Seq((100L, "e1 e2 e3 other words here")).toDF("doc_id", "text")
+    val out = graft.ops.Curation.curate(corpus, bench, "doc_id", "text",
+      minTokens = 10, maxDupGramFraction = 0.5, contaminationN = 3)
+    assert(out.select("doc_id").collect().map(_.getLong(0)).toSet === Set(1L))
+  }
+
   test("IVF: deterministic centroids, total cell assignment, sane recall") {
     import spark.implicits._
     val emb = Tables.embeddings(spark, sfDir)
