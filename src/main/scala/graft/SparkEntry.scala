@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{CoreQueries, EnrichQueries, EventQueries, MultimodalQueries, SamplingQueries, SimilarityQueries, TextQueries}
+import graft.queries.{CoreQueries, CorpusQueries, EnrichQueries, EventQueries, MultimodalQueries, SamplingQueries, SimilarityQueries, TextQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -19,6 +19,7 @@ object SparkEntry {
       (EventQueries.all, EventQueries.oracles),
       (MultimodalQueries.all, MultimodalQueries.oracles),
       (SamplingQueries.all, SamplingQueries.oracles),
+      (CorpusQueries.all, CorpusQueries.oracles),
       (EnrichQueries.all, EnrichQueries.oracles))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -114,6 +114,46 @@ object Statistics {
       .toSeq.sortBy(_._1)
   }
 
+  /** Single-pass column profiling: per-column non-null / null / distinct
+    * counts plus min/max/mean, unpivoted to one row per column — the
+    * data-quality report run before a corpus enters training.
+    *
+    * One `agg` over one scan computes every metric (partial+final hash
+    * aggregate; the stack() unpivot runs on the single result row).
+    * Means are decimal-summed then cast (like the core queries) so the
+    * result is independent of partition merge order. String columns are
+    * profiled on their length; `n_distinct` always counts original
+    * values. Exact distinct counts expand the aggregate per column — at
+    * 100 TB swap them for `approx_count_distinct` (HLL++, one ordinary
+    * mergeable aggregate), same output shape.
+    */
+  def columnProfile(df: DataFrame, numericCols: Seq[String],
+      stringCols: Seq[String] = Nil): DataFrame = {
+    val cols = numericCols.map((_, true)) ++ stringCols.map((_, false))
+    require(cols.nonEmpty, "columnProfile needs at least one column")
+    val aggs = count(lit(1)).as("__n") +: cols.flatMap { case (c, isNum) =>
+      val v = if (isNum) col(c).cast("double") else length(col(c)).cast("double")
+      val sumExact =
+        if (isNum) sum(col(c).cast(org.apache.spark.sql.types.DecimalType(38, 12))).cast("double")
+        else sum(length(col(c)).cast("long")).cast("double")
+      Seq(
+        count(col(c)).as(s"__${c}_nn"),
+        count_distinct(col(c)).as(s"__${c}_nd"),
+        min(v).as(s"__${c}_min"),
+        max(v).as(s"__${c}_max"),
+        (sumExact / count(col(c))).as(s"__${c}_avg"))
+    }
+    df.agg(aggs.head, aggs.tail: _*)
+      .selectExpr("__n",
+        s"stack(${cols.size}, " + cols.map { case (c, _) =>
+          s"'$c', __${c}_nn, __${c}_nd, __${c}_min, __${c}_max, __${c}_avg"
+        }.mkString(", ") +
+          ") as (col_name, n_nonnull, n_distinct, min_d, max_d, avg_d)")
+      .select(col("col_name"), col("n_nonnull"),
+        (col("__n") - col("n_nonnull")).as("n_null"),
+        col("n_distinct"), col("min_d"), col("max_d"), col("avg_d"))
+  }
+
   /** A12: the acceptance oracle — records ≥ minRecords ∧ avg < maxAvg ∧
     * error rate < maxErrorRate (reference evaluate_test_run.py:107-113).
     */

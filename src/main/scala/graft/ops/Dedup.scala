@@ -109,6 +109,32 @@ object Dedup {
       .select(col(idCol), col("n_chunks"), col("n_kept"), col("dedup_text"))
   }
 
+  /** Incremental dedup of an incoming batch against an existing corpus:
+    * drop batch rows whose content already exists in the corpus (same
+    * md5 fingerprint), then exact-dedup within the batch (lowest `idCol`
+    * survivor). The daily-ingest operation of a continuously growing
+    * training corpus: the corpus is never rewritten, only the new batch
+    * is filtered.
+    *
+    * Scale: the corpus side reduces to a narrow fingerprint projection
+    * feeding a left-anti join keyed on md5. Store the corpus bucketed by
+    * fingerprint ([[graft.io.Layouts.writeBucketed]] on a fingerprint
+    * column) and the anti join shuffles ONLY the batch — the 100 TB
+    * corpus is scanned (two columns) but never exchanged; with a small
+    * batch, AQE turns it into a broadcast of the batch instead.
+    */
+  def incrementalDedup(batch: DataFrame, corpus: DataFrame, idCol: String,
+      textCol: String, corpusFpCol: Option[String] = None): DataFrame = {
+    val corpusFp = corpusFpCol match {
+      case Some(c) => corpus.select(col(c).as("__fp"))
+      case None    => corpus.select(md5(col(textCol)).as("__fp"))
+    }
+    exactDedup(batch, idCol, textCol)
+      .withColumn("__fp", md5(col(textCol)))
+      .join(corpusFp, Seq("__fp"), "left_anti")
+      .drop("__fp")
+  }
+
   // --------------------------------------------------------------- MinHash
 
   /** MinHash signature: element k = min over tokens of xxhash64(token, k).

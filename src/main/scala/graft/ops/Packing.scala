@@ -1,0 +1,77 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sequence packing: map every document onto its token-offset interval in
+  * the virtual concatenation of the corpus in `idCol` order, and derive
+  * which fixed-size training sequences (of `budget` tokens) it lands in —
+  * the GPT-style "concatenate and split every `budget` tokens" packing,
+  * where documents may span sequence boundaries.
+  *
+  * The core is a GLOBAL prefix sum over a 100 TB corpus, which must not
+  * become a single-partition window (`Window.orderBy` with no partition
+  * key collapses all rows onto one task). Instead:
+  *
+  *  1. range-repartition by `idCol` (partition i holds ids strictly below
+  *     partition i+1 — sampled boundaries only place rows, they cannot
+  *     affect the result),
+  *  2. cumulative sum *within* each partition (window keyed by
+  *     `spark_partition_id()` — balanced, parallel),
+  *  3. per-partition totals (one row per partition) get their own tiny
+  *     cumulative window and broadcast-join back as starting offsets.
+  *
+  * Every data-sized exchange carries `(id, n_tokens)` longs; the only
+  * driver-sized object is the partition-count offset table.
+  */
+object Packing {
+
+  /** Token-offset intervals and sequence assignment for each document.
+    *
+    * @param df       input with unique `idCol` (ordering key) and `textCol`
+    * @param budget   tokens per packed training sequence
+    * @return `idCol, n_tokens, start_offset, seq_first, seq_last` where
+    *         `start_offset` is the document's 0-based position in the
+    *         virtual token stream and `seq_first..seq_last` the 0-based
+    *         ids of the fixed-`budget` sequences it occupies
+    */
+  def packSequences(df: DataFrame, idCol: String, textCol: String,
+      budget: Long): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    // Persisted: `__pid` feeds two plan branches (local sums + the offset
+    // table), and RangePartitioner boundaries come from sampling — an
+    // unpinned recompute could place rows differently and mismatch the
+    // branches. The pinned rows are (id, n_tokens) longs, not documents.
+    val counted = df
+      .select(col(idCol), TextAnalysis.tokenCount(col(textCol)).cast("long").as("n_tokens"))
+      .repartitionByRange(col(idCol))
+      .withColumn("__pid", spark_partition_id())
+      .persist()
+
+    // Within-partition prefix sum (exclusive): balanced parallel windows.
+    val local = Window.partitionBy(col("__pid")).orderBy(col(idCol))
+    val localSum = counted.withColumn("__local_start",
+      coalesce(sum(col("n_tokens")).over(local.rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+
+    // Partition totals → exclusive cumulative offsets. One row per
+    // partition: the single-partition window here is partition-count
+    // sized, not data-sized.
+    val offsets = counted
+      .groupBy(col("__pid"))
+      .agg(sum(col("n_tokens")).as("__total"))
+      .withColumn("__offset",
+        coalesce(sum(col("__total")).over(
+          Window.orderBy(col("__pid")).rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .select(col("__pid"), col("__offset"))
+
+    localSum
+      .join(broadcast(offsets), Seq("__pid"))
+      .withColumn("start_offset", col("__local_start") + col("__offset"))
+      .select(col(idCol), col("n_tokens"), col("start_offset"),
+        expr(s"start_offset DIV $budget").as("seq_first"),
+        expr(s"(start_offset + n_tokens - 1) DIV $budget").as("seq_last"))
+  }
+}

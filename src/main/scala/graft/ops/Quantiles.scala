@@ -1,0 +1,55 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Per-group quantile thresholds and threshold-based filtering — the
+  * "keep documents above the per-language quality median / drop the
+  * bottom decile" step of corpus curation.
+  *
+  * The exact threshold is defined by rank, not interpolation: the
+  * smallest value whose `cume_dist` reaches `p`. Rank selection picks an
+  * EXISTING value — no floating-point interpolation arithmetic — so any
+  * engine that sorts the same doubles derives the identical threshold
+  * (which is what lets the DuckDB oracle hash-verify it byte-for-byte).
+  *
+  * Scale: the exact path sorts each group once (one shuffle on the group
+  * key; per-group sort is spill-safe). When groups are huge and the
+  * threshold only needs to be approximately placed, swap in
+  * `approx_percentile` (one ordinary aggregate, mergeable sketches, no
+  * sort) — same downstream join/filter shape.
+  */
+object Quantiles {
+
+  /** Exact per-group `p`-quantile thresholds (rank-based, see above).
+    * @return one row per group: `groupCol, threshold`
+    */
+  def groupThresholds(df: DataFrame, groupCol: String, valueCol: String,
+      p: Double): DataFrame = {
+    require(p > 0 && p <= 1, s"p must be in (0, 1], got $p")
+    val w = Window.partitionBy(col(groupCol)).orderBy(col(valueCol))
+    df.select(col(groupCol), col(valueCol))
+      .withColumn("__cd", cume_dist().over(w))
+      .where(col("__cd") >= p)
+      .groupBy(col(groupCol))
+      .agg(min(col(valueCol)).as("threshold"))
+  }
+
+  /** Sketch-based thresholds for the 100 TB path: same output shape as
+    * [[groupThresholds]], one aggregate, no per-group sort.
+    */
+  def groupThresholdsApprox(df: DataFrame, groupCol: String, valueCol: String,
+      p: Double, accuracy: Int = 10000): DataFrame =
+    df.groupBy(col(groupCol))
+      .agg(percentile_approx(col(valueCol), lit(p), lit(accuracy)).as("threshold"))
+
+  /** Keep rows whose `valueCol` is at or above their group's `p`-quantile
+    * threshold. Thresholds are one row per group — always broadcast.
+    */
+  def filterAboveQuantile(df: DataFrame, groupCol: String, valueCol: String,
+      p: Double): DataFrame =
+    df.join(broadcast(groupThresholds(df, groupCol, valueCol, p)), Seq(groupCol))
+      .where(col(valueCol) >= col("threshold"))
+      .drop("threshold")
+}

@@ -1,0 +1,159 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.agg.Statistics
+import graft.ops.{Dedup, Packing, Quantiles, TextAnalysis, Vocab}
+
+/** Corpus-construction operators as oracle-checked queries: vocabulary
+  * statistics, sequence packing, incremental ingest dedup, quantile
+  * quality gating, and column profiling — the remaining steps between a
+  * filtered corpus and a training run.
+  */
+object CorpusQueries {
+
+  /** Top-100 vocabulary by token frequency (tf desc, token asc — total
+    * order, so the cut is deterministic), with document frequency.
+    */
+  private def q60(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Vocab.topK(Tables.documents(s, dir), "doc_id", "text", 100)
+  }
+
+  /** GPT-style sequence packing at a 512-token budget: each document's
+    * offset interval in the virtual corpus token stream and the packed
+    * sequences it spans. The global prefix sum runs as the two-phase
+    * partition-parallel plan (never a single-partition window).
+    */
+  private def q61(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Packing.packSequences(Tables.documents(s, dir), "doc_id", "text", 512L)
+      .orderBy($"doc_id")
+  }
+
+  /** Incremental ingest dedup: docs with doc_id ≡ 0 (mod 3) arrive as
+    * the new batch; the rest are the existing corpus. Batch survivors =
+    * first-in-batch content not already in the corpus.
+    */
+  private def q62(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    Dedup.incrementalDedup(
+        docs.where($"doc_id" % 3 === 0),
+        docs.where($"doc_id" % 3 =!= 0), "doc_id", "text")
+      .select($"doc_id", $"lang", $"n_chars")
+      .orderBy($"doc_id")
+  }
+
+  /** Per-language median quality gate: keep documents at or above their
+    * language's exact rank-based median quality (the cume_dist
+    * formulation — value selection, no interpolation, so both engines
+    * derive the identical threshold).
+    */
+  private def q63(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val scored = Tables.documents(s, dir)
+      .select($"doc_id", $"lang", TextAnalysis.qualityScore($"text").as("quality"))
+    Quantiles.filterAboveQuantile(scored, "lang", "quality", 0.5)
+      .select($"doc_id", $"lang", $"quality")
+      .orderBy($"doc_id")
+  }
+
+  /** Column profile of lineitem in one aggregate pass: null/distinct
+    * counts and min/max/mean per column (strings profiled on length).
+    */
+  private def q64(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Statistics.columnProfile(Tables.lineitem(s, dir),
+        numericCols = Seq("l_quantity", "l_extendedprice", "l_discount"),
+        stringCols = Seq("l_returnflag", "l_linestatus"))
+      .orderBy($"col_name")
+  }
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q60_vocab_topk" -> (q60 _),
+    "q61_sequence_packing" -> (q61 _),
+    "q62_incremental_dedup" -> (q62 _),
+    "q63_quality_quantile" -> (q63 _),
+    "q64_column_profile" -> (q64 _))
+
+  val oracles: Map[String, String] = Map(
+    "q60_vocab_topk" ->
+      """WITH t AS (SELECT doc_id, unnest(string_split_regex(trim(text), ' +')) AS token
+        |           FROM documents),
+        |g AS (SELECT token, CAST(count(*) AS BIGINT) AS tf,
+        |             CAST(count(DISTINCT doc_id) AS BIGINT) AS doc_freq
+        |      FROM t GROUP BY token)
+        |SELECT token, tf, doc_freq FROM g
+        |ORDER BY tf DESC, token LIMIT 100""".stripMargin,
+    "q61_sequence_packing" ->
+      """WITH t AS (SELECT doc_id,
+        |             CAST(len(string_split_regex(trim(text), ' +')) AS BIGINT) AS n
+        |           FROM documents),
+        |c AS (SELECT doc_id, n,
+        |        CAST(COALESCE(sum(n) OVER (ORDER BY doc_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS s
+        |      FROM t)
+        |SELECT doc_id, n AS n_tokens, s AS start_offset,
+        |       s // 512 AS seq_first, (s + n - 1) // 512 AS seq_last
+        |FROM c ORDER BY doc_id""".stripMargin,
+    "q62_incremental_dedup" ->
+      """WITH b AS (SELECT doc_id, lang, n_chars, md5(text) AS fp,
+        |             row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        |           FROM documents WHERE doc_id % 3 = 0),
+        |c AS (SELECT DISTINCT md5(text) AS fp FROM documents WHERE doc_id % 3 <> 0)
+        |SELECT doc_id, lang, n_chars FROM b
+        |WHERE rn = 1 AND fp NOT IN (SELECT fp FROM c)
+        |ORDER BY doc_id""".stripMargin,
+    "q63_quality_quantile" ->
+      """WITH t AS (SELECT doc_id, lang, text, string_split_regex(trim(text), ' +') AS toks
+        |           FROM documents),
+        |q AS (SELECT doc_id, lang,
+        |        (CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)) * 0.5
+        |          + (CAST(len(list_filter(toks, s -> s IN ('the','a','an','of','and','is','in','to','it','that'))) AS DOUBLE) / len(toks)) * 0.3
+        |          + (CASE WHEN len(toks) BETWEEN 5 AND 100000 THEN 1.0 ELSE 0.0 END) * 0.2 AS quality
+        |      FROM t),
+        |cd AS (SELECT lang, quality,
+        |         cume_dist() OVER (PARTITION BY lang ORDER BY quality) AS cd
+        |       FROM q),
+        |th AS (SELECT lang, min(quality) AS th FROM cd WHERE cd >= 0.5 GROUP BY lang)
+        |SELECT q.doc_id, q.lang, q.quality
+        |FROM q JOIN th ON q.lang = th.lang
+        |WHERE q.quality >= th.th
+        |ORDER BY q.doc_id""".stripMargin,
+    "q64_column_profile" ->
+      """SELECT 'l_quantity' AS col_name, count(l_quantity) AS n_nonnull,
+        |       count(*) - count(l_quantity) AS n_null,
+        |       count(DISTINCT l_quantity) AS n_distinct,
+        |       min(CAST(l_quantity AS DOUBLE)) AS min_d,
+        |       max(CAST(l_quantity AS DOUBLE)) AS max_d,
+        |       CAST(sum(CAST(l_quantity AS DECIMAL(38,12))) AS DOUBLE) / count(l_quantity) AS avg_d
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'l_extendedprice', count(l_extendedprice),
+        |       count(*) - count(l_extendedprice), count(DISTINCT l_extendedprice),
+        |       min(CAST(l_extendedprice AS DOUBLE)), max(CAST(l_extendedprice AS DOUBLE)),
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(38,12))) AS DOUBLE) / count(l_extendedprice)
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'l_discount', count(l_discount),
+        |       count(*) - count(l_discount), count(DISTINCT l_discount),
+        |       min(CAST(l_discount AS DOUBLE)), max(CAST(l_discount AS DOUBLE)),
+        |       CAST(sum(CAST(l_discount AS DECIMAL(38,12))) AS DOUBLE) / count(l_discount)
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'l_returnflag', count(l_returnflag),
+        |       count(*) - count(l_returnflag), count(DISTINCT l_returnflag),
+        |       min(CAST(length(l_returnflag) AS DOUBLE)), max(CAST(length(l_returnflag) AS DOUBLE)),
+        |       CAST(sum(CAST(length(l_returnflag) AS BIGINT)) AS DOUBLE) / count(l_returnflag)
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'l_linestatus', count(l_linestatus),
+        |       count(*) - count(l_linestatus), count(DISTINCT l_linestatus),
+        |       min(CAST(length(l_linestatus) AS DOUBLE)), max(CAST(length(l_linestatus) AS DOUBLE)),
+        |       CAST(sum(CAST(length(l_linestatus) AS BIGINT)) AS DOUBLE) / count(l_linestatus)
+        |FROM lineitem
+        |ORDER BY col_name""".stripMargin)
+}

@@ -1,0 +1,113 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.agg.Statistics
+import graft.ops.{Dedup, Packing, Quantiles, Vocab}
+
+class CorpusOpsSpec extends SparkSuite {
+
+  test("Vocab.topK counts tf and doc_freq exactly with a deterministic cut") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a a b"),
+      (2L, "a c"),
+      (3L, "b c c")).toDF("doc_id", "text")
+    val v = Vocab.topK(df, "doc_id", "text", 2)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // a: tf 3 in 2 docs; c: tf 3 in 2 docs; b: tf 2 — tie a/c broken by token asc
+    assert(v.toSeq === Seq(("a", 3L, 2L), ("c", 3L, 2L)))
+  }
+
+  test("packSequences computes the exact global prefix sum in id order") {
+    import spark.implicits._
+    // 4, 2, 3, 5, 1 tokens → starts 0, 4, 6, 9, 14
+    val df = Seq(
+      (10L, "t t t t"),
+      (20L, "t t"),
+      (30L, "t t t"),
+      (40L, "t t t t t"),
+      (50L, "t")).toDF("doc_id", "text")
+    val out = Packing.packSequences(df, "doc_id", "text", budget = 4L)
+      .orderBy($"doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(out.toSeq === Seq(
+      (10L, 4L, 0L, 0L, 0L),   // tokens 0-3 → seq 0 only
+      (20L, 2L, 4L, 1L, 1L),   // tokens 4-5 → seq 1
+      (30L, 3L, 6L, 1L, 2L),   // tokens 6-8 → spans seqs 1-2
+      (40L, 5L, 9L, 2L, 3L),   // tokens 9-13 → spans seqs 2-3
+      (50L, 1L, 14L, 3L, 3L)))
+  }
+
+  test("packSequences is invariant under input partitioning") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir)
+    val base = Packing.packSequences(docs, "doc_id", "text", 512L)
+      .orderBy($"doc_id").collect().toSeq
+    val shuffled = Packing.packSequences(
+        docs.repartition(7, $"lang"), "doc_id", "text", 512L)
+      .orderBy($"doc_id").collect().toSeq
+    assert(base === shuffled)
+    // Offsets partition the token stream: each start = previous start + n.
+    val rows = base.map(r => (r.getLong(2), r.getLong(1)))
+    rows.sliding(2).foreach {
+      case Seq((s0, n0), (s1, _)) => assert(s1 === s0 + n0)
+      case _ =>
+    }
+  }
+
+  test("incrementalDedup keeps only first-in-batch content absent from the corpus") {
+    import spark.implicits._
+    val corpus = Seq((1L, "known"), (2L, "other")).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "known"),  // already in corpus → dropped
+      (11L, "fresh"),  // new → kept
+      (12L, "fresh"),  // in-batch dup of 11 → dropped
+      (13L, "unique")) // new → kept
+      .toDF("doc_id", "text")
+    val kept = Dedup.incrementalDedup(batch, corpus, "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept === Set(11L, 13L))
+  }
+
+  test("groupThresholds picks the rank-based median; filter keeps >= threshold") {
+    import spark.implicits._
+    val df = Seq(
+      ("g1", 1.0), ("g1", 2.0), ("g1", 3.0),            // odd: median 2.0
+      ("g2", 10.0), ("g2", 20.0), ("g2", 30.0), ("g2", 40.0)) // even: lower-of-middle 20.0
+      .toDF("g", "v")
+    val th = Quantiles.groupThresholds(df, "g", "v", 0.5)
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toMap
+    assert(th === Map("g1" -> 2.0, "g2" -> 20.0))
+    val kept = Quantiles.filterAboveQuantile(df, "g", "v", 0.5)
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toSet
+    assert(kept === Set(("g1", 2.0), ("g1", 3.0), ("g2", 20.0), ("g2", 30.0), ("g2", 40.0)))
+  }
+
+  test("approx thresholds agree with exact on small groups") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir)
+      .select($"lang", $"n_chars".cast("double").as("v"))
+    val exact = Quantiles.groupThresholds(docs, "lang", "v", 0.5)
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toMap
+    val approx = Quantiles.groupThresholdsApprox(docs, "lang", "v", 0.5)
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toMap
+    // percentile_approx at default accuracy is exact for small groups
+    assert(approx === exact)
+  }
+
+  test("columnProfile counts nulls/distincts and profiles strings on length") {
+    import spark.implicits._
+    val df = Seq(
+      (Some(1.0), Some("ab")),
+      (Some(2.0), None),
+      (None, Some("abcd")),
+      (Some(2.0), Some("ab"))).toDF("x", "s")
+    val rows = Statistics.columnProfile(df, Seq("x"), Seq("s"))
+      .orderBy($"col_name")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5), r.getDouble(6)))
+    assert(rows(0) === ("s", 3L, 1L, 2L, 2.0, 4.0, (2.0 + 4.0 + 2.0) / 3))
+    assert(rows(1) === ("x", 3L, 1L, 2L, 1.0, 2.0, (1.0 + 2.0 + 2.0) / 3))
+  }
+}

@@ -96,6 +96,36 @@ class PlanSpec extends SparkSuite {
     assert(countNodes(p.split("== Initial Plan ==")(0), "Exchange") <= 1, p)
   }
 
+  test("q60: vocab top-k is cascaded aggregates + TakeOrdered, no global sort") {
+    val p = formatted("q60_vocab_topk")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(countNodes(p, "HashAggregate") >= 2, p)
+    // shuffles: (token, doc) pre-agg + token agg — per-occurrence rows
+    // never cross an exchange unaggregated, and the top-k adds none
+    assert(countNodes(p, "Exchange") <= 2, p)
+  }
+
+  test("q61: packing's data-sized windows are partition-keyed, not global") {
+    val df = SparkEntry.queries("q61_sequence_packing")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    // the offset table joins back as a broadcast, and the data-sized
+    // cumsum window is keyed by __pid (the only empty-partition-key
+    // window is the partition-count-sized offset cumsum)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert("""windowspecdefinition\(__pid#\d+, doc_id#\d+""".r
+      .findFirstIn(p).isDefined, p)
+  }
+
+  test("q64: column profile is a single scan of lineitem") {
+    val p = formatted("q64_column_profile")
+    // count detail-section nodes ("(1) Scan parquet"), not tree lines —
+    // AQE prints the tree twice (final + initial) for the same node
+    val scans = """\(\d+\) Scan parquet""".r.findAllIn(p).length
+    assert(scans === 1, p)
+    assert(p.contains("HashAggregate") || p.contains("ObjectHashAggregate"), p)
+  }
+
   test("whole-stage codegen covers the kernel expressions") {
     val df = SparkEntry.queries("q31_cosine_neardup")(spark, sfDir)
     df.collect() // materialize THIS plan so AQE finalizes it
