@@ -13,8 +13,14 @@ import org.apache.spark.sql.SparkSession
   */
 object GraftSession {
 
-  /** env-tunable knobs shared by Verify/Bench/CLI. */
-  def cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+  /** env-tunable knobs shared by Verify/Bench/CLI. Defaults to every
+    * core on the box (local[32] on the reference test machine) — the
+    * session's thread count AND spark.sql.shuffle.partitions, so local
+    * runs exercise real parallelism (a low hardcoded default serializes
+    * every backoff/sleep-bearing stage and hides skew).
+    */
+  def cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+    Runtime.getRuntime.availableProcessors().toString)
 
   def builder(appName: String = "graft"): SparkSession.Builder =
     SparkSession.builder()

@@ -35,4 +35,32 @@ object Layouts {
     df.repartitionByRange(partitions, df(key))
       .sortWithinPartitions(df(key))
       .write.mode("overwrite").parquet(dir)
+
+  /** Balanced, size-capped shard write: AQE's REBALANCE hint splits
+    * oversized and coalesces undersized post-shuffle partitions to the
+    * advisory size at runtime (no counting pass, skew handled), and
+    * `maxRecordsPerFile` hard-caps what one file can hold. The answer
+    * to "a 100 TB job must not emit 7 files of 3 TB next to 40k of
+    * 2 MB" — downstream scan parallelism is set by this layout.
+    */
+  def writeSizedShards(df: DataFrame, dir: String,
+      maxRecordsPerFile: Long): Unit =
+    df.hint("rebalance")
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .parquet(dir)
+
+  /** Hive-style directory partitioning (`dir/col=value/...`): the
+    * layout for low-cardinality pruning columns (language, date,
+    * source). Readers with an equality/IN predicate on `cols` touch
+    * only matching directories — partition pruning happens before any
+    * file is opened. Combine with [[writeSizedShards]] semantics via
+    * `maxRecordsPerFile` to keep per-directory files bounded.
+    */
+  def writeHivePartitioned(df: DataFrame, dir: String, cols: Seq[String],
+      maxRecordsPerFile: Long = 0L): Unit =
+    df.write.mode("overwrite")
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .partitionBy(cols: _*)
+      .parquet(dir)
 }

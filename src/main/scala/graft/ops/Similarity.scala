@@ -192,6 +192,55 @@ object Similarity {
       .collect()
       .map(_.getSeq[Float](0).toArray)
 
+  /** Lloyd's refinement of [[ivfCentroids]]: `iters` rounds of
+    * assign-then-mean k-means over the corpus. Per round: one narrow
+    * scan (cell assignment is the plan-literal kernel), a posexplode to
+    * (cell, dim) partial sums — map-side combine collapses them before
+    * the exchange, so the shuffle carries at most
+    * partitions × k × dim rows — and a k×dim collect of the new model.
+    * Cells that lose all members keep their previous centroid. The
+    * returned model is what [[ivfAssign]]/[[ivfTopK]] consume; training
+    * cost is `iters` scans, independent of k beyond the kernel's fused
+    * k-fold assignment.
+    *
+    * Double-precision means merge in partition order, so exact bits can
+    * vary across cluster layouts — training is for cell QUALITY (lower
+    * mean distance-to-centroid); the oracle-checked q43 path keeps the
+    * deterministic hash-sample model.
+    */
+  def trainIvfCentroids(emb: DataFrame, idCol: String, vecCol: String,
+      numCentroids: Int, iters: Int = 3): Array[Array[Float]] = {
+    var centroids = ivfCentroids(emb, idCol, vecCol, numCentroids)
+    for (_ <- 1 to iters) {
+      val means = ivfAssign(emb, vecCol, centroids)
+        .select(col("centroid_id"), posexplode(col(vecCol)).as(Seq("__pos", "__x")))
+        .groupBy(col("centroid_id"), col("__pos"))
+        .agg(avg(col("__x")).as("__m"))
+        .groupBy(col("centroid_id"))
+        .agg(transform(
+          array_sort(collect_list(struct(col("__pos"), col("__m")))),
+          s => s.getField("__m").cast("float")).as("__c"))
+        .collect()
+        .map(r => r.getInt(0) -> r.getSeq[Float](1).toArray)
+        .toMap
+      centroids = centroids.indices
+        .map(i => means.getOrElse(i, centroids(i))).toArray
+    }
+    centroids
+  }
+
+  /** Mean cosine distance (1 - cosine) of each vector to its assigned
+    * centroid — the training-quality metric for [[trainIvfCentroids]].
+    */
+  def ivfInertia(emb: DataFrame, vecCol: String,
+      centroids: Array[Array[Float]]): Double = {
+    val model = typedLit(centroids.map(_.toSeq).toSeq)
+    ivfAssign(emb, vecCol, centroids)
+      .select(avg(lit(1.0) -
+        cosine(col(vecCol), element_at(model, col("centroid_id") + 1))).as("d"))
+      .head().getDouble(0)
+  }
+
   /** Corpus partitioned into IVF cells: adds `centroid_id` computed
     * scan-side by a custom expression carrying the centroid model as a
     * plan literal — zero shuffle, zero per-row model lookup cost beyond

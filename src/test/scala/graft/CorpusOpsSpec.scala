@@ -56,6 +56,31 @@ class CorpusOpsSpec extends SparkSuite {
     }
   }
 
+  test("packSequences matches the sequential prefix-sum model on random corpora") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 3) {
+      val budget = 1L + rnd.nextInt(50)
+      val docs = (1 to 200).map { i =>
+        // sparse, shuffled-insert ids; 1..12 tokens
+        (i * 7L + rnd.nextInt(5), Seq.fill(1 + rnd.nextInt(12))("t").mkString(" "))
+      }.distinctBy(_._1)
+      val df = docs.toDF("doc_id", "text").repartition(5)
+      val got = Packing.packSequences(df, "doc_id", "text", budget)
+        .orderBy($"doc_id")
+        .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4)))
+      // driver-side model: sort by id, running sum
+      var acc = 0L
+      val want = docs.sortBy(_._1).map { case (id, text) =>
+        val n = text.split(" ").length.toLong
+        val row = (id, acc, acc / budget, (acc + n - 1) / budget)
+        acc += n
+        row
+      }
+      assert(got.toSeq === want, s"trial $trial budget $budget")
+    }
+  }
+
   test("incrementalDedup keeps only first-in-batch content absent from the corpus") {
     import spark.implicits._
     val corpus = Seq((1L, "known"), (2L, "other")).toDF("doc_id", "text")
@@ -94,6 +119,37 @@ class CorpusOpsSpec extends SparkSuite {
       .collect().map(r => (r.getString(0), r.getDouble(1))).toMap
     // percentile_approx at default accuracy is exact for small groups
     assert(approx === exact)
+  }
+
+  test("trainIvfCentroids recovers planted clusters and lowers inertia") {
+    import spark.implicits._
+    import graft.ops.Similarity
+    // 3 well-separated directions in R^4, 30 noisy members each
+    val centers = Seq(
+      Array(1f, 0f, 0f, 0f), Array(0f, 1f, 0f, 0f), Array(0f, 0f, 1f, 0f))
+    val rows = for {
+      (c, ci) <- centers.zipWithIndex
+      j <- 0 until 30
+    } yield {
+      val eps = 0.05f * ((j % 5) - 2)
+      (ci * 100L + j, c.zipWithIndex.map { case (x, i) =>
+        x + (if (i == 3) eps else 0f) }.toSeq)
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val init = Similarity.ivfCentroids(df, "vec_id", "embedding", 3)
+    val trained = Similarity.trainIvfCentroids(df, "vec_id", "embedding", 3, iters = 3)
+    val before = Similarity.ivfInertia(df, "embedding", init)
+    val after = Similarity.ivfInertia(df, "embedding", trained)
+    assert(after <= before + 1e-12, s"inertia rose: $before -> $after")
+    // every trained centroid points at one of the planted directions
+    val matched = trained.map { c =>
+      centers.map { t =>
+        val dot = c.zip(t).map { case (a, b) => a.toDouble * b }.sum
+        val nc = math.sqrt(c.map(x => x.toDouble * x).sum)
+        dot / nc
+      }.max
+    }
+    assert(matched.forall(_ > 0.99), matched.mkString(","))
   }
 
   test("columnProfile counts nulls/distincts and profiles strings on length") {

@@ -59,6 +59,37 @@ class LayoutsSpec extends SparkSuite {
     assert("""\(\d+\) Exchange\b""".r.findAllIn(p).isEmpty, p)
   }
 
+  test("sized-shard write balances skewed input and caps file row counts") {
+    import spark.implicits._
+    // skew: one partition holds 10k rows, three hold ~10 each
+    val skewed = spark.range(10030).toDF("id")
+      .repartition(4, when($"id" < 10000, lit(0)).otherwise($"id" % 3))
+    val dir = java.nio.file.Files.createTempDirectory("sized-shards").toString
+    Layouts.writeSizedShards(skewed, dir, maxRecordsPerFile = 1000L)
+    val perFile = spark.read.parquet(dir)
+      .groupBy(input_file_name().as("f"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(_.getAs[Long]("n"))
+    assert(perFile.sum === 10030L)
+    assert(perFile.forall(_ <= 1000L), perFile.mkString(","))
+    // the hard cap forces ≥ 11 files; skew must not concentrate rows
+    assert(perFile.length >= 11, perFile.length.toString)
+  }
+
+  test("hive-partitioned write prunes directories on an equality predicate") {
+    val dir = java.nio.file.Files.createTempDirectory("hive-part").toString
+    Layouts.writeHivePartitioned(Tables.documents(spark, sfDir), dir, Seq("lang"))
+    val q = spark.read.parquet(dir).where(col("lang") === "en")
+    val p = q.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(p.contains("PartitionFilters: [isnotnull(lang"), p)
+    val docs = Tables.documents(spark, sfDir)
+    assert(q.count() === docs.where(col("lang") === "en").count())
+    // only the en directory's files are read
+    val files = q.select(input_file_name()).distinct()
+      .collect().map(_.getString(0))
+    assert(files.nonEmpty && files.forall(_.contains("lang=en")), files.mkString(","))
+  }
+
   test("range-clustered write produces pruned ordered files") {
     val dir = java.nio.file.Files.createTempDirectory("range-clustered").toString
     Layouts.writeRangeClustered(Tables.orders(spark, sfDir), dir, "o_orderkey", 8)
