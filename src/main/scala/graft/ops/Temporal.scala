@@ -1,0 +1,85 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Temporal join operators Spark's optimizer has no native strategy for:
+  * as-of joins and point-in-interval joins. Both are implemented as
+  * equi-shuffle plans — the naive formulations (theta join on `<=`, or
+  * interval containment) plan as broadcast-nested-loop/cross products
+  * that are quadratic per key and impossible at corpus scale.
+  */
+object Temporal {
+
+  /** As-of join: for every left row, the single latest right row of the
+    * same `keyCol` with `right.tsCol <= left.tsCol` (left join — left
+    * rows with no prior right row keep null payloads). Ties on the right
+    * timestamp resolve to the highest `seqCol` (a unique per-row
+    * sequencer, e.g. an event id — required for determinism).
+    *
+    * Implementation: tag and union both sides, then one window pass per
+    * key ordered by (ts, side, seq) taking the last non-null payload —
+    * the classic union-scan as-of. ONE shuffle on the key for both
+    * inputs together; no range theta join, no per-key quadratic work;
+    * window state is one row of carried payload per partition stream.
+    *
+    * @param leftCols  left columns to keep (must include `keyCol`, `tsCol`)
+    * @param payload   right columns carried onto matching left rows,
+    *                  emitted as `asof_<name>`
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, keyCol: String,
+      tsCol: String, seqCol: String, leftCols: Seq[String],
+      payload: Seq[String]): DataFrame = {
+    val l = left.select(
+      leftCols.map(col) ++
+        Seq(lit(1).as("__side")) ++
+        payload.map(c => lit(null).cast(right.schema(c).dataType).as(s"asof_$c")): _*)
+    val r = right.select(
+      leftCols.map(c =>
+        (if (c == keyCol || c == tsCol || c == seqCol) col(c)
+         else lit(null).cast(left.schema(c).dataType)).as(c)) ++
+        Seq(lit(0).as("__side")) ++
+        payload.map(c => col(c).as(s"asof_$c")): _*)
+    // right sorts before left at an equal timestamp => "<=" semantics;
+    // seqCol breaks right-side ts ties deterministically
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol), col("__side"), col(seqCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = payload.foldLeft(l.unionByName(r)) { (df, c) =>
+      df.withColumn(s"asof_$c", last(col(s"asof_$c"), ignoreNulls = true).over(w))
+    }
+    carried.where(col("__side") === 1).drop("__side")
+  }
+
+  /** Point-in-interval join: every (interval, point) pair of the same
+    * `keyCol` with `lo <= pt <= hi`. Both sides bucketize on
+    * `bucketWidth`-sized ranges of the point/interval domain and
+    * equi-join on (key, bucket): a point belongs to EXACTLY one bucket,
+    * so each qualifying pair is produced exactly once — no dedup pass.
+    * Intervals explode into ceil(len/width)+1 bucket rows; size
+    * `bucketWidth` near the typical interval length to keep the
+    * explosion factor ~2 while the join stays an equi-shuffle (the
+    * scale-safe shape — a `BETWEEN` theta join plans as a per-key cross
+    * product).
+    *
+    * Columns: interval columns + the point columns listed in `ptCols`.
+    */
+  def intervalJoin(intervals: DataFrame, points: DataFrame, keyCol: String,
+      loCol: String, hiCol: String, ptCol: String, ptCols: Seq[String],
+      bucketWidth: Long): DataFrame = {
+    require(bucketWidth > 0, s"bucketWidth must be positive, got $bucketWidth")
+    val iv = intervals
+      .where(col(loCol) <= col(hiCol))
+      .withColumn("__b",
+        explode(sequence(expr(s"$loCol DIV $bucketWidth"),
+          expr(s"$hiCol DIV $bucketWidth"))))
+    val pt = points
+      .select(Seq(col(keyCol).as("__pk"), col(ptCol),
+        expr(s"$ptCol DIV $bucketWidth").as("__b")) ++
+        ptCols.filter(_ != ptCol).map(col): _*)
+    iv.join(pt, iv(keyCol) === pt("__pk") && iv("__b") === pt("__b"))
+      .where(col(ptCol).between(col(loCol), col(hiCol)))
+      .drop("__b", "__pk")
+  }
+}

@@ -63,10 +63,56 @@ object EventQueries {
       .orderBy($"prev_type", $"event_type")
   }
 
+  /** As-of join: every click annotated with the user's latest purchase
+    * at or before it (event id + value), null when no purchase precedes.
+    * The union-window plan: one shuffle on user_id — never a `<=` theta
+    * join (which Spark plans as a per-key cross product).
+    */
+  private def q65(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+    graft.ops.Temporal.asofJoin(
+        ev.where($"event_type" === "click"),
+        ev.where($"event_type" === "purchase"),
+        keyCol = "user_id", tsCol = "ts", seqCol = "event_id",
+        leftCols = Seq("user_id", "ts", "event_id"),
+        payload = Seq("event_id", "value"))
+      // DuckDB reads parquet TIMESTAMP(NANOS) truncated to µs, so the
+      // emitted timestamp is µs-truncated on both engines; the join
+      // itself runs ns-exact here
+      .select($"event_id", $"user_id", expr("ts DIV 1000").as("ts_us"),
+        $"asof_event_id", $"asof_value")
+      .orderBy($"event_id")
+  }
+
+  /** Interval join: views landing in a 30-minute post-purchase
+    * attribution window of the same user, via the bucketed equi-join
+    * (bucket width = window length → ≤2 bucket rows per interval, each
+    * qualifying pair emitted exactly once).
+    */
+  private def q66(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+    val purchases = ev.where($"event_type" === "purchase")
+      .select($"user_id", $"event_id".as("purchase_id"),
+        $"ts".as("lo"), ($"ts" + NanosPer30Min).as("hi"))
+    val views = ev.where($"event_type" === "view")
+      .select($"user_id", $"event_id".as("view_id"), $"ts".as("view_ts"))
+    graft.ops.Temporal.intervalJoin(purchases, views, keyCol = "user_id",
+        loCol = "lo", hiCol = "hi", ptCol = "view_ts",
+        ptCols = Seq("view_id"), bucketWidth = NanosPer30Min)
+      // µs-truncated lag for the oracle compare (see q65 note)
+      .select($"purchase_id", $"view_id", $"user_id",
+        (expr("view_ts DIV 1000") - expr("lo DIV 1000")).as("lag_us"))
+      .orderBy($"purchase_id", $"view_id")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q34_event_windows" -> (q34 _),
     "q35_sessionization" -> (q35 _),
-    "q36_transitions" -> (q36 _))
+    "q36_transitions" -> (q36 _),
+    "q65_asof_join" -> (q65 _),
+    "q66_interval_join" -> (q66 _))
 
   val oracles: Map[String, String] = Map(
     "q34_event_windows" ->
@@ -91,5 +137,31 @@ object EventQueries {
         |SELECT prev_type, event_type, count(*) AS n
         |FROM t WHERE prev_type IS NOT NULL
         |GROUP BY prev_type, event_type
-        |ORDER BY prev_type, event_type""".stripMargin)
+        |ORDER BY prev_type, event_type""".stripMargin,
+    // rank over the <= left join reproduces "latest purchase at or
+    // before, ties to highest event_id" — the as-of contract
+    "q65_asof_join" ->
+      """WITH c AS (SELECT event_id, user_id, epoch_ns(ts) AS tns FROM events
+        |           WHERE event_type = 'click'),
+        |p AS (SELECT event_id, user_id, epoch_ns(ts) AS tns, value FROM events
+        |      WHERE event_type = 'purchase'),
+        |j AS (SELECT c.event_id, c.user_id, c.tns,
+        |             p.event_id AS pid, p.value AS pvalue,
+        |             row_number() OVER (PARTITION BY c.event_id
+        |               ORDER BY p.tns DESC, p.event_id DESC) AS rn
+        |      FROM c LEFT JOIN p ON p.user_id = c.user_id AND p.tns <= c.tns)
+        |SELECT event_id, user_id, tns // 1000 AS ts_us,
+        |       pid AS asof_event_id, pvalue AS asof_value
+        |FROM j WHERE rn = 1
+        |ORDER BY event_id""".stripMargin,
+    "q66_interval_join" ->
+      """WITH p AS (SELECT event_id AS purchase_id, user_id, epoch_ns(ts) AS lo,
+        |             epoch_ns(ts) + 1800000000000 AS hi
+        |           FROM events WHERE event_type = 'purchase'),
+        |v AS (SELECT event_id AS view_id, user_id, epoch_ns(ts) AS vts
+        |      FROM events WHERE event_type = 'view')
+        |SELECT p.purchase_id, v.view_id, p.user_id,
+        |       v.vts // 1000 - p.lo // 1000 AS lag_us
+        |FROM p JOIN v ON v.user_id = p.user_id AND v.vts BETWEEN p.lo AND p.hi
+        |ORDER BY purchase_id, view_id""".stripMargin)
 }

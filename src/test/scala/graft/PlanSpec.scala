@@ -126,6 +126,22 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("HashAggregate") || p.contains("ObjectHashAggregate"), p)
   }
 
+  test("q65: as-of join is a union + key window, never a theta nested loop") {
+    val p = formatted("q65_asof_join")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(countNodes(p, "Window") >= 1, p)
+    assert(countNodes(p, "Union") >= 1, p)
+  }
+
+  test("q66: interval join is an equi-join on (key, bucket), no nested loop") {
+    val p = formatted("q66_interval_join")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(countNodes(p, "BroadcastHashJoin") + countNodes(p, "SortMergeJoin") +
+      countNodes(p, "ShuffledHashJoin") >= 1, p)
+  }
+
   test("whole-stage codegen covers the kernel expressions") {
     val df = SparkEntry.queries("q31_cosine_neardup")(spark, sfDir)
     df.collect() // materialize THIS plan so AQE finalizes it

@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.Temporal
+
+class TemporalSpec extends SparkSuite {
+
+  test("asofJoin takes the latest right row <= left ts, ties to highest seq") {
+    import spark.implicits._
+    val left = Seq(
+      (1L, 100L, 10L), // after purchases at 50 and 100 → equal-ts match wins
+      (1L, 40L, 11L),  // before any purchase → null
+      (2L, 500L, 12L)) // two purchases share ts 400 → highest event_id
+      .toDF("user_id", "ts", "event_id")
+    val right = Seq(
+      (1L, 50L, 1L, 5.0),
+      (1L, 100L, 2L, 7.0),
+      (2L, 400L, 3L, 1.0),
+      (2L, 400L, 4L, 2.0))
+      .toDF("user_id", "ts", "event_id", "value")
+    val out = Temporal.asofJoin(left, right, "user_id", "ts", "event_id",
+        leftCols = Seq("user_id", "ts", "event_id"),
+        payload = Seq("event_id", "value"))
+      .select($"event_id", $"asof_event_id", $"asof_value")
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) -1L else r.getLong(1),
+        if (r.isNullAt(2)) -1.0 else r.getDouble(2))).toSet
+    assert(out === Set((10L, 2L, 7.0), (11L, -1L, -1.0), (12L, 4L, 2.0)))
+  }
+
+  test("intervalJoin equals the theta join and emits each pair exactly once") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val intervals = (1 to 60).map { i =>
+      val lo = rnd.nextInt(1000).toLong
+      (i.toLong, rnd.nextInt(3).toLong, lo, lo + rnd.nextInt(120))
+    }.toDF("iv_id", "k", "lo", "hi")
+    val points = (1 to 300).map { i =>
+      (1000L + i, rnd.nextInt(3).toLong, rnd.nextInt(1100).toLong)
+    }.toDF("pt_id", "k2", "pt")
+    val got = Temporal.intervalJoin(intervals,
+        points.withColumnRenamed("k2", "k"), "k", "lo", "hi", "pt",
+        ptCols = Seq("pt_id"), bucketWidth = 64L)
+      .select($"iv_id", $"pt_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    // exactly-once: no duplicate pairs even when an interval spans buckets
+    assert(got.length === got.toSet.size)
+    val want = intervals.join(points,
+        intervals("k") === points("k2") &&
+          points("pt").between(intervals("lo"), intervals("hi")))
+      .select($"iv_id", $"pt_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.toSet === want)
+  }
+
+  test("intervalJoin boundary points are inclusive on both ends") {
+    import spark.implicits._
+    val iv = Seq((1L, 0L, 10L, 20L)).toDF("iv_id", "k", "lo", "hi")
+    val pts = Seq((1L, 0L, 10L), (2L, 0L, 20L), (3L, 0L, 9L), (4L, 0L, 21L))
+      .toDF("pt_id", "k", "pt")
+    val got = Temporal.intervalJoin(iv, pts, "k", "lo", "hi", "pt",
+        ptCols = Seq("pt_id"), bucketWidth = 7L)
+      .select($"pt_id").collect().map(_.getLong(0)).toSet
+    assert(got === Set(1L, 2L))
+  }
+}
