@@ -234,6 +234,62 @@ object Dedup {
       .where(col("jaccard") >= threshold)
   }
 
+  /** Incremental near-dup: batch documents whose token-set Jaccard with
+    * some existing corpus document reaches `threshold`, found via
+    * MinHash-LSH band-key collisions between the two sides — the
+    * near-duplicate complement of [[incrementalDedup]] for continuous
+    * ingest (drop or link batch docs that paraphrase the corpus).
+    *
+    * Scale: band keys are computed scan-side on BOTH sides; the join is
+    * an equi-join on (band, key). Precompute the corpus's band keys once
+    * and store them bucketed by (band, key) ([[graft.io.Layouts]]) and
+    * only the batch side shuffles — the corpus key table is touched as a
+    * co-partitioned build side, reused by every future batch. Corpus
+    * buckets above `maxBucket` are dropped (mass duplication belongs to
+    * exact dedup), bounding per-key join fan-out.
+    *
+    * @return (idA = batch id, idB = corpus id, jaccard ≥ threshold)
+    */
+  def incrementalNearDups(batch: DataFrame, corpus: DataFrame, idCol: String,
+      textCol: String, threshold: Double, numHashes: Int = 16,
+      bands: Int = 8, maxBucket: Int = 10000,
+      md5Basis: Boolean = false): DataFrame = {
+    val rows = numHashes / bands
+    def banded(df: DataFrame): DataFrame = {
+      val toks = tokenSet(col(textCol))
+      val sig =
+        if (md5Basis) graftFn("graft_minhash_md5", toks, lit(numHashes))
+        else minhashSignature(toks, numHashes)
+      val bandCol = array((0 until bands).map { b =>
+        struct(lit(b).as("band"),
+          (if (md5Basis) slice(sig, b * rows + 1, rows)
+           else array(xxhash64(lit(b), slice(sig, b * rows + 1, rows)))).as("key"))
+      }: _*)
+      df.select(col(idCol).as("__id"), explode(bandCol).as("__bk"))
+        .select(col("__id"), col("__bk.band").as("band"), col("__bk.key").as("key"))
+    }
+    val corpusKeys = banded(spread(corpus))
+      .withColumn("__n", count(lit(1)).over(
+        Window.partitionBy(col("band"), col("key"))))
+      .where(col("__n") <= maxBucket)
+      .select(col("__id").as("idB"), col("band"), col("key"))
+    val cands = banded(spread(batch))
+      .select(col("__id").as("idA"), col("band"), col("key"))
+      .join(corpusKeys, Seq("band", "key"))
+      .select(col("idA"), col("idB"))
+      .distinct()
+    def hashed(df: DataFrame, as: String) =
+      df.select(col(idCol).as(as),
+        graftFn("graft_token_hashes", TextAnalysis.tokens(col(textCol)))
+          .as(s"__t$as"))
+    cands
+      .join(hashed(batch, "idA"), Seq("idA"))
+      .join(hashed(corpus, "idB"), Seq("idB"))
+      .select(col("idA"), col("idB"),
+        graftFn("graft_jaccard_sorted", col("__tidA"), col("__tidB")).as("jaccard"))
+      .where(col("jaccard") >= threshold)
+  }
+
   /** Exact blocked near-dup: all pairs within a blocking key above a
     * Jaccard threshold. Quadratic within blocks — the oracle-checkable
     * ground truth for [[minhashNearDups]]; use only with selective blocks.

@@ -72,12 +72,29 @@ object CorpusQueries {
       .orderBy($"col_name")
   }
 
+  /** Incremental near-dup: batch docs (doc_id ≡ 0 mod 3) that paraphrase
+    * an existing corpus doc at token-set Jaccard ≥ 0.9, via MinHash band
+    * collisions between the sides. md5 basis → DuckDB rebuilds the exact
+    * candidate set, so the banded batch-vs-corpus plan is hash-checked
+    * (the q52 technique; the bucket cap cannot trigger at sf0.01).
+    */
+  private def q67(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    Dedup.incrementalNearDups(
+        docs.where($"doc_id" % 3 === 0),
+        docs.where($"doc_id" % 3 =!= 0), "doc_id", "text",
+        threshold = 0.9, numHashes = 16, bands = 8, md5Basis = true)
+      .orderBy($"idA", $"idB")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q60_vocab_topk" -> (q60 _),
     "q61_sequence_packing" -> (q61 _),
     "q62_incremental_dedup" -> (q62 _),
     "q63_quality_quantile" -> (q63 _),
-    "q64_column_profile" -> (q64 _))
+    "q64_column_profile" -> (q64 _),
+    "q67_incremental_neardup" -> (q67 _))
 
   val oracles: Map[String, String] = Map(
     "q60_vocab_topk" ->
@@ -155,5 +172,25 @@ object CorpusQueries {
         |       min(CAST(length(l_linestatus) AS DOUBLE)), max(CAST(length(l_linestatus) AS DOUBLE)),
         |       CAST(sum(CAST(length(l_linestatus) AS BIGINT)) AS DOUBLE) / count(l_linestatus)
         |FROM lineitem
-        |ORDER BY col_name""".stripMargin)
+        |ORDER BY col_name""".stripMargin,
+    "q67_incremental_neardup" ->
+      """WITH t AS (SELECT doc_id, list_distinct(string_split_regex(trim(text), ' +')) AS toks
+        |           FROM documents),
+        |tok AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+        |mh AS (SELECT doc_id, j.j AS j,
+        |              min(('0x' || substr(md5(j.j || ':' || tok), 1, 15))::BIGINT) AS h
+        |       FROM tok, (SELECT unnest(range(0, 16)) AS j) j GROUP BY doc_id, j.j),
+        |sig AS (SELECT doc_id, list(h ORDER BY j) AS sig FROM mh GROUP BY doc_id),
+        |k AS (SELECT doc_id, b.b AS band, list_slice(sig, b.b*2 + 1, b.b*2 + 2) AS key
+        |      FROM sig, (SELECT unnest(range(0, 8)) AS b) b),
+        |cand AS (SELECT DISTINCT a.doc_id AS idA, b.doc_id AS idB
+        |         FROM k a JOIN k b ON a.band = b.band AND a.key = b.key
+        |         WHERE a.doc_id % 3 = 0 AND b.doc_id % 3 <> 0)
+        |SELECT c.idA, c.idB,
+        |       CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+        |         / len(list_distinct(list_concat(a.toks, b.toks))) AS jaccard
+        |FROM cand c JOIN t a ON a.doc_id = c.idA JOIN t b ON b.doc_id = c.idB
+        |WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+        |        / len(list_distinct(list_concat(a.toks, b.toks))) >= 0.9
+        |ORDER BY idA, idB""".stripMargin)
 }

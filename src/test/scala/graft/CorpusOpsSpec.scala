@@ -95,6 +95,29 @@ class CorpusOpsSpec extends SparkSuite {
     assert(kept === Set(11L, 13L))
   }
 
+  test("incrementalNearDups links batch paraphrases to corpus docs only") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "one two three four five six seven eight")).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta eta theta"),     // exact dup of 1
+      (11L, "alpha beta gamma delta epsilon zeta eta iota"),      // near-dup of 1 (J=7/9)
+      (12L, "totally different words appearing nowhere else at")) // novel
+      .toDF("doc_id", "text")
+    val strict = Dedup.incrementalNearDups(batch, corpus, "doc_id", "text",
+        threshold = 0.99, numHashes = 16, bands = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(strict === Set((10L, 1L)))
+    val loose = Dedup.incrementalNearDups(batch, corpus, "doc_id", "text",
+        threshold = 0.7, numHashes = 16, bands = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // banding recall at J≈0.78 with 8 bands of 2 is near-certain here;
+    // the exact pair must be present and the novel doc must not match
+    assert(loose.contains((10L, 1L)))
+    assert(!loose.exists(_._1 == 12L))
+  }
+
   test("groupThresholds picks the rank-based median; filter keeps >= threshold") {
     import spark.implicits._
     val df = Seq(
