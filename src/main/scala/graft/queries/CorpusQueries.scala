@@ -88,7 +88,19 @@ object CorpusQueries {
       .orderBy($"idA", $"idB")
   }
 
+  /** TF-IDF weights over the corpus. ln() must agree between engines for
+    * the hash check; both use correctly-rounded libm-style log on the
+    * same rational inputs (verified by this query's gate history — if an
+    * engine's libm ever disagrees, the column is the first to flag it).
+    */
+  private def q68(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Vocab.tfidf(Tables.documents(s, dir), "doc_id", "text")
+      .orderBy($"doc_id", $"token")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q68_tfidf" -> (q68 _),
     "q60_vocab_topk" -> (q60 _),
     "q61_sequence_packing" -> (q61 _),
     "q62_incremental_dedup" -> (q62 _),
@@ -173,6 +185,17 @@ object CorpusQueries {
         |       CAST(sum(CAST(length(l_linestatus) AS BIGINT)) AS DOUBLE) / count(l_linestatus)
         |FROM lineitem
         |ORDER BY col_name""".stripMargin,
+    "q68_tfidf" ->
+      """WITH t AS (SELECT doc_id, unnest(string_split_regex(trim(text), ' +')) AS token
+        |           FROM documents),
+        |pd AS (SELECT token, doc_id, CAST(count(*) AS BIGINT) AS tf
+        |       FROM t GROUP BY token, doc_id),
+        |df AS (SELECT token, CAST(count(*) AS BIGINT) AS doc_freq FROM pd GROUP BY token),
+        |n AS (SELECT count(*) AS n FROM documents)
+        |SELECT pd.doc_id, pd.token, pd.tf, df.doc_freq,
+        |       pd.tf * (ln(CAST(n.n + 1 AS DOUBLE) / (df.doc_freq + 1)) + 1.0) AS tfidf
+        |FROM pd JOIN df USING (token), n
+        |ORDER BY pd.doc_id, pd.token""".stripMargin,
     "q67_incremental_neardup" ->
       """WITH t AS (SELECT doc_id, list_distinct(string_split_regex(trim(text), ' +')) AS toks
         |           FROM documents),

@@ -19,6 +19,24 @@ class CorpusOpsSpec extends SparkSuite {
     assert(v.toSeq === Seq(("a", 3L, 2L), ("c", 3L, 2L)))
   }
 
+  test("tfidf matches the driver-side model exactly") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a a b"),
+      (2L, "a c"),
+      (3L, "b c c")).toDF("doc_id", "text")
+    val got = Vocab.tfidf(df, "doc_id", "text")
+      .collect()
+      .map(r => ((r.getLong(0), r.getString(1)), (r.getLong(2), r.getLong(3), r.getDouble(4))))
+      .toMap
+    // doc freqs: a→2, b→2, c→2; N=3 → idf = ln(4/3)+1 everywhere
+    val idf = math.log(4.0 / 3.0) + 1.0
+    assert(got((1L, "a")) === ((2L, 2L, 2 * idf)))
+    assert(got((2L, "c")) === ((1L, 2L, idf)))
+    assert(got((3L, "c")) === ((2L, 2L, 2 * idf)))
+    assert(got.size === 6)
+  }
+
   test("packSequences computes the exact global prefix sum in id order") {
     import spark.implicits._
     // 4, 2, 3, 5, 1 tokens → starts 0, 4, 6, 9, 14
