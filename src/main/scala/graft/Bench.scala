@@ -144,8 +144,11 @@ object Bench {
       s"""\"$name\":{"x1":$t1,"x$r":$tr,"growth":$growth}"""
     }
     val qs = timed.mkString("{", ",", "}")
-    val nDocs = docsN.count()
-    val nVecs = embN.count()
+    // count the materialized parquet (footer metadata), not the
+    // replica-construction plans — docsN/embN would re-run the full
+    // 20-way union projections just to count rows
+    val nDocs = d.count()
+    val nVecs = e.count()
     // the replicated corpus is scratch data — don't leave it in /tmp
     try {
       import java.nio.file.{Files, Path}

@@ -199,6 +199,9 @@ object Statistics {
       else fileStats.map { case (f, n, b) => s"| $f | $n | $b |" }
         .mkString("\n## Files\n\n| File | Records | Bytes |\n|---|---|---|\n",
           "\n", "\n")
+    // Dynamic table rows are substituted AFTER stripMargin: interpolating
+    // them into the margin template would let stripMargin eat the leading
+    // '|' of every row beyond the first (it is the margin character).
     f"""# Aggregation Summary
        |
        |- **Total records:** ${stats.totalRecords}%,d
@@ -211,7 +214,9 @@ object Statistics {
        |
        || Media type | Count |
        ||---|---|
-       |$rows
-       |$fileSection""".stripMargin
+       |@@ROWS@@
+       |@@FILES@@""".stripMargin
+      .replace("@@ROWS@@", rows)
+      .replace("@@FILES@@", fileSection)
   }
 }

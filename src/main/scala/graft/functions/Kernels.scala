@@ -298,13 +298,20 @@ object Kernels {
   /** First 8 digest bytes, big-endian — the unsigned value of the first
     * 16 hex chars of the md5 string, as a signed long bit pattern.
     */
-  private def md5Long64(bytes: Array[Byte]): Long = {
-    val d = md5Local.get()
-    d.reset()
-    val h = d.digest(bytes)
+  /** First 8 bytes of an md5 digest, big-endian — the canonical
+    * cross-engine framing (the unsigned value of the hex string's first
+    * 16 chars). THE one copy of this fold: every md5-basis kernel and
+    * the multimodal stub decoder route through it.
+    */
+  private[graft] def longFromDigest(h: Array[Byte]): Long =
     ((h(0) & 0xffL) << 56) | ((h(1) & 0xffL) << 48) | ((h(2) & 0xffL) << 40) |
       ((h(3) & 0xffL) << 32) | ((h(4) & 0xffL) << 24) | ((h(5) & 0xffL) << 16) |
       ((h(6) & 0xffL) << 8) | (h(7) & 0xffL)
+
+  private def md5Long64(bytes: Array[Byte]): Long = {
+    val d = md5Local.get()
+    d.reset()
+    longFromDigest(d.digest(bytes))
   }
 
   /** First 15 hex chars of md5(s) as a non-negative long in [0, 2^60) —
@@ -439,12 +446,7 @@ object Kernels {
           d.reset()
           d.update(prefixes(j))
           d.update(tokBytes)
-          val h = d.digest()
-          val h64 = ((h(0) & 0xffL) << 56) | ((h(1) & 0xffL) << 48) |
-            ((h(2) & 0xffL) << 40) | ((h(3) & 0xffL) << 32) |
-            ((h(4) & 0xffL) << 24) | ((h(5) & 0xffL) << 16) |
-            ((h(6) & 0xffL) << 8) | (h(7) & 0xffL)
-          val v = h64 >>> 4
+          val v = longFromDigest(d.digest()) >>> 4
           if (v < sig(j)) sig(j) = v
           j += 1
         }

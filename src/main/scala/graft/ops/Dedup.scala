@@ -146,13 +146,31 @@ object Dedup {
   def minhashSignature(tokenArr: Column, numHashes: Int): Column =
     graftFn("graft_minhash", tokenArr, lit(numHashes))
 
-  /** LSH band keys: the signature split into `bands` bands of
-    * `numHashes / bands` rows, each band hashed to one 64-bit key.
+  /** Per-document MinHash band keys as (id, band, key) rows — the shared
+    * front end of every LSH-banded operator. Band keys are built as one
+    * array(struct(band, key)) projection over plain (non-lambda)
+    * expressions: the signature subtree repeats per band, but
+    * whole-stage codegen's subexpression elimination computes it ONCE
+    * per row (a `transform(sequence(...), ...)` lambda would interpret,
+    * recomputing the signature per band per row). Keys are array<long>
+    * in both bases (Spark groups/joins arrays by value): the md5 basis
+    * keys on the raw signature slice so DuckDB can rebuild it; the
+    * xxh64 production basis hashes the slice to one word.
     */
-  def bandKeys(signature: Column, numHashes: Int, bands: Int): Column = {
+  private def bandedKeys(df: DataFrame, idCol: String, textCol: String,
+      numHashes: Int, bands: Int, md5Basis: Boolean): DataFrame = {
+    val toks = tokenSet(col(textCol))
     val rows = numHashes / bands
-    transform(sequence(lit(0), lit(bands - 1)),
-      b => xxhash64(b, slice(signature, b * rows + 1, lit(rows))))
+    val sig =
+      if (md5Basis) graftFn("graft_minhash_md5", toks, lit(numHashes))
+      else minhashSignature(toks, numHashes)
+    val bandCol = array((0 until bands).map { b =>
+      val sl = slice(sig, b * rows + 1, rows)
+      struct(lit(b).as("band"),
+        (if (md5Basis) sl else array(xxhash64(lit(b), sl))).as("key"))
+    }: _*)
+    df.select(col(idCol).as("__id"), explode(bandCol).as("__bk"))
+      .select(col("__id"), col("__bk.band").as("band"), col("__bk.key").as("key"))
   }
 
   /** Candidate near-duplicate pairs from MinHash-LSH banding.
@@ -173,31 +191,7 @@ object Dedup {
   def lshCandidates(df: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 64, bands: Int = 4,
       maxBucket: Int = 1000, md5Basis: Boolean = false): DataFrame = {
-    val toks = tokenSet(col(textCol))
-    // Band keys are built as one array(struct(band, key)) projection over
-    // plain (non-lambda) expressions: the signature subtree repeats per
-    // band, but whole-stage codegen's subexpression elimination computes
-    // it ONCE per row. The previous `transform(sequence(...), b => ...)`
-    // formulation interpreted the lambda — recomputing the full MinHash
-    // signature once per band per row.
-    val rows = numHashes / bands
-    def banded(sig: Column, key: (Int, Column) => Column): Column =
-      array((0 until bands).map { b =>
-        struct(lit(b).as("band"),
-          key(b, slice(sig, b * rows + 1, rows)).as("key"))
-      }: _*)
-    val bandCol =
-      if (md5Basis) {
-        // band key = the band's raw signature slice (array<long> — Spark
-        // groups/joins on arrays by value, and DuckDB can rebuild the
-        // identical lists)
-        banded(graftFn("graft_minhash_md5", toks, lit(numHashes)), (_, sl) => sl)
-      } else {
-        banded(minhashSignature(toks, numHashes), (b, sl) => xxhash64(lit(b), sl))
-      }
-    val keyed = spread(df)
-      .select(col(idCol).as("__id"), explode(bandCol).as("__bk"))
-      .select(col("__id"), col("__bk.band").as("band"), col("__bk.key").as("key"))
+    val keyed = bandedKeys(spread(df), idCol, textCol, numHashes, bands, md5Basis)
     // One shuffle: gather each bucket's ids, emit its pairs inline —
     // no second pass over the keyed exchange and no per-bucket sort, as
     // a windowed-count + self-join formulation would need. Buckets are
@@ -254,26 +248,14 @@ object Dedup {
       textCol: String, threshold: Double, numHashes: Int = 16,
       bands: Int = 8, maxBucket: Int = 10000,
       md5Basis: Boolean = false): DataFrame = {
-    val rows = numHashes / bands
-    def banded(df: DataFrame): DataFrame = {
-      val toks = tokenSet(col(textCol))
-      val sig =
-        if (md5Basis) graftFn("graft_minhash_md5", toks, lit(numHashes))
-        else minhashSignature(toks, numHashes)
-      val bandCol = array((0 until bands).map { b =>
-        struct(lit(b).as("band"),
-          (if (md5Basis) slice(sig, b * rows + 1, rows)
-           else array(xxhash64(lit(b), slice(sig, b * rows + 1, rows)))).as("key"))
-      }: _*)
-      df.select(col(idCol).as("__id"), explode(bandCol).as("__bk"))
-        .select(col("__id"), col("__bk.band").as("band"), col("__bk.key").as("key"))
-    }
-    val corpusKeys = banded(spread(corpus))
+    def banded(df: DataFrame): DataFrame =
+      bandedKeys(spread(df), idCol, textCol, numHashes, bands, md5Basis)
+    val corpusKeys = banded(corpus)
       .withColumn("__n", count(lit(1)).over(
         Window.partitionBy(col("band"), col("key"))))
       .where(col("__n") <= maxBucket)
       .select(col("__id").as("idB"), col("band"), col("key"))
-    val cands = banded(spread(batch))
+    val cands = banded(batch)
       .select(col("__id").as("idA"), col("band"), col("key"))
       .join(corpusKeys, Seq("band", "key"))
       .select(col("idA"), col("idB"))

@@ -51,10 +51,7 @@ object Multimodal {
   object StubDecoder extends Decoder {
     def decode(assetId: Long, kind: String, payload: Array[Byte]): MediaFeatures = {
       val digest = graft.functions.Kernels.md5Digest(payload)
-      val h = (((digest(0) & 0xffL) << 56) | ((digest(1) & 0xffL) << 48) |
-        ((digest(2) & 0xffL) << 40) | ((digest(3) & 0xffL) << 32) |
-        ((digest(4) & 0xffL) << 24) | ((digest(5) & 0xffL) << 16) |
-        ((digest(6) & 0xffL) << 8) | (digest(7) & 0xffL)) >>> 4
+      val h = graft.functions.Kernels.longFromDigest(digest) >>> 4
       val feature = Array.tabulate(16)(i => (digest(i) & 0xff).toFloat / 256f)
       MediaFeatures(assetId, kind, payload.length.toLong,
         width = (h % 1920).toInt + 1, height = (h / 1920 % 1080).toInt + 1,

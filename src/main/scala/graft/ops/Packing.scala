@@ -36,6 +36,12 @@ object Packing {
     *         virtual token stream and `seq_first..seq_last` the 0-based
     *         ids of the fixed-`budget` sequences it occupies
     */
+  /** The previous call's pinned intermediate — released on the next
+    * call, so a session running many packings holds at most one cached
+    * (id, n_tokens) table instead of accumulating them.
+    */
+  private var lastPinned: Option[DataFrame] = None
+
   def packSequences(df: DataFrame, idCol: String, textCol: String,
       budget: Long): DataFrame = {
     require(budget > 0, s"budget must be positive, got $budget")
@@ -48,6 +54,10 @@ object Packing {
       .repartitionByRange(col(idCol))
       .withColumn("__pid", spark_partition_id())
       .persist()
+    synchronized {
+      lastPinned.foreach(_.unpersist(blocking = false))
+      lastPinned = Some(counted)
+    }
 
     // Within-partition prefix sum (exclusive): balanced parallel windows.
     val local = Window.partitionBy(col("__pid")).orderBy(col(idCol))

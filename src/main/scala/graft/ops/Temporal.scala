@@ -31,25 +31,31 @@ object Temporal {
   def asofJoin(left: DataFrame, right: DataFrame, keyCol: String,
       tsCol: String, seqCol: String, leftCols: Seq[String],
       payload: Seq[String]): DataFrame = {
+    // Payload rides as ONE struct so the carried value is always a whole
+    // right row — carrying columns independently would back-fill a null
+    // payload FIELD from an older right row, splicing two rows together.
+    val pType = org.apache.spark.sql.types.StructType(
+      payload.map(c => org.apache.spark.sql.types.StructField(
+        c, right.schema(c).dataType)))
     val l = left.select(
       leftCols.map(col) ++
-        Seq(lit(1).as("__side")) ++
-        payload.map(c => lit(null).cast(right.schema(c).dataType).as(s"asof_$c")): _*)
+        Seq(lit(1).as("__side"), lit(null).cast(pType).as("__p")): _*)
     val r = right.select(
       leftCols.map(c =>
         (if (c == keyCol || c == tsCol || c == seqCol) col(c)
          else lit(null).cast(left.schema(c).dataType)).as(c)) ++
-        Seq(lit(0).as("__side")) ++
-        payload.map(c => col(c).as(s"asof_$c")): _*)
+        Seq(lit(0).as("__side"),
+          struct(payload.map(col): _*).cast(pType).as("__p")): _*)
     // right sorts before left at an equal timestamp => "<=" semantics;
     // seqCol breaks right-side ts ties deterministically
     val w = Window.partitionBy(col(keyCol))
       .orderBy(col(tsCol), col("__side"), col(seqCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = payload.foldLeft(l.unionByName(r)) { (df, c) =>
-      df.withColumn(s"asof_$c", last(col(s"asof_$c"), ignoreNulls = true).over(w))
-    }
-    carried.where(col("__side") === 1).drop("__side")
+    l.unionByName(r)
+      .withColumn("__p", last(col("__p"), ignoreNulls = true).over(w))
+      .where(col("__side") === 1)
+      .select(leftCols.map(col) ++
+        payload.map(c => col("__p").getField(c).as(s"asof_$c")): _*)
   }
 
   /** Point-in-interval join: every (interval, point) pair of the same

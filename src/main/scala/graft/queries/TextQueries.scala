@@ -221,6 +221,11 @@ object TextQueries {
     import s.implicits._
     val g2 = TextAnalysis.gramStats($"text", 2)
     Tables.documents(s, dir)
+      // the oracle's inner join of 2-gram and 3-gram aggregates drops
+      // docs with no 3-gram; match that here (Spark would otherwise emit
+      // null fractions for <3-token docs and break the gate on corpora
+      // that contain them)
+      .where(TextAnalysis.tokenCount($"text") >= 3)
       .select($"doc_id",
         element_at(g2, 1).as("n_2grams"),
         element_at(g2, 2).as("top_2gram_count"),

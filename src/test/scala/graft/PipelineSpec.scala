@@ -104,7 +104,13 @@ class PipelineSpec extends SparkSuite {
 
     val md = Files.readString(java.nio.file.Paths.get(s"$out/agg/aggregation_summary.md"))
     assert(md.contains("## Files"))
-    assert(md.contains("| Records | Bytes |"))
+    assert(md.contains("| File | Records | Bytes |"))
+    // every table line must keep its leading pipe (stripMargin once ate
+    // the margin '|' of interpolated rows, breaking the markdown tables)
+    val tableLines = md.linesIterator.filter(_.contains(" | ")).toSeq
+    assert(tableLines.nonEmpty)
+    assert(tableLines.forall(_.startsWith("|")),
+      tableLines.filterNot(_.startsWith("|")).mkString("\n"))
   }
 
   test("largestPerSegment picks the biggest parquet per child directory") {

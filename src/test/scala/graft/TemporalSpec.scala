@@ -29,6 +29,21 @@ class TemporalSpec extends SparkSuite {
     assert(out === Set((10L, 2L, 7.0), (11L, -1L, -1.0), (12L, 4L, 2.0)))
   }
 
+  test("asofJoin carries whole right rows — null payload fields are not back-filled") {
+    import spark.implicits._
+    val left = Seq((1L, 200L, 10L)).toDF("user_id", "ts", "event_id")
+    val right = Seq(
+      (1L, 50L, 1L, Some(5.0)),
+      (1L, 100L, 2L, None)) // latest row has a NULL value field
+      .toDF("user_id", "ts", "event_id", "value")
+    val r = Temporal.asofJoin(left, right, "user_id", "ts", "event_id",
+        leftCols = Seq("user_id", "ts", "event_id"),
+        payload = Seq("event_id", "value"))
+      .select($"asof_event_id", $"asof_value").head()
+    assert(r.getLong(0) === 2L)
+    assert(r.isNullAt(1), "null field of the matched row must stay null")
+  }
+
   test("intervalJoin equals the theta join and emits each pair exactly once") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)
