@@ -56,6 +56,33 @@ object Similarity {
       .limit(k)
   }
 
+  /** Exact top-k neighbors for a whole SET of query vectors in one job —
+    * the retrieval-evaluation shape (every eval query needs its
+    * neighbors, not just one). The query set broadcasts (it is
+    * eval-sized, not corpus-sized); the corpus is scanned ONCE for all
+    * queries; per-query ranking is a windowed top-k over (query, corpus)
+    * scores, which shuffles only score rows (queries × corpus of
+    * (id, id, double) — prune the corpus or batch the query set if that
+    * product is too large, never the vectors themselves).
+    */
+  def bruteForceTopKBatch(emb: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, queryIdCol: String, queryVecCol: String,
+      k: Int): DataFrame = {
+    val q = broadcast(queries.select(col(queryIdCol).as("query_id"),
+      col(queryVecCol).as("__qvec")))
+    val scored = Dedup.spread(emb)
+      .crossJoin(q)
+      .where(col(idCol) =!= col("query_id"))
+      .select(col("query_id"), col(idCol),
+        cosine(col(vecCol), col("__qvec")).as("cosine"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(desc("cosine"), col(idCol))
+    scored.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= k)
+      .drop("__rn")
+  }
+
   /** All pairs above a cosine threshold (embedding near-dup detection).
     * Quadratic — at scale, run [[signLshBuckets]] first and pair within
     * buckets only.
@@ -131,6 +158,40 @@ object Similarity {
           .as("cosine"))
       .where(col("cosine") > threshold)
   }
+
+  /** Symmetric int8 quantization of an embedding column — the storage
+    * format for a 100 TB embedding table (4× smaller than float32, 8×
+    * than float64; IVF/LSH candidate generation runs on quantized
+    * vectors, exact re-ranking on the float originals). Adds
+    * `scale = absmax/127` (float) and `qvec` (array<tinyint>,
+    * `round-half-up(x/scale)`); all-zero vectors get scale 0 and zero
+    * codes. Deterministic double arithmetic (floor-based rounding), so
+    * any engine reproduces the codes bit-for-bit.
+    *
+    * A per-row transform lambda, not a codegen kernel: quantization runs
+    * once at write time, not in a query hot loop.
+    */
+  def quantizeInt8(emb: DataFrame, vecCol: String): DataFrame = {
+    val absmax = array_max(transform(col(vecCol),
+      x => abs(x.cast("double"))))
+    val withScale = emb.withColumn("scale",
+      (absmax / 127.0).cast("float"))
+    withScale.withColumn("qvec",
+      when(col("scale") === 0f,
+        transform(col(vecCol), _ => lit(0).cast("byte")))
+        .otherwise(transform(col(vecCol), x =>
+          floor(x.cast("double") / col("scale").cast("double") + 0.5)
+            .cast("byte"))))
+  }
+
+  /** Dequantize back to float: `qvec[i] * scale`. Lossy — max error
+    * scale/2 per component; pair with exact float re-ranking.
+    */
+  def dequantizeInt8(df: DataFrame, qvecCol: String = "qvec",
+      scaleCol: String = "scale"): DataFrame =
+    df.withColumn("dequantized",
+      transform(col(qvecCol),
+        q => (q.cast("double") * col(scaleCol).cast("double")).cast("float")))
 
   /** Sign-LSH bucket id in [0, 2^planes): bit p is the sign of the
     * projection onto deterministic md5-derived hyperplane p. Computed

@@ -104,7 +104,37 @@ object SimilarityQueries {
       .orderBy($"vec_id")
   }
 
+  /** Batch exact ANN: top-5 neighbors for every query in the eval slice
+    * (vec_id ≡ 0 mod 100) from ONE corpus scan — the retrieval-eval
+    * workload. Broadcast query set, windowed per-query top-k.
+    */
+  private def q69(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables.embeddings(s, dir)
+    Similarity.bruteForceTopKBatch(emb, "vec_id", "embedding",
+        emb.where($"vec_id" % 100 === 0), "vec_id", "embedding", k = 5)
+      .orderBy($"query_id", $"vec_id")
+  }
+
+  /** Int8 quantization round-trip: per-vector scale, code fingerprint,
+    * and max reconstruction error — all deterministic double arithmetic,
+    * hash-checked against DuckDB rebuilding the identical codes.
+    */
+  private def q70(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Similarity.quantizeInt8(Tables.embeddings(s, dir), "embedding")
+      .select($"vec_id", $"scale",
+        md5(array_join(transform($"qvec", q => q.cast("int").cast("string")), ","))
+          .as("qvec_md5"),
+        array_max(zip_with($"embedding", $"qvec", (x, q) =>
+          abs(x.cast("double") - q.cast("double") * $"scale".cast("double"))))
+          .as("max_err"))
+      .orderBy($"vec_id")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q69_ann_batch" -> (q69 _),
+    "q70_quantize_i8" -> (q70 _),
     "q53_embedding_dedup" -> (q53 _),
     "q30_ann_bruteforce" -> (q30 _),
     "q31_cosine_neardup" -> (q31 _),
@@ -114,6 +144,32 @@ object SimilarityQueries {
     "q50_cosine_neardup_bucketed" -> (q50 _))
 
   val oracles: Map[String, String] = Map(
+    "q69_ann_batch" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+        |           WHERE vec_id % 100 = 0),
+        |s AS (SELECT q.query_id, e.vec_id,
+        |        list_cosine_similarity(e.embedding::DOUBLE[], q.qv::DOUBLE[]) AS cosine
+        |      FROM embeddings e, q WHERE e.vec_id <> q.query_id),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+        |        ORDER BY cosine DESC, vec_id) AS rn FROM s)
+        |SELECT query_id, vec_id, cosine FROM r WHERE rn <= 5
+        |ORDER BY query_id, vec_id""".stripMargin,
+    "q70_quantize_i8" ->
+      """WITH b AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |sc AS (SELECT vec_id, v,
+        |         CAST(CAST(list_max(list_transform(v, x -> abs(x))) / 127.0 AS REAL)
+        |           AS DOUBLE) AS s
+        |       FROM b),
+        |qz AS (SELECT vec_id, v, s,
+        |         CASE WHEN s = 0 THEN list_transform(v, x -> 0)
+        |              ELSE list_transform(v, x -> CAST(floor(x / s + 0.5) AS INTEGER))
+        |         END AS q
+        |       FROM sc)
+        |SELECT vec_id, CAST(s AS REAL) AS scale,
+        |       md5(array_to_string(list_transform(q, x -> x::VARCHAR), ',')) AS qvec_md5,
+        |       list_max(list_transform(range(1, len(v) + 1),
+        |         i -> abs(v[i] - q[i] * s))) AS max_err
+        |FROM qz ORDER BY vec_id""".stripMargin,
     "q30_ann_bruteforce" ->
       """SELECT b.vec_id,
         |       list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) AS cosine

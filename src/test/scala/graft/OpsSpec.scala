@@ -305,4 +305,34 @@ class OpsSpec extends SparkSuite {
     val sims = approx.map(_.getDouble(1))
     assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })
   }
+
+  test("int8 quantization round-trip error is bounded by scale/2") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sfDir)
+    val rt = Similarity.dequantizeInt8(
+      Similarity.quantizeInt8(emb, "embedding"))
+    val bad = rt.select($"vec_id", $"scale",
+        array_max(zip_with($"embedding", $"dequantized",
+          (x, d) => abs(x.cast("double") - d.cast("double")))).as("err"))
+      .where($"err" > $"scale".cast("double") / 2 + 1e-7)
+      .count()
+    assert(bad === 0L)
+  }
+
+  test("bruteForceTopKBatch matches single-query bruteForceTopK per query") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sfDir)
+    val queries = emb.where($"vec_id".isin(0L, 7L))
+    val batch = Similarity.bruteForceTopKBatch(emb, "vec_id", "embedding",
+        queries, "vec_id", "embedding", k = 4)
+      .collect()
+      .groupBy(_.getLong(0))
+      .view.mapValues(_.sortBy(r => (-r.getDouble(2), r.getLong(1)))
+        .map(r => (r.getLong(1), r.getDouble(2))).toSeq).toMap
+    for (q <- Seq(0L, 7L)) {
+      val single = Similarity.bruteForceTopK(emb, "vec_id", "embedding", q, 4)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(batch(q) === single, s"query $q")
+    }
+  }
 }
