@@ -39,4 +39,30 @@ object Curation {
     Dedup.exactDedup(clean, idCol, textCol)
       .select(col(idCol), col("n_tokens"), col("dup_2gram_frac"))
   }
+
+  /** The complete corpus-production run: [[curate]] (quality →
+    * decontamination → exact dedup) followed by MinHash-LSH near-dup
+    * collapse over the survivors ([[Dedup.nearDupPipeline]]) — every
+    * stage of what actually ships to training, in one composed plan.
+    *
+    * Scale shape: curate's single corpus shuffle, then the near-dup
+    * pipeline's (band, key) shuffle + O(log n) connected-component
+    * rounds over the (much smaller) pair graph. Nothing quadratic;
+    * the eval side broadcasts.
+    *
+    * @return surviving document ids
+    */
+  def curateAndDedup(corpus: DataFrame, bench: DataFrame, idCol: String,
+      textCol: String, minTokens: Int = 20,
+      maxDupGramFraction: Double = 0.2, contaminationN: Int = 8,
+      threshold: Double = 0.9, numHashes: Int = 16, bands: Int = 8,
+      md5Basis: Boolean = false): DataFrame = {
+    val kept = curate(corpus, bench, idCol, textCol, minTokens,
+      maxDupGramFraction, contaminationN).select(col(idCol))
+    val withText = corpus.select(col(idCol), col(textCol))
+      .join(kept, Seq(idCol))
+    Dedup.nearDupPipeline(withText, idCol, textCol, threshold,
+        numHashes, bands, md5Basis)
+      .select(col(idCol))
+  }
 }

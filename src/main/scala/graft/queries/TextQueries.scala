@@ -264,7 +264,25 @@ object TextQueries {
       .orderBy($"doc_id")
   }
 
+  /** The complete corpus-production run in ONE plan: quality thresholds
+    * → decontamination → exact dedup → MinHash-LSH near-dup collapse.
+    * q59 verifies the curation half and q52 the near-dup half; this
+    * verifies their composition — the query a training-data team ships.
+    */
+  private def q71(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    graft.ops.Curation.curateAndDedup(
+        docs.where($"doc_id" % 97 =!= 0),
+        docs.where($"doc_id" % 97 === 0),
+        "doc_id", "text", minTokens = 20, maxDupGramFraction = 0.2,
+        contaminationN = 3, threshold = 0.9, numHashes = 16, bands = 8,
+        md5Basis = true)
+      .orderBy($"doc_id")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q71_production_pipeline" -> (q71 _),
     "q59_curation_pipeline" -> (q59 _),
     "q56_decontaminate" -> (q56 _),
     "q57_repetition_stats" -> (q57 _),
@@ -286,6 +304,63 @@ object TextQueries {
     "q29_dedup_exact" -> (q29 _))
 
   val oracles: Map[String, String] = Map(
+    // q59's curation CTE chain (quality → decontaminate → exact dedup)
+    // feeding q52's near-dup pipeline CTE chain (md5-MinHash bands →
+    // Jaccard verify → recursive-CTE closure → survivors)
+    "q71_production_pipeline" ->
+      """WITH RECURSIVE
+        |tq AS (SELECT doc_id, text, string_split_regex(trim(text), ' +') AS toks
+        |       FROM documents WHERE doc_id % 97 <> 0),
+        |g2 AS (SELECT doc_id, array_to_string(list_slice(toks, i, i + 1), ' ') AS gram
+        |       FROM tq, UNNEST(range(1, len(toks))) AS u(i)),
+        |c2 AS (SELECT doc_id, gram, count(*) AS cnt FROM g2 GROUP BY 1, 2),
+        |rep AS (SELECT doc_id,
+        |          CAST(sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS DOUBLE) / sum(cnt) AS dup2
+        |        FROM c2 GROUP BY doc_id),
+        |shAll AS (SELECT doc_id,
+        |            CASE WHEN len(toks) >= 3
+        |                 THEN list_distinct(list_transform(range(1, len(toks) - 1),
+        |                        i -> array_to_string(list_slice(toks, i, i + 2), ' ')))
+        |                 ELSE [] END AS sh
+        |          FROM (SELECT doc_id, string_split_regex(trim(text), ' +') AS toks
+        |                FROM documents)),
+        |bench AS (SELECT DISTINCT unnest(sh) AS g FROM shAll WHERE doc_id % 97 = 0),
+        |flagged AS (SELECT DISTINCT c.doc_id
+        |            FROM (SELECT doc_id, unnest(sh) AS g FROM shAll WHERE doc_id % 97 <> 0) c
+        |            JOIN bench USING (g)),
+        |filtered AS (SELECT tq.doc_id, tq.text
+        |             FROM tq JOIN rep USING (doc_id)
+        |             WHERE len(tq.toks) >= 20 AND rep.dup2 <= 0.2
+        |               AND NOT EXISTS (SELECT 1 FROM flagged f WHERE f.doc_id = tq.doc_id)),
+        |surv0 AS (SELECT doc_id, text FROM (
+        |            SELECT doc_id, text,
+        |                   row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+        |            FROM filtered) WHERE rn = 1),
+        |t AS (SELECT doc_id, list_distinct(string_split_regex(trim(text), ' +')) AS toks
+        |      FROM surv0),
+        |tok AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+        |mh AS (SELECT doc_id, j.j AS j,
+        |              min(('0x' || substr(md5(j.j || ':' || tok), 1, 15))::BIGINT) AS h
+        |       FROM tok, (SELECT unnest(range(0, 16)) AS j) j GROUP BY doc_id, j.j),
+        |sig AS (SELECT doc_id, list(h ORDER BY j) AS sig FROM mh GROUP BY doc_id),
+        |k AS (SELECT doc_id, b.b AS band, list_slice(sig, b.b*2 + 1, b.b*2 + 2) AS key
+        |      FROM sig, (SELECT unnest(range(0, 8)) AS b) b),
+        |cand AS (SELECT DISTINCT a.doc_id AS idA, b.doc_id AS idB
+        |         FROM k a JOIN k b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+        |p AS (SELECT c.idA, c.idB
+        |      FROM cand c JOIN t a ON a.doc_id = c.idA JOIN t b ON b.doc_id = c.idB
+        |      WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+        |              / len(list_distinct(list_concat(a.toks, b.toks))) >= 0.9),
+        |e AS (SELECT idA AS src, idB AS dst FROM p UNION ALL SELECT idB, idA FROM p),
+        |reach AS (
+        |  SELECT src AS id, src AS r FROM e
+        |  UNION
+        |  SELECT e.src, reach.r FROM e JOIN reach ON e.dst = reach.id),
+        |losers AS (SELECT id FROM (SELECT id, min(r) AS label FROM reach GROUP BY id)
+        |           WHERE id <> label)
+        |SELECT doc_id FROM surv0
+        |WHERE doc_id NOT IN (SELECT id FROM losers)
+        |ORDER BY doc_id""".stripMargin,
     "q59_curation_pipeline" ->
       """WITH t AS (SELECT doc_id, text, string_split_regex(trim(text), ' +') AS toks
         |           FROM documents WHERE doc_id % 97 <> 0),
