@@ -58,6 +58,29 @@ object Temporal {
         payload.map(c => col("__p").getField(c).as(s"asof_$c")): _*)
   }
 
+  /** Funnel analysis: for each key, the earliest strictly-ordered
+    * completion of `stages` — t1 = first stage-1 event, t2 = first
+    * stage-2 event after t1, and so on (the greedy earliest-completion
+    * funnel). Returns keys that complete ALL stages, with `t1..tN`.
+    *
+    * Scale: one filtered aggregate plus one equi-join + aggregate per
+    * stage, all keyed on `keyCol`; the accumulator side only shrinks
+    * stage over stage, and nothing is ever ordered globally.
+    */
+  def funnel(events: DataFrame, keyCol: String, tsCol: String,
+      typeCol: String, stages: Seq[String]): DataFrame = {
+    require(stages.nonEmpty, "funnel needs at least one stage")
+    val first = events.where(col(typeCol) === stages.head)
+      .groupBy(col(keyCol)).agg(min(col(tsCol)).as("t1"))
+    stages.zipWithIndex.drop(1).foldLeft(first) { case (acc, (s, i)) =>
+      events.where(col(typeCol) === s)
+        .join(acc, Seq(keyCol))
+        .where(col(tsCol) > col(s"t$i"))
+        .groupBy(col(keyCol) +: (1 to i).map(j => col(s"t$j")): _*)
+        .agg(min(col(tsCol)).as(s"t${i + 1}"))
+    }
+  }
+
   /** Point-in-interval join: every (interval, point) pair of the same
     * `keyCol` with `lo <= pt <= hi`. Both sides bucketize on
     * `bucketWidth`-sized ranges of the point/interval domain and

@@ -107,12 +107,27 @@ object EventQueries {
       .orderBy($"purchase_id", $"view_id")
   }
 
+  /** Funnel: earliest strictly-ordered signup → view → purchase per
+    * user (µs-truncated stage timestamps, see q65 note).
+    */
+  private def q72(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.ops.Temporal.funnel(Tables.events(s, dir), "user_id", "ts",
+        "event_type", Seq("signup", "view", "purchase"))
+      .select($"user_id",
+        expr("t1 DIV 1000").as("signup_us"),
+        expr("t2 DIV 1000").as("view_us"),
+        expr("t3 DIV 1000").as("purchase_us"))
+      .orderBy($"user_id")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q34_event_windows" -> (q34 _),
     "q35_sessionization" -> (q35 _),
     "q36_transitions" -> (q36 _),
     "q65_asof_join" -> (q65 _),
-    "q66_interval_join" -> (q66 _))
+    "q66_interval_join" -> (q66 _),
+    "q72_funnel" -> (q72 _))
 
   val oracles: Map[String, String] = Map(
     "q34_event_windows" ->
@@ -163,5 +178,20 @@ object EventQueries {
         |SELECT p.purchase_id, v.view_id, p.user_id,
         |       v.vts // 1000 - p.lo // 1000 AS lag_us
         |FROM p JOIN v ON v.user_id = p.user_id AND v.vts BETWEEN p.lo AND p.hi
-        |ORDER BY purchase_id, view_id""".stripMargin)
+        |ORDER BY purchase_id, view_id""".stripMargin,
+    "q72_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_ns(ts) AS t FROM events),
+        |s1 AS (SELECT user_id, min(t) AS t1 FROM e
+        |       WHERE event_type = 'signup' GROUP BY user_id),
+        |s2 AS (SELECT e.user_id, s1.t1, min(e.t) AS t2
+        |       FROM e JOIN s1 USING (user_id)
+        |       WHERE e.event_type = 'view' AND e.t > s1.t1
+        |       GROUP BY e.user_id, s1.t1),
+        |s3 AS (SELECT e.user_id, s2.t1, s2.t2, min(e.t) AS t3
+        |       FROM e JOIN s2 USING (user_id)
+        |       WHERE e.event_type = 'purchase' AND e.t > s2.t2
+        |       GROUP BY e.user_id, s2.t1, s2.t2)
+        |SELECT user_id, t1 // 1000 AS signup_us, t2 // 1000 AS view_us,
+        |       t3 // 1000 AS purchase_us
+        |FROM s3 ORDER BY user_id""".stripMargin)
 }

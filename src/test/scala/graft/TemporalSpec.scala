@@ -67,6 +67,21 @@ class TemporalSpec extends SparkSuite {
     assert(got.toSet === want)
   }
 
+  test("funnel finds the earliest strictly-ordered completion only") {
+    import spark.implicits._
+    val ev = Seq(
+      // user 1 completes a->b->c, but b appears BEFORE a too (must skip it)
+      (1L, 10L, "b"), (1L, 20L, "a"), (1L, 30L, "b"), (1L, 40L, "c"),
+      // user 2 never reaches c
+      (2L, 10L, "a"), (2L, 20L, "b"),
+      // user 3: c precedes b -> incomplete
+      (3L, 10L, "a"), (3L, 15L, "c"), (3L, 20L, "b"))
+      .toDF("user_id", "ts", "event_type")
+    val out = Temporal.funnel(ev, "user_id", "ts", "event_type", Seq("a", "b", "c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq === Seq((1L, 20L, 30L, 40L)))
+  }
+
   test("intervalJoin boundary points are inclusive on both ends") {
     import spark.implicits._
     val iv = Seq((1L, 0L, 10L, 20L)).toDF("iv_id", "k", "lo", "hi")
