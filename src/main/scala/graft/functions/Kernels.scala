@@ -295,9 +295,6 @@ object Kernels {
       java.security.MessageDigest.getInstance("MD5")
   }
 
-  /** First 8 digest bytes, big-endian — the unsigned value of the first
-    * 16 hex chars of the md5 string, as a signed long bit pattern.
-    */
   /** First 8 bytes of an md5 digest, big-endian — the canonical
     * cross-engine framing (the unsigned value of the hex string's first
     * 16 chars). THE one copy of this fold: every md5-basis kernel and

@@ -61,8 +61,12 @@ object Curation {
       maxDupGramFraction, contaminationN).select(col(idCol))
     val withText = corpus.select(col(idCol), col(textCol))
       .join(kept, Seq(idCol))
-    Dedup.nearDupPipeline(withText, idCol, textCol, threshold,
-        numHashes, bands, md5Basis)
+    // curate() already exact-deduped, so go straight to the near-dup
+    // stages instead of nearDupPipeline (whose leading exactDedup would
+    // re-shuffle the surviving corpus for a guaranteed no-op)
+    val pairs = Dedup.minhashNearDups(withText, idCol, textCol, threshold,
+      numHashes, bands, md5Basis)
+    Dedup.collapseNearDups(withText, idCol, pairs)
       .select(col(idCol))
   }
 }

@@ -152,10 +152,11 @@ object Dedup {
     * expressions: the signature subtree repeats per band, but
     * whole-stage codegen's subexpression elimination computes it ONCE
     * per row (a `transform(sequence(...), ...)` lambda would interpret,
-    * recomputing the signature per band per row). Keys are array<long>
-    * in both bases (Spark groups/joins arrays by value): the md5 basis
-    * keys on the raw signature slice so DuckDB can rebuild it; the
-    * xxh64 production basis hashes the slice to one word.
+    * recomputing the signature per band per row). The md5 basis keys on
+    * the raw signature slice (array<long> — Spark groups/joins arrays
+    * by value, and DuckDB can rebuild the identical lists); the xxh64
+    * production basis hashes the slice to one BARE long, keeping the
+    * dominant (band, key) exchange primitive-typed.
     */
   private def bandedKeys(df: DataFrame, idCol: String, textCol: String,
       numHashes: Int, bands: Int, md5Basis: Boolean): DataFrame = {
@@ -167,7 +168,7 @@ object Dedup {
     val bandCol = array((0 until bands).map { b =>
       val sl = slice(sig, b * rows + 1, rows)
       struct(lit(b).as("band"),
-        (if (md5Basis) sl else array(xxhash64(lit(b), sl))).as("key"))
+        (if (md5Basis) sl else xxhash64(lit(b), sl)).as("key"))
     }: _*)
     df.select(col(idCol).as("__id"), explode(bandCol).as("__bk"))
       .select(col("__id"), col("__bk.band").as("band"), col("__bk.key").as("key"))

@@ -36,12 +36,6 @@ object Packing {
     *         virtual token stream and `seq_first..seq_last` the 0-based
     *         ids of the fixed-`budget` sequences it occupies
     */
-  /** The previous call's pinned intermediate — released on the next
-    * call, so a session running many packings holds at most one cached
-    * (id, n_tokens) table instead of accumulating them.
-    */
-  private var lastPinned: Option[DataFrame] = None
-
   def packSequences(df: DataFrame, idCol: String, textCol: String,
       budget: Long): DataFrame = {
     require(budget > 0, s"budget must be positive, got $budget")
@@ -49,15 +43,15 @@ object Packing {
     // table), and RangePartitioner boundaries come from sampling — an
     // unpinned recompute could place rows differently and mismatch the
     // branches. The pinned rows are (id, n_tokens) longs, not documents.
+    // Eager unpersist here would be WRONG (the returned plan still needs
+    // the pin); the blocks are reclaimed by Spark's ContextCleaner once
+    // the result is garbage-collected, or by an explicit caller
+    // unpersist after materializing.
     val counted = df
       .select(col(idCol), TextAnalysis.tokenCount(col(textCol)).cast("long").as("n_tokens"))
       .repartitionByRange(col(idCol))
       .withColumn("__pid", spark_partition_id())
       .persist()
-    synchronized {
-      lastPinned.foreach(_.unpersist(blocking = false))
-      lastPinned = Some(counted)
-    }
 
     // Within-partition prefix sum (exclusive): balanced parallel windows.
     val local = Window.partitionBy(col("__pid")).orderBy(col(idCol))

@@ -67,20 +67,22 @@ object EventQueries {
     * at or before it (event id + value), null when no purchase precedes.
     * The union-window plan: one shuffle on user_id — never a `<=` theta
     * join (which Spark plans as a per-key cross product).
+    *
+    * All temporal queries here run on µs-truncated timestamps: DuckDB
+    * reads parquet TIMESTAMP(NANOS) at µs precision, so comparing at ns
+    * on the Spark side would let two events in the same µs order
+    * differently across engines.
     */
   private def q65(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val ev = Tables.events(s, dir)
+    val ev = Tables.events(s, dir).withColumn("ts_us", expr("ts DIV 1000"))
     graft.ops.Temporal.asofJoin(
         ev.where($"event_type" === "click"),
         ev.where($"event_type" === "purchase"),
-        keyCol = "user_id", tsCol = "ts", seqCol = "event_id",
-        leftCols = Seq("user_id", "ts", "event_id"),
+        keyCol = "user_id", tsCol = "ts_us", seqCol = "event_id",
+        leftCols = Seq("user_id", "ts_us", "event_id"),
         payload = Seq("event_id", "value"))
-      // DuckDB reads parquet TIMESTAMP(NANOS) truncated to µs, so the
-      // emitted timestamp is µs-truncated on both engines; the join
-      // itself runs ns-exact here
-      .select($"event_id", $"user_id", expr("ts DIV 1000").as("ts_us"),
+      .select($"event_id", $"user_id", $"ts_us",
         $"asof_event_id", $"asof_value")
       .orderBy($"event_id")
   }
@@ -92,18 +94,18 @@ object EventQueries {
     */
   private def q66(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val ev = Tables.events(s, dir)
+    val MicrosPer30Min = 1800L * 1000L * 1000L
+    val ev = Tables.events(s, dir).withColumn("ts_us", expr("ts DIV 1000"))
     val purchases = ev.where($"event_type" === "purchase")
       .select($"user_id", $"event_id".as("purchase_id"),
-        $"ts".as("lo"), ($"ts" + NanosPer30Min).as("hi"))
+        $"ts_us".as("lo"), ($"ts_us" + MicrosPer30Min).as("hi"))
     val views = ev.where($"event_type" === "view")
-      .select($"user_id", $"event_id".as("view_id"), $"ts".as("view_ts"))
+      .select($"user_id", $"event_id".as("view_id"), $"ts_us".as("view_ts"))
     graft.ops.Temporal.intervalJoin(purchases, views, keyCol = "user_id",
         loCol = "lo", hiCol = "hi", ptCol = "view_ts",
-        ptCols = Seq("view_id"), bucketWidth = NanosPer30Min)
-      // µs-truncated lag for the oracle compare (see q65 note)
+        ptCols = Seq("view_id"), bucketWidth = MicrosPer30Min)
       .select($"purchase_id", $"view_id", $"user_id",
-        (expr("view_ts DIV 1000") - expr("lo DIV 1000")).as("lag_us"))
+        ($"view_ts" - $"lo").as("lag_us"))
       .orderBy($"purchase_id", $"view_id")
   }
 
@@ -112,12 +114,11 @@ object EventQueries {
     */
   private def q72(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    graft.ops.Temporal.funnel(Tables.events(s, dir), "user_id", "ts",
+    val ev = Tables.events(s, dir).withColumn("ts_us", expr("ts DIV 1000"))
+    graft.ops.Temporal.funnel(ev, "user_id", "ts_us",
         "event_type", Seq("signup", "view", "purchase"))
-      .select($"user_id",
-        expr("t1 DIV 1000").as("signup_us"),
-        expr("t2 DIV 1000").as("view_us"),
-        expr("t3 DIV 1000").as("purchase_us"))
+      .select($"user_id", $"t1".as("signup_us"), $"t2".as("view_us"),
+        $"t3".as("purchase_us"))
       .orderBy($"user_id")
   }
 
