@@ -142,6 +142,20 @@ class PlanSpec extends SparkSuite {
       countNodes(p, "ShuffledHashJoin") >= 1, p)
   }
 
+  test("q68: tfidf never shuffles raw occurrences (pre-agg before every exchange)") {
+    val p = formatted("q68_tfidf")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"), p) // corpus count broadcast
+    assert(countNodes(p, "HashAggregate") >= 4, p) // partial+final × (per-doc, doc-freq)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q72: funnel is joins + aggregates, never a per-key sort or nested loop") {
+    val p = formatted("q72_funnel")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(countNodes(p, "HashAggregate") >= 2, p)
+  }
+
   test("whole-stage codegen covers the kernel expressions") {
     val df = SparkEntry.queries("q31_cosine_neardup")(spark, sfDir)
     df.collect() // materialize THIS plan so AQE finalizes it
