@@ -78,6 +78,20 @@ object Sampling {
     }.reduce(_.unionByName(_))
   }
 
+  /** Quality-weighted resampling: keep each row with probability
+    * `weight` (a per-row column in [0,1], e.g. a normalized quality
+    * score or a temperature-scaled domain weight), decided
+    * deterministically by the key's md5 bucket — the reproducible
+    * analog of "sample proportionally to quality" used to up-weight
+    * good documents in a training mix. Rows with weight ≥ 1 always
+    * survive, ≤ 0 never. Narrow filter, no shuffle, layout-independent,
+    * and oracle-expressible (md5 basis).
+    */
+  def weightedSample(df: DataFrame, keyCol: String, weight: Column,
+      salt: String = "w"): DataFrame =
+    df.where(md5Bucket(col(keyCol), salt).cast("double") <
+      weight.cast("double") * Buckets)
+
   /** Partition rows into disjoint, exhaustive splits with the given
     * weights (normalized), e.g. train/val/test = 0.9/0.05/0.05. Adds a
     * `split` column with the split index.

@@ -38,9 +38,23 @@ object SamplingQueries {
       .orderBy($"doc_id", $"source")
   }
 
+  /** Quality-weighted resampling: keep each document with probability
+    * equal to its quality score, decided by the deterministic md5
+    * bucket — up-weighting good documents reproducibly.
+    */
+  private def q73(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val scored = Tables.documents(s, dir)
+      .select($"doc_id", $"lang",
+        graft.ops.TextAnalysis.qualityScore($"text").as("quality"))
+    Sampling.weightedSample(scored, "doc_id", $"quality")
+      .orderBy($"doc_id")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q54_stratified_take" -> (q54 _),
-    "q55_corpus_mix" -> (q55 _))
+    "q55_corpus_mix" -> (q55 _),
+    "q73_weighted_sample" -> (q73 _))
 
   val oracles: Map[String, String] = Map(
     "q54_stratified_take" ->
@@ -62,5 +76,17 @@ object SamplingQueries {
         |UNION ALL
         |SELECT doc_id, lang, 'rest' AS source FROM b
         |WHERE lang <> 'en' AND b_rest < 300000
-        |ORDER BY doc_id, source""".stripMargin)
+        |ORDER BY doc_id, source""".stripMargin,
+    "q73_weighted_sample" ->
+      """WITH t AS (SELECT doc_id, lang, string_split_regex(trim(text), ' +') AS toks
+        |           FROM documents),
+        |q AS (SELECT doc_id, lang,
+        |        (CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)) * 0.5
+        |          + (CAST(len(list_filter(toks, s -> s IN ('the','a','an','of','and','is','in','to','it','that'))) AS DOUBLE) / len(toks)) * 0.3
+        |          + (CASE WHEN len(toks) BETWEEN 5 AND 100000 THEN 1.0 ELSE 0.0 END) * 0.2 AS quality
+        |      FROM t)
+        |SELECT doc_id, lang, quality FROM q
+        |WHERE CAST(('0x' || substr(md5('w:' || doc_id), 1, 15))::BIGINT % 1000000 AS DOUBLE)
+        |        < quality * 1000000
+        |ORDER BY doc_id""".stripMargin)
 }

@@ -44,6 +44,31 @@ class TemporalSpec extends SparkSuite {
     assert(r.isNullAt(1), "null field of the matched row must stay null")
   }
 
+  test("asofJoin matches the per-key driver-side model on random events") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val left = (1 to 150).map(i =>
+      (rnd.nextInt(5).toLong, rnd.nextInt(100).toLong, 1000L + i))
+    val right = (1 to 80).map(i =>
+      (rnd.nextInt(5).toLong, rnd.nextInt(100).toLong, 2000L + i, rnd.nextInt(50).toDouble))
+    val out = Temporal.asofJoin(
+        left.toDF("user_id", "ts", "event_id").repartition(4),
+        right.toDF("user_id", "ts", "event_id", "value").repartition(3),
+        "user_id", "ts", "event_id",
+        leftCols = Seq("user_id", "ts", "event_id"),
+        payload = Seq("event_id", "value"))
+      .collect()
+      .map(r => r.getLong(2) -> (if (r.isNullAt(3)) -1L else r.getLong(3)))
+      .toMap
+    // model: latest right (ts <= left ts), ties to highest right event_id
+    val want = left.map { case (k, ts, id) =>
+      val best = right.filter(r => r._1 == k && r._2 <= ts)
+        .sortBy(r => (r._2, r._3)).lastOption
+      id -> best.map(_._3).getOrElse(-1L)
+    }.toMap
+    assert(out === want)
+  }
+
   test("intervalJoin equals the theta join and emits each pair exactly once") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)
