@@ -145,6 +145,54 @@ object EventStreams {
     out.toDF()
   }
 
+  case class FunnelEvent(user_id: Long, ts: Long, event_id: Long,
+      event_type: String)
+  case class FunnelProgress(ts: Seq[Long])
+  case class FunnelOut(user_id: Long, stage_ts: Seq[Long])
+
+  /** Streaming funnel: the live twin of `ops.Temporal.funnel`. Per-user
+    * state is the prefix of stage timestamps achieved so far (≤ stages
+    * longs — constant-size state per key); a completion is emitted, and
+    * the state cleared, the moment the final stage lands. Events are
+    * processed in event-time order within each chunk, so over an
+    * event-time-ordered stream (and in batch execution, where a user's
+    * whole history arrives as one chunk) the result matches the batch
+    * funnel's earliest-ordered-completion exactly; with cross-batch
+    * disorder the match is greedy in arrival order.
+    */
+  def streamingFunnel(spark: SparkSession, events: DataFrame,
+      stages: Seq[String]): DataFrame = {
+    require(stages.nonEmpty, "funnel needs at least one stage")
+    import spark.implicits._
+    val typed = events
+      .select(col("user_id").cast("long"), col("ts").cast("long"),
+        col("event_id").cast("long"), col("event_type").cast("string"))
+      .as[FunnelEvent]
+    typed.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (userId: Long, chunk: Iterator[FunnelEvent],
+            state: GroupState[FunnelProgress]) => {
+          val sorted = chunk.toSeq.sortBy(e => (e.ts, e.event_id))
+          var prog = state.getOption.map(_.ts.toVector).getOrElse(Vector.empty)
+          val outs = Seq.newBuilder[FunnelOut]
+          sorted.foreach { e =>
+            if (prog.length < stages.length &&
+                e.event_type == stages(prog.length) &&
+                (prog.isEmpty || e.ts > prog.last)) {
+              prog = prog :+ e.ts
+              if (prog.length == stages.length) {
+                outs += FunnelOut(userId, prog)
+                prog = Vector.empty // a user may complete the funnel again
+              }
+            }
+          }
+          if (prog.nonEmpty) state.update(FunnelProgress(prog))
+          else state.remove()
+          outs.result().iterator
+        })
+      .toDF()
+  }
+
   /** Run a streaming DataFrame to completion against a memory sink and
     * return the materialized result (hermetic local testing; complete
     * mode for aggregations).

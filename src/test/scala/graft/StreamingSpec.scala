@@ -140,6 +140,29 @@ class StreamingSpec extends SparkSuite {
     assert(rows.columns.contains("micro_batch_id")) // partition column
   }
 
+  test("streamingFunnel in batch mode matches Temporal.funnel exactly") {
+    import spark.implicits._
+    val events = Tables.events(spark, sfDir)
+    val stages = Seq("signup", "view", "purchase")
+    val streaming = EventStreams.streamingFunnel(spark, events, stages)
+      .select($"user_id",
+        element_at($"stage_ts", 1).as("t1"),
+        element_at($"stage_ts", 2).as("t2"),
+        element_at($"stage_ts", 3).as("t3"))
+      // a user can complete repeatedly in the streaming op; the batch
+      // funnel reports only the earliest completion per user
+      .groupBy($"user_id")
+      .agg(min(struct($"t1", $"t2", $"t3")).as("c"))
+      .select($"user_id", $"c.t1", $"c.t2", $"c.t3")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    val batch = graft.ops.Temporal.funnel(events, "user_id", "ts",
+        "event_type", stages)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(streaming === batch)
+  }
+
   test("sessionize (flatMapGroupsWithState) agrees with the q35 batch count") {
     import spark.implicits._
     // Closed sessions per user from the stateful op + the one still-open
