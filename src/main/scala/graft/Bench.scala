@@ -12,6 +12,22 @@ import org.apache.spark.sql.SparkSession
   * the timed target-scale run.
   */
 object Bench {
+
+  /** 3-decimal timing format: 74+ queries must fit in the driver's 4 KiB
+    * stdout tail capture WITH the scale object (9-decimal doubles
+    * overflowed it twice; millisecond precision is already below local
+    * JVM noise).
+    */
+  private[graft] def fmt(v: Double): String =
+    BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP)
+      .underlying.stripTrailingZeros.toPlainString
+
+  private def escape(s: String): String = s.flatMap {
+    case '"' => "\\\""; case '\\' => "\\\\"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = GraftSession.local("graft-bench")
@@ -24,29 +40,51 @@ object Bench {
     val doWarmup = new java.io.File(warmupDir).isDirectory && warmupDir != sfDir
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
     if (doWarmup) ordered.foreach { case (_, fn) =>
+      // warmup failures are ignored here but re-surface in the timed loop
       try fn(spark, warmupDir).write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => }
+      catch { case scala.util.control.NonFatal(_) => }
     }
 
     // median of 3 timed runs per query: sub-second timings are noisy
     // under a shared local JVM (GC, compilation), and the median is
     // robust to one bad run in either direction
     val iterations = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt
+    // a failed run is NEVER timed as a near-instant success (which would
+    // LOWER the total on a regression): it reports -1 and lands in errors
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val results = ordered.map { case (name, fn) =>
-      val times = (1 to iterations).map { _ =>
+      val times = (1 to iterations).flatMap { _ =>
         val t0 = System.nanoTime()
-        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case _: Throwable => }
-        (System.nanoTime() - t0) / 1e9
+        try {
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          Some((System.nanoTime() - t0) / 1e9)
+        } catch {
+          case scala.util.control.NonFatal(e) =>
+            errors.getOrElseUpdate(name,
+              Option(e.getMessage).getOrElse(e.getClass.getName).take(160))
+            None
+        }
       }.sorted
-      name -> times(times.length / 2)
+      name -> (if (times.isEmpty) -1.0 else times(times.length / 2))
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val errJson = errors
+      .map { case (q, m) => s"""{"query":"${escape(q)}","error":"${escape(m)}"}""" }
+      .mkString("[", ",", "]")
+    val total = results.collect { case (_, v) if v >= 0 => v }.sum
     val scaleJson = scaleProfile(spark, sfDir)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$scaleJson}""")
+    val line =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","errors":$errJson$scaleJson}"""
+    // durable copy (the driver's stdout tail capture is lossy); stdout
+    // line stays the contract and is printed LAST
+    try java.nio.file.Files.write(
+      java.nio.file.Path.of(
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_result.json")),
+      (line + "\n").getBytes("UTF-8"))
+    catch { case scala.util.control.NonFatal(_) => }
     spark.stop()
+    println(line)
   }
 
   /** Scale guardrail: replicate documents/embeddings `R`× (deterministic
@@ -141,7 +179,7 @@ object Bench {
       val t1 = time(fn(docs, emb))
       val tr = time(fn(d, e))
       val growth = if (t1 > 0 && tr > 0) tr / t1 else -1.0
-      s"""\"$name\":{"x1":$t1,"x$r":$tr,"growth":$growth}"""
+      s"""\"$name\":{"x1":${fmt(t1)},"x$r":${fmt(tr)},"growth":${fmt(growth)}}"""
     }
     val qs = timed.mkString("{", ",", "}")
     // count the materialized parquet (footer metadata), not the

@@ -128,7 +128,24 @@ object Statistics {
     * mergeable aggregate), same output shape.
     */
   def columnProfile(df: DataFrame, numericCols: Seq[String],
-      stringCols: Seq[String] = Nil): DataFrame = {
+      stringCols: Seq[String] = Nil): DataFrame =
+    profile(df, numericCols, stringCols, approxDistinct = false)
+
+  /** The 100 TB default: [[columnProfile]] with `approx_count_distinct`
+    * (HLL++, ±2.3% standard error) for `n_distinct`. Exact multi-column
+    * `count_distinct` makes Spark EXPAND the scan N ways through the
+    * aggregate — the exchange carries ~(profiled columns)× the row count;
+    * the sketch is one ordinary mergeable aggregate per column, so the
+    * plan stays a single partial+final pass whatever the column count.
+    * Same output shape; values are engine-specific → rows-only gate
+    * (q64b), with exact/approx agreement pinned by a spec instead.
+    */
+  def columnProfileApprox(df: DataFrame, numericCols: Seq[String],
+      stringCols: Seq[String] = Nil): DataFrame =
+    profile(df, numericCols, stringCols, approxDistinct = true)
+
+  private def profile(df: DataFrame, numericCols: Seq[String],
+      stringCols: Seq[String], approxDistinct: Boolean): DataFrame = {
     val cols = numericCols.map((_, true)) ++ stringCols.map((_, false))
     require(cols.nonEmpty, "columnProfile needs at least one column")
     val aggs = count(lit(1)).as("__n") +: cols.flatMap { case (c, isNum) =>
@@ -136,9 +153,11 @@ object Statistics {
       val sumExact =
         if (isNum) sum(col(c).cast(org.apache.spark.sql.types.DecimalType(38, 12))).cast("double")
         else sum(length(col(c)).cast("long")).cast("double")
+      val nd = if (approxDistinct) approx_count_distinct(col(c))
+               else count_distinct(col(c))
       Seq(
         count(col(c)).as(s"__${c}_nn"),
-        count_distinct(col(c)).as(s"__${c}_nd"),
+        nd.as(s"__${c}_nd"),
         min(v).as(s"__${c}_min"),
         max(v).as(s"__${c}_max"),
         (sumExact / count(col(c))).as(s"__${c}_avg"))

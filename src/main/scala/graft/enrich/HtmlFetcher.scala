@@ -79,14 +79,39 @@ object HtmlFetcher {
     TitleRe.findFirstMatchIn(html).map(m => text(m.group(1))).getOrElse("")
 
   /** A div whose class attribute contains `cls`, capturing its inner
-    * HTML. Fixture-grade scanning: label/value divs must be leaf
-    * elements (they are, in both reference layouts).
+    * HTML non-greedily. Label divs must be leaf elements (they are, in
+    * both reference layouts — and in [[detectLayout]] the value-class
+    * match only probes existence); VALUE extraction goes through
+    * [[nextDivInner]], which handles nested markup.
     */
   private def divWithClass(cls: String) =
     ("""(?is)<div[^>]*class="[^"]*""" + java.util.regex.Pattern.quote(cls) +
       """[^"]*"[^>]*>(.*?)</div>""").r
 
-  private val AnyDiv = """(?is)<div[^>]*>(.*?)</div>""".r
+  private val OpenDiv = """(?is)<div[^>]*>""".r
+  private val DivTag = """(?is)<(/?)div\b[^>]*>""".r
+
+  /** Inner HTML of the next `<div>` element at or after `from`, spanning
+    * to its MATCHING close tag via a depth-counting scan — a value div
+    * containing nested markup (`<div>`/`<span>`/`<a>`) is extracted
+    * whole, where a non-greedy regex would truncate at the first inner
+    * `</div>` (the reference's XPath `following-sibling::div[1]` gets
+    * this for free from a real DOM). An unclosed div runs to the end of
+    * the document, like a browser's recovery parse.
+    */
+  private def nextDivInner(html: String, from: Int): Option[String] =
+    OpenDiv.findFirstMatchIn(html.substring(from)).map { open =>
+      val bodyStart = from + open.end
+      var depth = 1
+      var end = html.length
+      val tags = DivTag.findAllMatchIn(html.substring(bodyStart))
+      while (end == html.length && tags.hasNext) {
+        val t = tags.next()
+        depth += (if (t.group(1).isEmpty) 1 else -1)
+        if (depth == 0) end = bodyStart + t.start
+      }
+      html.substring(bodyStart, end)
+    }
 
   /** Probe showcase then traditional: the layout whose "Media type" label
     * is followed by a value div of the layout's value class wins
@@ -103,13 +128,15 @@ object HtmlFetcher {
 
   /** All (label, value) pairs of the layout: each label div's value is
     * the next div element's first text line (extract_page_data's
-    * `following-sibling::div[1]` + `.split('\n')[0]`).
+    * `following-sibling::div[1]` + `.split('\n')[0]`). The value div is
+    * delimited by [[nextDivInner]]'s depth-counting scan, so nested
+    * markup inside a value survives intact.
     */
   private[enrich] def labelValuePairs(html: String, layout: Layout): Seq[(String, String)] =
     divWithClass(layout.labelClass).findAllMatchIn(html).flatMap { m =>
       val label = text(m.group(1))
-      AnyDiv.findFirstMatchIn(html.substring(m.end)).map { v =>
-        label -> text(v.group(1)).linesIterator.nextOption().getOrElse("").trim
+      nextDivInner(html, m.end).map { inner =>
+        label -> text(inner).linesIterator.nextOption().getOrElse("").trim
       }
     }.toSeq
 

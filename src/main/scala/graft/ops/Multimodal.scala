@@ -59,6 +59,49 @@ object Multimodal {
     }
   }
 
+  /** REAL image decoder on the same seam: `javax.imageio` (JDK-only —
+    * PNG/JPEG/GIF/BMP, no external deps). Width/height/channels come
+    * from the actual codec; the feature vector is a 16-bin normalized
+    * luma histogram — a real, deterministic image statistic. Non-image
+    * kinds and undecodable payloads fall back to [[StubDecoder]] so a
+    * mixed-media frame keeps flowing (the dead-letter decision belongs
+    * to the pipeline, not the codec). Per-pixel `getRGB` is fine for
+    * fixture-scale images; a production build would grab the raster
+    * buffer — the seam and plan shape are identical either way.
+    * [[StubDecoder]] remains the oracle-checked path (q40): histogram
+    * values are codec-version-dependent, so they get spec coverage, not
+    * a cross-engine hash gate.
+    */
+  object ImageIoDecoder extends Decoder {
+    def decode(assetId: Long, kind: String, payload: Array[Byte]): MediaFeatures = {
+      if (kind != "image") return StubDecoder.decode(assetId, kind, payload)
+      val img =
+        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+        catch { case scala.util.control.NonFatal(_) => null }
+      if (img == null) return StubDecoder.decode(assetId, kind, payload)
+      val w = img.getWidth
+      val h = img.getHeight
+      val hist = new Array[Float](16)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          // integer Rec.601 luma in [0, 255] → 16 bins
+          val luma = (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+            (rgb & 0xff) * 114) / 1000
+          hist(luma >> 4) += 1f
+          x += 1
+        }
+        y += 1
+      }
+      val n = (w.toLong * h).toFloat
+      MediaFeatures(assetId, kind, payload.length.toLong, w, h,
+        channels = img.getColorModel.getNumComponents,
+        feature = hist.map(_ / n))
+    }
+  }
+
   /** Decode a `(asset_id, kind, payload binary)` DataFrame into
     * [[MediaFeatures]] rows. Batched per partition; payloads stay
     * executor-side end-to-end (the `mapInPandas` shape, JVM-native).

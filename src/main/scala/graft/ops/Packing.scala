@@ -37,7 +37,24 @@ object Packing {
     *         ids of the fixed-`budget` sequences it occupies
     */
   def packSequences(df: DataFrame, idCol: String, textCol: String,
-      budget: Long): DataFrame = {
+      budget: Long): DataFrame =
+    packedWithPin(df, idCol, textCol, budget)._1
+
+  /** Leak-free variant for long-lived sessions: runs `use` over the
+    * packed frame (write it, collect it — any materializing action),
+    * then unpersists the internal prefix-sum pin immediately instead of
+    * waiting for the returned plan to be garbage-collected and
+    * ContextCleaner to reclaim the MEMORY_AND_DISK blocks. Do NOT let
+    * the frame escape `use` — its plan reads the unpersisted pin.
+    */
+  def withPackedSequences[T](df: DataFrame, idCol: String, textCol: String,
+      budget: Long)(use: DataFrame => T): T = {
+    val (result, pin) = packedWithPin(df, idCol, textCol, budget)
+    try use(result) finally pin.unpersist(blocking = false)
+  }
+
+  private def packedWithPin(df: DataFrame, idCol: String, textCol: String,
+      budget: Long): (DataFrame, DataFrame) = {
     require(budget > 0, s"budget must be positive, got $budget")
     // Persisted: `__pid` feeds two plan branches (local sums + the offset
     // table), and RangePartitioner boundaries come from sampling — an
@@ -71,11 +88,12 @@ object Packing {
           lit(0L)))
       .select(col("__pid"), col("__offset"))
 
-    localSum
+    val result = localSum
       .join(broadcast(offsets), Seq("__pid"))
       .withColumn("start_offset", col("__local_start") + col("__offset"))
       .select(col(idCol), col("n_tokens"), col("start_offset"),
         expr(s"start_offset DIV $budget").as("seq_first"),
         expr(s"(start_offset + n_tokens - 1) DIV $budget").as("seq_last"))
+    (result, counted)
   }
 }

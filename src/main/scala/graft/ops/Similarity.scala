@@ -159,6 +159,54 @@ object Similarity {
       .where(col("cosine") > threshold)
   }
 
+  /** Incremental embedding near-dup: batch vectors whose cosine with some
+    * existing corpus vector exceeds `threshold`, found via sign-LSH band
+    * key collisions BETWEEN the sides — the embedding twin of
+    * [[Dedup.incrementalNearDups]] for continuous ingest (drop or link
+    * batch vectors that re-embed existing content).
+    *
+    * Scale: band keys are computed scan-side on both sides
+    * (`graft_lsh_bands`, one fused pass per vector); the join is an
+    * equi-join on (band, key). Precompute the corpus's band keys once and
+    * store them bucketed by (band, key) ([[graft.io.Layouts]]) — then
+    * only the batch side shuffles, and the 100 TB corpus key table is a
+    * co-partitioned build side reused by every future batch. Corpus
+    * buckets over `maxBucket` are dropped (bounding per-key fan-out);
+    * size `planesPerBand` ≈ log2(corpus / targetBucketSize) as for
+    * [[cosineNearDupPairsBucketed]]. Every candidate is exact-cosine
+    * verified against the float vectors.
+    *
+    * @return (idA = batch id, idB = corpus id, cosine > threshold)
+    */
+  def incrementalCosineNearDups(batch: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, threshold: Double,
+      planesPerBand: Int = 8, bands: Int = 4,
+      maxBucket: Int = 10000): DataFrame = {
+    def keyed(df: DataFrame, as: String): DataFrame =
+      Dedup.spread(df).select(col(idCol).as(as),
+        posexplode(graftFn("graft_lsh_bands", col(vecCol),
+          lit(planesPerBand), lit(bands))).as(Seq("band", "key")))
+    val corpusKeys = keyed(corpus, "idB")
+      .withColumn("__n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("band"), col("key"))))
+      .where(col("__n") <= maxBucket)
+      .drop("__n")
+    val cands = keyed(batch, "idA")
+      .join(corpusKeys, Seq("band", "key"))
+      .select(col("idA"), col("idB"))
+      .distinct()
+    def vecs(df: DataFrame, as: String) =
+      df.select(col(idCol).as(as), col(vecCol).as(s"__v$as"),
+        l2Norm(col(vecCol)).as(s"__n$as"))
+    cands
+      .join(vecs(batch, "idA"), Seq("idA"))
+      .join(vecs(corpus, "idB"), Seq("idB"))
+      .select(col("idA"), col("idB"),
+        (dotProduct(col("__vidA"), col("__vidB")) / (col("__nidA") * col("__nidB")))
+          .as("cosine"))
+      .where(col("cosine") > threshold)
+  }
+
   /** Symmetric int8 quantization of an embedding column — the storage
     * format for a 100 TB embedding table (4× smaller than float32, 8×
     * than float64; IVF/LSH candidate generation runs on quantized

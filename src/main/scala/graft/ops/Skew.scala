@@ -17,9 +17,15 @@ import org.apache.spark.sql.functions._
   */
 object Skew {
 
-  /** Deterministic salt in [0, salts) derived from the full row's
-    * partition-local position — spreads a heavy key's rows uniformly
-    * without needing a random source (reproducible plans).
+  /** Salt in [0, salts) from the row's partition-local position. NOT
+    * layout-independent — `monotonically_increasing_id` depends on how
+    * rows land in partitions, so two runs over different layouts salt
+    * differently. That is fine here: every result below is salt-invariant
+    * (counts/sums/join matches are identical for ANY salt assignment);
+    * the position basis is chosen over a row-content hash deliberately,
+    * because the heavy key's rows are often byte-identical duplicates — a
+    * content hash would send them all to ONE salt bucket, recreating the
+    * exact hotspot salting exists to break.
     */
   private def saltCol(salts: Int): Column =
     pmod(spark_partition_id() * 31 + monotonically_increasing_id(), lit(salts))

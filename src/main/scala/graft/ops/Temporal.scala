@@ -24,13 +24,20 @@ object Temporal {
     * inputs together; no range theta join, no per-key quadratic work;
     * window state is one row of carried payload per partition stream.
     *
-    * @param leftCols  left columns to keep (must include `keyCol`, `tsCol`)
+    * @param seqCol    unique per-row sequencer present on BOTH sides
+    *                  (the window orders by it, so it must be selected)
+    * @param leftCols  left columns to keep — must include `keyCol`,
+    *                  `tsCol` AND `seqCol`
     * @param payload   right columns carried onto matching left rows,
     *                  emitted as `asof_<name>`
     */
   def asofJoin(left: DataFrame, right: DataFrame, keyCol: String,
       tsCol: String, seqCol: String, leftCols: Seq[String],
       payload: Seq[String]): DataFrame = {
+    val missing = Seq(keyCol, tsCol, seqCol).filterNot(leftCols.contains)
+    require(missing.isEmpty,
+      s"asofJoin: leftCols must include keyCol, tsCol and seqCol — missing: " +
+        missing.mkString(", "))
     // Payload rides as ONE struct so the carried value is always a whole
     // right row — carrying columns independently would back-fill a null
     // payload FIELD from an older right row, splicing two rows together.

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
 /** Corpus vocabulary statistics: token frequency and document frequency,
@@ -46,6 +46,96 @@ object Vocab {
     * corpus count — three data-proportional equi-shuffles, nothing
     * quadratic, no driver-side collect of anything data-sized.
     */
+  // ----------------------------------------------------------------- BPE
+
+  /** BPE merge-pair training: `numMerges` rounds of "find the most
+    * frequent adjacent symbol pair, merge it everywhere" (Sennrich et
+    * al.), starting from characters. The distributed object is always
+    * the VOCABULARY — one corpus-wide (word, count) aggregate up front
+    * (map-side combined, the [[perDocCounts]] discipline), then every
+    * round is a pair-count aggregate over distinct words + a top-1
+    * TakeOrdered + a narrow merge-application map. Driver state is the
+    * learned merge list (`numMerges` string pairs — model-sized, the
+    * [[Similarity.trainIvfCentroids]] pattern). Rounds persist the
+    * current symbolization and release the previous one, like the
+    * connected-components loop.
+    *
+    * Deterministic: ties on pair frequency break lexicographically, so
+    * any cluster layout learns the identical merge table.
+    *
+    * @return merges in learned order (highest-frequency first)
+    */
+  def trainBpeMerges(df: DataFrame, textCol: String,
+      numMerges: Int): Seq[(String, String)] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val level = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    // (distinct word as char symbols, corpus count) — vocab-sized
+    var words: Dataset[(Seq[String], Long)] = df
+      .select(explode(TextAnalysis.tokens(col(textCol))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("n"))
+      .as[(String, Long)]
+      .map { case (w, n) => (w.map(_.toString), n) }
+    words.persist(level)
+    val merges = Seq.newBuilder[(String, String)]
+    var round = 0
+    var exhausted = false
+    while (round < numMerges && !exhausted) {
+      val top = words
+        .flatMap { case (sym, n) =>
+          sym.iterator.zip(sym.iterator.drop(1)).map { case (a, b) => ((a, b), n) }
+        }
+        .groupByKey(_._1)
+        .mapValues(_._2).reduceGroups(_ + _)
+        .map { case ((a, b), n) => (n, a, b) }
+        .orderBy(col("_1").desc, col("_2"), col("_3"))
+        .limit(1)
+        .collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (_, a, b) = top.head
+        merges += ((a, b))
+        val prev = words
+        words = prev.map { case (sym, n) => (mergeOnce(sym, a, b), n) }
+        words.persist(level)
+        words.count() // materialize before releasing the previous round
+        prev.unpersist(blocking = false)
+      }
+      round += 1
+    }
+    words.unpersist(blocking = false)
+    merges.result()
+  }
+
+  /** One left-to-right merge pass: every adjacent (a, b) becomes a+b
+    * (non-overlapping, leftmost-first — the standard BPE application
+    * order).
+    */
+  private[graft] def mergeOnce(sym: Seq[String], a: String,
+      b: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    var i = 0
+    while (i < sym.length) {
+      if (i + 1 < sym.length && sym(i) == a && sym(i + 1) == b) {
+        out += a + b
+        i += 2
+      } else {
+        out += sym(i)
+        i += 1
+      }
+    }
+    out.result()
+  }
+
+  /** Segment a word with a learned merge table (merges applied in
+    * learned order — the BPE inference rule). Driver/test utility;
+    * corpus-side segmentation would carry the table as a plan literal.
+    */
+  def bpeSegment(word: String, merges: Seq[(String, String)]): Seq[String] =
+    merges.foldLeft(word.map(_.toString): Seq[String]) {
+      case (sym, (a, b)) => mergeOnce(sym, a, b)
+    }
+
   def tfidf(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val perDoc = perDocCounts(df, idCol, textCol)
     val docFreq = perDoc.groupBy(col("token"))

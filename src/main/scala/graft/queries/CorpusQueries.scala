@@ -72,6 +72,19 @@ object CorpusQueries {
       .orderBy($"col_name")
   }
 
+  /** q64 at the 100 TB plan shape: `approx_count_distinct` keeps the
+    * aggregate a single partial+final pass (no per-column Expand of the
+    * scan). Sketch values aren't oracle-stable across engines →
+    * rows-only; StatisticsSpec pins exact/approx agreement.
+    */
+  private def q64b(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Statistics.columnProfileApprox(Tables.lineitem(s, dir),
+        numericCols = Seq("l_quantity", "l_extendedprice", "l_discount"),
+        stringCols = Seq("l_returnflag", "l_linestatus"))
+      .orderBy($"col_name")
+  }
+
   /** Incremental near-dup: batch docs (doc_id ≡ 0 mod 3) that paraphrase
     * an existing corpus doc at token-set Jaccard ≥ 0.9, via MinHash band
     * collisions between the sides. md5 basis → DuckDB rebuilds the exact
@@ -99,8 +112,39 @@ object CorpusQueries {
       .orderBy($"doc_id", $"token")
   }
 
+  /** PRODUCTION-BASIS twin of q67 (xxh64 MinHash, bare long band keys —
+    * the basis a real ingest runs; q67's md5 basis exists for the DuckDB
+    * gate). Rows-only; makes the headline bench time the shipping path.
+    */
+  private def q67b(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    Dedup.incrementalNearDups(
+        docs.where($"doc_id" % 3 === 0),
+        docs.where($"doc_id" % 3 =!= 0), "doc_id", "text",
+        threshold = 0.9, numHashes = 16, bands = 8, md5Basis = false)
+      .orderBy($"idA", $"idB")
+  }
+
+  /** BPE merge training over the corpus: the first 10 learned merges
+    * (rank, left, right). Deterministic (lexicographic tie-break) but a
+    * driver-looped trainer, not a single SQL expression → rows-only;
+    * CorpusOpsSpec proves planted frequent pairs are recovered.
+    */
+  private def q75(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Vocab.trainBpeMerges(Tables.documents(s, dir), "text", numMerges = 10)
+      .zipWithIndex
+      .map { case ((a, b), i) => (i.toLong, a, b) }
+      .toDF("rank", "left", "right")
+      .orderBy($"rank")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q68_tfidf" -> (q68 _),
+    "q64b_column_profile_approx" -> (q64b _),
+    "q67b_incremental_neardup_xxh64" -> (q67b _),
+    "q75_bpe_merges" -> (q75 _),
     "q60_vocab_topk" -> (q60 _),
     "q61_sequence_packing" -> (q61 _),
     "q62_incremental_dedup" -> (q62 _),

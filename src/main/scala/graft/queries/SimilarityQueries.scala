@@ -116,6 +116,22 @@ object SimilarityQueries {
       .orderBy($"query_id", $"vec_id")
   }
 
+  /** Incremental embedding near-dup: the vec_id ≡ 0 (mod 10) slice
+    * arrives as the new batch; the rest are the existing corpus. Batch
+    * vectors that re-embed corpus content (cosine > 0.3) are found via
+    * sign-LSH band collisions BETWEEN the sides — the ingest-time twin of
+    * q50, hash-checked the same way (md5-reproducible plane matrix).
+    */
+  private def q74(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables.embeddings(s, dir)
+    Similarity.incrementalCosineNearDups(
+        emb.where($"vec_id" % 10 === 0),
+        emb.where($"vec_id" % 10 =!= 0), "vec_id", "embedding",
+        threshold = 0.3, planesPerBand = 8, bands = 4)
+      .orderBy($"idA", $"idB")
+  }
+
   /** Int8 quantization round-trip: per-vector scale, code fingerprint,
     * and max reconstruction error — all deterministic double arithmetic,
     * hash-checked against DuckDB rebuilding the identical codes.
@@ -141,7 +157,8 @@ object SimilarityQueries {
     "q32_ann_lsh" -> (q32 _),
     "q33_label_stats" -> (q33 _),
     "q43_ann_ivf" -> (q43 _),
-    "q50_cosine_neardup_bucketed" -> (q50 _))
+    "q50_cosine_neardup_bucketed" -> (q50 _),
+    "q74_incremental_cosine_neardup" -> (q74 _))
 
   val oracles: Map[String, String] = Map(
     "q69_ann_batch" ->
@@ -265,6 +282,34 @@ object SimilarityQueries {
         |      FROM proj GROUP BY vec_id, band),
         |cand AS (SELECT DISTINCT a.vec_id AS idA, b.vec_id AS idB
         |         FROM k a JOIN k b ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id)
+        |SELECT c.idA, c.idB,
+        |       list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]) AS cosine
+        |FROM cand c
+        |JOIN embeddings ea ON ea.vec_id = c.idA
+        |JOIN embeddings eb ON eb.vec_id = c.idB
+        |WHERE list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]) > 0.3
+        |ORDER BY idA, idB""".stripMargin,
+    // q50's plane/key machinery with the batch/corpus split: candidates
+    // are (band, key) collisions BETWEEN the sides. The Spark maxBucket
+    // cap (10000) cannot trigger at sf0.01 (≤1000 vectors per bucket).
+    "q74_incremental_cosine_neardup" ->
+      """WITH pl AS (
+        |  SELECT b.b AS band, pp.p AS p, d.i AS i,
+        |         (('0x' || substr(md5('plane:' || (b.b*8 + pp.p) || ':' || d.i), 1, 15))::BIGINT
+        |           / 576460752303423488.0) - 1.0 AS c
+        |  FROM (SELECT unnest(range(0, 4)) AS b) b,
+        |       (SELECT unnest(range(0, 8)) AS p) pp,
+        |       (SELECT unnest(range(0, 64)) AS i) d),
+        |pv AS (SELECT band, p, list(c ORDER BY i) AS pvec FROM pl GROUP BY band, p),
+        |proj AS (SELECT e.vec_id, pv.band, pv.p,
+        |                list_dot_product(e.embedding::DOUBLE[], pv.pvec) AS pr
+        |         FROM embeddings e, pv),
+        |k AS (SELECT vec_id, band,
+        |             sum(CASE WHEN pr > 0 THEN (1::BIGINT << p) ELSE 0 END) AS key
+        |      FROM proj GROUP BY vec_id, band),
+        |cand AS (SELECT DISTINCT a.vec_id AS idA, b.vec_id AS idB
+        |         FROM k a JOIN k b ON a.band = b.band AND a.key = b.key
+        |         WHERE a.vec_id % 10 = 0 AND b.vec_id % 10 <> 0)
         |SELECT c.idA, c.idB,
         |       list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]) AS cosine
         |FROM cand c

@@ -198,6 +198,20 @@ object TextQueries {
       .orderBy($"doc_id")
   }
 
+  /** PRODUCTION-BASIS twin of q52: identical plan, xxh64 MinHash + bare
+    * long band keys (the basis a 100 TB run uses — the md5 basis exists
+    * only so DuckDB can rebuild the band keys). Rows-only check (q52
+    * hash-checks the plan; this entry makes the headline bench measure
+    * the path that actually ships).
+    */
+  private def q52b(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Dedup.nearDupPipeline(Tables.documents(s, dir), "doc_id", "text",
+        threshold = 0.9, numHashes = 16, bands = 8, md5Basis = false)
+      .select($"doc_id")
+      .orderBy($"doc_id")
+  }
+
   /** Benchmark decontamination: corpus docs sharing 3-gram shingles with
     * the held-out eval slice (doc_id ≡ 0 mod 97). 3-grams because the
     * synthetic corpus is too short for the production 8–13-gram windows;
@@ -281,8 +295,25 @@ object TextQueries {
       .orderBy($"doc_id")
   }
 
+  /** PRODUCTION-BASIS twin of q71 (xxh64 MinHash, bare long band keys) —
+    * rows-only, see q52b.
+    */
+  private def q71b(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    graft.ops.Curation.curateAndDedup(
+        docs.where($"doc_id" % 97 =!= 0),
+        docs.where($"doc_id" % 97 === 0),
+        "doc_id", "text", minTokens = 20, maxDupGramFraction = 0.2,
+        contaminationN = 3, threshold = 0.9, numHashes = 16, bands = 8,
+        md5Basis = false)
+      .orderBy($"doc_id")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q71_production_pipeline" -> (q71 _),
+    "q71b_production_pipeline_xxh64" -> (q71b _),
+    "q52b_dedup_pipeline_xxh64" -> (q52b _),
     "q59_curation_pipeline" -> (q59 _),
     "q56_decontaminate" -> (q56 _),
     "q57_repetition_stats" -> (q57 _),

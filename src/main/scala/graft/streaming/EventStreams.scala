@@ -159,36 +159,79 @@ object EventStreams {
     * whole history arrives as one chunk) the result matches the batch
     * funnel's earliest-ordered-completion exactly; with cross-batch
     * disorder the match is greedy in arrival order.
+    *
+    * EXPIRY: a key's partial progress is dropped once the EVENT-TIME
+    * watermark passes `lastStageTs + ttlMs` (the abandoned-funnel case —
+    * without it, every user who starts stage 1 and never converts holds
+    * state forever, unbounded on an unbounded keyspace). Event-time
+    * timers are the correct clock for a conversion window AND the only
+    * kind that terminates under `Trigger.AvailableNow` — a
+    * processing-time timer keeps the no-more-data query spinning empty
+    * micro-batches waiting for wall-clock deadlines (measured: thousands
+    * of batches). Consequence: a conversion whose inter-stage event-time
+    * gap exceeds the TTL restarts from stage 1 — size `ttlMs` to the
+    * longest conversion window that counts. In batch execution timeouts
+    * never fire (whole history in one chunk), so batch parity with
+    * `Temporal.funnel` is unaffected.
+    *
+    * Memory: each key's per-micro-batch chunk is buffered and sorted in
+    * executor memory to restore event-time order. In a live stream a
+    * chunk is one user's events per trigger (small); in BATCH execution
+    * the chunk is the user's entire history — per-task memory is bounded
+    * by the heaviest key, like any groupByKey over batch data.
     */
   def streamingFunnel(spark: SparkSession, events: DataFrame,
-      stages: Seq[String]): DataFrame = {
+      stages: Seq[String], ttlMs: Long = 24L * 3600 * 1000,
+      watermarkDelay: String = "0 seconds"): DataFrame = {
     require(stages.nonEmpty, "funnel needs at least one stage")
+    require(ttlMs > 0, s"ttlMs must be positive, got $ttlMs")
     import spark.implicits._
-    val typed = events
-      .select(col("user_id").cast("long"), col("ts").cast("long"),
-        col("event_id").cast("long"), col("event_type").cast("string"))
+    val typed = withEventTime(
+        events.select(col("user_id").cast("long"), col("ts").cast("long"),
+          col("event_id").cast("long"), col("event_type").cast("string")))
+      .withWatermark("event_time", watermarkDelay)
       .as[FunnelEvent]
     typed.groupByKey(_.user_id)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(
         (userId: Long, chunk: Iterator[FunnelEvent],
             state: GroupState[FunnelProgress]) => {
-          val sorted = chunk.toSeq.sortBy(e => (e.ts, e.event_id))
-          var prog = state.getOption.map(_.ts.toVector).getOrElse(Vector.empty)
-          val outs = Seq.newBuilder[FunnelOut]
-          sorted.foreach { e =>
-            if (prog.length < stages.length &&
-                e.event_type == stages(prog.length) &&
-                (prog.isEmpty || e.ts > prog.last)) {
-              prog = prog :+ e.ts
-              if (prog.length == stages.length) {
-                outs += FunnelOut(userId, prog)
-                prog = Vector.empty // a user may complete the funnel again
+          if (state.hasTimedOut) {
+            // watermark passed lastStageTs + ttl with no progress:
+            // abandoned funnel — drop the partial prefix, emit nothing
+            state.remove()
+            Iterator.empty
+          } else {
+            val sorted = chunk.toSeq.sortBy(e => (e.ts, e.event_id))
+            var prog = state.getOption.map(_.ts.toVector).getOrElse(Vector.empty)
+            val outs = Seq.newBuilder[FunnelOut]
+            sorted.foreach { e =>
+              if (prog.length < stages.length &&
+                  e.event_type == stages(prog.length) &&
+                  (prog.isEmpty || e.ts > prog.last)) {
+                prog = prog :+ e.ts
+                if (prog.length == stages.length) {
+                  outs += FunnelOut(userId, prog)
+                  prog = Vector.empty // a user may complete the funnel again
+                }
               }
             }
+            if (prog.nonEmpty) {
+              state.update(FunnelProgress(prog))
+              // ts is epoch-ns; timers take epoch-ms. A timer at or below
+              // the current watermark would throw — clamp just past it
+              // (the state is already expired; the next batch collects
+              // it). In batch execution the watermark node is eliminated
+              // and getCurrentWatermarkMs throws — timers never fire
+              // there, so any deadline value is fine.
+              val floor =
+                try state.getCurrentWatermarkMs() + 1
+                catch { case _: UnsupportedOperationException => Long.MinValue }
+              state.setTimeoutTimestamp(
+                math.max(prog.last / 1000000L + ttlMs, floor))
+            } else state.remove()
+            outs.result().iterator
           }
-          if (prog.nonEmpty) state.update(FunnelProgress(prog))
-          else state.remove()
-          outs.result().iterator
         })
       .toDF()
   }

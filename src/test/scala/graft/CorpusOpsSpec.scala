@@ -136,6 +136,39 @@ class CorpusOpsSpec extends SparkSuite {
     assert(!loose.exists(_._1 == 12L))
   }
 
+  test("incrementalCosineNearDups links batch re-embeddings to corpus vectors") {
+    import spark.implicits._
+    import graft.ops.Similarity
+    val dim = 16
+    def unit(i: Int): Seq[Float] = Seq.tabulate(dim)(j => if (j == i) 1f else 0f)
+    // a paraphrase vector: corpus direction 0 plus small uniform noise
+    // (cosine ≈ 0.999 — the re-embedded-content shape)
+    val near0: Seq[Float] = Seq.tabulate(dim)(j => if (j == 0) 1f else 0.01f)
+    val corpus = Seq((1L, unit(0)), (2L, unit(1))).toDF("vec_id", "embedding")
+    val batch = Seq((10L, near0), (11L, unit(5))).toDF("vec_id", "embedding")
+    val found = Similarity.incrementalCosineNearDups(batch, corpus,
+        "vec_id", "embedding", threshold = 0.9, planesPerBand = 2, bands = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the planted paraphrase is found; the novel orthogonal vector is not
+    assert(found === Set((10L, 1L)))
+  }
+
+  test("columnProfileApprox matches the exact profile on small-cardinality data") {
+    import spark.implicits._
+    val df = Seq(
+      (Some(1.0), Some("ab")),
+      (Some(2.0), None),
+      (None, Some("abcd")),
+      (Some(2.0), Some("ab"))).toDF("x", "s")
+    val exact = Statistics.columnProfile(df, Seq("x"), Seq("s"))
+      .orderBy($"col_name").collect().toSeq
+    val approx = Statistics.columnProfileApprox(df, Seq("x"), Seq("s"))
+      .orderBy($"col_name").collect().toSeq
+    // HLL++ is exact at tiny cardinalities, so every column agrees — the
+    // point of the spec is same schema + same semantics, sketch distinct
+    assert(approx === exact)
+  }
+
   test("groupThresholds picks the rank-based median; filter keeps >= threshold") {
     import spark.implicits._
     val df = Seq(
@@ -160,6 +193,27 @@ class CorpusOpsSpec extends SparkSuite {
       .collect().map(r => (r.getString(0), r.getDouble(1))).toMap
     // percentile_approx at default accuracy is exact for small groups
     assert(approx === exact)
+  }
+
+  test("trainBpeMerges learns the classic planted merges in frequency order") {
+    import spark.implicits._
+    import graft.ops.Vocab
+    // the Sennrich toy corpus: ("es", then "est") dominate
+    val docs = Seq(
+      (1L, Array.fill(5)("low").mkString(" ")),
+      (2L, Array.fill(2)("lower").mkString(" ")),
+      (3L, Array.fill(6)("newest").mkString(" ")),
+      (4L, Array.fill(3)("widest").mkString(" "))).toDF("doc_id", "text")
+    val merges = Vocab.trainBpeMerges(docs, "text", numMerges = 4)
+    // (e,s) ties (s,t) at 9 → lexicographic; merging it removes (s,t),
+    // so ("es","t") at 9 beats ("l","o") at 7 next round
+    assert(merges.take(2) === Seq(("e", "s"), ("es", "t")))
+    assert(merges.length === 4)
+    // inference applies the learned table in order
+    assert(Vocab.bpeSegment("newest", merges.take(2)) ===
+      Seq("n", "e", "w", "est"))
+    // unseen word: shared suffix still compresses
+    assert(Vocab.bpeSegment("lowest", merges.take(2)).contains("est"))
   }
 
   test("trainIvfCentroids recovers planted clusters and lowers inertia") {

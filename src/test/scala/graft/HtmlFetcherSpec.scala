@@ -36,6 +36,19 @@ class HtmlFetcherSpec extends SparkSuite {
       |  <div class="field-value">0.05mm</div>
       |</body></html>""".stripMargin
 
+  // values with NESTED markup — a real MorphoSource page wraps values in
+  // icons/links; the depth-counting scan must take the whole sibling div
+  private val nestedPage =
+    """<html><head><title>Showcase Media — Specimen 9</title></head>
+      |<body>
+      |  <div class="field-name">Media type</div>
+      |  <div class="field-value">Mesh</div>
+      |  <div class="field-name">Media ID</div>
+      |  <div class="field-value"><span class="mono">42</span><a href="/m/42">-link</a></div>
+      |  <div class="field-name">Creator</div>
+      |  <div class="field-value"><div><div>Dr. <b>B</b></div></div> et al.</div>
+      |</body></html>""".stripMargin
+
   private val notMediaPage =
     "<html><head><title>Login required</title></head><body></body></html>"
 
@@ -46,6 +59,7 @@ class HtmlFetcherSpec extends SparkSuite {
   private val pages = Map(
     "http://fixture/showcase" -> showcasePage,
     "http://fixture/traditional" -> traditionalPage,
+    "http://fixture/nested" -> nestedPage,
     "http://fixture/error" -> notMediaPage,
     "http://fixture/layoutless" -> layoutlessPage)
 
@@ -64,6 +78,16 @@ class HtmlFetcherSpec extends SparkSuite {
     assert(f("Media Type") === "Volumetric Image Series")
     assert(f("Media ID") === "7890")
     assert(f("Slice Thickness") === "0.05mm")
+  }
+
+  test("nested markup inside value divs is extracted whole, not truncated") {
+    val f = fetcher.fetch("http://fixture/nested")
+    assert(f("Media Type") === "Mesh")
+    // span + anchor inside the value: both text fragments survive
+    assert(f("Media ID") === "42 -link")
+    // doubly-nested divs: the old non-greedy regex stopped at the first
+    // inner </div> and dropped " et al."
+    assert(f("Creator") === "Dr. B et al.")
   }
 
   test("page without 'Showcase Media' title is rejected") {
@@ -85,9 +109,11 @@ class HtmlFetcherSpec extends SparkSuite {
       Enricher.Config(maxAttempts = 2, backoffMs = 1))
     val recs = out.records.select($"url", $"media_type", $"media_id").collect()
       .map(r => r.getString(0) -> (r.getString(1), r.getString(2))).toMap
-    assert(recs.keySet === Set("http://fixture/showcase", "http://fixture/traditional"))
+    assert(recs.keySet === Set("http://fixture/showcase",
+      "http://fixture/traditional", "http://fixture/nested"))
     assert(recs("http://fixture/showcase") === (("Mesh", "000123456")))
     assert(recs("http://fixture/traditional") === (("Volumetric Image Series", "7890")))
+    assert(recs("http://fixture/nested") === (("Mesh", "42 -link")))
     // conditional field-set selection (P5): the volumetric-section column
     // carries its page value for the volumetric record
     val vol = out.records.where($"media_type" === "Volumetric Image Series")

@@ -67,6 +67,49 @@ class MultimodalSpec extends SparkSuite {
     assert((r.getLong(0), r.getLong(1), r.getLong(2)) === ((3L, 2L, 86L)))
   }
 
+  test("ImageIoDecoder decodes real PNG fixtures through the same mapPartitions plan") {
+    import spark.implicits._
+    // deterministic gradient PNGs encoded with the JDK codec itself
+    def png(w: Int, h: Int, seed: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) {
+        val v = (x * 7 + y * 13 + seed) % 256
+        img.setRGB(x, y, (v << 16) | (v << 8) | v) // gray gradient
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val fixtures = Seq(
+      (1L, "image", png(8, 6, 0)),
+      (2L, "image", png(33, 17, 100)),
+      (3L, "audio", Array[Byte](1, 2, 3)),       // non-image → stub fallback
+      (4L, "image", Array[Byte](9, 9, 9))        // corrupt → stub fallback
+    ).toDF("asset_id", "kind", "payload")
+    val rows = Multimodal.decode(fixtures, Multimodal.ImageIoDecoder)
+      .orderBy($"asset_id").collect()
+
+    // real codec dimensions + channels, real histogram feature
+    assert((rows(0).getAs[Int]("width"), rows(0).getAs[Int]("height")) === ((8, 6)))
+    assert((rows(1).getAs[Int]("width"), rows(1).getAs[Int]("height")) === ((33, 17)))
+    assert(rows(0).getAs[Int]("channels") === 3)
+    Seq(0, 1).foreach { i =>
+      val hist = rows(i).getSeq[Float](rows(i).fieldIndex("feature"))
+      assert(hist.length === 16)
+      assert(math.abs(hist.map(_.toDouble).sum - 1.0) < 1e-6) // normalized
+    }
+    // gray pixels: R=G=B → luma bin == v>>4; gradient covers many bins
+    assert(rows(1).getSeq[Float](rows(1).fieldIndex("feature")).count(_ > 0) > 8)
+
+    // fallback rows come from the stub, bit-identical to StubDecoder
+    val stub3 = Multimodal.StubDecoder.decode(3L, "audio", Array[Byte](1, 2, 3))
+    assert(rows(2).getAs[Int]("width") === stub3.width)
+    assert(rows(2).getAs[Int]("channels") === 2)
+    val stub4 = Multimodal.StubDecoder.decode(4L, "image", Array[Byte](9, 9, 9))
+    assert(rows(3).getAs[Int]("width") === stub4.width)
+  }
+
   test("resize clamps dimensions and preserves row count") {
     val decoded = Multimodal.decode(assets)
     val resized = Multimodal.resize(decoded, 224, 224)

@@ -126,6 +126,24 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("HashAggregate") || p.contains("ObjectHashAggregate"), p)
   }
 
+  test("q64b: approx profile has no Expand and stays one partial+final aggregate") {
+    val p = formatted("q64b_column_profile_approx")
+    assert(!p.contains("Expand"), p) // exact multi-count_distinct's N-way blowup
+    val scans = """\(\d+\) Scan parquet""".r.findAllIn(p).length
+    assert(scans === 1, p)
+    // partial agg → single-partition exchange → final agg (+ trivial sort)
+    assert(countNodes(p, "Exchange") <= 2, p)
+  }
+
+  test("q74: incremental cosine near-dup joins band keys, never a cross join") {
+    val df = SparkEntry.queries("q74_incremental_cosine_neardup")(spark, sfDir)
+    df.collect() // materialize so AQE finalizes the plan
+    val p = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("graft_lsh_bands"), p)
+  }
+
   test("q65: as-of join is a union + key window, never a theta nested loop") {
     val p = formatted("q65_asof_join")
     assert(!p.contains("BroadcastNestedLoopJoin"), p)

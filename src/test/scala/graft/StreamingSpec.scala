@@ -163,6 +163,52 @@ class StreamingSpec extends SparkSuite {
     assert(streaming === batch)
   }
 
+  test("streamingFunnel expires an abandoned key's partial state after the event-time TTL") {
+    import org.apache.spark.sql.streaming.Trigger
+    val in = tmp("funnel-ttl-in")
+    val stages = Seq("signup", "view")
+    val schema = "user_id LONG, ts LONG, event_id LONG, event_type STRING"
+    val outSchema = "user_id LONG, stage_ts ARRAY<LONG>"
+    val T0 = 1600000000L * 1000000000L // epoch-ns base
+    def sec(s: Long): Long = T0 + s * 1000000000L
+
+    def run(ckpt: String, out: String, ttlMs: Long): Unit =
+      graft.streaming.EventStreams.streamingFunnel(spark,
+          spark.readStream.schema(schema).parquet(in), stages, ttlMs)
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    def completions(out: String): Seq[Long] =
+      spark.read.schema(outSchema).parquet(out)
+        .select("user_id").collect().map(_.getLong(0)).toSeq
+
+    val (ckptShort, outShort) = (tmp("funnel-ttl-ck1"), tmp("funnel-ttl-out1"))
+    val (ckptLong, outLong) = (tmp("funnel-ttl-ck2"), tmp("funnel-ttl-out2"))
+    def both(): Unit = { run(ckptShort, outShort, ttlMs = 1000L)   // 1 s
+                         run(ckptLong, outLong, ttlMs = 3600L * 1000) } // 1 h
+
+    import spark.implicits._
+    def arrive(rows: (Long, Long, Long, String)*): Unit = {
+      rows.toDF("user_id", "ts", "event_id", "event_type")
+        .coalesce(1).write.mode("append").parquet(in)
+      both()
+    }
+    // run 1: user 1 reaches stage 1 at T0 and stalls (timer: T0+ttl)
+    arrive((1L, sec(0), 1L, "signup"))
+    // run 2: unrelated traffic at T0+10s — commits watermark T0+10s
+    arrive((99L, sec(10), 2L, "signup"))
+    // run 3: watermark (T0+10s) now exceeds the short variant's T0+1s
+    // deadline → its timeout sweep removes user 1's prefix; the 1 h
+    // deadline is untouched
+    arrive((98L, sec(20), 3L, "signup"))
+    // run 4: user 1 finally converts — counts only where state survived
+    arrive((1L, sec(30), 4L, "view"))
+
+    assert(completions(outLong) === Seq(1L))  // within the 1 h window
+    assert(completions(outShort).isEmpty)      // partial progress expired
+  }
+
   test("sessionize (flatMapGroupsWithState) agrees with the q35 batch count") {
     import spark.implicits._
     // Closed sessions per user from the stateful op + the one still-open
