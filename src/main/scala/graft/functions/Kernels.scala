@@ -477,3 +477,93 @@ object Kernels {
     out
   }
 }
+
+/** Compiled BPE merge table: (left, right) → learned rank, applied with
+  * the standard lowest-rank-first loop. Built once at plan time by the
+  * `graft_bpe_apply` expression and shipped into generated code as a
+  * reference object — the NearestCentroid "tiny model as plan literal"
+  * pattern, so corpus-side tokenization is scan-local with zero per-row
+  * model cost beyond the hash lookups. (Top-level public class: codegen
+  * references it by name.)
+  */
+final class BpeModel(merges: Array[Array[String]]) extends Serializable {
+
+  private val ranks = new java.util.HashMap[String, Integer](merges.length * 2)
+  locally {
+    var i = 0
+    while (i < merges.length) {
+      //   never appears in whitespace-split tokens → unambiguous key
+      ranks.put(merges(i)(0) + " " + merges(i)(1), Integer.valueOf(i))
+      i += 1
+    }
+  }
+
+  private def rank(a: String, b: String): Int = {
+    val r = ranks.get(a + " " + b)
+    if (r == null) Int.MaxValue else r.intValue()
+  }
+
+  /** Segment one word from characters: repeatedly merge every occurrence
+    * of the lowest-rank adjacent pair (leftmost-first within a pass)
+    * until no learned pair remains. Identical result to applying the
+    * merges sequentially in learned order — a merge can never create a
+    * pair of LOWER rank (both members of an earlier pair already existed
+    * when that pair was learned) — but runs in O(pairs present), not
+    * O(table size), passes per word.
+    */
+  def segmentWord(w: String): scala.collection.mutable.ArrayBuffer[String] = {
+    var sym = new scala.collection.mutable.ArrayBuffer[String](w.length)
+    var i = 0
+    while (i < w.length) { sym += String.valueOf(w.charAt(i)); i += 1 }
+    var done = sym.length < 2
+    while (!done) {
+      var best = Int.MaxValue
+      var j = 0
+      while (j < sym.length - 1) {
+        val r = rank(sym(j), sym(j + 1))
+        if (r < best) best = r
+        j += 1
+      }
+      if (best == Int.MaxValue) done = true
+      else {
+        val a = merges(best)(0)
+        val b = merges(best)(1)
+        val next = new scala.collection.mutable.ArrayBuffer[String](sym.length)
+        var k = 0
+        while (k < sym.length) {
+          if (k + 1 < sym.length && sym(k) == a && sym(k + 1) == b) {
+            next += a + b
+            k += 2
+          } else {
+            next += sym(k)
+            k += 1
+          }
+        }
+        sym = next
+        if (sym.length < 2) done = true
+      }
+    }
+    sym
+  }
+
+  /** Flattened segmentation of every word in a string array (null words
+    * skipped) — the corpus-side tokenize-with-learned-vocab operation.
+    */
+  def segmentAll(tokens: ArrayData): ArrayData = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[AnyRef]
+    val n = tokens.numElements()
+    var i = 0
+    while (i < n) {
+      if (!tokens.isNullAt(i)) {
+        val segs = segmentWord(tokens.getUTF8String(i).toString)
+        var j = 0
+        while (j < segs.length) {
+          out += org.apache.spark.unsafe.types.UTF8String.fromString(segs(j))
+          j += 1
+        }
+      }
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+}

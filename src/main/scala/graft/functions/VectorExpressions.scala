@@ -350,6 +350,32 @@ case class NearestCentroid(child: Expression, centroids: Array[Array[Float]])
     copy(child = c)
 }
 
+/** bpe_apply(tokens, merges-literal): flattened BPE segmentation of every
+  * word in a string array, driven by a learned merge table that arrives
+  * as a foldable literal and rides into generated code as a compiled
+  * [[BpeModel]] — corpus-side tokenization with the learned vocabulary,
+  * scan-local (the IVF "tiny model in the expression" pattern).
+  */
+case class BpeApply(child: Expression, merges: Array[Array[String]])
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckSuccess
+    case _ => TypeCheckFailure(s"$prettyName requires array<string>")
+  }
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_bpe_apply"
+
+  @transient private lazy val model = new BpeModel(merges)
+  override def nullSafeEval(a: Any): Any =
+    model.segmentAll(a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bpeModel", model, classOf[BpeModel].getName)
+    defineCodeGen(ctx, ev, a => s"$ref.segmentAll($a)")
+  }
+  override protected def withNewChildInternal(c: Expression): BpeApply =
+    copy(child = c)
+}
+
 /** Registration for the custom expressions: [[GraftFunctions.register]]
   * for an existing session, or `spark.sql.extensions=graft.functions.
   * GraftExtensions` at session build.
@@ -360,6 +386,16 @@ object GraftFunctions {
     case Literal(v: Int, IntegerType) => v
     case other => throw new IllegalArgumentException(
       s"$what must be an integer literal, got $other")
+  }
+
+  private def stringPairsArg(e: Expression): Array[Array[String]] = e match {
+    case l @ Literal(_, ArrayType(ArrayType(StringType, _), _)) =>
+      l.value.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        .toObjectArray(ArrayType(StringType))
+        .map(_.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+          .toObjectArray(StringType).map(_.toString))
+    case other => throw new IllegalArgumentException(
+      s"merges must be an array<array<string>> literal (typedLit), got $other")
   }
 
   private def centroidsArg(e: Expression): Array[Array[Float]] = e match {
@@ -387,7 +423,8 @@ object GraftFunctions {
     "graft_simhash_md5" -> (args => SimHashMd5(args(0))),
     "graft_minhash_md5" -> (args => MinHashMd5(args(0), intArg(args(1), "numHashes"))),
     "graft_jaccard_sorted" -> (args => JaccardSorted(args(0), args(1))),
-    "graft_nearest_centroid" -> (args => NearestCentroid(args(0), centroidsArg(args(1)))))
+    "graft_nearest_centroid" -> (args => NearestCentroid(args(0), centroidsArg(args(1)))),
+    "graft_bpe_apply" -> (args => BpeApply(args(0), stringPairsArg(args(1)))))
 
   private val registered =
     java.util.Collections.synchronizedMap(

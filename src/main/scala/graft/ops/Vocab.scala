@@ -77,32 +77,41 @@ object Vocab {
       .as[(String, Long)]
       .map { case (w, n) => (w.map(_.toString), n) }
     words.persist(level)
+    // adjacent-pair counting stays untyped (slice+zip+explode, codegen'd,
+    // map-side combined) — no per-row lambda interpretation or typed
+    // round-trip; only the merge application needs a typed map
+    def topPair(ws: Dataset[(Seq[String], Long)]): Array[(String, String)] =
+      ws.toDF("sym", "n")
+        .where(size(col("sym")) >= 2)
+        .select(col("n"), explode(arrays_zip(
+          slice(col("sym"), lit(1), size(col("sym")) - 1).as("l"),
+          slice(col("sym"), lit(2), size(col("sym")) - 1).as("r"))).as("p"))
+        .groupBy(col("p.l").as("a"), col("p.r").as("b"))
+        .agg(sum(col("n")).as("cnt"))
+        .orderBy(col("cnt").desc, col("a"), col("b"))
+        .limit(1)
+        .collect()
+        .map(r => (r.getString(0), r.getString(1)))
     val merges = Seq.newBuilder[(String, String)]
+    var prev: Dataset[(Seq[String], Long)] = null
     var round = 0
     var exhausted = false
     while (round < numMerges && !exhausted) {
-      val top = words
-        .flatMap { case (sym, n) =>
-          sym.iterator.zip(sym.iterator.drop(1)).map { case (a, b) => ((a, b), n) }
-        }
-        .groupByKey(_._1)
-        .mapValues(_._2).reduceGroups(_ + _)
-        .map { case ((a, b), n) => (n, a, b) }
-        .orderBy(col("_1").desc, col("_2"), col("_3"))
-        .limit(1)
-        .collect()
+      // the top-pair aggregate is the action that materializes this
+      // round's cache; the previous round's pin is only released after it
+      val top = topPair(words)
+      if (prev != null) { prev.unpersist(blocking = false); prev = null }
       if (top.isEmpty) exhausted = true
       else {
-        val (_, a, b) = top.head
+        val (a, b) = top.head
         merges += ((a, b))
-        val prev = words
+        prev = words
         words = prev.map { case (sym, n) => (mergeOnce(sym, a, b), n) }
         words.persist(level)
-        words.count() // materialize before releasing the previous round
-        prev.unpersist(blocking = false)
       }
       round += 1
     }
+    if (prev != null) prev.unpersist(blocking = false)
     words.unpersist(blocking = false)
     merges.result()
   }
@@ -128,13 +137,27 @@ object Vocab {
   }
 
   /** Segment a word with a learned merge table (merges applied in
-    * learned order — the BPE inference rule). Driver/test utility;
-    * corpus-side segmentation would carry the table as a plan literal.
+    * learned order — the BPE inference rule). Driver/test reference
+    * implementation; [[segmentTokens]] is the corpus-side path.
     */
   def bpeSegment(word: String, merges: Seq[(String, String)]): Seq[String] =
     merges.foldLeft(word.map(_.toString): Seq[String]) {
       case (sym, (a, b)) => mergeOnce(sym, a, b)
     }
+
+  /** Corpus-side BPE tokenization: flattened segmentation of every word
+    * in a string-array column, via the codegen'd `graft_bpe_apply`
+    * kernel. The merge table rides as a plan literal compiled once into
+    * a rank map (the IVF centroid-model pattern) — scan-local, no
+    * shuffle, no per-row model cost beyond hash lookups. Bit-identical
+    * to flat-mapping [[bpeSegment]] (spec-pinned).
+    */
+  def segmentTokens(tokens: org.apache.spark.sql.Column,
+      merges: Seq[(String, String)]): org.apache.spark.sql.Column = {
+    graft.functions.GraftFunctions.ensureRegistered()
+    call_function("graft_bpe_apply", tokens,
+      typedLit(merges.map { case (a, b) => Seq(a, b) }))
+  }
 
   def tfidf(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val perDoc = perDocCounts(df, idCol, textCol)

@@ -97,7 +97,7 @@ object CorpusQueries {
     Dedup.incrementalNearDups(
         docs.where($"doc_id" % 3 === 0),
         docs.where($"doc_id" % 3 =!= 0), "doc_id", "text",
-        threshold = 0.9, numHashes = 16, bands = 8, md5Basis = true)
+        threshold = 0.9, numHashes = 16, bands = 4, md5Basis = true)
       .orderBy($"idA", $"idB")
   }
 
@@ -122,7 +122,7 @@ object CorpusQueries {
     Dedup.incrementalNearDups(
         docs.where($"doc_id" % 3 === 0),
         docs.where($"doc_id" % 3 =!= 0), "doc_id", "text",
-        threshold = 0.9, numHashes = 16, bands = 8, md5Basis = false)
+        threshold = 0.9, numHashes = 16, bands = 4, md5Basis = false)
       .orderBy($"idA", $"idB")
   }
 
@@ -140,11 +140,32 @@ object CorpusQueries {
       .orderBy($"rank")
   }
 
+  /** Corpus tokenized with the learned BPE table: per-document subword
+    * counts from the codegen'd segmentation kernel (train → apply, the
+    * full BPE round-trip). Trains on the doc_id ≡ 0 (mod 5) hash-slice
+    * and applies to the whole corpus — the production shape (tokenizer
+    * training never reads all 100 TB; application does). Deterministic
+    * but driver-loop-trained → rows-only; FunctionsSpec pins
+    * kernel/reference parity.
+    */
+  private def q76(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    val merges = Vocab.trainBpeMerges(
+      docs.where($"doc_id" % 5 === 0), "text", numMerges = 10)
+    docs.select($"doc_id",
+        size(TextAnalysis.tokens($"text")).as("n_words"),
+        size(Vocab.segmentTokens(TextAnalysis.tokens($"text"), merges))
+          .as("n_subwords"))
+      .orderBy($"doc_id")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q68_tfidf" -> (q68 _),
     "q64b_column_profile_approx" -> (q64b _),
     "q67b_incremental_neardup_xxh64" -> (q67b _),
     "q75_bpe_merges" -> (q75 _),
+    "q76_bpe_segment" -> (q76 _),
     "q60_vocab_topk" -> (q60 _),
     "q61_sequence_packing" -> (q61 _),
     "q62_incremental_dedup" -> (q62 _),
@@ -248,8 +269,8 @@ object CorpusQueries {
         |              min(('0x' || substr(md5(j.j || ':' || tok), 1, 15))::BIGINT) AS h
         |       FROM tok, (SELECT unnest(range(0, 16)) AS j) j GROUP BY doc_id, j.j),
         |sig AS (SELECT doc_id, list(h ORDER BY j) AS sig FROM mh GROUP BY doc_id),
-        |k AS (SELECT doc_id, b.b AS band, list_slice(sig, b.b*2 + 1, b.b*2 + 2) AS key
-        |      FROM sig, (SELECT unnest(range(0, 8)) AS b) b),
+        |k AS (SELECT doc_id, b.b AS band, list_slice(sig, b.b*4 + 1, b.b*4 + 4) AS key
+        |      FROM sig, (SELECT unnest(range(0, 4)) AS b) b),
         |cand AS (SELECT DISTINCT a.doc_id AS idA, b.doc_id AS idB
         |         FROM k a JOIN k b ON a.band = b.band AND a.key = b.key
         |         WHERE a.doc_id % 3 = 0 AND b.doc_id % 3 <> 0)

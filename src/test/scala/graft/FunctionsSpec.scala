@@ -161,6 +161,28 @@ class FunctionsSpec extends SparkSuite {
     assert(one === 0)
   }
 
+  test("graft_bpe_apply matches the driver-side sequential merge reference") {
+    import spark.implicits._
+    import graft.ops.Vocab
+    GraftFunctions.register(spark)
+    // a merge table with chained and overlapping shapes: later merges
+    // consume earlier merge outputs; (a,a) exercises non-overlap rules
+    val merges = Seq(("e", "s"), ("es", "t"), ("l", "o"), ("lo", "w"),
+      ("a", "a"), ("t", "h"), ("th", "e"))
+    val words = Seq("newest", "lowest", "low", "aaaa", "aaab", "the",
+      "thethe", "x", "", "estest")
+    val docs = Seq((1L, words.mkString(" "))).toDF("doc_id", "text")
+    val kernel = docs.select(
+        Vocab.segmentTokens(graft.ops.TextAnalysis.tokens($"text"), merges)
+          .as("segs"))
+      .head().getSeq[String](0)
+    val reference = words.filter(_.nonEmpty)
+      .flatMap(w => Vocab.bpeSegment(w, merges))
+    assert(kernel === reference)
+    // the lowest-rank-first loop really compresses: "aaaa" → ["aa","aa"]
+    assert(Vocab.bpeSegment("aaaa", merges) === Seq("aa", "aa"))
+  }
+
   test("graft_minhash_md5 matches min over conv(md5(j:token)) exactly") {
     import spark.implicits._
     GraftFunctions.register(spark)
