@@ -393,6 +393,45 @@ object Similarity {
       .limit(k)
   }
 
+  /** Semantic near-dup pairs via IVF cells (the SemDeDup shape): pair
+    * vectors sharing an IVF cell, verify exact cosine. Complements the
+    * sign-LSH path ([[cosineNearDupPairsBucketed]]) when an IVF model
+    * already exists — candidate generation reuses the ANN index's cell
+    * assignment (one scan-side kernel, one shuffle on centroid_id), so
+    * index build and dedup share all their work.
+    *
+    * Pairing is quadratic WITHIN a cell — that is the design: size the
+    * model so cells stay small (numCentroids ≈ corpus / target cell
+    * size; at 10⁸ vectors and ~10⁴-vector cells that's k ≈ 10⁴ — still
+    * a plan-literal-sized model). Cells above `maxCell` are dropped
+    * (mass-duplicate clusters belong to exact dedup first). Recall = the
+    * probability both members of a true pair land in one cell; near-dup
+    * pairs (cosine ≈ 1) virtually always do, loose pairs near the
+    * threshold may straddle a cell boundary.
+    */
+  def ivfNearDupPairs(emb: DataFrame, idCol: String, vecCol: String,
+      centroids: Array[Array[Float]], threshold: Double,
+      maxCell: Int = 100000): DataFrame = {
+    val assigned = ivfAssign(Dedup.spread(emb), vecCol, centroids)
+      .select(col("centroid_id"), col(idCol).as("__id"),
+        col(vecCol).as("__v"), l2Norm(col(vecCol)).as("__nm"))
+    val capped = assigned
+      .withColumn("__c", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("centroid_id"))))
+      .where(col("__c") <= maxCell)
+      .drop("__c")
+    val a = capped.select(col("centroid_id"), col("__id").as("idA"),
+      col("__v").as("__va"), col("__nm").as("__na"))
+    val b = capped.select(col("centroid_id"), col("__id").as("idB"),
+      col("__v").as("__vb"), col("__nm").as("__nb"))
+    a.join(b, Seq("centroid_id"))
+      .where(col("idA") < col("idB"))
+      .select(col("idA"), col("idB"),
+        (dotProduct(col("__va"), col("__vb")) / (col("__na") * col("__nb")))
+          .as("cosine"))
+      .where(col("cosine") > threshold)
+  }
+
   /** Approximate top-k: exact ranking restricted to the query's LSH
     * bucket. Fast path for the 100 TB corpus; recall < 1 by construction.
     */

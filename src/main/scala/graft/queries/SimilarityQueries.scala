@@ -132,6 +132,21 @@ object SimilarityQueries {
       .orderBy($"idA", $"idB")
   }
 
+  /** Semantic dedup candidates via IVF cells (SemDeDup shape): vectors
+    * sharing one of 16 hash-sample-centroid cells, paired and exact-
+    * cosine verified — reuses q43's deterministic index, so the full
+    * cluster → pair → verify pipeline is hash-checked against DuckDB
+    * rebuilding the identical cells.
+    */
+  private def q77(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables.embeddings(s, dir)
+    val centroids = Similarity.ivfCentroids(emb, "vec_id", "embedding", 16)
+    Similarity.ivfNearDupPairs(emb, "vec_id", "embedding", centroids,
+        threshold = 0.3)
+      .orderBy($"idA", $"idB")
+  }
+
   /** Int8 quantization round-trip: per-vector scale, code fingerprint,
     * and max reconstruction error — all deterministic double arithmetic,
     * hash-checked against DuckDB rebuilding the identical codes.
@@ -158,7 +173,8 @@ object SimilarityQueries {
     "q33_label_stats" -> (q33 _),
     "q43_ann_ivf" -> (q43 _),
     "q50_cosine_neardup_bucketed" -> (q50 _),
-    "q74_incremental_cosine_neardup" -> (q74 _))
+    "q74_incremental_cosine_neardup" -> (q74 _),
+    "q77_semantic_dedup_ivf" -> (q77 _))
 
   val oracles: Map[String, String] = Map(
     "q69_ann_batch" ->
@@ -232,6 +248,29 @@ object SimilarityQueries {
         |WHERE k.bucket = q.qb AND e.vec_id <> 0
         |ORDER BY cosine DESC, e.vec_id
         |LIMIT 10""".stripMargin,
+    // q43's deterministic cells + within-cell pairing + exact cosine
+    // verification. The Spark maxCell cap (100000) cannot trigger at
+    // sf0.01 (≤1000 vectors per cell).
+    "q77_semantic_dedup_ivf" ->
+      """WITH h AS (SELECT vec_id, embedding,
+        |             ('0x' || substr(md5(vec_id::VARCHAR), 1, 15))::BIGINT AS hh
+        |           FROM embeddings),
+        |cent AS (SELECT row_number() OVER (ORDER BY hh, vec_id) - 1 AS cid,
+        |                embedding AS cvec
+        |         FROM h ORDER BY hh, vec_id LIMIT 16),
+        |asg AS (SELECT e.vec_id, c.cid,
+        |               row_number() OVER (PARTITION BY e.vec_id
+        |                 ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], c.cvec::DOUBLE[]) DESC,
+        |                          c.cid) AS rn
+        |        FROM embeddings e, cent c),
+        |cells AS (SELECT vec_id, cid FROM asg WHERE rn = 1)
+        |SELECT a.vec_id AS idA, b.vec_id AS idB,
+        |       list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]) AS cosine
+        |FROM cells a JOIN cells b ON a.cid = b.cid AND a.vec_id < b.vec_id
+        |JOIN embeddings ea ON ea.vec_id = a.vec_id
+        |JOIN embeddings eb ON eb.vec_id = b.vec_id
+        |WHERE list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]) > 0.3
+        |ORDER BY idA, idB""".stripMargin,
     // IVF: centroids = 16 lowest-md5(vec_id) vectors; cells = argmax
     // cosine (ties to lower cell id); probe the query's best 4 cells.
     "q43_ann_ivf" ->

@@ -134,6 +134,25 @@ class OpsSpec extends SparkSuite {
     assert(bucketed.count() > 0)
   }
 
+  test("ivfNearDupPairs equals exact pairs restricted to co-cell membership") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sfDir)
+    val centroids = Similarity.ivfCentroids(emb, "vec_id", "embedding", 8)
+    val semantic = Similarity.ivfNearDupPairs(emb, "vec_id", "embedding",
+      centroids, threshold = 0.3)
+    // ground truth: exact pairs whose two sides share an IVF cell
+    val cells = Similarity.ivfAssign(emb, "embedding", centroids)
+      .select($"vec_id", $"centroid_id")
+    val expected = Similarity.cosineNearDupPairs(emb, "vec_id", "embedding", 0.3)
+      .join(cells.select($"vec_id".as("idA"), $"centroid_id".as("__ca")), Seq("idA"))
+      .join(cells.select($"vec_id".as("idB"), $"centroid_id".as("__cb")), Seq("idB"))
+      .where($"__ca" === $"__cb")
+      .select($"idA", $"idB", $"cosine")
+    val got = semantic.select($"idA", $"idB", $"cosine")
+    assert(got.exceptAll(expected).isEmpty && expected.exceptAll(got).isEmpty)
+    assert(got.count() > 0)
+  }
+
   test("clusterLabels matches a local union-find on random graphs") {
     import spark.implicits._
     val rnd = new scala.util.Random(42)
