@@ -147,6 +147,23 @@ object SimilarityQueries {
       .orderBy($"idA", $"idB")
   }
 
+  /** The composed IVF dedup pipeline: cell-pair candidates (q77's plan)
+    * → connected-component collapse → surviving vec_ids. The IVF twin of
+    * q53's LSH-based collapse — index build, near-dup detection and
+    * dedup share one cell assignment. Hash-checked end to end
+    * (deterministic cells + recursive-CTE closure).
+    */
+  private def q78(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables.embeddings(s, dir)
+    val centroids = Similarity.ivfCentroids(emb, "vec_id", "embedding", 16)
+    val pairs = Similarity.ivfNearDupPairs(emb, "vec_id", "embedding",
+      centroids, threshold = 0.3)
+    graft.ops.Dedup.collapseNearDups(emb, "vec_id", pairs)
+      .select($"vec_id")
+      .orderBy($"vec_id")
+  }
+
   /** Int8 quantization round-trip: per-vector scale, code fingerprint,
     * and max reconstruction error — all deterministic double arithmetic,
     * hash-checked against DuckDB rebuilding the identical codes.
@@ -174,7 +191,8 @@ object SimilarityQueries {
     "q43_ann_ivf" -> (q43 _),
     "q50_cosine_neardup_bucketed" -> (q50 _),
     "q74_incremental_cosine_neardup" -> (q74 _),
-    "q77_semantic_dedup_ivf" -> (q77 _))
+    "q77_semantic_dedup_ivf" -> (q77 _),
+    "q78_embedding_dedup_ivf" -> (q78 _))
 
   val oracles: Map[String, String] = Map(
     "q69_ann_batch" ->
@@ -356,6 +374,36 @@ object SimilarityQueries {
         |JOIN embeddings eb ON eb.vec_id = c.idB
         |WHERE list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]) > 0.3
         |ORDER BY idA, idB""".stripMargin,
+    // q77's cell-pair set + recursive-CTE transitive closure → survivors
+    // (the q53 technique on the IVF candidate front end).
+    "q78_embedding_dedup_ivf" ->
+      """WITH RECURSIVE h AS (SELECT vec_id, embedding,
+        |             ('0x' || substr(md5(vec_id::VARCHAR), 1, 15))::BIGINT AS hh
+        |           FROM embeddings),
+        |cent AS (SELECT row_number() OVER (ORDER BY hh, vec_id) - 1 AS cid,
+        |                embedding AS cvec
+        |         FROM h ORDER BY hh, vec_id LIMIT 16),
+        |asg AS (SELECT e.vec_id, c.cid,
+        |               row_number() OVER (PARTITION BY e.vec_id
+        |                 ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], c.cvec::DOUBLE[]) DESC,
+        |                          c.cid) AS rn
+        |        FROM embeddings e, cent c),
+        |cells AS (SELECT vec_id, cid FROM asg WHERE rn = 1),
+        |p AS (SELECT a.vec_id AS idA, b.vec_id AS idB
+        |      FROM cells a JOIN cells b ON a.cid = b.cid AND a.vec_id < b.vec_id
+        |      JOIN embeddings ea ON ea.vec_id = a.vec_id
+        |      JOIN embeddings eb ON eb.vec_id = b.vec_id
+        |      WHERE list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]) > 0.3),
+        |e AS (SELECT idA AS src, idB AS dst FROM p UNION ALL SELECT idB, idA FROM p),
+        |reach AS (
+        |  SELECT src AS id, src AS r FROM e
+        |  UNION
+        |  SELECT e.src, reach.r FROM e JOIN reach ON e.dst = reach.id),
+        |losers AS (SELECT id FROM (SELECT id, min(r) AS label FROM reach GROUP BY id)
+        |           WHERE id <> label)
+        |SELECT vec_id FROM embeddings
+        |WHERE vec_id NOT IN (SELECT id FROM losers)
+        |ORDER BY vec_id""".stripMargin,
     // q50's verified pair set + recursive-CTE transitive closure →
     // survivors = vectors that are not a non-minimum cluster member.
     "q53_embedding_dedup" ->

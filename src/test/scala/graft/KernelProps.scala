@@ -105,6 +105,40 @@ object KernelProps extends Properties("graft") {
       }
     }
 
+  private val smallWord: Gen[String] =
+    Gen.chooseNum(0, 8).flatMap(n => Gen.listOfN(n, Gen.oneOf('a', 'b', 'c')).map(_.mkString))
+
+  /** Tables a trainer can actually emit: each pair's members already
+    * exist when it is learned, and every pair produces a DISTINCT new
+    * symbol. (Without output-distinctness the min-rank loop and the
+    * sequential reference legitimately diverge: a later merge can
+    * recreate an earlier pair's member string, making the earlier rank
+    * applicable again — a corner a frequency trainer cannot produce,
+    * since both routes to one string never both win a round.)
+    */
+  private val learnedTable: Gen[List[(String, String)]] =
+    Gen.chooseNum(0, 6).flatMap { n =>
+      def step(k: Int, avail: Vector[String], produced: Set[String],
+          acc: List[(String, String)]): Gen[List[(String, String)]] =
+        if (k == 0) Gen.const(acc.reverse)
+        else Gen.zip(Gen.oneOf(avail), Gen.oneOf(avail)).flatMap { case (a, b) =>
+          val out = a + b
+          if (produced(out)) step(k - 1, avail, produced, acc)
+          else step(k - 1, avail :+ out, produced + out, (a, b) :: acc)
+        }
+      step(n, Vector("a", "b", "c"), Set.empty, Nil)
+    }
+
+  property("BPE segmentation is lossless and kernel ≡ sequential reference") =
+    forAll(smallWord, learnedTable) { (w, merges) =>
+      val model = new graft.functions.BpeModel(
+        merges.map { case (a, b) => Array(a, b) }.toArray)
+      val viaModel = model.segmentWord(w).toList
+      val viaRef = graft.ops.Vocab.bpeSegment(w, merges).toList
+      // lossless: the concatenated segments rebuild the word exactly
+      viaModel.mkString == w && viaModel == viaRef
+    }
+
   property("frameStats algebra: sampled bytes never exceed payload, frames cover it") =
     forAll(Gen.choose(0L, 100000L), Gen.choose(1, 8)) { (len, stride) =>
       val frameBytes = 256
