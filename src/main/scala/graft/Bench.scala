@@ -38,7 +38,13 @@ object Bench {
     val warmupDir = sys.env.getOrElse("SPARK_GRAFT_WARMUP_DIR",
       "/root/testdata/sf0.001")
     val doWarmup = new java.io.File(warmupDir).isDirectory && warmupDir != sfDir
+    // dev loop: SPARK_GRAFT_BENCH_FILTER=q52,q67 times only matching
+    // queries (substring match); unset = the full driver protocol
+    val filters = sys.env.get("SPARK_GRAFT_BENCH_FILTER")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Nil)
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => filters.isEmpty || filters.exists(n.contains) }
     if (doWarmup) ordered.foreach { case (_, fn) =>
       // warmup failures are ignored here but re-surface in the timed loop
       try fn(spark, warmupDir).write.format("noop").mode("overwrite").save()

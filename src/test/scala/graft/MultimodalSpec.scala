@@ -110,6 +110,57 @@ class MultimodalSpec extends SparkSuite {
     assert(rows(3).getAs[Int]("width") === stub4.width)
   }
 
+  test("JdkMediaDecoder decodes WAV fixtures and routes kinds to the right codec") {
+    import spark.implicits._
+    import javax.sound.sampled.{AudioFormat, AudioInputStream, AudioSystem}
+    // deterministic 16-bit PCM mono WAV: a ramp over the full amplitude range
+    def wav(nFrames: Int, rate: Float): Array[Byte] = {
+      val pcm = new Array[Byte](nFrames * 2)
+      for (i <- 0 until nFrames) {
+        val s = ((i.toLong * 65535 / math.max(nFrames - 1, 1)) - 32768).toShort
+        pcm(2 * i) = (s & 0xff).toByte          // little-endian
+        pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      }
+      val fmt = new AudioFormat(rate, 16, 1, true, false)
+      val ais = new AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, nFrames.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      AudioSystem.write(ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    def png(): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(4, 3,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val fixtures = Seq(
+      (1L, "audio", wav(4800, 8000f)),
+      (2L, "image", png()),
+      (3L, "video", Array[Byte](5, 5, 5)),       // no JDK codec → stub
+      (4L, "audio", Array[Byte](1, 2, 3))        // corrupt → stub
+    ).toDF("asset_id", "kind", "payload")
+    val rows = Multimodal.decode(fixtures, Multimodal.JdkMediaDecoder)
+      .orderBy($"asset_id").collect()
+
+    // audio: frames / sample rate / channels from the real codec
+    assert(rows(0).getAs[Int]("width") === 4800)
+    assert(rows(0).getAs[Int]("height") === 8000)
+    assert(rows(0).getAs[Int]("channels") === 1)
+    val hist = rows(0).getSeq[Float](rows(0).fieldIndex("feature"))
+    assert(hist.length === 16)
+    assert(math.abs(hist.map(_.toDouble).sum - 1.0) < 1e-6)
+    assert(hist.count(_ > 0) > 8) // full-range ramp fills most bins
+    // image routes to ImageIoDecoder
+    assert(rows(1).getAs[Int]("width") === 4 && rows(1).getAs[Int]("height") === 3)
+    // video and corrupt audio fall back to the stub
+    val stub3 = Multimodal.StubDecoder.decode(3L, "video", Array[Byte](5, 5, 5))
+    assert(rows(2).getAs[Int]("width") === stub3.width)
+    val stub4 = Multimodal.StubDecoder.decode(4L, "audio", Array[Byte](1, 2, 3))
+    assert(rows(3).getAs[Int]("width") === stub4.width)
+  }
+
   test("resize clamps dimensions and preserves row count") {
     val decoded = Multimodal.decode(assets)
     val resized = Multimodal.resize(decoded, 224, 224)

@@ -144,6 +144,16 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("graft_lsh_bands"), p)
   }
 
+  test("q77: IVF semantic dedup joins on cell id with the kernel in codegen") {
+    val df = SparkEntry.queries("q77_semantic_dedup_ivf")(spark, sfDir)
+    df.collect() // materialize so AQE finalizes the plan
+    val p = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("graft_nearest_centroid"), p)
+    assert(p.contains("codegen id"), p)
+  }
+
   test("q65: as-of join is a union + key window, never a theta nested loop") {
     val p = formatted("q65_asof_join")
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
