@@ -236,6 +236,52 @@ object EventStreams {
       .toDF()
   }
 
+  /** Continuous-ingest dedup: documents land in `inDir` as parquet; each
+    * micro-batch is exact-deduped within itself AND against the corpus
+    * at `corpusDir`, and only genuinely new content is appended — the
+    * streaming composition of `ops.Dedup.incrementalDedup` that keeps a
+    * training corpus duplicate-free as it grows, without ever rewriting
+    * it.
+    *
+    * Replay-safe WITHOUT an idempotent sink: a micro-batch replayed
+    * after a mid-write failure re-runs the anti-join against the corpus,
+    * which now already contains whatever the failed attempt appended —
+    * the duplicates filter themselves out. (A replay interleaved with a
+    * partial write of the SAME batch could still double-append a row
+    * that hadn't landed; at-least-once on rows, never on content beyond
+    * one batch boundary.)
+    *
+    * Scale: the corpus side of the anti-join is a narrow fingerprint
+    * projection of `corpusDir`; store the corpus bucketed by fingerprint
+    * and only the (small) batch shuffles — see `Dedup.incrementalDedup`.
+    */
+  def ingestDedup(spark: SparkSession, schema: StructType, inDir: String,
+      corpusDir: String, checkpointDir: String, idCol: String,
+      textCol: String, maxFilesPerTrigger: Int = 16,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    import graft.ops.Dedup
+    spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(inDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val cPath = new org.apache.hadoop.fs.Path(corpusDir)
+        val corpusExists = cPath
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .exists(cPath)
+        val fresh =
+          if (corpusExists)
+            Dedup.incrementalDedup(batch, spark.read.parquet(corpusDir),
+              idCol, textCol)
+          else Dedup.exactDedup(batch, idCol, textCol)
+        fresh.write.mode("append").parquet(corpusDir)
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .start()
+  }
+
   /** Run a streaming DataFrame to completion against a memory sink and
     * return the materialized result (hermetic local testing; complete
     * mode for aggregations).

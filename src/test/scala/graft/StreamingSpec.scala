@@ -209,6 +209,37 @@ class StreamingSpec extends SparkSuite {
     assert(completions(outShort).isEmpty)      // partial progress expired
   }
 
+  test("ingestDedup grows the corpus duplicate-free across micro-batches and restarts") {
+    import spark.implicits._
+    val in = tmp("ingest-in")
+    val corpus = tmp("ingest-corpus") + "/data" // must not pre-exist
+    val ckpt = tmp("ingest-ckpt")
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "doc_id LONG, text STRING")
+    def run(): Unit = graft.streaming.EventStreams
+      .ingestDedup(spark, schema, in, corpus, ckpt, "doc_id", "text")
+      .awaitTermination()
+    def state(): Map[String, Long] =
+      spark.read.parquet(corpus).select($"text", $"doc_id").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).groupBy(_._1)
+        .map { case (t, xs) => t -> xs.map(_._2).min }
+
+    // batch 1: one in-batch duplicate → corpus gets the lowest-id copy
+    Seq((10L, "alpha"), (11L, "alpha"), (12L, "beta"))
+      .toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(in)
+    run()
+    assert(state() === Map("alpha" -> 10L, "beta" -> 12L))
+
+    // batch 2 (separate run, resumed checkpoint): a corpus duplicate is
+    // dropped, new content lands
+    Seq((20L, "alpha"), (21L, "gamma"))
+      .toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(in)
+    run()
+    val s2 = state()
+    assert(s2 === Map("alpha" -> 10L, "beta" -> 12L, "gamma" -> 21L))
+    assert(spark.read.parquet(corpus).count() === 3) // no duplicate rows at all
+  }
+
   test("sessionize (flatMapGroupsWithState) agrees with the q35 batch count") {
     import spark.implicits._
     // Closed sessions per user from the stateful op + the one still-open
