@@ -476,6 +476,46 @@ object Kernels {
     while (b < 64) { if (votes(b) > 0) out |= (1L << b); b += 1 }
     out
   }
+
+  /** Cosine of an int8-quantized vector (codes × scale) against a float
+    * query — dequantize fused into the fold, per-index operation
+    * sequence identical to cosineD over the dequantized doubles (oracle
+    * parity: DuckDB's list_cosine_similarity over `x * scale` lists).
+    */
+  def cosineQF(codes: ArrayData, scale: Double, q: ArrayData): Double = {
+    val n = math.min(codes.numElements(), q.numElements())
+    var dot = 0.0
+    var na = 0.0
+    var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val a = codes.getByte(i) * scale
+      val b = q.getFloat(i).toDouble
+      dot += a * b
+      na += a * a
+      nb += b * b
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  /** cosineQF for a double query vector. */
+  def cosineQD(codes: ArrayData, scale: Double, q: ArrayData): Double = {
+    val n = math.min(codes.numElements(), q.numElements())
+    var dot = 0.0
+    var na = 0.0
+    var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val a = codes.getByte(i) * scale
+      val b = q.getDouble(i)
+      dot += a * b
+      na += a * a
+      nb += b * b
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
 }
 
 /** Compiled BPE merge table: (left, right) → learned rank, applied with

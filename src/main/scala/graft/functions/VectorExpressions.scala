@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult.{TypeCheckFailure, TypeCheckSuccess}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, Literal, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, Literal, TernaryExpression, UnaryExpression}
 import org.apache.spark.sql.types._
 
 /** Custom Catalyst expressions for the hot per-row loops of similarity
@@ -350,6 +350,47 @@ case class NearestCentroid(child: Expression, centroids: Array[Array[Float]])
     copy(child = c)
 }
 
+/** cosine_q(codes, scale, query): cosine of an int8-quantized vector
+  * (array<tinyint> codes × per-vector scale) against a float/double
+  * query, with dequantization fused into the fold — quantized candidate
+  * ranking reads the 4×-smaller codes table and never materializes
+  * dequantized arrays. Per-index operation sequence matches cosineD
+  * over the dequantized doubles, so the DuckDB oracle reproduces every
+  * bit via `list_cosine_similarity(list_transform(codes, x -> x*scale),
+  * query)`.
+  */
+case class QuantizedCosine(first: Expression, second: Expression,
+    third: Expression) extends TernaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    (first.dataType, second.dataType, third.dataType) match {
+      case (ArrayType(ByteType, _), DoubleType,
+            ArrayType(FloatType | DoubleType, _)) => TypeCheckSuccess
+      case _ => TypeCheckFailure(
+        s"$prettyName requires (array<tinyint>, double, array<float|double>), got " +
+          Seq(first, second, third).map(_.dataType.simpleString).mkString(", "))
+    }
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_cosine_q"
+
+  private lazy val kernel =
+    third.dataType.asInstanceOf[ArrayType].elementType match {
+      case FloatType => "cosineQF"
+      case _ => "cosineQD"
+    }
+  override def nullSafeEval(c: Any, s: Any, q: Any): Any = {
+    val codes = c.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val query = q.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val scale = s.asInstanceOf[Double]
+    if (kernel == "cosineQF") Kernels.cosineQF(codes, scale, query)
+    else Kernels.cosineQD(codes, scale, query)
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev,
+      (c, s, q) => s"${ev.value} = graft.functions.Kernels.$kernel($c, $s, $q);")
+  override protected def withNewChildrenInternal(f: Expression, s: Expression,
+      t: Expression): QuantizedCosine = copy(first = f, second = s, third = t)
+}
+
 /** bpe_apply(tokens, merges-literal): flattened BPE segmentation of every
   * word in a string array, driven by a learned merge table that arrives
   * as a foldable literal and rides into generated code as a compiled
@@ -424,7 +465,8 @@ object GraftFunctions {
     "graft_minhash_md5" -> (args => MinHashMd5(args(0), intArg(args(1), "numHashes"))),
     "graft_jaccard_sorted" -> (args => JaccardSorted(args(0), args(1))),
     "graft_nearest_centroid" -> (args => NearestCentroid(args(0), centroidsArg(args(1)))),
-    "graft_bpe_apply" -> (args => BpeApply(args(0), stringPairsArg(args(1)))))
+    "graft_bpe_apply" -> (args => BpeApply(args(0), stringPairsArg(args(1)))),
+    "graft_cosine_q" -> (args => QuantizedCosine(args(0), args(1), args(2))))
 
   private val registered =
     java.util.Collections.synchronizedMap(

@@ -232,6 +232,44 @@ object Similarity {
             .cast("byte"))))
   }
 
+  /** Cosine of an int8-quantized vector against a float/double query —
+    * the fused dequantize-and-fold kernel (`graft_cosine_q`); the codes
+    * table is read directly, no dequantized arrays materialize.
+    */
+  def quantizedCosine(codes: Column, scale: Column, query: Column): Column =
+    graftFn("graft_cosine_q", codes, scale.cast("double"), query)
+
+  /** ANN over the int8-quantized table: candidates ranked by quantized
+    * cosine (reading the 4×-smaller (qvec, scale) representation), the
+    * top `k · rerankFactor` re-ranked by exact float cosine. The 100 TB
+    * shape: the full scan touches only codes — floats are fetched for
+    * a candidate-sized set. Here the float column rides the same rows
+    * (the test tables aren't stored twice); in production store codes
+    * and floats as separate column families / tables and join the
+    * candidate ids back.
+    *
+    * Deterministic: ties break on id at both ranking stages; quantized
+    * scores are bit-exact cross-engine (q70's codes + the fused fold),
+    * so the candidate set — and therefore the exact re-ranked result —
+    * is oracle-checkable.
+    */
+  def quantizedTopK(emb: DataFrame, idCol: String, vecCol: String,
+      queryId: Long, k: Int, rerankFactor: Int = 4): DataFrame = {
+    val qz = quantizeInt8(Dedup.spread(emb), vecCol)
+    val q = emb.where(col(idCol) === queryId).select(col(vecCol).as("__qvec"))
+    val cands = qz.where(col(idCol) =!= queryId)
+      .crossJoin(broadcast(q))
+      .select(col(idCol), col(vecCol), col("__qvec"),
+        quantizedCosine(col("qvec"), col("scale"), col("__qvec")).as("cosine_q"))
+      .orderBy(desc("cosine_q"), col(idCol))
+      .limit(k * rerankFactor)
+    cands
+      .select(col(idCol), col("cosine_q"),
+        cosine(col(vecCol), col("__qvec")).as("cosine"))
+      .orderBy(desc("cosine"), col(idCol))
+      .limit(k)
+  }
+
   /** Dequantize back to float: `qvec[i] * scale`. Lossy — max error
     * scale/2 per component; pair with exact float re-ranking.
     */

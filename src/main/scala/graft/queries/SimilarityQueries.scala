@@ -164,6 +164,19 @@ object SimilarityQueries {
       .orderBy($"vec_id")
   }
 
+  /** ANN over the int8-quantized representation: top-40 candidates by
+    * the fused dequantize-cosine kernel over (qvec, scale), exact
+    * float re-rank to top-10. Codes are bit-exact cross-engine (q70)
+    * and the fused fold matches list_cosine_similarity over the
+    * dequantized doubles, so the quantized candidate ranking AND the
+    * re-ranked result are hash-checked.
+    */
+  private def q79(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Similarity.quantizedTopK(Tables.embeddings(s, dir),
+      "vec_id", "embedding", queryId = 0L, k = 10, rerankFactor = 4)
+  }
+
   /** Int8 quantization round-trip: per-vector scale, code fingerprint,
     * and max reconstruction error — all deterministic double arithmetic,
     * hash-checked against DuckDB rebuilding the identical codes.
@@ -192,7 +205,8 @@ object SimilarityQueries {
     "q50_cosine_neardup_bucketed" -> (q50 _),
     "q74_incremental_cosine_neardup" -> (q74 _),
     "q77_semantic_dedup_ivf" -> (q77 _),
-    "q78_embedding_dedup_ivf" -> (q78 _))
+    "q78_embedding_dedup_ivf" -> (q78 _),
+    "q79_ann_quantized" -> (q79 _))
 
   val oracles: Map[String, String] = Map(
     "q69_ann_batch" ->
@@ -243,6 +257,30 @@ object SimilarityQueries {
         |SELECT label, count(*) AS n_vecs, max(norm) AS max_norm,
         |       min(c0) AS min_c0, max(c0) AS max_c0
         |FROM t GROUP BY label ORDER BY label""".stripMargin,
+    // q70's quantization CTEs → quantized-cosine candidate ranking over
+    // the dequantized lists → exact float re-rank. Every stage is
+    // deterministic double arithmetic both engines reproduce.
+    "q79_ann_quantized" ->
+      """WITH b AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |sc AS (SELECT vec_id, v,
+        |         CAST(CAST(list_max(list_transform(v, x -> abs(x))) / 127.0 AS REAL)
+        |           AS DOUBLE) AS s
+        |       FROM b),
+        |qz AS (SELECT vec_id, v, s,
+        |         CASE WHEN s = 0 THEN list_transform(v, x -> 0)
+        |              ELSE list_transform(v, x -> CAST(floor(x / s + 0.5) AS INTEGER))
+        |         END AS q
+        |       FROM sc),
+        |qv AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0),
+        |scored AS (SELECT z.vec_id, z.v,
+        |             list_cosine_similarity(list_transform(z.q, x -> x * z.s), qv.qe) AS cosine_q
+        |           FROM qz z, qv WHERE z.vec_id <> 0),
+        |cand AS (SELECT * FROM scored ORDER BY cosine_q DESC, vec_id LIMIT 40)
+        |SELECT c.vec_id, c.cosine_q,
+        |       list_cosine_similarity(c.v, qv.qe) AS cosine
+        |FROM cand c, qv
+        |ORDER BY cosine DESC, c.vec_id
+        |LIMIT 10""".stripMargin,
     // Single-band, 2-plane variant of the q50 bucket machinery: assign
     // every vector its bucket, keep the query's bucket, exact top-10.
     "q32_ann_lsh" ->

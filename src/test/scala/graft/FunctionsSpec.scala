@@ -183,6 +183,23 @@ class FunctionsSpec extends SparkSuite {
     assert(Vocab.bpeSegment("aaaa", merges) === Seq("aa", "aa"))
   }
 
+  test("graft_cosine_q matches cosine over the dequantized HOF reference bit-for-bit") {
+    import spark.implicits._
+    import graft.ops.Similarity
+    GraftFunctions.register(spark)
+    val qz = Similarity.quantizeInt8(emb.limit(50), "embedding")
+    val query = emb.where($"vec_id" === 0).select($"embedding".as("__q"))
+    // reference: dequantize via interpreted HOF, then the proven cosine kernel
+    val deq = transform($"qvec", b => b.cast("double") * $"scale".cast("double"))
+    val bad = qz.crossJoin(broadcast(query))
+      .select(
+        Similarity.quantizedCosine($"qvec", $"scale", $"__q").as("fused"),
+        Similarity.cosine(deq, $"__q".cast("array<double>")).as("ref"))
+      .where($"fused" =!= $"ref")
+      .count()
+    assert(bad === 0)
+  }
+
   test("graft_minhash_md5 matches min over conv(md5(j:token)) exactly") {
     import spark.implicits._
     GraftFunctions.register(spark)

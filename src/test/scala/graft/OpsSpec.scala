@@ -153,6 +153,26 @@ class OpsSpec extends SparkSuite {
     assert(got.count() > 0)
   }
 
+  test("quantizedTopK degenerates to brute force at full rerank; candidates rank sanely") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sfDir)
+    val n = emb.count().toInt
+    // rerank pool = whole corpus → exact re-rank of everything ≡ brute force
+    val full = Similarity.quantizedTopK(emb, "vec_id", "embedding", 0L, 10,
+        rerankFactor = n)
+      .select($"vec_id", $"cosine")
+    val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding", 0L, 10)
+      .select($"vec_id", $"cosine")
+    assert(full.collect().toSeq === exact.collect().toSeq)
+    // default rerank: k rows, exact cosines, quantized scores near exact
+    val approx = Similarity.quantizedTopK(emb, "vec_id", "embedding", 0L, 10)
+      .collect()
+    assert(approx.length === 10)
+    approx.foreach { r =>
+      assert(math.abs(r.getAs[Double]("cosine_q") - r.getAs[Double]("cosine")) < 0.05)
+    }
+  }
+
   test("clusterLabels matches a local union-find on random graphs") {
     import spark.implicits._
     val rnd = new scala.util.Random(42)
