@@ -135,6 +135,46 @@ object Dedup {
       .drop("__fp")
   }
 
+  /** [[incrementalDedup]] with a Bloom pre-filter: build a Bloom filter
+    * over the corpus fingerprints (a mergeable sketch — executors emit
+    * partials, only the model-sized filter reaches the driver), broadcast
+    * it, and split the batch scan-side:
+    *
+    *  - bloom-negative rows are *definitely* new — they skip the corpus
+    *    join entirely;
+    *  - bloom-positive rows (true dups + ~fpp false positives) are
+    *    re-verified with the exact anti-join, so the result is
+    *    bit-identical to [[incrementalDedup]] (same DuckDB oracle).
+    *
+    * The 100 TB ingest lever: daily batches are mostly NEW content, so
+    * the anti-join's probe side shrinks from the whole batch to the
+    * suspected-duplicate sliver (dup-rate + fpp of it). Size the filter
+    * for the corpus cardinality: ~1.2 GB per 10⁹ fingerprints at 1% fpp —
+    * broadcastable; beyond that, raise fpp (re-verification absorbs it)
+    * or partition the corpus and run per-partition filters. Pass a
+    * pre-built `bloom` to amortize construction across many batches
+    * (e.g. every micro-batch of a continuous ingest).
+    */
+  def incrementalDedupBloom(batch: DataFrame, corpus: DataFrame,
+      idCol: String, textCol: String, expectedCorpusItems: Long,
+      fpp: Double = 0.01,
+      bloom: Option[org.apache.spark.util.sketch.BloomFilter] = None)
+      : DataFrame = {
+    val spark = batch.sparkSession
+    val corpusFp = corpus.select(md5(col(textCol)).as("__fp"))
+    val bf = bloom.getOrElse(
+      corpusFp.stat.bloomFilter("__fp", expectedCorpusItems, fpp))
+    val bfBc = spark.sparkContext.broadcast(bf)
+    val mightContain = udf((fp: String) => bfBc.value.mightContainString(fp))
+    val flagged = exactDedup(batch, idCol, textCol)
+      .withColumn("__fp", md5(col(textCol)))
+      .withColumn("__hit", mightContain(col("__fp")))
+    val definitelyNew = flagged.where(!col("__hit"))
+    val verified = flagged.where(col("__hit"))
+      .join(corpusFp, Seq("__fp"), "left_anti")
+    definitelyNew.unionByName(verified).drop("__fp", "__hit")
+  }
+
   // --------------------------------------------------------------- MinHash
 
   /** MinHash signature: element k = min over tokens of xxhash64(token, k).

@@ -160,8 +160,25 @@ object CorpusQueries {
       .orderBy($"doc_id")
   }
 
+  /** q62's split through the Bloom-pre-filtered path: identical result
+    * (false positives are re-verified, false negatives impossible), so it
+    * shares q62's oracle — the cross-engine proof that the pre-filter is
+    * a pure optimization.
+    */
+  private def q80(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    Dedup.incrementalDedupBloom(
+        docs.where($"doc_id" % 3 === 0),
+        docs.where($"doc_id" % 3 =!= 0), "doc_id", "text",
+        expectedCorpusItems = 100000L)
+      .select($"doc_id", $"lang", $"n_chars")
+      .orderBy($"doc_id")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q68_tfidf" -> (q68 _),
+    "q80_incremental_dedup_bloom" -> (q80 _),
     "q64b_column_profile_approx" -> (q64b _),
     "q67b_incremental_neardup_xxh64" -> (q67b _),
     "q75_bpe_merges" -> (q75 _),
@@ -193,6 +210,14 @@ object CorpusQueries {
         |SELECT doc_id, n AS n_tokens, s AS start_offset,
         |       s // 512 AS seq_first, (s + n - 1) // 512 AS seq_last
         |FROM c ORDER BY doc_id""".stripMargin,
+    "q80_incremental_dedup_bloom" ->
+      """WITH b AS (SELECT doc_id, lang, n_chars, md5(text) AS fp,
+        |             row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        |           FROM documents WHERE doc_id % 3 = 0),
+        |c AS (SELECT DISTINCT md5(text) AS fp FROM documents WHERE doc_id % 3 <> 0)
+        |SELECT doc_id, lang, n_chars FROM b
+        |WHERE rn = 1 AND fp NOT IN (SELECT fp FROM c)
+        |ORDER BY doc_id""".stripMargin,
     "q62_incremental_dedup" ->
       """WITH b AS (SELECT doc_id, lang, n_chars, md5(text) AS fp,
         |             row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn

@@ -113,6 +113,21 @@ class CorpusOpsSpec extends SparkSuite {
     assert(kept === Set(11L, 13L))
   }
 
+  test("incrementalDedupBloom matches the exact path bit-for-bit") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir)
+    val batch = docs.where($"doc_id" % 3 === 0)
+    val corpus = docs.where($"doc_id" % 3 =!= 0)
+    val exact = Dedup.incrementalDedup(batch, corpus, "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // tiny filter → plenty of false positives; re-verification must absorb them
+    val bloomed = Dedup.incrementalDedupBloom(batch, corpus, "doc_id", "text",
+        expectedCorpusItems = 32L, fpp = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(bloomed === exact)
+    assert(exact.nonEmpty)
+  }
+
   test("incrementalNearDups links batch paraphrases to corpus docs only") {
     import spark.implicits._
     val corpus = Seq(

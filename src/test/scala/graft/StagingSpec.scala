@@ -1,0 +1,93 @@
+package graft
+
+import java.io.{ByteArrayOutputStream, FileOutputStream}
+import java.nio.file.{Files, Path, Paths}
+import java.util.zip.{ZipEntry, ZipOutputStream}
+
+import scala.jdk.CollectionConverters._
+
+import graft.io.{Retention, Sources, Staging}
+
+class StagingSpec extends SparkSuite {
+
+  private def writeZip(path: String, entries: Seq[(String, Array[Byte])],
+      withDirEntry: Boolean = false): Unit = {
+    val zos = new ZipOutputStream(new FileOutputStream(path))
+    if (withDirEntry) { zos.putNextEntry(new ZipEntry("sub/")); zos.closeEntry() }
+    entries.foreach { case (name, bytes) =>
+      zos.putNextEntry(new ZipEntry(name))
+      zos.write(bytes)
+      zos.closeEntry()
+    }
+    zos.close()
+  }
+
+  test("zipEntries explodes archives into file entries, skipping directories") {
+    val dir = Files.createTempDirectory("graft-zips").toString
+    writeZip(s"$dir/a.zip",
+      Seq("x.txt" -> "hello".getBytes, "sub/y.txt" -> "world!".getBytes),
+      withDirEntry = true)
+    writeZip(s"$dir/b.zip", Seq("z.bin" -> Array[Byte](0, 1, 2, 3)))
+    val rows = Staging.zipEntries(spark, dir)
+      .collect().map(r => (r.getString(0).split("/").last, r.getString(1),
+        r.getLong(2), r.getAs[Array[Byte]](3))).toSeq
+    assert(rows.map(r => (r._1, r._2, r._3)).toSet === Set(
+      ("a.zip", "x.txt", 5L), ("a.zip", "sub/y.txt", 6L), ("b.zip", "z.bin", 4L)))
+    val byEntry = rows.map(r => r._2 -> r._4).toMap
+    assert(new String(byEntry("x.txt")) === "hello")
+    assert(byEntry("z.bin").toSeq === Seq[Byte](0, 1, 2, 3))
+  }
+
+  test("extractTo stages zipped parquet shards that parquetTree then reads back") {
+    import spark.implicits._
+    val work = Files.createTempDirectory("graft-stage")
+    val src = s"$work/src"
+    Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v")
+      .repartition(2).write.parquet(src)
+    // zip the shard directory the way the reference zips run artifacts
+    val zipDir = s"$work/zips"
+    Files.createDirectories(Paths.get(zipDir))
+    val parts = Files.list(Paths.get(src)).iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
+    writeZip(s"$zipDir/run1.zip",
+      parts.map(p => s"shards/${p.getFileName}" -> Files.readAllBytes(p)))
+    val out = s"$work/staged"
+    val n = Staging.extractTo(spark, zipDir, out)
+    assert(n === parts.size.toLong)
+    val back = Sources.parquetTree(spark, out)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(back === Set((1L, "a"), (2L, "b"), (3L, "c")))
+  }
+
+  private def touch(p: Path, mtimeMs: Long): Unit = {
+    Files.createDirectories(p)
+    Files.write(p.resolve("data.txt"), "x".getBytes)
+    p.toFile.setLastModified(mtimeMs)
+  }
+
+  test("retention expires children older than the horizon and keeps the rest") {
+    val root = Files.createTempDirectory("graft-retain")
+    val day = 24L * 3600 * 1000
+    val now = 1000L * day
+    touch(root.resolve("run_old"), now - 7 * day)
+    touch(root.resolve("run_mid"), now - 3 * day)
+    touch(root.resolve("run_new"), now - 1 * day)
+    val deleted = Retention.expireOlderThan(spark, root.toString, 5 * day, now)
+    assert(deleted.map(_.split("/").last).toSet === Set("run_old"))
+    assert(Files.exists(root.resolve("run_mid")))
+    assert(Files.exists(root.resolve("run_new")))
+    assert(!Files.exists(root.resolve("run_old")))
+  }
+
+  test("keepNewest retains exactly n children by recency") {
+    val root = Files.createTempDirectory("graft-retain2")
+    val day = 24L * 3600 * 1000
+    val now = 1000L * day
+    (1 to 4).foreach(i => touch(root.resolve(s"run$i"), now - i * day))
+    val deleted = Retention.keepNewest(spark, root.toString, 2)
+    assert(deleted.map(_.split("/").last).toSet === Set("run3", "run4"))
+    assert(Files.exists(root.resolve("run1")) && Files.exists(root.resolve("run2")))
+    // idempotent: a second pass deletes nothing
+    assert(Retention.keepNewest(spark, root.toString, 2).isEmpty)
+  }
+}
