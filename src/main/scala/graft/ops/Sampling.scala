@@ -92,6 +92,22 @@ object Sampling {
     df.where(md5Bucket(col(keyCol), salt).cast("double") <
       weight.cast("double") * Buckets)
 
+  /** Deterministic global shuffle — reproducible "random" training
+    * order. Each row gets `shuffle_key` = md5(salt:key) and the output
+    * is totally ordered by it (key as tiebreak), so the permutation is
+    * produced by Spark's range-partitioned sort — the same scale-safe
+    * machinery as any ORDER BY, no RNG state, no single-partition
+    * window. Same salt → bit-identical epoch order on any cluster
+    * layout; a fresh salt per epoch → independent permutations. Oracle-
+    * expressible (md5 basis).
+    */
+  def shuffleDeterministic(df: DataFrame, keyCol: String,
+      salt: String): DataFrame =
+    df.withColumn("shuffle_key",
+        md5(encode(concat(lit(salt + ":"), col(keyCol).cast("string")),
+          "UTF-8")))
+      .orderBy(col("shuffle_key"), col(keyCol))
+
   /** Partition rows into disjoint, exhaustive splits with the given
     * weights (normalized), e.g. train/val/test = 0.9/0.05/0.05. Adds a
     * `split` column with the split index.

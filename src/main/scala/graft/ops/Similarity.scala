@@ -484,4 +484,49 @@ object Similarity {
       .orderBy(desc("cosine"), col(idCol))
       .limit(k)
   }
+
+  /** [[annTopK]] for a whole query set in one corpus scan — the
+    * eval-workload shape. Buckets are computed scan-side on both sides,
+    * the (eval-sized) query set broadcasts, and candidates come from a
+    * bucket EQUI-join (never a cross join): each query scores only its
+    * bucket's vectors, so the per-query windowed top-k shuffles
+    * bucket-sized score rows, not the corpus.
+    */
+  def annTopKBatch(emb: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, queryIdCol: String, queryVecCol: String,
+      k: Int, planes: Int = 4): DataFrame = {
+    val bucketed = signLshBuckets(Dedup.spread(emb), vecCol, planes)
+    val q = broadcast(queries
+      .select(col(queryIdCol).as("query_id"), col(queryVecCol).as("__qvec"))
+      .withColumn("__qbucket", signLshBucket(col("__qvec"), planes)))
+    val scored = bucketed.join(q, col("bucket") === col("__qbucket"))
+      .where(col(idCol) =!= col("query_id"))
+      .select(col("query_id"), col(idCol),
+        cosine(col(vecCol), col("__qvec")).as("cosine"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(desc("cosine"), col(idCol))
+    scored.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= k)
+      .drop("__rn")
+  }
+
+  /** Recall of an ANN result against exact ground truth, per query:
+    * `n_hit / n_truth` where both sides are (query, neighbor) top-k
+    * tables (e.g. [[annTopKBatch]] vs [[bruteForceTopKBatch]]). The
+    * measurement behind every ANN parameter choice — bucket width /
+    * nprobe / rerank factor are tuned to a recall target, not guessed.
+    * Queries whose ANN bucket was empty count as recall 0, not absent:
+    * ground truth drives the left join.
+    */
+  def recallAtK(ann: DataFrame, exact: DataFrame, queryCol: String,
+      idCol: String): DataFrame = {
+    val hit = ann.select(col(queryCol), col(idCol)).withColumn("__hit", lit(1L))
+    exact.select(col(queryCol), col(idCol))
+      .join(hit, Seq(queryCol, idCol), "left")
+      .groupBy(col(queryCol))
+      .agg(count(lit(1)).as("n_truth"),
+        sum(coalesce(col("__hit"), lit(0L))).as("n_hit"))
+      .withColumn("recall", col("n_hit").cast("double") / col("n_truth"))
+  }
 }

@@ -51,12 +51,28 @@ object SamplingQueries {
       .orderBy($"doc_id")
   }
 
+  /** Deterministic epoch shuffle: the corpus in its reproducible
+    * epoch-0 training order. The permutation is the total order of
+    * md5("epoch0:" || doc_id) — identical on both engines, so the exact
+    * shuffled sequence (not just the membership) is hash-checked.
+    */
+  private def q82(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Sampling.shuffleDeterministic(
+      Tables.documents(s, dir).select($"doc_id", $"lang"), "doc_id", "epoch0")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q54_stratified_take" -> (q54 _),
     "q55_corpus_mix" -> (q55 _),
-    "q73_weighted_sample" -> (q73 _))
+    "q73_weighted_sample" -> (q73 _),
+    "q82_shuffle_order" -> (q82 _))
 
   val oracles: Map[String, String] = Map(
+    "q82_shuffle_order" ->
+      """SELECT doc_id, lang, md5('epoch0:' || CAST(doc_id AS VARCHAR)) AS shuffle_key
+        |FROM documents
+        |ORDER BY shuffle_key, doc_id""".stripMargin,
     "q54_stratified_take" ->
       """SELECT doc_id, lang FROM (
         |  SELECT doc_id, lang,

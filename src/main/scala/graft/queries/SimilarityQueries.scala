@@ -193,8 +193,27 @@ object SimilarityQueries {
       .orderBy($"vec_id")
   }
 
+  /** Measured recall@5 of the batch sign-LSH ANN against the exact batch
+    * ground truth, per query — the parameter-tuning measurement as a
+    * first-class query. Every stage (bucket assignment, both top-k
+    * rankings, the hit join) is md5/cosine arithmetic DuckDB reproduces,
+    * so even the RECALL VALUES are hash-checked.
+    */
+  private def q81(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables.embeddings(s, dir)
+    val queries = emb.where($"vec_id" % 100 === 0)
+    val exact = Similarity.bruteForceTopKBatch(emb, "vec_id", "embedding",
+      queries, "vec_id", "embedding", k = 5)
+    val ann = Similarity.annTopKBatch(emb, "vec_id", "embedding",
+      queries, "vec_id", "embedding", k = 5, planes = 2)
+    Similarity.recallAtK(ann, exact, "query_id", "vec_id")
+      .orderBy($"query_id")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q69_ann_batch" -> (q69 _),
+    "q81_ann_recall" -> (q81 _),
     "q70_quantize_i8" -> (q70 _),
     "q53_embedding_dedup" -> (q53 _),
     "q30_ann_bruteforce" -> (q30 _),
@@ -209,6 +228,43 @@ object SimilarityQueries {
     "q79_ann_quantized" -> (q79 _))
 
   val oracles: Map[String, String] = Map(
+    // q32's plane/bucket CTEs generalized to the q69 query set: ANN
+    // top-5 from the bucket equi-join, exact top-5 from the full scan,
+    // recall = hits/truth per query via a left join from ground truth.
+    "q81_ann_recall" ->
+      """WITH pl AS (
+        |  SELECT pp.p AS p, d.i AS i,
+        |         (('0x' || substr(md5('plane:' || pp.p || ':' || d.i), 1, 15))::BIGINT
+        |           / 576460752303423488.0) - 1.0 AS c
+        |  FROM (SELECT unnest(range(0, 2)) AS p) pp,
+        |       (SELECT unnest(range(0, 64)) AS i) d),
+        |pv AS (SELECT p, list(c ORDER BY i) AS pvec FROM pl GROUP BY p),
+        |k AS (SELECT e.vec_id,
+        |             sum(CASE WHEN list_dot_product(e.embedding::DOUBLE[], pv.pvec) > 0
+        |                      THEN (1::BIGINT << p) ELSE 0 END) AS bucket
+        |      FROM embeddings e, pv GROUP BY e.vec_id),
+        |qs AS (SELECT e.vec_id AS query_id, e.embedding AS qv, k.bucket AS qb
+        |       FROM embeddings e JOIN k ON k.vec_id = e.vec_id
+        |       WHERE e.vec_id % 100 = 0),
+        |ar AS (SELECT q.query_id, e.vec_id,
+        |         row_number() OVER (PARTITION BY q.query_id
+        |           ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], q.qv::DOUBLE[]) DESC,
+        |                    e.vec_id) AS rn
+        |       FROM embeddings e JOIN k ON k.vec_id = e.vec_id, qs q
+        |       WHERE k.bucket = q.qb AND e.vec_id <> q.query_id),
+        |a AS (SELECT query_id, vec_id FROM ar WHERE rn <= 5),
+        |er AS (SELECT q.query_id, e.vec_id,
+        |         row_number() OVER (PARTITION BY q.query_id
+        |           ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], q.qv::DOUBLE[]) DESC,
+        |                    e.vec_id) AS rn
+        |       FROM embeddings e, qs q WHERE e.vec_id <> q.query_id),
+        |x AS (SELECT query_id, vec_id FROM er WHERE rn <= 5)
+        |SELECT x.query_id,
+        |       CAST(count(*) AS BIGINT) AS n_truth,
+        |       CAST(count(a.vec_id) AS BIGINT) AS n_hit,
+        |       CAST(count(a.vec_id) AS DOUBLE) / count(*) AS recall
+        |FROM x LEFT JOIN a ON a.query_id = x.query_id AND a.vec_id = x.vec_id
+        |GROUP BY x.query_id ORDER BY x.query_id""".stripMargin,
     "q69_ann_batch" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
         |           WHERE vec_id % 100 = 0),

@@ -374,4 +374,44 @@ class OpsSpec extends SparkSuite {
       assert(batch(q) === single, s"query $q")
     }
   }
+
+  test("annTopKBatch matches single-query annTopK per query") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sfDir)
+    val queries = emb.where($"vec_id".isin(0L, 7L))
+    val batch = Similarity.annTopKBatch(emb, "vec_id", "embedding",
+        queries, "vec_id", "embedding", k = 4, planes = 2)
+      .collect()
+      .groupBy(_.getLong(0))
+      .view.mapValues(_.sortBy(r => (-r.getDouble(2), r.getLong(1)))
+        .map(r => (r.getLong(1), r.getDouble(2))).toSeq).toMap
+    for (q <- Seq(0L, 7L)) {
+      val single = Similarity.annTopK(emb, "vec_id", "embedding", q, 4,
+          planes = 2)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(batch.getOrElse(q, Nil) === single, s"query $q")
+    }
+  }
+
+  test("recallAtK: exact-vs-exact is 1.0; ANN recall is in (0, 1]") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sfDir)
+    val queries = emb.where($"vec_id" % 10 === 0)
+    val exact = Similarity.bruteForceTopKBatch(emb, "vec_id", "embedding",
+      queries, "vec_id", "embedding", k = 5)
+    val self = Similarity.recallAtK(exact, exact, "query_id", "vec_id")
+      .collect()
+    assert(self.nonEmpty && self.forall(_.getDouble(3) === 1.0))
+    val ann = Similarity.annTopKBatch(emb, "vec_id", "embedding",
+      queries, "vec_id", "embedding", k = 5, planes = 2)
+    val rec = Similarity.recallAtK(ann, exact, "query_id", "vec_id")
+      .collect()
+    // ground truth drives the join: every query reports, even bucket-empty ones
+    assert(rec.length === self.length)
+    assert(rec.forall(r => r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0))
+    // 2 planes = 4 buckets: the bucket restriction must still find most
+    // true neighbors on the clustered test vectors
+    val mean = rec.map(_.getDouble(3)).sum / rec.length
+    assert(mean > 0.3, s"mean ANN recall suspiciously low: $mean")
+  }
 }

@@ -12,6 +12,20 @@ class SamplingSpec extends SparkSuite {
 
   private lazy val docs = Tables.documents(spark, sfDir)
 
+  test("shuffleDeterministic: layout-invariant order, salts give distinct permutations") {
+    val a = Sampling.shuffleDeterministic(docs.select("doc_id"), "doc_id", "e0")
+      .collect().map(_.getLong(0)).toSeq
+    val b = Sampling.shuffleDeterministic(
+        docs.select("doc_id").repartition(7), "doc_id", "e0")
+      .collect().map(_.getLong(0)).toSeq
+    assert(a === b)                       // same salt → same epoch order, any layout
+    assert(a.sorted !== a)                // actually permuted, not id order
+    val c = Sampling.shuffleDeterministic(docs.select("doc_id"), "doc_id", "e1")
+      .collect().map(_.getLong(0)).toSeq
+    assert(c !== a)                       // fresh salt → fresh permutation
+    assert(c.sorted === a.sorted)         // same membership
+  }
+
   test("hashSample is deterministic and approximately proportional") {
     val s1 = Sampling.hashSample(docs, "doc_id", 0.3)
     val s2 = Sampling.hashSample(docs, "doc_id", 0.3)
