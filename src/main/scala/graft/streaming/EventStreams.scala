@@ -282,6 +282,65 @@ object EventStreams {
       .start()
   }
 
+  /** [[ingestDedup]] with the Bloom pre-filter held across micro-batches:
+    * the filter seeds once from the existing corpus (or empty), each
+    * batch runs [[graft.ops.Dedup.incrementalDedupBloom]] against it, and
+    * the survivors' fingerprints are added before the next batch — so the
+    * filter never has a false negative even though the corpus grows under
+    * it, and the corpus-side anti-join probes only the suspected sliver
+    * of every batch instead of the whole batch. On restart the filter
+    * reseeds from the (appended-to) corpus, so staleness is impossible.
+    *
+    * Driver state: the filter (sized for `expectedCorpusItems`) plus one
+    * batch-survivor fingerprint collect per micro-batch (32-char strings,
+    * micro-batch-sized — the filter update, not a data path). foreachBatch
+    * runs batches sequentially on the driver, so the mutation is safe.
+    */
+  def ingestDedupBloom(spark: SparkSession, schema: StructType, inDir: String,
+      corpusDir: String, checkpointDir: String, idCol: String,
+      textCol: String, expectedCorpusItems: Long, fpp: Double = 0.01,
+      maxFilesPerTrigger: Int = 16,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    import graft.ops.Dedup
+    import org.apache.spark.sql.functions.{col, md5}
+    var bloom: Option[org.apache.spark.util.sketch.BloomFilter] = None
+    spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(inDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val cPath = new org.apache.hadoop.fs.Path(corpusDir)
+        val corpusExists = cPath
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .exists(cPath)
+        val bf = bloom.getOrElse {
+          val seeded =
+            if (corpusExists)
+              spark.read.parquet(corpusDir)
+                .select(md5(col(textCol)).as("__fp"))
+                .stat.bloomFilter("__fp", expectedCorpusItems, fpp)
+            else org.apache.spark.util.sketch.BloomFilter
+              .create(expectedCorpusItems, fpp)
+          bloom = Some(seeded)
+          seeded
+        }
+        val fresh =
+          (if (corpusExists)
+            Dedup.incrementalDedupBloom(batch, spark.read.parquet(corpusDir),
+              idCol, textCol, expectedCorpusItems, fpp, bloom = Some(bf))
+          else Dedup.exactDedup(batch, idCol, textCol)).persist()
+        try {
+          fresh.write.mode("append").parquet(corpusDir)
+          fresh.select(md5(col(textCol))).collect()
+            .foreach(r => bf.putString(r.getString(0)))
+        } finally fresh.unpersist(blocking = false)
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .start()
+  }
+
   /** Run a streaming DataFrame to completion against a memory sink and
     * return the materialized result (hermetic local testing; complete
     * mode for aggregations).

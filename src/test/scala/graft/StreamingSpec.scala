@@ -240,6 +240,45 @@ class StreamingSpec extends SparkSuite {
     assert(spark.read.parquet(corpus).count() === 3) // no duplicate rows at all
   }
 
+  test("ingestDedupBloom keeps the corpus duplicate-free with a live filter across batches and restarts") {
+    import spark.implicits._
+    val in = tmp("bloom-in")
+    val corpus = tmp("bloom-corpus") + "/data"
+    val ckpt = tmp("bloom-ckpt")
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "doc_id LONG, text STRING")
+    // tiny filter + huge fpp: false positives everywhere, re-verification
+    // must still keep the corpus exact
+    def run(): Unit = graft.streaming.EventStreams
+      .ingestDedupBloom(spark, schema, in, corpus, ckpt, "doc_id", "text",
+        expectedCorpusItems = 8L, fpp = 0.5, maxFilesPerTrigger = 1)
+      .awaitTermination()
+    def state(): Map[String, Long] =
+      spark.read.parquet(corpus).select($"text", $"doc_id").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).groupBy(_._1)
+        .map { case (t, xs) => t -> xs.map(_._2).min }
+
+    // two files → two sequential micro-batches in ONE run: the second
+    // batch's duplicate of the first batch's append is caught by the
+    // live (driver-updated) filter + verification, not the seed
+    Seq((10L, "alpha"), (11L, "alpha"), (12L, "beta"))
+      .toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(in)
+    Seq((20L, "alpha"), (21L, "gamma"))
+      .toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(in)
+    run()
+    assert(state() === Map("alpha" -> 10L, "beta" -> 12L, "gamma" -> 21L))
+    assert(spark.read.parquet(corpus).count() === 3)
+
+    // restart (fresh filter reseeded from the corpus): replay-shaped dup
+    // dropped, new content lands
+    Seq((30L, "beta"), (31L, "delta"))
+      .toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(in)
+    run()
+    assert(state() === Map("alpha" -> 10L, "beta" -> 12L,
+      "gamma" -> 21L, "delta" -> 31L))
+    assert(spark.read.parquet(corpus).count() === 4)
+  }
+
   test("sessionize (flatMapGroupsWithState) agrees with the q35 batch count") {
     import spark.implicits._
     // Closed sessions per user from the stateful op + the one still-open
