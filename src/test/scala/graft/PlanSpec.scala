@@ -184,6 +184,32 @@ class PlanSpec extends SparkSuite {
     assert(countNodes(p, "HashAggregate") >= 2, p)
   }
 
+  test("q80: bloom path keeps ONE anti-join (suspected sliver) and no extra corpus shuffle") {
+    val p = formatted("q80_incremental_dedup_bloom")
+    // exactly one left-anti join: the bloom-negative branch bypasses it
+    assert("LeftAnti".r.findAllIn(p).length >= 1, p)
+    assert(!p.contains("CartesianProduct"), p)
+    // the definitely-new branch is a union, not a second corpus join
+    assert(countNodes(p, "Union") >= 1, p)
+  }
+
+  test("q81: ANN candidates come from a bucket equi-join, not a corpus cross join") {
+    val p = formatted("q81_ann_recall")
+    // exactly one nested-loop: the exact ground-truth side (broadcast
+    // query set, documented quadratic baseline); the ANN side must be
+    // hash-joined on bucket
+    assert(countNodes(p, "BroadcastNestedLoopJoin") <= 1, p)
+    assert(countNodes(p, "BroadcastHashJoin") >= 1, p)
+    assert(p.contains("graft_lsh_bucket"), p)
+  }
+
+  test("q82: epoch shuffle is a range-partitioned total sort, no single-partition window") {
+    val p = formatted("q82_shuffle_order")
+    assert(p.contains("rangepartitioning"), p)
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("SinglePartition"), p)
+  }
+
   test("whole-stage codegen covers the kernel expressions") {
     val df = SparkEntry.queries("q31_cosine_neardup")(spark, sfDir)
     df.collect() // materialize THIS plan so AQE finalizes it
