@@ -413,22 +413,66 @@ object Similarity {
     // nprobe most-similar cells for the query vector (driver-side over
     // the tiny model — this is query planning, not a data-path collect)
     val qvec = q.collect().head.getSeq[Float](0).toArray
-    def cos(a: Array[Float], b: Array[Float]): Double = {
-      var dot = 0.0; var na = 0.0; var nb = 0.0
-      var i = 0
-      val m = math.min(a.length, b.length)
-      while (i < m) { dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i); i += 1 }
-      dot / (math.sqrt(na) * math.sqrt(nb))
-    }
-    val probes = centroids.zipWithIndex
-      .sortBy { case (c, i) => (-cos(qvec, c), i) }
-      .take(nprobe).map(_._2)
+    val probes = probeCells(qvec, centroids, nprobe)
     assigned
       .where(col("centroid_id").isin(probes.toSeq: _*) && col(idCol) =!= queryId)
       .crossJoin(broadcast(q))
       .select(col(idCol), cosine(col(vecCol), col("__qvec")).as("cosine"))
       .orderBy(desc("cosine"), col(idCol))
       .limit(k)
+  }
+
+  private def cosArrays(a: Array[Float], b: Array[Float]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    val m = math.min(a.length, b.length)
+    while (i < m) {
+      dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+      nb += b(i).toDouble * b(i); i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  /** The query's `nprobe` most-similar cells (ties to the lower cell). */
+  private def probeCells(qvec: Array[Float], centroids: Array[Array[Float]],
+      nprobe: Int): Array[Int] =
+    centroids.zipWithIndex
+      .sortBy { case (c, i) => (-cosArrays(qvec, c), i) }
+      .take(nprobe).map(_._2)
+
+  /** [[ivfTopK]] for a whole query set in one corpus scan. Per-query
+    * probe cells are computed driver-side over (model × query set) — the
+    * same planning-sized work as broadcasting the query set itself (a
+    * broadcast IS a driver collect; the query set is eval-sized by
+    * contract) — exploded to (query, cell) rows, and candidates come
+    * from an EQUI-join on `centroid_id` against the cell-assigned
+    * corpus: each query scores only its `nprobe` cells, the corpus is
+    * scanned once for the whole eval set, and only (query, candidate,
+    * score) rows ever shuffle.
+    */
+  def ivfTopKBatch(emb: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, queryIdCol: String, queryVecCol: String,
+      k: Int, centroids: Array[Array[Float]], nprobe: Int = 2): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val qRows = queries
+      .select(col(queryIdCol).cast("long"), col(queryVecCol))
+      .as[(Long, Array[Float])].collect()
+    val probes = qRows.toSeq.flatMap { case (qid, qv) =>
+      probeCells(qv, centroids, nprobe).map(cell => (qid, qv, cell))
+    }
+    val probeDf = broadcast(probes.toDF("query_id", "__qvec", "__cell"))
+    ivfAssign(Dedup.spread(emb), vecCol, centroids)
+      .join(probeDf, col("centroid_id") === col("__cell"))
+      .where(col(idCol) =!= col("query_id"))
+      .select(col("query_id"), col(idCol),
+        cosine(col(vecCol), col("__qvec")).as("cosine"))
+      .withColumn("__rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("query_id"))
+          .orderBy(desc("cosine"), col(idCol))))
+      .where(col("__rn") <= k)
+      .drop("__rn")
   }
 
   /** Semantic near-dup pairs via IVF cells (the SemDeDup shape): pair

@@ -211,9 +211,31 @@ object SimilarityQueries {
       .orderBy($"query_id")
   }
 
+  /** q81 for the IVF index: measured recall@5 of the batch IVF ANN
+    * (16 deterministic cells, nprobe=4) against the exact batch ground
+    * truth. Fully deterministic (md5-sampled centroids, argmax-cosine
+    * assignment, id tie-breaks) but the per-query probe-cell fan-out
+    * would make the SQL oracle a page of CTEs — rows-only here; the
+    * recall MACHINERY is already hash-checked by q81 and the IVF
+    * index by q43/q77, and `QueriesSpec` asserts determinism.
+    */
+  private def q83(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables.embeddings(s, dir)
+    val queries = emb.where($"vec_id" % 100 === 0)
+    val centroids = Similarity.ivfCentroids(emb, "vec_id", "embedding", 16)
+    val exact = Similarity.bruteForceTopKBatch(emb, "vec_id", "embedding",
+      queries, "vec_id", "embedding", k = 5)
+    val ann = Similarity.ivfTopKBatch(emb, "vec_id", "embedding",
+      queries, "vec_id", "embedding", k = 5, centroids, nprobe = 4)
+    Similarity.recallAtK(ann, exact, "query_id", "vec_id")
+      .orderBy($"query_id")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q69_ann_batch" -> (q69 _),
     "q81_ann_recall" -> (q81 _),
+    "q83_ann_recall_ivf" -> (q83 _),
     "q70_quantize_i8" -> (q70 _),
     "q53_embedding_dedup" -> (q53 _),
     "q30_ann_bruteforce" -> (q30 _),

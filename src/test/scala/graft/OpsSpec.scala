@@ -393,6 +393,25 @@ class OpsSpec extends SparkSuite {
     }
   }
 
+  test("ivfTopKBatch matches single-query ivfTopK per query") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sfDir)
+    val centroids = Similarity.ivfCentroids(emb, "vec_id", "embedding", 8)
+    val queries = emb.where($"vec_id".isin(0L, 7L))
+    val batch = Similarity.ivfTopKBatch(emb, "vec_id", "embedding",
+        queries, "vec_id", "embedding", k = 4, centroids, nprobe = 3)
+      .collect()
+      .groupBy(_.getLong(0))
+      .view.mapValues(_.sortBy(r => (-r.getDouble(2), r.getLong(1)))
+        .map(r => (r.getLong(1), r.getDouble(2))).toSeq).toMap
+    for (q <- Seq(0L, 7L)) {
+      val single = Similarity.ivfTopK(emb, "vec_id", "embedding", q, 4,
+          centroids, nprobe = 3)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(batch.getOrElse(q, Nil) === single, s"query $q")
+    }
+  }
+
   test("recallAtK: exact-vs-exact is 1.0; ANN recall is in (0, 1]") {
     import spark.implicits._
     val emb = Tables.embeddings(spark, sfDir)
