@@ -341,6 +341,54 @@ object EventStreams {
       .start()
   }
 
+  /** Continuous-ingest NEAR-dedup: each micro-batch is collapsed
+    * locally (exact + MinHash-LSH near-dup survivors via
+    * [[graft.ops.Dedup.nearDupPipeline]]), then batch survivors
+    * near-linked to ANY corpus document ([[graft.ops.Dedup.incrementalNearDups]]
+    * — band-key equi-join between sides, capped corpus buckets,
+    * Jaccard-verified) are dropped before the append. The corpus grows
+    * with only novel content: exact replays self-filter, paraphrase
+    * floods collapse to one survivor per cluster per batch.
+    *
+    * Scale: the corpus side contributes band keys through a narrow
+    * projection; store the corpus bucketed by band key and each batch's
+    * join probes only matching buckets. Within-batch collapse cost is
+    * micro-batch-sized (maxFilesPerTrigger bounds it).
+    */
+  def ingestNearDup(spark: SparkSession, schema: StructType, inDir: String,
+      corpusDir: String, checkpointDir: String, idCol: String,
+      textCol: String, threshold: Double, numHashes: Int = 16,
+      bands: Int = 8, maxFilesPerTrigger: Int = 16,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    import graft.ops.Dedup
+    import org.apache.spark.sql.functions.col
+    spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(inDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val cPath = new org.apache.hadoop.fs.Path(corpusDir)
+        val corpusExists = cPath
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .exists(cPath)
+        val local = Dedup.nearDupPipeline(batch, idCol, textCol, threshold,
+          numHashes, bands)
+        val fresh =
+          if (corpusExists) {
+            val corpus = spark.read.parquet(corpusDir)
+            val linked = Dedup.incrementalNearDups(local, corpus, idCol,
+                textCol, threshold, numHashes, bands)
+              .select(col("idA").as(idCol)).distinct()
+            local.join(linked, Seq(idCol), "left_anti")
+          } else local
+        fresh.write.mode("append").parquet(corpusDir)
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .start()
+  }
+
   /** Run a streaming DataFrame to completion against a memory sink and
     * return the materialized result (hermetic local testing; complete
     * mode for aggregations).

@@ -279,6 +279,44 @@ class StreamingSpec extends SparkSuite {
     assert(spark.read.parquet(corpus).count() === 4)
   }
 
+  test("ingestNearDup drops paraphrases of the corpus and collapses within-batch clusters") {
+    import spark.implicits._
+    val in = tmp("neardup-in")
+    val corpus = tmp("neardup-corpus") + "/data"
+    val ckpt = tmp("neardup-ckpt")
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "doc_id LONG, text STRING")
+    def run(): Unit = graft.streaming.EventStreams
+      .ingestNearDup(spark, schema, in, corpus, ckpt, "doc_id", "text",
+        threshold = 0.6, numHashes = 16, bands = 8)
+      .awaitTermination()
+    def ids(): Set[Long] =
+      spark.read.parquet(corpus).select($"doc_id")
+        .collect().map(_.getLong(0)).toSet
+
+    // batch 1: two paraphrases of each other + one distinct doc →
+    // within-batch collapse keeps one survivor per cluster
+    Seq(
+      (10L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (11L, "alpha beta gamma delta epsilon zeta eta iota"), // near-dup of 10
+      (12L, "one two three four five six seven eight"))
+      .toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(in)
+    run()
+    val s1 = ids()
+    assert(s1.size === 2 && s1.contains(12L) &&
+      (s1.contains(10L) || s1.contains(11L)), s1.toString)
+
+    // batch 2 (restart): an exact replay, a paraphrase of the corpus,
+    // and novel content — only the novel doc lands
+    Seq(
+      (20L, "alpha beta gamma delta epsilon zeta eta theta"),  // exact dup
+      (21L, "one two three four five six seven nine"),         // near-dup of 12
+      (22L, "totally different words appearing nowhere else at all"))
+      .toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(in)
+    run()
+    assert(ids() === s1 + 22L)
+  }
+
   test("sessionize (flatMapGroupsWithState) agrees with the q35 batch count") {
     import spark.implicits._
     // Closed sessions per user from the stateful op + the one still-open
