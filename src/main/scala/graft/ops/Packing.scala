@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -53,47 +53,88 @@ object Packing {
     try use(result) finally pin.unpersist(blocking = false)
   }
 
-  private def packedWithPin(df: DataFrame, idCol: String, textCol: String,
-      budget: Long): (DataFrame, DataFrame) = {
-    require(budget > 0, s"budget must be positive, got $budget")
-    // Persisted: `__pid` feeds two plan branches (local sums + the offset
-    // table), and RangePartitioner boundaries come from sampling — an
-    // unpinned recompute could place rows differently and mismatch the
-    // branches. The pinned rows are (id, n_tokens) longs, not documents.
-    // Eager unpersist here would be WRONG (the returned plan still needs
-    // the pin); the blocks are reclaimed by Spark's ContextCleaner once
-    // the result is garbage-collected, or by an explicit caller
-    // unpersist after materializing.
-    val counted = df
-      .select(col(idCol), TextAnalysis.tokenCount(col(textCol)).cast("long").as("n_tokens"))
-      .repartitionByRange(col(idCol))
+  /** Exclusive global prefix sum of `valueCol` in `orderCols` order,
+    * as the scale-safe three-stage plan described above. Returns the
+    * input columns plus `__prefix`, and the persisted pin.
+    *
+    * The pin is REQUIRED for correctness, not just speed: `__pid` feeds
+    * two plan branches (local sums + the offset table), and
+    * RangePartitioner boundaries come from sampling — an unpinned
+    * recompute could place rows differently and mismatch the branches.
+    * Eager unpersist here would be wrong (the returned plan still reads
+    * the pin); blocks are reclaimed by Spark's ContextCleaner once the
+    * result is garbage-collected, or by an explicit caller unpersist
+    * after materializing.
+    */
+  private def prefixSummed(df: DataFrame, orderCols: Seq[Column],
+      valueCol: String): (DataFrame, DataFrame) = {
+    val pinned = df
+      .repartitionByRange(orderCols: _*)
       .withColumn("__pid", spark_partition_id())
       .persist()
 
     // Within-partition prefix sum (exclusive): balanced parallel windows.
-    val local = Window.partitionBy(col("__pid")).orderBy(col(idCol))
-    val localSum = counted.withColumn("__local_start",
-      coalesce(sum(col("n_tokens")).over(local.rowsBetween(Window.unboundedPreceding, -1)),
+    val local = Window.partitionBy(col("__pid")).orderBy(orderCols: _*)
+    val localSum = pinned.withColumn("__local_start",
+      coalesce(sum(col(valueCol)).over(local.rowsBetween(Window.unboundedPreceding, -1)),
         lit(0L)))
 
     // Partition totals → exclusive cumulative offsets. One row per
     // partition: the single-partition window here is partition-count
     // sized, not data-sized.
-    val offsets = counted
+    val offsets = pinned
       .groupBy(col("__pid"))
-      .agg(sum(col("n_tokens")).as("__total"))
+      .agg(sum(col(valueCol)).as("__total"))
       .withColumn("__offset",
         coalesce(sum(col("__total")).over(
           Window.orderBy(col("__pid")).rowsBetween(Window.unboundedPreceding, -1)),
           lit(0L)))
       .select(col("__pid"), col("__offset"))
 
-    val result = localSum
+    val summed = localSum
       .join(broadcast(offsets), Seq("__pid"))
-      .withColumn("start_offset", col("__local_start") + col("__offset"))
+      .withColumn("__prefix", col("__local_start") + col("__offset"))
+      .drop("__pid", "__local_start")
+    (summed, pinned)
+  }
+
+  private def packedWithPin(df: DataFrame, idCol: String, textCol: String,
+      budget: Long): (DataFrame, DataFrame) = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    val counted = df.select(col(idCol),
+      TextAnalysis.tokenCount(col(textCol)).cast("long").as("n_tokens"))
+    val (summed, pin) = prefixSummed(counted, Seq(col(idCol)), "n_tokens")
+    val result = summed
+      .withColumnRenamed("__prefix", "start_offset")
       .select(col(idCol), col("n_tokens"), col("start_offset"),
         expr(s"start_offset DIV $budget").as("seq_first"),
         expr(s"(start_offset + n_tokens - 1) DIV $budget").as("seq_last"))
-    (result, counted)
+    (result, pin)
+  }
+
+  /** Greedy token-budget selection: documents taken in (`scoreCol`
+    * desc, `idCol` asc) order while the cumulative token count BEFORE
+    * each document stays under `budgetTokens` — "the best N tokens of
+    * the corpus", the curation step between quality scoring and
+    * training. The last admitted document may overshoot the budget;
+    * drop it downstream if the budget is hard.
+    *
+    * The cut uses the same distributed exclusive prefix sum as
+    * [[packSequences]] (range partition on the selection order —
+    * never a single-partition window), so it holds at corpus scale.
+    *
+    * @return `idCol, scoreCol, n_tokens, tokens_before` for selected rows
+    */
+  def takeTokenBudget(df: DataFrame, idCol: String, textCol: String,
+      scoreCol: String, budgetTokens: Long): DataFrame = {
+    require(budgetTokens > 0, s"budget must be positive, got $budgetTokens")
+    val counted = df.select(col(idCol), col(scoreCol),
+      TextAnalysis.tokenCount(col(textCol)).cast("long").as("n_tokens"))
+    val (summed, _) = prefixSummed(counted,
+      Seq(col(scoreCol).desc, col(idCol).asc), "n_tokens")
+    summed
+      .where(col("__prefix") < budgetTokens)
+      .withColumnRenamed("__prefix", "tokens_before")
+      .select(col(idCol), col(scoreCol), col("n_tokens"), col("tokens_before"))
   }
 }

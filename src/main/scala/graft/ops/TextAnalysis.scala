@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for large-scale training-data pipelines:
@@ -25,6 +25,42 @@ object TextAnalysis {
     * pre-normalized; a BPE-ish regex split is [[bpeTokens]].
     */
   def tokens(text: Column): Column = split(trim(text), " +")
+
+  /** Split documents into fixed token-budget chunks with overlap — the
+    * context-window preprocessing step of embedding/retrieval pipelines.
+    * Chunk `i` covers tokens `[i·stride, i·stride + chunkTokens)` with
+    * `stride = chunkTokens − overlapTokens`; the last chunk starts at
+    * the last stride boundary before the end (no degenerate tail that
+    * adds no new tokens). Pure built-in expressions (sequence explode +
+    * slice) on one narrow scan; output grows by ~n_tokens/stride rows
+    * per document and never shuffles.
+    *
+    * @return `idCol, chunk_idx, chunk_text, n_tokens` (chunk-level)
+    */
+  def chunkBySize(df: DataFrame, idCol: String, textCol: String,
+      chunkTokens: Int, overlapTokens: Int = 0): DataFrame = {
+    require(chunkTokens > 0, s"chunkTokens must be positive: $chunkTokens")
+    require(overlapTokens >= 0 && overlapTokens < chunkTokens,
+      s"overlap must be in [0, chunkTokens): $overlapTokens")
+    val stride = chunkTokens - overlapTokens
+    df.select(col(idCol), tokens(col(textCol)).as("__toks"))
+      .withColumn("__n", size(col("__toks")).cast("long"))
+      // 1 + ceil((n - size) / stride), clamped: both engines' integer
+      // division agrees after the greatest(0, _) clamp
+      .withColumn("__n_chunks",
+        lit(1L) + greatest(lit(0L),
+          expr(s"(__n - $chunkTokens + ${stride - 1}) DIV $stride")))
+      .select(col(idCol),
+        explode(sequence(lit(0), (col("__n_chunks") - 1).cast("int")))
+          .as("chunk_idx"),
+        col("__toks"))
+      .select(col(idCol), col("chunk_idx"),
+        concat_ws(" ",
+          slice(col("__toks"), col("chunk_idx") * stride + 1, lit(chunkTokens)))
+          .as("chunk_text"),
+        size(slice(col("__toks"), col("chunk_idx") * stride + 1, lit(chunkTokens)))
+          .cast("long").as("n_tokens"))
+  }
 
   /** A BPE-flavored tokenizer: splits on word/non-word boundaries so
     * punctuation becomes its own token (regex analog of a byte-pair

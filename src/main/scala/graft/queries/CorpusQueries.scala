@@ -176,9 +176,24 @@ object CorpusQueries {
       .orderBy($"doc_id")
   }
 
+  /** Greedy token-budget curation: the highest-quality documents up to
+    * 5000 cumulative tokens (quality desc, doc_id tiebreak) — quality
+    * doubles are bit-identical cross-engine (q63/q73), so the selection
+    * boundary and the per-doc running offsets are hash-checked.
+    */
+  private def q85(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val scored = Tables.documents(s, dir)
+      .select($"doc_id", $"text",
+        TextAnalysis.qualityScore($"text").as("quality"))
+    Packing.takeTokenBudget(scored, "doc_id", "text", "quality", 5000L)
+      .orderBy($"doc_id")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q68_tfidf" -> (q68 _),
     "q80_incremental_dedup_bloom" -> (q80 _),
+    "q85_token_budget" -> (q85 _),
     "q64b_column_profile_approx" -> (q64b _),
     "q67b_incremental_neardup_xxh64" -> (q67b _),
     "q75_bpe_merges" -> (q75 _),
@@ -191,6 +206,22 @@ object CorpusQueries {
     "q67_incremental_neardup" -> (q67 _))
 
   val oracles: Map[String, String] = Map(
+    "q85_token_budget" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(text), ' +') AS toks
+        |           FROM documents),
+        |q AS (SELECT doc_id,
+        |        (CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)) * 0.5
+        |          + (CAST(len(list_filter(toks, s -> s IN ('the','a','an','of','and','is','in','to','it','that'))) AS DOUBLE) / len(toks)) * 0.3
+        |          + (CASE WHEN len(toks) BETWEEN 5 AND 100000 THEN 1.0 ELSE 0.0 END) * 0.2 AS quality,
+        |        CAST(len(toks) AS BIGINT) AS n_tokens
+        |      FROM t),
+        |c AS (SELECT doc_id, quality, n_tokens,
+        |        CAST(COALESCE(sum(n_tokens) OVER (ORDER BY quality DESC, doc_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tokens_before
+        |      FROM q)
+        |SELECT doc_id, quality, n_tokens, tokens_before FROM c
+        |WHERE tokens_before < 5000
+        |ORDER BY doc_id""".stripMargin,
     "q60_vocab_topk" ->
       """WITH t AS (SELECT doc_id, unnest(string_split_regex(trim(text), ' +')) AS token
         |           FROM documents),

@@ -269,6 +269,17 @@ object TextQueries {
       .orderBy($"doc_id")
   }
 
+  /** Context-window chunking: 6-token chunks with 2-token overlap
+    * (stride 4) — every chunk boundary, slice, and per-chunk token
+    * count hash-checked.
+    */
+  private def q84(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    TextAnalysis.chunkBySize(Tables.documents(s, dir), "doc_id", "text",
+        chunkTokens = 6, overlapTokens = 2)
+      .orderBy($"doc_id", $"chunk_idx")
+  }
+
   /** The full curation pipeline as one job: quality thresholds →
     * decontamination (vs the doc_id ≡ 0 mod 97 eval slice) → exact
     * dedup. The composed operation an LLM-data user actually ships;
@@ -326,6 +337,7 @@ object TextQueries {
     "q56_decontaminate" -> (q56 _),
     "q57_repetition_stats" -> (q57 _),
     "q58_chunk_dedup" -> (q58 _),
+    "q84_chunking" -> (q84 _),
     "q51_simhash_banded" -> (q51 _),
     "q52_dedup_pipeline" -> (q52 _),
     "q49_pii_redact" -> (q49 _),
@@ -468,6 +480,16 @@ object TextQueries {
         |       CAST(dup_3gram_count AS DOUBLE) / n_3grams AS dup_3gram_frac
         |FROM a2 JOIN a3 ON a2.doc_id = a3.doc_id
         |ORDER BY a2.doc_id""".stripMargin,
+    "q84_chunking" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(text), ' +') AS toks FROM documents),
+        |c AS (SELECT doc_id, toks,
+        |        1 + GREATEST(0, (len(toks) - 6 + 3) // 4) AS n_chunks
+        |      FROM t)
+        |SELECT doc_id, CAST(u.i AS INT) AS chunk_idx,
+        |       array_to_string(list_slice(toks, u.i * 4 + 1, u.i * 4 + 6), ' ') AS chunk_text,
+        |       CAST(len(list_slice(toks, u.i * 4 + 1, u.i * 4 + 6)) AS BIGINT) AS n_tokens
+        |FROM c, UNNEST(range(0, n_chunks)) AS u(i)
+        |ORDER BY doc_id, chunk_idx""".stripMargin,
     "q58_chunk_dedup" ->
       """WITH t AS (SELECT doc_id, string_split_regex(trim(text), ' +') AS toks FROM documents),
         |c AS (SELECT doc_id,

@@ -99,6 +99,42 @@ class CorpusOpsSpec extends SparkSuite {
     }
   }
 
+  test("chunkBySize produces overlapping windows with the expected boundaries") {
+    import spark.implicits._
+    import graft.ops.TextAnalysis
+    val df = Seq((1L, "a b c d e f g h i j"), (2L, "x y"), (3L, "p q r s"))
+      .toDF("doc_id", "text")
+    // size 4, overlap 1 → stride 3; 10 tokens → 3 chunks, full coverage,
+    // no degenerate tail; short doc → 1 chunk; exact-size doc → 1 chunk
+    val got = TextAnalysis.chunkBySize(df, "doc_id", "text", 4, 1)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getLong(3)))
+      .toSet
+    assert(got === Set(
+      (1L, 0, "a b c d", 4L), (1L, 1, "d e f g", 4L), (1L, 2, "g h i j", 4L),
+      (2L, 0, "x y", 2L),
+      (3L, 0, "p q r s", 4L)))
+  }
+
+  test("takeTokenBudget selects best-score docs greedily and is layout-invariant") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a b c", 0.9),
+      (2L, "d e f g", 0.8),
+      (3L, "h i", 0.95),
+      (4L, "j k l m n", 0.5))
+      .toDF("doc_id", "text", "quality")
+    // selection order 3,1,2,4 with exclusive offsets 0,2,5,9; budget 6
+    // admits 3,1,2 (doc 2 starts at 5 < 6 and may overshoot), rejects 4
+    val got = Packing.takeTokenBudget(df, "doc_id", "text", "quality", 6L)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3))).toSet
+    assert(got === Set((3L, 2L, 0L), (1L, 3L, 2L), (2L, 4L, 5L)))
+    val repart = Packing
+      .takeTokenBudget(df.repartition(5), "doc_id", "text", "quality", 6L)
+      .collect().map(r => (r.getLong(0), r.getLong(3))).toSet
+    assert(repart === Set((3L, 0L), (1L, 2L), (2L, 5L)))
+  }
+
   test("incrementalDedup keeps only first-in-batch content absent from the corpus") {
     import spark.implicits._
     val corpus = Seq((1L, "known"), (2L, "other")).toDF("doc_id", "text")
