@@ -66,6 +66,22 @@ object Dedup {
       .drop("__rn")
   }
 
+  /** [[exactDedup]] on the canonical text form
+    * ([[TextAnalysis.normalizeText]]): survivors are the lowest `idCol`
+    * per normalized content, so case/punctuation/spacing variants
+    * collapse without paying for a MinHash pass. Identical plan shape —
+    * one md5 fingerprint hash-shuffle; normalization runs scan-side
+    * inside codegen.
+    */
+  def normalizedDedup(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val w = Window
+      .partitionBy(md5(TextAnalysis.normalizeText(col(textCol))))
+      .orderBy(col(idCol))
+    df.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1)
+      .drop("__rn")
+  }
+
   /** Chunk-level exact substring dedup (the chunked approximation of
     * suffix-array substring dedup used on web-scale corpora): split each
     * document's token stream into consecutive `chunkTokens`-token chunks,

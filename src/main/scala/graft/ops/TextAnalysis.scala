@@ -26,6 +26,18 @@ object TextAnalysis {
     */
   def tokens(text: Column): Column = split(trim(text), " +")
 
+  /** Canonical text form for fuzzy-exact matching: lowercase, strip
+    * everything but letters/digits/whitespace, collapse whitespace runs,
+    * trim. Catches the case/punctuation/spacing variants that defeat
+    * byte-exact dedup but aren't worth a MinHash pass. Pure built-in
+    * codegen'd expressions; both regexes are RE2-compatible so the
+    * DuckDB oracle applies the identical rules.
+    */
+  def normalizeText(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(lower(text), "[^\\p{L}\\p{N}\\s]", ""),
+      "\\s+", " "))
+
   /** Split documents into fixed token-budget chunks with overlap — the
     * context-window preprocessing step of embedding/retrieval pipelines.
     * Chunk `i` covers tokens `[i·stride, i·stride + chunkTokens)` with

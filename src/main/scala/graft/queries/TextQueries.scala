@@ -116,6 +116,17 @@ object TextQueries {
       .orderBy($"doc_id")
   }
 
+  /** q29 on the canonical text form: case/punctuation/spacing variants
+    * collapse to one survivor. Both normalization regexes are
+    * RE2-compatible, so DuckDB rebuilds the identical canonical forms.
+    */
+  private def q86(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Dedup.normalizedDedup(Tables.documents(s, dir), "doc_id", "text")
+      .select($"doc_id", $"lang", $"n_chars")
+      .orderBy($"doc_id")
+  }
+
   /** Whitespace token counts, punctuation ratio and the composite quality
     * score — RE2-expressible, hash-checked against DuckDB.
     */
@@ -352,7 +363,8 @@ object TextQueries {
     "q26_neardup_exact" -> (q26 _),
     "q27_neardup_minhash" -> (q27 _),
     "q28_neardup_simhash" -> (q28 _),
-    "q29_dedup_exact" -> (q29 _))
+    "q29_dedup_exact" -> (q29 _),
+    "q86_normalized_dedup" -> (q86 _))
 
   val oracles: Map[String, String] = Map(
     // q59's curation CTE chain (quality → decontaminate → exact dedup)
@@ -480,6 +492,15 @@ object TextQueries {
         |       CAST(dup_3gram_count AS DOUBLE) / n_3grams AS dup_3gram_frac
         |FROM a2 JOIN a3 ON a2.doc_id = a3.doc_id
         |ORDER BY a2.doc_id""".stripMargin,
+    "q86_normalized_dedup" ->
+      """WITH n AS (SELECT doc_id, lang, n_chars,
+        |             trim(regexp_replace(regexp_replace(lower(text),
+        |               '[^\p{L}\p{N}\s]', '', 'g'), '\s+', ' ', 'g')) AS norm
+        |           FROM documents),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY norm ORDER BY doc_id) AS rn
+        |      FROM n)
+        |SELECT doc_id, lang, n_chars FROM r WHERE rn = 1
+        |ORDER BY doc_id""".stripMargin,
     "q84_chunking" ->
       """WITH t AS (SELECT doc_id, string_split_regex(trim(text), ' +') AS toks FROM documents),
         |c AS (SELECT doc_id, toks,

@@ -135,6 +135,24 @@ class CorpusOpsSpec extends SparkSuite {
     assert(repart === Set((3L, 0L), (1L, 2L), (2L, 5L)))
   }
 
+  test("normalizedDedup collapses case/punctuation/spacing variants to the first id") {
+    import spark.implicits._
+    import graft.ops.TextAnalysis
+    val df = Seq(
+      (1L, "Hello, World!"),
+      (2L, "hello   world"),   // variant of 1 → dropped
+      (3L, "HELLO WORLD."),    // variant of 1 → dropped
+      (4L, "goodbye world"))
+      .toDF("doc_id", "text")
+    val kept = Dedup.normalizedDedup(df, "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept === Set(1L, 4L))
+    val norm = df.select(TextAnalysis.normalizeText($"text"))
+      .collect().map(_.getString(0)).toSeq
+    assert(norm === Seq("hello world", "hello world", "hello world",
+      "goodbye world"))
+  }
+
   test("incrementalDedup keeps only first-in-batch content absent from the corpus") {
     import spark.implicits._
     val corpus = Seq((1L, "known"), (2L, "other")).toDF("doc_id", "text")
