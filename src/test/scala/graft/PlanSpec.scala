@@ -210,6 +210,30 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("SinglePartition"), p)
   }
 
+  test("q84: chunking is a narrow explode — only the final sort exchanges") {
+    val p = formatted("q84_chunking")
+    assert(countNodes(p, "Generate") >= 1, p) // the sequence explode
+    assert(countNodes(p, "Exchange") <= 1, p) // orderBy only
+    assert(!p.contains("Window"), p)
+  }
+
+  test("q85: token-budget cut reuses the partition-keyed prefix-sum plan") {
+    val df = SparkEntry.queries("q85_token_budget")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(p.contains("BroadcastHashJoin"), p) // offsets join back broadcast
+    // the data-sized cumsum window is keyed by __pid
+    assert("""windowspecdefinition\(__pid#\d+""".r.findFirstIn(p).isDefined, p)
+  }
+
+  test("q86: normalized dedup keeps exact dedup's one-shuffle shape") {
+    val p = formatted("q86_normalized_dedup")
+    // one exchange for the fingerprint window, one for the final sort
+    assert(countNodes(p, "Exchange") <= 2, p)
+    assert(countNodes(p, "Window") === 1, p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("whole-stage codegen covers the kernel expressions") {
     val df = SparkEntry.queries("q31_cosine_neardup")(spark, sfDir)
     df.collect() // materialize THIS plan so AQE finalizes it
