@@ -159,6 +159,74 @@ object Vocab {
       typedLit(merges.map { case (a, b) => Seq(a, b) }))
   }
 
+  /** Consecutive token bigrams as exploded 2-field structs (fields "0" =
+    * w1, "1" = w2). Native zip of two slices — no higher-order lambda on
+    * the hot path; documents with fewer than 2 tokens vanish in the
+    * explode.
+    */
+  private def bigrams(textCol: String) = {
+    val toks = TextAnalysis.tokens(col(textCol))
+    explode(arrays_zip(
+      slice(toks, lit(1), size(toks) - 1),
+      slice(toks, lit(2), size(toks) - 1)))
+  }
+
+  /** Add-α smoothed bigram language-model scoring — the CCNet-style
+    * perplexity filter: train token bigram statistics on `train`, score
+    * each `corpus` document by its mean bigram log-probability
+    * `ln((B(w1,w2) + α) / (U(w1) + α·V))`. Low scores mark documents
+    * whose word transitions look nothing like the (clean) training
+    * side — the standard LM-based quality gate.
+    *
+    * Scale design: the MODEL IS DATA — a corpus-trained bigram table is
+    * vocab²-shaped and cannot broadcast, so scoring is an equi-join of
+    * per-(doc, bigram) pre-aggregated counts against the bigram and
+    * unigram tables (the [[perDocCounts]] discipline: no raw occurrence
+    * ever shuffles; join keys are the bigram pair). V rides along as a
+    * broadcast one-row aggregate. Each ln is quantized to DECIMAL(25,12)
+    * before accumulating: the 1e-12 quantum swallows the ≤1-ulp
+    * discrepancy between JVM `Math.log` and libm `log`, and decimal
+    * sums are exact and partition-order independent — so `logprob_sum`
+    * is bit-identical on any engine/layout (the hash-gated column),
+    * while `logprob` is the double mean for filtering convenience.
+    *
+    * @return `idCol, n_bigrams, logprob_sum, logprob` (documents with
+    *         fewer than 2 tokens drop out)
+    */
+  def bigramLogProb(corpus: DataFrame, train: DataFrame, idCol: String,
+      textCol: String, alpha: Double = 1.0): DataFrame = {
+    val uni = train
+      .select(explode(TextAnalysis.tokens(col(textCol))).as("w1"))
+      .groupBy(col("w1")).agg(count(lit(1)).as("__u"))
+    val bi = train
+      .select(bigrams(textCol).as("__p"))
+      .select(col("__p")("0").as("w1"), col("__p")("1").as("w2"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("__b"))
+    val vocab = uni.agg(count(lit(1)).as("__v"))
+    val docBi = corpus
+      .select(col(idCol).as("__id"), bigrams(textCol).as("__p"))
+      .select(col("__id"), col("__p")("0").as("w1"), col("__p")("1").as("w2"))
+      .groupBy(col("__id"), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("__c"))
+    val lp = log(
+      (coalesce(col("__b"), lit(0L)) + alpha) /
+        (coalesce(col("__u"), lit(0L)) + lit(alpha) * col("__v")))
+    docBi
+      .join(bi, Seq("w1", "w2"), "left")
+      .join(uni, Seq("w1"), "left")
+      .crossJoin(broadcast(vocab))
+      // cnt × ln(p) in DECIMAL: (25,12) × (10,0) stays exact within
+      // (38,12), so the per-doc sum is identical on any partitioning
+      .select(col("__id"), col("__c"),
+        (lp.cast("decimal(25,12)") * col("__c").cast("decimal(10,0)"))
+          .as("__wlp"))
+      .groupBy(col("__id"))
+      .agg(sum(col("__c")).as("n_bigrams"), sum(col("__wlp")).as("__sum"))
+      .select(col("__id").as(idCol), col("n_bigrams"),
+        col("__sum").as("logprob_sum"),
+        (col("__sum").cast("double") / col("n_bigrams")).as("logprob"))
+  }
+
   def tfidf(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val perDoc = perDocCounts(df, idCol, textCol)
     val docFreq = perDoc.groupBy(col("token"))

@@ -190,10 +190,26 @@ object CorpusQueries {
       .orderBy($"doc_id")
   }
 
+  /** CCNet-shape LM quality gate: bigram LM trained on the doc_id ≢ 0
+    * (mod 5) slice scores the held-out slice. The hash-gated column is
+    * the exact decimal ln-sum (quantized at 1e-12, so JVM-vs-libm log
+    * ulp noise can't leak in); the double mean stays a library column.
+    */
+  private def q87(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    Vocab.bigramLogProb(
+        docs.where($"doc_id" % 5 === 0),
+        docs.where($"doc_id" % 5 =!= 0), "doc_id", "text")
+      .select($"doc_id", $"n_bigrams", $"logprob_sum")
+      .orderBy($"doc_id")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q68_tfidf" -> (q68 _),
     "q80_incremental_dedup_bloom" -> (q80 _),
     "q85_token_budget" -> (q85 _),
+    "q87_lm_score" -> (q87 _),
     "q64b_column_profile_approx" -> (q64b _),
     "q67b_incremental_neardup_xxh64" -> (q67b _),
     "q75_bpe_merges" -> (q75 _),
@@ -206,6 +222,30 @@ object CorpusQueries {
     "q67_incremental_neardup" -> (q67 _))
 
   val oracles: Map[String, String] = Map(
+    "q87_lm_score" ->
+      """WITH tr AS (SELECT string_split_regex(trim(text), ' +') AS toks
+        |            FROM documents WHERE doc_id % 5 <> 0),
+        |u AS (SELECT w1, CAST(count(*) AS BIGINT) AS u
+        |      FROM (SELECT unnest(toks) AS w1 FROM tr) GROUP BY w1),
+        |b AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS b
+        |      FROM (SELECT toks[i] AS w1, toks[i + 1] AS w2
+        |            FROM tr, UNNEST(range(1, len(toks))) AS t(i))
+        |      GROUP BY w1, w2),
+        |v AS (SELECT count(*) AS v FROM u),
+        |sc AS (SELECT doc_id, string_split_regex(trim(text), ' +') AS toks
+        |       FROM documents WHERE doc_id % 5 = 0),
+        |dbc AS (SELECT doc_id, w1, w2, CAST(count(*) AS BIGINT) AS c
+        |        FROM (SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+        |              FROM sc, UNNEST(range(1, len(toks))) AS t(i))
+        |        GROUP BY doc_id, w1, w2),
+        |j AS (SELECT dbc.doc_id, dbc.c,
+        |        CAST(ln((COALESCE(b.b, 0) + 1.0) / (COALESCE(u.u, 0) + 1.0 * v.v))
+        |          AS DECIMAL(25,12)) * CAST(dbc.c AS DECIMAL(10,0)) AS wlp
+        |      FROM dbc LEFT JOIN b ON b.w1 = dbc.w1 AND b.w2 = dbc.w2
+        |               LEFT JOIN u ON u.w1 = dbc.w1, v)
+        |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+        |       CAST(sum(wlp) AS DECIMAL(38,12)) AS logprob_sum
+        |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q85_token_budget" ->
       """WITH t AS (SELECT doc_id, string_split_regex(trim(text), ' +') AS toks
         |           FROM documents),
