@@ -227,6 +227,29 @@ object Vocab {
         (col("__sum").cast("double") / col("n_bigrams")).as("logprob"))
   }
 
+  /** Per-document out-of-vocabulary rate against the train side's
+    * top-`vocabSize` vocabulary — the tokenizer/vocab-coverage QA run
+    * before committing to a vocabulary. The vocabulary is model-sized
+    * (top-k with the deterministic (tf desc, token) cut) and broadcasts;
+    * the corpus contributes per-(doc, token) pre-aggregated counts, so
+    * the join compares distinct tokens, never occurrences.
+    *
+    * @return `idCol, n_tokens, n_oov, oov_rate`
+    */
+  def oovRate(corpus: DataFrame, train: DataFrame, idCol: String,
+      textCol: String, vocabSize: Int): DataFrame = {
+    val vocab = topK(train, idCol, textCol, vocabSize)
+      .select(col("token"), lit(1).as("__in"))
+    perDocCounts(corpus, idCol, textCol)
+      .join(broadcast(vocab), Seq("token"), "left")
+      .groupBy(col("__id"))
+      .agg(sum(col("__c")).as("n_tokens"),
+        sum(when(col("__in").isNull, col("__c")).otherwise(lit(0L)))
+          .as("n_oov"))
+      .select(col("__id").as(idCol), col("n_tokens"), col("n_oov"),
+        (col("n_oov").cast("double") / col("n_tokens")).as("oov_rate"))
+  }
+
   def tfidf(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val perDoc = perDocCounts(df, idCol, textCol)
     val docFreq = perDoc.groupBy(col("token"))

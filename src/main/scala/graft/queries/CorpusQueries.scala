@@ -205,11 +205,22 @@ object CorpusQueries {
       .orderBy($"doc_id")
   }
 
+  /** Vocab-coverage QA: every document's OOV rate against the corpus's
+    * own top-100 vocabulary (deterministic (tf desc, token) cut).
+    */
+  private def q88(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    Vocab.oovRate(docs, docs, "doc_id", "text", vocabSize = 100)
+      .orderBy($"doc_id")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q68_tfidf" -> (q68 _),
     "q80_incremental_dedup_bloom" -> (q80 _),
     "q85_token_budget" -> (q85 _),
     "q87_lm_score" -> (q87 _),
+    "q88_oov_rate" -> (q88 _),
     "q64b_column_profile_approx" -> (q64b _),
     "q67b_incremental_neardup_xxh64" -> (q67b _),
     "q75_bpe_merges" -> (q75 _),
@@ -222,6 +233,23 @@ object CorpusQueries {
     "q67_incremental_neardup" -> (q67 _))
 
   val oracles: Map[String, String] = Map(
+    "q88_oov_rate" ->
+      """WITH t AS (SELECT doc_id, unnest(string_split_regex(trim(text), ' +')) AS token
+        |           FROM documents),
+        |g AS (SELECT token, count(*) AS tf FROM t GROUP BY token),
+        |v AS (SELECT token FROM (
+        |        SELECT token, row_number() OVER (ORDER BY tf DESC, token) AS rn
+        |        FROM g)
+        |      WHERE rn <= 100),
+        |d AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS c
+        |      FROM t GROUP BY doc_id, token)
+        |SELECT d.doc_id,
+        |       CAST(sum(d.c) AS BIGINT) AS n_tokens,
+        |       CAST(sum(CASE WHEN v.token IS NULL THEN d.c ELSE 0 END) AS BIGINT) AS n_oov,
+        |       CAST(sum(CASE WHEN v.token IS NULL THEN d.c ELSE 0 END) AS DOUBLE)
+        |         / sum(d.c) AS oov_rate
+        |FROM d LEFT JOIN v ON v.token = d.token
+        |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin,
     "q87_lm_score" ->
       """WITH tr AS (SELECT string_split_regex(trim(text), ' +') AS toks
         |            FROM documents WHERE doc_id % 5 <> 0),

@@ -154,6 +154,21 @@ class CorpusOpsSpec extends SparkSuite {
     assert(!got.contains(3L))
   }
 
+  test("oovRate counts occurrences outside the top-k vocabulary") {
+    import spark.implicits._
+    val train = Seq((1L, "a a a b b c")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (10L, "a b a"),      // all in top-2 vocab {a, b}
+      (11L, "a c z z"))    // c and z×2 are OOV at k=2
+      .toDF("doc_id", "text")
+    val got = Vocab.oovRate(corpus, train, "doc_id", "text", vocabSize = 2)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(got(10L) === ((3L, 0L, 0.0)))
+    assert(got(11L) === ((4L, 3L, 0.75)))
+  }
+
   test("normalizedDedup collapses case/punctuation/spacing variants to the first id") {
     import spark.implicits._
     import graft.ops.TextAnalysis
