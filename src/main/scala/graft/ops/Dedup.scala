@@ -170,6 +170,11 @@ object Dedup {
     * or partition the corpus and run per-partition filters. Pass a
     * pre-built `bloom` to amortize construction across many batches
     * (e.g. every micro-batch of a continuous ingest).
+    *
+    * The two union branches each scan the (small) batch side — the
+    * deliberate trade for keeping the corpus-side anti-join's probe
+    * input filtered BEFORE the shuffle; the corpus is scanned once.
+    * Persist the batch first if it is expensive to recompute.
     */
   def incrementalDedupBloom(batch: DataFrame, corpus: DataFrame,
       idCol: String, textCol: String, expectedCorpusItems: Long,

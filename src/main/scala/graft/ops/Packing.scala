@@ -126,15 +126,31 @@ object Packing {
     * @return `idCol, scoreCol, n_tokens, tokens_before` for selected rows
     */
   def takeTokenBudget(df: DataFrame, idCol: String, textCol: String,
-      scoreCol: String, budgetTokens: Long): DataFrame = {
+      scoreCol: String, budgetTokens: Long): DataFrame =
+    budgetWithPin(df, idCol, textCol, scoreCol, budgetTokens)._1
+
+  /** Leak-free variant of [[takeTokenBudget]] for long-lived sessions —
+    * same contract as [[withPackedSequences]]: materialize inside `use`,
+    * don't let the frame escape it.
+    */
+  def withTokenBudget[T](df: DataFrame, idCol: String, textCol: String,
+      scoreCol: String, budgetTokens: Long)(use: DataFrame => T): T = {
+    val (result, pin) = budgetWithPin(df, idCol, textCol, scoreCol,
+      budgetTokens)
+    try use(result) finally pin.unpersist(blocking = false)
+  }
+
+  private def budgetWithPin(df: DataFrame, idCol: String, textCol: String,
+      scoreCol: String, budgetTokens: Long): (DataFrame, DataFrame) = {
     require(budgetTokens > 0, s"budget must be positive, got $budgetTokens")
     val counted = df.select(col(idCol), col(scoreCol),
       TextAnalysis.tokenCount(col(textCol)).cast("long").as("n_tokens"))
-    val (summed, _) = prefixSummed(counted,
+    val (summed, pin) = prefixSummed(counted,
       Seq(col(scoreCol).desc, col(idCol).asc), "n_tokens")
-    summed
+    val result = summed
       .where(col("__prefix") < budgetTokens)
       .withColumnRenamed("__prefix", "tokens_before")
       .select(col(idCol), col(scoreCol), col("n_tokens"), col("tokens_before"))
+    (result, pin)
   }
 }

@@ -135,6 +135,18 @@ class CorpusOpsSpec extends SparkSuite {
     assert(repart === Set((3L, 0L), (1L, 2L), (2L, 5L)))
   }
 
+  test("withTokenBudget matches takeTokenBudget and unpersists its pin") {
+    import spark.implicits._
+    val df = Seq((1L, "a b c", 0.9), (2L, "d e", 0.8))
+      .toDF("doc_id", "text", "quality")
+    val direct = Packing.takeTokenBudget(df, "doc_id", "text", "quality", 4L)
+      .collect().map(r => (r.getLong(0), r.getLong(3))).toSet
+    val scoped = Packing.withTokenBudget(df, "doc_id", "text", "quality", 4L) {
+      frame => frame.collect().map(r => (r.getLong(0), r.getLong(3))).toSet
+    }
+    assert(scoped === direct && direct === Set((1L, 0L), (2L, 3L)))
+  }
+
   test("bigramLogProb matches the hand-computed smoothed LM on a toy corpus") {
     import spark.implicits._
     val train = Seq((100L, "a b a c")).toDF("doc_id", "text")
