@@ -234,6 +234,23 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q87: the bigram model is joined by key, never broadcast; counts pre-agg before joins") {
+    val p = formatted("q87_lm_score")
+    // vocab²-sized model tables must not broadcast — only the one-row
+    // vocab-size aggregate may
+    assert(countNodes(p, "BroadcastNestedLoopJoin") <= 1, p)
+    assert(!p.contains("CartesianProduct"), p)
+    // per-(doc,bigram), bigram, and unigram aggregates all pre-agg
+    assert(countNodes(p, "HashAggregate") >= 6, p)
+  }
+
+  test("q88: the top-k vocabulary broadcasts; corpus side joins distinct tokens") {
+    val p = formatted("q88_oov_rate")
+    assert(countNodes(p, "BroadcastHashJoin") >= 1, p)
+    assert(p.contains("TakeOrderedAndProject"), p) // vocab cut is a heap, not a sort
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("whole-stage codegen covers the kernel expressions") {
     val df = SparkEntry.queries("q31_cosine_neardup")(spark, sfDir)
     df.collect() // materialize THIS plan so AQE finalizes it
