@@ -183,18 +183,26 @@ object Vocab {
     * per-(doc, bigram) pre-aggregated counts against the bigram and
     * unigram tables (the [[perDocCounts]] discipline: no raw occurrence
     * ever shuffles; join keys are the bigram pair). V rides along as a
-    * broadcast one-row aggregate. Each ln is quantized to DECIMAL(25,12)
-    * before accumulating: the 1e-12 quantum swallows the ≤1-ulp
-    * discrepancy between JVM `Math.log` and libm `log`, and decimal
-    * sums are exact and partition-order independent — so `logprob_sum`
-    * is bit-identical on any engine/layout (the hash-gated column),
-    * while `logprob` is the double mean for filtering convenience.
+    * broadcast one-row aggregate.
+    *
+    * Each ln is quantized to DECIMAL(25,`lnScale`) before accumulating,
+    * which makes the sum exact and partition-order independent — but NOT
+    * unconditionally engine-independent: JVM `Math.log` and libm `log`
+    * can differ by 1 ulp (~1e-15 absolute for these magnitudes), and
+    * when a value lands within an ulp of a 10^-lnScale rounding
+    * boundary the two engines quantize to *different* decimals.
+    * Boundary-straddle probability per distinct value is roughly
+    * 1e-15 / 10^-lnScale: ~1e-3 at scale 12 (near-certain to flip a
+    * hash over ~10⁴ distinct bigram probabilities — measured, round 3),
+    * ~1e-9 at scale 6. The default gates at 1e-6; pass a finer scale
+    * only for within-engine use where cross-engine hashing is not at
+    * stake. `logprob` is the double mean for filtering convenience.
     *
     * @return `idCol, n_bigrams, logprob_sum, logprob` (documents with
     *         fewer than 2 tokens drop out)
     */
   def bigramLogProb(corpus: DataFrame, train: DataFrame, idCol: String,
-      textCol: String, alpha: Double = 1.0): DataFrame = {
+      textCol: String, alpha: Double = 1.0, lnScale: Int = 6): DataFrame = {
     val uni = train
       .select(explode(TextAnalysis.tokens(col(textCol))).as("w1"))
       .groupBy(col("w1")).agg(count(lit(1)).as("__u"))
@@ -215,10 +223,10 @@ object Vocab {
       .join(bi, Seq("w1", "w2"), "left")
       .join(uni, Seq("w1"), "left")
       .crossJoin(broadcast(vocab))
-      // cnt × ln(p) in DECIMAL: (25,12) × (10,0) stays exact within
-      // (38,12), so the per-doc sum is identical on any partitioning
+      // cnt × ln(p) in DECIMAL: (25,s) × (10,0) stays exact within
+      // (38,s), so the per-doc sum is identical on any partitioning
       .select(col("__id"), col("__c"),
-        (lp.cast("decimal(25,12)") * col("__c").cast("decimal(10,0)"))
+        (lp.cast(s"decimal(25,$lnScale)") * col("__c").cast("decimal(10,0)"))
           .as("__wlp"))
       .groupBy(col("__id"))
       .agg(sum(col("__c")).as("n_bigrams"), sum(col("__wlp")).as("__sum"))

@@ -192,8 +192,11 @@ object CorpusQueries {
 
   /** CCNet-shape LM quality gate: bigram LM trained on the doc_id ≢ 0
     * (mod 5) slice scores the held-out slice. The hash-gated column is
-    * the exact decimal ln-sum (quantized at 1e-12, so JVM-vs-libm log
-    * ulp noise can't leak in); the double mean stays a library column.
+    * the exact decimal ln-sum quantized at 1e-6 — coarse enough that a
+    * 1-ulp JVM-vs-libm `ln` difference (~1e-15) has only ~1e-9 odds per
+    * distinct value of straddling a rounding boundary (at 1e-12 a flip
+    * was statistically certain — the round-3 red row); the double mean
+    * stays a library column outside the gate.
     */
   private def q87(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -268,11 +271,11 @@ object CorpusQueries {
         |        GROUP BY doc_id, w1, w2),
         |j AS (SELECT dbc.doc_id, dbc.c,
         |        CAST(ln((COALESCE(b.b, 0) + 1.0) / (COALESCE(u.u, 0) + 1.0 * v.v))
-        |          AS DECIMAL(25,12)) * CAST(dbc.c AS DECIMAL(10,0)) AS wlp
+        |          AS DECIMAL(25,6)) * CAST(dbc.c AS DECIMAL(10,0)) AS wlp
         |      FROM dbc LEFT JOIN b ON b.w1 = dbc.w1 AND b.w2 = dbc.w2
         |               LEFT JOIN u ON u.w1 = dbc.w1, v)
         |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
-        |       CAST(sum(wlp) AS DECIMAL(38,12)) AS logprob_sum
+        |       CAST(sum(wlp) AS DECIMAL(38,6)) AS logprob_sum
         |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q85_token_budget" ->
       """WITH t AS (SELECT doc_id, string_split_regex(trim(text), ' +') AS toks

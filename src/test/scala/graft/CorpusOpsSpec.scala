@@ -153,17 +153,23 @@ class CorpusOpsSpec extends SparkSuite {
     // unigrams a:2 b:1 c:1 → V=3; bigrams (a,b):1 (b,a):1 (a,c):1
     val corpus = Seq((1L, "a b c"), (2L, "z z"), (3L, "solo"))
       .toDF("doc_id", "text")
+    // gate-default quantum (1e-6): mean is within half a quantum per value
     val got = Vocab.bigramLogProb(corpus, train, "doc_id", "text")
       .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(3))).toMap
     // doc 1: (a,b) → ln((1+1)/(2+3)); (b,c) → ln((0+1)/(1+3))
     val exp1 = (math.log(2.0 / 5) + math.log(1.0 / 4)) / 2
     assert(got(1L)._1 === 2L)
-    assert(math.abs(got(1L)._2 - exp1) < 1e-9, got(1L).toString)
+    assert(math.abs(got(1L)._2 - exp1) < 1e-6, got(1L).toString)
     // doc 2: unseen everything → ln(1/(0+3)) per bigram
     assert(got(2L)._1 === 1L)
-    assert(math.abs(got(2L)._2 - math.log(1.0 / 3)) < 1e-9)
+    assert(math.abs(got(2L)._2 - math.log(1.0 / 3)) < 1e-6)
     // single-token doc has no bigrams and drops out
     assert(!got.contains(3L))
+    // a finer quantum tightens the mean accordingly (within-engine use)
+    val fine = Vocab.bigramLogProb(corpus, train, "doc_id", "text",
+        lnScale = 12)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(math.abs(fine(1L) - exp1) < 1e-9, fine(1L).toString)
   }
 
   test("oovRate counts occurrences outside the top-k vocabulary") {
