@@ -291,10 +291,15 @@ object EventStreams {
     * of every batch instead of the whole batch. On restart the filter
     * reseeds from the (appended-to) corpus, so staleness is impossible.
     *
-    * Driver state: the filter (sized for `expectedCorpusItems`) plus one
-    * batch-survivor fingerprint collect per micro-batch (32-char strings,
-    * micro-batch-sized — the filter update, not a data path). foreachBatch
-    * runs batches sequentially on the driver, so the mutation is safe.
+    * Driver state: just the filter (sized for `expectedCorpusItems`).
+    * The per-batch update is a distributed `stat.bloomFilter` aggregation
+    * over the survivors — built executor-side with the SAME
+    * (expectedCorpusItems, fpp) geometry so it is mergeable — then
+    * `mergeInPlace`d into the held filter, so driver network/memory per
+    * batch is filter-sized, never batch-sized (a per-batch fingerprint
+    * collect would make the driver the bottleneck at production batch
+    * sizes). foreachBatch runs batches sequentially on the driver, so
+    * the mutation is safe.
     */
   def ingestDedupBloom(spark: SparkSession, schema: StructType, inDir: String,
       corpusDir: String, checkpointDir: String, idCol: String,
@@ -331,8 +336,11 @@ object EventStreams {
           else Dedup.exactDedup(batch, idCol, textCol)).persist()
         try {
           fresh.write.mode("append").parquet(corpusDir)
-          fresh.select(md5(col(textCol))).collect()
-            .foreach(r => bf.putString(r.getString(0)))
+          // identical geometry (items, fpp) → compatible bit arrays; the
+          // executor-side aggregate ships one filter to the driver
+          bf.mergeInPlace(
+            fresh.select(md5(col(textCol)).as("__fp"))
+              .stat.bloomFilter("__fp", expectedCorpusItems, fpp))
         } finally fresh.unpersist(blocking = false)
         ()
       }
