@@ -337,6 +337,63 @@ class CorpusOpsSpec extends SparkSuite {
     assert(Vocab.bpeSegment("lowest", merges.take(2)).contains("est"))
   }
 
+  test("driver-side BPE loop matches a from-scratch recount reference") {
+    import graft.ops.Vocab
+    // brute-force reference: recount every pair from scratch each round,
+    // pick max with the (count desc, pair asc) tie rule
+    def reference(words0: Array[(String, Long)],
+        numMerges: Int): Seq[(String, String)] = {
+      var words = words0.map { case (w, n) => (w.map(_.toString): Seq[String], n) }
+      val out = Seq.newBuilder[(String, String)]
+      var k = 0
+      var done = false
+      while (k < numMerges && !done) {
+        val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+        for ((s, n) <- words; i <- 0 until s.length - 1) {
+          val p = (s(i), s(i + 1))
+          counts(p) = counts.getOrElse(p, 0L) + n
+        }
+        if (counts.isEmpty) done = true
+        else {
+          val (a, b) = counts.toSeq.minBy { case ((a, b), n) => (-n, a, b) }._1
+          out += ((a, b))
+          words = words.map { case (s, n) => (Vocab.mergeOnce(s, a, b), n) }
+        }
+        k += 1
+      }
+      out.result()
+    }
+    // deterministic pseudo-random word table with heavy shared substructure
+    // (repeats, overlapping pairs like "aaa", ties) to stress the index
+    val rnd = new scala.util.Random(42)
+    val alphabet = "abcde"
+    val words = Array.tabulate(200) { i =>
+      val len = 1 + rnd.nextInt(8)
+      val w = (0 until len).map(_ => alphabet(rnd.nextInt(alphabet.length)))
+        .mkString
+      (w + (if (i % 7 == 0) "xy" else ""), (1 + rnd.nextInt(5)).toLong)
+    }.distinctBy(_._1)
+    assert(Vocab.trainBpeMergesLocal(words, 40) === reference(words, 40))
+  }
+
+  test("driver-side BPE trains a 1k-merge vocabulary without cluster jobs") {
+    import graft.ops.Vocab
+    // vocab-sized input, real-vocabulary-scale merge count: this ran as
+    // 1,000 sequential Spark jobs under the round-3 design
+    val rnd = new scala.util.Random(7)
+    val words = Array.tabulate(5000) { i =>
+      val len = 4 + rnd.nextInt(12)
+      ((0 until len).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString + i,
+        (1 + rnd.nextInt(100)).toLong)
+    }
+    val t0 = System.nanoTime()
+    val merges = Vocab.trainBpeMergesLocal(words, 1000)
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(merges.length === 1000)
+    assert(merges.distinct.length === 1000) // each merge is a new symbol pair
+    info(f"1k merges over 5k words in $secs%.2f s driver-side")
+  }
+
   test("trainIvfCentroids recovers planted clusters and lowers inertia") {
     import spark.implicits._
     import graft.ops.Similarity
