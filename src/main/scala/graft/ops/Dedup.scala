@@ -257,10 +257,13 @@ object Dedup {
     // One shuffle: gather each bucket's ids, emit its pairs inline —
     // no second pass over the keyed exchange and no per-bucket sort, as
     // a windowed-count + self-join formulation would need. Buckets are
-    // capped, so the pair expansion per group is bounded.
-    val buckets = keyed.groupBy(col("band"), col("key"))
-      .agg(collect_list(col("__id")).as("__ids"))
-      .where(size(col("__ids")).between(2, maxBucket))
+    // capped, so the pair expansion per group is bounded; over-cap drops
+    // bump CapMetrics accumulators — never silent.
+    val buckets = CapMetrics.cappedWhere(
+        keyed.groupBy(col("band"), col("key"))
+          .agg(collect_list(col("__id")).as("__ids")),
+        "lsh_candidates", size(col("__ids")), maxBucket, memberRows = false)
+      .where(size(col("__ids")) >= 2)
     buckets
       .select(explode(flatten(transform(col("__ids"), (x, i) =>
         transform(slice(col("__ids"), i + 2, size(col("__ids"))),
@@ -312,10 +315,11 @@ object Dedup {
       md5Basis: Boolean = false): DataFrame = {
     def banded(df: DataFrame): DataFrame =
       bandedKeys(spread(df), idCol, textCol, numHashes, bands, md5Basis)
-    val corpusKeys = banded(corpus)
-      .withColumn("__n", count(lit(1)).over(
-        Window.partitionBy(col("band"), col("key"))))
-      .where(col("__n") <= maxBucket)
+    val corpusKeys = CapMetrics.cappedWhere(
+        banded(corpus).withColumn("__n", count(lit(1)).over(
+          Window.partitionBy(col("band"), col("key")))),
+        "incremental_neardup_corpus", col("__n"), maxBucket,
+        memberRows = true)
       .select(col("__id").as("idB"), col("band"), col("key"))
     val cands = banded(batch)
       .select(col("__id").as("idA"), col("band"), col("key"))

@@ -135,10 +135,15 @@ object Similarity {
     // pair emission benchmarked ~2× slower here: Catalyst HOF lambdas
     // interpret per element, and cosine buckets are many-and-shallow —
     // unlike MinHash's few-and-deep buckets, where one pass beats a join.
-    val capped = keyed
-      .withColumn("__n", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("band"), col("key"))))
-      .where(col("__n") <= maxBucket)
+    // both self-join legs re-execute this filter, so a dropped bucket can
+    // tally twice (or once, when adaptive empty-propagation elides a
+    // leg) — an uncounted second leg is WORSE: AQE may materialize it
+    // first and skip the counted leg entirely, silencing the alarm
+    // (measured). At-least-once beats exactly-never.
+    val capped = CapMetrics.cappedWhere(
+        keyed.withColumn("__n", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("band"), col("key")))),
+        "cosine_neardup_bucketed", col("__n"), maxBucket, memberRows = true)
       .drop("__n")
     val cands = capped.select(col("band"), col("key"), col("__id").as("idA"))
       .join(capped.select(col("band"), col("key"), col("__id").as("idB")),
@@ -186,10 +191,11 @@ object Similarity {
       Dedup.spread(df).select(col(idCol).as(as),
         posexplode(graftFn("graft_lsh_bands", col(vecCol),
           lit(planesPerBand), lit(bands))).as(Seq("band", "key")))
-    val corpusKeys = keyed(corpus, "idB")
-      .withColumn("__n", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("band"), col("key"))))
-      .where(col("__n") <= maxBucket)
+    val corpusKeys = CapMetrics.cappedWhere(
+        keyed(corpus, "idB").withColumn("__n", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("band"), col("key")))),
+        "incremental_cosine_corpus", col("__n"), maxBucket,
+        memberRows = true)
       .drop("__n")
     val cands = keyed(batch, "idA")
       .join(corpusKeys, Seq("band", "key"))
@@ -497,10 +503,12 @@ object Similarity {
     val assigned = ivfAssign(Dedup.spread(emb), vecCol, centroids)
       .select(col("centroid_id"), col(idCol).as("__id"),
         col(vecCol).as("__v"), l2Norm(col(vecCol)).as("__nm"))
-    val capped = assigned
-      .withColumn("__c", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("centroid_id"))))
-      .where(col("__c") <= maxCell)
+    // counted on both self-join legs: once-or-twice per dropped cell
+    // depending on adaptive planning — see cosineNearDupPairsBucketed
+    val capped = CapMetrics.cappedWhere(
+        assigned.withColumn("__c", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("centroid_id")))),
+        "ivf_neardup_cells", col("__c"), maxCell, memberRows = true)
       .drop("__c")
     val a = capped.select(col("centroid_id"), col("__id").as("idA"),
       col("__v").as("__va"), col("__nm").as("__na"))
