@@ -214,10 +214,10 @@ object SimilarityQueries {
   /** q81 for the IVF index: measured recall@5 of the batch IVF ANN
     * (16 deterministic cells, nprobe=4) against the exact batch ground
     * truth. Fully deterministic (md5-sampled centroids, argmax-cosine
-    * assignment, id tie-breaks) but the per-query probe-cell fan-out
-    * would make the SQL oracle a page of CTEs — rows-only here; the
-    * recall MACHINERY is already hash-checked by q81 and the IVF
-    * index by q43/q77, and `QueriesSpec` asserts determinism.
+    * assignment, id tie-breaks), so the oracle rebuilds the whole thing:
+    * q43's centroid/cell/probe CTEs generalized to the per-query probe
+    * fan-out, composed with q81's recall shape — assignment, both
+    * rankings, and the recall VALUES are hash-checked.
     */
   private def q83(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -405,6 +405,52 @@ object SimilarityQueries {
         |JOIN embeddings eb ON eb.vec_id = b.vec_id
         |WHERE list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]) > 0.3
         |ORDER BY idA, idB""".stripMargin,
+    // q43's centroid/cell CTEs with the probe selection fanned out per
+    // query (the q81 recall shape): ANN top-5 restricted to each query's
+    // best-4 cells, exact top-5 from the full scan, recall per query.
+    "q83_ann_recall_ivf" ->
+      """WITH h AS (SELECT vec_id, embedding,
+        |             ('0x' || substr(md5(vec_id::VARCHAR), 1, 15))::BIGINT AS hh
+        |           FROM embeddings),
+        |cent AS (SELECT row_number() OVER (ORDER BY hh, vec_id) - 1 AS cid,
+        |                embedding AS cvec
+        |         FROM h ORDER BY hh, vec_id LIMIT 16),
+        |asg AS (SELECT e.vec_id, c.cid,
+        |               row_number() OVER (PARTITION BY e.vec_id
+        |                 ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], c.cvec::DOUBLE[]) DESC,
+        |                          c.cid) AS rn
+        |        FROM embeddings e, cent c),
+        |cells AS (SELECT vec_id, cid FROM asg WHERE rn = 1),
+        |qs AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+        |       WHERE vec_id % 100 = 0),
+        |pr AS (SELECT q.query_id, c.cid,
+        |              row_number() OVER (PARTITION BY q.query_id
+        |                ORDER BY list_cosine_similarity(q.qv::DOUBLE[], c.cvec::DOUBLE[]) DESC,
+        |                         c.cid) AS rn
+        |       FROM qs q, cent c),
+        |probes AS (SELECT query_id, cid FROM pr WHERE rn <= 4),
+        |ar AS (SELECT q.query_id, e.vec_id,
+        |              row_number() OVER (PARTITION BY q.query_id
+        |                ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], q.qv::DOUBLE[]) DESC,
+        |                         e.vec_id) AS rn
+        |       FROM embeddings e
+        |       JOIN cells ON cells.vec_id = e.vec_id
+        |       JOIN probes p ON p.cid = cells.cid
+        |       JOIN qs q ON q.query_id = p.query_id
+        |       WHERE e.vec_id <> q.query_id),
+        |a AS (SELECT query_id, vec_id FROM ar WHERE rn <= 5),
+        |er AS (SELECT q.query_id, e.vec_id,
+        |              row_number() OVER (PARTITION BY q.query_id
+        |                ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], q.qv::DOUBLE[]) DESC,
+        |                         e.vec_id) AS rn
+        |       FROM embeddings e, qs q WHERE e.vec_id <> q.query_id),
+        |x AS (SELECT query_id, vec_id FROM er WHERE rn <= 5)
+        |SELECT x.query_id,
+        |       CAST(count(*) AS BIGINT) AS n_truth,
+        |       CAST(count(a.vec_id) AS BIGINT) AS n_hit,
+        |       CAST(count(a.vec_id) AS DOUBLE) / count(*) AS recall
+        |FROM x LEFT JOIN a ON a.query_id = x.query_id AND a.vec_id = x.vec_id
+        |GROUP BY x.query_id ORDER BY x.query_id""".stripMargin,
     // IVF: centroids = 16 lowest-md5(vec_id) vectors; cells = argmax
     // cosine (ties to lower cell id); probe the query's best 4 cells.
     "q43_ann_ivf" ->
