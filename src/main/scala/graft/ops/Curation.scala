@@ -40,6 +40,66 @@ object Curation {
       .select(col(idCol), col("n_tokens"), col("dup_2gram_frac"))
   }
 
+  /** The CCNet-shaped gate chain as ONE plan: heuristic quality
+    * (token count + Gopher repetition rule) → bigram-LM perplexity gate
+    * against a clean `reference` slice ([[Vocab.bigramLogProb]]) → OOV
+    * gate against the reference's top-`vocabSize` vocabulary
+    * ([[Vocab.oovRate]]) → benchmark decontamination → exact dedup. The
+    * standard "CCNet then dedup" production ordering; every gate is
+    * individually hash-gated (q22/q87/q88/q56/q29) and this composes
+    * them.
+    *
+    * Cross-engine-stable gate predicates by construction: the LM gate
+    * compares the exact 1e-6-quantized DECIMAL ln-sum against
+    * `lmThreshold × n_bigrams` in decimal arithmetic (no double
+    * threshold on a double sum), and the OOV gate is pure integer
+    * arithmetic (`n_oov · oovDen ≤ n_tokens · oovNum`).
+    *
+    * Scale shape: the quality stage is a narrow codegen'd scan; each
+    * LM/OOV gate adds one per-doc aggregate joined back by id (the
+    * model/vocab sides are reference-slice-sized; the vocab broadcasts,
+    * the bigram model joins by key because the MODEL IS DATA); the
+    * flagged-id set broadcasts; dedup is the one corpus-wide shuffle.
+    * The corpus parquet is re-scanned once per gate (narrow
+    * two-column projections with the quality predicate pushed into each
+    * derived scan) — at 100 TB persist the post-quality slice once and
+    * feed it to the gates instead.
+    *
+    * @return survivors: `idCol, n_tokens, dup_2gram_frac, n_bigrams,
+    *         logprob_sum, n_oov`
+    */
+  def curateCcnet(corpus: DataFrame, reference: DataFrame, bench: DataFrame,
+      idCol: String, textCol: String, minTokens: Int = 20,
+      maxDupGramFraction: Double = 0.2,
+      lmThreshold: BigDecimal = BigDecimal("-3.55"), vocabSize: Int = 20,
+      oovNum: Int = 3, oovDen: Int = 8, contaminationN: Int = 8): DataFrame = {
+    val scored = corpus.select(col(idCol), col(textCol),
+        TextAnalysis.tokenCount(col(textCol)).cast("long").as("n_tokens"),
+        TextAnalysis.dupGramFraction(col(textCol), 2).as("dup_2gram_frac"))
+      .where(col("n_tokens") >= minTokens &&
+        col("dup_2gram_frac") <= maxDupGramFraction)
+    // the later gates score only quality survivors — the predicate rides
+    // each derived scan, so gate work shrinks with the quality cut
+    val slim = scored.select(col(idCol), col(textCol))
+    val lm = Vocab.bigramLogProb(slim, reference, idCol, textCol)
+      .where(col("logprob_sum") >=
+        lit(lmThreshold.setScale(6).underlying) * col("n_bigrams"))
+      .select(col(idCol), col("n_bigrams"), col("logprob_sum"))
+    val oov = Vocab.oovRate(slim, reference, idCol, textCol, vocabSize)
+      .where(col("n_oov") * oovDen <= col("n_tokens") * oovNum)
+      .select(col(idCol), col("n_oov"))
+    val flagged = Decontamination.contaminationScores(
+        slim, bench, idCol, textCol, n = contaminationN)
+      .select(col(idCol))
+    val gated = scored
+      .join(lm, Seq(idCol))
+      .join(oov, Seq(idCol))
+      .join(broadcast(flagged), Seq(idCol), "left_anti")
+    Dedup.exactDedup(gated, idCol, textCol)
+      .select(col(idCol), col("n_tokens"), col("dup_2gram_frac"),
+        col("n_bigrams"), col("logprob_sum"), col("n_oov"))
+  }
+
   /** The complete corpus-production run: [[curate]] (quality →
     * decontamination → exact dedup) followed by MinHash-LSH near-dup
     * collapse over the survivors ([[Dedup.nearDupPipeline]]) — every

@@ -208,6 +208,27 @@ object CorpusQueries {
       .orderBy($"doc_id")
   }
 
+  /** The CCNet-then-dedup production shape in ONE plan: quality
+    * thresholds → bigram-LM gate (trained on the doc_id ≡ 0 mod 7
+    * reference slice, mean logprob ≥ −3.55 as an exact decimal
+    * predicate) → OOV gate (top-20 reference vocabulary,
+    * n_oov·8 ≤ n_tokens·3 — pure integers) → decontamination vs the
+    * doc_id ≡ 0 mod 97 bench slice → exact dedup. Thresholds chosen to
+    * BITE at test scale (each LM/OOV gate drops ~25% of the corpus), so
+    * the composition — not just the plumbing — is hash-checked by
+    * chaining the q59/q87/q88 oracle CTEs.
+    */
+  private def q89(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    graft.ops.Curation.curateCcnet(
+        docs.where($"doc_id" % 97 =!= 0),
+        docs.where($"doc_id" % 7 === 0),
+        docs.where($"doc_id" % 97 === 0),
+        "doc_id", "text", contaminationN = 3)
+      .orderBy($"doc_id")
+  }
+
   /** Vocab-coverage QA: every document's OOV rate against the corpus's
     * own top-100 vocabulary (deterministic (tf desc, token) cut).
     */
@@ -224,6 +245,7 @@ object CorpusQueries {
     "q85_token_budget" -> (q85 _),
     "q87_lm_score" -> (q87 _),
     "q88_oov_rate" -> (q88 _),
+    "q89_ccnet_pipeline" -> (q89 _),
     "q64b_column_profile_approx" -> (q64b _),
     "q67b_incremental_neardup_xxh64" -> (q67b _),
     "q75_bpe_merges" -> (q75 _),
@@ -236,6 +258,78 @@ object CorpusQueries {
     "q67_incremental_neardup" -> (q67 _))
 
   val oracles: Map[String, String] = Map(
+    // q59's quality/decontamination/dedup CTEs chained with q87's LM
+    // CTEs (gated in DECIMAL) and q88's vocab CTEs (gated in integers)
+    "q89_ccnet_pipeline" ->
+      """WITH tq AS (SELECT doc_id, text, string_split_regex(trim(text), ' +') AS toks
+        |            FROM documents WHERE doc_id % 97 <> 0),
+        |g2 AS (SELECT doc_id, array_to_string(list_slice(toks, i, i + 1), ' ') AS gram
+        |       FROM tq, UNNEST(range(1, len(toks))) AS u(i)),
+        |c2 AS (SELECT doc_id, gram, count(*) AS cnt FROM g2 GROUP BY 1, 2),
+        |rep AS (SELECT doc_id,
+        |          CAST(sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS DOUBLE) / sum(cnt) AS dup2
+        |        FROM c2 GROUP BY doc_id),
+        |qual AS (SELECT t.doc_id, t.text, t.toks, len(t.toks) AS n_tokens, rep.dup2
+        |         FROM tq t JOIN rep USING (doc_id)
+        |         WHERE len(t.toks) >= 20 AND rep.dup2 <= 0.2),
+        |tr AS (SELECT string_split_regex(trim(text), ' +') AS toks
+        |       FROM documents WHERE doc_id % 7 = 0),
+        |u AS (SELECT w1, CAST(count(*) AS BIGINT) AS u
+        |      FROM (SELECT unnest(toks) AS w1 FROM tr) GROUP BY w1),
+        |b AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS b
+        |      FROM (SELECT toks[i] AS w1, toks[i + 1] AS w2
+        |            FROM tr, UNNEST(range(1, len(toks))) AS t(i))
+        |      GROUP BY w1, w2),
+        |v AS (SELECT count(*) AS v FROM u),
+        |dbc AS (SELECT doc_id, w1, w2, CAST(count(*) AS BIGINT) AS c
+        |        FROM (SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+        |              FROM qual, UNNEST(range(1, len(toks))) AS t(i))
+        |        GROUP BY doc_id, w1, w2),
+        |j AS (SELECT dbc.doc_id, dbc.c,
+        |        CAST(ln((COALESCE(b.b, 0) + 1.0) / (COALESCE(u.u, 0) + 1.0 * v.v))
+        |          AS DECIMAL(25,6)) * CAST(dbc.c AS DECIMAL(10,0)) AS wlp
+        |      FROM dbc LEFT JOIN b ON b.w1 = dbc.w1 AND b.w2 = dbc.w2
+        |               LEFT JOIN u ON u.w1 = dbc.w1, v),
+        |lm AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+        |              CAST(sum(wlp) AS DECIMAL(38,6)) AS logprob_sum
+        |       FROM j GROUP BY doc_id
+        |       HAVING CAST(sum(wlp) AS DECIMAL(38,6))
+        |                >= CAST(-3.55 AS DECIMAL(9,6)) * CAST(sum(c) AS BIGINT)),
+        |vg AS (SELECT token, count(*) AS tf
+        |       FROM (SELECT unnest(toks) AS token FROM tr) GROUP BY token),
+        |vv AS (SELECT token FROM (
+        |         SELECT token, row_number() OVER (ORDER BY tf DESC, token) AS rn
+        |         FROM vg)
+        |       WHERE rn <= 20),
+        |d AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS c
+        |      FROM (SELECT doc_id, unnest(toks) AS token FROM qual)
+        |      GROUP BY doc_id, token),
+        |oov AS (SELECT doc_id,
+        |          CAST(sum(CASE WHEN vv.token IS NULL THEN c ELSE 0 END) AS BIGINT) AS n_oov
+        |        FROM d LEFT JOIN vv ON vv.token = d.token
+        |        GROUP BY doc_id
+        |        HAVING sum(CASE WHEN vv.token IS NULL THEN c ELSE 0 END) * 8 <= sum(c) * 3),
+        |sh AS (SELECT doc_id,
+        |         CASE WHEN len(toks) >= 3
+        |              THEN list_distinct(list_transform(range(1, len(toks) - 1),
+        |                     i -> array_to_string(list_slice(toks, i, i + 2), ' ')))
+        |              ELSE [] END AS sh
+        |       FROM (SELECT doc_id, string_split_regex(trim(text), ' +') AS toks
+        |             FROM documents)),
+        |bench AS (SELECT DISTINCT unnest(sh) AS g FROM sh WHERE doc_id % 97 = 0),
+        |flagged AS (SELECT DISTINCT c.doc_id
+        |            FROM (SELECT doc_id, unnest(sh) AS g FROM sh WHERE doc_id % 97 <> 0) c
+        |            JOIN bench USING (g)),
+        |filtered AS (SELECT q.doc_id, q.text, q.n_tokens, q.dup2,
+        |                    lm.n_bigrams, lm.logprob_sum, oov.n_oov
+        |             FROM qual q JOIN lm USING (doc_id) JOIN oov USING (doc_id)
+        |             WHERE NOT EXISTS (SELECT 1 FROM flagged f WHERE f.doc_id = q.doc_id)),
+        |surv AS (SELECT *, row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+        |         FROM filtered)
+        |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, dup2 AS dup_2gram_frac,
+        |       n_bigrams, logprob_sum, n_oov
+        |FROM surv WHERE rn = 1
+        |ORDER BY doc_id""".stripMargin,
     "q88_oov_rate" ->
       """WITH t AS (SELECT doc_id, unnest(string_split_regex(trim(text), ' +')) AS token
         |           FROM documents),

@@ -244,6 +244,24 @@ class PlanSpec extends SparkSuite {
     assert(countNodes(p, "HashAggregate") >= 6, p)
   }
 
+  test("q89: composed CCNet pipeline keeps every gate's scale shape") {
+    val p = formatted("q89_ccnet_pipeline")
+    // gate tables join back by doc id as broadcast hash joins; the
+    // flagged-id anti join and the top-20 vocabulary broadcast too
+    assert(countNodes(p, "BroadcastHashJoin") >= 5, p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"), p)
+    // only the one-row vocab-size aggregate may nested-loop (q87's pin);
+    // nothing data-sized cross joins
+    assert(countNodes(p, "BroadcastNestedLoopJoin") <= 1, p)
+    assert(!p.contains("CartesianProduct"), p)
+    // corpus scans are bounded: quality + bigram + token + shingle sides
+    // plus reference/bench slices — composing gates must not quietly add
+    // whole-corpus passes (at 100 TB, persist the quality slice instead)
+    assert(countNodes(p, "Scan parquet") <= 9, p)
+    // vocab cut stays a heap, not a global sort
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
   test("q88: the top-k vocabulary broadcasts; corpus side joins distinct tokens") {
     val p = formatted("q88_oov_rate")
     assert(countNodes(p, "BroadcastHashJoin") >= 1, p)
