@@ -21,6 +21,12 @@ object Retention {
   /** Delete direct children of `dir` whose modification time is older
     * than `maxAgeMs` before `nowMs`. `nowMs` is explicit so retention
     * runs are reproducible and testable. Returns deleted paths.
+    *
+    * MTIME CAVEAT: directory modification time is meaningful on local
+    * filesystems and HDFS only. On object stores (S3A and friends)
+    * "directories" are synthetic and expose no useful mtime — use the
+    * `*Stamped` variants there, which key on a run timestamp encoded in
+    * the child's NAME instead of filesystem metadata.
     */
   def expireOlderThan(spark: SparkSession, dir: String, maxAgeMs: Long,
       nowMs: Long): Seq[String] = {
@@ -36,7 +42,7 @@ object Retention {
 
   /** Keep the `n` newest direct children of `dir` by modification time
     * (ties broken by path for determinism); delete the rest. Returns
-    * deleted paths.
+    * deleted paths. Same mtime caveat as [[expireOlderThan]].
     */
   def keepNewest(spark: SparkSession, dir: String, n: Int): Seq[String] = {
     val (filesystem, root) = fs(spark, dir)
@@ -45,6 +51,50 @@ object Retention {
       .sortBy(st => (-st.getModificationTime, st.getPath.toString))
       .drop(n)
       .map { st =>
+        filesystem.delete(st.getPath, true)
+        st.getPath.toString
+      }
+  }
+
+  /** Epoch-millis run stamp parsed from a child name, for object stores
+    * where directory mtime is meaningless: the first run of ≥13 digits
+    * in the name (e.g. `run-1765598400000`, `1765598400000-shard3`).
+    * Write runs with such names and retention needs no FS metadata.
+    */
+  val epochMillisStamp: String => Option[Long] =
+    name => raw"\d{13,}".r.findFirstIn(name).map(_.toLong)
+
+  /** [[expireOlderThan]] keyed on a name-encoded run stamp instead of
+    * filesystem mtime. Children whose name yields no stamp are KEPT —
+    * retention must never delete what it cannot date. Returns deleted
+    * paths.
+    */
+  def expireOlderThanStamped(spark: SparkSession, dir: String,
+      maxAgeMs: Long, nowMs: Long,
+      stamp: String => Option[Long] = epochMillisStamp): Seq[String] = {
+    val (filesystem, root) = fs(spark, dir)
+    if (!filesystem.exists(root)) return Nil
+    filesystem.listStatus(root).toSeq
+      .filter(st => stamp(st.getPath.getName).exists(t => nowMs - t > maxAgeMs))
+      .map { st =>
+        filesystem.delete(st.getPath, true)
+        st.getPath.toString
+      }
+  }
+
+  /** [[keepNewest]] keyed on a name-encoded run stamp. Unstamped
+    * children are kept and do not count against `n`. Returns deleted
+    * paths.
+    */
+  def keepNewestStamped(spark: SparkSession, dir: String, n: Int,
+      stamp: String => Option[Long] = epochMillisStamp): Seq[String] = {
+    val (filesystem, root) = fs(spark, dir)
+    if (!filesystem.exists(root)) return Nil
+    filesystem.listStatus(root).toSeq
+      .flatMap(st => stamp(st.getPath.getName).map(t => (t, st)))
+      .sortBy { case (t, st) => (-t, st.getPath.toString) }
+      .drop(n)
+      .map { case (_, st) =>
         filesystem.delete(st.getPath, true)
         st.getPath.toString
       }

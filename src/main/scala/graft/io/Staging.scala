@@ -62,37 +62,78 @@ object Staging {
       .toDF()
   }
 
-  /** Extract every archive under `zipDir` into `outDir/<entry-path>`,
-    * preserving member paths — the reference's unzip-to-artifacts step.
+  /** Reject archive member names that would write outside the extraction
+    * root (zip-slip): absolute paths, drive-letter paths, and any `..`
+    * traversal that escapes the root. Downloaded CI artifacts are not
+    * trusted input — a tampered archive must fail the job loudly, never
+    * place a file. Returns the normalized relative path.
+    */
+  private[graft] def sanitizeEntry(entry: String): String = {
+    val p = entry.replace('\\', '/')
+    require(!p.startsWith("/") && !p.matches("^[A-Za-z]:.*"),
+      s"zip entry has an absolute path (zip-slip): $entry")
+    var depth = 0
+    p.split("/").foreach {
+      case "" | "." => ()
+      case ".." =>
+        depth -= 1
+        require(depth >= 0, s"zip entry escapes the extraction root: $entry")
+      case _ => depth += 1
+    }
+    require(depth > 0, s"zip entry resolves to the extraction root: $entry")
+    p
+  }
+
+  /** Extract every archive under `zipDir` into
+    * `outDir/<archive-stem>/<entry-path>` — one subdirectory per
+    * archive, mirroring the reference's `artifacts/<segment>/` layout.
     * Returns the number of entries written. After staging, the S4 tree
-    * readers ([[Sources.parquetTree]]) consume `outDir` directly.
+    * readers ([[Sources.parquetTree]]) consume `outDir` directly
+    * (they recurse).
     *
     * Writes happen executor-side through Hadoop `FileSystem`, so the
     * target can be any supported scheme; the session's Hadoop conf is
     * shipped as a plain map (the executors rebuild it) because the
     * extraction tasks, not the driver, own the I/O.
+    *
+    * Safety: entry names are [[sanitizeEntry]]-checked (zip-slip — CI
+    * artifacts are not trusted input), and the per-archive subdirectory
+    * makes identically-named entries ACROSS archives collide never
+    * (a flat layout would crown a task-scheduling-dependent winner;
+    * a create-without-overwrite check is check-then-create and races
+    * across parallel extraction tasks). Within one archive, later
+    * entries deterministically overwrite earlier same-named ones, like
+    * every unzip tool.
     */
   def extractTo(spark: SparkSession, zipDir: String, outDir: String): Long = {
     import spark.implicits._
     val confMap = spark.sessionState.newHadoopConf().asScala
       .map(e => e.getKey -> e.getValue).toMap
     val confBc = spark.sparkContext.broadcast(confMap)
-    zipEntries(spark, zipDir)
-      .select("entry", "content").as[(String, Array[Byte])]
+    val written = zipEntries(spark, zipDir)
+      .select("archive", "entry", "content")
+      .as[(String, String, Array[Byte])]
       .mapPartitions { rows =>
         val conf = new Configuration(false)
         confBc.value.foreach { case (k, v) => conf.set(k, v) }
         val out = new Path(outDir)
         val fs = FileSystem.get(out.toUri, conf)
         var written = 0L
-        rows.foreach { case (entry, content) =>
-          val target = new Path(out, entry)
+        rows.foreach { case (archive, entry, content) =>
+          val stem = archive.split('/').last.stripSuffix(".zip")
+          val target = new Path(out, s"$stem/${sanitizeEntry(entry)}")
           val os = fs.create(target, true)
           try os.write(content) finally os.close()
           written += 1
         }
         Iterator.single(written)
       }
-      .reduce(_ + _)
+      .toDF("n")
+    // agg with a 0 default: Dataset.reduce throws on an empty plan (zero
+    // matching archives)
+    written.agg(org.apache.spark.sql.functions.coalesce(
+        org.apache.spark.sql.functions.sum("n"),
+        org.apache.spark.sql.functions.lit(0L)))
+      .head().getLong(0)
   }
 }

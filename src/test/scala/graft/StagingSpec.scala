@@ -59,6 +59,67 @@ class StagingSpec extends SparkSuite {
     assert(back === Set((1L, "a"), (2L, "b"), (3L, "c")))
   }
 
+  test("extractTo rejects zip-slip entries and never places the file") {
+    val work = Files.createTempDirectory("graft-slip")
+    val zipDir = s"$work/zips"
+    Files.createDirectories(Paths.get(zipDir))
+    writeZip(s"$zipDir/evil.zip", Seq(
+      "ok.txt" -> "fine".getBytes,
+      "../escape.txt" -> "pwned".getBytes))
+    val out = s"$work/staged"
+    val e = intercept[org.apache.spark.SparkException] {
+      Staging.extractTo(spark, zipDir, out)
+    }
+    assert(e.getMessage.contains("escapes the extraction root") ||
+      Option(e.getCause).exists(_.getMessage.contains("escapes the extraction root")),
+      e.getMessage)
+    assert(!Files.exists(Paths.get(s"$work/escape.txt")))
+    // sanitizer unit cases: absolute and root-resolving names refused
+    intercept[IllegalArgumentException](Staging.sanitizeEntry("/abs.txt"))
+    intercept[IllegalArgumentException](Staging.sanitizeEntry("C:\\win.txt"))
+    intercept[IllegalArgumentException](Staging.sanitizeEntry("a/.."))
+    assert(Staging.sanitizeEntry("a/../b.txt") === "a/../b.txt")
+  }
+
+  test("extractTo returns 0 on an empty dir; same-named entries across archives both land") {
+    val work = Files.createTempDirectory("graft-coll")
+    val empty = s"$work/none"
+    Files.createDirectories(Paths.get(empty))
+    assert(Staging.extractTo(spark, empty, s"$work/out0") === 0L)
+    val zipDir = s"$work/zips"
+    Files.createDirectories(Paths.get(zipDir))
+    writeZip(s"$zipDir/r1.zip", Seq("shards/part.txt" -> "a".getBytes))
+    writeZip(s"$zipDir/r2.zip", Seq("shards/part.txt" -> "b".getBytes))
+    // per-archive subdirectories: no scheduling-dependent winner possible
+    assert(Staging.extractTo(spark, zipDir, s"$work/out1") === 2L)
+    assert(new String(Files.readAllBytes(
+      Paths.get(s"$work/out1/r1/shards/part.txt"))) === "a")
+    assert(new String(Files.readAllBytes(
+      Paths.get(s"$work/out1/r2/shards/part.txt"))) === "b")
+  }
+
+  test("stamped retention keys on name-encoded run times, keeps unstamped") {
+    val root = Files.createTempDirectory("graft-retain3")
+    val day = 24L * 3600 * 1000
+    val now = 1700000000000L // realistic 13-digit epoch millis
+    def mk(name: String): Unit = {
+      Files.createDirectories(root.resolve(name))
+      Files.write(root.resolve(name).resolve("d.txt"), "x".getBytes)
+    }
+    mk(s"run-${now - 7 * day}")
+    mk(s"run-${now - 1 * day}")
+    mk("unstamped")
+    val deleted = Retention.expireOlderThanStamped(
+      spark, root.toString, 5 * day, now)
+    assert(deleted.map(_.split("/").last).toSet === Set(s"run-${now - 7 * day}"))
+    assert(Files.exists(root.resolve("unstamped"))) // undatable → kept
+    mk(s"run-${now - 2 * day}")
+    mk(s"run-${now - 3 * day}")
+    val kept2 = Retention.keepNewestStamped(spark, root.toString, 2)
+    assert(kept2.map(_.split("/").last).toSet === Set(s"run-${now - 3 * day}"))
+    assert(Files.exists(root.resolve("unstamped")))
+  }
+
   private def touch(p: Path, mtimeMs: Long): Unit = {
     Files.createDirectories(p)
     Files.write(p.resolve("data.txt"), "x".getBytes)
