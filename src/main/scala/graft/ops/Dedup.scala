@@ -489,6 +489,33 @@ object Dedup {
     df.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** [[collapseNearDups]] with a QUALITY-weighted survivor rule: each
+    * cluster keeps its highest-`scoreCol` member (ties to the lowest id)
+    * instead of the lowest id — what production dedup actually ships,
+    * since the duplicate worth keeping is the best-quality copy, not the
+    * one that happened to get the smallest id. Rows never seen in a pair
+    * survive untouched.
+    *
+    * Scale: cluster labels are node-sized ([[clusterLabels]]); the
+    * winner cut is one row_number window partitioned by cluster label
+    * over paired rows only (pair-graph-sized, not corpus-sized), and
+    * unpaired rows pass through an anti join against the same label
+    * table.
+    */
+  def collapseNearDupsBy(df: DataFrame, idCol: String, pairs: DataFrame,
+      scoreCol: String): DataFrame = {
+    val labels = clusterLabels(pairs).withColumnRenamed("id", idCol)
+    val members = df.join(labels, Seq(idCol))
+    val winners = members
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("label"))
+          .orderBy(col(scoreCol).desc, col(idCol))))
+      .where(col("__rn") === 1)
+      .drop("__rn", "label")
+    val unpaired = df.join(labels.select(col(idCol)), Seq(idCol), "left_anti")
+    unpaired.unionByName(winners)
+  }
+
   /** The end-to-end near-dup dedup pipeline an LLM-data user actually
     * runs: exact-dup pre-collapse → MinHash-LSH candidate pairs → exact
     * Jaccard verification → connected-component collapse → survivor rows

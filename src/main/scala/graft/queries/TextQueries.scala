@@ -217,6 +217,27 @@ object TextQueries {
       .orderBy($"doc_id")
   }
 
+  /** q52's pipeline with the QUALITY-weighted survivor rule
+    * ([[graft.ops.Dedup.collapseNearDupsBy]]): each near-dup cluster
+    * keeps its highest-quality member (ties to the lowest id) instead of
+    * the lowest id — the rule production dedup actually ships. The
+    * whole chain (md5-MinHash bands → Jaccard verify → recursive
+    * closure → per-cluster argmax by quality) is hash-checked, quality
+    * doubles included (bit-exact cross-engine per q63/q85).
+    */
+  private def q90(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+      .select($"doc_id", $"text", $"lang",
+        graft.ops.TextAnalysis.qualityScore($"text").as("quality"))
+    val repr = Dedup.exactDedup(docs, "doc_id", "text")
+    val pairs = Dedup.minhashNearDups(repr, "doc_id", "text",
+      threshold = 0.9, numHashes = 16, bands = 4, md5Basis = true)
+    Dedup.collapseNearDupsBy(repr, "doc_id", pairs, "quality")
+      .select($"doc_id", $"lang", $"quality")
+      .orderBy($"doc_id")
+  }
+
   /** PRODUCTION-BASIS twin of q52: identical plan, xxh64 MinHash + bare
     * long band keys (the basis a 100 TB run uses — the md5 basis exists
     * only so DuckDB can rebuild the band keys). Rows-only check (q52
@@ -351,6 +372,7 @@ object TextQueries {
     "q84_chunking" -> (q84 _),
     "q51_simhash_banded" -> (q51 _),
     "q52_dedup_pipeline" -> (q52 _),
+    "q90_quality_dedup" -> (q90 _),
     "q49_pii_redact" -> (q49 _),
     "q48_neardup_clusters" -> (q48 _),
     "q44_text_extras" -> (q44 _),
@@ -650,6 +672,47 @@ object TextQueries {
         |SELECT idA, idB, hamming FROM p
         |WHERE hamming <= 3
         |ORDER BY idA, idB""".stripMargin,
+    // q52's chain with the quality-weighted survivor rule: cluster
+    // labels from the recursive closure, then per-label argmax by
+    // (quality desc, id) — q63's quality CTE supplies the score.
+    "q90_quality_dedup" ->
+      """WITH RECURSIVE t AS (SELECT doc_id, list_distinct(string_split_regex(trim(text), ' +')) AS toks
+        |           FROM documents),
+        |ft AS (SELECT doc_id, string_split_regex(trim(text), ' +') AS toks FROM documents),
+        |q AS (SELECT doc_id,
+        |        (CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)) * 0.5
+        |          + (CAST(len(list_filter(toks, s -> s IN ('the','a','an','of','and','is','in','to','it','that'))) AS DOUBLE) / len(toks)) * 0.3
+        |          + (CASE WHEN len(toks) BETWEEN 5 AND 100000 THEN 1.0 ELSE 0.0 END) * 0.2 AS quality
+        |      FROM ft),
+        |tok AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+        |mh AS (SELECT doc_id, j.j AS j,
+        |              min(('0x' || substr(md5(j.j || ':' || tok), 1, 15))::BIGINT) AS h
+        |       FROM tok, (SELECT unnest(range(0, 16)) AS j) j GROUP BY doc_id, j.j),
+        |sig AS (SELECT doc_id, list(h ORDER BY j) AS sig FROM mh GROUP BY doc_id),
+        |k AS (SELECT doc_id, b.b AS band, list_slice(sig, b.b*4 + 1, b.b*4 + 4) AS key
+        |      FROM sig, (SELECT unnest(range(0, 4)) AS b) b),
+        |cand AS (SELECT DISTINCT a.doc_id AS idA, b.doc_id AS idB
+        |         FROM k a JOIN k b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+        |p AS (SELECT c.idA, c.idB
+        |      FROM cand c JOIN t a ON a.doc_id = c.idA JOIN t b ON b.doc_id = c.idB
+        |      WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+        |              / len(list_distinct(list_concat(a.toks, b.toks))) >= 0.9),
+        |e AS (SELECT idA AS src, idB AS dst FROM p UNION ALL SELECT idB, idA FROM p),
+        |reach AS (
+        |  SELECT src AS id, src AS r FROM e
+        |  UNION
+        |  SELECT e.src, reach.r FROM e JOIN reach ON e.dst = reach.id),
+        |lab AS (SELECT id, min(r) AS label FROM reach GROUP BY id),
+        |win AS (SELECT id FROM (
+        |          SELECT lab.id, row_number() OVER (PARTITION BY lab.label
+        |                   ORDER BY q.quality DESC, lab.id) AS rn
+        |          FROM lab JOIN q ON q.doc_id = lab.id)
+        |        WHERE rn = 1)
+        |SELECT d.doc_id, d.lang, q.quality
+        |FROM documents d JOIN q ON q.doc_id = d.doc_id
+        |WHERE d.doc_id NOT IN (SELECT id FROM lab)
+        |   OR d.doc_id IN (SELECT id FROM win)
+        |ORDER BY d.doc_id""".stripMargin,
     // Full pipeline: md5-MinHash signatures (16 hashes), 8 bands of 2
     // rows keyed by the raw signature slice, candidate pairs, exact
     // token-set Jaccard ≥ 0.9, recursive-CTE transitive closure, then

@@ -76,6 +76,19 @@ class OpsSpec extends SparkSuite {
     assert(kept === Set(1L, 5L, 9L))
   }
 
+  test("collapseNearDupsBy keeps the best-score member per cluster, ties to low id") {
+    import spark.implicits._
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("idA", "idB")
+    val df = Seq(
+      (1L, 0.2), (2L, 0.9), (3L, 0.5), // cluster {1,2,3}: 2 wins on score
+      (5L, 0.7), (6L, 0.7),            // cluster {5,6}: tie → lowest id 5
+      (9L, 0.1))                       // unpaired: survives untouched
+      .toDF("doc_id", "quality")
+    val kept = Dedup.collapseNearDupsBy(df, "doc_id", pairs, "quality")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(kept === Set((2L, 0.9), (5L, 0.7), (9L, 0.1)))
+  }
+
   test("banded simhash finds exact dups and agrees with the blocked variant") {
     import spark.implicits._
     val df = Seq((1L, "a", "w1 w2 w3 w4 w5 w6 w7 w8"),
