@@ -51,4 +51,52 @@ object Decontamination {
       .withColumn("overlap_frac",
         col("n_overlap").cast("double") / col("n_shingles"))
   }
+
+  /** Train/test SPLIT LEAKAGE audit: split the corpus deterministically
+    * by an md5 bucket on the id ([[Sampling.md5Bucket]] — layout- and
+    * engine-independent), then score every test-split document by its
+    * shingle overlap with the train split — the pre-training sanity
+    * check that held-out data isn't (near-)verbatim inside the training
+    * slice.
+    *
+    * Scale shape: unlike [[contaminationScores]] (eval set broadcasts),
+    * HERE NEITHER SIDE BROADCASTS — the train split is most of the
+    * corpus and the test split is a constant fraction of it. Both sides
+    * reduce scan-side to shingle streams (kernel expressions), the
+    * train side pre-aggregates to distinct shingles, and the match is a
+    * shuffle equi-join on the shingle followed by a doc-keyed count.
+    * Three data-proportional shuffles, nothing broadcast-bound,
+    * nothing quadratic.
+    *
+    * @return test-side rows: `idCol, n_shingles, n_overlap,
+    *         overlap_frac` (only documents with ≥ `minOverlap` matches)
+    */
+  def splitLeakage(df: DataFrame, idCol: String, textCol: String,
+      testFraction: Double = 0.1, salt: String = "split", n: Int = 8,
+      minOverlap: Int = 1): DataFrame = {
+    require(testFraction > 0 && testFraction < 1,
+      s"testFraction out of range: $testFraction")
+    val bucket = Sampling.md5Bucket(col(idCol), salt)
+    val cut = (testFraction * 1000000L).toLong
+    val test = df.where(bucket < cut)
+    val train = df.where(bucket >= cut)
+    // per-doc shingle sets are distinct by construction (Dedup.shingles),
+    // and the train side collapses to distinct shingles before the join,
+    // so count(1) after the join is the distinct-overlap count
+    val testShingles = Dedup.spread(test)
+      .select(col(idCol), Dedup.shingles(col(textCol), n).as("__shs"))
+      .select(col(idCol), size(col("__shs")).cast("long").as("n_shingles"),
+        explode(col("__shs")).as("__sh"))
+    val trainShingles = Dedup.spread(train)
+      .select(explode(Dedup.shingles(col(textCol), n)).as("__sh"))
+      .distinct()
+    testShingles
+      .join(trainShingles, Seq("__sh"))
+      .groupBy(col(idCol))
+      .agg(max(col("n_shingles")).as("n_shingles"),
+        count(lit(1)).as("n_overlap"))
+      .where(col("n_overlap") >= minOverlap)
+      .withColumn("overlap_frac",
+        col("n_overlap").cast("double") / col("n_shingles"))
+  }
 }

@@ -268,6 +268,18 @@ object TextQueries {
       .orderBy($"doc_id")
   }
 
+  /** Train/test split leakage audit: deterministic 90/10 md5 split,
+    * then every test document's 3-gram shingle overlap with the TRAIN
+    * split — the big-to-big decontamination shape (neither side
+    * broadcasts; the match is a shuffle equi-join on the shingle).
+    */
+  private def q91(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Decontamination.splitLeakage(Tables.documents(s, dir), "doc_id", "text",
+        testFraction = 0.1, salt = "split", n = 3)
+      .orderBy($"doc_id")
+  }
+
   /** Gopher-style n-gram repetition quality signals, computed by the
     * one-pass graft_gram_stats kernel (narrow — no per-gram shuffle).
     */
@@ -367,6 +379,7 @@ object TextQueries {
     "q52b_dedup_pipeline_xxh64" -> (q52b _),
     "q59_curation_pipeline" -> (q59 _),
     "q56_decontaminate" -> (q56 _),
+    "q91_split_leakage" -> (q91 _),
     "q57_repetition_stats" -> (q57 _),
     "q58_chunk_dedup" -> (q58 _),
     "q84_chunking" -> (q84 _),
@@ -476,6 +489,29 @@ object TextQueries {
         |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, dup2 AS dup_2gram_frac
         |FROM surv WHERE rn = 1
         |ORDER BY doc_id""".stripMargin,
+    // md5 bucket split (Sampling.md5Bucket basis), shingles per split,
+    // shuffle equi-join on the shingle, per-test-doc counts
+    "q91_split_leakage" ->
+      """WITH b AS (SELECT doc_id, text,
+        |             ('0x' || substr(md5('split:' || doc_id::VARCHAR), 1, 15))::BIGINT
+        |               % 1000000 AS bucket
+        |           FROM documents),
+        |s AS (SELECT doc_id, bucket,
+        |        CASE WHEN len(toks) >= 3
+        |             THEN list_distinct(list_transform(range(1, len(toks) - 1),
+        |                    i -> array_to_string(list_slice(toks, i, i + 2), ' ')))
+        |             ELSE [] END AS sh
+        |      FROM (SELECT doc_id, bucket, string_split_regex(trim(text), ' +') AS toks
+        |            FROM b)),
+        |tr AS (SELECT DISTINCT unnest(sh) AS g FROM s WHERE bucket >= 100000),
+        |te AS (SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS g FROM s WHERE bucket < 100000)
+        |SELECT te.doc_id,
+        |       CAST(max(te.n_sh) AS BIGINT) AS n_shingles,
+        |       CAST(count(*) AS BIGINT) AS n_overlap,
+        |       CAST(count(*) AS DOUBLE) / max(te.n_sh) AS overlap_frac
+        |FROM te JOIN tr USING (g)
+        |GROUP BY te.doc_id
+        |ORDER BY te.doc_id""".stripMargin,
     "q56_decontaminate" ->
       """WITH t AS (SELECT doc_id, string_split_regex(trim(text), ' +') AS toks FROM documents),
         |s AS (SELECT doc_id,

@@ -313,6 +313,26 @@ class OpsSpec extends SparkSuite {
     assert(out(0).getAs[Double]("overlap_frac") === 0.5)
   }
 
+  test("splitLeakage: identical corpus leaks fully, unique corpus not at all") {
+    import spark.implicits._
+    // identical texts: every test-split doc shares every shingle with
+    // the train split → full leakage regardless of which side each id
+    // lands on (both splits are non-empty at fraction 0.5 over 40 ids)
+    val same = (1L to 40L).map(i => (i, "s1 s2 s3 s4 s5 s6")).toDF("doc_id", "text")
+    val leaked = graft.ops.Decontamination.splitLeakage(
+      same, "doc_id", "text", testFraction = 0.5, n = 3).collect()
+    assert(leaked.nonEmpty)
+    leaked.foreach { r =>
+      assert(r.getAs[Long]("n_overlap") === r.getAs[Long]("n_shingles"))
+      assert(r.getAs[Double]("overlap_frac") === 1.0)
+    }
+    // globally unique texts: nothing leaks
+    val uniq = (1L to 40L).map(i => (i, s"u${i}a u${i}b u${i}c u${i}d u${i}e"))
+      .toDF("doc_id", "text")
+    assert(graft.ops.Decontamination.splitLeakage(
+      uniq, "doc_id", "text", testFraction = 0.5, n = 3).count() === 0L)
+  }
+
   test("curate drops short, repetitive, contaminated and duplicate docs") {
     import spark.implicits._
     val corpus = Seq(
