@@ -244,6 +244,25 @@ class PlanSpec extends SparkSuite {
     assert(countNodes(p, "HashAggregate") >= 6, p)
   }
 
+  test("q90: quality collapse adds only label joins + one winner window") {
+    val p = formatted("q90_quality_dedup")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+    // documents read for the dedup frame + the pair detector — the
+    // winner selection must not add corpus passes
+    assert(countNodes(p, "Scan parquet") <= 2, p)
+    assert(countNodes(p, "Window") >= 1, p) // per-label argmax is a window
+  }
+
+  test("q91: split leakage pre-aggregates the train side, no cartesian") {
+    val p = formatted("q91_split_leakage")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(countNodes(p, "Scan parquet") <= 2, p)
+    // distinct train shingles + doc-keyed overlap counts all pre-agg
+    assert(countNodes(p, "HashAggregate") >= 3, p)
+  }
+
   test("q89: composed CCNet pipeline keeps every gate's scale shape") {
     val p = formatted("q89_ccnet_pipeline")
     // gate tables join back by doc id as broadcast hash joins; the
