@@ -390,10 +390,22 @@ object Dedup {
     * `localCheckpoint`: under AQE an eager localCheckpoint was measured
     * re-executing the full history (cost ×3 per round → exponential).
     *
+    * Adaptive small-graph fast path: the edge count is CC's first
+    * action anyway (the fixpoint signature), so when the deduplicated
+    * edge set is at most `driverMaxEdges` (default 1M ≈ 16 MB — a
+    * bounded, documented driver allocation) the labels come from a
+    * driver-side union-find with the identical min-label semantics —
+    * one job instead of O(log n) rounds of 2–3 jobs each, which at
+    * test scale is pure scheduling overhead (measured: ~2.5 s of a
+    * 6.4 s pipeline for a 25k-edge graph). A 100 TB duplicate graph
+    * exceeds the threshold and takes the distributed large/small-star
+    * path; parity between the two is spec-pinned.
+    *
     * @param pairs (idA, idB) near-dup pairs (any of the pair detectors)
     * @return (id, label) for every id appearing in `pairs`
     */
-  def clusterLabels(pairs: DataFrame, maxIter: Int = 60): DataFrame = {
+  def clusterLabels(pairs: DataFrame, maxIter: Int = 60,
+      driverMaxEdges: Long = 1000000L): DataFrame = {
     val spark = pairs.sparkSession
     val level = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     var lastRdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = null
@@ -424,6 +436,35 @@ object Dedup {
         if (r.isNullAt(2)) 0L else r.getLong(2))
     }
     var prevSig = signature(star)
+    if (prevSig._1 <= driverMaxEdges) {
+      // small graph: labels from the persisted edges in one collect
+      val idType = star.schema("a").dataType
+      val edges = star
+        .select(col("a").cast("long"), col("b").cast("long"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      initialRdd.unpersist(blocking = false)
+      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+        var c = x // path compression
+        while (parent.getOrElse(c, c) != r) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        // union by MIN root: the component label IS the min id, exactly
+        // the distributed fixpoint's labeling
+        if (ra != rb) {
+          if (ra < rb) parent(rb) = ra else parent(ra) = rb
+        }
+      }
+      val nodeIds = edges.iterator.flatMap(e => Iterator(e._1, e._2))
+        .toArray.distinct
+      import spark.implicits._
+      return nodeIds.toSeq.map(id => (id, find(id))).toDF("id", "label")
+        .select(col("id").cast(idType), col("label").cast(idType))
+    }
     var iter = 0
     var converged = prevSig._1 == 0
     val wA = Window.partitionBy(col("a"))

@@ -76,6 +76,23 @@ class OpsSpec extends SparkSuite {
     assert(kept === Set(1L, 5L, 9L))
   }
 
+  test("driver union-find and distributed CC produce identical labels") {
+    import spark.implicits._
+    // chains, a cycle, a star, and singles-by-absence — unioned in an
+    // order that exercises root merging both directions
+    val rnd = new scala.util.Random(11)
+    val edges = (Seq((7L, 3L), (3L, 9L), (9L, 7L)) ++ // cycle
+      (1 to 60).map(i => (rnd.nextInt(40).toLong + 100, rnd.nextInt(40).toLong + 100)))
+      .filter(e => e._1 != e._2)
+    val pairs = edges.toDF("idA", "idB")
+    val fast = Dedup.clusterLabels(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val distributed = Dedup.clusterLabels(pairs, driverMaxEdges = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fast === distributed)
+    assert(fast(7L) === 3L && fast(9L) === 3L) // cycle labels to its min
+  }
+
   test("collapseNearDupsBy keeps the best-score member per cluster, ties to low id") {
     import spark.implicits._
     val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("idA", "idB")
