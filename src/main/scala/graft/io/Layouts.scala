@@ -13,16 +13,20 @@ import org.apache.spark.sql.DataFrame
   */
 object Layouts {
 
-  /** Write `df` as a parquet table bucketed (and sorted) by `key`.
-    * Joins/aggregations on `key` between tables sharing `buckets` then
-    * run shuffle-free — verified by `LayoutsSpec`.
+  /** Write `df` as a parquet table bucketed (and sorted) by one or more
+    * keys. Joins/aggregations on exactly those keys between tables
+    * sharing `buckets` then run shuffle-free — verified by
+    * `LayoutsSpec`. Bucket by the FULL join key list with `buckets`
+    * equal to `spark.sql.shuffle.partitions`: a subset bucketing is
+    * ignored by the planner for multi-key joins, and a mismatched
+    * bucket count forces the probe side to re-shuffle to it.
     */
   def writeBucketed(df: DataFrame, table: String, key: String,
-      buckets: Int): Unit =
+      buckets: Int, moreKeys: String*): Unit =
     df.write.mode("overwrite")
       .format("parquet")
-      .bucketBy(buckets, key)
-      .sortBy(key)
+      .bucketBy(buckets, key, moreKeys: _*)
+      .sortBy(key, moreKeys: _*)
       .saveAsTable(table)
 
   /** Repartition-then-write for plain directories (no metastore): gives

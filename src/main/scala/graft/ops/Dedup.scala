@@ -312,18 +312,52 @@ object Dedup {
   def incrementalNearDups(batch: DataFrame, corpus: DataFrame, idCol: String,
       textCol: String, threshold: Double, numHashes: Int = 16,
       bands: Int = 8, maxBucket: Int = 10000,
-      md5Basis: Boolean = false): DataFrame = {
-    def banded(df: DataFrame): DataFrame =
-      bandedKeys(spread(df), idCol, textCol, numHashes, bands, md5Basis)
-    val corpusKeys = CapMetrics.cappedWhere(
-        banded(corpus).withColumn("__n", count(lit(1)).over(
-          Window.partitionBy(col("band"), col("key")))),
+      md5Basis: Boolean = false): DataFrame =
+    incrementalNearDupsWithKeys(batch,
+      corpusBandKeys(corpus, idCol, textCol, numHashes, bands, maxBucket,
+        md5Basis),
+      corpus, idCol, textCol, threshold, numHashes, bands, md5Basis)
+
+  /** The corpus's capped `(idCol, band, key)` MinHash band-key table —
+    * the steady-state ingest asset: compute it ONCE, store it bucketed
+    * by BOTH join keys (`Layouts.writeBucketed(keys, table, "band", N,
+    * "key")` with N = `spark.sql.shuffle.partitions` — a subset
+    * bucketing is ignored by the planner, a mismatched count forces a
+    * re-shuffle), and feed the stored table to
+    * [[incrementalNearDupsWithKeys]] so every future batch probes it
+    * without the 100 TB corpus being re-scanned, re-hashed, or
+    * re-shuffled. Over-cap buckets are dropped at BUILD time (and
+    * counted — [[CapMetrics]]), so the stored table is already probe-
+    * ready. Append new survivors' keys after each batch to keep it
+    * current.
+    */
+  def corpusBandKeys(corpus: DataFrame, idCol: String, textCol: String,
+      numHashes: Int = 16, bands: Int = 8, maxBucket: Int = 10000,
+      md5Basis: Boolean = false): DataFrame =
+    CapMetrics.cappedWhere(
+        bandedKeys(spread(corpus), idCol, textCol, numHashes, bands, md5Basis)
+          .withColumn("__n", count(lit(1)).over(
+            Window.partitionBy(col("band"), col("key")))),
         "incremental_neardup_corpus", col("__n"), maxBucket,
         memberRows = true)
-      .select(col("__id").as("idB"), col("band"), col("key"))
-    val cands = banded(batch)
+      .select(col("__id").as(idCol), col("band"), col("key"))
+
+  /** [[incrementalNearDups]] against a PRECOMPUTED (usually persisted
+    * and bucketed) corpus band-key table: only the batch side computes
+    * signatures and shuffles; the corpus contributes the key table as a
+    * build side (zero-exchange when bucketed by `key`) plus one
+    * narrow text scan for the exact-Jaccard verification of the
+    * candidate sliver.
+    */
+  def incrementalNearDupsWithKeys(batch: DataFrame, corpusKeys: DataFrame,
+      corpus: DataFrame, idCol: String, textCol: String, threshold: Double,
+      numHashes: Int = 16, bands: Int = 8,
+      md5Basis: Boolean = false): DataFrame = {
+    val cands = bandedKeys(spread(batch), idCol, textCol, numHashes, bands,
+        md5Basis)
       .select(col("__id").as("idA"), col("band"), col("key"))
-      .join(corpusKeys, Seq("band", "key"))
+      .join(corpusKeys.select(col(idCol).as("idB"), col("band"), col("key")),
+        Seq("band", "key"))
       .select(col("idA"), col("idB"))
       .distinct()
     def hashed(df: DataFrame, as: String) =

@@ -59,6 +59,46 @@ class LayoutsSpec extends SparkSuite {
     assert("""\(\d+\) Exchange\b""".r.findAllIn(p).isEmpty, p)
   }
 
+  test("persisted corpus band keys: stored probe matches inline, corpus side exchange-free") {
+    import graft.ops.Dedup
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir)
+    val corpus = docs.where($"doc_id" % 3 =!= 0)
+    val batch = docs.where($"doc_id" % 3 === 0)
+    // build once, store bucketed by BOTH join keys with bucket count =
+    // shuffle partitions (anything else re-shuffles the probe side)
+    cleanTable("b_corpus_keys")
+    Layouts.writeBucketed(
+      Dedup.corpusBandKeys(corpus, "doc_id", "text"), "b_corpus_keys",
+      "band", spark.conf.get("spark.sql.shuffle.partitions").toInt, "key")
+    val stored = spark.table("b_corpus_keys")
+    val viaStore = Dedup.incrementalNearDupsWithKeys(
+      batch, stored, corpus, "doc_id", "text", threshold = 0.9)
+    val inline = Dedup.incrementalNearDups(
+      batch, corpus, "doc_id", "text", threshold = 0.9)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("idA", "idB").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(rows(viaStore) === rows(inline))
+    // steady-state plan: the stored key table is scanned, never rebuilt —
+    // its (band, key) bucketing matches the join requirement exactly, so
+    // only the batch side exchanges (its spread + window shuffles) and
+    // the stored side contributes ZERO
+    withNoBroadcast {
+      val cands = Dedup.corpusBandKeys(batch, "doc_id", "text") // batch keys fresh
+        .withColumnRenamed("doc_id", "idA")
+        .join(stored.withColumnRenamed("doc_id", "idB"), Seq("band", "key"))
+      cands.collect()
+      val p = cands.queryExecution
+        .explainString(ExplainMode.fromString("simple"))
+      val finalPlan = p.split("== Initial Plan ==").head
+      assert(finalPlan.contains("Bucketed: true"), p)
+      // both exchanges belong to the batch side (round-robin spread +
+      // the (band,key) window shuffle the join then reuses)
+      val exchanges = "Exchange ".r.findAllIn(finalPlan).length
+      assert(exchanges <= 2, p)
+    }
+  }
+
   test("sized-shard write balances skewed input and caps file row counts") {
     import spark.implicits._
     // skew: one partition holds 10k rows, three hold ~10 each
