@@ -186,19 +186,47 @@ object Similarity {
   def incrementalCosineNearDups(batch: DataFrame, corpus: DataFrame,
       idCol: String, vecCol: String, threshold: Double,
       planesPerBand: Int = 8, bands: Int = 4,
-      maxBucket: Int = 10000): DataFrame = {
-    def keyed(df: DataFrame, as: String): DataFrame =
-      Dedup.spread(df).select(col(idCol).as(as),
-        posexplode(graftFn("graft_lsh_bands", col(vecCol),
-          lit(planesPerBand), lit(bands))).as(Seq("band", "key")))
-    val corpusKeys = CapMetrics.cappedWhere(
-        keyed(corpus, "idB").withColumn("__n", count(lit(1)).over(
-          org.apache.spark.sql.expressions.Window.partitionBy(col("band"), col("key")))),
+      maxBucket: Int = 10000): DataFrame =
+    incrementalCosineNearDupsWithKeys(batch,
+      corpusLshKeys(corpus, idCol, vecCol, planesPerBand, bands, maxBucket),
+      corpus, idCol, vecCol, threshold, planesPerBand, bands)
+
+  /** The corpus's capped `(idCol, band, key)` sign-LSH key table — the
+    * embedding twin of [[Dedup.corpusBandKeys]]: build once, store
+    * bucketed by BOTH join keys (`Layouts.writeBucketed(keys, t,
+    * "band", N, "key")`, N = shuffle partitions), probe with
+    * [[incrementalCosineNearDupsWithKeys]] so the 100 TB embedding
+    * corpus is never re-hashed or re-shuffled per batch. Over-cap
+    * buckets are dropped (and counted) at build time.
+    */
+  def corpusLshKeys(corpus: DataFrame, idCol: String, vecCol: String,
+      planesPerBand: Int = 8, bands: Int = 4,
+      maxBucket: Int = 10000): DataFrame =
+    CapMetrics.cappedWhere(
+        Dedup.spread(corpus).select(col(idCol),
+            posexplode(graftFn("graft_lsh_bands", col(vecCol),
+              lit(planesPerBand), lit(bands))).as(Seq("band", "key")))
+          .withColumn("__n", count(lit(1)).over(
+            org.apache.spark.sql.expressions.Window.partitionBy(col("band"), col("key")))),
         "incremental_cosine_corpus", col("__n"), maxBucket,
         memberRows = true)
-      .drop("__n")
-    val cands = keyed(batch, "idA")
-      .join(corpusKeys, Seq("band", "key"))
+      .select(col(idCol), col("band"), col("key"))
+
+  /** [[incrementalCosineNearDups]] against a PRECOMPUTED (usually
+    * persisted and bucketed) corpus key table: only the batch side
+    * computes signatures and shuffles; the corpus contributes the key
+    * table as a build side plus one narrow vector scan for exact-cosine
+    * verification of the candidate sliver.
+    */
+  def incrementalCosineNearDupsWithKeys(batch: DataFrame,
+      corpusKeys: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, threshold: Double, planesPerBand: Int = 8,
+      bands: Int = 4): DataFrame = {
+    val cands = Dedup.spread(batch).select(col(idCol).as("idA"),
+        posexplode(graftFn("graft_lsh_bands", col(vecCol),
+          lit(planesPerBand), lit(bands))).as(Seq("band", "key")))
+      .join(corpusKeys.select(col(idCol).as("idB"), col("band"), col("key")),
+        Seq("band", "key"))
       .select(col("idA"), col("idB"))
       .distinct()
     def vecs(df: DataFrame, as: String) =

@@ -99,6 +99,26 @@ class LayoutsSpec extends SparkSuite {
     }
   }
 
+  test("persisted sign-LSH keys: stored embedding probe matches inline") {
+    import graft.ops.Similarity
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sfDir)
+    val corpus = emb.where($"vec_id" % 10 =!= 0)
+    val batch = emb.where($"vec_id" % 10 === 0)
+    cleanTable("b_lsh_keys")
+    Layouts.writeBucketed(
+      Similarity.corpusLshKeys(corpus, "vec_id", "embedding"), "b_lsh_keys",
+      "band", spark.conf.get("spark.sql.shuffle.partitions").toInt, "key")
+    val viaStore = Similarity.incrementalCosineNearDupsWithKeys(
+      batch, spark.table("b_lsh_keys"), corpus, "vec_id", "embedding",
+      threshold = 0.3)
+    val inline = Similarity.incrementalCosineNearDups(
+      batch, corpus, "vec_id", "embedding", threshold = 0.3)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("idA", "idB").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(rows(viaStore) === rows(inline) && rows(inline).nonEmpty)
+  }
+
   test("sized-shard write balances skewed input and caps file row counts") {
     import spark.implicits._
     // skew: one partition holds 10k rows, three hold ~10 each
