@@ -397,6 +397,64 @@ object EventStreams {
       .start()
   }
 
+  /** [[ingestNearDup]] with a PERSISTENT corpus band-key table
+    * (`keysDir`) maintained alongside the corpus — the steady-state
+    * form: each batch probes the stored keys
+    * ([[graft.ops.Dedup.incrementalNearDupsWithKeys]]) instead of
+    * re-hashing the whole corpus, and appends its survivors' keys
+    * ([[graft.ops.Dedup.corpusBandKeys]] over the batch-sized
+    * survivors) after the corpus append. Per-batch corpus-side work is
+    * one key-table scan plus the candidate sliver's text reads —
+    * independent of corpus size once the table is laid out
+    * (bucket it by (band, key); see `Layouts.writeBucketed`).
+    *
+    * Crash consistency: keys append AFTER corpus append. A failure
+    * between the two leaves corpus docs whose keys are missing — they
+    * are temporarily invisible to near-dup probes but present for the
+    * replayed batch's re-append; rebuild the key table from the corpus
+    * (one job) to restore exactness, never the reverse order (keys
+    * without docs would link batches to ghosts).
+    */
+  def ingestNearDupKeyed(spark: SparkSession, schema: StructType,
+      inDir: String, corpusDir: String, keysDir: String,
+      checkpointDir: String, idCol: String, textCol: String,
+      threshold: Double, numHashes: Int = 16, bands: Int = 8,
+      maxFilesPerTrigger: Int = 16,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    import graft.ops.Dedup
+    import org.apache.spark.sql.functions.col
+    spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(inDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val fs = new org.apache.hadoop.fs.Path(corpusDir)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val corpusExists = fs.exists(new org.apache.hadoop.fs.Path(corpusDir))
+        val local = Dedup.nearDupPipeline(batch, idCol, textCol, threshold,
+          numHashes, bands)
+        val fresh =
+          if (corpusExists) {
+            val corpus = spark.read.parquet(corpusDir)
+            val keys = spark.read.parquet(keysDir)
+            val linked = Dedup.incrementalNearDupsWithKeys(local, keys,
+                corpus, idCol, textCol, threshold, numHashes, bands)
+              .select(col("idA").as(idCol)).distinct()
+            local.join(linked, Seq(idCol), "left_anti")
+          } else local
+        val freshP = fresh.persist()
+        try {
+          freshP.write.mode("append").parquet(corpusDir)
+          Dedup.corpusBandKeys(freshP, idCol, textCol, numHashes, bands)
+            .write.mode("append").parquet(keysDir)
+        } finally freshP.unpersist(blocking = false)
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .start()
+  }
+
   /** Run a streaming DataFrame to completion against a memory sink and
     * return the materialized result (hermetic local testing; complete
     * mode for aggregations).

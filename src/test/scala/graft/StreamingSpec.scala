@@ -317,6 +317,48 @@ class StreamingSpec extends SparkSuite {
     assert(ids() === s1 + 22L)
   }
 
+  test("ingestNearDupKeyed matches ingestNearDup and keeps the key table current") {
+    import spark.implicits._
+    val in = tmp("keyed-in")
+    val corpus = tmp("keyed-corpus") + "/data"
+    val keys = tmp("keyed-keys") + "/keys"
+    val ckpt = tmp("keyed-ckpt")
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "doc_id LONG, text STRING")
+    def run(): Unit = graft.streaming.EventStreams
+      .ingestNearDupKeyed(spark, schema, in, corpus, keys, ckpt,
+        "doc_id", "text", threshold = 0.6, numHashes = 16, bands = 8)
+      .awaitTermination()
+    def ids(): Set[Long] =
+      spark.read.parquet(corpus).select($"doc_id")
+        .collect().map(_.getLong(0)).toSet
+
+    // same planted scenario as the ingestNearDup spec — the keyed form
+    // must behave identically while never re-hashing the corpus
+    Seq(
+      (10L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (11L, "alpha beta gamma delta epsilon zeta eta iota"), // near-dup of 10
+      (12L, "one two three four five six seven eight"))
+      .toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(in)
+    run()
+    val s1 = ids()
+    assert(s1.size === 2 && s1.contains(12L) &&
+      (s1.contains(10L) || s1.contains(11L)), s1.toString)
+
+    Seq(
+      (20L, "alpha beta gamma delta epsilon zeta eta theta"),  // exact dup
+      (21L, "one two three four five six seven nine"),         // near-dup of 12
+      (22L, "totally different words appearing nowhere else at all"))
+      .toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(in)
+    run()
+    assert(ids() === s1 + 22L)
+    // the key table covers exactly the corpus ids, bands per id
+    val keyRows = spark.read.parquet(keys)
+    assert(keyRows.select($"doc_id").distinct()
+      .collect().map(_.getLong(0)).toSet === ids())
+    assert(keyRows.count() === ids().size * 8L) // 8 bands per doc
+  }
+
   test("sessionize (flatMapGroupsWithState) agrees with the q35 batch count") {
     import spark.implicits._
     // Closed sessions per user from the stateful op + the one still-open
