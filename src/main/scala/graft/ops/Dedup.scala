@@ -579,14 +579,17 @@ object Dedup {
     */
   def collapseNearDupsBy(df: DataFrame, idCol: String, pairs: DataFrame,
       scoreCol: String): DataFrame = {
-    val labels = clusterLabels(pairs).withColumnRenamed("id", idCol)
+    // "__cc_label", not "label": the caller's frame may carry a label
+    // column of its own (embeddings do)
+    val labels = clusterLabels(pairs)
+      .select(col("id").as(idCol), col("label").as("__cc_label"))
     val members = df.join(labels, Seq(idCol))
     val winners = members
       .withColumn("__rn", row_number().over(
-        Window.partitionBy(col("label"))
+        Window.partitionBy(col("__cc_label"))
           .orderBy(col(scoreCol).desc, col(idCol))))
       .where(col("__rn") === 1)
-      .drop("__rn", "label")
+      .drop("__rn", "__cc_label")
     val unpaired = df.join(labels.select(col(idCol)), Seq(idCol), "left_anti")
     unpaired.unionByName(winners)
   }
