@@ -108,6 +108,43 @@ object Sampling {
           "UTF-8")))
       .orderBy(col("shuffle_key"), col(keyCol))
 
+  /** Temperature-flattened group mixing (the multilingual-corpus
+    * rebalancing rule): resample so group g's share moves from its
+    * natural p_g = n_g/N toward q_g ∝ p_g^alpha — alpha 1 keeps natural
+    * proportions, alpha 0 equalizes groups, the usual 0.2–0.7 range
+    * upweights tails without flattening heads. Downsampling only: the
+    * output is the LARGEST corpus with shares q_g reachable without
+    * upsampling (the group forcing the bound keeps all rows, every
+    * other group hash-samples down deterministically on `keyCol` — the
+    * [[md5Bucket]] basis, so the selection is layout-independent and
+    * oracle-reproducible).
+    *
+    * Scale: rates are computed IN the plan from the group-count
+    * aggregate (group-count-sized — the global windows run over that
+    * tiny table, never the corpus) and broadcast-joined back; the
+    * corpus itself is one narrow filtered pass.
+    */
+  def temperatureMix(df: DataFrame, groupCol: String, keyCol: String,
+      alpha: Double, salt: String = "tmix"): DataFrame = {
+    require(alpha >= 0, s"alpha must be non-negative: $alpha")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(lit(1))
+      .rowsBetween(Long.MinValue, Long.MaxValue)
+    val rates = df.groupBy(col(groupCol)).agg(count(lit(1)).as("__n"))
+      .withColumn("__q",
+        pow(col("__n").cast("double") / sum(col("__n")).over(w), alpha))
+      .withColumn("__q", col("__q") / sum(col("__q")).over(w))
+      // S = min_g n_g/q_g: the largest total size where no group
+      // needs upsampling; the binding group's rate is exactly 1
+      .withColumn("__rate",
+        least(lit(1.0),
+          col("__q") * min(col("__n") / col("__q")).over(w) / col("__n")))
+      .select(col(groupCol), col("__rate"))
+    df.join(broadcast(rates), Seq(groupCol))
+      .where(md5Bucket(col(keyCol), salt) < floor(col("__rate") * Buckets))
+      .drop("__rate")
+  }
+
   /** Partition rows into disjoint, exhaustive splits with the given
     * weights (normalized), e.g. train/val/test = 0.9/0.05/0.05. Adds a
     * `split` column with the split index.

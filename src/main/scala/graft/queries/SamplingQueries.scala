@@ -62,13 +62,44 @@ object SamplingQueries {
       Tables.documents(s, dir).select($"doc_id", $"lang"), "doc_id", "epoch0")
   }
 
+  /** Temperature-flattened language mix at alpha = 0.5 (the XLM-R-style
+    * multilingual rebalance): tail languages keep everything, the head
+    * language downsamples toward the flattened share — rates computed
+    * in-plan from group counts, selection by md5(doc_id) bucket, so
+    * membership is hash-checked exactly.
+    */
+  private def q92(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Sampling.temperatureMix(
+        Tables.documents(s, dir).select($"doc_id", $"lang"),
+        "lang", "doc_id", alpha = 0.5)
+      .orderBy($"doc_id")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q54_stratified_take" -> (q54 _),
     "q55_corpus_mix" -> (q55 _),
     "q73_weighted_sample" -> (q73 _),
-    "q82_shuffle_order" -> (q82 _))
+    "q82_shuffle_order" -> (q82 _),
+    "q92_temperature_mix" -> (q92 _))
 
   val oracles: Map[String, String] = Map(
+    // group counts → p^alpha shares → downsample-only rates
+    // (S = min n_g/q_g), then the md5('tmix:'||id) bucket filter
+    "q92_temperature_mix" ->
+      """WITH n AS (SELECT lang, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY lang),
+        |q AS (SELECT lang, n,
+        |             pow(CAST(n AS DOUBLE) / sum(n) OVER (), 0.5) AS q0
+        |      FROM n),
+        |r AS (SELECT lang, n, q0 / sum(q0) OVER () AS q FROM q),
+        |rate AS (SELECT lang,
+        |               least(1.0, q * min(n / q) OVER () / n) AS rate
+        |         FROM r)
+        |SELECT d.doc_id, d.lang
+        |FROM documents d JOIN rate ON rate.lang = d.lang
+        |WHERE ('0x' || substr(md5('tmix:' || d.doc_id), 1, 15))::BIGINT % 1000000
+        |        < floor(rate.rate * 1000000)
+        |ORDER BY d.doc_id""".stripMargin,
     "q82_shuffle_order" ->
       """SELECT doc_id, lang, md5('epoch0:' || CAST(doc_id AS VARCHAR)) AS shuffle_key
         |FROM documents

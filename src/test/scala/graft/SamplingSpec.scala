@@ -44,6 +44,42 @@ class SamplingSpec extends SparkSuite {
     assert(other.exceptAll(small).count() > 0)
   }
 
+  test("temperatureMix flattens shares toward p^alpha without upsampling") {
+    import spark.implicits._
+    // head group 800, tails 150 and 50: natural shares .8/.15/.05
+    val df = ((1L to 800L).map(i => (i, "big")) ++
+      (1001L to 1150L).map(i => (i, "mid")) ++
+      (2001L to 2050L).map(i => (i, "small")))
+      .toDF("id", "grp")
+    val out = Sampling.temperatureMix(df, "grp", "id", alpha = 0.5)
+    val got = out.groupBy("grp").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // downsample-only: no group exceeds its input, the binding group
+    // (the one with max n/q ratio advantage — a tail) keeps everything
+    assert(got("small") === 50L)
+    assert(got("mid") <= 150L && got("big") <= 800L)
+    // flattened: the head's share shrinks vs natural, the tail's grows
+    val total = got.values.sum.toDouble
+    assert(got("big") / total < 0.8)
+    assert(got("small") / total > 0.05)
+    // expected shares q_g ∝ sqrt(p_g); realized counts follow rate_g·n_g
+    // within hash-sampling noise
+    val q = Map("big" -> math.sqrt(0.8), "mid" -> math.sqrt(0.15),
+      "small" -> math.sqrt(0.05))
+    val qn = q.view.mapValues(_ / q.values.sum).toMap
+    val s = Map("big" -> 800.0, "mid" -> 150.0, "small" -> 50.0)
+    val scale = s.map { case (g, n) => n / qn(g) }.min
+    s.keys.foreach { g =>
+      val expect = math.min(1.0, qn(g) * scale / s(g)) * s(g)
+      assert(math.abs(got(g) - expect) <= 0.15 * expect + 5,
+        s"$g: got ${got(g)}, expect ~$expect")
+    }
+    // deterministic: identical membership on re-run
+    assert(out.select("id").collect().map(_.getLong(0)).toSet ===
+      Sampling.temperatureMix(df, "grp", "id", alpha = 0.5)
+        .select("id").collect().map(_.getLong(0)).toSet)
+  }
+
   test("hashSplit is disjoint, exhaustive, and roughly weighted") {
     import spark.implicits._
     val split = Sampling.hashSplit(docs, "doc_id", Seq(0.8, 0.1, 0.1))
