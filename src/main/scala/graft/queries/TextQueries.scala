@@ -238,6 +238,34 @@ object TextQueries {
       .orderBy($"doc_id")
   }
 
+  /** Duplicate-cluster size profile: the near-dup cluster histogram
+    * (cluster size → how many clusters) plus singleton count — the
+    * operational dashboard a dedup run reads to size its bucket caps
+    * (the knob CapMetrics guards) and detect mass-duplication events.
+    */
+  private def q93(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    val repr = Dedup.exactDedup(docs, "doc_id", "text")
+    val pairs = Dedup.minhashNearDups(repr, "doc_id", "text",
+      threshold = 0.9, numHashes = 16, bands = 4, md5Basis = true)
+    val clustered = Dedup.clusterLabels(pairs)
+      .groupBy($"label").agg(count(lit(1)).as("cluster_size"))
+    val total = repr.agg(count(lit(1)).as("__n"))
+    val histogram = clustered.groupBy($"cluster_size")
+      .agg(count(lit(1)).as("n_clusters"))
+    // singletons = docs never seen in any pair (their own cluster of 1)
+    val inClusters = clustered.agg(
+      coalesce(sum($"cluster_size"), lit(0L)).as("__in"))
+    histogram
+      .unionByName(total.crossJoin(inClusters)
+        .select(lit(1L).as("cluster_size"),
+          ($"__n" - $"__in").as("n_clusters")))
+      .groupBy($"cluster_size")
+      .agg(sum($"n_clusters").as("n_clusters"))
+      .orderBy($"cluster_size")
+  }
+
   /** PRODUCTION-BASIS twin of q52: identical plan, xxh64 MinHash + bare
     * long band keys (the basis a 100 TB run uses — the md5 basis exists
     * only so DuckDB can rebuild the band keys). Rows-only check (q52
@@ -386,6 +414,7 @@ object TextQueries {
     "q51_simhash_banded" -> (q51 _),
     "q52_dedup_pipeline" -> (q52 _),
     "q90_quality_dedup" -> (q90 _),
+    "q93_cluster_profile" -> (q93 _),
     "q49_pii_redact" -> (q49 _),
     "q48_neardup_clusters" -> (q48 _),
     "q44_text_extras" -> (q44 _),
@@ -749,6 +778,42 @@ object TextQueries {
         |WHERE d.doc_id NOT IN (SELECT id FROM lab)
         |   OR d.doc_id IN (SELECT id FROM win)
         |ORDER BY d.doc_id""".stripMargin,
+    // q52's closure chain → per-label cluster sizes → histogram, with
+    // never-paired docs folded in as size-1 clusters. (Like q52, the
+    // exact-dedup pre-collapse is not modeled: sf0.01 documents has no
+    // exact duplicates, q29-verified.)
+    "q93_cluster_profile" ->
+      """WITH RECURSIVE t AS (SELECT doc_id, list_distinct(string_split_regex(trim(text), ' +')) AS toks
+        |           FROM documents),
+        |tok AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+        |mh AS (SELECT doc_id, j.j AS j,
+        |              min(('0x' || substr(md5(j.j || ':' || tok), 1, 15))::BIGINT) AS h
+        |       FROM tok, (SELECT unnest(range(0, 16)) AS j) j GROUP BY doc_id, j.j),
+        |sig AS (SELECT doc_id, list(h ORDER BY j) AS sig FROM mh GROUP BY doc_id),
+        |k AS (SELECT doc_id, b.b AS band, list_slice(sig, b.b*4 + 1, b.b*4 + 4) AS key
+        |      FROM sig, (SELECT unnest(range(0, 4)) AS b) b),
+        |cand AS (SELECT DISTINCT a.doc_id AS idA, b.doc_id AS idB
+        |         FROM k a JOIN k b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+        |p AS (SELECT c.idA, c.idB
+        |      FROM cand c JOIN t a ON a.doc_id = c.idA JOIN t b ON b.doc_id = c.idB
+        |      WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+        |              / len(list_distinct(list_concat(a.toks, b.toks))) >= 0.9),
+        |e AS (SELECT idA AS src, idB AS dst FROM p UNION ALL SELECT idB, idA FROM p),
+        |reach AS (
+        |  SELECT src AS id, src AS r FROM e
+        |  UNION
+        |  SELECT e.src, reach.r FROM e JOIN reach ON e.dst = reach.id),
+        |lab AS (SELECT id, min(r) AS label FROM reach GROUP BY id),
+        |cs AS (SELECT label, CAST(count(*) AS BIGINT) AS cluster_size
+        |       FROM lab GROUP BY label),
+        |h AS (SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters
+        |      FROM cs GROUP BY cluster_size
+        |      UNION ALL
+        |      SELECT CAST(1 AS BIGINT),
+        |             (SELECT count(*) FROM documents)
+        |               - (SELECT COALESCE(sum(cluster_size), 0) FROM cs))
+        |SELECT cluster_size, CAST(sum(n_clusters) AS BIGINT) AS n_clusters
+        |FROM h GROUP BY cluster_size ORDER BY cluster_size""".stripMargin,
     // Full pipeline: md5-MinHash signatures (16 hashes), 8 bands of 2
     // rows keyed by the raw signature slice, candidate pairs, exact
     // token-set Jaccard ≥ 0.9, recursive-CTE transitive closure, then
