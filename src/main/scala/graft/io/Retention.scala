@@ -57,12 +57,15 @@ object Retention {
   }
 
   /** Epoch-millis run stamp parsed from a child name, for object stores
-    * where directory mtime is meaningless: the first run of ≥13 digits
-    * in the name (e.g. `run-1765598400000`, `1765598400000-shard3`).
-    * Write runs with such names and retention needs no FS metadata.
+    * where directory mtime is meaningless: the first standalone run of
+    * 13–18 digits in the name (e.g. `run-1765598400000`,
+    * `1765598400000-shard3`). Longer digit runs (which would overflow a
+    * Long) and unparsable names yield None — the child is kept, never
+    * crashed on: retention must skip what it cannot date.
     */
   val epochMillisStamp: String => Option[Long] =
-    name => raw"\d{13,}".r.findFirstIn(name).map(_.toLong)
+    name => raw"(?<!\d)\d{13,18}(?!\d)".r.findFirstIn(name)
+      .flatMap(s => scala.util.Try(s.toLong).toOption)
 
   /** [[expireOlderThan]] keyed on a name-encoded run stamp instead of
     * filesystem mtime. Children whose name yields no stamp are KEPT —

@@ -72,16 +72,20 @@ object Staging {
     val p = entry.replace('\\', '/')
     require(!p.startsWith("/") && !p.matches("^[A-Za-z]:.*"),
       s"zip entry has an absolute path (zip-slip): $entry")
-    var depth = 0
+    // normalize while checking: interior ".." collapses against the
+    // tracked depth, so the returned path never carries literal ".."
+    // segments (which would become phantom key components on object
+    // stores and parent-resolution hazards on local filesystems)
+    val segs = scala.collection.mutable.ArrayBuffer.empty[String]
     p.split("/").foreach {
       case "" | "." => ()
       case ".." =>
-        depth -= 1
-        require(depth >= 0, s"zip entry escapes the extraction root: $entry")
-      case _ => depth += 1
+        require(segs.nonEmpty, s"zip entry escapes the extraction root: $entry")
+        segs.remove(segs.length - 1)
+      case s => segs += s
     }
-    require(depth > 0, s"zip entry resolves to the extraction root: $entry")
-    p
+    require(segs.nonEmpty, s"zip entry resolves to the extraction root: $entry")
+    segs.mkString("/")
   }
 
   /** Extract every archive under `zipDir` into
@@ -110,6 +114,10 @@ object Staging {
     val confMap = spark.sessionState.newHadoopConf().asScala
       .map(e => e.getKey -> e.getValue).toMap
     val confBc = spark.sparkContext.broadcast(confMap)
+    // stem = the archive's zipDir-RELATIVE path (recursive lookup finds
+    // same-named archives in different subtrees; a basename-only stem
+    // would collide them right back into a scheduling race)
+    val zipRoot = new Path(zipDir).toUri.getPath.stripSuffix("/")
     val written = zipEntries(spark, zipDir)
       .select("archive", "entry", "content")
       .as[(String, String, Array[Byte])]
@@ -120,7 +128,11 @@ object Staging {
         val fs = FileSystem.get(out.toUri, conf)
         var written = 0L
         rows.foreach { case (archive, entry, content) =>
-          val stem = archive.split('/').last.stripSuffix(".zip")
+          val ap = new java.net.URI(archive).getPath
+          val rel =
+            if (ap.startsWith(zipRoot + "/")) ap.stripPrefix(zipRoot + "/")
+            else ap.split('/').last
+          val stem = rel.stripSuffix(".zip")
           val target = new Path(out, s"$stem/${sanitizeEntry(entry)}")
           val os = fs.create(target, true)
           try os.write(content) finally os.close()

@@ -83,7 +83,8 @@ object Curation {
     val slim = scored.select(col(idCol), col(textCol))
     val lm = Vocab.bigramLogProb(slim, reference, idCol, textCol)
       .where(col("logprob_sum") >=
-        lit(lmThreshold.setScale(6).underlying) * col("n_bigrams"))
+        lit(lmThreshold.setScale(6, BigDecimal.RoundingMode.HALF_UP)
+          .underlying) * col("n_bigrams"))
       .select(col(idCol), col("n_bigrams"), col("logprob_sum"))
     val oov = Vocab.oovRate(slim, reference, idCol, textCol, vocabSize)
       .where(col("n_oov") * oovDen <= col("n_tokens") * oovNum)

@@ -259,11 +259,14 @@ object Dedup {
     // a windowed-count + self-join formulation would need. Buckets are
     // capped, so the pair expansion per group is bounded; over-cap drops
     // bump CapMetrics accumulators — never silent.
+    // size >= 2 runs FIRST (codegen'd): the singleton majority never pays
+    // the counting UDF, and drop counts are unchanged for any cap >= 2
+    // (an over-cap bucket always passes size >= 2)
     val buckets = CapMetrics.cappedWhere(
         keyed.groupBy(col("band"), col("key"))
-          .agg(collect_list(col("__id")).as("__ids")),
+          .agg(collect_list(col("__id")).as("__ids"))
+          .where(size(col("__ids")) >= 2),
         "lsh_candidates", size(col("__ids")), maxBucket, memberRows = false)
-      .where(size(col("__ids")) >= 2)
     buckets
       .select(explode(flatten(transform(col("__ids"), (x, i) =>
         transform(slice(col("__ids"), i + 2, size(col("__ids"))),
@@ -316,7 +319,8 @@ object Dedup {
     incrementalNearDupsWithKeys(batch,
       corpusBandKeys(corpus, idCol, textCol, numHashes, bands, maxBucket,
         md5Basis),
-      corpus, idCol, textCol, threshold, numHashes, bands, md5Basis)
+      corpus, idCol, textCol, threshold, numHashes, bands, maxBucket,
+      md5Basis)
 
   /** The corpus's capped `(idCol, band, key)` MinHash band-key table —
     * the steady-state ingest asset: compute it ONCE, store it bucketed
@@ -345,18 +349,32 @@ object Dedup {
   /** [[incrementalNearDups]] against a PRECOMPUTED (usually persisted
     * and bucketed) corpus band-key table: only the batch side computes
     * signatures and shuffles; the corpus contributes the key table as a
-    * build side (zero-exchange when bucketed by `key`) plus one
+    * build side (zero-exchange when bucketed by (band, key)) plus one
     * narrow text scan for the exact-Jaccard verification of the
     * candidate sliver.
+    *
+    * The probe RE-CAPS stored buckets at `maxBucket`: a table built from
+    * per-batch capped increments ([[graft.streaming.EventStreams.ingestNearDupKeyed]]
+    * appends) can accumulate a hot key past any single batch's cap, and
+    * an uncapped probe would let join fan-out grow with corpus age —
+    * uncounted. On a (band, key)-bucketed table the cap's window needs
+    * no exchange (the scan's partitioning already satisfies it), so
+    * this costs a per-partition sort, not a shuffle.
     */
   def incrementalNearDupsWithKeys(batch: DataFrame, corpusKeys: DataFrame,
       corpus: DataFrame, idCol: String, textCol: String, threshold: Double,
-      numHashes: Int = 16, bands: Int = 8,
+      numHashes: Int = 16, bands: Int = 8, maxBucket: Int = 10000,
       md5Basis: Boolean = false): DataFrame = {
+    val cappedKeys = CapMetrics.cappedWhere(
+        corpusKeys.withColumn("__n", count(lit(1)).over(
+          Window.partitionBy(col("band"), col("key")))),
+        "incremental_neardup_corpus", col("__n"), maxBucket,
+        memberRows = true)
+      .drop("__n")
     val cands = bandedKeys(spread(batch), idCol, textCol, numHashes, bands,
         md5Basis)
       .select(col("__id").as("idA"), col("band"), col("key"))
-      .join(corpusKeys.select(col(idCol).as("idB"), col("band"), col("key")),
+      .join(cappedKeys.select(col(idCol).as("idB"), col("band"), col("key")),
         Seq("band", "key"))
       .select(col("idA"), col("idB"))
       .distinct()

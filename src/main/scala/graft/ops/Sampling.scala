@@ -134,11 +134,17 @@ object Sampling {
       .withColumn("__q",
         pow(col("__n").cast("double") / sum(col("__n")).over(w), alpha))
       .withColumn("__q", col("__q") / sum(col("__q")).over(w))
-      // S = min_g n_g/q_g: the largest total size where no group
-      // needs upsampling; the binding group's rate is exactly 1
+      .withColumn("__s", min(col("__n") / col("__q")).over(w))
+      // S = min_g n_g/q_g: the largest total size where no group needs
+      // upsampling. The binding group's rate is PINNED to 1.0 by the
+      // argmin comparison (exact — min returns one of the compared
+      // doubles) rather than recomputed as q·S/n, whose round-trip
+      // lands within an ulp of 1.0 and would flip floor(rate·1e6)
+      // between engines (the q87 rounding-boundary fragility class)
       .withColumn("__rate",
-        least(lit(1.0),
-          col("__q") * min(col("__n") / col("__q")).over(w) / col("__n")))
+        when(col("__n") / col("__q") === col("__s"), lit(1.0))
+          .otherwise(least(lit(1.0),
+            col("__q") * col("__s") / col("__n"))))
       .select(col(groupCol), col("__rate"))
     df.join(broadcast(rates), Seq(groupCol))
       .where(md5Bucket(col(keyCol), salt) < floor(col("__rate") * Buckets))

@@ -189,7 +189,7 @@ object Similarity {
       maxBucket: Int = 10000): DataFrame =
     incrementalCosineNearDupsWithKeys(batch,
       corpusLshKeys(corpus, idCol, vecCol, planesPerBand, bands, maxBucket),
-      corpus, idCol, vecCol, threshold, planesPerBand, bands)
+      corpus, idCol, vecCol, threshold, planesPerBand, bands, maxBucket)
 
   /** The corpus's capped `(idCol, band, key)` sign-LSH key table — the
     * embedding twin of [[Dedup.corpusBandKeys]]: build once, store
@@ -216,16 +216,24 @@ object Similarity {
     * persisted and bucketed) corpus key table: only the batch side
     * computes signatures and shuffles; the corpus contributes the key
     * table as a build side plus one narrow vector scan for exact-cosine
-    * verification of the candidate sliver.
+    * verification of the candidate sliver. Stored buckets are RE-CAPPED
+    * at probe time — appended increments can accumulate a hot key past
+    * any single build's cap (see [[Dedup.incrementalNearDupsWithKeys]]).
     */
   def incrementalCosineNearDupsWithKeys(batch: DataFrame,
       corpusKeys: DataFrame, corpus: DataFrame, idCol: String,
       vecCol: String, threshold: Double, planesPerBand: Int = 8,
-      bands: Int = 4): DataFrame = {
+      bands: Int = 4, maxBucket: Int = 10000): DataFrame = {
+    val cappedKeys = CapMetrics.cappedWhere(
+        corpusKeys.withColumn("__n", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("band"), col("key")))),
+        "incremental_cosine_corpus", col("__n"), maxBucket,
+        memberRows = true)
+      .drop("__n")
     val cands = Dedup.spread(batch).select(col(idCol).as("idA"),
         posexplode(graftFn("graft_lsh_bands", col(vecCol),
           lit(planesPerBand), lit(bands))).as(Seq("band", "key")))
-      .join(corpusKeys.select(col(idCol).as("idB"), col("band"), col("key")),
+      .join(cappedKeys.select(col(idCol).as("idB"), col("band"), col("key")),
         Seq("band", "key"))
       .select(col("idA"), col("idB"))
       .distinct()

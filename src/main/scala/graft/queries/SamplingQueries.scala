@@ -84,8 +84,9 @@ object SamplingQueries {
     "q92_temperature_mix" -> (q92 _))
 
   val oracles: Map[String, String] = Map(
-    // group counts → p^alpha shares → downsample-only rates
-    // (S = min n_g/q_g), then the md5('tmix:'||id) bucket filter
+    // group counts → p^alpha shares → downsample-only rates (S = min
+    // n_g/q_g; the binding group's rate pinned to 1.0 by the exact
+    // argmin comparison), then the md5('tmix:'||id) bucket filter
     "q92_temperature_mix" ->
       """WITH n AS (SELECT lang, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY lang),
         |q AS (SELECT lang, n,
@@ -93,7 +94,9 @@ object SamplingQueries {
         |      FROM n),
         |r AS (SELECT lang, n, q0 / sum(q0) OVER () AS q FROM q),
         |rate AS (SELECT lang,
-        |               least(1.0, q * min(n / q) OVER () / n) AS rate
+        |               CASE WHEN n / q = min(n / q) OVER () THEN 1.0
+        |                    ELSE least(1.0, q * min(n / q) OVER () / n)
+        |               END AS rate
         |         FROM r)
         |SELECT d.doc_id, d.lang
         |FROM documents d JOIN rate ON rate.lang = d.lang

@@ -408,12 +408,16 @@ object EventStreams {
     * independent of corpus size once the table is laid out
     * (bucket it by (band, key); see `Layouts.writeBucketed`).
     *
-    * Crash consistency: keys append AFTER corpus append. A failure
-    * between the two leaves corpus docs whose keys are missing — they
-    * are temporarily invisible to near-dup probes but present for the
-    * replayed batch's re-append; rebuild the key table from the corpus
-    * (one job) to restore exactness, never the reverse order (keys
-    * without docs would link batches to ghosts).
+    * Crash consistency: keys append strictly AFTER the corpus append
+    * (the reverse order would link batches to ghost ids), and every
+    * batch starts by HEALING the key table — an id-projection anti-join
+    * finds corpus docs with no keys (a crash between the two appends,
+    * including a first-batch crash that never created `keysDir`) and
+    * re-keys them before the probe. The heal is what makes replays
+    * self-filter: the replayed batch's survivors near-link (Jaccard 1)
+    * to their previous, now re-keyed append and are dropped instead of
+    * duplicated. Steady state pays one tiny id-only audit join per
+    * batch; the re-key job runs only on actual recovery.
     */
   def ingestNearDupKeyed(spark: SparkSession, schema: StructType,
       inDir: String, corpusDir: String, keysDir: String,
@@ -436,6 +440,17 @@ object EventStreams {
         val fresh =
           if (corpusExists) {
             val corpus = spark.read.parquet(corpusDir)
+            // heal: re-key corpus docs the last run appended without keys
+            val keysExist = fs.exists(new org.apache.hadoop.fs.Path(keysDir))
+            val unkeyed =
+              if (keysExist)
+                corpus.select(col(idCol), col(textCol)).join(
+                  spark.read.parquet(keysDir).select(col(idCol)).distinct(),
+                  Seq(idCol), "left_anti")
+              else corpus.select(col(idCol), col(textCol))
+            if (!unkeyed.isEmpty)
+              Dedup.corpusBandKeys(unkeyed, idCol, textCol, numHashes, bands)
+                .write.mode("append").parquet(keysDir)
             val keys = spark.read.parquet(keysDir)
             val linked = Dedup.incrementalNearDupsWithKeys(local, keys,
                 corpus, idCol, textCol, threshold, numHashes, bands)

@@ -74,11 +74,13 @@ class StagingSpec extends SparkSuite {
       Option(e.getCause).exists(_.getMessage.contains("escapes the extraction root")),
       e.getMessage)
     assert(!Files.exists(Paths.get(s"$work/escape.txt")))
-    // sanitizer unit cases: absolute and root-resolving names refused
+    // sanitizer unit cases: absolute and root-resolving names refused;
+    // depth-legal interior ".." normalizes away (never a literal key part)
     intercept[IllegalArgumentException](Staging.sanitizeEntry("/abs.txt"))
     intercept[IllegalArgumentException](Staging.sanitizeEntry("C:\\win.txt"))
     intercept[IllegalArgumentException](Staging.sanitizeEntry("a/.."))
-    assert(Staging.sanitizeEntry("a/../b.txt") === "a/../b.txt")
+    assert(Staging.sanitizeEntry("a/../b.txt") === "b.txt")
+    assert(Staging.sanitizeEntry("a/./b//c.txt") === "a/b/c.txt")
   }
 
   test("extractTo returns 0 on an empty dir; same-named entries across archives both land") {
@@ -90,12 +92,22 @@ class StagingSpec extends SparkSuite {
     Files.createDirectories(Paths.get(zipDir))
     writeZip(s"$zipDir/r1.zip", Seq("shards/part.txt" -> "a".getBytes))
     writeZip(s"$zipDir/r2.zip", Seq("shards/part.txt" -> "b".getBytes))
+    // same ARCHIVE name in different subtrees (recursive lookup): the
+    // zipDir-relative stem must keep them apart too
+    Files.createDirectories(Paths.get(s"$zipDir/runA"))
+    Files.createDirectories(Paths.get(s"$zipDir/runB"))
+    writeZip(s"$zipDir/runA/r1.zip", Seq("shards/part.txt" -> "c".getBytes))
+    writeZip(s"$zipDir/runB/r1.zip", Seq("shards/part.txt" -> "d".getBytes))
     // per-archive subdirectories: no scheduling-dependent winner possible
-    assert(Staging.extractTo(spark, zipDir, s"$work/out1") === 2L)
+    assert(Staging.extractTo(spark, zipDir, s"$work/out1") === 4L)
     assert(new String(Files.readAllBytes(
       Paths.get(s"$work/out1/r1/shards/part.txt"))) === "a")
     assert(new String(Files.readAllBytes(
       Paths.get(s"$work/out1/r2/shards/part.txt"))) === "b")
+    assert(new String(Files.readAllBytes(
+      Paths.get(s"$work/out1/runA/r1/shards/part.txt"))) === "c")
+    assert(new String(Files.readAllBytes(
+      Paths.get(s"$work/out1/runB/r1/shards/part.txt"))) === "d")
   }
 
   test("stamped retention keys on name-encoded run times, keeps unstamped") {

@@ -357,6 +357,22 @@ class StreamingSpec extends SparkSuite {
     assert(keyRows.select($"doc_id").distinct()
       .collect().map(_.getLong(0)).toSet === ids())
     assert(keyRows.count() === ids().size * 8L) // 8 bands per doc
+
+    // crash recovery: lose the ENTIRE key table (worst case of dying
+    // between the corpus append and the keys append) — the next batch
+    // must heal it and a replayed paraphrase must still self-filter
+    val keysPath = new org.apache.hadoop.fs.Path(keys)
+    keysPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(keysPath, true)
+    val s2 = ids()
+    Seq(
+      (30L, "totally different words appearing nowhere else at all"), // replay of 22
+      (31L, "fresh novel content for the recovery batch check"))
+      .toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(in)
+    run()
+    assert(ids() === s2 + 31L) // healed keys caught the replay of 22
+    assert(spark.read.parquet(keys).select($"doc_id").distinct()
+      .collect().map(_.getLong(0)).toSet === ids())
   }
 
   test("sessionize (flatMapGroupsWithState) agrees with the q35 batch count") {
