@@ -139,6 +139,33 @@ object KernelProps extends Properties("graft") {
       viaModel.mkString == w && viaModel == viaRef
     }
 
+  private val pathSeg: Gen[String] = Gen.frequency(
+    6 -> Gen.nonEmptyListOf(Gen.alphaNumChar).map(_.mkString),
+    2 -> Gen.const(".."),
+    1 -> Gen.const("."),
+    1 -> Gen.const(""))
+  private val entryName: Gen[String] = for {
+    abs <- Gen.frequency(8 -> Gen.const(""), 1 -> Gen.const("/"),
+      1 -> Gen.const("C:"))
+    segs <- Gen.nonEmptyListOf(pathSeg)
+    sep <- Gen.oneOf("/", "\\")
+  } yield abs + segs.mkString(sep)
+
+  property("sanitizeEntry never lets any entry escape or keep traversal parts") =
+    forAll(entryName) { entry =>
+      scala.util.Try(graft.io.Staging.sanitizeEntry(entry)) match {
+        // accepted names are relative, normalized, and non-empty: no
+        // drive/root anchor, no '.'/'..'/empty segments anywhere
+        case scala.util.Success(p) =>
+          val segs = p.split("/").toList
+          p.nonEmpty && !p.startsWith("/") && !p.matches("^[A-Za-z]:.*") &&
+            segs.nonEmpty &&
+            segs.forall(s => s.nonEmpty && s != "." && s != "..")
+        // rejections must be the sanitizer's own refusal, nothing else
+        case scala.util.Failure(e) => e.isInstanceOf[IllegalArgumentException]
+      }
+    }
+
   property("frameStats algebra: sampled bytes never exceed payload, frames cover it") =
     forAll(Gen.choose(0L, 100000L), Gen.choose(1, 8)) { (len, stride) =>
       val frameBytes = 256
