@@ -429,7 +429,7 @@ object Kernels {
   def minhashMd5(tokens: ArrayData, k: Int): ArrayData = {
     val prefixes = minhashPrefixCache.computeIfAbsent(k,
       kk => Array.tabulate(kk)(j =>
-        (j + ":").getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+        s"$j:".getBytes(java.nio.charset.StandardCharsets.UTF_8)))
     val sig = new Array[Long](k)
     java.util.Arrays.fill(sig, Long.MaxValue)
     val d = md5Local.get()
