@@ -66,7 +66,13 @@ object Curation {
     * feed it to the gates instead.
     *
     * @return survivors: `idCol, n_tokens, dup_2gram_frac, n_bigrams,
-    *         logprob_sum, n_oov`
+    *         n_oov` — all exact integer/ratio-of-integer columns. The
+    *         ln-derived `logprob_sum` is gate-internal only: hashing it
+    *         cross-engine is environment-dependent (measured rounds
+    *         3–4), so it never appears in the output. CurationSpec
+    *         asserts every sf-test document clears the LM threshold by
+    *         a margin ≫ quantum × n_bigrams, so gate MEMBERSHIP cannot
+    *         flip between engines either.
     */
   def curateCcnet(corpus: DataFrame, reference: DataFrame, bench: DataFrame,
       idCol: String, textCol: String, minTokens: Int = 20,
@@ -98,7 +104,7 @@ object Curation {
       .join(broadcast(flagged), Seq(idCol), "left_anti")
     Dedup.exactDedup(gated, idCol, textCol)
       .select(col(idCol), col("n_tokens"), col("dup_2gram_frac"),
-        col("n_bigrams"), col("logprob_sum"), col("n_oov"))
+        col("n_bigrams"), col("n_oov"))
   }
 
   /** The complete corpus-production run: [[curate]] (quality →

@@ -229,20 +229,27 @@ object Vocab {
     * broadcast one-row aggregate.
     *
     * Each ln is quantized to DECIMAL(25,`lnScale`) before accumulating,
-    * which makes the sum exact and partition-order independent — but NOT
-    * unconditionally engine-independent: JVM `Math.log` and libm `log`
-    * can differ by 1 ulp (~1e-15 absolute for these magnitudes), and
-    * when a value lands within an ulp of a 10^-lnScale rounding
-    * boundary the two engines quantize to *different* decimals.
-    * Boundary-straddle probability per distinct value is roughly
-    * 1e-15 / 10^-lnScale: ~1e-3 at scale 12 (near-certain to flip a
-    * hash over ~10⁴ distinct bigram probabilities — measured, round 3),
-    * ~1e-9 at scale 6. The default gates at 1e-6; pass a finer scale
-    * only for within-engine use where cross-engine hashing is not at
-    * stake. `logprob` is the double mean for filtering convenience.
+    * which makes the sum exact and partition-order independent WITHIN an
+    * engine. It is NOT engine-independent at any scale: engines' `log`
+    * implementations differ by ulps, and a value within that spread of a
+    * 10^-lnScale rounding boundary quantizes to different decimals.
+    * Measured twice: a 1e-12 quantum flipped the cross-engine hash in
+    * round 3, and the 1e-6 re-quantization flipped it AGAIN in round 4
+    * under the driver's engine while matching a local DuckDB 1.0.0 —
+    * the spread is environment-dependent and larger than any a-priori
+    * ulp model. Consequence: NEVER hash-gate a transcendental-derived
+    * column cross-engine. Exact-check the integer/count basis columns
+    * instead (`bigram_hits`/`unigram_hits` below fully pin the joined
+    * model counts); use `logprob_sum` only for within-engine filtering
+    * and for gate predicates that clear their threshold by a margin ≫
+    * quantum × n_bigrams. `logprob` is the double mean for convenience.
     *
-    * @return `idCol, n_bigrams, logprob_sum, logprob` (documents with
-    *         fewer than 2 tokens drop out)
+    * @return `idCol, n_bigrams, logprob_sum, logprob, bigram_hits,
+    *         unigram_hits` — the last two are exact integer dot products
+    *         Σ c·B(w1,w2) and Σ c·U(w1) over the doc's joined model
+    *         counts (DECIMAL(38,0): overflow-safe at corpus-scale
+    *         counts), cross-engine hashable. Documents with fewer than
+    *         2 tokens drop out.
     */
   def bigramLogProb(corpus: DataFrame, train: DataFrame, idCol: String,
       textCol: String, alpha: Double = 1.0, lnScale: Int = 6): DataFrame = {
@@ -270,12 +277,19 @@ object Vocab {
       // (38,s), so the per-doc sum is identical on any partitioning
       .select(col("__id"), col("__c"),
         (lp.cast(s"decimal(25,$lnScale)") * col("__c").cast("decimal(10,0)"))
-          .as("__wlp"))
+          .as("__wlp"),
+        (col("__c").cast("decimal(19,0)") *
+          coalesce(col("__b"), lit(0L)).cast("decimal(19,0)")).as("__cb"),
+        (col("__c").cast("decimal(19,0)") *
+          coalesce(col("__u"), lit(0L)).cast("decimal(19,0)")).as("__cu"))
       .groupBy(col("__id"))
-      .agg(sum(col("__c")).as("n_bigrams"), sum(col("__wlp")).as("__sum"))
+      .agg(sum(col("__c")).as("n_bigrams"), sum(col("__wlp")).as("__sum"),
+        sum(col("__cb")).as("bigram_hits"),
+        sum(col("__cu")).as("unigram_hits"))
       .select(col("__id").as(idCol), col("n_bigrams"),
         col("__sum").as("logprob_sum"),
-        (col("__sum").cast("double") / col("n_bigrams")).as("logprob"))
+        (col("__sum").cast("double") / col("n_bigrams")).as("logprob"),
+        col("bigram_hits"), col("unigram_hits"))
   }
 
   /** Per-document out-of-vocabulary rate against the train side's

@@ -191,12 +191,15 @@ object CorpusQueries {
   }
 
   /** CCNet-shape LM quality gate: bigram LM trained on the doc_id ≢ 0
-    * (mod 5) slice scores the held-out slice. The hash-gated column is
-    * the exact decimal ln-sum quantized at 1e-6 — coarse enough that a
-    * 1-ulp JVM-vs-libm `ln` difference (~1e-15) has only ~1e-9 odds per
-    * distinct value of straddling a rounding boundary (at 1e-12 a flip
-    * was statistically certain — the round-3 red row); the double mean
-    * stays a library column outside the gate.
+    * (mod 5) slice scores the held-out slice. Hash-gated columns are
+    * INTEGER ONLY — `n_bigrams` plus the exact model-count dot products
+    * `bigram_hits`/`unigram_hits`, which pin the per-doc joined
+    * bigram/unigram counts (together with α and V those determine the
+    * LM score exactly). The ln-derived `logprob_sum` is NEVER hashed
+    * cross-engine: quantizing it failed the driver's gate two rounds
+    * running (1e-12 in r3, 1e-6 in r4 — the spread between engines'
+    * `log` is environment-dependent), so it lives on the rows-only twin
+    * [[q87b]].
     */
   private def q87(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -204,7 +207,23 @@ object CorpusQueries {
     Vocab.bigramLogProb(
         docs.where($"doc_id" % 5 === 0),
         docs.where($"doc_id" % 5 =!= 0), "doc_id", "text")
-      .select($"doc_id", $"n_bigrams", $"logprob_sum")
+      .select($"doc_id", $"n_bigrams", $"bigram_hits", $"unigram_hits")
+      .orderBy($"doc_id")
+  }
+
+  /** q87's transcendental columns (exact decimal ln-sum + double mean),
+    * rows-only: the values are deterministic within an engine but
+    * engine-dependent at the ulp level, so they are exercised and
+    * row-counted — never hash-compared (the q75/q76/q52b pattern).
+    * CorpusOpsSpec pins the arithmetic against a hand-computed LM.
+    */
+  private def q87b(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    Vocab.bigramLogProb(
+        docs.where($"doc_id" % 5 === 0),
+        docs.where($"doc_id" % 5 =!= 0), "doc_id", "text")
+      .select($"doc_id", $"n_bigrams", $"logprob_sum", $"logprob")
       .orderBy($"doc_id")
   }
 
@@ -244,6 +263,7 @@ object CorpusQueries {
     "q80_incremental_dedup_bloom" -> (q80 _),
     "q85_token_budget" -> (q85 _),
     "q87_lm_score" -> (q87 _),
+    "q87b_lm_score_logprob" -> (q87b _),
     "q88_oov_rate" -> (q88 _),
     "q89_ccnet_pipeline" -> (q89 _),
     "q64b_column_profile_approx" -> (q64b _),
@@ -321,13 +341,13 @@ object CorpusQueries {
         |            FROM (SELECT doc_id, unnest(sh) AS g FROM sh WHERE doc_id % 97 <> 0) c
         |            JOIN bench USING (g)),
         |filtered AS (SELECT q.doc_id, q.text, q.n_tokens, q.dup2,
-        |                    lm.n_bigrams, lm.logprob_sum, oov.n_oov
+        |                    lm.n_bigrams, oov.n_oov
         |             FROM qual q JOIN lm USING (doc_id) JOIN oov USING (doc_id)
         |             WHERE NOT EXISTS (SELECT 1 FROM flagged f WHERE f.doc_id = q.doc_id)),
         |surv AS (SELECT *, row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
         |         FROM filtered)
         |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, dup2 AS dup_2gram_frac,
-        |       n_bigrams, logprob_sum, n_oov
+        |       n_bigrams, n_oov
         |FROM surv WHERE rn = 1
         |ORDER BY doc_id""".stripMargin,
     "q88_oov_rate" ->
@@ -347,6 +367,8 @@ object CorpusQueries {
         |         / sum(d.c) AS oov_rate
         |FROM d LEFT JOIN v ON v.token = d.token
         |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin,
+    // integer-only gate: no transcendental in any hashed column — the
+    // count dot products pin the joined model counts exactly
     "q87_lm_score" ->
       """WITH tr AS (SELECT string_split_regex(trim(text), ' +') AS toks
         |            FROM documents WHERE doc_id % 5 <> 0),
@@ -356,7 +378,6 @@ object CorpusQueries {
         |      FROM (SELECT toks[i] AS w1, toks[i + 1] AS w2
         |            FROM tr, UNNEST(range(1, len(toks))) AS t(i))
         |      GROUP BY w1, w2),
-        |v AS (SELECT count(*) AS v FROM u),
         |sc AS (SELECT doc_id, string_split_regex(trim(text), ' +') AS toks
         |       FROM documents WHERE doc_id % 5 = 0),
         |dbc AS (SELECT doc_id, w1, w2, CAST(count(*) AS BIGINT) AS c
@@ -364,12 +385,13 @@ object CorpusQueries {
         |              FROM sc, UNNEST(range(1, len(toks))) AS t(i))
         |        GROUP BY doc_id, w1, w2),
         |j AS (SELECT dbc.doc_id, dbc.c,
-        |        CAST(ln((COALESCE(b.b, 0) + 1.0) / (COALESCE(u.u, 0) + 1.0 * v.v))
-        |          AS DECIMAL(25,6)) * CAST(dbc.c AS DECIMAL(10,0)) AS wlp
+        |        CAST(dbc.c AS DECIMAL(19,0)) * CAST(COALESCE(b.b, 0) AS DECIMAL(19,0)) AS cb,
+        |        CAST(dbc.c AS DECIMAL(19,0)) * CAST(COALESCE(u.u, 0) AS DECIMAL(19,0)) AS cu
         |      FROM dbc LEFT JOIN b ON b.w1 = dbc.w1 AND b.w2 = dbc.w2
-        |               LEFT JOIN u ON u.w1 = dbc.w1, v)
+        |               LEFT JOIN u ON u.w1 = dbc.w1)
         |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
-        |       CAST(sum(wlp) AS DECIMAL(38,6)) AS logprob_sum
+        |       CAST(sum(cb) AS DECIMAL(38,0)) AS bigram_hits,
+        |       CAST(sum(cu) AS DECIMAL(38,0)) AS unigram_hits
         |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q85_token_budget" ->
       """WITH t AS (SELECT doc_id, string_split_regex(trim(text), ' +') AS toks
