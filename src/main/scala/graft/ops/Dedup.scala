@@ -478,19 +478,36 @@ object Dedup {
     // idA < idB, so self-pairs (which the edge set drops) don't occur
     val nodes = star.select(col("a").as("id"))
       .union(star.select(col("b").as("id"))).distinct()
-    // star only shrinks toward the fixpoint star graph; (count, sum a,
-    // sum b) equality is the cheap fixpoint signal, and the aggregate is
-    // the action that populates the round's cache
-    def signature(df: DataFrame): (Long, Long, Long) = {
-      val r = df.agg(count(lit(1)), sum(col("a")), sum(col("b"))).head()
+    // star only shrinks toward the fixpoint star graph; (count, Σ hash a,
+    // Σ hash b) equality is the cheap fixpoint signal, and the aggregate
+    // is the action that populates the round's cache. Hashing keeps the
+    // signature type-agnostic (string ids have no sum) and the decimal
+    // accumulator overflow-proof at any edge count.
+    def signature(df: DataFrame): (Long, BigDecimal, BigDecimal) = {
+      val r = df.agg(count(lit(1)),
+        sum(xxhash64(col("a")).cast("decimal(38,0)")),
+        sum(xxhash64(col("b")).cast("decimal(38,0)"))).head()
       (r.getLong(0),
-        if (r.isNullAt(1)) 0L else r.getLong(1),
-        if (r.isNullAt(2)) 0L else r.getLong(2))
+        if (r.isNullAt(1)) BigDecimal(0) else BigDecimal(r.getDecimal(1)),
+        if (r.isNullAt(2)) BigDecimal(0) else BigDecimal(r.getDecimal(2)))
     }
     var prevSig = signature(star)
-    if (prevSig._1 <= driverMaxEdges) {
+    // the driver fast path round-trips ids through Long, which is only
+    // faithful for integral id columns: a string id would NPE on a
+    // non-numeric value and, worse, silently change survivor selection
+    // on numeric strings (lexicographic "10" < "9" vs numeric 9 < 10,
+    // "007" re-emerging as "7"). Non-integral ids take the distributed
+    // star path, whose least()/min() semantics are the column type's.
+    val idType = star.schema("a").dataType
+    val integralIds = idType match {
+      case org.apache.spark.sql.types.ByteType |
+           org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.LongType => true
+      case _ => false
+    }
+    if (integralIds && prevSig._1 <= driverMaxEdges) {
       // small graph: labels from the persisted edges in one collect
-      val idType = star.schema("a").dataType
       val edges = star
         .select(col("a").cast("long"), col("b").cast("long"))
         .collect().map(r => (r.getLong(0), r.getLong(1)))

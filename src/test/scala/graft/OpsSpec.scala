@@ -93,6 +93,25 @@ class OpsSpec extends SparkSuite {
     assert(fast(7L) === 3L && fast(9L) === 3L) // cycle labels to its min
   }
 
+  test("clusterLabels handles string ids: lexicographic min labels, no long cast") {
+    import spark.implicits._
+    // non-numeric ids would NPE under a cast("long") fast path, and
+    // numeric strings order lexicographically ("10" < "9", "007" ≠ "7");
+    // both must flow through the distributed path's native least()
+    val pairs = Seq(
+      ("doc-b", "doc-a"), ("doc-b", "doc-c"),   // cluster min "doc-a"
+      ("10", "9"), ("9", "007"))                // lexicographic min "007"
+      .toDF("idA", "idB")
+    val labels = Dedup.clusterLabels(pairs).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(labels("doc-a") === "doc-a" && labels("doc-b") === "doc-a" &&
+      labels("doc-c") === "doc-a")
+    assert(labels("007") === "007" && labels("9") === "007" &&
+      labels("10") === "007")
+    // ids survive byte-identical — no numeric round-trip
+    assert(labels.keySet === Set("doc-a", "doc-b", "doc-c", "007", "9", "10"))
+  }
+
   test("collapseNearDupsBy keeps the best-score member per cluster, ties to low id") {
     import spark.implicits._
     val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("idA", "idB")
