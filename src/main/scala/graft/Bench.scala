@@ -82,8 +82,11 @@ object Bench {
       .mkString("[", ",", "]")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     val scaleJson = scaleProfile(spark, sfDir)
+    // "agg"/"iters" label the per-query statistic (min-of-N since round
+    // 4; rounds ≤3 reported median-of-3) so cross-round comparisons can
+    // see the methodology, not read it as an engine speedup
     val line =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","errors":$errJson$scaleJson}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","agg":"min","iters":$iterations,"queries":$qs,"sf":"$sfDir","errors":$errJson$scaleJson}"""
     // durable copy (the driver's stdout tail capture is lossy); stdout
     // line stays the contract and is printed LAST
     try java.nio.file.Files.write(
@@ -103,7 +106,7 @@ object Bench {
         .mkString("{", ",", "}")
       val errNames = errors.keys.take(8)
         .map(n => "\"" + escape(n) + "\"").mkString("[", ",", "]")
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir","n_queries":${results.size},"n_errors":${errors.size},"errors":$errNames,"slowest":$slow,"full":"bench_result.json"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","agg":"min","iters":$iterations,"sf":"$sfDir","n_queries":${results.size},"n_errors":${errors.size},"errors":$errNames,"slowest":$slow,"full":"bench_result.json"}"""
     }
     val summary = (10 to 0 by -2).iterator.map(compact)
       .find(_.length <= 1800).getOrElse(compact(0))
@@ -190,12 +193,13 @@ object Bench {
         ((dv, _) => Dedup.minhashNearDups(dv, "doc_id", "text", 0.95)),
       "simhash_banded_pairs" ->
         ((dv, _) => Dedup.simhashNearDupsBanded(dv, "doc_id", "text", maxBits = 3)),
-      // steady-state ingest shape: a FIXED batch (the base corpus)
-      // probes the growing replicated corpus — growth tracks corpus-side
-      // key work plus the planted-clique verification (sub-linear in R;
-      // measured ~8x at 20x vs 14-26x for the quadratic ground truths),
-      // and the stored-key path (corpusBandKeys) removes exactly the
-      // corpus-side term
+      // ingest shape, INLINE path: a FIXED batch (the base corpus)
+      // probes the growing replicated corpus, rebuilding the corpus band
+      // keys on every probe — so growth tracks corpus size near-linearly
+      // (measured 18.5× at 20× in round 4; still ≪ the quadratic ground
+      // truths' 22–51×). The stored-key steady state that removes the
+      // corpus-side term is timed separately below
+      // (incremental_neardup_probe_keyed)
       "incremental_neardup_probe" ->
         ((dv, _) => Dedup.incrementalNearDups(docs, dv, "doc_id", "text", 0.95)))
     // a failed case reports -1, never a bogus partial timing
@@ -214,7 +218,88 @@ object Bench {
       val growth = if (t1 > 0 && tr > 0) tr / t1 else -1.0
       s"""\"$name\":{"x1":${fmt(t1)},"x$r":${fmt(tr)},"growth":${fmt(growth)}}"""
     }
-    val qs = timed.mkString("{", ",", "}")
+
+    // STORED-KEY steady state, timed against the inline probe above: the
+    // corpus band-key table is built once OUTSIDE the timed region and
+    // persisted bucketed by both join keys (the zero-exchange layout —
+    // exactly what a production ingest amortizes), so the probe pays only
+    // batch-side hashing + the co-bucketed join + candidate verification.
+    // Its growth vs corpus size is the "corpus work independent of corpus
+    // size" claim as a measurement, next to the inline path's ~18.5×.
+    val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    def bucketed(table: String, keys: DataFrame): DataFrame = {
+      graft.io.Layouts.writeBucketed(keys, table, "band", parts, "key")
+      spark.table(table)
+    }
+    def dropTable(t: String): Unit =
+      try spark.sql(s"DROP TABLE IF EXISTS $t")
+      catch { case scala.util.control.NonFatal(_) => }
+    def keyedCase(name: String, keys1: => DataFrame, keysR: => DataFrame,
+        probe: (DataFrame, DataFrame) => DataFrame,
+        corpusR: DataFrame, corpus1: DataFrame): String = {
+      val entry = try {
+        val k1 = bucketed(s"graft_scale_${name}_1", keys1)
+        val kr = bucketed(s"graft_scale_${name}_r", keysR)
+        val t1 = time(probe(k1, corpus1))
+        val tr = time(probe(kr, corpusR))
+        val growth = if (t1 > 0 && tr > 0) tr / t1 else -1.0
+        s"""\"$name\":{"x1":${fmt(t1)},"x$r":${fmt(tr)},"growth":${fmt(growth)}}"""
+      } catch { case scala.util.control.NonFatal(_) =>
+        s"""\"$name\":{"x1":-1,"x$r":-1,"growth":-1}"""
+      }
+      dropTable(s"graft_scale_${name}_1")
+      dropTable(s"graft_scale_${name}_r")
+      entry
+    }
+    val keyedText = keyedCase("incremental_neardup_probe_keyed",
+      Dedup.corpusBandKeys(docs, "doc_id", "text"),
+      Dedup.corpusBandKeys(d, "doc_id", "text"),
+      (keys, corpus) => Dedup.incrementalNearDupsWithKeys(
+        docs, keys, corpus, "doc_id", "text", 0.95),
+      d, docs)
+    val keyedVec = keyedCase("incremental_cosine_probe_keyed",
+      Similarity.corpusLshKeys(emb, "vec_id", "embedding",
+        planesPerBand = 16, bands = 8),
+      Similarity.corpusLshKeys(e, "vec_id", "embedding",
+        planesPerBand = 16, bands = 8),
+      (keys, corpus) => Similarity.incrementalCosineNearDupsWithKeys(
+        emb, keys, corpus, "vec_id", "embedding", 0.95,
+        planesPerBand = 16, bands = 8),
+      e, emb)
+
+    // Streaming ingest steady state: drain a FIXED micro-batched input
+    // (the base corpus, id-shifted) through ingestNearDupKeyed against a
+    // pre-seeded 1× vs R× corpus whose key table already exists — the
+    // claimed per-batch-work-independent-of-corpus-size shape, measured.
+    // AvailableNow trigger; the sink appends to scratch copies only.
+    def streamRun(tag: String, corpus: DataFrame): Double = {
+      val base = s"$dir/stream_$tag"
+      try {
+        corpus.select(col("doc_id"), col("text"))
+          .write.mode("overwrite").parquet(s"$base/corpus")
+        Dedup.corpusBandKeys(
+            spark.read.parquet(s"$base/corpus"), "doc_id", "text")
+          .write.mode("overwrite").parquet(s"$base/keys")
+        docs.select((col("doc_id") + lit(900000000L)).as("doc_id"),
+            col("text"))
+          .repartition(32).write.mode("overwrite").parquet(s"$base/in")
+        val schema = spark.read.parquet(s"$base/in").schema
+        val t0 = System.nanoTime()
+        graft.streaming.EventStreams.ingestNearDupKeyed(spark, schema,
+            s"$base/in", s"$base/corpus", s"$base/keys", s"$base/chk",
+            "doc_id", "text", threshold = 0.95)
+          .awaitTermination()
+        (System.nanoTime() - t0) / 1e9
+      } catch { case scala.util.control.NonFatal(_) => -1.0 }
+    }
+    val streamJson = {
+      val t1 = streamRun("1", docs)
+      val tr = streamRun("r", d)
+      val growth = if (t1 > 0 && tr > 0) tr / t1 else -1.0
+      s""""streaming_ingest_keyed":{"x1":${fmt(t1)},"x$r":${fmt(tr)},"growth":${fmt(growth)}}"""
+    }
+    val qs = (timed ++ Seq(keyedText, keyedVec, streamJson))
+      .mkString("{", ",", "}")
     // count the materialized parquet (footer metadata), not the
     // replica-construction plans — docsN/embN would re-run the full
     // 20-way union projections just to count rows
