@@ -706,9 +706,13 @@ object Dedup {
     * differing bits.
     */
   def simhashNearDups(df: DataFrame, idCol: String, textCol: String,
-      blockCol: String, maxBits: Int): DataFrame = {
+      blockCol: String, maxBits: Int, md5Basis: Boolean = false): DataFrame = {
+    // md5 basis: DuckDB rebuilds the identical fingerprints, so the
+    // blocked (exact within-block) variant is fully oracle-checkable
+    val fp = if (md5Basis) graftFn("graft_simhash_md5", tokenSet(col(textCol)))
+             else simhash64(tokenSet(col(textCol)))
     val t = spread(df).select(col(blockCol).as("__blk"), col(idCol).as("__id"),
-      simhash64(tokenSet(col(textCol))).as("__sh"))
+      fp.as("__sh"))
     val a = t.select(col("__blk"), col("__id").as("idA"), col("__sh").as("__sa"))
     val b = t.select(col("__blk"), col("__id").as("idB"), col("__sh").as("__sb"))
     // see blockedJaccardPairs on broadcast of the build side

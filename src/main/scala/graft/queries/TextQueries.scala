@@ -90,21 +90,29 @@ object TextQueries {
       .orderBy($"idA", $"idB")
   }
 
-  /** MinHash-LSH near-dup candidates, Jaccard-verified (Spark-only:
-    * LSH recall < 1, so no SQL oracle — rows-only check).
+  /** MinHash-LSH near-dup candidates, Jaccard-verified. md5 basis: the
+    * oracle rebuilds the identical 64-hash signatures and band slices,
+    * so the exact LSH candidate set — recall < 1 and all — is
+    * hash-checked (the q52 technique at q27's own 64/4 geometry). The
+    * xxh64 production basis stays covered by q52b/q67b and the bench
+    * scale profile.
     */
   private def q27(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     Dedup.minhashNearDups(Tables.documents(s, dir), "doc_id", "text",
-        threshold = 0.95, numHashes = 64, bands = 4)
+        threshold = 0.95, numHashes = 64, bands = 4, md5Basis = true)
       .orderBy($"idA", $"idB")
   }
 
-  /** SimHash near-dups within language blocks (Spark-only, rows-only). */
+  /** SimHash near-dups within language blocks. md5 basis makes the
+    * fingerprints DuckDB-reproducible, and the blocked variant is exact
+    * within blocks (no banding recall gap), so the oracle is simply all
+    * same-lang pairs at Hamming ≤ 12.
+    */
   private def q28(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     Dedup.simhashNearDups(Tables.documents(s, dir), "doc_id", "text",
-        "lang", maxBits = 12)
+        "lang", maxBits = 12, md5Basis = true)
       .orderBy($"idA", $"idB")
   }
 
@@ -714,6 +722,54 @@ object TextQueries {
         |         + (CAST(len(list_filter(toks, s -> s IN ('the','a','an','of','and','is','in','to','it','that'))) AS DOUBLE) / len(toks)) * 0.3
         |         + (CASE WHEN len(toks) BETWEEN 5 AND 100000 THEN 1.0 ELSE 0.0 END) * 0.2 AS quality
         |FROM t ORDER BY doc_id""".stripMargin,
+    // q27: rebuild the exact md5 MinHash signatures (64 hashes), band
+    // them 4 × 16 on raw signature slices, and verify candidates with
+    // token-set Jaccard — byte-for-byte the Spark plan's candidate set,
+    // so LSH recall < 1 is replicated, not approximated. (The bucket
+    // cap cannot trigger at sf0.01.)
+    "q27_neardup_minhash" ->
+      """WITH t AS (SELECT doc_id, list_distinct(string_split_regex(trim(text), ' +')) AS toks
+        |           FROM documents),
+        |tok AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+        |mh AS (SELECT doc_id, j.j AS j,
+        |              min(('0x' || substr(md5(j.j || ':' || tok), 1, 15))::BIGINT) AS h
+        |       FROM tok, (SELECT unnest(range(0, 64)) AS j) j GROUP BY doc_id, j.j),
+        |sig AS (SELECT doc_id, list(h ORDER BY j) AS sig FROM mh GROUP BY doc_id),
+        |k AS (SELECT doc_id, b.b AS band, list_slice(sig, b.b*16 + 1, b.b*16 + 16) AS key
+        |      FROM sig, (SELECT unnest(range(0, 4)) AS b) b),
+        |cand AS (SELECT DISTINCT a.doc_id AS idA, b.doc_id AS idB
+        |         FROM k a JOIN k b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)
+        |SELECT c.idA, c.idB,
+        |       CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+        |         / len(list_distinct(list_concat(a.toks, b.toks))) AS jaccard
+        |FROM cand c JOIN t a ON a.doc_id = c.idA JOIN t b ON b.doc_id = c.idB
+        |WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+        |        / len(list_distinct(list_concat(a.toks, b.toks))) >= 0.95
+        |ORDER BY idA, idB""".stripMargin,
+    // q28: md5-SimHash fingerprints (q51's CTE chain) compared within
+    // language blocks — the blocked variant is exact within blocks, so
+    // the oracle is all same-lang pairs at Hamming ≤ 12.
+    "q28_neardup_simhash" ->
+      """WITH t AS (SELECT doc_id, list_distinct(string_split_regex(trim(text), ' +')) AS toks
+        |           FROM documents),
+        |tok AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+        |th AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 16))::UBIGINT AS h FROM tok),
+        |v AS (SELECT doc_id, b.b AS b,
+        |             sum(CASE WHEN ((h >> b.b) & 1) = 1 THEN 1 ELSE -1 END) AS vote
+        |      FROM th, (SELECT unnest(range(0, 64)) AS b) b GROUP BY doc_id, b.b),
+        |fp AS (SELECT doc_id,
+        |              string_agg(CASE WHEN vote > 0 THEN '1' ELSE '0' END, '' ORDER BY b DESC) AS bits
+        |       FROM v GROUP BY doc_id),
+        |fpl AS (SELECT fp.doc_id, fp.bits, d.lang
+        |        FROM fp JOIN documents d USING (doc_id)),
+        |p AS (SELECT a.doc_id AS idA, b.doc_id AS idB,
+        |             CAST(list_sum(list_transform(range(1, 65),
+        |               k -> CASE WHEN substr(a.bits, k, 1) = substr(b.bits, k, 1)
+        |                         THEN 0 ELSE 1 END)) AS INTEGER) AS hamming
+        |      FROM fpl a JOIN fpl b ON a.lang = b.lang AND a.doc_id < b.doc_id)
+        |SELECT idA, idB, hamming FROM p
+        |WHERE hamming <= 12
+        |ORDER BY idA, idB""".stripMargin,
     // md5-SimHash fingerprint as a 64-char bitstring (bit 63 first);
     // banding with maxBits < bands is complete, so the oracle is the
     // exact all-pairs Hamming-≤-3 set (the bucket cap cannot trigger at
