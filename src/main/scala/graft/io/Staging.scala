@@ -116,8 +116,17 @@ object Staging {
     val confBc = spark.sparkContext.broadcast(confMap)
     // stem = the archive's zipDir-RELATIVE path (recursive lookup finds
     // same-named archives in different subtrees; a basename-only stem
-    // would collide them right back into a scheduling race)
-    val zipRoot = new Path(zipDir).toUri.getPath.stripSuffix("/")
+    // would collide them right back into a scheduling race). Both sides
+    // are FileSystem-qualified before the prefix compare: a relative
+    // zipDir or a scheme/authority mismatch with the listing's paths
+    // would silently defeat a raw string prefix (re-introducing the
+    // cross-subtree collision), and java.net.URI parsing rejects legal
+    // paths containing spaces.
+    val zipRootQ = {
+      val p = new Path(zipDir)
+      p.getFileSystem(spark.sessionState.newHadoopConf())
+        .makeQualified(p).toString.stripSuffix("/")
+    }
     val written = zipEntries(spark, zipDir)
       .select("archive", "entry", "content")
       .as[(String, String, Array[Byte])]
@@ -128,10 +137,11 @@ object Staging {
         val fs = FileSystem.get(out.toUri, conf)
         var written = 0L
         rows.foreach { case (archive, entry, content) =>
-          val ap = new java.net.URI(archive).getPath
+          val ap = new Path(archive)
+          val apQ = FileSystem.get(ap.toUri, conf).makeQualified(ap).toString
           val rel =
-            if (ap.startsWith(zipRoot + "/")) ap.stripPrefix(zipRoot + "/")
-            else ap.split('/').last
+            if (apQ.startsWith(zipRootQ + "/")) apQ.stripPrefix(zipRootQ + "/")
+            else ap.getName
           val stem = rel.stripSuffix(".zip")
           val target = new Path(out, s"$stem/${sanitizeEntry(entry)}")
           val os = fs.create(target, true)

@@ -145,9 +145,16 @@ object Sampling {
         when(col("__n") / col("__q") === col("__s"), lit(1.0))
           .otherwise(least(lit(1.0),
             col("__q") * col("__s") / col("__n"))))
-      .select(col(groupCol), col("__rate"))
+      // quantize to DECIMAL(10,6) — one md5 bucket — so the gate below
+      // is exact integer arithmetic on both engines: a raw double rate
+      // from the pow/window chain can differ cross-engine by an ulp and
+      // flip floor(rate·1e6) at a bucket boundary, and a near-tied
+      // argmin (rate 1-ε vs the pinned 1.0) rounds to the same
+      // 1.000000 either way
+      .select(col(groupCol), col("__rate").cast("decimal(10,6)").as("__rate"))
     df.join(broadcast(rates), Seq(groupCol))
-      .where(md5Bucket(col(keyCol), salt) < floor(col("__rate") * Buckets))
+      .where(md5Bucket(col(keyCol), salt) <
+        (col("__rate") * lit(Buckets)).cast("long"))
       .drop("__rate")
   }
 

@@ -86,7 +86,8 @@ object SamplingQueries {
   val oracles: Map[String, String] = Map(
     // group counts → p^alpha shares → downsample-only rates (S = min
     // n_g/q_g; the binding group's rate pinned to 1.0 by the exact
-    // argmin comparison), then the md5('tmix:'||id) bucket filter
+    // argmin comparison), quantized to DECIMAL(10,6) so the bucket gate
+    // is exact integer arithmetic, then the md5('tmix:'||id) filter
     "q92_temperature_mix" ->
       """WITH n AS (SELECT lang, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY lang),
         |q AS (SELECT lang, n,
@@ -94,14 +95,14 @@ object SamplingQueries {
         |      FROM n),
         |r AS (SELECT lang, n, q0 / sum(q0) OVER () AS q FROM q),
         |rate AS (SELECT lang,
-        |               CASE WHEN n / q = min(n / q) OVER () THEN 1.0
-        |                    ELSE least(1.0, q * min(n / q) OVER () / n)
-        |               END AS rate
+        |               CAST(CASE WHEN n / q = min(n / q) OVER () THEN 1.0
+        |                         ELSE least(1.0, q * min(n / q) OVER () / n)
+        |                    END AS DECIMAL(10,6)) AS rate
         |         FROM r)
         |SELECT d.doc_id, d.lang
         |FROM documents d JOIN rate ON rate.lang = d.lang
         |WHERE ('0x' || substr(md5('tmix:' || d.doc_id), 1, 15))::BIGINT % 1000000
-        |        < floor(rate.rate * 1000000)
+        |        < CAST(rate.rate * 1000000 AS BIGINT)
         |ORDER BY d.doc_id""".stripMargin,
     "q82_shuffle_order" ->
       """SELECT doc_id, lang, md5('epoch0:' || CAST(doc_id AS VARCHAR)) AS shuffle_key

@@ -110,6 +110,38 @@ class StagingSpec extends SparkSuite {
       Paths.get(s"$work/out1/runB/r1/shards/part.txt"))) === "d")
   }
 
+  test("extractTo keeps subtree stems for spaced and relative zipDir paths") {
+    // a path with a space crashed the old java.net.URI parse, and a
+    // relative zipDir defeated the raw string-prefix relativization
+    // (silently falling back to colliding basename stems)
+    val work = Files.createTempDirectory("graft-sp ace")
+    val zipDir = s"$work/zips"
+    Files.createDirectories(Paths.get(s"$zipDir/runA"))
+    Files.createDirectories(Paths.get(s"$zipDir/runB"))
+    writeZip(s"$zipDir/runA/r1.zip", Seq("p.txt" -> "a".getBytes))
+    writeZip(s"$zipDir/runB/r1.zip", Seq("p.txt" -> "b".getBytes))
+    assert(Staging.extractTo(spark, zipDir, s"$work/out") === 2L)
+    assert(new String(Files.readAllBytes(
+      Paths.get(s"$work/out/runA/r1/p.txt"))) === "a")
+    assert(new String(Files.readAllBytes(
+      Paths.get(s"$work/out/runB/r1/p.txt"))) === "b")
+
+    // relative zipDir (no ".." — Hadoop Path qualifies against the fs
+    // working directory but keeps ".." literal): FileSystem
+    // qualification must still match the listing's fully-qualified
+    // archive paths → subtree stems survive
+    val relRoot = "target/graft-stage-rel"
+    Files.createDirectories(Paths.get(s"$relRoot/zips/runA"))
+    Files.createDirectories(Paths.get(s"$relRoot/zips/runB"))
+    writeZip(s"$relRoot/zips/runA/r1.zip", Seq("p.txt" -> "a".getBytes))
+    writeZip(s"$relRoot/zips/runB/r1.zip", Seq("p.txt" -> "b".getBytes))
+    assert(Staging.extractTo(spark, s"$relRoot/zips", s"$work/out2") === 2L)
+    assert(new String(Files.readAllBytes(
+      Paths.get(s"$work/out2/runA/r1/p.txt"))) === "a")
+    assert(new String(Files.readAllBytes(
+      Paths.get(s"$work/out2/runB/r1/p.txt"))) === "b")
+  }
+
   test("stamped retention keys on name-encoded run times, keeps unstamped") {
     val root = Files.createTempDirectory("graft-retain3")
     val day = 24L * 3600 * 1000
