@@ -1,8 +1,60 @@
 package graft
 import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
-  * plus oracle_sql.json, for the driver's DuckDB compare. */
+  * plus oracle_sql.json, for the driver's DuckDB compare.
+  *
+  * Each query dir also gets a `digest.json` — per-column row counts,
+  * min/max, and an order-independent md5-sum fingerprint of the WRITTEN
+  * parquet. Purpose: when the driver's hash gate fails while the local
+  * oracle emulation passes (an environment-dependent value, the
+  * round-3/4 q87 class), diffing the driver environment's digest.json
+  * against a local one names the offending column and its value range
+  * from artifacts alone — no access to the driver machine needed.
+  * `tools/check_oracle.py --diff-digests dirA dirB` does the diff.
+  */
 object Verify {
+
+  /** Per-column digest of a written query result. All values derive
+    * from the canonical string cast; `hsum` is the exact decimal sum of
+    * 60-bit md5 prefixes over non-null values — partition-order
+    * independent, so two environments agree iff the value multiset
+    * (as strings) agrees.
+    */
+  private def writeDigest(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Unit = {
+    import org.apache.spark.sql.functions._
+    val df = spark.read.parquet(dir)
+    val aggs = df.columns.zipWithIndex.flatMap { case (c, i) =>
+      val s = col(c).cast("string")
+      Seq(
+        count(s).as(s"__n$i"),
+        min(s).as(s"__min$i"),
+        max(s).as(s"__max$i"),
+        sum(conv(substring(md5(s), 1, 15), 16, 10).cast("decimal(38,0)"))
+          .as(s"__h$i"))
+    }
+    val row = df.agg(count(lit(1)).as("__rows"), aggs.toIndexedSeq: _*).head()
+    def js(v: Any): String = v match {
+      case null => "null"
+      case x => "\"" + x.toString.flatMap {
+        case '"' => "\\\""
+        case '\\' => "\\\\"
+        case ch if ch < ' ' => f"\\u${ch.toInt}%04x"
+        case ch => ch.toString
+      } + "\""
+    }
+    val cols = df.columns.zipWithIndex.map { case (c, i) =>
+      val base = 1 + i * 4
+      s"${js(c)}:{" +
+        s""""n":${row.getLong(base)},""" +
+        s""""min":${js(row.get(base + 1))},""" +
+        s""""max":${js(row.get(base + 2))},""" +
+        s""""hsum":${js(row.get(base + 3))}}"""
+    }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$dir/digest.json"),
+      s"""{"rows":${row.getLong(0)},"columns":$cols}""")
+  }
+
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val spark = GraftSession.local("graft-verify")
@@ -15,9 +67,11 @@ object Verify {
       keep.forall(f => f.exists(name.startsWith))
     }
     selected.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      try {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        writeDigest(spark, s"$outDir/$name")
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }

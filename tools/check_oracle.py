@@ -2,10 +2,20 @@
 """Local emulation of the driver's DuckDB-oracle correctness check.
 
 Usage: python3 tools/check_oracle.py /tmp/verify /root/testdata/sf0.01
+       python3 tools/check_oracle.py --diff-digests DIR_A DIR_B
 
 For each query dir under outDir: read Spark's parquet result, run the
 oracle SQL from oracle_sql.json in DuckDB against the sf tables, sort
 columns by name, sort rows, and compare values exactly (hash-style).
+On mismatch, EVERY differing column is reported with its differing-row
+count and (for numerics) max abs delta, and a machine-readable
+oracle_report.json lands in outDir.
+
+--diff-digests compares the digest.json files Verify writes into two
+output trees (e.g. the driver environment's vs a local run's): any
+query/column whose row count, min/max, or order-independent hsum
+fingerprint differs is named — the diagnosis path when the driver's
+hash gate disagrees with the local oracle emulation.
 Dev tool only — not part of the Scala library.
 """
 import sys, os, json, glob
@@ -31,6 +41,7 @@ def main(outdir, sfdir):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     oracle = json.load(open(os.path.join(outdir, "oracle_sql.json")))
     n_pass = n_fail = 0
+    report = {}
     for name in sorted(os.listdir(outdir)):
         qdir = os.path.join(outdir, name)
         if not os.path.isdir(qdir):
@@ -47,29 +58,87 @@ def main(outdir, sfdir):
             print(f"FAIL {name}: oracle SQL error: {e}"); n_fail += 1; continue
         g, e = canon(got), canon(exp)
         if list(g.columns) != list(e.columns):
-            print(f"FAIL {name}: columns {list(g.columns)} vs {list(e.columns)}"); n_fail += 1; continue
+            print(f"FAIL {name}: columns {list(g.columns)} vs {list(e.columns)}"); n_fail += 1
+            report[name] = {"status": "fail", "spark_columns": list(g.columns),
+                            "oracle_columns": list(e.columns)}
+            continue
         if len(g) != len(e):
-            print(f"FAIL {name}: rows {len(g)} vs {len(e)}"); n_fail += 1; continue
-        # exact value compare (mimic hash equality)
-        mismatch = None
+            print(f"FAIL {name}: rows {len(g)} vs {len(e)}"); n_fail += 1
+            report[name] = {"status": "fail", "spark_rows": len(g),
+                            "oracle_rows": len(e)}
+            continue
+        # exact value compare (mimic hash equality) — report EVERY
+        # differing column, not just the first, with count + max delta
+        import numpy as np
+        bad = []
         for c in g.columns:
             gv, ev = g[c], e[c]
             try:
                 eq = (gv.values == ev.values) | (gv.isna().values & ev.isna().values)
             except Exception:
                 eq = gv.astype(str).values == ev.astype(str).values
-            import numpy as np
             if not eq.all():
                 i = int(np.argmin(eq))
-                mismatch = (c, i, gv.iloc[i], ev.iloc[i])
-                break
-        if mismatch:
-            c, i, gv, ev = mismatch
-            print(f"FAIL {name}: col {c} row {i}: spark={gv!r} oracle={ev!r}"); n_fail += 1
+                detail = {"column": c, "n_diff": int((~eq).sum()),
+                          "first_row": i,
+                          "spark": repr(gv.iloc[i]), "oracle": repr(ev.iloc[i])}
+                try:
+                    d = (gv.astype(float) - ev.astype(float)).abs()
+                    detail["max_abs_delta"] = float(d.max())
+                except Exception:
+                    pass
+                bad.append(detail)
+        if bad:
+            for b in bad:
+                delta = f" max|Δ|={b['max_abs_delta']:.3g}" if "max_abs_delta" in b else ""
+                print(f"FAIL {name}: col {b['column']} differs on {b['n_diff']} rows"
+                      f" (first row {b['first_row']}: spark={b['spark']}"
+                      f" oracle={b['oracle']}){delta}")
+            n_fail += 1
+            report[name] = {"status": "fail", "mismatches": bad}
         else:
             print(f"PASS {name} rows={len(g)}"); n_pass += 1
+            report[name] = {"status": "pass", "rows": len(g)}
+    json.dump(report, open(os.path.join(outdir, "oracle_report.json"), "w"),
+              indent=1)
     print(f"\n{n_pass} pass, {n_fail} fail")
     return 1 if n_fail else 0
 
+def diff_digests(dira, dirb):
+    """Name every query/column whose Verify digest differs between two
+    output trees — rows, null count (n), min/max, or the
+    order-independent hsum fingerprint."""
+    n_diff = 0
+    names = sorted(set(os.listdir(dira)) | set(os.listdir(dirb)))
+    for name in names:
+        pa, pb = (os.path.join(d, name, "digest.json") for d in (dira, dirb))
+        if not (os.path.isdir(os.path.join(dira, name))
+                or os.path.isdir(os.path.join(dirb, name))):
+            continue
+        if not os.path.exists(pa) or not os.path.exists(pb):
+            print(f"DIFF {name}: digest.json only in "
+                  f"{'B' if not os.path.exists(pa) else 'A'}")
+            n_diff += 1
+            continue
+        a, b = json.load(open(pa)), json.load(open(pb))
+        if a == b:
+            continue
+        n_diff += 1
+        if a.get("rows") != b.get("rows"):
+            print(f"DIFF {name}: rows {a.get('rows')} vs {b.get('rows')}")
+        ca, cb = a.get("columns", {}), b.get("columns", {})
+        for c in sorted(set(ca) | set(cb)):
+            if ca.get(c) == cb.get(c):
+                continue
+            va, vb = ca.get(c, {}), cb.get(c, {})
+            fields = [f for f in ("n", "min", "max", "hsum")
+                      if va.get(f) != vb.get(f)]
+            print(f"DIFF {name}.{c}: " + "; ".join(
+                f"{f}: {va.get(f)} vs {vb.get(f)}" for f in fields))
+    print(f"\n{n_diff} quer{'y' if n_diff == 1 else 'ies'} differ")
+    return 1 if n_diff else 0
+
 if __name__ == "__main__":
+    if sys.argv[1] == "--diff-digests":
+        sys.exit(diff_digests(sys.argv[2], sys.argv[3]))
     sys.exit(main(sys.argv[1], sys.argv[2]))
