@@ -144,6 +144,21 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("graft_lsh_bands"), p)
   }
 
+  test("q27: minhash pairs come from the banded equi-join, never a cross join") {
+    val p = formatted("q27_neardup_minhash")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("graft_minhash_md5"), p)
+  }
+
+  test("q28: blocked simhash broadcasts the build side within language blocks") {
+    val p = formatted("q28_neardup_simhash")
+    assert(p.contains("BroadcastExchange"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("graft_simhash_md5"), p)
+  }
+
   test("q77: IVF semantic dedup joins on cell id with the kernel in codegen") {
     val df = SparkEntry.queries("q77_semantic_dedup_ivf")(spark, sfDir)
     df.collect() // materialize so AQE finalizes the plan
