@@ -357,23 +357,34 @@ object Dedup {
     * per-batch capped increments ([[graft.streaming.EventStreams.ingestNearDupKeyed]]
     * appends) can accumulate a hot key past any single batch's cap, and
     * an uncapped probe would let join fan-out grow with corpus age —
-    * uncounted. On a (band, key)-bucketed table the cap's window needs
-    * no exchange (the scan's partitioning already satisfies it), so
-    * this costs a per-partition sort, not a shuffle.
+    * uncounted. The stored table is first SEMI-JOINED down to the
+    * (band, key) set the batch actually probes (batch-sized, broadcast),
+    * so the re-cap window runs over the probed sliver — per-probe work
+    * independent of corpus size even on a plain (unbucketed) key table,
+    * where a whole-table window would be a corpus-sized shuffle every
+    * batch. The cap decision is unchanged: the semi-join keeps every
+    * member of a surviving key, so each probed bucket's count equals its
+    * count in the full table. On a (band, key)-bucketed table the
+    * window additionally needs no exchange at all (the scan's
+    * partitioning already satisfies it).
     */
   def incrementalNearDupsWithKeys(batch: DataFrame, corpusKeys: DataFrame,
       corpus: DataFrame, idCol: String, textCol: String, threshold: Double,
       numHashes: Int = 16, bands: Int = 8, maxBucket: Int = 10000,
       md5Basis: Boolean = false): DataFrame = {
+    val batchKeys = bandedKeys(spread(batch), idCol, textCol, numHashes,
+        bands, md5Basis)
+      .select(col("__id").as("idA"), col("band"), col("key"))
+    val probed = corpusKeys.join(
+      broadcast(batchKeys.select(col("band"), col("key")).distinct()),
+      Seq("band", "key"), "left_semi")
     val cappedKeys = CapMetrics.cappedWhere(
-        corpusKeys.withColumn("__n", count(lit(1)).over(
+        probed.withColumn("__n", count(lit(1)).over(
           Window.partitionBy(col("band"), col("key")))),
         "incremental_neardup_corpus", col("__n"), maxBucket,
         memberRows = true)
       .drop("__n")
-    val cands = bandedKeys(spread(batch), idCol, textCol, numHashes, bands,
-        md5Basis)
-      .select(col("__id").as("idA"), col("band"), col("key"))
+    val cands = batchKeys
       .join(cappedKeys.select(col(idCol).as("idB"), col("band"), col("key")),
         Seq("band", "key"))
       .select(col("idA"), col("idB"))

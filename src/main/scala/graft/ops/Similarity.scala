@@ -224,15 +224,22 @@ object Similarity {
       corpusKeys: DataFrame, corpus: DataFrame, idCol: String,
       vecCol: String, threshold: Double, planesPerBand: Int = 8,
       bands: Int = 4, maxBucket: Int = 10000): DataFrame = {
+    val batchKeys = Dedup.spread(batch).select(col(idCol).as("idA"),
+      posexplode(graftFn("graft_lsh_bands", col(vecCol),
+        lit(planesPerBand), lit(bands))).as(Seq("band", "key")))
+    // restrict the stored table to the batch's probed key set before the
+    // re-cap window (see Dedup.incrementalNearDupsWithKeys): the window
+    // then runs over a batch-sized sliver, never the corpus-sized table
+    val probed = corpusKeys.join(
+      broadcast(batchKeys.select(col("band"), col("key")).distinct()),
+      Seq("band", "key"), "left_semi")
     val cappedKeys = CapMetrics.cappedWhere(
-        corpusKeys.withColumn("__n", count(lit(1)).over(
+        probed.withColumn("__n", count(lit(1)).over(
           org.apache.spark.sql.expressions.Window.partitionBy(col("band"), col("key")))),
         "incremental_cosine_corpus", col("__n"), maxBucket,
         memberRows = true)
       .drop("__n")
-    val cands = Dedup.spread(batch).select(col(idCol).as("idA"),
-        posexplode(graftFn("graft_lsh_bands", col(vecCol),
-          lit(planesPerBand), lit(bands))).as(Seq("band", "key")))
+    val cands = batchKeys
       .join(cappedKeys.select(col(idCol).as("idB"), col("band"), col("key")),
         Seq("band", "key"))
       .select(col("idA"), col("idB"))

@@ -409,15 +409,20 @@ object EventStreams {
     * (bucket it by (band, key); see `Layouts.writeBucketed`).
     *
     * Crash consistency: keys append strictly AFTER the corpus append
-    * (the reverse order would link batches to ghost ids), and every
-    * batch starts by HEALING the key table — an id-projection anti-join
-    * finds corpus docs with no keys (a crash between the two appends,
-    * including a first-batch crash that never created `keysDir`) and
-    * re-keys them before the probe. The heal is what makes replays
-    * self-filter: the replayed batch's survivors near-link (Jaccard 1)
-    * to their previous, now re-keyed append and are dropped instead of
-    * duplicated. Steady state pays one tiny id-only audit join per
-    * batch; the re-key job runs only on actual recovery.
+    * (the reverse order would link batches to ghost ids), and the FIRST
+    * corpus-seeing batch of each stream run HEALS the key table — an
+    * id-projection anti-join finds corpus docs with no keys (a crash
+    * between the two appends, including a first-batch crash that never
+    * created `keysDir`) and re-keys them before the probe. The heal is
+    * what makes replays self-filter: the replayed batch's survivors
+    * near-link (Jaccard 1) to their previous, now re-keyed append and
+    * are dropped instead of duplicated. The heal runs ONCE per stream
+    * run, not per batch: a missing key append can only be left behind by
+    * a previous (crashed) run — within a run foreachBatch is sequential,
+    * so batch N's key append completed before batch N+1 starts. Steady-
+    * state batches therefore pay ZERO corpus-sized audit work; the
+    * corpus-wide anti-join runs once at (re)start, and the re-key job
+    * only on actual recovery.
     */
   def ingestNearDupKeyed(spark: SparkSession, schema: StructType,
       inDir: String, corpusDir: String, keysDir: String,
@@ -427,6 +432,7 @@ object EventStreams {
       trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
     import graft.ops.Dedup
     import org.apache.spark.sql.functions.col
+    val healed = new java.util.concurrent.atomic.AtomicBoolean(false)
     spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .parquet(inDir)
@@ -440,17 +446,21 @@ object EventStreams {
         val fresh =
           if (corpusExists) {
             val corpus = spark.read.parquet(corpusDir)
-            // heal: re-key corpus docs the last run appended without keys
-            val keysExist = fs.exists(new org.apache.hadoop.fs.Path(keysDir))
-            val unkeyed =
-              if (keysExist)
-                corpus.select(col(idCol), col(textCol)).join(
-                  spark.read.parquet(keysDir).select(col(idCol)).distinct(),
-                  Seq(idCol), "left_anti")
-              else corpus.select(col(idCol), col(textCol))
-            if (!unkeyed.isEmpty)
-              Dedup.corpusBandKeys(unkeyed, idCol, textCol, numHashes, bands)
-                .write.mode("append").parquet(keysDir)
+            // heal (once per run): re-key corpus docs a previous run
+            // appended without keys — within this run appends are
+            // strictly ordered, so later batches cannot be unkeyed
+            if (healed.compareAndSet(false, true)) {
+              val keysExist = fs.exists(new org.apache.hadoop.fs.Path(keysDir))
+              val unkeyed =
+                if (keysExist)
+                  corpus.select(col(idCol), col(textCol)).join(
+                    spark.read.parquet(keysDir).select(col(idCol)).distinct(),
+                    Seq(idCol), "left_anti")
+                else corpus.select(col(idCol), col(textCol))
+              if (!unkeyed.isEmpty)
+                Dedup.corpusBandKeys(unkeyed, idCol, textCol, numHashes, bands)
+                  .write.mode("append").parquet(keysDir)
+            }
             val keys = spark.read.parquet(keysDir)
             val linked = Dedup.incrementalNearDupsWithKeys(local, keys,
                 corpus, idCol, textCol, threshold, numHashes, bands)
