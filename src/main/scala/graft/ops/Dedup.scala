@@ -389,15 +389,24 @@ object Dedup {
         Seq("band", "key"))
       .select(col("idA"), col("idB"))
       .distinct()
-    def hashed(df: DataFrame, as: String) =
-      df.select(col(idCol).as(as),
-        graftFn("graft_token_hashes", TextAnalysis.tokens(col(textCol)))
-          .as(s"__t$as"))
+    // verification: the batch side pre-hashes (batch-sized), but the
+    // corpus side carries raw text THROUGH the candidate join and runs
+    // the tokenize+hash kernel on the JOINED rows only — a kernel in
+    // the corpus projection would evaluate for every corpus document
+    // per probe (measured: the dominant corpus-proportional term of the
+    // keyed probe's growth). Cost moves to pair-proportional (a clique
+    // idB re-tokenizes per matching idA), the right trade at corpus
+    // scale where candidates ≪ corpus.
     cands
-      .join(hashed(batch, "idA"), Seq("idA"))
-      .join(hashed(corpus, "idB"), Seq("idB"))
+      .join(batch.select(col(idCol).as("idA"),
+        graftFn("graft_token_hashes", TextAnalysis.tokens(col(textCol)))
+          .as("__ta")), Seq("idA"))
+      .join(corpus.select(col(idCol).as("idB"), col(textCol).as("__btext")),
+        Seq("idB"))
       .select(col("idA"), col("idB"),
-        graftFn("graft_jaccard_sorted", col("__tidA"), col("__tidB")).as("jaccard"))
+        graftFn("graft_jaccard_sorted", col("__ta"),
+          graftFn("graft_token_hashes", TextAnalysis.tokens(col("__btext"))))
+          .as("jaccard"))
       .where(col("jaccard") >= threshold)
   }
 

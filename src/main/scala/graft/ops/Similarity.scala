@@ -244,15 +244,18 @@ object Similarity {
         Seq("band", "key"))
       .select(col("idA"), col("idB"))
       .distinct()
-    def vecs(df: DataFrame, as: String) =
-      df.select(col(idCol).as(as), col(vecCol).as(s"__v$as"),
-        l2Norm(col(vecCol)).as(s"__n$as"))
+    // corpus vectors ride raw through the candidate join; the norm
+    // kernel runs on joined rows only (a projection-side norm would
+    // evaluate for every corpus vector per probe — corpus-proportional;
+    // see Dedup.incrementalNearDupsWithKeys)
     cands
-      .join(vecs(batch, "idA"), Seq("idA"))
-      .join(vecs(corpus, "idB"), Seq("idB"))
+      .join(batch.select(col(idCol).as("idA"), col(vecCol).as("__va"),
+        l2Norm(col(vecCol)).as("__na")), Seq("idA"))
+      .join(corpus.select(col(idCol).as("idB"), col(vecCol).as("__vb")),
+        Seq("idB"))
       .select(col("idA"), col("idB"),
-        (dotProduct(col("__vidA"), col("__vidB")) / (col("__nidA") * col("__nidB")))
-          .as("cosine"))
+        (dotProduct(col("__va"), col("__vb")) /
+          (col("__na") * l2Norm(col("__vb")))).as("cosine"))
       .where(col("cosine") > threshold)
   }
 
