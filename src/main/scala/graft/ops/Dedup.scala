@@ -389,23 +389,28 @@ object Dedup {
         Seq("band", "key"))
       .select(col("idA"), col("idB"))
       .distinct()
-    // verification: the batch side pre-hashes (batch-sized), but the
-    // corpus side carries raw text THROUGH the candidate join and runs
-    // the tokenize+hash kernel on the JOINED rows only — a kernel in
-    // the corpus projection would evaluate for every corpus document
-    // per probe (measured: the dominant corpus-proportional term of the
-    // keyed probe's growth). Cost moves to pair-proportional (a clique
-    // idB re-tokenizes per matching idA), the right trade at corpus
-    // scale where candidates ≪ corpus.
+    // verification: the corpus side is semi-joined down to the DISTINCT
+    // candidate docs BEFORE the tokenize+hash kernel runs, so the
+    // kernel evaluates min(candidate docs, corpus) times — never
+    // corpus-proportional (an unrestricted corpus projection pays the
+    // kernel for every corpus document per probe: measured as the
+    // dominant term of the keyed probe's growth) and never
+    // pair-proportional (a clique idB would re-tokenize per matching
+    // idA). cands is referenced twice; it ends in a distinct aggregate,
+    // so AQE's exchange reuse evaluates the candidate subplan once.
+    val corpusHashed = corpus
+      .join(cands.select(col("idB").as(idCol)).distinct(), Seq(idCol),
+        "left_semi")
+      .select(col(idCol).as("idB"),
+        graftFn("graft_token_hashes", TextAnalysis.tokens(col(textCol)))
+          .as("__tb"))
     cands
       .join(batch.select(col(idCol).as("idA"),
         graftFn("graft_token_hashes", TextAnalysis.tokens(col(textCol)))
           .as("__ta")), Seq("idA"))
-      .join(corpus.select(col(idCol).as("idB"), col(textCol).as("__btext")),
-        Seq("idB"))
+      .join(corpusHashed, Seq("idB"))
       .select(col("idA"), col("idB"),
-        graftFn("graft_jaccard_sorted", col("__ta"),
-          graftFn("graft_token_hashes", TextAnalysis.tokens(col("__btext"))))
+        graftFn("graft_jaccard_sorted", col("__ta"), col("__tb"))
           .as("jaccard"))
       .where(col("jaccard") >= threshold)
   }

@@ -244,18 +244,22 @@ object Similarity {
         Seq("band", "key"))
       .select(col("idA"), col("idB"))
       .distinct()
-    // corpus vectors ride raw through the candidate join; the norm
-    // kernel runs on joined rows only (a projection-side norm would
-    // evaluate for every corpus vector per probe — corpus-proportional;
-    // see Dedup.incrementalNearDupsWithKeys)
+    // the corpus side is semi-joined down to the distinct candidate
+    // vectors before the norm kernel runs — kernel work is
+    // min(candidate docs, corpus), never corpus- or pair-proportional
+    // (see Dedup.incrementalNearDupsWithKeys)
+    val corpusVecs = corpus
+      .join(cands.select(col("idB").as(idCol)).distinct(), Seq(idCol),
+        "left_semi")
+      .select(col(idCol).as("idB"), col(vecCol).as("__vb"),
+        l2Norm(col(vecCol)).as("__nb"))
     cands
       .join(batch.select(col(idCol).as("idA"), col(vecCol).as("__va"),
         l2Norm(col(vecCol)).as("__na")), Seq("idA"))
-      .join(corpus.select(col(idCol).as("idB"), col(vecCol).as("__vb")),
-        Seq("idB"))
+      .join(corpusVecs, Seq("idB"))
       .select(col("idA"), col("idB"),
-        (dotProduct(col("__va"), col("__vb")) /
-          (col("__na") * l2Norm(col("__vb")))).as("cosine"))
+        (dotProduct(col("__va"), col("__vb")) / (col("__na") * col("__nb")))
+          .as("cosine"))
       .where(col("cosine") > threshold)
   }
 
