@@ -251,11 +251,13 @@ object Bench {
         ((dv, _) => Dedup.simhashNearDupsBanded(dv, "doc_id", "text", maxBits = 3)),
       // ingest shape, INLINE path: a FIXED batch (the base corpus)
       // probes the growing replicated corpus, rebuilding the corpus band
-      // keys on every probe — so growth tracks corpus size near-linearly
-      // (measured 18.5× at 20× in round 4; still ≪ the quadratic ground
-      // truths' 22–51×). The stored-key steady state that removes the
-      // corpus-side term is timed separately below
-      // (incremental_neardup_probe_keyed)
+      // keys on every probe. Round 4 measured 18.5× growth at 20×;
+      // round 5's distinct-candidate verification (kernels run once per
+      // candidate doc, never per corpus row) cut it to ~7×, with the
+      // stored-key twin below (~5.6×) removing the key-rebuild term too.
+      // The residual growth is true-duplicate verification volume — the
+      // planted cliques multiply real pairs with the corpus — which the
+      // cosine keyed twin (~1.0×, cheap verification) isolates.
       "incremental_neardup_probe" ->
         ((dv, _) => Dedup.incrementalNearDups(docs, dv, "doc_id", "text", 0.95)))
     // a failed case reports -1, never a bogus partial timing
