@@ -254,12 +254,16 @@ object Bench {
       // keys on every probe. Round 4 measured 18.5× growth at 20×;
       // round 5's distinct-candidate verification (kernels run once per
       // candidate doc, never per corpus row) cut it to ~7×, with the
-      // stored-key twin below (~5.6×) removing the key-rebuild term too.
-      // The residual growth is true-duplicate verification volume — the
+      // stored-key twin below removing the key-rebuild term too. The
+      // residual growth is true-duplicate verification volume — the
       // planted cliques multiply real pairs with the corpus — which the
       // cosine keyed twin (~1.0×, cheap verification) isolates.
+      // 16/4 banding (r=4), not the loose-threshold 16/8 default: at a
+      // 0.95 threshold r=2 floods verification with J≈0.3 junk
+      // candidates (the SCALE.md band-geometry rule; q67 measured −57%)
       "incremental_neardup_probe" ->
-        ((dv, _) => Dedup.incrementalNearDups(docs, dv, "doc_id", "text", 0.95)))
+        ((dv, _) => Dedup.incrementalNearDups(docs, dv, "doc_id", "text",
+          0.95, numHashes = 16, bands = 4)))
     // a failed case reports -1, never a bogus partial timing
     def time(df: => DataFrame): Double = {
       val t0 = System.nanoTime()
@@ -310,10 +314,11 @@ object Bench {
       entry
     }
     val keyedText = keyedCase("incremental_neardup_probe_keyed",
-      Dedup.corpusBandKeys(docs, "doc_id", "text"),
-      Dedup.corpusBandKeys(d, "doc_id", "text"),
+      Dedup.corpusBandKeys(docs, "doc_id", "text", numHashes = 16, bands = 4),
+      Dedup.corpusBandKeys(d, "doc_id", "text", numHashes = 16, bands = 4),
       (keys, corpus) => Dedup.incrementalNearDupsWithKeys(
-        docs, keys, corpus, "doc_id", "text", 0.95),
+        docs, keys, corpus, "doc_id", "text", 0.95,
+        numHashes = 16, bands = 4),
       d, docs)
     val keyedVec = keyedCase("incremental_cosine_probe_keyed",
       Similarity.corpusLshKeys(emb, "vec_id", "embedding",
@@ -336,7 +341,8 @@ object Bench {
         corpus.select(col("doc_id"), col("text"))
           .write.mode("overwrite").parquet(s"$base/corpus")
         Dedup.corpusBandKeys(
-            spark.read.parquet(s"$base/corpus"), "doc_id", "text")
+            spark.read.parquet(s"$base/corpus"), "doc_id", "text",
+            numHashes = 16, bands = 4)
           .write.mode("overwrite").parquet(s"$base/keys")
         docs.select((col("doc_id") + lit(900000000L)).as("doc_id"),
             col("text"))
@@ -345,7 +351,7 @@ object Bench {
         val t0 = System.nanoTime()
         graft.streaming.EventStreams.ingestNearDupKeyed(spark, schema,
             s"$base/in", s"$base/corpus", s"$base/keys", s"$base/chk",
-            "doc_id", "text", threshold = 0.95)
+            "doc_id", "text", threshold = 0.95, numHashes = 16, bands = 4)
           .awaitTermination()
         (System.nanoTime() - t0) / 1e9
       } catch { case scala.util.control.NonFatal(_) => -1.0 }
