@@ -251,13 +251,12 @@ object Bench {
         ((dv, _) => Dedup.simhashNearDupsBanded(dv, "doc_id", "text", maxBits = 3)),
       // ingest shape, INLINE path: a FIXED batch (the base corpus)
       // probes the growing replicated corpus, rebuilding the corpus band
-      // keys on every probe. Round 4 measured 18.5× growth at 20×;
-      // round 5's distinct-candidate verification (kernels run once per
-      // candidate doc, never per corpus row) cut it to ~7×, with the
-      // stored-key twin below removing the key-rebuild term too. The
-      // residual growth is true-duplicate verification volume — the
-      // planted cliques multiply real pairs with the corpus — which the
-      // cosine keyed twin (~1.0×, cheap verification) isolates.
+      // keys on every probe — the corpus-proportional term the stored-key
+      // twin below removes. Round 4 measured 18.5× growth at 20×; after
+      // round 5's distinct-candidate verification (kernels once per
+      // candidate doc, never per corpus row) and 16/4 banding this
+      // measures ~4.6× inline vs ~1.1× stored-key — the steady-state
+      // corpus-independence claim, as numbers.
       // 16/4 banding (r=4), not the loose-threshold 16/8 default: at a
       // 0.95 threshold r=2 floods verification with J≈0.3 junk
       // candidates (the SCALE.md band-geometry rule; q67 measured −57%)
