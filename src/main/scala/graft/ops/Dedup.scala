@@ -677,6 +677,37 @@ object Dedup {
     collapseNearDups(repr, idCol, pairs)
   }
 
+  /** Cross-source duplication audit: for every unordered pair of
+    * `groupCol` values, how many verified near-duplicate links
+    * ([[minhashNearDups]]) cross between them — the "how much of source
+    * B is already in source A" question a curation run answers before
+    * paying to ingest a new source (and the overlap matrix behind
+    * mixture down-weighting of mutually-redundant sources).
+    *
+    * Scale shape: rides the banded pipeline (one (band, key) shuffle,
+    * capped buckets, candidate-only verification); the group labels
+    * join pair-sized frames, and the output aggregate is
+    * |groups|²-sized — a report, not a corpus.
+    *
+    * @return `source_a, source_b, n_links` (source_a < source_b), only
+    *         pairs with at least one link
+    */
+  def crossGroupNearDupMatrix(df: DataFrame, idCol: String, textCol: String,
+      groupCol: String, threshold: Double, numHashes: Int = 64,
+      bands: Int = 4, md5Basis: Boolean = false): DataFrame = {
+    val pairs = minhashNearDups(df, idCol, textCol, threshold, numHashes,
+      bands, md5Basis)
+    val g = df.select(col(idCol), col(groupCol))
+    pairs
+      .join(g.select(col(idCol).as("idA"), col(groupCol).as("__ga")), Seq("idA"))
+      .join(g.select(col(idCol).as("idB"), col(groupCol).as("__gb")), Seq("idB"))
+      .where(col("__ga") =!= col("__gb"))
+      .select(least(col("__ga"), col("__gb")).as("source_a"),
+        greatest(col("__ga"), col("__gb")).as("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_links"))
+  }
+
   // --------------------------------------------------------------- SimHash
 
   /** 64-bit SimHash over the token set: bit b of the fingerprint is the

@@ -246,6 +246,21 @@ object TextQueries {
       .orderBy($"doc_id")
   }
 
+  /** Cross-source duplication audit: verified near-dup links between
+    * every pair of `source` values — "how much of source B is already
+    * in source A", the question answered before paying to ingest a new
+    * source. q52's exact banding geometry on the md5 basis, so the
+    * oracle rebuilds the identical candidate set and the full matrix is
+    * hash-checked.
+    */
+  private def q94(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Dedup.crossGroupNearDupMatrix(Tables.documents(s, dir), "doc_id",
+        "text", "source", threshold = 0.9, numHashes = 16, bands = 4,
+        md5Basis = true)
+      .orderBy($"source_a", $"source_b")
+  }
+
   /** Duplicate-cluster size profile: the near-dup cluster histogram
     * (cluster size → how many clusters) plus singleton count — the
     * operational dashboard a dedup run reads to size its bucket caps
@@ -423,6 +438,7 @@ object TextQueries {
     "q52_dedup_pipeline" -> (q52 _),
     "q90_quality_dedup" -> (q90 _),
     "q93_cluster_profile" -> (q93 _),
+    "q94_source_overlap" -> (q94 _),
     "q49_pii_redact" -> (q49 _),
     "q48_neardup_clusters" -> (q48 _),
     "q44_text_extras" -> (q44 _),
@@ -793,6 +809,32 @@ object TextQueries {
         |SELECT idA, idB, hamming FROM p
         |WHERE hamming <= 3
         |ORDER BY idA, idB""".stripMargin,
+    // q94: q52's md5 MinHash/banding CTEs → verified pairs → source
+    // labels joined on, cross-source filter, unordered-pair normalize,
+    // count — the whole duplication matrix is exact integer arithmetic
+    "q94_source_overlap" ->
+      """WITH t AS (SELECT doc_id, list_distinct(string_split_regex(trim(text), ' +')) AS toks
+        |           FROM documents),
+        |tok AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+        |mh AS (SELECT doc_id, j.j AS j,
+        |              min(('0x' || substr(md5(j.j || ':' || tok), 1, 15))::BIGINT) AS h
+        |       FROM tok, (SELECT unnest(range(0, 16)) AS j) j GROUP BY doc_id, j.j),
+        |sig AS (SELECT doc_id, list(h ORDER BY j) AS sig FROM mh GROUP BY doc_id),
+        |k AS (SELECT doc_id, b.b AS band, list_slice(sig, b.b*4 + 1, b.b*4 + 4) AS key
+        |      FROM sig, (SELECT unnest(range(0, 4)) AS b) b),
+        |cand AS (SELECT DISTINCT a.doc_id AS idA, b.doc_id AS idB
+        |         FROM k a JOIN k b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+        |p AS (SELECT c.idA, c.idB
+        |      FROM cand c JOIN t a ON a.doc_id = c.idA JOIN t b ON b.doc_id = c.idB
+        |      WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+        |              / len(list_distinct(list_concat(a.toks, b.toks))) >= 0.9)
+        |SELECT least(da.source, db.source) AS source_a,
+        |       greatest(da.source, db.source) AS source_b,
+        |       CAST(count(*) AS BIGINT) AS n_links
+        |FROM p JOIN documents da ON da.doc_id = p.idA
+        |       JOIN documents db ON db.doc_id = p.idB
+        |WHERE da.source <> db.source
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // q52's chain with the quality-weighted survivor rule: cluster
     // labels from the recursive closure, then per-label argmax by
     // (quality desc, id) — q63's quality CTE supplies the score.

@@ -112,6 +112,24 @@ class OpsSpec extends SparkSuite {
     assert(labels.keySet === Set("doc-a", "doc-b", "doc-c", "007", "9", "10"))
   }
 
+  test("crossGroupNearDupMatrix counts cross-source links, normalized and grouped") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta", "srcA"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta", "srcB"), // dup of 1
+      (3L, "alpha beta gamma delta epsilon zeta eta theta", "srcB"), // dup of 1 (same source as 2 → not counted)
+      (4L, "one two three four five six seven eight nine", "srcC"),
+      (5L, "one two three four five six seven eight nine", "srcA"), // dup of 4
+      (6L, "totally unrelated words appearing nowhere else at all", "srcC"))
+      .toDF("doc_id", "text", "source")
+    val got = Dedup.crossGroupNearDupMatrix(df, "doc_id", "text", "source",
+        threshold = 0.95, numHashes = 16, bands = 4)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    // 1↔2, 1↔3 cross srcA/srcB (2 links); 2↔3 same-source → excluded;
+    // 4↔5 crosses srcA/srcC; orientation always (min, max)
+    assert(got === Set(("srcA", "srcB", 2L), ("srcA", "srcC", 1L)))
+  }
+
   test("collapseNearDupsBy keeps the best-score member per cluster, ties to low id") {
     import spark.implicits._
     val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("idA", "idB")
