@@ -708,6 +708,42 @@ object Dedup {
       .agg(count(lit(1)).as("n_links"))
   }
 
+  /** Per-group novelty: for each `groupCol` value, the fraction of its
+    * documents with NO verified near-duplicate in any OTHER group — the
+    * actionable scalar behind [[crossGroupNearDupMatrix]] (a new source
+    * earns its ingestion cost in proportion to its novelty rate, and
+    * mutually-redundant sources get down-weighted in the mixture).
+    *
+    * Same plan spine as the matrix: banded pairs, pair-sized label
+    * joins, then one corpus-wide group aggregate (the only
+    * corpus-proportional step, one shuffle on the group key).
+    *
+    * @return `source, n_docs, n_cross_linked, novelty_rate` per group
+    */
+  def groupNoveltyRates(df: DataFrame, idCol: String, textCol: String,
+      groupCol: String, threshold: Double, numHashes: Int = 64,
+      bands: Int = 4, md5Basis: Boolean = false): DataFrame = {
+    val pairs = minhashNearDups(df, idCol, textCol, threshold, numHashes,
+      bands, md5Basis)
+    val g = df.select(col(idCol), col(groupCol))
+    val cross = pairs
+      .join(g.select(col(idCol).as("idA"), col(groupCol).as("__ga")), Seq("idA"))
+      .join(g.select(col(idCol).as("idB"), col(groupCol).as("__gb")), Seq("idB"))
+      .where(col("__ga") =!= col("__gb"))
+    val touched = cross.select(col("idA").as(idCol))
+      .unionByName(cross.select(col("idB").as(idCol)))
+      .distinct()
+      .withColumn("__x", lit(1L))
+    g.join(touched, Seq(idCol), "left")
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_docs"),
+        coalesce(sum(col("__x")), lit(0L)).as("n_cross_linked"))
+      .select(col(groupCol).as("source"), col("n_docs"),
+        col("n_cross_linked"),
+        (lit(1.0) - col("n_cross_linked").cast("double") / col("n_docs"))
+          .as("novelty_rate"))
+  }
+
   // --------------------------------------------------------------- SimHash
 
   /** 64-bit SimHash over the token set: bit b of the fingerprint is the

@@ -261,6 +261,19 @@ object TextQueries {
       .orderBy($"source_a", $"source_b")
   }
 
+  /** Per-source novelty rates — q94's matrix reduced to the decision
+    * scalar: what fraction of each source is new relative to every
+    * other source. Integer counts + one exact int-division double, all
+    * hash-checked.
+    */
+  private def q95(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Dedup.groupNoveltyRates(Tables.documents(s, dir), "doc_id", "text",
+        "source", threshold = 0.9, numHashes = 16, bands = 4,
+        md5Basis = true)
+      .orderBy($"source")
+  }
+
   /** Duplicate-cluster size profile: the near-dup cluster histogram
     * (cluster size → how many clusters) plus singleton count — the
     * operational dashboard a dedup run reads to size its bucket caps
@@ -439,6 +452,7 @@ object TextQueries {
     "q90_quality_dedup" -> (q90 _),
     "q93_cluster_profile" -> (q93 _),
     "q94_source_overlap" -> (q94 _),
+    "q95_source_novelty" -> (q95 _),
     "q49_pii_redact" -> (q49 _),
     "q48_neardup_clusters" -> (q48 _),
     "q44_text_extras" -> (q44 _),
@@ -835,6 +849,37 @@ object TextQueries {
         |       JOIN documents db ON db.doc_id = p.idB
         |WHERE da.source <> db.source
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // q95: q94's pair CTEs → ids touched by a cross-source link →
+    // per-source counts and the exact-int-division novelty rate
+    "q95_source_novelty" ->
+      """WITH t AS (SELECT doc_id, list_distinct(string_split_regex(trim(text), ' +')) AS toks
+        |           FROM documents),
+        |tok AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+        |mh AS (SELECT doc_id, j.j AS j,
+        |              min(('0x' || substr(md5(j.j || ':' || tok), 1, 15))::BIGINT) AS h
+        |       FROM tok, (SELECT unnest(range(0, 16)) AS j) j GROUP BY doc_id, j.j),
+        |sig AS (SELECT doc_id, list(h ORDER BY j) AS sig FROM mh GROUP BY doc_id),
+        |k AS (SELECT doc_id, b.b AS band, list_slice(sig, b.b*4 + 1, b.b*4 + 4) AS key
+        |      FROM sig, (SELECT unnest(range(0, 4)) AS b) b),
+        |cand AS (SELECT DISTINCT a.doc_id AS idA, b.doc_id AS idB
+        |         FROM k a JOIN k b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+        |p AS (SELECT c.idA, c.idB
+        |      FROM cand c JOIN t a ON a.doc_id = c.idA JOIN t b ON b.doc_id = c.idB
+        |      WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+        |              / len(list_distinct(list_concat(a.toks, b.toks))) >= 0.9),
+        |cr AS (SELECT p.idA, p.idB
+        |       FROM p JOIN documents da ON da.doc_id = p.idA
+        |              JOIN documents db ON db.doc_id = p.idB
+        |       WHERE da.source <> db.source),
+        |touched AS (SELECT DISTINCT doc_id
+        |            FROM (SELECT idA AS doc_id FROM cr
+        |                  UNION ALL SELECT idB FROM cr))
+        |SELECT d.source,
+        |       CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(count(t2.doc_id) AS BIGINT) AS n_cross_linked,
+        |       1.0 - CAST(count(t2.doc_id) AS DOUBLE) / count(*) AS novelty_rate
+        |FROM documents d LEFT JOIN touched t2 ON t2.doc_id = d.doc_id
+        |GROUP BY d.source ORDER BY d.source""".stripMargin,
     // q52's chain with the quality-weighted survivor rule: cluster
     // labels from the recursive closure, then per-label argmax by
     // (quality desc, id) — q63's quality CTE supplies the score.

@@ -130,6 +130,25 @@ class OpsSpec extends SparkSuite {
     assert(got === Set(("srcA", "srcB", 2L), ("srcA", "srcC", 1L)))
   }
 
+  test("groupNoveltyRates: cross-linked docs counted once, rate exact") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta", "srcA"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta", "srcB"), // links to 1 and 3
+      (3L, "alpha beta gamma delta epsilon zeta eta theta", "srcA"), // links to 2 (cross) and 1 (same)
+      (4L, "totally unrelated words appearing nowhere else at all", "srcB"))
+      .toDF("doc_id", "text", "source")
+    val got = Dedup.groupNoveltyRates(df, "doc_id", "text", "source",
+        threshold = 0.95, numHashes = 16, bands = 4)
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    // srcA: 1 and 3 both cross-link to 2 → 2/2 linked, novelty 0
+    assert(got("srcA") === ((2L, 2L, 0.0)))
+    // srcB: 2 links, 4 is novel → 1/2 linked, novelty 0.5
+    assert(got("srcB") === ((2L, 1L, 0.5)))
+  }
+
   test("collapseNearDupsBy keeps the best-score member per cluster, ties to low id") {
     import spark.implicits._
     val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("idA", "idB")
