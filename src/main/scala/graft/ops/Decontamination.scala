@@ -33,10 +33,27 @@ object Decontamination {
     */
   def contaminationScores(corpus: DataFrame, bench: DataFrame,
       idCol: String, textCol: String, n: Int = 8,
-      minOverlap: Int = 1): DataFrame = {
-    val benchShingles = bench
+      minOverlap: Int = 1): DataFrame =
+    contaminationScoresWithShingles(corpus,
+      benchShingles(bench, textCol, n), idCol, textCol, n, minOverlap)
+
+  /** The benchmark's distinct shingle set — the steady-state asset of a
+    * continuously-running decontamination gate: compute (and persist)
+    * it once, pass it to [[contaminationScoresWithShingles]] for every
+    * batch, so the eval set is never re-shingled per probe.
+    */
+  def benchShingles(bench: DataFrame, textCol: String, n: Int): DataFrame =
+    bench
       .select(explode(Dedup.shingles(col(textCol), n)).as("__sh"))
       .distinct()
+
+  /** [[contaminationScores]] against a PRECOMPUTED (usually persisted)
+    * benchmark shingle set — one column `__sh`, eval-set-sized, always
+    * the broadcast side.
+    */
+  def contaminationScoresWithShingles(corpus: DataFrame,
+      benchShingles: DataFrame, idCol: String, textCol: String,
+      n: Int = 8, minOverlap: Int = 1): DataFrame = {
     val corpusShingles = Dedup.spread(corpus)
       .select(col(idCol), Dedup.shingles(col(textCol), n).as("__shs"))
       .select(col(idCol), size(col("__shs")).cast("long").as("n_shingles"),

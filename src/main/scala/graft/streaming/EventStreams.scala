@@ -480,6 +480,50 @@ object EventStreams {
       .start()
   }
 
+  /** Streaming decontamination gate: each micro-batch drops documents
+    * sharing at least `minOverlap` distinct word `n`-gram shingles with
+    * the static benchmark set at `benchDir`, appending only clean
+    * documents to `outDir` — the streaming composition of
+    * [[graft.ops.Decontamination.contaminationScores]], run in FRONT of
+    * a training corpus so contaminated content never lands.
+    *
+    * Steady-state shape: the benchmark shingle set is computed ONCE at
+    * stream start, persisted (it is eval-set-sized — the broadcast side
+    * of every batch's join), and reused by every micro-batch via
+    * [[graft.ops.Decontamination.contaminationScoresWithShingles]] —
+    * per-batch work is the batch's own shingling plus a broadcast join,
+    * independent of stream age and benchmark re-reads. The persist
+    * lives for the query's lifetime (eval-set-sized driver+executor
+    * memory).
+    */
+  def ingestDecontaminated(spark: SparkSession, schema: StructType,
+      inDir: String, benchDir: String, outDir: String,
+      checkpointDir: String, idCol: String, textCol: String, n: Int = 3,
+      minOverlap: Int = 1, maxFilesPerTrigger: Int = 16,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    import graft.ops.Decontamination
+    import org.apache.spark.sql.functions.col
+    val shingles = Decontamination
+      .benchShingles(spark.read.parquet(benchDir), textCol, n)
+      .persist()
+    shingles.count() // materialize once, before the first batch
+    spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(inDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val flagged = Decontamination.contaminationScoresWithShingles(
+            batch, shingles, idCol, textCol, n, minOverlap)
+          .select(col(idCol))
+        batch.join(flagged, Seq(idCol), "left_anti")
+          .write.mode("append").parquet(outDir)
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .start()
+  }
+
   /** Run a streaming DataFrame to completion against a memory sink and
     * return the materialized result (hermetic local testing; complete
     * mode for aggregations).

@@ -317,6 +317,38 @@ class StreamingSpec extends SparkSuite {
     assert(ids() === s1 + 22L)
   }
 
+  test("ingestDecontaminated drops bench-overlapping docs across batches, once-computed shingles") {
+    import spark.implicits._
+    val in = tmp("decon-in")
+    val bench = tmp("decon-bench") + "/data"
+    val out = tmp("decon-out") + "/data"
+    val ckpt = tmp("decon-ckpt")
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "doc_id LONG, text STRING")
+    Seq((900L, "leaked question about the meaning of life"))
+      .toDF("doc_id", "text").write.mode("overwrite").parquet(bench)
+    def run(): Unit = graft.streaming.EventStreams
+      .ingestDecontaminated(spark, schema, in, bench, out, ckpt,
+        "doc_id", "text", n = 3)
+      .awaitTermination()
+    def ids(): Set[Long] =
+      spark.read.parquet(out).select($"doc_id")
+        .collect().map(_.getLong(0)).toSet
+
+    // two files → two micro-batches in one run; each batch carries one
+    // contaminated doc (a 3-gram shared with the bench) and one clean
+    Seq(
+      (1L, "some leaked question about nothing in particular"), // "leaked question about" → flagged
+      (2L, "entirely original content with fresh words"))
+      .toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(in)
+    Seq(
+      (3L, "pondering the meaning of life daily"),              // "the meaning of" → flagged
+      (4L, "another clean document nothing shared here"))
+      .toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(in)
+    run()
+    assert(ids() === Set(2L, 4L))
+  }
+
   test("ingestNearDupKeyed matches ingestNearDup and keeps the key table current") {
     import spark.implicits._
     val in = tmp("keyed-in")
