@@ -248,6 +248,31 @@ object CorpusQueries {
       .orderBy($"doc_id")
   }
 
+  /** Length-bucketed batching profile: documents grouped by the binary
+    * magnitude of their token count (bucket = bit-length of n_tokens —
+    * exact integer arithmetic via `bin()`, never a float log2 whose
+    * exact-power-of-two boundaries could flip cross-engine), with the
+    * padding waste a pad-to-bucket-max batching strategy would pay —
+    * the report that sizes sequence-length buckets for dynamic
+    * batching. Narrow scan + a bucket-count-sized aggregate.
+    */
+  private def q96(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select($"doc_id",
+        TextAnalysis.tokenCount($"text").cast("long").as("n"))
+      .withColumn("bucket", length(bin($"n")).cast("int"))
+      .groupBy($"bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"n").as("sum_tokens"),
+        max($"n").as("max_tokens"))
+      .select($"bucket", $"n_docs", $"sum_tokens", $"max_tokens",
+        ($"n_docs" * $"max_tokens" - $"sum_tokens").as("padded_waste"),
+        ($"sum_tokens".cast("double") / ($"n_docs" * $"max_tokens"))
+          .as("fill_rate"))
+      .orderBy($"bucket")
+  }
+
   /** Vocab-coverage QA: every document's OOV rate against the corpus's
     * own top-100 vocabulary (deterministic (tf desc, token) cut).
     */
@@ -266,6 +291,7 @@ object CorpusQueries {
     "q87b_lm_score_logprob" -> (q87b _),
     "q88_oov_rate" -> (q88 _),
     "q89_ccnet_pipeline" -> (q89 _),
+    "q96_length_buckets" -> (q96 _),
     "q64b_column_profile_approx" -> (q64b _),
     "q67b_incremental_neardup_xxh64" -> (q67b _),
     "q75_bpe_merges" -> (q75 _),
@@ -350,6 +376,20 @@ object CorpusQueries {
         |       n_bigrams, n_oov
         |FROM surv WHERE rn = 1
         |ORDER BY doc_id""".stripMargin,
+    // bit-length bucket via bin() string length — exact integers on
+    // both engines; fill_rate is one exact int-division double
+    "q96_length_buckets" ->
+      """WITH t AS (SELECT doc_id,
+        |             CAST(len(string_split_regex(trim(text), ' +')) AS BIGINT) AS n
+        |           FROM documents),
+        |b AS (SELECT CAST(length(bin(n)) AS INTEGER) AS bucket, n FROM t)
+        |SELECT bucket,
+        |       CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(n) AS BIGINT) AS sum_tokens,
+        |       CAST(max(n) AS BIGINT) AS max_tokens,
+        |       CAST(count(*) * max(n) - sum(n) AS BIGINT) AS padded_waste,
+        |       CAST(sum(n) AS DOUBLE) / (count(*) * max(n)) AS fill_rate
+        |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin,
     "q88_oov_rate" ->
       """WITH t AS (SELECT doc_id, unnest(string_split_regex(trim(text), ' +')) AS token
         |           FROM documents),
