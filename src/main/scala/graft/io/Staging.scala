@@ -62,6 +62,114 @@ object Staging {
       .toDF()
   }
 
+  /** Explode every `*.tar` under `dir` (recursively) into one row per
+    * file entry — the WebDataset shard format multimodal training data
+    * ships in (a 100 TB image/audio corpus is tar shards of paired
+    * files, not zips). Same scale shape as [[zipEntries]]: one
+    * `binaryFile` row per shard, entries exploded per-partition,
+    * nothing leaves the executor that scanned it.
+    *
+    * Parser: POSIX ustar 512-byte headers read sequentially (name +
+    * ustar prefix field for long paths, octal or GNU base-256 sizes,
+    * checksum-verified), GNU 'L' long-name extensions honored, pax
+    * extended-header records ('x'/'g') and directory entries skipped.
+    * No external tar dependency — the JDK ships none.
+    */
+  def tarEntries(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.tar")
+      .option("recursiveFileLookup", true)
+      .load(dir)
+      .select("path", "content").as[(String, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (path, bytes) => parseTar(path, bytes) }
+      }
+      .toDF()
+  }
+
+  /** WebDataset sample grouping: tar entries whose names share a stem
+    * (`dir/sample.jpg` + `dir/sample.json` + `dir/sample.cls` form ONE
+    * training sample) regrouped as `(archive, sample, files: ext →
+    * bytes)` — the unit a multimodal training loader consumes. One
+    * shuffle on (archive, sample); samples are few-file-sized, so the
+    * map never grows beyond a sample's own members.
+    */
+  def webdatasetSamples(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val entries = tarEntries(spark, dir)
+    val withStem = entries
+      .withColumn("__dot", instr(reverse(col("entry")), "."))
+      .where(col("__dot") > 0) // extension-less members can't pair
+      .withColumn("sample",
+        expr("substring(entry, 1, length(entry) - __dot)"))
+      .withColumn("ext", lower(
+        expr("substring(entry, length(entry) - __dot + 2, __dot - 1)")))
+    withStem
+      .groupBy(col("archive"), col("sample"))
+      .agg(map_from_entries(collect_list(struct(col("ext"), col("content"))))
+        .as("files"))
+  }
+
+  private[graft] def parseTar(archive: String,
+      bytes: Array[Byte]): Iterator[ZipEntryRow] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[ZipEntryRow]
+    var off = 0
+    var pendingLongName: Option[String] = None
+    def cstr(start: Int, len: Int): String = {
+      var end = start
+      val stop = start + len
+      while (end < stop && bytes(end) != 0) end += 1
+      new String(bytes, start, end - start, "UTF-8")
+    }
+    def num(start: Int, len: Int): Long = {
+      // GNU base-256 (high bit of first byte set) or octal C-string
+      if ((bytes(start) & 0x80) != 0) {
+        var v = (bytes(start) & 0x7f).toLong
+        var i = start + 1
+        while (i < start + len) { v = (v << 8) | (bytes(i) & 0xff); i += 1 }
+        v
+      } else {
+        val s = cstr(start, len).trim
+        if (s.isEmpty) 0L else java.lang.Long.parseLong(s, 8)
+      }
+    }
+    while (off + 512 <= bytes.length && bytes(off) != 0) {
+      val size = num(off + 124, 12)
+      val typeflag = bytes(off + 156).toChar
+      // header checksum: bytes summed with the checksum field as spaces
+      val stored = num(off + 148, 8)
+      var sum = 0L
+      var i = 0
+      while (i < 512) {
+        sum += (if (i >= 148 && i < 156) ' '.toInt else bytes(off + i) & 0xff)
+        i += 1
+      }
+      require(sum == stored,
+        s"tar header checksum mismatch at offset $off in $archive")
+      val dataLen = ((size + 511) / 512 * 512).toInt
+      val name = pendingLongName.getOrElse {
+        val base = cstr(off, 100)
+        val prefix = cstr(off + 345, 155) // ustar long-path prefix
+        if (prefix.nonEmpty) s"$prefix/$base" else base
+      }
+      pendingLongName = None
+      typeflag match {
+        case 'L' => // GNU long name: data block holds the real name
+          pendingLongName =
+            Some(new String(bytes, off + 512, size.toInt, "UTF-8")
+              .takeWhile(_ != 0))
+        case c if c == '0' || c == 0.toChar => // regular file (old tars use NUL)
+          val content = java.util.Arrays.copyOfRange(
+            bytes, off + 512, off + 512 + size.toInt)
+          out += ZipEntryRow(archive, name, size, content)
+        case _ => () // directories, pax headers, links: skip data
+      }
+      off += 512 + dataLen
+    }
+    out.iterator
+  }
+
   /** Reject archive member names that would write outside the extraction
     * root (zip-slip): absolute paths, drive-letter paths, and any `..`
     * traversal that escapes the root. Downloaded CI artifacts are not

@@ -142,6 +142,91 @@ class StagingSpec extends SparkSuite {
       Paths.get(s"$work/out2/runB/r1/p.txt"))) === "b")
   }
 
+  // minimal ustar writer: the JDK ships no tar support, so the fixture
+  // is built header-by-header (name, octal size, checksum, typeflag)
+  private def tarBytes(entries: Seq[(String, Array[Byte], Char)]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    entries.foreach { case (name, data, typeflag) =>
+      val h = new Array[Byte](512)
+      val nb = name.getBytes("UTF-8")
+      System.arraycopy(nb, 0, h, 0, math.min(nb.length, 100))
+      def oct(v: Long, off: Int, len: Int): Unit = {
+        val s = java.lang.Long.toOctalString(v)
+        val b = ((("0" * (len - 1 - s.length)) + s) + 0.toChar).getBytes("US-ASCII")
+        System.arraycopy(b, 0, h, off, b.length)
+      }
+      oct(420, 100, 8); oct(0, 108, 8); oct(0, 116, 8)
+      oct(data.length.toLong, 124, 12); oct(0, 136, 12)
+      h(156) = typeflag.toByte
+      System.arraycopy(("ustar" + 0.toChar + "00").getBytes("US-ASCII"), 0, h, 257, 8)
+      java.util.Arrays.fill(h, 148, 156, ' '.toByte)
+      val sum = h.map(_ & 0xff).sum.toLong
+      val cs = java.lang.Long.toOctalString(sum)
+      val csb = ((("0" * (6 - cs.length)) + cs) + 0.toChar + " ").getBytes("US-ASCII")
+      System.arraycopy(csb, 0, h, 148, 8)
+      out.write(h)
+      out.write(data)
+      out.write(new Array[Byte]((512 - data.length % 512) % 512))
+    }
+    out.write(new Array[Byte](1024)) // end-of-archive zero blocks
+    out.toByteArray
+  }
+
+  test("tarEntries parses ustar shards; webdatasetSamples pairs by stem") {
+    import spark.implicits._
+    val work = Files.createTempDirectory("graft-tar")
+    val longName = "deeply/nested/webdataset/sample-with-a-very-long-key-0001.json"
+    Files.write(Paths.get(s"$work/shard0.tar"), tarBytes(Seq(
+      ("s1.jpg", Array[Byte](1, 2, 3), '0'),
+      ("s1.json", """{"label": 7}""".getBytes, '0'),
+      ("somedir/", Array.emptyByteArray, '5'),          // directory: skipped
+      ("s2.jpg", Array[Byte](9, 8, 7, 6), '0'),
+      ("s2.json", """{"label": 1}""".getBytes, '0'),
+      ("README", "no extension".getBytes, '0'),         // unpaired, no ext
+      ("././@LongLink", (longName + 0.toChar).getBytes, 'L'), // GNU long name
+      ("ignored-short-name", "pix".getBytes, '0'))))    // gets longName
+
+    val entries = Staging.tarEntries(spark, work.toString)
+      .select($"entry", $"size").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(entries === Map(
+      "s1.jpg" -> 3L, "s1.json" -> 12L, "s2.jpg" -> 4L, "s2.json" -> 12L,
+      "README" -> 12L, longName -> 3L))
+
+    val samples = Staging.webdatasetSamples(spark, work.toString)
+      .select($"sample", $"files").collect()
+      .map(r => r.getString(0) ->
+        r.getMap[String, Array[Byte]](1).toMap.map { case (k, v) => k -> v.length })
+      .toMap
+    // README (no extension) is excluded; the long-name json forms its
+    // own single-file sample under the full nested stem
+    assert(samples.keySet === Set("s1", "s2",
+      longName.stripSuffix(".json")))
+    assert(samples("s1") === Map("jpg" -> 3, "json" -> 12))
+    assert(samples("s2") === Map("jpg" -> 4, "json" -> 12))
+    assert(samples(longName.stripSuffix(".json")) === Map("json" -> 3))
+  }
+
+  test("tarEntries reads a GNU-tar-created archive when one is present") {
+    // belt-and-braces vs the hand-built fixture: if the host has `tar`,
+    // parse its real output too (skipped silently where unavailable)
+    val work = Files.createTempDirectory("graft-realtar")
+    Files.createDirectories(Paths.get(s"$work/d"))
+    Files.write(Paths.get(s"$work/d/a.jpg"), "hello".getBytes)
+    Files.write(Paths.get(s"$work/d/a.json"), """{"l":1}""".getBytes)
+    val rc = try new ProcessBuilder("tar", "-cf", s"$work/real.tar", "-C",
+        work.toString, "d").inheritIO().start().waitFor()
+      catch { case _: java.io.IOException => -1 }
+    if (rc == 0) {
+      val entries = Staging.tarEntries(spark, work.toString)
+        .collect().map(r => r.getString(1) -> r.getLong(2)).toMap
+      assert(entries === Map("d/a.jpg" -> 5L, "d/a.json" -> 7L))
+      val samples = Staging.webdatasetSamples(spark, work.toString)
+        .collect().map(r => r.getString(1)).toSet
+      assert(samples === Set("d/a"))
+    }
+  }
+
   test("stamped retention keys on name-encoded run times, keeps unstamped") {
     val root = Files.createTempDirectory("graft-retain3")
     val day = 24L * 3600 * 1000
