@@ -110,6 +110,45 @@ class MultimodalSpec extends SparkSuite {
     assert(rows(3).getAs[Int]("width") === stub4.width)
   }
 
+  test("WebDataset tar shard → sample map → real image decode, end to end") {
+    import spark.implicits._
+    import graft.io.Staging
+    // the multimodal LOAD path a training job runs: tar shards of
+    // (stem.jpg + stem.json) pairs → stem-grouped samples → asset frame
+    // → the real JDK codec, all executor-side
+    def png(w: Int, h: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      img.setRGB(w / 2, h / 2, 0xff8040)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val work = java.nio.file.Files.createTempDirectory("graft-wds")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$work/shard0.tar"),
+      TarFixtures.tarBytes(Seq(
+        ("000001.jpg", png(9, 4), '0'),
+        ("000001.json", """{"label": "cat"}""".getBytes, '0'),
+        ("000002.jpg", png(5, 7), '0'),
+        ("000002.json", """{"label": "dog"}""".getBytes, '0'))))
+    val samples = Staging.webdatasetSamples(spark, work.toString)
+    val assets = samples.select(
+      expr("CAST(sample AS LONG)").as("asset_id"),
+      lit("image").as("kind"),
+      col("files")("jpg").as("payload"))
+    val rows = Multimodal.decode(assets, Multimodal.ImageIoDecoder)
+      .orderBy($"asset_id").collect()
+    assert(rows.length === 2)
+    assert((rows(0).getAs[Int]("width"), rows(0).getAs[Int]("height")) === ((9, 4)))
+    assert((rows(1).getAs[Int]("width"), rows(1).getAs[Int]("height")) === ((5, 7)))
+    // the paired metadata rides the same sample map
+    val labels = samples
+      .select(col("sample"), decode(col("files")("json"), "UTF-8").as("meta"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(labels("000001").contains("cat") && labels("000002").contains("dog"))
+  }
+
   test("JdkMediaDecoder decodes WAV fixtures and routes kinds to the right codec") {
     import spark.implicits._
     import javax.sound.sampled.{AudioFormat, AudioInputStream, AudioSystem}

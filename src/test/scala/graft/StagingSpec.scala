@@ -142,41 +142,11 @@ class StagingSpec extends SparkSuite {
       Paths.get(s"$work/out2/runB/r1/p.txt"))) === "b")
   }
 
-  // minimal ustar writer: the JDK ships no tar support, so the fixture
-  // is built header-by-header (name, octal size, checksum, typeflag)
-  private def tarBytes(entries: Seq[(String, Array[Byte], Char)]): Array[Byte] = {
-    val out = new java.io.ByteArrayOutputStream()
-    entries.foreach { case (name, data, typeflag) =>
-      val h = new Array[Byte](512)
-      val nb = name.getBytes("UTF-8")
-      System.arraycopy(nb, 0, h, 0, math.min(nb.length, 100))
-      def oct(v: Long, off: Int, len: Int): Unit = {
-        val s = java.lang.Long.toOctalString(v)
-        val b = ((("0" * (len - 1 - s.length)) + s) + 0.toChar).getBytes("US-ASCII")
-        System.arraycopy(b, 0, h, off, b.length)
-      }
-      oct(420, 100, 8); oct(0, 108, 8); oct(0, 116, 8)
-      oct(data.length.toLong, 124, 12); oct(0, 136, 12)
-      h(156) = typeflag.toByte
-      System.arraycopy(("ustar" + 0.toChar + "00").getBytes("US-ASCII"), 0, h, 257, 8)
-      java.util.Arrays.fill(h, 148, 156, ' '.toByte)
-      val sum = h.map(_ & 0xff).sum.toLong
-      val cs = java.lang.Long.toOctalString(sum)
-      val csb = ((("0" * (6 - cs.length)) + cs) + 0.toChar + " ").getBytes("US-ASCII")
-      System.arraycopy(csb, 0, h, 148, 8)
-      out.write(h)
-      out.write(data)
-      out.write(new Array[Byte]((512 - data.length % 512) % 512))
-    }
-    out.write(new Array[Byte](1024)) // end-of-archive zero blocks
-    out.toByteArray
-  }
-
   test("tarEntries parses ustar shards; webdatasetSamples pairs by stem") {
     import spark.implicits._
     val work = Files.createTempDirectory("graft-tar")
     val longName = "deeply/nested/webdataset/sample-with-a-very-long-key-0001.json"
-    Files.write(Paths.get(s"$work/shard0.tar"), tarBytes(Seq(
+    Files.write(Paths.get(s"$work/shard0.tar"), TarFixtures.tarBytes(Seq(
       ("s1.jpg", Array[Byte](1, 2, 3), '0'),
       ("s1.json", """{"label": 7}""".getBytes, '0'),
       ("somedir/", Array.emptyByteArray, '5'),          // directory: skipped
