@@ -90,6 +90,28 @@ object Statistics {
       .orderBy(col("file"))
   }
 
+  /** Physical-layout health report: parquet files of `dir` bucketed by
+    * the binary magnitude of their byte size — the dashboard that
+    * detects the "7 files of 3 TB next to 40k files of 2 MB" layout
+    * pathology [[graft.io.Layouts.writeSizedShards]] exists to prevent
+    * (downstream scan parallelism and task skew are set by this
+    * distribution). Pure FS metadata, O(files), no data scan; file
+    * counts are small enough that the report is computed driver-side
+    * like the other FS-census helpers here.
+    *
+    * @return (bucket = bit-length of byte size, n_files, total_bytes,
+    *         min_bytes, max_bytes), bucket-sorted
+    */
+  def fileSizeProfile(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Seq[(Int, Long, Long, Long, Long)] =
+    listParquetFiles(spark, dir)
+      .groupBy { case (_, len) => 64 - java.lang.Long.numberOfLeadingZeros(math.max(len, 1L)) }
+      .map { case (bucket, files) =>
+        val sizes = files.map(_._2)
+        (bucket, sizes.length.toLong, sizes.sum, sizes.min, sizes.max)
+      }
+      .toSeq.sortBy(_._1)
+
   /** A9 file variant (aggregator.yml:124-128): the largest parquet per
     * segment, where a segment is an immediate child directory of `dir`.
     * Pure FS metadata — O(files).

@@ -134,6 +134,18 @@ class LayoutsSpec extends SparkSuite {
     assert(perFile.forall(_ <= 1000L), perFile.mkString(","))
     // the hard cap forces ≥ 11 files; skew must not concentrate rows
     assert(perFile.length >= 11, perFile.length.toString)
+
+    // the layout-health report sees the same census: counts reconcile
+    // with the FS listing and every bucket's min/max bound its sizes
+    val profile = graft.agg.Statistics.fileSizeProfile(spark, dir)
+    val files = graft.agg.Statistics.listParquetFiles(spark, dir)
+    assert(profile.map(_._2).sum === files.length.toLong)
+    assert(profile.map(_._3).sum === files.map(_._2).sum)
+    profile.foreach { case (bucket, n, total, mn, mx) =>
+      assert(n > 0 && mn <= mx && total >= mx && mn > 0)
+      assert(64 - java.lang.Long.numberOfLeadingZeros(mn) === bucket)
+      assert(64 - java.lang.Long.numberOfLeadingZeros(mx) === bucket)
+    }
   }
 
   test("hive-partitioned write prunes directories on an equality predicate") {
