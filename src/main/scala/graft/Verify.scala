@@ -3,11 +3,11 @@ import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare.
   *
-  * Each query dir also gets a `digest.json` — per-column row counts,
+  * Each query dir also gets a `_digest.json` — per-column row counts,
   * min/max, and an order-independent md5-sum fingerprint of the WRITTEN
   * parquet. Purpose: when the driver's hash gate fails while the local
   * oracle emulation passes (an environment-dependent value, the
-  * round-3/4 q87 class), diffing the driver environment's digest.json
+  * round-3/4 q87 class), diffing the driver environment's _digest.json
   * against a local one names the offending column and its value range
   * from artifacts alone — no access to the driver machine needed.
   * `tools/check_oracle.py --diff-digests dirA dirB` does the diff.
@@ -51,7 +51,12 @@ object Verify {
         s""""max":${js(row.get(base + 2))},""" +
         s""""hsum":${js(row.get(base + 3))}}"""
     }.mkString("{", ",", "}")
-    Files.writeString(Paths.get(s"$dir/digest.json"),
+    // The digest lives INSIDE the parquet dir the driver reads via
+    // pyarrow ds.dataset(dir); only `_`/`.`-prefixed filenames are
+    // ignored by dataset discovery (same rule that lets Spark's own
+    // _SUCCESS marker pass). A bare `digest.json` here zeroed every
+    // round-5 correctness entry — keep the underscore.
+    Files.writeString(Paths.get(s"$dir/_digest.json"),
       s"""{"rows":${row.getLong(0)},"columns":$cols}""")
   }
 

@@ -11,18 +11,25 @@ On mismatch, EVERY differing column is reported with its differing-row
 count and (for numerics) max abs delta, and a machine-readable
 oracle_report.json lands in outDir.
 
---diff-digests compares the digest.json files Verify writes into two
+--diff-digests compares the _digest.json files Verify writes into two
 output trees (e.g. the driver environment's vs a local run's): any
 query/column whose row count, min/max, or order-independent hsum
 fingerprint differs is named — the diagnosis path when the driver's
 hash gate disagrees with the local oracle emulation.
 Dev tool only — not part of the Scala library.
 """
-import sys, os, json, glob
+import sys, os, json
 import duckdb
+import pyarrow.dataset as ds
 
 def load_spark_result(con, qdir):
-    files = glob.glob(os.path.join(qdir, "*.parquet"))
+    # Discover files the way the DRIVER does — pyarrow dataset discovery
+    # over the query DIRECTORY (which inspects every file not prefixed
+    # with `_`/`.`). A stray non-parquet file in the dir must fail HERE,
+    # locally, before it ships: round 5's digest.json sat invisible to a
+    # *.parquet glob and zeroed all 102 driver correctness entries.
+    dset = ds.dataset(qdir, format="parquet")
+    files = list(dset.files)
     if not files:
         return None
     return con.execute(f"SELECT * FROM read_parquet({files!r})").fetchdf()
@@ -46,7 +53,13 @@ def main(outdir, sfdir):
         qdir = os.path.join(outdir, name)
         if not os.path.isdir(qdir):
             continue
-        got = load_spark_result(con, qdir)
+        try:
+            got = load_spark_result(con, qdir)
+        except Exception as ex:
+            print(f"FAIL {name}: driver-style dir read failed: {ex}")
+            n_fail += 1
+            report[name] = {"status": "fail", "dir_read_error": str(ex)}
+            continue
         if got is None:
             print(f"FAIL {name}: no spark output"); n_fail += 1; continue
         if name not in oracle:
@@ -110,13 +123,18 @@ def diff_digests(dira, dirb):
     order-independent hsum fingerprint."""
     n_diff = 0
     names = sorted(set(os.listdir(dira)) | set(os.listdir(dirb)))
+    def digest_path(d, name):
+        # _digest.json since round 6; fall back to the round-5 name so
+        # old trees stay diffable.
+        p = os.path.join(d, name, "_digest.json")
+        return p if os.path.exists(p) else os.path.join(d, name, "digest.json")
     for name in names:
-        pa, pb = (os.path.join(d, name, "digest.json") for d in (dira, dirb))
+        pa, pb = (digest_path(d, name) for d in (dira, dirb))
         if not (os.path.isdir(os.path.join(dira, name))
                 or os.path.isdir(os.path.join(dirb, name))):
             continue
         if not os.path.exists(pa) or not os.path.exists(pb):
-            print(f"DIFF {name}: digest.json only in "
+            print(f"DIFF {name}: _digest.json only in "
                   f"{'B' if not os.path.exists(pa) else 'A'}")
             n_diff += 1
             continue
