@@ -71,41 +71,86 @@ object Staging {
     *
     * Parser: POSIX ustar 512-byte headers read sequentially (name +
     * ustar prefix field for long paths, octal or GNU base-256 sizes,
-    * checksum-verified), GNU 'L' long-name extensions honored, pax
-    * extended-header records ('x'/'g') and directory entries skipped.
-    * No external tar dependency — the JDK ships none.
+    * checksum-verified), GNU 'L' long-name extensions and pax ('x')
+    * `path=` records honored (bsdtar and Python tarfile emit pax by
+    * default, so >100-char paths arrive that way), pax 'g' globals and
+    * directory entries skipped. No external tar dependency — the JDK
+    * ships none.
     */
-  def tarEntries(spark: SparkSession, dir: String): DataFrame = {
+  def tarEntries(spark: SparkSession, dir: String,
+      maxShardBytes: Long = MaxShardBytes): DataFrame =
+    tarEntriesOrdered(spark, dir, maxShardBytes).drop("ord")
+
+  /** Largest shard a single `binaryFile` row can hold: the JVM array
+    * ceiling (minus slack). WebDataset shards are conventionally ~1 GiB,
+    * well inside it; a mis-packed multi-TB "shard" must fail the listing
+    * check below with a clear message, never an executor OOM.
+    */
+  val MaxShardBytes: Long = Int.MaxValue.toLong - 512
+
+  /** [[tarEntries]] plus a per-archive member ordinal in tar order —
+    * the tie-breaker duplicate member names need (duplicates are legal
+    * in tar; last occurrence wins on extraction, like every tar tool).
+    */
+  private[graft] def tarEntriesOrdered(spark: SparkSession, dir: String,
+      maxShardBytes: Long): DataFrame = {
     import spark.implicits._
-    spark.read.format("binaryFile")
+    import org.apache.spark.sql.functions.col
+    val shards = spark.read.format("binaryFile")
       .option("pathGlobFilter", "*.tar")
       .option("recursiveFileLookup", true)
       .load(dir)
-      .select("path", "content").as[(String, Array[Byte])]
+    // size guard BEFORE any content is read: selecting path+length only
+    // prunes the content column, so this is a metadata listing, O(files)
+    val cap = math.min(maxShardBytes, MaxShardBytes)
+    val oversized = shards.select("path", "length")
+      .where(col("length") > cap).limit(3)
+      .collect()
+    require(oversized.isEmpty,
+      s"tar shard(s) exceed the $cap-byte single-task limit (WebDataset " +
+        "shards are conventionally ~1 GiB; repack oversized shards): " +
+        oversized.map(r => s"${r.getString(0)} (${r.getLong(1)} B)")
+          .mkString(", "))
+    shards.select("path", "content").as[(String, Array[Byte])]
       .mapPartitions { rows =>
-        rows.flatMap { case (path, bytes) => parseTar(path, bytes) }
+        rows.flatMap { case (path, bytes) =>
+          parseTar(path, bytes).zipWithIndex.map { case (e, i) =>
+            (e.archive, e.entry, i.toLong, e.size, e.content)
+          }
+        }
       }
-      .toDF()
+      .toDF("archive", "entry", "ord", "size", "content")
   }
 
   /** WebDataset sample grouping: tar entries whose names share a stem
     * (`dir/sample.jpg` + `dir/sample.json` + `dir/sample.cls` form ONE
     * training sample) regrouped as `(archive, sample, files: ext →
-    * bytes)` — the unit a multimodal training loader consumes. One
-    * shuffle on (archive, sample); samples are few-file-sized, so the
+    * bytes)` — the unit a multimodal training loader consumes. Shuffles
+    * on (archive, sample[, ext]); samples are few-file-sized, so the
     * map never grows beyond a sample's own members.
     */
   def webdatasetSamples(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions._
-    val entries = tarEntries(spark, dir)
-    val withStem = entries
-      .withColumn("__dot", instr(reverse(col("entry")), "."))
-      .where(col("__dot") > 0) // extension-less members can't pair
-      .withColumn("sample",
-        expr("substring(entry, 1, length(entry) - __dot)"))
-      .withColumn("ext", lower(
-        expr("substring(entry, length(entry) - __dot + 2, __dot - 1)")))
-    withStem
+    // WebDataset convention: the stem/extension split is at the FIRST
+    // dot of the BASENAME — "dir/sample.seg.png" pairs with
+    // "dir/sample.json" under stem "dir/sample" (ext "seg.png"). A
+    // last-dot split would scatter multi-part extensions into different
+    // samples, and a dotted directory ("dir.v2/README") would donate a
+    // bogus ext containing '/'. Basenames with no dot cannot pair.
+    // ext is [^/]+ — NOT .+ — or backtracking would let a dotted
+    // directory match ("dir.v2/README" → stem "dir", ext "v2/readme")
+    val split = "^((?:[^/]*/)*[^/.]+)\\.([^/]+)$"
+    val entries = tarEntriesOrdered(spark, dir, MaxShardBytes)
+      .withColumn("sample", regexp_extract(col("entry"), split, 1))
+      .withColumn("ext", lower(regexp_extract(col("entry"), split, 2)))
+      .where(col("sample") =!= "") // no-dot basenames: unpaired, dropped
+    // duplicate member names are legal in tar; map_from_entries throws
+    // on duplicate keys (default EXCEPTION dedup policy), failing the
+    // whole job for one re-packed shard — keep the last tar occurrence
+    // per (archive, sample, ext) first, like extraction would
+    entries
+      .groupBy(col("archive"), col("sample"), col("ext"))
+      .agg(max_by(col("content"), col("ord")).as("content"))
       .groupBy(col("archive"), col("sample"))
       .agg(map_from_entries(collect_list(struct(col("ext"), col("content"))))
         .as("files"))
@@ -121,6 +166,32 @@ object Staging {
       val stop = start + len
       while (end < stop && bytes(end) != 0) end += 1
       new String(bytes, start, end - start, "UTF-8")
+    }
+    // pax extended-header data: records are "<len> <key>=<value>\n"
+    // where <len> counts the WHOLE record in bytes (length digits,
+    // space, and trailing newline included); values are UTF-8, so all
+    // offsets stay byte-based. Only the path record matters here —
+    // skipping it would silently fall back to the truncated 100-char
+    // ustar name and mispair WebDataset samples with no error.
+    def paxPath(start: Int, len: Int): Option[String] = {
+      var p = start
+      val stop = start + len
+      var path: Option[String] = None
+      while (p < stop) {
+        var sp = p
+        while (sp < stop && bytes(sp) != ' ') sp += 1
+        require(sp < stop, s"malformed pax record at offset $p in $archive")
+        val recLen = java.lang.Integer.parseInt(
+          new String(bytes, p, sp - p, "US-ASCII").trim)
+        require(recLen > 0 && p + recLen <= stop,
+          s"malformed pax record length $recLen at offset $p in $archive")
+        val rec = new String(bytes, sp + 1, p + recLen - sp - 2, "UTF-8")
+        val eq = rec.indexOf('=')
+        if (eq >= 0 && rec.substring(0, eq) == "path")
+          path = Some(rec.substring(eq + 1))
+        p += recLen
+      }
+      path
     }
     def num(start: Int, len: Int): Long = {
       // GNU base-256 (high bit of first byte set) or octal C-string
@@ -159,11 +230,16 @@ object Staging {
           pendingLongName =
             Some(new String(bytes, off + 512, size.toInt, "UTF-8")
               .takeWhile(_ != 0))
+        case 'x' => // pax extended header: its path record names the NEXT
+          // entry, overriding the (possibly truncated) ustar name —
+          // same pending-name mechanism as the GNU 'L' case
+          paxPath(off + 512, size.toInt)
+            .foreach(p => pendingLongName = Some(p))
         case c if c == '0' || c == 0.toChar => // regular file (old tars use NUL)
           val content = java.util.Arrays.copyOfRange(
             bytes, off + 512, off + 512 + size.toInt)
           out += ZipEntryRow(archive, name, size, content)
-        case _ => () // directories, pax headers, links: skip data
+        case _ => () // directories, pax globals, links: skip data
       }
       off += 512 + dataLen
     }

@@ -177,6 +177,82 @@ class StagingSpec extends SparkSuite {
     assert(samples(longName.stripSuffix(".json")) === Map("json" -> 3))
   }
 
+  test("webdatasetSamples splits at the first dot of the basename") {
+    import spark.implicits._
+    val work = Files.createTempDirectory("graft-tar-dots")
+    Files.write(Paths.get(s"$work/shard0.tar"), TarFixtures.tarBytes(Seq(
+      ("d/s1.jpg", Array[Byte](1, 2), '0'),
+      ("d/s1.seg.png", Array[Byte](3, 4, 5), '0'), // multi-part extension
+      ("d/s1.json", """{"l":1}""".getBytes, '0'),
+      ("dir.v2/README", "no dot in basename".getBytes, '0'), // dotted DIR
+      ("d/.hidden", "leading dot".getBytes, '0')))) // empty stem: unpaired
+    val samples = Staging.webdatasetSamples(spark, work.toString)
+      .select($"sample", $"files").collect()
+      .map(r => r.getString(0) ->
+        r.getMap[String, Array[Byte]](1).toMap.map { case (k, v) => k -> v.length })
+      .toMap
+    // the last-dot split scattered s1.seg.png into a phantom "d/s1.seg"
+    // sample and gave dir.v2/README a bogus "v2/readme" extension
+    assert(samples.keySet === Set("d/s1"))
+    assert(samples("d/s1") ===
+      Map("jpg" -> 2, "seg.png" -> 3, "json" -> 7))
+  }
+
+  test("parseTar applies pax extended-header path records") {
+    import spark.implicits._
+    val work = Files.createTempDirectory("graft-tar-pax")
+    // pax record: "<len> path=<value>\n" with <len> counting the whole
+    // record — the self-referential length needs a fixed point
+    val longPath = "deep/" + ("p" * 110) + "/sample-0001.json"
+    def record(key: String, value: String): String = {
+      val body = s" $key=$value\n"
+      var len = body.length // digits not counted yet
+      while (s"$len$body".length != len) len = s"$len$body".length
+      s"$len$body"
+    }
+    val pax = (record("mtime", "1700000000.0") +
+      record("path", longPath)).getBytes("UTF-8")
+    Files.write(Paths.get(s"$work/shard0.tar"), TarFixtures.tarBytes(Seq(
+      ("PaxHeaders.0/sample-0001.json", pax, 'x'),
+      ("deep/truncated-fallback-name", """{"l":9}""".getBytes, '0'),
+      ("plain.txt", "after".getBytes, '0')))) // pax must not leak forward
+    val entries = Staging.tarEntries(spark, work.toString)
+      .select($"entry", $"size").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(entries === Map(longPath -> 7L, "plain.txt" -> 5L))
+  }
+
+  test("duplicate tar member names keep the last occurrence per sample") {
+    import spark.implicits._
+    val work = Files.createTempDirectory("graft-tar-dup")
+    // duplicate names are legal in tar (append/update); extraction is
+    // last-wins — map_from_entries alone would throw EXCEPTION here
+    Files.write(Paths.get(s"$work/shard0.tar"), TarFixtures.tarBytes(Seq(
+      ("s1.json", """{"v":"stale"}""".getBytes, '0'),
+      ("s1.jpg", Array[Byte](1), '0'),
+      ("s1.json", """{"v":"fresh"}""".getBytes, '0'))))
+    val samples = Staging.webdatasetSamples(spark, work.toString)
+      .select($"sample", $"files").collect()
+      .map(r => r.getString(0) -> r.getMap[String, Array[Byte]](1).toMap)
+      .toMap
+    assert(samples.keySet === Set("s1"))
+    assert(new String(samples("s1")("json")) === """{"v":"fresh"}""")
+    assert(samples("s1")("jpg").toSeq === Seq[Byte](1))
+  }
+
+  test("tarEntries rejects shards over the size cap before reading content") {
+    val work = Files.createTempDirectory("graft-tar-big")
+    Files.write(Paths.get(s"$work/shard0.tar"), TarFixtures.tarBytes(Seq(
+      ("s1.json", ("x" * 2000).getBytes, '0'))))
+    val e = intercept[IllegalArgumentException] {
+      Staging.tarEntries(spark, work.toString, maxShardBytes = 1024L).collect()
+    }
+    assert(e.getMessage.contains("shard0.tar"))
+    assert(e.getMessage.contains("repack"))
+    // at the default cap the same shard reads fine
+    assert(Staging.tarEntries(spark, work.toString).count() === 1L)
+  }
+
   test("tarEntries reads a GNU-tar-created archive when one is present") {
     // belt-and-braces vs the hand-built fixture: if the host has `tar`,
     // parse its real output too (skipped silently where unavailable)
@@ -194,6 +270,24 @@ class StagingSpec extends SparkSuite {
       val samples = Staging.webdatasetSamples(spark, work.toString)
         .collect().map(r => r.getString(1)).toSet
       assert(samples === Set("d/a"))
+    }
+  }
+
+  test("tarEntries reads a real pax-format tar with >100-char paths") {
+    // bsdtar and Python tarfile default to pax; GNU tar needs the flag.
+    // Skipped silently where tar is unavailable, like the GNU test.
+    val work = Files.createTempDirectory("graft-paxtar")
+    val deep = "d/" + ("n" * 120)
+    Files.createDirectories(Paths.get(s"$work/$deep"))
+    Files.write(Paths.get(s"$work/$deep/a.json"), """{"l":1}""".getBytes)
+    val rc = try new ProcessBuilder("tar", "--format=pax", "-cf",
+        s"$work/real.tar", "-C", work.toString, "d").inheritIO().start().waitFor()
+      catch { case _: java.io.IOException => -1 }
+    if (rc == 0) {
+      val entries = Staging.tarEntries(spark, work.toString)
+        .collect().map(r => r.getString(1) -> r.getLong(2)).toMap
+      // without pax path records this read back the 100-char truncation
+      assert(entries === Map(s"$deep/a.json" -> 7L))
     }
   }
 
