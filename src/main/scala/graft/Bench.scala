@@ -254,9 +254,11 @@ object Bench {
       // keys on every probe — the corpus-proportional term the stored-key
       // twin below removes. Round 4 measured 18.5× growth at 20×; after
       // round 5's distinct-candidate verification (kernels once per
-      // candidate doc, never per corpus row) and 16/4 banding this
-      // measures ~4.6× inline vs ~1.1× stored-key — the steady-state
-      // corpus-independence claim, as numbers.
+      // candidate doc, never per corpus row) and 16/4 banding the inline
+      // growth has measured 2.9–4.6× across runs vs ~1× stored-key (r5
+      // shipped 2.9×/0.95×) — the steady-state corpus-independence
+      // claim, as numbers; run-to-run spread comes from JIT/cache warmth,
+      // so compare the growth RATIO, not absolutes, across rounds.
       // 16/4 banding (r=4), not the loose-threshold 16/8 default: at a
       // 0.95 threshold r=2 floods verification with J≈0.3 junk
       // candidates (the SCALE.md band-geometry rule; q67 measured −57%)
@@ -343,7 +345,12 @@ object Bench {
             spark.read.parquet(s"$base/corpus"), "doc_id", "text",
             numHashes = 16, bands = 4)
           .write.mode("overwrite").parquet(s"$base/keys")
-        docs.select((col("doc_id") + lit(900000000L)).as("doc_id"),
+        // streamed ids must be disjoint from EVERY replica's id space:
+        // replica k shifts by k*100000000, so an offset of 9e8 collided
+        // with replica k=9 in the R× run (duplicate doc_ids appended to
+        // the scratch corpus) while the 1× run had none — an asymmetry
+        // in the measured growth. 1e10 clears any replica count ≤ 100.
+        docs.select((col("doc_id") + lit(10000000000L)).as("doc_id"),
             col("text"))
           .repartition(32).write.mode("overwrite").parquet(s"$base/in")
         val schema = spark.read.parquet(s"$base/in").schema
