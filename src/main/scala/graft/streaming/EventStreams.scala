@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, StreamingQueryListener, Trigger}
 import org.apache.spark.sql.types.StructType
 
 /** Structured-Streaming surfaces (SURVEY.md §2.10).
@@ -494,7 +494,9 @@ object EventStreams {
     * per-batch work is the batch's own shingling plus a broadcast join,
     * independent of stream age and benchmark re-reads. The persist
     * lives for the query's lifetime (eval-set-sized driver+executor
-    * memory).
+    * memory) and is released by a termination listener when the query
+    * ends — repeated gate launches in a long-lived session must not
+    * accumulate leaked cached storage.
     */
   def ingestDecontaminated(spark: SparkSession, schema: StructType,
       inDir: String, benchDir: String, outDir: String,
@@ -507,7 +509,7 @@ object EventStreams {
       .benchShingles(spark.read.parquet(benchDir), textCol, n)
       .persist()
     shingles.count() // materialize once, before the first batch
-    spark.readStream.schema(schema)
+    val query = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .parquet(inDir)
       .writeStream
@@ -522,6 +524,28 @@ object EventStreams {
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .start()
+    val release = new StreamingQueryListener {
+      override def onQueryStarted(
+          e: StreamingQueryListener.QueryStartedEvent): Unit = ()
+      override def onQueryProgress(
+          e: StreamingQueryListener.QueryProgressEvent): Unit = ()
+      override def onQueryTerminated(
+          e: StreamingQueryListener.QueryTerminatedEvent): Unit =
+        if (e.id == query.id) {
+          shingles.unpersist(blocking = false)
+          spark.streams.removeListener(this)
+        }
+    }
+    spark.streams.addListener(release)
+    // an AvailableNow query over an empty input can terminate before the
+    // listener registers; the terminated event would then be missed.
+    // unpersist/removeListener are idempotent, so the double-fire race
+    // the other way is harmless.
+    if (!query.isActive) {
+      shingles.unpersist(blocking = false)
+      spark.streams.removeListener(release)
+    }
+    query
   }
 
   /** Run a streaming DataFrame to completion against a memory sink and

@@ -345,8 +345,22 @@ class StreamingSpec extends SparkSuite {
       (3L, "pondering the meaning of life daily"),              // "the meaning of" → flagged
       (4L, "another clean document nothing shared here"))
       .toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(in)
+    val cachedBefore = spark.sparkContext.getPersistentRDDs.keySet
     run()
     assert(ids() === Set(2L, 4L))
+
+    // the once-computed shingle cache must not outlive its query —
+    // repeated gate launches in a long-lived session would otherwise
+    // accumulate leaked cached storage. The listener unpersists async
+    // (listener bus + non-blocking unpersist), so poll briefly; compare
+    // against the pre-run snapshot (the context may hold other caches).
+    def leaked(): Set[Int] =
+      (spark.sparkContext.getPersistentRDDs.keySet -- cachedBefore).toSet
+    val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+    while (leaked().nonEmpty && System.nanoTime() < deadline)
+      Thread.sleep(100)
+    assert(leaked().isEmpty,
+      "shingle cache leaked after query termination")
   }
 
   test("ingestNearDupKeyed matches ingestNearDup and keeps the key table current") {
