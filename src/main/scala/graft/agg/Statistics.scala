@@ -232,7 +232,8 @@ object Statistics {
     */
   def markdownReport(stats: GlobalStats, histogram: Seq[(String, Long)],
       filesCombined: Long,
-      fileStats: Seq[(String, Long, Long)] = Nil): String = {
+      fileStats: Seq[(String, Long, Long)] = Nil,
+      sizeProfile: Seq[(Int, Long, Long, Long, Long)] = Nil): String = {
     val rows = histogram.map { case (k, v) =>
       s"| ${Option(k).getOrElse("(unknown)")} | $v |" }.mkString("\n")
     val fileSection =
@@ -240,6 +241,25 @@ object Statistics {
       else fileStats.map { case (f, n, b) => s"| $f | $n | $b |" }
         .mkString("\n## Files\n\n| File | Records | Bytes |\n|---|---|---|\n",
           "\n", "\n")
+    // layout health ([[fileSizeProfile]] buckets): scan throughput at
+    // 100 TB dies on small files (per-file open/footer overhead), so the
+    // report a user reads after every aggregation flags them
+    val layoutSection =
+      if (sizeProfile.isEmpty) ""
+      else {
+        val body = sizeProfile.map { case (bucket, n, total, mn, mx) =>
+          s"| < 2^$bucket B | $n | $total | $mn | $mx |"
+        }.mkString("\n")
+        val small = sizeProfile.collect {
+          case (bucket, n, _, _, _) if bucket <= 24 => n // < 16 MiB
+        }.sum
+        val warn =
+          if (small == 0) ""
+          else s"\n\n**⚠ $small file(s) under 16 MiB** — compact small " +
+            "shards (coalesce/rewrite) before large-scale scans."
+        s"\n## Parquet layout\n\n| Size bucket | Files | Total bytes | " +
+          s"Min | Max |\n|---|---|---|---|---|\n$body$warn\n"
+      }
     // Dynamic table rows are substituted AFTER stripMargin: interpolating
     // them into the margin template would let stripMargin eat the leading
     // '|' of every row beyond the first (it is the margin character).
@@ -256,8 +276,9 @@ object Statistics {
        || Media type | Count |
        ||---|---|
        |@@ROWS@@
-       |@@FILES@@""".stripMargin
+       |@@FILES@@@@LAYOUT@@""".stripMargin
       .replace("@@ROWS@@", rows)
       .replace("@@FILES@@", fileSection)
+      .replace("@@LAYOUT@@", layoutSection)
   }
 }

@@ -180,7 +180,11 @@ object Pipelines {
       Sinks.writeText(s"$outDir/statistics.json",
         Statistics.statsJson(stats, histogram, files.size.toLong))
       Sinks.writeText(s"$outDir/aggregation_summary.md",
-        Statistics.markdownReport(stats, histogram, files.size.toLong, fileStats))
+        Statistics.markdownReport(stats, histogram, files.size.toLong,
+          fileStats,
+          // layout health rides the same FS-metadata census — no extra
+          // data scan; the small-file warning lands where a user looks
+          sizeProfile = Statistics.fileSizeProfile(spark, shardsDir)))
       stats
     }
   }

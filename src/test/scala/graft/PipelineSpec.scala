@@ -105,6 +105,11 @@ class PipelineSpec extends SparkSuite {
     val md = Files.readString(java.nio.file.Paths.get(s"$out/agg/aggregation_summary.md"))
     assert(md.contains("## Files"))
     assert(md.contains("| File | Records | Bytes |"))
+    // the layout health check runs where a user would see it: the test
+    // shards are tiny, so the small-file warning must fire in the report
+    assert(md.contains("## Parquet layout"))
+    assert(md.contains("| Size bucket | Files | Total bytes | Min | Max |"))
+    assert(md.contains("under 16 MiB"))
     // every table line must keep its leading pipe (stripMargin once ate
     // the margin '|' of interpolated rows, breaking the markdown tables)
     val tableLines = md.linesIterator.filter(_.contains(" | ")).toSeq
