@@ -112,6 +112,38 @@ object Packing {
     (result, pin)
   }
 
+  /** Carve the packed corpus into dataloader rows: one row per
+    * (sequence, document) overlap — which token span of which document
+    * fills fixed-`budget` sequence `seq_id`. This is the table a
+    * training dataloader consumes after [[packSequences]] assigns
+    * intervals: documents spanning boundaries appear once per sequence
+    * they touch, and each sequence's rows tile its `budget` tokens
+    * exactly (except the corpus tail). Zero-token documents occupy no
+    * span and are dropped.
+    *
+    * Scale: the per-document explode factor is its own sequence span
+    * (`n_tokens/budget + 2`), so the output is corpus-token-
+    * proportional — the same order as the training data itself — and
+    * the explode is narrow: no shuffle beyond [[packSequences]]'s
+    * prefix sum.
+    *
+    * @return `seq_id, idCol, doc_from, seg_len` where `doc_from` is the
+    *         0-based token offset inside the document and `seg_len` the
+    *         tokens the document contributes to `seq_id`
+    */
+  def carveExamples(df: DataFrame, idCol: String, textCol: String,
+      budget: Long): DataFrame = {
+    val segStart = greatest(col("start_offset"), col("seq_id") * budget)
+    packSequences(df, idCol, textCol, budget)
+      .where(col("n_tokens") > 0)
+      .select(col(idCol), col("n_tokens"), col("start_offset"),
+        explode(expr("sequence(seq_first, seq_last)")).as("seq_id"))
+      .select(col("seq_id"), col(idCol),
+        (segStart - col("start_offset")).as("doc_from"),
+        (least(col("start_offset") + col("n_tokens"),
+          (col("seq_id") + 1) * budget) - segStart).as("seg_len"))
+  }
+
   /** Greedy token-budget selection: documents taken in (`scoreCol`
     * desc, `idCol` asc) order while the cumulative token count BEFORE
     * each document stays under `budgetTokens` — "the best N tokens of

@@ -33,6 +33,18 @@ object CorpusQueries {
       .orderBy($"doc_id")
   }
 
+  /** The q61 packing carved into dataloader rows: one row per
+    * (sequence, document) overlap with the document's in-sequence token
+    * span — the fixed-length example table a trainer reads. Every
+    * 512-token sequence's rows tile it exactly; boundary-spanning
+    * documents appear in each sequence they touch.
+    */
+  private def q97(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Packing.carveExamples(Tables.documents(s, dir), "doc_id", "text", 512L)
+      .orderBy($"seq_id", $"doc_id")
+  }
+
   /** Incremental ingest dedup: docs with doc_id ≡ 0 (mod 3) arrive as
     * the new batch; the rest are the existing corpus. Batch survivors =
     * first-in-batch content not already in the corpus.
@@ -298,6 +310,7 @@ object CorpusQueries {
     "q76_bpe_segment" -> (q76 _),
     "q60_vocab_topk" -> (q60 _),
     "q61_sequence_packing" -> (q61 _),
+    "q97_example_carve" -> (q97 _),
     "q62_incremental_dedup" -> (q62 _),
     "q63_quality_quantile" -> (q63 _),
     "q64_column_profile" -> (q64 _),
@@ -468,6 +481,23 @@ object CorpusQueries {
         |SELECT doc_id, n AS n_tokens, s AS start_offset,
         |       s // 512 AS seq_first, (s + n - 1) // 512 AS seq_last
         |FROM c ORDER BY doc_id""".stripMargin,
+    // q61's prefix-sum CTEs exploded per touched sequence: each row is a
+    // document's token span inside one fixed-512 sequence
+    "q97_example_carve" ->
+      """WITH t AS (SELECT doc_id,
+        |             CAST(len(string_split_regex(trim(text), ' +')) AS BIGINT) AS n
+        |           FROM documents),
+        |c AS (SELECT doc_id, n,
+        |        CAST(COALESCE(sum(n) OVER (ORDER BY doc_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS s
+        |      FROM t),
+        |e AS (SELECT doc_id, n, s,
+        |        unnest(generate_series(s // 512, (s + n - 1) // 512)) AS seq_id
+        |      FROM c WHERE n > 0)
+        |SELECT seq_id, doc_id,
+        |       GREATEST(s, seq_id * 512) - s AS doc_from,
+        |       LEAST(s + n, (seq_id + 1) * 512) - GREATEST(s, seq_id * 512) AS seg_len
+        |FROM e ORDER BY seq_id, doc_id""".stripMargin,
     "q80_incremental_dedup_bloom" ->
       """WITH b AS (SELECT doc_id, lang, n_chars, md5(text) AS fp,
         |             row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn

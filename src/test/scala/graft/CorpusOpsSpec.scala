@@ -57,6 +57,35 @@ class CorpusOpsSpec extends SparkSuite {
       (50L, 1L, 14L, 3L, 3L)))
   }
 
+  test("carveExamples tiles every sequence and splits boundary-spanning docs") {
+    import spark.implicits._
+    // same corpus as the prefix-sum test: starts 0, 4, 6, 9, 14 at budget 4
+    val df = Seq(
+      (10L, "t t t t"),
+      (20L, "t t"),
+      (30L, "t t t"),
+      (40L, "t t t t t"),
+      (50L, "t")).toDF("doc_id", "text")
+    val out = Packing.carveExamples(df, "doc_id", "text", budget = 4L)
+      .orderBy($"seq_id", $"doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq === Seq(
+      (0L, 10L, 0L, 4L),          // doc 10 fills seq 0 exactly
+      (1L, 20L, 0L, 2L),          // seq 1 = all of 20 + first 2 of 30
+      (1L, 30L, 0L, 2L),
+      (2L, 30L, 2L, 1L),          // seq 2 = tail of 30 + head of 40
+      (2L, 40L, 0L, 3L),
+      (3L, 40L, 3L, 2L),          // seq 3 (tail) = rest of 40 + doc 50
+      (3L, 50L, 0L, 1L)))
+    // every full sequence's segments sum to the budget; doc spans are
+    // contiguous and complete
+    val bynSeq = out.groupBy(_._1).view.mapValues(_.map(_._4).sum).toMap
+    assert(bynSeq === Map(0L -> 4L, 1L -> 4L, 2L -> 4L, 3L -> 3L))
+    val byDoc = out.groupBy(_._2).view
+      .mapValues(segs => segs.map(_._4).sum).toMap
+    assert(byDoc === Map(10L -> 4L, 20L -> 2L, 30L -> 3L, 40L -> 5L, 50L -> 1L))
+  }
+
   test("packSequences is invariant under input partitioning") {
     import spark.implicits._
     val docs = Tables.documents(spark, sfDir)

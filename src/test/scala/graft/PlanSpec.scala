@@ -117,6 +117,21 @@ class PlanSpec extends SparkSuite {
       .findFirstIn(p).isDefined, p)
   }
 
+  test("q97: example carve adds only a narrow explode over q61's plan") {
+    val df = SparkEntry.queries("q97_example_carve")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    // the sequence explode is a Generate with no exchange after it
+    // (ignoring the final orderBy's range exchange): the carve must not
+    // re-shuffle the corpus-token-sized output
+    assert(p.contains("Generate"), p)
+    assert("""windowspecdefinition\(__pid#\d+, doc_id#\d+""".r
+      .findFirstIn(p).isDefined, p)
+    // prefix-sum plan (≤3 exchanges: range partition, offset agg, sort)
+    // — the explode itself adds none
+    assert(countNodes(p.split("== Initial Plan ==")(0), "Exchange") <= 3, p)
+  }
+
   test("q64: column profile is a single scan of lineitem") {
     val p = formatted("q64_column_profile")
     // count detail-section nodes ("(1) Scan parquet"), not tree lines —
