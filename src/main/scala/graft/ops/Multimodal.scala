@@ -171,6 +171,37 @@ object Multimodal {
       .toDF()
   }
 
+  /** Perceptual near-duplicate images: decoded feature vectors (16-bin
+    * luma histograms under [[ImageIoDecoder]]; md5-derived under the
+    * stub) fed straight into the embedding near-dup engine — re-encodes
+    * and resizes of the same image land in the same histogram
+    * neighborhood, which exact byte dedup misses. Pure composition: the
+    * decode `mapPartitions` stage feeds
+    * [[Similarity.cosineNearDupPairs]] unchanged. Exact-quadratic
+    * verify — use [[imageNearDupsBucketed]] at corpus scale.
+    *
+    * @return `idA, idB, cosine` pairs with cosine > `threshold`
+    */
+  def imageNearDups(assets: DataFrame, threshold: Double,
+      decoder: Decoder = JdkMediaDecoder): DataFrame =
+    Similarity.cosineNearDupPairs(
+      decode(assets.where(col("kind") === "image"), decoder)
+        .select(col("asset_id"), col("feature")),
+      "asset_id", "feature", threshold)
+
+  /** Scale path of [[imageNearDups]]: sign-LSH-bucketed candidates with
+    * exact cosine verification and capped buckets — the plan that
+    * survives 100 TB of image shards (candidate-proportional, never
+    * all-pairs).
+    */
+  def imageNearDupsBucketed(assets: DataFrame, threshold: Double,
+      planesPerBand: Int = 8, bands: Int = 4,
+      decoder: Decoder = JdkMediaDecoder): DataFrame =
+    Similarity.cosineNearDupPairsBucketed(
+      decode(assets.where(col("kind") === "image"), decoder)
+        .select(col("asset_id"), col("feature")),
+      "asset_id", "feature", threshold, planesPerBand, bands)
+
   /** Resize: recompute features at a target resolution. With the stub this
     * just rescales the fake dimensions; the contract (same schema out,
     * narrow stage) is what a real resampler must satisfy.

@@ -90,11 +90,30 @@ object MultimodalQueries {
       .orderBy($"kind")
   }
 
+  /** Perceptual image near-dup over the decoded features. Stub-decoded
+    * (the oracle-checked basis, like q40): DuckDB rebuilds the full
+    * 16-dim md5-derived feature vector per image asset and the exact
+    * pair cosines — identical byte-exact doubles (byte/256 is exact in
+    * both engines; the dot/norm fold matches q31's proven parity).
+    * Real-codec histograms get spec coverage in `MultimodalSpec`.
+    */
+  private def q98(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // 0.93 keeps a real pair population flowing through the gate (md5
+    // features have no planted duplicates; ≥0.98 matches nothing at
+    // sf0.01, which would make the hash compare vacuous)
+    Multimodal.imageNearDups(
+        assets(s, dir).withColumnRenamed("doc_id", "asset_id"),
+        threshold = 0.93, decoder = Multimodal.StubDecoder)
+      .orderBy($"idA", $"idB")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q37_media_meta" -> (q37 _),
     "q38_frame_stats" -> (q38 _),
     "q39_frame_sample" -> (q39 _),
-    "q40_decoded_features" -> (q40 _))
+    "q40_decoded_features" -> (q40 _),
+    "q98_image_neardup" -> (q98 _))
 
   val oracles: Map[String, String] = Map(
     "q37_media_meta" ->
@@ -148,5 +167,20 @@ object MultimodalQueries {
         |       CAST(max(h % 1920 + 1) AS INTEGER) AS max_width,
         |       CAST(max(CASE WHEN kind = 'audio' THEN 2 ELSE 3 END) AS INTEGER) AS max_channels,
         |       CAST(sum(b0) AS BIGINT) AS f0_byte_sum
-        |FROM a GROUP BY kind ORDER BY kind""".stripMargin)
+        |FROM a GROUP BY kind ORDER BY kind""".stripMargin,
+    // the stub's full 16-dim feature vector rebuilt from md5(text)
+    // (feature[i] = digest byte i / 256, exact in float AND double),
+    // then q31's exact-cosine pair technique over the image assets
+    "q98_image_neardup" ->
+      """WITH f AS (
+        |  SELECT doc_id AS asset_id,
+        |         list_transform(range(0, 16),
+        |           i -> ('0x' || substr(md5(text), CAST(2 * i + 1 AS INTEGER), 2))::BIGINT / 256.0) AS v
+        |  FROM documents WHERE doc_id % 3 = 0)
+        |SELECT a.asset_id AS idA, b.asset_id AS idB,
+        |       list_cosine_similarity(a.v::DOUBLE[], b.v::DOUBLE[]) AS cosine
+        |FROM f a, f b
+        |WHERE a.asset_id < b.asset_id
+        |  AND list_cosine_similarity(a.v::DOUBLE[], b.v::DOUBLE[]) > 0.93
+        |ORDER BY idA, idB""".stripMargin)
 }

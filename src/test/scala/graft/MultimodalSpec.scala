@@ -149,6 +149,37 @@ class MultimodalSpec extends SparkSuite {
     assert(labels("000001").contains("cat") && labels("000002").contains("dog"))
   }
 
+  test("imageNearDups finds perceptual duplicates exact byte dedup misses") {
+    import spark.implicits._
+    // one dark image with a single orange pixel, re-rendered at a
+    // different size (different BYTES, near-identical luma histogram),
+    // plus an all-white image — the perceptual pair must link, the
+    // white image must not; both paths (exact + bucketed) agree
+    def png(w: Int, h: Int, bg: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, bg)
+      img.setRGB(w / 2, h / 2, 0xff8040)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val assets = Seq(
+      (1L, "image", png(16, 16, 0x000000)),
+      (2L, "image", png(32, 32, 0x000000)), // re-render, different bytes
+      (3L, "image", png(16, 16, 0xffffff)), // all-white: different histogram
+      (4L, "audio", Array[Byte](1, 2, 3)))  // non-image: excluded
+      .toDF("asset_id", "kind", "payload")
+    assert(assets.where($"kind" === "image").select(md5($"payload"))
+      .distinct().count() === 3L) // genuinely distinct bytes
+    val exact = Multimodal.imageNearDups(assets, threshold = 0.98)
+      .select($"idA", $"idB").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(exact.toSet === Set((1L, 2L)))
+    val bucketed = Multimodal.imageNearDupsBucketed(assets, threshold = 0.98)
+      .select($"idA", $"idB").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(bucketed.toSet === Set((1L, 2L)))
+  }
+
   test("JdkMediaDecoder decodes WAV fixtures and routes kinds to the right codec") {
     import spark.implicits._
     import javax.sound.sampled.{AudioFormat, AudioInputStream, AudioSystem}
