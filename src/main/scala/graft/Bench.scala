@@ -199,6 +199,14 @@ object Bench {
     if (!new java.io.File(s"$sfDir/documents.parquet").exists()) return ""
     import org.apache.spark.sql.functions._
     val r = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPLICAS", "20").toInt
+    // dev loop: SPARK_GRAFT_SCALE_FILTER=minhash,streaming times only
+    // matching cases (substring, like SPARK_GRAFT_BENCH_FILTER); the
+    // driver's per-round run leaves it unset and times everything
+    val caseFilters = sys.env.get("SPARK_GRAFT_SCALE_FILTER")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Seq.empty)
+    def caseWanted(name: String): Boolean =
+      caseFilters.isEmpty || caseFilters.exists(name.contains)
 
     val docs = Tables.documents(spark, sfDir)
     val emb = Tables.embeddings(spark, sfDir)
@@ -275,7 +283,7 @@ object Bench {
     }
     // 1× vs R× on identical scan shapes: the pair of timings per case IS
     // the scaling measurement (quadratic ops grow ~R², banded ops ~R·dup)
-    val timed = cases.map { case (name, fn) =>
+    val timed = cases.filter(c => caseWanted(c._1)).map { case (name, fn) =>
       val t1 = time(fn(docs, emb))
       val tr = time(fn(d, e))
       val growth = if (t1 > 0 && tr > 0) tr / t1 else -1.0
@@ -314,14 +322,14 @@ object Bench {
       dropTable(s"graft_scale_${name}_r")
       entry
     }
-    val keyedText = keyedCase("incremental_neardup_probe_keyed",
+    def keyedText = keyedCase("incremental_neardup_probe_keyed",
       Dedup.corpusBandKeys(docs, "doc_id", "text", numHashes = 16, bands = 4),
       Dedup.corpusBandKeys(d, "doc_id", "text", numHashes = 16, bands = 4),
       (keys, corpus) => Dedup.incrementalNearDupsWithKeys(
         docs, keys, corpus, "doc_id", "text", 0.95,
         numHashes = 16, bands = 4),
       d, docs)
-    val keyedVec = keyedCase("incremental_cosine_probe_keyed",
+    def keyedVec = keyedCase("incremental_cosine_probe_keyed",
       Similarity.corpusLshKeys(emb, "vec_id", "embedding",
         planesPerBand = 16, bands = 8),
       Similarity.corpusLshKeys(e, "vec_id", "embedding",
@@ -362,13 +370,18 @@ object Bench {
         (System.nanoTime() - t0) / 1e9
       } catch { case scala.util.control.NonFatal(_) => -1.0 }
     }
-    val streamJson = {
+    def streamJson = {
       val t1 = streamRun("1", docs)
       val tr = streamRun("r", d)
       val growth = if (t1 > 0 && tr > 0) tr / t1 else -1.0
       s""""streaming_ingest_keyed":{"x1":${fmt(t1)},"x$r":${fmt(tr)},"growth":${fmt(growth)}}"""
     }
-    val qs = (timed ++ Seq(keyedText, keyedVec, streamJson))
+    val lateCases = Seq(
+      "incremental_neardup_probe_keyed" -> (() => keyedText),
+      "incremental_cosine_probe_keyed" -> (() => keyedVec),
+      "streaming_ingest_keyed" -> (() => streamJson))
+    val qs = (timed ++
+        lateCases.collect { case (n, run) if caseWanted(n) => run() })
       .mkString("{", ",", "}")
     // count the materialized parquet (footer metadata), not the
     // replica-construction plans — docsN/embN would re-run the full
