@@ -273,13 +273,18 @@ object Bench {
       "incremental_neardup_probe" ->
         ((dv, _) => Dedup.incrementalNearDups(docs, dv, "doc_id", "text",
           0.95, numHashes = 16, bands = 4)))
-    // a failed case reports -1, never a bogus partial timing
+    // a failed case reports -1, never a bogus partial timing; the cause
+    // goes to stderr (never the JSON line) so a -1 is diagnosable from
+    // the run log instead of silently reading as "case broken, unknown"
     def time(df: => DataFrame): Double = {
       val t0 = System.nanoTime()
       try {
         df.write.format("noop").mode("overwrite").save()
         (System.nanoTime() - t0) / 1e9
-      } catch { case scala.util.control.NonFatal(_) => -1.0 }
+      } catch { case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[bench-scale] case failed: $e")
+        -1.0
+      }
     }
     // 1× vs R× on identical scan shapes: the pair of timings per case IS
     // the scaling measurement (quadratic ops grow ~R², banded ops ~R·dup)

@@ -95,6 +95,47 @@ object CapMetrics {
     df.where(keep(sizeCol.cast("long")))
   }
 
+  /** Corpus-scale form of [[cappedWhere]] for member tables grouped by
+    * `groupCols`: group sizes come from a map-side-combinable count
+    * aggregate, only the OVER-cap groups survive the filter (tallied
+    * there, exactly once per group), and the member table drops their
+    * rows through an anti-join on the same keys.
+    *
+    * Why not a `count().over(Window.partitionBy(groupCols))` on the
+    * member table: WindowExec sorts its exchange and buffers every
+    * partition's rows (`ExternalAppendOnlyUnsafeRowArray`) before
+    * emitting — with hot groups and wide parallelism the buffers
+    * exhausted the execution-memory pool (measured: the 20×-replica
+    * inline probe OOM'd in exactly this spot, two stacked cap windows ×
+    * 32 tasks). Here the member rows never shuffle for the cap at all:
+    * the count agg moves map-combined partials, its over-cap survivor
+    * set is at most (rows / cap) groups — the hot tail, usually a
+    * handful — and AQE turns the anti-join into a broadcast at runtime,
+    * so the cap costs one narrow agg plus a broadcast probe instead of
+    * a corpus-wide sort. (No broadcast hint: a pathological reject set —
+    * mass duplication across millions of keys — falls back to a shuffle
+    * join and stays correct.)
+    */
+  def cappedByCount(df: DataFrame, tag: String, groupCols: Seq[String],
+      cap: Int): DataFrame = {
+    val spark = df.sparkSession
+    install(spark)
+    val a = accs.computeIfAbsent((spark.sparkContext, tag), _ =>
+      Acc(spark.sparkContext.doubleAccumulator(s"graft.cap.$tag.groups"),
+        spark.sparkContext.longAccumulator(s"graft.cap.$tag.rows")))
+    val (groups, rows) = (a.groups, a.rows)
+    val overCap = udf { n: Long =>
+      val over = n > cap
+      if (over) { rows.add(n); groups.add(1.0) }
+      over
+    }.asNondeterministic()
+    val rejects = df.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("__n"))
+      .where(overCap(col("__n")))
+      .drop("__n")
+    df.join(rejects, groupCols, "left_anti")
+  }
+
   private def install(spark: org.apache.spark.sql.SparkSession): Unit = {
     if (!sessions.add(spark)) return
     spark.listenerManager.register(new QueryExecutionListener {

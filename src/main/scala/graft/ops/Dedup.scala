@@ -371,12 +371,9 @@ object Dedup {
   def corpusBandKeys(corpus: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 16, bands: Int = 8, maxBucket: Int = 10000,
       md5Basis: Boolean = false): DataFrame =
-    CapMetrics.cappedWhere(
-        bandedKeys(spread(corpus), idCol, textCol, numHashes, bands, md5Basis)
-          .withColumn("__n", count(lit(1)).over(
-            Window.partitionBy(col("band"), col("key")))),
-        "incremental_neardup_corpus", col("__n"), maxBucket,
-        memberRows = true)
+    CapMetrics.cappedByCount(
+        bandedKeys(spread(corpus), idCol, textCol, numHashes, bands, md5Basis),
+        "incremental_neardup_corpus", Seq("band", "key"), maxBucket)
       .select(col("__id").as(idCol), col("band"), col("key"))
 
   /** [[incrementalNearDups]] against a PRECOMPUTED (usually persisted
@@ -392,14 +389,12 @@ object Dedup {
     * an uncapped probe would let join fan-out grow with corpus age —
     * uncounted. The stored table is first SEMI-JOINED down to the
     * (band, key) set the batch actually probes (batch-sized, broadcast),
-    * so the re-cap window runs over the probed sliver — per-probe work
-    * independent of corpus size even on a plain (unbucketed) key table,
-    * where a whole-table window would be a corpus-sized shuffle every
-    * batch. The cap decision is unchanged: the semi-join keeps every
-    * member of a surviving key, so each probed bucket's count equals its
-    * count in the full table. On a (band, key)-bucketed table the
-    * window additionally needs no exchange at all (the scan's
-    * partitioning already satisfies it).
+    * so the re-cap ([[CapMetrics.cappedByCount]]: count agg + over-cap
+    * anti-join, never a buffering window) runs over the probed sliver —
+    * per-probe work independent of corpus size even on a plain
+    * (unbucketed) key table. The cap decision is unchanged: the
+    * semi-join keeps every member of a surviving key, so each probed
+    * bucket's count equals its count in the full table.
     */
   def incrementalNearDupsWithKeys(batch: DataFrame, corpusKeys: DataFrame,
       corpus: DataFrame, idCol: String, textCol: String, threshold: Double,
@@ -411,12 +406,8 @@ object Dedup {
     val probed = corpusKeys.join(
       broadcast(batchKeys.select(col("band"), col("key")).distinct()),
       Seq("band", "key"), "left_semi")
-    val cappedKeys = CapMetrics.cappedWhere(
-        probed.withColumn("__n", count(lit(1)).over(
-          Window.partitionBy(col("band"), col("key")))),
-        "incremental_neardup_corpus", col("__n"), maxBucket,
-        memberRows = true)
-      .drop("__n")
+    val cappedKeys = CapMetrics.cappedByCount(probed,
+      "incremental_neardup_corpus", Seq("band", "key"), maxBucket)
     val cands = batchKeys
       .join(cappedKeys.select(col(idCol).as("idB"), col("band"), col("key")),
         Seq("band", "key"))
@@ -810,11 +801,8 @@ object Dedup {
           b => call_function("shiftrightunsigned", col("__sh"), b * bits)
             .bitwiseAND(lit((1L << bits) - 1))))
           .as(Seq("band", "key")))
-    val capped = keyed
-      .withColumn("__n", count(lit(1)).over(
-        Window.partitionBy(col("band"), col("key"))))
-      .where(col("__n") <= maxBucket)
-      .drop("__n")
+    val capped = CapMetrics.cappedByCount(keyed,
+      "simhash_banded", Seq("band", "key"), maxBucket)
     val l = capped.select(col("band"), col("key"),
       col("__id").as("idA"), col("__sh").as("__sa"))
     val r = capped.select(col("band"), col("key"),

@@ -130,21 +130,20 @@ object Similarity {
       posexplode(graftFn("graft_lsh_bands", col(vecCol),
         lit(planesPerBand), lit(bands))).as(Seq("band", "key")))
     // Candidate pairs stream out of a codegen'd self-join on the bucket
-    // key (one shuffle of skinny (band, key, id) rows; the windowed cap
-    // rides the same exchange). An inline collect_list + nested-transform
-    // pair emission benchmarked ~2× slower here: Catalyst HOF lambdas
-    // interpret per element, and cosine buckets are many-and-shallow —
-    // unlike MinHash's few-and-deep buckets, where one pass beats a join.
-    // both self-join legs re-execute this filter, so a dropped bucket can
-    // tally twice (or once, when adaptive empty-propagation elides a
+    // key (one shuffle of skinny (band, key, id) rows; the count-agg cap
+    // rides the same exchange — see CapMetrics.cappedByCount for why a
+    // windowed cap is a memory hazard here). An inline collect_list +
+    // nested-transform pair emission benchmarked ~2× slower here:
+    // Catalyst HOF lambdas interpret per element, and cosine buckets are
+    // many-and-shallow — unlike MinHash's few-and-deep buckets, where
+    // one pass beats a join.
+    // both self-join legs re-execute the cap filter, so a dropped bucket
+    // can tally twice (or once, when adaptive empty-propagation elides a
     // leg) — an uncounted second leg is WORSE: AQE may materialize it
     // first and skip the counted leg entirely, silencing the alarm
     // (measured). At-least-once beats exactly-never.
-    val capped = CapMetrics.cappedWhere(
-        keyed.withColumn("__n", count(lit(1)).over(
-          org.apache.spark.sql.expressions.Window.partitionBy(col("band"), col("key")))),
-        "cosine_neardup_bucketed", col("__n"), maxBucket, memberRows = true)
-      .drop("__n")
+    val capped = CapMetrics.cappedByCount(keyed,
+      "cosine_neardup_bucketed", Seq("band", "key"), maxBucket)
     val cands = capped.select(col("band"), col("key"), col("__id").as("idA"))
       .join(capped.select(col("band"), col("key"), col("__id").as("idB")),
         Seq("band", "key"))
@@ -202,14 +201,11 @@ object Similarity {
   def corpusLshKeys(corpus: DataFrame, idCol: String, vecCol: String,
       planesPerBand: Int = 8, bands: Int = 4,
       maxBucket: Int = 10000): DataFrame =
-    CapMetrics.cappedWhere(
+    CapMetrics.cappedByCount(
         Dedup.spread(corpus).select(col(idCol),
-            posexplode(graftFn("graft_lsh_bands", col(vecCol),
-              lit(planesPerBand), lit(bands))).as(Seq("band", "key")))
-          .withColumn("__n", count(lit(1)).over(
-            org.apache.spark.sql.expressions.Window.partitionBy(col("band"), col("key")))),
-        "incremental_cosine_corpus", col("__n"), maxBucket,
-        memberRows = true)
+          posexplode(graftFn("graft_lsh_bands", col(vecCol),
+            lit(planesPerBand), lit(bands))).as(Seq("band", "key"))),
+        "incremental_cosine_corpus", Seq("band", "key"), maxBucket)
       .select(col(idCol), col("band"), col("key"))
 
   /** [[incrementalCosineNearDups]] against a PRECOMPUTED (usually
@@ -233,12 +229,8 @@ object Similarity {
     val probed = corpusKeys.join(
       broadcast(batchKeys.select(col("band"), col("key")).distinct()),
       Seq("band", "key"), "left_semi")
-    val cappedKeys = CapMetrics.cappedWhere(
-        probed.withColumn("__n", count(lit(1)).over(
-          org.apache.spark.sql.expressions.Window.partitionBy(col("band"), col("key")))),
-        "incremental_cosine_corpus", col("__n"), maxBucket,
-        memberRows = true)
-      .drop("__n")
+    val cappedKeys = CapMetrics.cappedByCount(probed,
+      "incremental_cosine_corpus", Seq("band", "key"), maxBucket)
     val cands = batchKeys
       .join(cappedKeys.select(col(idCol).as("idB"), col("band"), col("key")),
         Seq("band", "key"))
@@ -555,11 +547,8 @@ object Similarity {
         col(vecCol).as("__v"), l2Norm(col(vecCol)).as("__nm"))
     // counted on both self-join legs: once-or-twice per dropped cell
     // depending on adaptive planning — see cosineNearDupPairsBucketed
-    val capped = CapMetrics.cappedWhere(
-        assigned.withColumn("__c", count(lit(1)).over(
-          org.apache.spark.sql.expressions.Window.partitionBy(col("centroid_id")))),
-        "ivf_neardup_cells", col("__c"), maxCell, memberRows = true)
-      .drop("__c")
+    val capped = CapMetrics.cappedByCount(assigned,
+      "ivf_neardup_cells", Seq("centroid_id"), maxCell)
     val a = capped.select(col("centroid_id"), col("__id").as("idA"),
       col("__v").as("__va"), col("__nm").as("__na"))
     val b = capped.select(col("centroid_id"), col("__id").as("idB"),

@@ -73,6 +73,10 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
     assert(p.contains("graft_lsh_bands"), p)
     assert(p.contains("codegen id"), p)
+    // the bucket cap is an anti-join against the (tiny) over-cap key
+    // set, never a count-over-window: WindowExec buffers whole bucket
+    // partitions per task and OOM'd the 20×-replica probes (round 6)
+    assert(countNodes(p, "Window") === 0, p)
   }
 
   test("q56: benchmark shingle set broadcasts; corpus side never shuffles by shingle") {
