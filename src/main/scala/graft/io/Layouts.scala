@@ -54,6 +54,44 @@ object Layouts {
       .option("maxRecordsPerFile", maxRecordsPerFile)
       .parquet(dir)
 
+  /** Compact a parquet directory into files near `targetBytes` — the
+    * ACTION behind `Statistics.fileSizeProfile`'s small-file warning.
+    * The target file count comes from the directory's on-disk byte
+    * total (FS metadata, no data pass), then one rebalance-hinted
+    * write re-lays the data: AQE splits oversized and coalesces
+    * undersized post-shuffle partitions at runtime, so skewed inputs
+    * still land near the target without a counting job. Writes to
+    * `destDir` (never in place — the source stays readable until the
+    * caller swaps directories), preserving any Hive `col=value`
+    * subdirectory columns Spark surfaces on read.
+    *
+    * A 40k-small-file directory is a scheduler DoS at 100 TB scan time
+    * (one task per file, open/footer overhead dominating); compaction
+    * is the standing maintenance job that keeps scan parallelism set
+    * by data size, not by ingest batch boundaries.
+    *
+    * Sizing uses the source's on-disk (compressed) byte total, so a
+    * round-robin `repartition` to `ceil(total / targetBytes)`
+    * partitions lands files near `targetBytes` at similar re-written
+    * compression — unlike AQE's advisory partition size, which tracks
+    * in-memory shuffle bytes and over-shoots parquet files ~3-5×.
+    *
+    * @return the file count written (one per partition)
+    */
+  def compact(spark: org.apache.spark.sql.SparkSession, dir: String,
+      destDir: String, targetBytes: Long = 512L << 20): Int = {
+    require(targetBytes > 0, "targetBytes must be positive")
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val totalBytes = fs.getContentSummary(p).getLength
+    val files = math.max(1L,
+      (totalBytes + targetBytes - 1) / targetBytes).toInt
+    spark.read.parquet(dir)
+      .repartition(files)
+      .write.mode("overwrite").parquet(destDir)
+    files
+  }
+
   /** Hive-style directory partitioning (`dir/col=value/...`): the
     * layout for low-cardinality pruning columns (language, date,
     * source). Readers with an equality/IN predicate on `cols` touch

@@ -156,6 +156,137 @@ object Staging {
         .as("files"))
   }
 
+  /** Export `(sample, files: ext → bytes)` rows — [[webdatasetSamples]]'s
+    * shape — as POSIX-ustar tar shards under `outDir`: the WebDataset
+    * format training loaders stream, completing the round trip the
+    * reader above starts. Each task packs its partition into
+    * `shard-<partition>-<seq>.tar`, rolling to a new shard every
+    * `samplesPerShard` samples or when the next sample would push the
+    * shard past `maxShardBytes` — shard size stays bounded regardless
+    * of input partitioning, and a large export is embarrassingly
+    * parallel: sample bytes never move between executors, and the
+    * driver sees only shard counts. A sample's members are written
+    * contiguously in ext order (the adjacency streaming WebDataset
+    * readers rely on — they cut samples at stem boundaries). Headers
+    * are checksummed ustar with prefix-split long names and a fixed
+    * zero mtime, so identical input partitions produce byte-identical
+    * shards, and [[tarEntries]]/[[webdatasetSamples]] read them back
+    * verbatim.
+    *
+    * @return number of shards written
+    */
+  def writeWebDataset(samples: DataFrame, outDir: String,
+      samplesPerShard: Int = 1000,
+      maxShardBytes: Long = 1L << 30): Long = {
+    val spark = samples.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    require(samplesPerShard > 0, "samplesPerShard must be positive")
+    val confMap = spark.sessionState.newHadoopConf().asScala
+      .map(e => e.getKey -> e.getValue).toMap
+    val confBc = spark.sparkContext.broadcast(confMap)
+    val written = samples
+      .select(col("sample").cast("string"), col("files"))
+      .as[(String, Map[String, Array[Byte]])]
+      .mapPartitions { rows =>
+        val conf = new Configuration(false)
+        confBc.value.foreach { case (k, v) => conf.set(k, v) }
+        val root = new Path(outDir)
+        val fs = FileSystem.get(root.toUri, conf)
+        val part = org.apache.spark.TaskContext.getPartitionId()
+        var out: org.apache.hadoop.fs.FSDataOutputStream = null
+        var seq = 0
+        var inShard = 0
+        var shardBytes = 0L
+        var shards = 0L
+        def closeShard(): Unit = if (out != null) {
+          out.write(new Array[Byte](1024)) // two zero end-of-archive blocks
+          out.close()
+          out = null
+        }
+        def openShard(): Unit = {
+          out = fs.create(new Path(root, f"shard-$part%05d-$seq%04d.tar"), true)
+          seq += 1; inShard = 0; shardBytes = 0L; shards += 1
+        }
+        rows.foreach { case (sample, files) =>
+          val members = files.toSeq.sortBy(_._1)
+            .map { case (ext, bytes) => (s"$sample.$ext", bytes) }
+          val sampleBytes = members.iterator
+            .map { case (_, b) => 512L + (b.length + 511L) / 512 * 512 }.sum
+          // roll BETWEEN samples only — a sample never splits across
+          // shards (the WebDataset pairing contract)
+          if (out == null || inShard >= samplesPerShard ||
+              (inShard > 0 && shardBytes + sampleBytes + 1024 > maxShardBytes)) {
+            closeShard(); openShard()
+          }
+          members.foreach { case (name, bytes) =>
+            out.write(tarHeader(name, bytes.length.toLong))
+            out.write(bytes)
+            val pad = ((bytes.length + 511) / 512 * 512 - bytes.length).toInt
+            if (pad > 0) out.write(new Array[Byte](pad))
+          }
+          shardBytes += sampleBytes
+          inShard += 1
+        }
+        closeShard()
+        Iterator.single(shards)
+      }
+      .toDF("n")
+    written.agg(org.apache.spark.sql.functions.coalesce(
+        org.apache.spark.sql.functions.sum(col("n")),
+        org.apache.spark.sql.functions.lit(0L)))
+      .head().getLong(0)
+  }
+
+  /** One 512-byte POSIX-ustar header [[parseTar]] accepts back: octal
+    * C-string numerics, `ustar`+"00" magic, the checksum computed with
+    * its own field as spaces, and names over 100 bytes split at a '/'
+    * into the 155-byte prefix field. mtime is fixed at zero — shard
+    * bytes are a function of shard contents alone.
+    */
+  private[graft] def tarHeader(name: String, size: Long): Array[Byte] = {
+    val h = new Array[Byte](512)
+    def octal(v: Long, off: Int, len: Int): Unit = {
+      val s = java.lang.Long.toOctalString(v)
+      val digits = len - 1 // NUL-terminated
+      require(s.length <= digits, s"value $v overflows $digits octal digits")
+      val padded = "0" * (digits - s.length) + s
+      System.arraycopy(padded.getBytes("US-ASCII"), 0, h, off, digits)
+    }
+    val nameBytes = name.getBytes("UTF-8")
+    if (nameBytes.length <= 100) {
+      System.arraycopy(nameBytes, 0, h, 0, nameBytes.length)
+    } else {
+      // split at a '/' with suffix ≤ 100 and prefix ≤ 155; the reader
+      // rejoins them as "<prefix>/<suffix>"
+      val cut = (math.max(1, nameBytes.length - 101) to
+          math.min(155, nameBytes.length - 2))
+        .find(i => nameBytes(i) == '/')
+        .getOrElse(throw new IllegalArgumentException(
+          s"entry name too long for a ustar header (no viable '/' " +
+            s"split ≤155/≤100): $name"))
+      System.arraycopy(nameBytes, 0, h, 345, cut)
+      System.arraycopy(nameBytes, cut + 1, h, 0, nameBytes.length - cut - 1)
+    }
+    octal(0x1a4, 100, 8) // mode 0644
+    octal(0, 108, 8) // uid
+    octal(0, 116, 8) // gid
+    octal(size, 124, 12)
+    octal(0, 136, 12) // mtime: fixed for reproducible shards
+    h(156) = '0' // regular file
+    System.arraycopy("ustar".getBytes("US-ASCII"), 0, h, 257, 5)
+    h(263) = '0'; h(264) = '0' // version "00"
+    java.util.Arrays.fill(h, 148, 156, ' '.toByte)
+    var sum = 0L
+    var i = 0
+    while (i < 512) { sum += h(i) & 0xff; i += 1 }
+    val cs = java.lang.Long.toOctalString(sum)
+    System.arraycopy(("0" * (6 - cs.length) + cs).getBytes("US-ASCII"),
+      0, h, 148, 6)
+    h(154) = 0; h(155) = ' '
+    h
+  }
+
   private[graft] def parseTar(archive: String,
       bytes: Array[Byte]): Iterator[ZipEntryRow] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[ZipEntryRow]

@@ -240,6 +240,61 @@ class StagingSpec extends SparkSuite {
     assert(samples("s1")("jpg").toSeq === Seq[Byte](1))
   }
 
+  test("writeWebDataset round-trips samples through the tar reader") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("graft-wds-write")
+    val longStem = "deeply/nested/export/" + ("x" * 90) + "/sample-0003"
+    val samples = Seq(
+      ("a/s1", Map("jpg" -> Array[Byte](1, 2, 3), "json" -> """{"l":1}""".getBytes)),
+      ("a/s2", Map("jpg" -> Array[Byte](9, 8), "cls" -> "4".getBytes)),
+      (longStem, Map("json" -> """{"l":9}""".getBytes)) // >100-char entry: prefix split
+    ).toDF("sample", "files").repartition(1).sortWithinPartitions($"sample")
+    val shards = Staging.writeWebDataset(samples, out.toString)
+    assert(shards === 1L)
+    val back = Staging.webdatasetSamples(spark, out.toString)
+      .select($"sample", $"files").collect()
+      .map(r => r.getString(0) ->
+        r.getMap[String, Array[Byte]](1).toMap.map { case (k, v) => k -> v.toSeq })
+      .toMap
+    assert(back.keySet === Set("a/s1", "a/s2", longStem))
+    assert(back("a/s1") === Map("jpg" -> Seq[Byte](1, 2, 3),
+      "json" -> """{"l":1}""".getBytes.toSeq))
+    assert(back("a/s2") === Map("jpg" -> Seq[Byte](9, 8),
+      "cls" -> "4".getBytes.toSeq))
+    assert(back(longStem) === Map("json" -> """{"l":9}""".getBytes.toSeq))
+    // a sample's members sit adjacent in tar order (streaming readers
+    // cut at stem boundaries), exts sorted within the sample
+    val order = Staging.tarEntries(spark, out.toString)
+      .select($"entry").collect().map(_.getString(0)).toSeq
+    assert(order === Seq("a/s1.jpg", "a/s1.json", "a/s2.cls", "a/s2.jpg",
+      s"$longStem.json"))
+  }
+
+  test("writeWebDataset rolls shards by sample count and never splits a sample") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("graft-wds-roll")
+    val samples = (1 to 5).map(i =>
+        (f"s$i%02d", Map("jpg" -> Array.fill[Byte](10)(i.toByte),
+          "json" -> s"""{"i":$i}""".getBytes)))
+      .toDF("sample", "files").repartition(1).sortWithinPartitions($"sample")
+    assert(Staging.writeWebDataset(samples, out.toString,
+      samplesPerShard = 2) === 3L)
+    val perShard = Staging.tarEntries(spark, out.toString)
+      .select($"archive", $"entry").collect()
+      .groupBy(_.getString(0)).view
+      .mapValues(_.map(_.getString(1)).sorted.toSeq).toMap
+    assert(perShard.values.toSet === Set(
+      Seq("s01.jpg", "s01.json", "s02.jpg", "s02.json"),
+      Seq("s03.jpg", "s03.json", "s04.jpg", "s04.json"),
+      Seq("s05.jpg", "s05.json")))
+    // byte cap: each ~1124-byte sample forces its own shard, but a
+    // sample larger than the cap still writes whole (never splits)
+    val tight = Files.createTempDirectory("graft-wds-tight")
+    assert(Staging.writeWebDataset(samples, tight.toString,
+      samplesPerShard = 100, maxShardBytes = 2000L) === 5L)
+    assert(Staging.webdatasetSamples(spark, tight.toString).count() === 5L)
+  }
+
   test("tarEntries rejects shards over the size cap before reading content") {
     val work = Files.createTempDirectory("graft-tar-big")
     Files.write(Paths.get(s"$work/shard0.tar"), TarFixtures.tarBytes(Seq(
