@@ -37,10 +37,14 @@ object EventStreams {
   }
 
   /** Events with a proper µs timestamp column derived from epoch-ns longs
-    * (see graft.Tables.events for why `ts` arrives as Long).
+    * (see graft.Tables.events for the Long-nanos `ts` contract; a raw
+    * timestamp-typed `ts` — e.g. a stream reading current-generation
+    * testdata directly — is normalized first, so both file generations
+    * stream through the same plan).
     */
   def withEventTime(df: DataFrame): DataFrame =
-    df.withColumn("event_time", timestamp_micros(expr("ts DIV 1000")))
+    graft.Tables.tsAsNanos(df)
+      .withColumn("event_time", timestamp_micros(expr("ts DIV 1000")))
 
   /** T5: watermarked tumbling-window aggregation. Late events beyond
     * `watermark` are dropped; state is bounded, so the query runs forever
@@ -104,7 +108,7 @@ object EventStreams {
   def sessionize(spark: SparkSession, events: DataFrame,
       gapNs: Long = 1800L * 1000000000L): DataFrame = {
     import spark.implicits._
-    val typed = events
+    val typed = graft.Tables.tsAsNanos(events)
       .select(col("user_id").cast("long"), col("event_id").cast("long"),
         col("ts").cast("long").as("tsNs"))
       .as[SessionEvent]
@@ -187,8 +191,9 @@ object EventStreams {
     require(ttlMs > 0, s"ttlMs must be positive, got $ttlMs")
     import spark.implicits._
     val typed = withEventTime(
-        events.select(col("user_id").cast("long"), col("ts").cast("long"),
-          col("event_id").cast("long"), col("event_type").cast("string")))
+        graft.Tables.tsAsNanos(events)
+          .select(col("user_id").cast("long"), col("ts").cast("long"),
+            col("event_id").cast("long"), col("event_type").cast("string")))
       .withWatermark("event_time", watermarkDelay)
       .as[FunnelEvent]
     typed.groupByKey(_.user_id)

@@ -47,7 +47,11 @@ class StreamingSpec extends SparkSuite {
     val streamed = EventStreams.runToMemory(
       spark,
       EventStreams.windowedCounts(
-        spark.readStream.schema(events.schema).parquet(inDir),
+        // the stream reads the RAW file, whose ts type differs from the
+        // normalized Tables.events schema — withEventTime folds both
+        spark.readStream
+          .schema(spark.read.parquet(s"$inDir/events.parquet").schema)
+          .parquet(inDir),
         window = "15 minutes", watermark = "0 seconds"),
       name = "windowed_counts")
       .select(col("window.start").as("ws"), col("event_type"), col("n"))
