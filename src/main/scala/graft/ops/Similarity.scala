@@ -561,6 +561,39 @@ object Similarity {
       .where(col("cosine") > threshold)
   }
 
+  /** SemDeDup-style semantic dedup (Abbas et al. 2023,
+    * arXiv:2303.09540): within-cell cosine-threshold duplicate groups
+    * ([[ivfNearDupPairs]] — the paper's key scaling trick is that NO
+    * cross-cluster pair is ever considered), collapsed so each group
+    * keeps the member LEAST similar to its cell centroid — the paper's
+    * keep-rule: prototypical redundancy is pruned, the group's outlier
+    * survives (ties to the lowest id). Returns surviving rows with
+    * `centroid_id` and `centroid_sim` attached.
+    *
+    * Scale: the centroid model is a plan literal (the IVF pattern); the
+    * only corpus-sized movement is one vector copy per self-join leg on
+    * the `centroid_id` exchange — pair cosine evaluates streamwise
+    * inside the join, so nothing pair-proportional carries a vector,
+    * and the collapse is pair-graph-sized
+    * ([[graft.ops.Dedup.collapseNearDupsBy]]).
+    */
+  def semDedup(emb: DataFrame, idCol: String, vecCol: String,
+      centroids: Array[Array[Float]], threshold: Double,
+      maxCell: Int = 100000): DataFrame = {
+    val cvecs = typedLit(centroids.map(_.toSeq).toSeq)
+    val scored = ivfAssign(emb, vecCol, centroids)
+      .withColumn("centroid_sim",
+        cosine(col(vecCol), element_at(cvecs, col("centroid_id") + 1)))
+    val pairs = ivfNearDupPairs(emb, idCol, vecCol, centroids, threshold,
+      maxCell).select(col("idA"), col("idB"))
+    // collapseNearDupsBy keeps the HIGHEST score — negate the centroid
+    // similarity so "least similar to centroid" wins
+    Dedup.collapseNearDupsBy(
+        scored.withColumn("__anti_sim", -col("centroid_sim")),
+        idCol, pairs, "__anti_sim")
+      .drop("__anti_sim")
+  }
+
   /** Approximate top-k: exact ranking restricted to the query's LSH
     * bucket. Fast path for the 100 TB corpus; recall < 1 by construction.
     */

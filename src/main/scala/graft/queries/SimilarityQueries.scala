@@ -232,7 +232,26 @@ object SimilarityQueries {
       .orderBy($"query_id")
   }
 
+  /** SemDeDup (Abbas et al. 2023): q77's within-cell dup graph under the
+    * paper's keep-rule — each duplicate group survives through its member
+    * least similar to the cell centroid, not its lowest id (q78's rule).
+    * Hash-checked end to end: deterministic md5-sampled centroid model
+    * (q43's), recursive-CTE closure, and the emitted `centroid_sim` is
+    * the same double fold both engines compute bit-identically (q30/q43
+    * precedent).
+    */
+  private def q99(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables.embeddings(s, dir)
+    val centroids = Similarity.ivfCentroids(emb, "vec_id", "embedding", 16)
+    Similarity.semDedup(emb, "vec_id", "embedding", centroids,
+        threshold = 0.3)
+      .select($"vec_id", $"centroid_id", $"centroid_sim")
+      .orderBy($"vec_id")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q99_semdedup" -> (q99 _),
     "q69_ann_batch" -> (q69 _),
     "q81_ann_recall" -> (q81 _),
     "q83_ann_recall_ivf" -> (q83 _),
@@ -566,6 +585,45 @@ object SimilarityQueries {
         |SELECT vec_id FROM embeddings
         |WHERE vec_id NOT IN (SELECT id FROM losers)
         |ORDER BY vec_id""".stripMargin,
+    // q78's cells + closure with the SemDeDup survivor rule: per
+    // component the member with the LOWEST centroid similarity wins
+    // (ties to lowest id), and every survivor emits its cell and
+    // centroid-cosine (the same double fold as q43's emission).
+    "q99_semdedup" ->
+      """WITH RECURSIVE h AS (SELECT vec_id, embedding,
+        |             ('0x' || substr(md5(vec_id::VARCHAR), 1, 15))::BIGINT AS hh
+        |           FROM embeddings),
+        |cent AS (SELECT row_number() OVER (ORDER BY hh, vec_id) - 1 AS cid,
+        |                embedding AS cvec
+        |         FROM h ORDER BY hh, vec_id LIMIT 16),
+        |asg AS (SELECT e.vec_id, c.cid,
+        |               list_cosine_similarity(e.embedding::DOUBLE[], c.cvec::DOUBLE[]) AS sim,
+        |               row_number() OVER (PARTITION BY e.vec_id
+        |                 ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], c.cvec::DOUBLE[]) DESC,
+        |                          c.cid) AS rn
+        |        FROM embeddings e, cent c),
+        |cells AS (SELECT vec_id, cid, sim FROM asg WHERE rn = 1),
+        |p AS (SELECT a.vec_id AS idA, b.vec_id AS idB
+        |      FROM cells a JOIN cells b ON a.cid = b.cid AND a.vec_id < b.vec_id
+        |      JOIN embeddings ea ON ea.vec_id = a.vec_id
+        |      JOIN embeddings eb ON eb.vec_id = b.vec_id
+        |      WHERE list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]) > 0.3),
+        |e AS (SELECT idA AS src, idB AS dst FROM p UNION ALL SELECT idB, idA FROM p),
+        |reach AS (
+        |  SELECT src AS id, src AS r FROM e
+        |  UNION
+        |  SELECT e.src, reach.r FROM e JOIN reach ON e.dst = reach.id),
+        |lab AS (SELECT id, min(r) AS label FROM reach GROUP BY id),
+        |win AS (SELECT id FROM (
+        |          SELECT lab.id, row_number() OVER (PARTITION BY lab.label
+        |                   ORDER BY cells.sim ASC, lab.id) AS rn
+        |          FROM lab JOIN cells ON cells.vec_id = lab.id)
+        |        WHERE rn = 1)
+        |SELECT c.vec_id, c.cid AS centroid_id, c.sim AS centroid_sim
+        |FROM cells c
+        |WHERE c.vec_id NOT IN (SELECT id FROM lab)
+        |   OR c.vec_id IN (SELECT id FROM win)
+        |ORDER BY c.vec_id""".stripMargin,
     // q50's verified pair set + recursive-CTE transitive closure →
     // survivors = vectors that are not a non-minimum cluster member.
     "q53_embedding_dedup" ->

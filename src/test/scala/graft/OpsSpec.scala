@@ -239,6 +239,50 @@ class OpsSpec extends SparkSuite {
     assert(got.count() > 0)
   }
 
+  test("semDedup keeps the least-centroid-similar member per dup group") {
+    import spark.implicits._
+    // hand-built geometry: cell 0 holds dup group {1,2} (cosine ≈ 0.99995)
+    // plus the unrelated 3; cell 1 holds singleton 4. v2 sits farther off
+    // the c0 axis than v1, so the SemDeDup keep-rule must keep 2 and drop
+    // 1 — the OPPOSITE of the lowest-id rule.
+    val c0 = Array(1f, 0f)
+    val c1 = Array(0f, 1f)
+    val emb = Seq(
+      (1L, Seq(1f, 0.01f)),
+      (2L, Seq(1f, 0.02f)),
+      (3L, Seq(0.5f, -0.5f)),
+      (4L, Seq(0.01f, 1f))).toDF("vec_id", "embedding")
+    val kept = Similarity.semDedup(emb, "vec_id", "embedding",
+      Array(c0, c1), threshold = 0.9)
+    assert(kept.select("vec_id").collect().map(_.getLong(0)).toSet
+      === Set(2L, 3L, 4L))
+    val byId = kept.collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        (r.getAs[Int]("centroid_id"), r.getAs[Double]("centroid_sim"))).toMap
+    assert(byId(2L)._1 === 0 && byId(3L)._1 === 0 && byId(4L)._1 === 1)
+    assert(byId(2L)._2 > 0.99 && byId(4L)._2 > 0.99)
+  }
+
+  test("semDedup partitions the corpus: one survivor per component, unpaired pass through") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sfDir)
+    val centroids = Similarity.ivfCentroids(emb, "vec_id", "embedding", 8)
+    val kept = Similarity.semDedup(emb, "vec_id", "embedding", centroids,
+        threshold = 0.3)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val all = emb.select("vec_id").collect().map(_.getLong(0)).toSet
+    val pairs = Similarity.ivfNearDupPairs(emb, "vec_id", "embedding",
+      centroids, threshold = 0.3).select($"idA", $"idB")
+    val labels = Dedup.clusterLabels(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val paired = labels.map(_._1).toSet
+    val nComponents = labels.map(_._2).toSet.size
+    assert(pairs.count() > 0)
+    // unpaired rows all survive; paired rows yield exactly one per component
+    assert((all -- paired).subsetOf(kept))
+    assert(kept.size === (all.size - paired.size) + nComponents)
+  }
+
   test("quantizedTopK degenerates to brute force at full rerank; candidates rank sanely") {
     import spark.implicits._
     val emb = Tables.embeddings(spark, sfDir)
