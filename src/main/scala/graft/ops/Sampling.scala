@@ -158,6 +158,100 @@ object Sampling {
       .drop("__rate")
   }
 
+  /** Unigram + consecutive-bigram features of `textCol`, hashed to
+    * `buckets` md5 buckets — DSIR's engine-portable hashed bag of
+    * n-grams. Unigrams are prefixed `u:`, bigrams `b:w1 w2`, so the two
+    * feature spaces never collide on equal strings. One array expression
+    * per row, fully codegen'd.
+    */
+  private[graft] def hashedNgramBuckets(textCol: String,
+      buckets: Int): Column = {
+    val t = TextAnalysis.tokens(col(textCol))
+    val n1 = greatest(size(t) - 1, lit(0))
+    val bi = zip_with(slice(t, lit(1), n1), slice(t, lit(2), n1),
+      (a, b) => concat(lit("b:"), a, lit(" "), b))
+    val feats = concat(transform(t, x => concat(lit("u:"), x)), bi)
+    transform(feats, f =>
+      pmod(conv(substring(md5(encode(f, "UTF-8")), 1, 15), 16, 10)
+        .cast("long"), lit(buckets.toLong)))
+  }
+
+  /** DSIR-style importance weights (Xie et al. 2023, arXiv:2302.03169):
+    * score every raw document by how much more likely its hashed n-gram
+    * features are under a TARGET-domain bag-of-features model than under
+    * the raw-corpus model — `log w(x) = Σ_f c_x(f)·(ln p_t(f) − ln
+    * p_r(f))` with add-`alpha` smoothing over the `buckets` feature
+    * buckets. Selecting by the weight ([[importanceTake]]) tilts the raw
+    * corpus toward the target domain — the hashed-n-gram data-selection
+    * step in front of pretraining-mix assembly.
+    *
+    * Scale: both models are bucket-count tables (≤ `buckets` rows each,
+    * broadcastable) fit in one pre-aggregated pass per side; the corpus
+    * contributes per-(doc, bucket) PRE-AGGREGATED counts, so the joins
+    * move distinct features, never occurrences (the q87/q88 discipline).
+    * Transcendental caveat (see [[Vocab.bigramLogProb]]): each ln is
+    * quantized to DECIMAL(25,`lnScale`) before the exact decimal sum, so
+    * `logw_sum` is layout-independent within an engine but is never
+    * hash-gated cross-engine; the exact integer dot products
+    * `target_hits`/`raw_hits` pin the joined model counts instead.
+    *
+    * @return `idCol, n_features, logw_sum (DECIMAL), logw (double mean),
+    *         target_hits, raw_hits`; documents with zero tokens drop out.
+    */
+  def importanceWeights(raw: DataFrame, target: DataFrame, idCol: String,
+      textCol: String, buckets: Int = 10000, alpha: Double = 1.0,
+      lnScale: Int = 6): DataFrame = {
+    def bucketCounts(src: DataFrame): DataFrame = src
+      .select(explode(hashedNgramBuckets(textCol, buckets)).as("__k"))
+      .groupBy(col("__k")).agg(count(lit(1)).as("__cnt"))
+    val tModel = bucketCounts(target)
+    val rModel = bucketCounts(raw)
+    val totals = tModel.agg(sum(col("__cnt")).as("__nt"))
+      .crossJoin(rModel.agg(sum(col("__cnt")).as("__nr")))
+    val docFeats = raw
+      .select(col(idCol).as("__id"),
+        explode(hashedNgramBuckets(textCol, buckets)).as("__k"))
+      .groupBy(col("__id"), col("__k")).agg(count(lit(1)).as("__c"))
+    val lnT = log((coalesce(col("__t"), lit(0L)) + alpha) /
+      (col("__nt") + lit(alpha) * buckets))
+    val lnR = log((coalesce(col("__r"), lit(0L)) + alpha) /
+      (col("__nr") + lit(alpha) * buckets))
+    docFeats
+      .join(tModel.select(col("__k"), col("__cnt").as("__t")), Seq("__k"), "left")
+      .join(rModel.select(col("__k"), col("__cnt").as("__r")), Seq("__k"), "left")
+      .crossJoin(broadcast(totals))
+      // quantize EACH ln separately, then the exact decimal difference ×
+      // count: identical on any partitioning within an engine
+      .select(col("__id"), col("__c"),
+        ((lnT.cast(s"decimal(25,$lnScale)") - lnR.cast(s"decimal(25,$lnScale)"))
+          * col("__c").cast("decimal(10,0)")).as("__wl"),
+        (col("__c").cast("decimal(19,0)") *
+          coalesce(col("__t"), lit(0L)).cast("decimal(19,0)")).as("__th"),
+        (col("__c").cast("decimal(19,0)") *
+          coalesce(col("__r"), lit(0L)).cast("decimal(19,0)")).as("__rh"))
+      .groupBy(col("__id"))
+      .agg(sum(col("__c")).as("n_features"), sum(col("__wl")).as("__sum"),
+        sum(col("__th")).as("target_hits"), sum(col("__rh")).as("raw_hits"))
+      .select(col("__id").as(idCol), col("n_features"),
+        col("__sum").as("logw_sum"),
+        (col("__sum").cast("double") / col("n_features")).as("logw"),
+        col("target_hits"), col("raw_hits"))
+  }
+
+  /** Greedy DSIR selection: the `k` raw documents with the highest
+    * importance weight (ties to the lowest id). The paper's
+    * Gumbel-resampled variant adds per-doc noise before the cut; the
+    * greedy cut is the deterministic form a reproducible pipeline ships,
+    * and a salted [[shuffleDeterministic]] pre-pass recovers sampling
+    * diversity when wanted. TakeOrdered top-k — no global sort at scale.
+    */
+  def importanceTake(raw: DataFrame, target: DataFrame, idCol: String,
+      textCol: String, k: Int, buckets: Int = 10000,
+      alpha: Double = 1.0): DataFrame =
+    importanceWeights(raw, target, idCol, textCol, buckets, alpha)
+      .orderBy(col("logw_sum").desc, col(idCol))
+      .limit(k)
+
   /** Partition rows into disjoint, exhaustive splits with the given
     * weights (normalized), e.g. train/val/test = 0.9/0.05/0.05. Adds a
     * `split` column with the split index.

@@ -76,14 +76,74 @@ object SamplingQueries {
       .orderBy($"doc_id")
   }
 
+  /** DSIR importance weights (Xie et al. 2023): every document scored
+    * for how English-corpus-like its hashed n-gram features are (target
+    * model = the `lang='en'` slice, raw model = the whole corpus).
+    * Emits the exact integer basis — feature counts and the
+    * target/raw-model dot products, which fully pin both joined
+    * models — and is hash-checked; the transcendental `logw` selection
+    * itself is q100b (rows-only, the q87/q87b discipline).
+    */
+  private def q100(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    Sampling.importanceWeights(docs, docs.where($"lang" === "en"),
+        "doc_id", "text", buckets = 10000)
+      .select($"doc_id", $"n_features", $"target_hits", $"raw_hits")
+      .orderBy($"doc_id")
+  }
+
+  /** The DSIR selection q100's weights drive: top-50 documents by
+    * importance weight (greedy deterministic cut, ties to low id).
+    * ln-derived ranking → rows-only (see q100's note).
+    */
+  private def q100b(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    Sampling.importanceTake(docs, docs.where($"lang" === "en"),
+        "doc_id", "text", k = 50, buckets = 10000)
+      .select($"doc_id", $"n_features", $"logw")
+      .orderBy($"doc_id")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q54_stratified_take" -> (q54 _),
     "q55_corpus_mix" -> (q55 _),
     "q73_weighted_sample" -> (q73 _),
     "q82_shuffle_order" -> (q82 _),
-    "q92_temperature_mix" -> (q92 _))
+    "q92_temperature_mix" -> (q92 _),
+    "q100_dsir_weights" -> (q100 _),
+    "q100b_dsir_select" -> (q100b _))
 
   val oracles: Map[String, String] = Map(
+    // DSIR integer basis: hashed unigram+bigram bucket counts per doc,
+    // target (lang='en') and raw bucket models, and the exact decimal
+    // dot products that pin both joined models — the same md5 % 10000
+    // bucket hash the Spark kernel computes
+    "q100_dsir_weights" ->
+      """WITH ft AS (SELECT doc_id, lang, string_split_regex(trim(text), ' +') AS toks
+        |            FROM documents),
+        |u AS (SELECT doc_id, lang, 'u:' || w AS feat
+        |      FROM (SELECT doc_id, lang, unnest(toks) AS w FROM ft)),
+        |b AS (SELECT doc_id, lang, 'b:' || toks[i] || ' ' || toks[i + 1] AS feat
+        |      FROM ft, UNNEST(range(1, len(toks))) AS t(i)),
+        |f AS (SELECT doc_id, lang,
+        |             ('0x' || substr(md5(feat), 1, 15))::BIGINT % 10000 AS k
+        |      FROM (SELECT * FROM u UNION ALL SELECT * FROM b)),
+        |doc AS (SELECT doc_id, k, CAST(count(*) AS BIGINT) AS c
+        |        FROM f GROUP BY doc_id, k),
+        |tm AS (SELECT k, CAST(count(*) AS BIGINT) AS t FROM f
+        |       WHERE lang = 'en' GROUP BY k),
+        |rm AS (SELECT k, CAST(count(*) AS BIGINT) AS r FROM f GROUP BY k),
+        |j AS (SELECT doc.doc_id, doc.c,
+        |        CAST(doc.c AS DECIMAL(19,0)) * CAST(COALESCE(tm.t, 0) AS DECIMAL(19,0)) AS th,
+        |        CAST(doc.c AS DECIMAL(19,0)) * CAST(COALESCE(rm.r, 0) AS DECIMAL(19,0)) AS rh
+        |      FROM doc LEFT JOIN tm ON tm.k = doc.k
+        |               LEFT JOIN rm ON rm.k = doc.k)
+        |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_features,
+        |       CAST(sum(th) AS DECIMAL(38,0)) AS target_hits,
+        |       CAST(sum(rh) AS DECIMAL(38,0)) AS raw_hits
+        |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // group counts → p^alpha shares → downsample-only rates (S = min
     // n_g/q_g; the binding group's rate pinned to 1.0 by the exact
     // argmin comparison), quantized to DECIMAL(10,6) so the bucket gate

@@ -96,4 +96,48 @@ class SamplingSpec extends SparkSuite {
       .where($"split" =!= $"s2").count()
     assert(disagree === 0)
   }
+
+  test("importanceWeights: feature accounting and target-domain ordering") {
+    import spark.implicits._
+    // target model trained on the "alpha beta" dialect: the doc written
+    // in it must out-weigh the disjoint-vocabulary doc
+    val raw = Seq(
+      (1L, "alpha beta alpha"),
+      (2L, "zeta eta theta")).toDF("doc_id", "text")
+    val target = Seq((10L, "alpha beta alpha beta")).toDF("doc_id", "text")
+    val w = Sampling.importanceWeights(raw, target, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    // 3 tokens → 3 unigram + 2 bigram features, occurrence-counted
+    assert(w(1L).getAs[Long]("n_features") === 5L)
+    assert(w(2L).getAs[Long]("n_features") === 5L)
+    assert(w(1L).getAs[Double]("logw") > w(2L).getAs[Double]("logw"))
+    // doc 2 shares nothing with the target model (no hash collision at
+    // B=10000 for 5 vs 4 features is overwhelmingly likely — and
+    // target_hits pins it exactly either way)
+    assert(w(2L).getAs[java.math.BigDecimal]("target_hits").longValueExact === 0L)
+    assert(w(1L).getAs[java.math.BigDecimal]("target_hits").longValueExact > 0L)
+  }
+
+  test("importanceTake tilts the selection toward the target domain") {
+    import spark.implicits._
+    val en = docs.where($"lang" === "en")
+    val top = Sampling.importanceTake(docs, en, "doc_id", "text", k = 50)
+    assert(top.count() === 50)
+    val enIds = en.select("doc_id").collect().map(_.getLong(0)).toSet
+    val topEn = top.select("doc_id").collect().map(_.getLong(0))
+      .count(enIds.contains)
+    val baseRate = enIds.size.toDouble / docs.count()
+    // the English share of the selection must beat the corpus base rate
+    assert(topEn.toDouble / 50 > baseRate + 0.05,
+      s"selected $topEn/50 en docs vs base rate $baseRate")
+    // and the robust form: mean importance weight of English docs beats
+    // the rest (the model was fit on exactly that slice)
+    val mw = Sampling.importanceWeights(docs, en, "doc_id", "text")
+      .join(docs.select($"doc_id", $"lang"), "doc_id")
+      .groupBy(($"lang" === "en").as("is_en"))
+      .agg(avg($"logw").as("m"))
+      .collect().map(r => r.getBoolean(0) -> r.getDouble(1)).toMap
+    assert(mw(true) > mw(false),
+      s"mean logw en=${mw(true)} rest=${mw(false)}")
+  }
 }
