@@ -22,6 +22,21 @@ object CorpusQueries {
     Vocab.topK(Tables.documents(s, dir), "doc_id", "text", 100)
   }
 
+  /** q60's scale path: token top-20 from ONE Misra-Gries pass with a
+    * 1024-counter summary per partition — the shuffle carries
+    * partitions × 1024 counters instead of the distinct vocabulary. At
+    * test vocabulary (≪ 1024 distinct) the sketch is provably exact and
+    * layout-independent, so the DuckDB exact-count oracle hash-checks
+    * it; at web-scale vocabularies the same plan degrades gracefully to
+    * the ≤ N/(m+1)-error estimate (`SketchesSpec` pins that regime).
+    */
+  private def q101(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val toks = Tables.documents(s, dir)
+      .select(explode(graft.ops.TextAnalysis.tokens($"text")).as("token"))
+    graft.ops.Sketches.heavyHitters(toks, "token", m = 1024, k = 20)
+  }
+
   /** GPT-style sequence packing at a 512-token budget: each document's
     * offset interval in the virtual corpus token stream and the packed
     * sequences it spans. The global prefix sum runs as the two-phase
@@ -309,6 +324,7 @@ object CorpusQueries {
     "q75_bpe_merges" -> (q75 _),
     "q76_bpe_segment" -> (q76 _),
     "q60_vocab_topk" -> (q60 _),
+    "q101_heavy_hitters" -> (q101 _),
     "q61_sequence_packing" -> (q61 _),
     "q97_example_carve" -> (q97 _),
     "q62_incremental_dedup" -> (q62 _),
@@ -462,6 +478,14 @@ object CorpusQueries {
         |SELECT doc_id, quality, n_tokens, tokens_before FROM c
         |WHERE tokens_before < 5000
         |ORDER BY doc_id""".stripMargin,
+    // exact-regime check: distinct tokens ≪ the 1024-counter capacity,
+    // so the Misra-Gries estimates equal the true counts
+    "q101_heavy_hitters" ->
+      """WITH t AS (SELECT unnest(string_split_regex(trim(text), ' +')) AS token
+        |           FROM documents)
+        |SELECT token, CAST(count(*) AS BIGINT) AS est_count
+        |FROM t GROUP BY token
+        |ORDER BY est_count DESC, token LIMIT 20""".stripMargin,
     "q60_vocab_topk" ->
       """WITH t AS (SELECT doc_id, unnest(string_split_regex(trim(text), ' +')) AS token
         |           FROM documents),
