@@ -66,6 +66,31 @@ object Dedup {
       .drop("__rn")
   }
 
+  /** Corpus snapshot diff — the dataset-versioning audit between two
+    * releases of the same corpus: every id classified `added` (only in
+    * `after`), `removed` (only in `before`), `changed` (both sides,
+    * content fingerprint differs) or `unchanged`. One full-outer
+    * equi-join on the id; content compares by fingerprint
+    * (`xxhash64` by default, md5 with `md5Basis` for the cross-engine
+    * oracle), so document bytes never join — two narrow scans and a
+    * key-sized exchange at any corpus size.
+    */
+  def snapshotDiff(before: DataFrame, after: DataFrame, idCol: String,
+      textCol: String, md5Basis: Boolean = false): DataFrame = {
+    def fp(c: Column): Column =
+      if (md5Basis) md5(encode(c, "UTF-8")) else xxhash64(c).cast("string")
+    val b = before.select(col(idCol).as("__id"),
+      fp(col(textCol)).as("__fb"))
+    val a = after.select(col(idCol).as("__id"),
+      fp(col(textCol)).as("__fa"))
+    b.join(a, Seq("__id"), "full_outer")
+      .select(col("__id").as(idCol),
+        when(col("__fb").isNull, lit("added"))
+          .when(col("__fa").isNull, lit("removed"))
+          .when(col("__fa") === col("__fb"), lit("unchanged"))
+          .otherwise(lit("changed")).as("status"))
+  }
+
   /** [[exactDedup]] on the canonical text form
     * ([[TextAnalysis.normalizeText]]): survivors are the lowest `idCol`
     * per normalized content, so case/punctuation/spacing variants

@@ -108,6 +108,33 @@ object Sampling {
           "UTF-8")))
       .orderBy(col("shuffle_key"), col(keyCol))
 
+  /** Curriculum training order: rows banded by descending `cutoffs`
+    * over a score column (band 0 = score ≥ cutoffs(0) — the best
+    * material first; the final band catches everything below the last
+    * cutoff), then deterministically shuffled WITHIN each band with
+    * [[shuffleDeterministic]]'s salted md5 key. Sorting by
+    * `(band, shuffle_key)` IS the curriculum epoch order — produced by
+    * Spark's range-partitioned sort, no single-partition window, and
+    * bit-reproducible on any layout (fresh salt per epoch re-shuffles
+    * within bands while the curriculum skeleton stays fixed). Explicit
+    * cutoffs keep the banding engine-exact; derive them from
+    * [[graft.ops.Quantiles]] when quantile bands are wanted.
+    */
+  def curriculumOrder(df: DataFrame, keyCol: String, score: Column,
+      cutoffs: Seq[Double], salt: String): DataFrame = {
+    require(cutoffs.nonEmpty, "at least one cutoff")
+    require(cutoffs.sliding(2).forall(w => w.size < 2 || w(0) > w(1)),
+      "cutoffs must be strictly descending")
+    val band = cutoffs.zipWithIndex.foldRight(lit(cutoffs.length): Column) {
+      case ((cut, i), els) => when(score >= cut, lit(i)).otherwise(els)
+    }
+    df.withColumn("band", band)
+      .withColumn("shuffle_key",
+        md5(encode(concat(lit(salt + ":"), col(keyCol).cast("string")),
+          "UTF-8")))
+      .orderBy(col("band"), col("shuffle_key"), col(keyCol))
+  }
+
   /** Temperature-flattened group mixing (the multilingual-corpus
     * rebalancing rule): resample so group g's share moves from its
     * natural p_g = n_g/N toward q_g ∝ p_g^alpha — alpha 1 keeps natural

@@ -37,6 +37,25 @@ object CorpusQueries {
     graft.ops.Sketches.heavyHitters(toks, "token", m = 1024, k = 20)
   }
 
+  /** Corpus snapshot diff between two synthetic releases of the
+    * documents table (before = ids ∉ 3ℤ; after = ids ∉ 5ℤ with every
+    * 7th document's text revised): added / removed / changed /
+    * unchanged per id — the dataset-versioning audit. md5 fingerprint
+    * basis for the oracle; production runs use the xxh64 default.
+    */
+  private def q102(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    val before = docs.where($"doc_id" % 3 =!= 0)
+    val after = docs.where($"doc_id" % 5 =!= 0)
+      .withColumn("text",
+        when($"doc_id" % 7 === 0, concat($"text", lit(" v2")))
+          .otherwise($"text"))
+    graft.ops.Dedup.snapshotDiff(before, after, "doc_id", "text",
+        md5Basis = true)
+      .orderBy($"doc_id")
+  }
+
   /** GPT-style sequence packing at a 512-token budget: each document's
     * offset interval in the virtual corpus token stream and the packed
     * sequences it spans. The global prefix sum runs as the two-phase
@@ -325,6 +344,7 @@ object CorpusQueries {
     "q76_bpe_segment" -> (q76 _),
     "q60_vocab_topk" -> (q60 _),
     "q101_heavy_hitters" -> (q101 _),
+    "q102_snapshot_diff" -> (q102 _),
     "q61_sequence_packing" -> (q61 _),
     "q97_example_carve" -> (q97 _),
     "q62_incremental_dedup" -> (q62 _),
@@ -477,6 +497,21 @@ object CorpusQueries {
         |      FROM q)
         |SELECT doc_id, quality, n_tokens, tokens_before FROM c
         |WHERE tokens_before < 5000
+        |ORDER BY doc_id""".stripMargin,
+    // both releases rebuilt in SQL, full-outer joined on id, fingerprints
+    // compared — the same md5 the Spark side computes
+    "q102_snapshot_diff" ->
+      """WITH b AS (SELECT doc_id, md5(text) AS f FROM documents
+        |           WHERE doc_id % 3 <> 0),
+        |a AS (SELECT doc_id,
+        |        md5(CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END) AS f
+        |      FROM documents WHERE doc_id % 5 <> 0)
+        |SELECT COALESCE(b.doc_id, a.doc_id) AS doc_id,
+        |       CASE WHEN b.doc_id IS NULL THEN 'added'
+        |            WHEN a.doc_id IS NULL THEN 'removed'
+        |            WHEN a.f = b.f THEN 'unchanged'
+        |            ELSE 'changed' END AS status
+        |FROM b FULL OUTER JOIN a ON a.doc_id = b.doc_id
         |ORDER BY doc_id""".stripMargin,
     // exact-regime check: distinct tokens ≪ the 1024-counter capacity,
     // so the Misra-Gries estimates equal the true counts

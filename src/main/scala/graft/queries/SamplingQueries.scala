@@ -106,6 +106,21 @@ object SamplingQueries {
       .orderBy($"doc_id")
   }
 
+  /** Curriculum epoch order: quality bands (cutoffs 0.62 / 0.5 — best
+    * material first) with the deterministic within-band shuffle. The
+    * full epoch sequence — banding AND the in-band permutation — is
+    * hash-checked via the sortable (band, shuffle_key) columns.
+    */
+  private def q103(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val scored = Tables.documents(s, dir)
+      .select($"doc_id",
+        graft.ops.TextAnalysis.qualityScore($"text").as("quality"))
+    Sampling.curriculumOrder(scored, "doc_id", $"quality",
+        cutoffs = Seq(0.62, 0.5), salt = "ep0")
+      .select($"doc_id", $"band", $"shuffle_key")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q54_stratified_take" -> (q54 _),
     "q55_corpus_mix" -> (q55 _),
@@ -113,9 +128,28 @@ object SamplingQueries {
     "q82_shuffle_order" -> (q82 _),
     "q92_temperature_mix" -> (q92 _),
     "q100_dsir_weights" -> (q100 _),
-    "q100b_dsir_select" -> (q100b _))
+    "q100b_dsir_select" -> (q100b _),
+    "q103_curriculum_order" -> (q103 _))
 
   val oracles: Map[String, String] = Map(
+    // the q90 quality formula, banded by the same cutoffs, with the
+    // q82-style salted md5 shuffle key — band membership and the exact
+    // in-band order both ride the hash check
+    "q103_curriculum_order" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(text), ' +') AS toks
+        |           FROM documents),
+        |q AS (SELECT doc_id,
+        |        (CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)) * 0.5
+        |          + (CAST(len(list_filter(toks, s -> s IN ('the','a','an','of','and','is','in','to','it','that'))) AS DOUBLE) / len(toks)) * 0.3
+        |          + (CASE WHEN len(toks) BETWEEN 5 AND 100000 THEN 1.0 ELSE 0.0 END) * 0.2 AS quality
+        |      FROM t)
+        |SELECT doc_id,
+        |       CASE WHEN quality >= 0.62 THEN 0
+        |            WHEN quality >= 0.5 THEN 1
+        |            ELSE 2 END AS band,
+        |       md5('ep0:' || doc_id) AS shuffle_key
+        |FROM q
+        |ORDER BY band, shuffle_key, doc_id""".stripMargin,
     // DSIR integer basis: hashed unigram+bigram bucket counts per doc,
     // target (lang='en') and raw bucket models, and the exact decimal
     // dot products that pin both joined models — the same md5 % 10000

@@ -239,6 +239,20 @@ class OpsSpec extends SparkSuite {
     assert(got.count() > 0)
   }
 
+  test("snapshotDiff classifies added/removed/changed/unchanged; bases agree") {
+    import spark.implicits._
+    val before = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("doc_id", "text")
+    val after = Seq((2L, "b"), (3L, "c2"), (4L, "d")).toDF("doc_id", "text")
+    val expected = Map(1L -> "removed", 2L -> "unchanged",
+      3L -> "changed", 4L -> "added")
+    Seq(true, false).foreach { basis =>
+      val got = Dedup.snapshotDiff(before, after, "doc_id", "text",
+          md5Basis = basis)
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(got === expected, s"md5Basis=$basis")
+    }
+  }
+
   test("semDedup keeps the least-centroid-similar member per dup group") {
     import spark.implicits._
     // hand-built geometry: cell 0 holds dup group {1,2} (cosine ≈ 0.99995)

@@ -97,6 +97,24 @@ class SamplingSpec extends SparkSuite {
     assert(disagree === 0)
   }
 
+  test("curriculumOrder: correct bands, md5 order within bands, layout-invariant") {
+    import spark.implicits._
+    val scored = Seq(
+      (1L, 0.95), (2L, 0.91), (3L, 0.8), (4L, 0.75), (5L, 0.3), (6L, 0.9))
+      .toDF("doc_id", "quality")
+    val out = Sampling.curriculumOrder(scored, "doc_id", $"quality",
+        cutoffs = Seq(0.9, 0.5), salt = "e0")
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("band")))
+    assert(out.toMap === Map(1L -> 0, 2L -> 0, 6L -> 0, 3L -> 1, 4L -> 1, 5L -> 2))
+    // emitted sequence is band-sorted, and each band internally follows
+    // the deterministic shuffle (same salt on a different layout agrees)
+    assert(out.map(_._2).toSeq === out.map(_._2).toSeq.sorted)
+    val again = Sampling.curriculumOrder(scored.repartition(5), "doc_id",
+        $"quality", cutoffs = Seq(0.9, 0.5), salt = "e0")
+      .collect().map(r => r.getAs[Long]("doc_id")).toSeq
+    assert(again === out.map(_._1).toSeq)
+  }
+
   test("importanceWeights: feature accounting and target-domain ordering") {
     import spark.implicits._
     // target model trained on the "alpha beta" dialect: the doc written
