@@ -227,15 +227,33 @@ object Sampling {
     */
   def importanceWeights(raw: DataFrame, target: DataFrame, idCol: String,
       textCol: String, buckets: Int = 10000, alpha: Double = 1.0,
+      lnScale: Int = 6): DataFrame =
+    importanceWeightsWithModels(raw, idCol, textCol,
+      importanceModel(target, textCol, buckets),
+      importanceModel(raw, textCol, buckets), buckets, alpha, lnScale)
+
+  /** One side's bag-of-hashed-n-grams model: per-bucket occurrence
+    * counts (`__k`, `__cnt`), ≤ `buckets` rows. Fit once and persist (or
+    * write out) when the same model scores many batches — the streaming
+    * gate's steady-state shape.
+    */
+  def importanceModel(src: DataFrame, textCol: String,
+      buckets: Int = 10000): DataFrame = src
+    .select(explode(hashedNgramBuckets(textCol, buckets)).as("__k"))
+    .groupBy(col("__k")).agg(count(lit(1)).as("__cnt"))
+
+  /** [[importanceWeights]] against PRE-FIT target/raw models — the form
+    * an incremental or streaming pipeline runs, where the reference
+    * models are computed once (or maintained out-of-band) and every
+    * scored batch only contributes its own per-(doc, bucket) counts.
+    */
+  def importanceWeightsWithModels(docs: DataFrame, idCol: String,
+      textCol: String, tModel: DataFrame, rModel: DataFrame,
+      buckets: Int = 10000, alpha: Double = 1.0,
       lnScale: Int = 6): DataFrame = {
-    def bucketCounts(src: DataFrame): DataFrame = src
-      .select(explode(hashedNgramBuckets(textCol, buckets)).as("__k"))
-      .groupBy(col("__k")).agg(count(lit(1)).as("__cnt"))
-    val tModel = bucketCounts(target)
-    val rModel = bucketCounts(raw)
     val totals = tModel.agg(sum(col("__cnt")).as("__nt"))
       .crossJoin(rModel.agg(sum(col("__cnt")).as("__nr")))
-    val docFeats = raw
+    val docFeats = docs
       .select(col(idCol).as("__id"),
         explode(hashedNgramBuckets(textCol, buckets)).as("__k"))
       .groupBy(col("__id"), col("__k")).agg(count(lit(1)).as("__c"))

@@ -553,6 +553,74 @@ object EventStreams {
     query
   }
 
+  /** Streaming DSIR quality gate: each micro-batch keeps only documents
+    * whose mean per-feature importance weight under a PRE-FIT
+    * target-vs-raw hashed-n-gram model
+    * ([[graft.ops.Sampling.importanceWeightsWithModels]]) clears
+    * `minLogw`, appending survivors to `outDir` — the data-selection
+    * twin of [[ingestDecontaminated]], run in front of a training corpus
+    * so off-domain content never lands.
+    *
+    * Steady-state shape: both models are fit ONCE at stream start from
+    * the static reference dirs, persisted (each is ≤ `buckets` rows —
+    * the broadcastable side of every batch's join), and reused by every
+    * micro-batch; per-batch work is the batch's own feature hashing
+    * plus two bucket-key joins, independent of stream age. The persists
+    * are released by a termination listener, as in
+    * [[ingestDecontaminated]].
+    */
+  def ingestImportanceGated(spark: SparkSession, schema: StructType,
+      inDir: String, targetDir: String, rawDir: String, outDir: String,
+      checkpointDir: String, idCol: String, textCol: String,
+      minLogw: Double, buckets: Int = 10000, alpha: Double = 1.0,
+      maxFilesPerTrigger: Int = 16,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    import graft.ops.Sampling
+    import org.apache.spark.sql.functions.{broadcast, col}
+    val tModel = Sampling.importanceModel(
+      spark.read.parquet(targetDir), textCol, buckets).persist()
+    val rModel = Sampling.importanceModel(
+      spark.read.parquet(rawDir), textCol, buckets).persist()
+    tModel.count(); rModel.count() // materialize once, before batch 1
+    val query = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(inDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val keep = Sampling.importanceWeightsWithModels(batch, idCol,
+            textCol, broadcast(tModel), broadcast(rModel), buckets, alpha)
+          .where(col("logw") >= minLogw)
+          .select(col(idCol))
+        batch.join(keep, Seq(idCol), "left_semi")
+          .write.mode("append").parquet(outDir)
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .start()
+    val release = new StreamingQueryListener {
+      override def onQueryStarted(
+          e: StreamingQueryListener.QueryStartedEvent): Unit = ()
+      override def onQueryProgress(
+          e: StreamingQueryListener.QueryProgressEvent): Unit = ()
+      override def onQueryTerminated(
+          e: StreamingQueryListener.QueryTerminatedEvent): Unit =
+        if (e.id == query.id) {
+          tModel.unpersist(blocking = false)
+          rModel.unpersist(blocking = false)
+          spark.streams.removeListener(this)
+        }
+    }
+    spark.streams.addListener(release)
+    // same early-termination race note as ingestDecontaminated
+    if (!query.isActive) {
+      tModel.unpersist(blocking = false)
+      rModel.unpersist(blocking = false)
+      spark.streams.removeListener(release)
+    }
+    query
+  }
+
   /** Run a streaming DataFrame to completion against a memory sink and
     * return the materialized result (hermetic local testing; complete
     * mode for aggregations).

@@ -335,6 +335,47 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q99: semDedup joins within cells only — no cross join, bounded scans") {
+    val p = formatted("q99_semdedup")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+    // embeddings feed the scored frame + the two pair-join legs; the
+    // collapse adds label joins, never another corpus pass
+    assert(countNodes(p, "Scan parquet") <= 3, p)
+    // the winner cut is one per-label window over paired rows
+    assert(countNodes(p, "Window") >= 1, p)
+  }
+
+  test("q100: DSIR models join by bucket key; occurrences pre-aggregate first") {
+    val p = formatted("q100_dsir_weights")
+    assert(!p.contains("CartesianProduct"), p)
+    // only the one-row totals frame may nested-loop (broadcast scalar)
+    assert(countNodes(p, "BroadcastNestedLoopJoin") <= 2, p)
+    // per-(doc,bucket), target-model and raw-model counts all
+    // pre-aggregate before any join touches them
+    assert(countNodes(p, "HashAggregate") >= 6, p)
+  }
+
+  test("q101: heavy hitters aggregate partially per partition; no token shuffle") {
+    val p = formatted("q101_heavy_hitters")
+    // the typed aggregator must run as partial + final (ObjectHashAggregate
+    // or SortAggregate pairs) with exactly one exchange of summaries
+    assert(countNodes(p, "ObjectHashAggregate") +
+      countNodes(p, "SortAggregate") >= 2, p)
+    assert(countNodes(p, "Exchange") <= 2, p) // summary exchange + top-k
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q102: snapshot diff joins fingerprints, never document bytes") {
+    val p = formatted("q102_snapshot_diff")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(countNodes(p, "Scan parquet") <= 2, p)
+    // the join input projects id + fingerprint only — text must be
+    // hashed scan-side, not carried through the exchange
+    assert(p.contains("md5"), p)
+  }
+
   test("whole-stage codegen covers the kernel expressions") {
     val df = SparkEntry.queries("q31_cosine_neardup")(spark, sfDir)
     df.collect() // materialize THIS plan so AQE finalizes it

@@ -367,6 +367,43 @@ class StreamingSpec extends SparkSuite {
       "shingle cache leaked after query termination")
   }
 
+  test("ingestImportanceGated keeps on-domain docs across batches, models fit once") {
+    import spark.implicits._
+    val in = tmp("dsir-in")
+    val target = tmp("dsir-target") + "/data"
+    val raw = tmp("dsir-raw") + "/data"
+    val out = tmp("dsir-out") + "/data"
+    val ckpt = tmp("dsir-ckpt")
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "doc_id LONG, text STRING")
+    // target dialect: alpha/beta/gamma; raw reference: an even mix
+    Seq((100L, "alpha beta gamma alpha beta"), (101L, "beta gamma alpha"))
+      .toDF("doc_id", "text").write.mode("overwrite").parquet(target)
+    Seq((200L, "alpha beta gamma"), (201L, "zeta eta theta iota"))
+      .toDF("doc_id", "text").write.mode("overwrite").parquet(raw)
+    // batch 1 and batch 2 each carry one on-domain and one off-domain doc
+    Seq((1L, "alpha beta gamma beta"), (2L, "zeta eta theta kappa"))
+      .toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(in)
+    Seq((3L, "beta alpha gamma"), (4L, "iota theta eta zeta"))
+      .toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(in)
+    val cachedBefore = spark.sparkContext.getPersistentRDDs.keySet
+    graft.streaming.EventStreams
+      .ingestImportanceGated(spark, schema, in, target, raw, out, ckpt,
+        "doc_id", "text", minLogw = 0.0, buckets = 10000)
+      .awaitTermination()
+    val kept = spark.read.parquet(out).select($"doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept === Set(1L, 3L), s"got $kept")
+    // both model caches released after termination (async listener)
+    def leaked(): Set[Int] =
+      (spark.sparkContext.getPersistentRDDs.keySet -- cachedBefore).toSet
+    val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+    while (leaked().nonEmpty && System.nanoTime() < deadline)
+      Thread.sleep(100)
+    assert(leaked().isEmpty,
+      "importance model cache leaked after query termination")
+  }
+
   test("ingestNearDupKeyed matches ingestNearDup and keeps the key table current") {
     import spark.implicits._
     val in = tmp("keyed-in")
