@@ -263,10 +263,12 @@ object Bench {
       // twin below removes. Round 4 measured 18.5× growth at 20×; after
       // round 5's distinct-candidate verification (kernels once per
       // candidate doc, never per corpus row) and 16/4 banding the inline
-      // growth has measured 2.9–4.6× across runs vs ~1× stored-key (r5
-      // shipped 2.9×/0.95×) — the steady-state corpus-independence
-      // claim, as numbers; run-to-run spread comes from JIT/cache warmth,
-      // so compare the growth RATIO, not absolutes, across rounds.
+      // growth has measured ~2.4–4.6× across runs vs ~0.95–1.8×
+      // stored-key — the steady-state corpus-independence claim, as
+      // numbers. Timings are min-of-SPARK_GRAFT_SCALE_ITERS (default 2)
+      // since round 6: single-shot timings swung up to ~3.5× between
+      // runs on JIT/GC/page-cache warmth; expect residual spread and
+      // compare growth RATIOS, not absolutes, across rounds.
       // 16/4 banding (r=4), not the loose-threshold 16/8 default: at a
       // 0.95 threshold r=2 floods verification with J≈0.3 junk
       // candidates (the SCALE.md band-geometry rule; q67 measured −57%)
@@ -286,11 +288,22 @@ object Bench {
         -1.0
       }
     }
+    // single-shot scale timings swung up to ~3.5× between runs
+    // (JIT/GC/page-cache warmth), which makes the growth RATIOS the
+    // round-over-round comparison reads unstable — take the min of
+    // SPARK_GRAFT_SCALE_ITERS (default 2) runs per case, like the
+    // headline queries' min-of-3
+    val scaleIters = math.max(1,
+      sys.env.getOrElse("SPARK_GRAFT_SCALE_ITERS", "2").toInt)
+    def timeMin(df: => DataFrame): Double = {
+      val ts = (1 to scaleIters).map(_ => time(df)).filter(_ > 0)
+      if (ts.isEmpty) -1.0 else ts.min
+    }
     // 1× vs R× on identical scan shapes: the pair of timings per case IS
     // the scaling measurement (quadratic ops grow ~R², banded ops ~R·dup)
     val timed = cases.filter(c => caseWanted(c._1)).map { case (name, fn) =>
-      val t1 = time(fn(docs, emb))
-      val tr = time(fn(d, e))
+      val t1 = timeMin(fn(docs, emb))
+      val tr = timeMin(fn(d, e))
       val growth = if (t1 > 0 && tr > 0) tr / t1 else -1.0
       s"""\"$name\":{"x1":${fmt(t1)},"x$r":${fmt(tr)},"growth":${fmt(growth)}}"""
     }
@@ -316,8 +329,8 @@ object Bench {
       val entry = try {
         val k1 = bucketed(s"graft_scale_${name}_1", keys1)
         val kr = bucketed(s"graft_scale_${name}_r", keysR)
-        val t1 = time(probe(k1, corpus1))
-        val tr = time(probe(kr, corpusR))
+        val t1 = timeMin(probe(k1, corpus1))
+        val tr = timeMin(probe(kr, corpusR))
         val growth = if (t1 > 0 && tr > 0) tr / t1 else -1.0
         s"""\"$name\":{"x1":${fmt(t1)},"x$r":${fmt(tr)},"growth":${fmt(growth)}}"""
       } catch { case scala.util.control.NonFatal(_) =>
@@ -376,8 +389,16 @@ object Bench {
       } catch { case scala.util.control.NonFatal(_) => -1.0 }
     }
     def streamJson = {
-      val t1 = streamRun("1", docs)
-      val tr = streamRun("r", d)
+      // fresh tag per iteration: each run re-seeds its own scratch
+      // corpus/keys/checkpoint, so a reused checkpoint can't turn the
+      // repeat into a no-op
+      def streamMin(tag: String, corpus: DataFrame): Double = {
+        val ts = (1 to scaleIters).map(i => streamRun(s"${tag}_$i", corpus))
+          .filter(_ > 0)
+        if (ts.isEmpty) -1.0 else ts.min
+      }
+      val t1 = streamMin("1", docs)
+      val tr = streamMin("r", d)
       val growth = if (t1 > 0 && tr > 0) tr / t1 else -1.0
       s""""streaming_ingest_keyed":{"x1":${fmt(t1)},"x$r":${fmt(tr)},"growth":${fmt(growth)}}"""
     }
