@@ -1,6 +1,6 @@
 package graft.agg
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
 
 /** Statistics + acceptance module (SURVEY.md §2.5, A1–A12):
@@ -165,6 +165,48 @@ object Statistics {
   def columnProfileApprox(df: DataFrame, numericCols: Seq[String],
       stringCols: Seq[String] = Nil): DataFrame =
     profile(df, numericCols, stringCols, approxDistinct = true)
+
+  /** Gate-threshold calibration sweep: confusion counts and derived
+    * rates of the predictor `score >= t` against a boolean reference,
+    * one output row per `t` in `cutoffs` — the table consulted before
+    * committing a quality-gate threshold to a curation run (how much
+    * survives, what the false-keep/false-drop trade looks like).
+    *
+    * Scale: ONE aggregation pass — per cutoff the confusion cells are
+    * conditional sums accumulating map-side, so the exchange carries a
+    * single 4×|cutoffs|-cell row no matter the corpus size; the sweep
+    * never re-scans per threshold. Rates divide exact integer counts
+    * (NULL where undefined), so the whole table is engine-exact.
+    */
+  def thresholdSweep(df: DataFrame, score: Column, label: Column,
+      cutoffs: Seq[Double]): DataFrame = {
+    require(cutoffs.nonEmpty, "at least one cutoff")
+    val cells = cutoffs.zipWithIndex.flatMap { case (c, i) =>
+      Seq(
+        sum(when(label && score >= c, 1L).otherwise(0L)).as(s"__tp$i"),
+        sum(when(!label && score >= c, 1L).otherwise(0L)).as(s"__fp$i"))
+    }
+    val aggd = df.agg(
+      sum(when(label, 1L).otherwise(0L)).as("__pos"),
+      (sum(when(label, 1L).otherwise(0L)) * -1 + count(lit(1))).as("__neg")
+        +: cells: _*)
+    val rows = aggd.select(explode(array(cutoffs.zipWithIndex.map {
+      case (c, i) =>
+        struct(lit(c).as("cutoff"),
+          col(s"__tp$i").as("tp"), col(s"__fp$i").as("fp"),
+          (col("__pos") - col(s"__tp$i")).as("fn"),
+          (col("__neg") - col(s"__fp$i")).as("tn"))
+    }: _*)).as("r")).select(col("r.*"))
+    def ratio(num: Column, den: Column): Column =
+      when(den =!= 0, num.cast("double") / den.cast("double"))
+    rows.select(col("cutoff"), col("tp"), col("fp"), col("fn"), col("tn"),
+      ratio(col("tp"), col("tp") + col("fp")).as("precision"),
+      ratio(col("tp"), col("tp") + col("fn")).as("recall"),
+      ratio(lit(2) * col("tp"),
+        lit(2) * col("tp") + col("fp") + col("fn")).as("f1"),
+      ratio(col("tp") + col("fp"),
+        col("tp") + col("fp") + col("fn") + col("tn")).as("keep_rate"))
+  }
 
   private def profile(df: DataFrame, numericCols: Seq[String],
       stringCols: Seq[String], approxDistinct: Boolean): DataFrame = {

@@ -56,6 +56,21 @@ object CorpusQueries {
       .orderBy($"doc_id")
   }
 
+  /** Quality-gate calibration: confusion counts + precision/recall/F1/
+    * keep-rate of `qualityScore >= t` against the length reference
+    * (n_chars ≥ 300) across a 4-cutoff grid — one aggregation pass, one
+    * output row per cutoff, the table read before committing a gate
+    * threshold.
+    */
+  private def q104(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    Statistics.thresholdSweep(docs,
+        graft.ops.TextAnalysis.qualityScore($"text"),
+        $"n_chars" >= 300, cutoffs = Seq(0.45, 0.5, 0.55, 0.62))
+      .orderBy($"cutoff")
+  }
+
   /** GPT-style sequence packing at a 512-token budget: each document's
     * offset interval in the virtual corpus token stream and the packed
     * sequences it spans. The global prefix sum runs as the two-phase
@@ -345,6 +360,7 @@ object CorpusQueries {
     "q60_vocab_topk" -> (q60 _),
     "q101_heavy_hitters" -> (q101 _),
     "q102_snapshot_diff" -> (q102 _),
+    "q104_gate_calibration" -> (q104 _),
     "q61_sequence_packing" -> (q61 _),
     "q97_example_carve" -> (q97 _),
     "q62_incremental_dedup" -> (q62 _),
@@ -498,6 +514,30 @@ object CorpusQueries {
         |SELECT doc_id, quality, n_tokens, tokens_before FROM c
         |WHERE tokens_before < 5000
         |ORDER BY doc_id""".stripMargin,
+    // the q90 quality formula against the length label over a cutoff
+    // grid; all rates divide exact integer confusion counts
+    "q104_gate_calibration" ->
+      """WITH t AS (SELECT doc_id, n_chars >= 300 AS label,
+        |             string_split_regex(trim(text), ' +') AS toks
+        |           FROM documents),
+        |q AS (SELECT doc_id, label,
+        |        (CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)) * 0.5
+        |          + (CAST(len(list_filter(toks, s -> s IN ('the','a','an','of','and','is','in','to','it','that'))) AS DOUBLE) / len(toks)) * 0.3
+        |          + (CASE WHEN len(toks) BETWEEN 5 AND 100000 THEN 1.0 ELSE 0.0 END) * 0.2 AS quality
+        |      FROM t),
+        |c AS (SELECT unnest([0.45, 0.5, 0.55, 0.62]) AS cutoff),
+        |j AS (SELECT c.cutoff,
+        |        CAST(sum(CASE WHEN label AND quality >= cutoff THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+        |        CAST(sum(CASE WHEN NOT label AND quality >= cutoff THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+        |        CAST(sum(CASE WHEN label AND quality < cutoff THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+        |        CAST(sum(CASE WHEN NOT label AND quality < cutoff THEN 1 ELSE 0 END) AS BIGINT) AS tn
+        |      FROM q, c GROUP BY c.cutoff)
+        |SELECT cutoff, tp, fp, fn, tn,
+        |       CASE WHEN tp + fp <> 0 THEN CAST(tp AS DOUBLE) / (tp + fp) END AS precision,
+        |       CASE WHEN tp + fn <> 0 THEN CAST(tp AS DOUBLE) / (tp + fn) END AS recall,
+        |       CASE WHEN 2*tp + fp + fn <> 0 THEN CAST(2*tp AS DOUBLE) / (2*tp + fp + fn) END AS f1,
+        |       CASE WHEN tp + fp + fn + tn <> 0 THEN CAST(tp + fp AS DOUBLE) / (tp + fp + fn + tn) END AS keep_rate
+        |FROM j ORDER BY cutoff""".stripMargin,
     // both releases rebuilt in SQL, full-outer joined on id, fingerprints
     // compared — the same md5 the Spark side computes
     "q102_snapshot_diff" ->

@@ -319,6 +319,29 @@ class CorpusOpsSpec extends SparkSuite {
     assert(approx === exact)
   }
 
+  test("thresholdSweep: hand-computed confusion cells and rates per cutoff") {
+    import spark.implicits._
+    // scores: positives at 0.9, 0.6, 0.4; negatives at 0.7, 0.3
+    val df = Seq(
+      (0.9, true), (0.6, true), (0.4, true), (0.7, false), (0.3, false))
+      .toDF("score", "label")
+    val got = Statistics.thresholdSweep(df, $"score", $"label",
+        cutoffs = Seq(0.5, 0.95))
+      .orderBy($"cutoff").collect()
+    // t=0.5: tp=2 fp=1 fn=1 tn=1 → p=2/3, r=2/3, f1=2/3, keep=3/5
+    val r0 = got(0)
+    assert((r0.getLong(1), r0.getLong(2), r0.getLong(3), r0.getLong(4))
+      === ((2L, 1L, 1L, 1L)))
+    assert(math.abs(r0.getDouble(5) - 2.0 / 3) < 1e-15)
+    assert(math.abs(r0.getDouble(8) - 0.6) < 1e-15)
+    // t=0.95: nothing kept → precision/keep undefined vs defined-null
+    val r1 = got(1)
+    assert((r1.getLong(1), r1.getLong(2), r1.getLong(3), r1.getLong(4))
+      === ((0L, 0L, 3L, 2L)))
+    assert(r1.isNullAt(5))            // precision NULL when tp+fp = 0
+    assert(r1.getDouble(6) === 0.0)   // recall defined: 0/3
+  }
+
   test("groupThresholds picks the rank-based median; filter keeps >= threshold") {
     import spark.implicits._
     val df = Seq(
