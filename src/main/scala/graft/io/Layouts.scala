@@ -40,6 +40,54 @@ object Layouts {
       .sortWithinPartitions(df(key))
       .write.mode("overwrite").parquet(dir)
 
+  /** Z-order (Morton-curve) clustered write: each clustering column is
+    * width-bucketed into 2^`bitsPerCol` cells between its observed
+    * min/max (one aggregate pass for the bounds — plan literals
+    * thereafter), the cell indices' bits are interleaved into one
+    * z-key, and the data is range-partitioned + sorted by it. Rows
+    * close in EVERY clustered dimension land in the same files, so a
+    * range predicate on ANY of the columns — not just the first, as
+    * with a lexicographic sort — touches a small, contiguous slice of
+    * files and parquet row-group min/max stats prune the rest. The
+    * multi-dimensional file-pruning layout for a 100 TB fact table
+    * queried along several independent axes.
+    *
+    * The z-key is pure integer arithmetic (shifts + masks over the
+    * bucket indices), fully codegen'd; nulls sort first via bucket 0.
+    */
+  def writeZOrdered(df: DataFrame, dir: String, cols: Seq[String],
+      partitions: Int, bitsPerCol: Int = 8): Unit = {
+    require(cols.nonEmpty, "at least one clustering column")
+    require(bitsPerCol > 0 && bitsPerCol * cols.size <= 62,
+      s"bitsPerCol × cols must fit a long, got $bitsPerCol × ${cols.size}")
+    import org.apache.spark.sql.functions._
+    val n = (1 << bitsPerCol).toLong
+    val aggs = cols.flatMap(c => Seq(min(col(c).cast("double")),
+      max(col(c).cast("double"))))
+    val bounds = df.agg(aggs.head, aggs.tail: _*).head()
+    val zcol = cols.zipWithIndex.map { case (c, ci) =>
+      val (lo, hi) = (bounds.getDouble(ci * 2), bounds.getDouble(ci * 2 + 1))
+      // bucket index in [0, n): equal-width between the observed bounds
+      // (degenerate column → bucket 0); nulls → bucket 0
+      val bucket =
+        if (hi <= lo) lit(0L)
+        else least(lit(n - 1), greatest(lit(0L),
+          floor((col(c).cast("double") - lit(lo)) / lit(hi - lo) * n)
+            .cast("long")))
+      val b = coalesce(bucket, lit(0L))
+      // spread bucket bit i of column ci to z-bit (i × stride + ci)
+      (0 until bitsPerCol).map { i =>
+        shiftleft(shiftright(b, i).bitwiseAND(1L),
+          i * cols.size + (cols.size - 1 - ci))
+      }.reduce(_ bitwiseOR _)
+    }.reduce(_ bitwiseOR _)
+    df.withColumn("__z", zcol)
+      .repartitionByRange(partitions, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+      .write.mode("overwrite").parquet(dir)
+  }
+
   /** Balanced, size-capped shard write: AQE's REBALANCE hint splits
     * oversized and coalesces undersized post-shuffle partitions to the
     * advisory size at runtime (no counting pass, skew handled), and

@@ -206,4 +206,30 @@ class LayoutsSpec extends SparkSuite {
     }
     assert(overlaps === 0)
   }
+
+  test("z-ordered write: a range predicate on either dimension touches few files") {
+    import spark.implicits._
+    val grid = (for (x <- 0 until 100; y <- 0 until 100)
+      yield (x.toLong, y.toLong, s"$x:$y")).toDF("x", "y", "payload")
+    val zdir = java.nio.file.Files.createTempDirectory("zorder").toString
+    val ydir = java.nio.file.Files.createTempDirectory("ysort").toString
+    Layouts.writeZOrdered(grid, zdir, Seq("x", "y"), partitions = 16,
+      bitsPerCol = 4)
+    // contrast layout: clustered by y only — an x predicate prunes nothing
+    Layouts.writeRangeClustered(grid, ydir, "y", 16)
+    def filesTouched(dir: String, cond: org.apache.spark.sql.Column): Long =
+      spark.read.parquet(dir).where(cond)
+        .select(input_file_name()).distinct().count()
+    val zBack = spark.read.parquet(zdir)
+    assert(zBack.count() === 10000)
+    assert(zBack.select("payload").exceptAll(grid.select("payload")).isEmpty)
+    val zx = filesTouched(zdir, $"x" < 25)
+    val zy = filesTouched(zdir, $"y" < 25)
+    val yx = filesTouched(ydir, $"x" < 25)
+    // the y-clustered layout spreads an x slice over every file; the
+    // z-order concentrates BOTH dimensions' slices
+    assert(yx >= 12, s"x slice on y-sorted layout touched $yx files")
+    assert(zx <= 8, s"x slice on z-order touched $zx files")
+    assert(zy <= 8, s"y slice on z-order touched $zy files")
+  }
 }
