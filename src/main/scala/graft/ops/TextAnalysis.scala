@@ -196,6 +196,55 @@ object TextAnalysis {
   }
 
   /** Stable content fingerprint (hex): engine-portable md5 of the raw text. */
+  /** Per-group distribution drift vs the whole corpus: the total
+    * variation distance between each group's hashed-feature distribution
+    * and the corpus-wide one — the monitor that answers "which source's
+    * content has drifted" on a continuous ingest, where a spiking TV
+    * flags a scraper change, an encoding bug, or a topic shift.
+    *
+    * TV(p_g, p) = ½ Σ_f |c_gf/N_g − c_f/N| is computed EXACTLY: each
+    * bucket's term uses the integer numerator |c_gf·N − c_f·N_g| (a
+    * DECIMAL — no float sums, so the value is identical on any
+    * partitioning and cross-engine hashable), divided once by 2·N_g·N at
+    * the end. Features are [[graft.ops.Sampling.hashedNgramBuckets]]
+    * (unigrams + bigrams, md5 % `buckets`); everything pre-aggregates to
+    * (group, bucket) counts before the one model join.
+    *
+    * @return `groupCol, n_features, l1_num (DECIMAL 38,0), tv (double)`
+    */
+  def distributionDrift(df: DataFrame, groupCol: String, textCol: String,
+      buckets: Int = 10000): DataFrame = {
+    val feats = df.select(col(groupCol).as("__g"),
+      explode(Sampling.hashedNgramBuckets(textCol, buckets)).as("__k"))
+    val perGroup = feats.groupBy(col("__g"), col("__k"))
+      .agg(count(lit(1)).as("__cg"))
+    val corpus = feats.groupBy(col("__k")).agg(count(lit(1)).as("__c"))
+    val groupTotals = perGroup.groupBy(col("__g"))
+      .agg(sum(col("__cg")).as("__ng"))
+    val total = corpus.agg(sum(col("__c")).as("__n"))
+    // a group MISSING a corpus bucket still contributes |0·N − c_f·N_g|,
+    // so expand groups × corpus buckets explicitly (|groups| is
+    // report-sized — sources/languages — so this is |groups|·B rows, the
+    // drift table's natural size) and left-join the per-group counts in
+    groupTotals.crossJoin(corpus).crossJoin(broadcast(total))
+      .join(perGroup, Seq("__g", "__k"), "left")
+      .select(col("__g"), col("__ng"), col("__n"),
+        coalesce(col("__cg"), lit(0L)).as("__cg"),
+        abs(coalesce(col("__cg"), lit(0L)).cast("decimal(19,0)")
+            * col("__n").cast("decimal(19,0)")
+          - col("__c").cast("decimal(19,0)") * col("__ng").cast("decimal(19,0)"))
+          .as("__t"))
+      .groupBy(col("__g"))
+      .agg(sum(col("__cg")).as("n_features"),
+        sum(col("__t")).cast("decimal(38,0)").as("l1_num"),
+        max(col("__ng")).as("__ng2"), max(col("__n")).as("__n2"))
+      .select(col("__g").as(groupCol), col("n_features"),
+        col("l1_num"),
+        (col("l1_num").cast("double") /
+          (lit(2.0) * col("__ng2").cast("double") * col("__n2").cast("double")))
+          .as("tv"))
+  }
+
   def contentFingerprint(text: Column): Column = md5(text)
 
   /** 64-bit rolling fingerprint over the token stream:

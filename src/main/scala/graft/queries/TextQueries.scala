@@ -437,7 +437,20 @@ object TextQueries {
       .orderBy($"doc_id")
   }
 
+  /** Per-language distribution drift vs the corpus: exact total
+    * variation distance over hashed n-gram features — the ingest
+    * monitor that flags a drifting source. The decimal `l1_num` makes
+    * the distance layout-independent and hash-gateable (no float sums).
+    */
+  private def q105(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    TextAnalysis.distributionDrift(Tables.documents(s, dir),
+        "lang", "text", buckets = 10000)
+      .orderBy($"lang")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q105_distribution_drift" -> (q105 _),
     "q71_production_pipeline" -> (q71 _),
     "q71b_production_pipeline_xxh64" -> (q71b _),
     "q52b_dedup_pipeline_xxh64" -> (q52b _),
@@ -469,6 +482,32 @@ object TextQueries {
     "q86_normalized_dedup" -> (q86 _))
 
   val oracles: Map[String, String] = Map(
+    // q100's hashed-feature buckets per language + corpus-wide, expanded
+    // over every (lang, bucket) pair so missing buckets contribute, with
+    // the exact integer L1 numerator summed in DECIMAL
+    "q105_distribution_drift" ->
+      """WITH ft AS (SELECT lang, string_split_regex(trim(text), ' +') AS toks
+        |            FROM documents),
+        |u AS (SELECT lang, 'u:' || w AS feat
+        |      FROM (SELECT lang, unnest(toks) AS w FROM ft)),
+        |b AS (SELECT lang, 'b:' || toks[i] || ' ' || toks[i + 1] AS feat
+        |      FROM ft, UNNEST(range(1, len(toks))) AS t(i)),
+        |f AS (SELECT lang, ('0x' || substr(md5(feat), 1, 15))::BIGINT % 10000 AS k
+        |      FROM (SELECT * FROM u UNION ALL SELECT * FROM b)),
+        |pg AS (SELECT lang, k, CAST(count(*) AS BIGINT) AS cg FROM f GROUP BY lang, k),
+        |cm AS (SELECT k, CAST(count(*) AS BIGINT) AS c FROM f GROUP BY k),
+        |gt AS (SELECT lang, CAST(sum(cg) AS BIGINT) AS ng FROM pg GROUP BY lang),
+        |tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM cm),
+        |x AS (SELECT gt.lang, gt.ng, tot.n, cm.c, COALESCE(pg.cg, 0) AS cg
+        |      FROM gt CROSS JOIN cm CROSS JOIN tot
+        |      LEFT JOIN pg ON pg.lang = gt.lang AND pg.k = cm.k)
+        |SELECT lang, CAST(sum(cg) AS BIGINT) AS n_features,
+        |       CAST(sum(abs(CAST(cg AS DECIMAL(19,0)) * n
+        |                    - CAST(c AS DECIMAL(19,0)) * ng)) AS DECIMAL(38,0)) AS l1_num,
+        |       CAST(CAST(sum(abs(CAST(cg AS DECIMAL(19,0)) * n
+        |                         - CAST(c AS DECIMAL(19,0)) * ng)) AS DECIMAL(38,0)) AS DOUBLE)
+        |         / (2.0 * ng * n) AS tv
+        |FROM x GROUP BY lang, ng, n ORDER BY lang""".stripMargin,
     // q59's curation CTE chain (quality → decontaminate → exact dedup)
     // feeding q52's near-dup pipeline CTE chain (md5-MinHash bands →
     // Jaccard verify → recursive-CTE closure → survivors)

@@ -239,6 +239,22 @@ class OpsSpec extends SparkSuite {
     assert(got.count() > 0)
   }
 
+  test("distributionDrift: zero for identical groups, exact ½ for disjoint halves") {
+    import spark.implicits._
+    // two groups with identical text → each distribution equals the
+    // corpus distribution → TV exactly 0
+    val same = Seq(("g1", "a a b"), ("g2", "a a b")).toDF("src", "text")
+    val tvSame = TextAnalysis.distributionDrift(same, "src", "text")
+      .collect().map(r => r.getAs[String]("src") -> r.getAs[Double]("tv")).toMap
+    assert(tvSame("g1") === 0.0 && tvSame("g2") === 0.0)
+    // disjoint vocabularies, equal sizes: each group holds exactly half
+    // the corpus mass → TV = ½·(⅓+⅙+⅓+⅙) = 0.5, hand-computed
+    val disjoint = Seq(("g1", "x x"), ("g2", "y y")).toDF("src", "text")
+    val tvD = TextAnalysis.distributionDrift(disjoint, "src", "text")
+      .collect().map(r => r.getAs[String]("src") -> r.getAs[Double]("tv")).toMap
+    assert(tvD("g1") === 0.5 && tvD("g2") === 0.5)
+  }
+
   test("snapshotDiff classifies added/removed/changed/unchanged; bases agree") {
     import spark.implicits._
     val before = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("doc_id", "text")
