@@ -47,6 +47,29 @@ object Decontamination {
       .select(explode(Dedup.shingles(col(textCol), n)).as("__sh"))
       .distinct()
 
+  /** Verbatim leak check: documents containing any benchmark NEEDLE as
+    * an exact substring — the strictest contamination form (an eval
+    * answer string pasted into training text), which shingle overlap
+    * can under-report when the needle is shorter than `n` tokens.
+    * Needles shorter than `minChars` are ignored (single words would
+    * flag everything). The needle set is eval-sized and broadcasts; the
+    * scan side is one narrow `contains` pass per needle — no corpus
+    * shuffle at any size.
+    *
+    * @return `idCol, needle` — one row per (document, matched needle)
+    */
+  def verbatimMatches(corpus: DataFrame, needles: DataFrame,
+      idCol: String, textCol: String, needleCol: String,
+      minChars: Int = 12): DataFrame = {
+    val ns = needles
+      .select(col(needleCol).cast("string").as("needle"))
+      .where(length(col("needle")) >= minChars)
+      .distinct()
+    corpus.select(col(idCol), col(textCol))
+      .join(broadcast(ns), col(textCol).contains(col("needle")))
+      .select(col(idCol), col("needle"))
+  }
+
   /** [[contaminationScores]] against a PRECOMPUTED (usually persisted)
     * benchmark shingle set — one column `__sh`, eval-set-sized, always
     * the broadcast side.

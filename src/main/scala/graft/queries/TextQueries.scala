@@ -332,6 +332,22 @@ object TextQueries {
       .orderBy($"doc_id")
   }
 
+  /** Verbatim leak check: documents containing a benchmark doc's exact
+    * 40-char span — the strictest contamination form, catching pasted
+    * eval strings that shingle overlap under-reports below the window
+    * length. The needle set broadcasts; the corpus side is one narrow
+    * contains scan.
+    */
+  private def q106(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    val needles = docs.where($"doc_id" % 11 === 0)
+      .select(substring($"text", 10, 40).as("needle"))
+    Decontamination.verbatimMatches(docs, needles, "doc_id", "text",
+        "needle", minChars = 20)
+      .orderBy($"doc_id", $"needle")
+  }
+
   /** Train/test split leakage audit: deterministic 90/10 md5 split,
     * then every test document's 3-gram shingle overlap with the TRAIN
     * split — the big-to-big decontamination shape (neither side
@@ -451,6 +467,7 @@ object TextQueries {
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q105_distribution_drift" -> (q105 _),
+    "q106_verbatim_leak" -> (q106 _),
     "q71_production_pipeline" -> (q71 _),
     "q71b_production_pipeline_xxh64" -> (q71b _),
     "q52b_dedup_pipeline_xxh64" -> (q52b _),
@@ -482,6 +499,15 @@ object TextQueries {
     "q86_normalized_dedup" -> (q86 _))
 
   val oracles: Map[String, String] = Map(
+    // bench spans rebuilt with the same 1-based 40-char substr; match by
+    // substring position — both engines compare by character
+    "q106_verbatim_leak" ->
+      """WITH n AS (SELECT DISTINCT substr(text, 10, 40) AS needle
+        |           FROM documents
+        |           WHERE doc_id % 11 = 0 AND length(substr(text, 10, 40)) >= 20)
+        |SELECT d.doc_id, n.needle
+        |FROM documents d JOIN n ON position(n.needle IN d.text) > 0
+        |ORDER BY d.doc_id, n.needle""".stripMargin,
     // q100's hashed-feature buckets per language + corpus-wide, expanded
     // over every (lang, bucket) pair so missing buckets contribute, with
     // the exact integer L1 numerator summed in DECIMAL

@@ -239,6 +239,22 @@ class OpsSpec extends SparkSuite {
     assert(got.count() > 0)
   }
 
+  test("verbatimMatches flags exact substring leaks, ignores short needles") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the secret eval answer is forty two ok"),
+      (2L, "prefix text the secret eval answer is forty two pasted here"),
+      (3L, "nothing shared with the benchmark at all")).toDF("doc_id", "text")
+    val needles = Seq("the secret eval answer is forty two", "ok")
+      .toDF("needle")
+    val got = graft.ops.Decontamination.verbatimMatches(
+        docs, needles, "doc_id", "text", "needle", minChars = 12)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    // long needle hits docs 1 and 2; the 2-char "ok" is below minChars
+    assert(got.map(_._1).sorted.toSeq === Seq(1L, 2L))
+    assert(got.forall(_._2.startsWith("the secret")))
+  }
+
   test("distributionDrift: zero for identical groups, exact ½ for disjoint halves") {
     import spark.implicits._
     // two groups with identical text → each distribution equals the
