@@ -218,7 +218,10 @@ object TextAnalysis {
       explode(Sampling.hashedNgramBuckets(textCol, buckets)).as("__k"))
     val perGroup = feats.groupBy(col("__g"), col("__k"))
       .agg(count(lit(1)).as("__cg"))
-    val corpus = feats.groupBy(col("__k")).agg(count(lit(1)).as("__c"))
+    // corpus model and both totals DERIVE from the per-group counts, so
+    // every consumer shares the one scan+shuffle subtree (ReusedExchange
+    // collapses the repeats — PlanSpec pins a single parquet scan)
+    val corpus = perGroup.groupBy(col("__k")).agg(sum(col("__cg")).as("__c"))
     val groupTotals = perGroup.groupBy(col("__g"))
       .agg(sum(col("__cg")).as("__ng"))
     val total = corpus.agg(sum(col("__c")).as("__n"))

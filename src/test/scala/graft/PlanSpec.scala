@@ -376,6 +376,32 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("md5"), p)
   }
 
+  test("q105: drift models pre-aggregate and share one scan via stage reuse") {
+    val df = SparkEntry.queries("q105_distribution_drift")(spark, sfDir)
+    df.collect() // materialize so AQE finalizes stage reuse
+    val p = df.queryExecution
+      .explainString(ExplainMode.fromString("formatted"))
+    assert(!p.contains("CartesianProduct"), p)
+    // per-(group,bucket), corpus-bucket, group-total and grand-total
+    // counts all pre-aggregate before any join
+    assert(countNodes(p, "HashAggregate") >= 6, p)
+    // the corpus model and both totals DERIVE from the per-group
+    // counts, so at runtime AQE reuses the one scan+shuffle stage for
+    // every consumer instead of re-reading the corpus
+    assert(("ReusedExchange|ReusedQueryStage".r
+      .findAllIn(p).length) >= 2, p)
+  }
+
+  test("q106: the needle set broadcasts; the corpus side is one scan") {
+    val p = formatted("q106_verbatim_leak")
+    // a contains-join is necessarily a broadcast nested loop — the pin
+    // is that the NEEDLE side is the broadcast one and nothing cartesian
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("BroadcastExchange"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(countNodes(p, "Scan parquet") <= 2, p)
+  }
+
   test("whole-stage codegen covers the kernel expressions") {
     val df = SparkEntry.queries("q31_cosine_neardup")(spark, sfDir)
     df.collect() // materialize THIS plan so AQE finalizes it
