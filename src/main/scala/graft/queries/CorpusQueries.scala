@@ -56,6 +56,37 @@ object CorpusQueries {
       .orderBy($"doc_id")
   }
 
+  /** Incremental release pipeline — the 100 TB release cadence: diff the
+    * new corpus release against the previous one (q102's synthetic
+    * releases), reprocess ONLY the added/changed delta through the
+    * quality gate, and drop delta docs whose content already exists in
+    * the carried-over (unchanged) corpus. The carried majority is never
+    * re-scored or re-deduped — per-release work scales with the delta,
+    * not the corpus.
+    */
+  private def q107(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    val before = docs.where($"doc_id" % 3 =!= 0)
+    val after = docs.where($"doc_id" % 5 =!= 0)
+      .withColumn("text",
+        when($"doc_id" % 7 === 0, concat($"text", lit(" v2")))
+          .otherwise($"text"))
+    val diff = graft.ops.Dedup.snapshotDiff(before, after, "doc_id",
+      "text", md5Basis = true)
+    val delta = after
+      .join(diff.where($"status".isin("added", "changed")), Seq("doc_id"))
+    val carried = after
+      .join(diff.where($"status" === "unchanged").select($"doc_id"),
+        Seq("doc_id"))
+    val gated = delta
+      .where(graft.ops.TextAnalysis.qualityScore($"text") >= 0.5)
+      .select($"doc_id", $"text", $"status")
+    graft.ops.Dedup.incrementalDedup(gated, carried, "doc_id", "text")
+      .select($"doc_id", $"status")
+      .orderBy($"doc_id")
+  }
+
   /** Quality-gate calibration: confusion counts + precision/recall/F1/
     * keep-rate of `qualityScore >= t` against the length reference
     * (n_chars ≥ 300) across a 4-cutoff grid — one aggregation pass, one
@@ -361,6 +392,7 @@ object CorpusQueries {
     "q101_heavy_hitters" -> (q101 _),
     "q102_snapshot_diff" -> (q102 _),
     "q104_gate_calibration" -> (q104 _),
+    "q107_release_delta" -> (q107 _),
     "q61_sequence_packing" -> (q61 _),
     "q97_example_carve" -> (q97 _),
     "q62_incremental_dedup" -> (q62 _),
@@ -513,6 +545,39 @@ object CorpusQueries {
         |      FROM q)
         |SELECT doc_id, quality, n_tokens, tokens_before FROM c
         |WHERE tokens_before < 5000
+        |ORDER BY doc_id""".stripMargin,
+    // q102's release diff → delta selection → the q90 quality formula →
+    // exact-dedup-then-anti-join vs the carried corpus fingerprints
+    "q107_release_delta" ->
+      """WITH b AS (SELECT doc_id, md5(text) AS f FROM documents
+        |           WHERE doc_id % 3 <> 0),
+        |a AS (SELECT doc_id,
+        |        CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END AS text
+        |      FROM documents WHERE doc_id % 5 <> 0),
+        |af AS (SELECT doc_id, text, md5(text) AS f FROM a),
+        |st AS (SELECT COALESCE(b.doc_id, af.doc_id) AS doc_id,
+        |         CASE WHEN b.doc_id IS NULL THEN 'added'
+        |              WHEN af.doc_id IS NULL THEN 'removed'
+        |              WHEN af.f = b.f THEN 'unchanged'
+        |              ELSE 'changed' END AS status
+        |       FROM b FULL OUTER JOIN af ON af.doc_id = b.doc_id),
+        |delta AS (SELECT af.doc_id, af.text, st.status
+        |          FROM af JOIN st USING (doc_id)
+        |          WHERE st.status IN ('added', 'changed')),
+        |carried AS (SELECT af.text FROM af JOIN st USING (doc_id)
+        |            WHERE st.status = 'unchanged'),
+        |g AS (SELECT doc_id, text, status,
+        |        string_split_regex(trim(text), ' +') AS toks
+        |      FROM delta),
+        |q AS (SELECT doc_id, text, status FROM g
+        |      WHERE (CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)) * 0.5
+        |          + (CAST(len(list_filter(toks, s -> s IN ('the','a','an','of','and','is','in','to','it','that'))) AS DOUBLE) / len(toks)) * 0.3
+        |          + (CASE WHEN len(toks) BETWEEN 5 AND 100000 THEN 1.0 ELSE 0.0 END) * 0.2 >= 0.5),
+        |ex AS (SELECT doc_id, text, status,
+        |         row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        |       FROM q)
+        |SELECT doc_id, status FROM ex
+        |WHERE rn = 1 AND md5(text) NOT IN (SELECT md5(text) FROM carried)
         |ORDER BY doc_id""".stripMargin,
     // the q90 quality formula against the length label over a cutoff
     // grid; all rates divide exact integer confusion counts
