@@ -166,6 +166,33 @@ object KernelProps extends Properties("graft") {
       }
     }
 
+  property("Misra-Gries bounds hold for any stream, capacity, and split") =
+    forAll(
+      Gen.listOf(Gen.oneOf("a", "b", "c", "d", "e", "f", "g", "h")),
+      Gen.choose(1, 6),
+      Gen.choose(1, 5)) { (stream, m, nSplits) =>
+      val mg = new graft.ops.Sketches.MisraGries[String](m, identity)
+      // arbitrary partitioning: reduce each slice, then merge the states
+      val slices = stream.grouped(math.max(1, stream.size / nSplits)).toList
+      val merged = slices
+        .map(s => s.foldLeft(mg.zero)(mg.reduce))
+        .foldLeft(mg.zero)(mg.merge)
+      val est = mg.finish(merged).toMap
+      val truth = stream.groupBy(identity).map { case (t, xs) => t -> xs.size.toLong }
+      val n = stream.size.toLong
+      val bound = n / (m + 1)
+      val sizeOk = est.size <= m
+      // estimates lower-bound truth by at most N/(m+1)
+      val errOk = est.forall { case (t, e) =>
+        e <= truth(t) && truth(t) - e <= bound
+      }
+      // guaranteed presence: every token with frequency > N/(m+1) appears
+      val presenceOk = truth.forall { case (t, c) =>
+        c <= bound || est.contains(t)
+      }
+      sizeOk && errOk && presenceOk
+    }
+
   property("frameStats algebra: sampled bytes never exceed payload, frames cover it") =
     forAll(Gen.choose(0L, 100000L), Gen.choose(1, 8)) { (len, stride) =>
       val frameBytes = 256
