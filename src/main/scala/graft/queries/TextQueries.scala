@@ -348,6 +348,21 @@ object TextQueries {
       .orderBy($"doc_id", $"needle")
   }
 
+  /** q106 on the MANY-NEEDLE scale path: one broadcast Aho-Corasick
+    * automaton, one linear scan per document — O(text + matches)
+    * instead of per-needle `contains` passes. Bit-identical output,
+    * checked by the SAME oracle as q106.
+    */
+  private def q106b(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    val needles = docs.where($"doc_id" % 11 === 0)
+      .select(substring($"text", 10, 40).as("needle"))
+    Decontamination.verbatimMatchesMulti(docs, needles, "doc_id", "text",
+        "needle", minChars = 20)
+      .orderBy($"doc_id", $"needle")
+  }
+
   /** Train/test split leakage audit: deterministic 90/10 md5 split,
     * then every test document's 3-gram shingle overlap with the TRAIN
     * split — the big-to-big decontamination shape (neither side
@@ -468,6 +483,7 @@ object TextQueries {
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q105_distribution_drift" -> (q105 _),
     "q106_verbatim_leak" -> (q106 _),
+    "q106b_verbatim_leak_ac" -> (q106b _),
     "q71_production_pipeline" -> (q71 _),
     "q71b_production_pipeline_xxh64" -> (q71b _),
     "q52b_dedup_pipeline_xxh64" -> (q52b _),
@@ -502,6 +518,15 @@ object TextQueries {
     // bench spans rebuilt with the same 1-based 40-char substr; match by
     // substring position — both engines compare by character
     "q106_verbatim_leak" ->
+      """WITH n AS (SELECT DISTINCT substr(text, 10, 40) AS needle
+        |           FROM documents
+        |           WHERE doc_id % 11 = 0 AND length(substr(text, 10, 40)) >= 20)
+        |SELECT d.doc_id, n.needle
+        |FROM documents d JOIN n ON position(n.needle IN d.text) > 0
+        |ORDER BY d.doc_id, n.needle""".stripMargin,
+    // the automaton path must be BIT-IDENTICAL to the contains path —
+    // same oracle as q106
+    "q106b_verbatim_leak_ac" ->
       """WITH n AS (SELECT DISTINCT substr(text, 10, 40) AS needle
         |           FROM documents
         |           WHERE doc_id % 11 = 0 AND length(substr(text, 10, 40)) >= 20)

@@ -193,6 +193,17 @@ object KernelProps extends Properties("graft") {
       sizeOk && errOk && presenceOk
     }
 
+  property("Aho-Corasick finds exactly the contains-model needle set") =
+    forAll(
+      Gen.listOf(Gen.nonEmptyListOf(Gen.oneOf('a', 'b', 'c')).map(_.mkString)),
+      Gen.listOf(Gen.oneOf('a', 'b', 'c')).map(_.mkString)) { (needles, text) =>
+      val arr = needles.distinct.toArray
+      val ac = new graft.ops.Decontamination.AhoCorasick(arr)
+      val got = ac.matchedNeedles(text).map(arr(_)).toSet
+      val expected = arr.filter(text.contains(_)).toSet
+      got == expected
+    }
+
   property("frameStats algebra: sampled bytes never exceed payload, frames cover it") =
     forAll(Gen.choose(0L, 100000L), Gen.choose(1, 8)) { (len, stride) =>
       val frameBytes = 256
