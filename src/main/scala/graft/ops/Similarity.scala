@@ -594,6 +594,45 @@ object Similarity {
       .drop("__anti_sim")
   }
 
+  /** Embedding-space drift between two corpus releases: the exact total
+    * variation distance between their IVF cell-assignment histograms
+    * under a SHARED centroid model — the embedding-modality twin of
+    * [[graft.ops.TextAnalysis.distributionDrift]], answering "did the
+    * new release's embedding distribution shift" without any pairwise
+    * comparison. Same exactness trick: per-cell integer numerator
+    * |c_a·N_b − c_b·N_a| summed in DECIMAL, one division at the end —
+    * no float sums, layout-independent, cross-engine hashable.
+    *
+    * Scale: two narrow assignment scans (the centroid model is a plan
+    * literal) pre-aggregated to k-cell histograms; everything after is
+    * model-sized.
+    *
+    * @return one row: `n_a, n_b, l1_num (DECIMAL 38,0), tv (double)`
+    */
+  def assignmentDrift(a: DataFrame, b: DataFrame, vecCol: String,
+      centroids: Array[Array[Float]]): DataFrame = {
+    def cells(df: DataFrame, cnt: String): DataFrame =
+      ivfAssign(df, vecCol, centroids)
+        .groupBy(col("centroid_id")).agg(count(lit(1)).as(cnt))
+    val joined = cells(a, "__ca")
+      .join(cells(b, "__cb"), Seq("centroid_id"), "full_outer")
+      .select(coalesce(col("__ca"), lit(0L)).as("__ca"),
+        coalesce(col("__cb"), lit(0L)).as("__cb"))
+    val totals = joined
+      .agg(sum(col("__ca")).as("__na"), sum(col("__cb")).as("__nb"))
+    joined.crossJoin(broadcast(totals))
+      .select(col("__na"), col("__nb"),
+        abs(col("__ca").cast("decimal(19,0)") * col("__nb").cast("decimal(19,0)")
+          - col("__cb").cast("decimal(19,0)") * col("__na").cast("decimal(19,0)"))
+          .as("__t"))
+      .agg(max(col("__na")).as("n_a"), max(col("__nb")).as("n_b"),
+        sum(col("__t")).cast("decimal(38,0)").as("l1_num"))
+      .select(col("n_a"), col("n_b"), col("l1_num"),
+        (col("l1_num").cast("double") /
+          (lit(2.0) * col("n_a").cast("double") * col("n_b").cast("double")))
+          .as("tv"))
+  }
+
   /** Approximate top-k: exact ranking restricted to the query's LSH
     * bucket. Fast path for the 100 TB corpus; recall < 1 by construction.
     */

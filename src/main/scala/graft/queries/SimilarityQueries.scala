@@ -250,8 +250,23 @@ object SimilarityQueries {
       .orderBy($"vec_id")
   }
 
+  /** Embedding drift between two synthetic releases (ids ∉ 3ℤ vs
+    * ∉ 5ℤ): exact TV distance between their cell-assignment histograms
+    * under the shared deterministic centroid model — q105's monitor for
+    * the embedding modality.
+    */
+  private def q108(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables.embeddings(s, dir)
+    val cents = Similarity.ivfCentroids(emb, "vec_id", "embedding", 16)
+    Similarity.assignmentDrift(
+      emb.where($"vec_id" % 3 =!= 0),
+      emb.where($"vec_id" % 5 =!= 0), "embedding", cents)
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q99_semdedup" -> (q99 _),
+    "q108_embedding_drift" -> (q108 _),
     "q69_ann_batch" -> (q69 _),
     "q81_ann_recall" -> (q81 _),
     "q83_ann_recall_ivf" -> (q83 _),
@@ -585,6 +600,36 @@ object SimilarityQueries {
         |SELECT vec_id FROM embeddings
         |WHERE vec_id NOT IN (SELECT id FROM losers)
         |ORDER BY vec_id""".stripMargin,
+    // q43's deterministic centroid model, assignments per release slice,
+    // exact integer L1 numerator summed in DECIMAL (the q105 technique)
+    "q108_embedding_drift" ->
+      """WITH h AS (SELECT vec_id, embedding,
+        |             ('0x' || substr(md5(vec_id::VARCHAR), 1, 15))::BIGINT AS hh
+        |           FROM embeddings),
+        |cent AS (SELECT row_number() OVER (ORDER BY hh, vec_id) - 1 AS cid,
+        |                embedding AS cvec
+        |         FROM h ORDER BY hh, vec_id LIMIT 16),
+        |asg AS (SELECT e.vec_id, c.cid,
+        |               row_number() OVER (PARTITION BY e.vec_id
+        |                 ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], c.cvec::DOUBLE[]) DESC,
+        |                          c.cid) AS rn
+        |        FROM embeddings e, cent c),
+        |cells AS (SELECT vec_id, cid FROM asg WHERE rn = 1),
+        |ha AS (SELECT cid, CAST(count(*) AS BIGINT) AS ca FROM cells
+        |       WHERE vec_id % 3 <> 0 GROUP BY cid),
+        |hb AS (SELECT cid, CAST(count(*) AS BIGINT) AS cb FROM cells
+        |       WHERE vec_id % 5 <> 0 GROUP BY cid),
+        |j AS (SELECT COALESCE(ha.ca, 0) AS ca, COALESCE(hb.cb, 0) AS cb
+        |      FROM ha FULL OUTER JOIN hb ON hb.cid = ha.cid),
+        |t AS (SELECT CAST(sum(ca) AS BIGINT) AS na,
+        |             CAST(sum(cb) AS BIGINT) AS nb FROM j)
+        |SELECT t.na AS n_a, t.nb AS n_b,
+        |       CAST(sum(abs(CAST(ca AS DECIMAL(19,0)) * nb
+        |                    - CAST(cb AS DECIMAL(19,0)) * na)) AS DECIMAL(38,0)) AS l1_num,
+        |       CAST(CAST(sum(abs(CAST(ca AS DECIMAL(19,0)) * nb
+        |                         - CAST(cb AS DECIMAL(19,0)) * na)) AS DECIMAL(38,0)) AS DOUBLE)
+        |         / (2.0 * na * nb) AS tv
+        |FROM j, t GROUP BY t.na, t.nb""".stripMargin,
     // q78's cells + closure with the SemDeDup survivor rule: per
     // component the member with the LOWEST centroid similarity wins
     // (ties to lowest id), and every survivor emits its cell and

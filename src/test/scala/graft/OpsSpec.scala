@@ -239,6 +239,23 @@ class OpsSpec extends SparkSuite {
     assert(got.count() > 0)
   }
 
+  test("assignmentDrift: 0 for identical releases, exactly 1 for disjoint cells") {
+    import spark.implicits._
+    val cents = Array(Array(1f, 0f), Array(0f, 1f))
+    val nearX = Seq((1L, Seq(1f, 0.1f)), (2L, Seq(0.9f, 0.2f)))
+      .toDF("vec_id", "embedding")
+    val nearY = Seq((3L, Seq(0.1f, 1f)), (4L, Seq(0.2f, 0.8f)))
+      .toDF("vec_id", "embedding")
+    val same = Similarity.assignmentDrift(nearX, nearX, "embedding", cents)
+      .head()
+    assert(same.getAs[Double]("tv") === 0.0)
+    val disjoint = Similarity.assignmentDrift(nearX, nearY, "embedding", cents)
+      .head()
+    assert(disjoint.getAs[Double]("tv") === 1.0)
+    assert(disjoint.getAs[Long]("n_a") === 2L &&
+      disjoint.getAs[Long]("n_b") === 2L)
+  }
+
   test("verbatimMatches flags exact substring leaks, ignores short needles") {
     import spark.implicits._
     val docs = Seq(
