@@ -248,6 +248,53 @@ object TextAnalysis {
           .as("tv"))
   }
 
+  /** [[distributionDrift]] against a FIXED reference model (bucket
+    * counts from [[graft.ops.Sampling.importanceModel]]) — the form a
+    * continuous ingest runs, where the reference is fit once and every
+    * batch's distance to it is one small aggregate. Same exact-integer
+    * L1 numerator, so batch drift numbers are comparable across runs
+    * and layouts.
+    *
+    * @return one row: `n_features, l1_num (DECIMAL 38,0), tv (double)`
+    */
+  def driftAgainstModel(batch: DataFrame, refModel: DataFrame,
+      buckets: Int = 10000): DataFrame = {
+    // refModel: (__k, __cnt); batch side pre-aggregates to its own
+    // bucket counts, then the full-outer join covers buckets either
+    // side is missing
+    val bm = batch
+      .groupBy(col("__k")).agg(count(lit(1)).as("__cb"))
+    val joined = bm
+      .join(refModel.select(col("__k"), col("__cnt").as("__cr")),
+        Seq("__k"), "full_outer")
+      .select(coalesce(col("__cb"), lit(0L)).as("__cb"),
+        coalesce(col("__cr"), lit(0L)).as("__cr"))
+    val totals = joined
+      .agg(sum(col("__cb")).as("__nb"), sum(col("__cr")).as("__nr"))
+    joined.crossJoin(broadcast(totals))
+      .select(col("__nb"), col("__nr"),
+        abs(col("__cb").cast("decimal(19,0)") * col("__nr").cast("decimal(19,0)")
+          - col("__cr").cast("decimal(19,0)") * col("__nb").cast("decimal(19,0)"))
+          .as("__t"))
+      .agg(max(col("__nb")).as("n_features"),
+        sum(col("__t")).cast("decimal(38,0)").as("l1_num"),
+        max(col("__nr")).as("__nr2"))
+      .select(col("n_features"), col("l1_num"),
+        (col("l1_num").cast("double") /
+          (lit(2.0) * col("n_features").cast("double") * col("__nr2").cast("double")))
+          .as("tv"))
+  }
+
+  /** [[driftAgainstModel]] from raw text: hash the batch's features with
+    * the same bucketing as the reference model.
+    */
+  def textDriftAgainstModel(batch: DataFrame, textCol: String,
+      refModel: DataFrame, buckets: Int = 10000): DataFrame =
+    driftAgainstModel(
+      batch.select(
+        explode(Sampling.hashedNgramBuckets(textCol, buckets)).as("__k")),
+      refModel, buckets)
+
   def contentFingerprint(text: Column): Column = md5(text)
 
   /** 64-bit rolling fingerprint over the token stream:

@@ -621,6 +621,61 @@ object EventStreams {
     query
   }
 
+  /** Streaming distribution-drift monitor: every micro-batch's exact TV
+    * distance to a ONCE-fit reference feature model is appended to
+    * `monitorDir` as `(batch_id, n_features, tv)` — the ingest-side
+    * alarm wire: a scraper change, encoding bug, or topic shift shows
+    * up as a TV spike on the monitor table while the data keeps
+    * flowing (observe-only — pair with [[ingestImportanceGated]] when
+    * off-distribution batches must also be BLOCKED). The reference
+    * model persists for the query's lifetime (bucket-count-sized) and
+    * is released on termination, as in the other gates.
+    */
+  def monitorDrift(spark: SparkSession, schema: StructType,
+      inDir: String, referenceDir: String, outDir: String,
+      monitorDir: String, checkpointDir: String, textCol: String,
+      buckets: Int = 10000, maxFilesPerTrigger: Int = 16,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    import graft.ops.{Sampling, TextAnalysis}
+    import org.apache.spark.sql.functions.{col, lit}
+    val refModel = Sampling.importanceModel(
+      spark.read.parquet(referenceDir), textCol, buckets).persist()
+    refModel.count() // materialize once, before batch 1
+    val query = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(inDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch.write.mode("append").parquet(outDir)
+        TextAnalysis.textDriftAgainstModel(batch, textCol, refModel, buckets)
+          .select(lit(batchId).as("batch_id"), col("n_features"),
+            col("tv"))
+          .write.mode("append").parquet(monitorDir)
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .start()
+    val release = new StreamingQueryListener {
+      override def onQueryStarted(
+          e: StreamingQueryListener.QueryStartedEvent): Unit = ()
+      override def onQueryProgress(
+          e: StreamingQueryListener.QueryProgressEvent): Unit = ()
+      override def onQueryTerminated(
+          e: StreamingQueryListener.QueryTerminatedEvent): Unit =
+        if (e.id == query.id) {
+          refModel.unpersist(blocking = false)
+          spark.streams.removeListener(this)
+        }
+    }
+    spark.streams.addListener(release)
+    if (!query.isActive) {
+      refModel.unpersist(blocking = false)
+      spark.streams.removeListener(release)
+    }
+    query
+  }
+
   /** Run a streaming DataFrame to completion against a memory sink and
     * return the materialized result (hermetic local testing; complete
     * mode for aggregations).

@@ -367,6 +367,38 @@ class StreamingSpec extends SparkSuite {
       "shingle cache leaked after query termination")
   }
 
+  test("monitorDrift scores each batch against the reference; drifted batch spikes") {
+    import spark.implicits._
+    val in = tmp("drift-in")
+    val ref = tmp("drift-ref") + "/data"
+    val out = tmp("drift-out") + "/data"
+    val mon = tmp("drift-mon") + "/data"
+    val ckpt = tmp("drift-ckpt")
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "doc_id LONG, text STRING")
+    Seq((100L, "alpha beta gamma alpha"), (101L, "beta gamma alpha beta"))
+      .toDF("doc_id", "text").write.mode("overwrite").parquet(ref)
+    // batch 0 speaks the reference dialect; batch 1 is fully off-dist
+    Seq((1L, "alpha beta gamma"), (2L, "beta alpha gamma"))
+      .toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(in)
+    Seq((3L, "zeta eta theta"), (4L, "iota kappa lambda"))
+      .toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(in)
+    graft.streaming.EventStreams
+      .monitorDrift(spark, schema, in, ref, out, mon, ckpt, "text",
+        maxFilesPerTrigger = 1)
+      .awaitTermination()
+    // all data flowed through (observe-only monitor)
+    assert(spark.read.parquet(out).count() === 4)
+    val tvs = spark.read.parquet(mon)
+      .collect().map(r => r.getAs[Long]("batch_id") -> r.getAs[Double]("tv"))
+      .toMap
+    assert(tvs.size === 2)
+    // the off-distribution batch shares NO feature with the reference →
+    // TV = 1 exactly; the in-dialect batch sits well below it
+    assert(tvs(1L) === 1.0, s"off-dist batch tv=${tvs(1L)}")
+    assert(tvs(0L) < 0.7, s"in-dialect batch tv=${tvs(0L)}")
+  }
+
   test("ingestImportanceGated keeps on-domain docs across batches, models fit once") {
     import spark.implicits._
     val in = tmp("dsir-in")
