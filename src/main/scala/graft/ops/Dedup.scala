@@ -150,6 +150,46 @@ object Dedup {
       .select(col(idCol), col("n_chunks"), col("n_kept"), col("dedup_text"))
   }
 
+  /** WITHIN-document repetition removal (the Gopher/C4 intra-document
+    * cleanup: repeated spans inside one page — boilerplate, nav blocks,
+    * scraper stutter — are dropped, keeping the first occurrence):
+    * split each document's token stream into consecutive
+    * `chunkTokens`-token chunks and keep a chunk only if it is the
+    * FIRST occurrence of its content within that document, then
+    * reassemble in order. Unlike [[chunkDedup]] nothing is compared
+    * across documents.
+    *
+    * Scale: ZERO shuffles — the whole operator is higher-order array
+    * functions over one row (chunk, first-occurrence filter via
+    * `array_position`, rejoin), so the plan is a single narrow
+    * projection over the scan: embarrassingly parallel, no state, no
+    * exchange at any corpus size. The first-occurrence filter is
+    * O(chunks²) per document — at the default 20-token chunks a
+    * 100k-token document costs 5000² ≈ 2.5×10⁷ string compares in the
+    * worst case, bounded per row and off any shuffle path.
+    *
+    * @return columns: `idCol`, n_chunks (original), n_kept, dedup_text
+    */
+  def intraDocChunkDedup(df: DataFrame, idCol: String, textCol: String,
+      chunkTokens: Int = 20): DataFrame = {
+    val k = chunkTokens
+    val toks = TextAnalysis.tokens(col(textCol))
+    val nChunks = ((size(col("__toks")) + lit(k - 1)).cast("long") / lit(k))
+      .cast("long")
+    df.select(col(idCol), toks.as("__toks"))
+      .select(col(idCol), nChunks.as("n_chunks"),
+        transform(sequence(lit(0), (nChunks - 1).cast("int")),
+          i => concat_ws(" ", slice(col("__toks"), i * k + 1, lit(k))))
+          .as("__chunks"))
+      .select(col(idCol), col("n_chunks"),
+        filter(col("__chunks"),
+          (c, i) => array_position(col("__chunks"), c) === i + 1)
+          .as("__kept"))
+      .select(col(idCol), col("n_chunks"),
+        size(col("__kept")).cast("long").as("n_kept"),
+        array_join(col("__kept"), " ").as("dedup_text"))
+  }
+
   /** Incremental dedup of an incoming batch against an existing corpus:
     * drop batch rows whose content already exists in the corpus (same
     * md5 fingerprint), then exact-dedup within the batch (lowest `idCol`

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.agg.Statistics
-import graft.ops.{Dedup, Packing, Quantiles, TextAnalysis, Vocab}
+import graft.ops.{Classify, Dedup, Packing, Quantiles, TextAnalysis, Vocab}
 
 /** Corpus-construction operators as oracle-checked queries: vocabulary
   * statistics, sequence packing, incremental ingest dedup, quantile
@@ -375,7 +375,40 @@ object CorpusQueries {
       .orderBy($"doc_id")
   }
 
+  /** Supervised curation classifier (the GPT-3/LLaMA "train a linear
+    * classifier on a labeled slice, score the corpus" step): multinomial
+    * Naive Bayes over tokens, trained to predict `lang` from the
+    * doc_id ≢ 0 (mod 10) slice, scoring every document against every
+    * class. Hash-gated columns are INTEGER ONLY — `n_tokens` plus the
+    * exact model-count dot product `model_hits`, which pins the joined
+    * per-class model counts (with α, V, and the class totals those
+    * determine the NB score exactly). The ln-derived score lives on the
+    * rows-only twin [[q109b]] — the q87/q87b discipline.
+    */
+  private def q109(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    Classify.nbScore(docs, docs.where($"doc_id" % 10 =!= 0),
+        "doc_id", "lang", "text")
+      .select($"doc_id", $"label", $"n_tokens", $"model_hits")
+      .orderBy($"doc_id", $"label")
+  }
+
+  /** q109's argmax predictions with the quantized-decimal scores —
+    * rows-only (transcendental-derived; deterministic within an engine,
+    * pinned by ClassifySpec's hand-computed model instead).
+    */
+  private def q109b(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    Classify.nbPredict(docs, docs.where($"doc_id" % 10 =!= 0),
+        "doc_id", "lang", "text")
+      .orderBy($"doc_id")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q109_nb_classifier" -> (q109 _),
+    "q109b_nb_predict" -> (q109b _),
     "q68_tfidf" -> (q68 _),
     "q80_incremental_dedup_bloom" -> (q80 _),
     "q85_token_budget" -> (q85 _),
@@ -504,6 +537,27 @@ object CorpusQueries {
         |         / sum(d.c) AS oov_rate
         |FROM d LEFT JOIN v ON v.token = d.token
         |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin,
+    // integer-only gate (the q87 discipline): n_tokens + the exact
+    // per-class model-count dot product pin the NB join; the ln score
+    // is rows-only on q109b
+    "q109_nb_classifier" ->
+      """WITH tr AS (SELECT lang, string_split_regex(trim(text), ' +') AS toks
+        |            FROM documents WHERE doc_id % 10 <> 0),
+        |m AS (SELECT lang AS label, t AS token, CAST(count(*) AS BIGINT) AS cnt
+        |      FROM (SELECT lang, unnest(toks) AS t FROM tr) GROUP BY 1, 2),
+        |d AS (SELECT doc_id, t AS token, CAST(count(*) AS BIGINT) AS c
+        |      FROM (SELECT doc_id, unnest(string_split_regex(trim(text), ' +')) AS t
+        |            FROM documents) GROUP BY 1, 2),
+        |cls AS (SELECT DISTINCT lang AS label FROM tr),
+        |j AS (SELECT d.doc_id, cls.label, d.c,
+        |        CAST(d.c AS DECIMAL(19,0)) *
+        |          CAST(COALESCE(m.cnt, 0) AS DECIMAL(19,0)) AS ch
+        |      FROM d CROSS JOIN cls
+        |      LEFT JOIN m ON m.label = cls.label AND m.token = d.token)
+        |SELECT doc_id, label, CAST(sum(c) AS BIGINT) AS n_tokens,
+        |       CAST(sum(ch) AS DECIMAL(38,0)) AS model_hits
+        |FROM j GROUP BY doc_id, label
+        |ORDER BY doc_id, label""".stripMargin,
     // integer-only gate: no transcendental in any hashed column — the
     // count dot products pin the joined model counts exactly
     "q87_lm_score" ->
