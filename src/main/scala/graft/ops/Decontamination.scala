@@ -225,4 +225,44 @@ object Decontamination {
       .withColumn("overlap_frac",
         col("n_overlap").cast("double") / col("n_shingles"))
   }
+
+  /** SEMANTIC decontamination — the embedding-space twin of the n-gram
+    * gate: paraphrased eval leakage shares no 8-gram but still sits next
+    * to the eval item in embedding space. For every corpus vector,
+    * report its maximum cosine against the eval set, the nearest eval
+    * id, and whether it clears `threshold` (the drop decision).
+    *
+    * Scale: the eval set is eval-sized and **broadcasts** ([[
+    * contaminationScores]]'s asymmetry); the corpus is scanned ONCE and
+    * the per-row aggregate carries one (cosine, eval_id) struct per
+    * corpus row — nothing corpus-sized shuffles beyond the final
+    * per-id max. For eval sets too large to broadcast, pre-bucket both
+    * sides with [[graft.ops.Similarity.signLshBuckets]] and run the
+    * band-key equi-join instead (the q74 shape); this brute-force form
+    * is the exact baseline those paths are measured against.
+    *
+    * Ties (identical cosines) resolve to the SMALLEST eval id — the
+    * max is over (cosine, -eval_id) structs, a total order, so the
+    * result is deterministic on any partitioning.
+    *
+    * @return one row per corpus vector: `idCol, max_cosine,
+    *         nearest_eval_id, contaminated`
+    */
+  def semanticContamination(corpus: DataFrame, evalSet: DataFrame,
+      idCol: String, vecCol: String, evalIdCol: String,
+      evalVecCol: String, threshold: Double): DataFrame = {
+    val q = broadcast(evalSet.select(col(evalIdCol).as("__eid"),
+      col(evalVecCol).as("__evec")))
+    Dedup.spread(corpus)
+      .crossJoin(q)
+      .select(col(idCol),
+        struct(Similarity.cosine(col(vecCol), col("__evec")).as("__cos"),
+          (-col("__eid")).as("__neg")).as("__s"))
+      .groupBy(col(idCol))
+      .agg(max(col("__s")).as("__m"))
+      .select(col(idCol),
+        col("__m.__cos").as("max_cosine"),
+        (-col("__m.__neg")).as("nearest_eval_id"),
+        (col("__m.__cos") >= threshold).as("contaminated"))
+  }
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.ops.Similarity
+import graft.ops.{Decontamination, Similarity}
 
 /** Similarity search over the `embeddings` table (array<float>, 64-dim).
   *
@@ -31,6 +31,21 @@ object SimilarityQueries {
     Similarity.cosineNearDupPairs(Tables.embeddings(s, dir),
         "vec_id", "embedding", threshold = 0.3)
       .orderBy($"idA", $"idB")
+  }
+
+  /** Semantic decontamination: every corpus vector's max cosine against
+    * the vec_id ≡ 0 (mod 97) eval slice, its nearest eval id, and the
+    * ≥ 0.35 drop decision (the threshold bites on this corpus: max
+    * observed eval-cosine ≈ 0.47). Max/argmax over identical doubles in
+    * both engines — hash-checked like q30/q31.
+    */
+  private def q111(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables.embeddings(s, dir)
+    Decontamination.semanticContamination(
+        emb.where($"vec_id" % 97 =!= 0), emb.where($"vec_id" % 97 === 0),
+        "vec_id", "embedding", "vec_id", "embedding", threshold = 0.35)
+      .orderBy($"vec_id")
   }
 
   /** ANN via sign-LSH bucket pruning. Approximate (recall < 1 vs q30)
@@ -274,6 +289,7 @@ object SimilarityQueries {
     "q53_embedding_dedup" -> (q53 _),
     "q30_ann_bruteforce" -> (q30 _),
     "q31_cosine_neardup" -> (q31 _),
+    "q111_semantic_decontam" -> (q111 _),
     "q32_ann_lsh" -> (q32 _),
     "q33_label_stats" -> (q33 _),
     "q43_ann_ivf" -> (q43 _),
@@ -354,6 +370,19 @@ object SimilarityQueries {
         |WHERE a.vec_id = 0 AND b.vec_id <> 0
         |ORDER BY cosine DESC, b.vec_id
         |LIMIT 10""".stripMargin,
+    "q111_semantic_decontam" ->
+      """WITH e AS (SELECT vec_id AS eid, embedding FROM embeddings
+        |           WHERE vec_id % 97 = 0),
+        |c AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 97 <> 0),
+        |s AS (SELECT c.vec_id, e.eid,
+        |        list_cosine_similarity(c.embedding::DOUBLE[],
+        |                               e.embedding::DOUBLE[]) AS cos,
+        |        row_number() OVER (PARTITION BY c.vec_id
+        |                           ORDER BY cos DESC, e.eid) AS rn
+        |      FROM c CROSS JOIN e)
+        |SELECT vec_id, cos AS max_cosine, eid AS nearest_eval_id,
+        |       cos >= 0.35 AS contaminated
+        |FROM s WHERE rn = 1 ORDER BY vec_id""".stripMargin,
     "q31_cosine_neardup" ->
       """SELECT a.vec_id AS idA, b.vec_id AS idB,
         |       list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) AS cosine

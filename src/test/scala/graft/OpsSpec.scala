@@ -646,4 +646,33 @@ class OpsSpec extends SparkSuite {
     val mean = rec.map(_.getDouble(3)).sum / rec.length
     assert(mean > 0.3, s"mean ANN recall suspiciously low: $mean")
   }
+
+  test("semanticContamination: max cosine, argmax tie-break, threshold flag") {
+    import spark.implicits._
+    import graft.ops.Decontamination
+    // eval 100 = x-axis, eval 200 = y-axis; corpus 1 is a paraphrase of
+    // eval 100 (same direction), corpus 2 sits at 45° (EQUAL cosine to
+    // both evals → tie resolves to the smaller eval id), corpus 3 is
+    // orthogonal-ish negative
+    val evalSet = Seq(
+      (100L, Array(1f, 0f)),
+      (200L, Array(0f, 1f))).toDF("vec_id", "embedding")
+    val corpus = Seq(
+      (1L, Array(2f, 0f)),
+      (2L, Array(3f, 3f)),
+      (3L, Array(-1f, 0f))).toDF("vec_id", "embedding")
+    val out = Decontamination.semanticContamination(corpus, evalSet,
+        "vec_id", "embedding", "vec_id", "embedding", threshold = 0.9)
+      .orderBy($"vec_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2), r.getBoolean(3)))
+    assert(out(0)._1 === 1L && math.abs(out(0)._2 - 1.0) < 1e-12)
+    assert(out(0)._3 === 100L && out(0)._4)
+    // 45°: cos = 1/sqrt(2) to both — tie goes to eval 100, below 0.9
+    assert(out(1)._3 === 100L)
+    assert(math.abs(out(1)._2 - 1.0 / math.sqrt(2)) < 1e-12)
+    assert(!out(1)._4)
+    // (-1,0): cos −1 vs eval 100, 0 vs eval 200 → max 0 from eval 200
+    assert(out(2)._2 === 0.0 && out(2)._3 === 200L && !out(2)._4)
+  }
 }
