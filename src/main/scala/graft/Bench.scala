@@ -71,6 +71,17 @@ object Bench {
             errors.getOrElseUpdate(name,
               Option(e.getMessage).getOrElse(e.getClass.getName).take(160))
             None
+        } finally {
+          // Library operators deliberately leave small persisted RDDs
+          // (CC labels, packing pins) for the ContextCleaner; across a
+          // 3×N-query sweep in ONE JVM those accumulate into memory
+          // pressure that inflates queries late in lexicographic order
+          // (r6: q71 read 6.8 s in the sweep vs 4.6 s focused with an
+          // identical plan). Releasing them OUTSIDE the timed window
+          // makes each iteration's measurement independent.
+          spark.sharedState.cacheManager.clearCache()
+          spark.sparkContext.getPersistentRDDs.values
+            .foreach(_.unpersist(blocking = false))
         }
       }
       name -> (if (times.isEmpty) -1.0 else times.min)
