@@ -402,6 +402,40 @@ class PlanSpec extends SparkSuite {
     assert(countNodes(p, "Scan parquet") <= 2, p)
   }
 
+  test("q109: NB model joins by token; classes/vocab/priors broadcast") {
+    val p = formatted("q109_nb_classifier")
+    assert(!p.contains("CartesianProduct"), p)
+    // the only nested-loop joins are the broadcast one-row/one-per-class
+    // frames (classes, vocab size, train count)
+    assert(countNodes(p, "BroadcastNestedLoopJoin") <= 3, p)
+    assert(p.contains("BroadcastExchange"), p)
+    // doc-token counts and the model both pre-aggregate before joining
+    assert(countNodes(p, "HashAggregate") >= 4, p)
+  }
+
+  test("q110: intra-doc dedup is one narrow projection — no joins") {
+    val p = formatted("q110_intradoc_dedup")
+    assert(!p.contains("Join"), p)
+    assert(countNodes(p, "Scan parquet") === 1, p)
+    // the ONLY exchange is the final orderBy's range partitioning — the
+    // operator itself never shuffles at any corpus size
+    assert(countNodes(p, "Exchange") <= 1, p)
+    assert(countNodes(p, "HashAggregate") === 0, p)
+  }
+
+  test("q111: the eval side broadcasts; one aggregate over the corpus scan") {
+    val p = formatted("q111_semantic_decontam")
+    assert(!p.contains("CartesianProduct"), p)
+    // eval slice rides a broadcast nested loop (a deliberate broadcast
+    // cross join); the corpus is never the broadcast side
+    assert(countNodes(p, "BroadcastNestedLoopJoin") === 1, p)
+    assert(p.contains("BroadcastExchange"), p)
+    // per-corpus-id max + final sort, plus spread()'s small-input
+    // repartition (a no-op on a well-partitioned corpus) — nothing else
+    // exchanges
+    assert(countNodes(p, "Exchange") <= 3, p)
+  }
+
   test("whole-stage codegen covers the kernel expressions") {
     val df = SparkEntry.queries("q31_cosine_neardup")(spark, sfDir)
     df.collect() // materialize THIS plan so AQE finalizes it
