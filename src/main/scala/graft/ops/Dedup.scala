@@ -797,6 +797,58 @@ object Dedup {
       .agg(count(lit(1)).as("n_links"))
   }
 
+  /** Corpus-level content overlap between every pair of `groupCol`
+    * values: the exact Jaccard of the groups' distinct content-key sets
+    * — `shingleN = None` keys on whole-document fingerprints ("how many
+    * of source B's documents are verbatim in source A"), `Some(n)` keys
+    * on word n-gram shingles ("how much of B's PHRASING does A already
+    * cover") — the corpus-vs-corpus complement of the per-document
+    * [[crossGroupNearDupMatrix]], and the number a mixture designer
+    * reads before paying for a new source.
+    *
+    * Scale: ONE shuffle of (content-key, group) — corpus-proportional,
+    * map-side-combined by the distinct — then every aggregate is
+    * per-key group sets (≤ |groups| entries) and the |groups|²-sized
+    * report. Pair emission reuses the in-bucket explode of
+    * [[lshCandidates]]; group sets are sorted so `source_a < source_b`
+    * deterministically.
+    *
+    * @return `source_a, source_b, n_common, n_a, n_b, jaccard` — counts
+    *         are exact distinct-key cardinalities; `jaccard` divides
+    *         them (n_common / (n_a + n_b − n_common))
+    */
+  def groupContentOverlap(df: DataFrame, textCol: String, groupCol: String,
+      shingleN: Option[Int] = None): DataFrame = {
+    val keyed = shingleN match {
+      case Some(n) => spread(df).select(
+        explode(shingles(col(textCol), n)).as("__k"), col(groupCol).as("__g"))
+      case None => spread(df).select(
+        md5(col(textCol)).as("__k"), col(groupCol).as("__g"))
+    }
+    val perKey = keyed
+      .groupBy(col("__k"))
+      .agg(array_sort(collect_set(col("__g"))).as("__gs"))
+    val sizes = perKey
+      .select(explode(col("__gs")).as("source"))
+      .groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+    perKey
+      .where(size(col("__gs")) >= 2)
+      .select(explode(flatten(transform(col("__gs"), (x, i) =>
+        transform(slice(col("__gs"), i + 2, size(col("__gs"))),
+          y => struct(x.as("source_a"), y.as("source_b")))))).as("__p"))
+      .groupBy(col("__p.source_a").as("source_a"),
+        col("__p.source_b").as("source_b"))
+      .agg(count(lit(1)).as("n_common"))
+      .join(sizes.select(col("source").as("source_a"), col("n_docs").as("n_a")),
+        Seq("source_a"))
+      .join(sizes.select(col("source").as("source_b"), col("n_docs").as("n_b")),
+        Seq("source_b"))
+      .select(col("source_a"), col("source_b"), col("n_common"), col("n_a"),
+        col("n_b"),
+        (col("n_common").cast("double") /
+          (col("n_a") + col("n_b") - col("n_common"))).as("jaccard"))
+  }
+
   /** Per-group novelty: for each `groupCol` value, the fraction of its
     * documents with NO verified near-duplicate in any OTHER group — the
     * actionable scalar behind [[crossGroupNearDupMatrix]] (a new source

@@ -408,6 +408,19 @@ object TextQueries {
       .orderBy($"doc_id")
   }
 
+  /** Corpus-level phrasing overlap between every source pair: exact
+    * Jaccard of the sources' distinct 3-gram shingle sets — the
+    * corpus-vs-corpus redundancy number behind mixture design (q94/q95
+    * count per-document near-dup links; this measures wholesale content
+    * sharing). One (shingle, source) shuffle; report-sized thereafter.
+    */
+  private def q112(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Dedup.groupContentOverlap(Tables.documents(s, dir), "text", "source",
+        shingleN = Some(3))
+      .orderBy($"source_a", $"source_b")
+  }
+
   /** WITHIN-document repetition removal (Gopher/C4 intra-doc cleanup):
     * 2-token spans repeated inside one document are dropped, first
     * occurrence kept, text reassembled — a ZERO-shuffle narrow plan.
@@ -507,6 +520,7 @@ object TextQueries {
     "q57_repetition_stats" -> (q57 _),
     "q58_chunk_dedup" -> (q58 _),
     "q110_intradoc_dedup" -> (q110 _),
+    "q112_source_content_overlap" -> (q112 _),
     "q84_chunking" -> (q84 _),
     "q51_simhash_banded" -> (q51 _),
     "q52_dedup_pipeline" -> (q52 _),
@@ -741,6 +755,24 @@ object TextQueries {
         |       CAST(len(list_slice(toks, u.i * 4 + 1, u.i * 4 + 6)) AS BIGINT) AS n_tokens
         |FROM c, UNNEST(range(0, n_chunks)) AS u(i)
         |ORDER BY doc_id, chunk_idx""".stripMargin,
+    "q112_source_content_overlap" ->
+      """WITH t AS (SELECT source, string_split_regex(trim(text), ' +') AS toks FROM documents),
+        |sh AS (SELECT DISTINCT source, g
+        |       FROM (SELECT source, unnest(CASE WHEN len(toks) >= 3
+        |               THEN list_distinct(list_transform(range(1, len(toks) - 1),
+        |                      i -> array_to_string(list_slice(toks, i, i + 2), ' ')))
+        |               ELSE [] END) AS g FROM t)),
+        |sz AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY source),
+        |inter AS (SELECT a.source AS source_a, b.source AS source_b,
+        |            CAST(count(*) AS BIGINT) AS n_common
+        |          FROM sh a JOIN sh b ON a.g = b.g AND a.source < b.source
+        |          GROUP BY 1, 2)
+        |SELECT source_a, source_b, n_common, sa.n AS n_a, sb.n AS n_b,
+        |       CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) AS jaccard
+        |FROM inter
+        |JOIN sz sa ON sa.source = source_a
+        |JOIN sz sb ON sb.source = source_b
+        |ORDER BY source_a, source_b""".stripMargin,
     "q110_intradoc_dedup" ->
       """WITH t AS (SELECT doc_id, string_split_regex(trim(text), ' +') AS toks FROM documents),
         |c AS (SELECT doc_id,

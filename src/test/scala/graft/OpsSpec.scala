@@ -647,6 +647,30 @@ class OpsSpec extends SparkSuite {
     assert(mean > 0.3, s"mean ANN recall suspiciously low: $mean")
   }
 
+  test("groupContentOverlap: exact shingle and fingerprint Jaccard per pair") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "A", "x y z w"),  // shingles {x y z, y z w}
+      (2L, "B", "x y z q"),  // shingles {x y z, y z q}
+      (3L, "C", "a b c"),    // shingles {a b c}
+      (4L, "A", "same text here"),
+      (5L, "C", "same text here")).toDF("doc_id", "source", "text")
+    val sh = Dedup.groupContentOverlap(df, "text", "source", Some(3))
+      .orderBy($"source_a", $"source_b").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))
+    // A = {x y z, y z w, same text here} (3), B = {x y z, y z q} (2),
+    // C = {a b c, same text here} (2); A∩B = {x y z}, A∩C = {same text here}
+    assert(sh.toSeq === Seq(
+      ("A", "B", 1L, 3L, 2L, 1.0 / 4),
+      ("A", "C", 1L, 3L, 2L, 1.0 / 4)))
+    // whole-document fingerprints: only docs 4/5 share content
+    val fp = Dedup.groupContentOverlap(df, "text", "source", None).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))
+    assert(fp.toSeq === Seq(("A", "C", 1L, 2L, 2L, 1.0 / 3)))
+  }
+
   test("semanticContamination: max cosine, argmax tie-break, threshold flag") {
     import spark.implicits._
     import graft.ops.Decontamination
