@@ -119,6 +119,55 @@ object TextAnalysis {
     (diversity * 0.5 + stop * 0.3 + lenOk * 0.2)
   }
 
+  /** Gopher's stop-word presence list (Rae et al. 2021, appendix A —
+    * "contains at least 2 of the following English words: the, be, to,
+    * of, and, that, have, with").
+    */
+  val gopherStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** The Gopher quality-filter rule battery (Rae et al. 2021, appendix
+    * A1.1) as ONE struct-returning expression: word-count bounds, mean
+    * word length bounds, symbol-to-word ratio ('#' and '…'/'...'),
+    * fraction of words with an alphabetic character, and distinct
+    * stop-word presence, plus the composite `keep` decision. Thresholds
+    * are parameters (the paper's defaults) so the battery can be scaled
+    * to corpora with different document-length regimes.
+    *
+    * Every field is exact integer counting or a double division of
+    * exact integers — deterministic cross-engine, so the whole report
+    * (including `keep`) is hash-checkable. Narrow per-row arithmetic:
+    * no shuffle, stays in whole-stage codegen.
+    *
+    * @return struct: `n_words, mean_word_len, symbol_ratio,
+    *         alpha_word_frac, n_stop_distinct, keep`
+    */
+  def gopherReport(text: Column, minWords: Int = 50, maxWords: Int = 100000,
+      minMeanWordLen: Double = 3.0, maxMeanWordLen: Double = 10.0,
+      maxSymbolRatio: Double = 0.1, minAlphaWordFrac: Double = 0.8,
+      minDistinctStopwords: Int = 2): Column = {
+    val toks = tokens(text)
+    val nWords = size(toks).cast("long")
+    val meanLen = avgTokenLength(text)
+    val nHash = length(text) - length(regexp_replace(text, "#", ""))
+    val nEllipsis =
+      ((length(text) - length(regexp_replace(text, "\\.\\.\\.", ""))) / 3) +
+        (length(text) - length(regexp_replace(text, "…", "")))
+    val symbolRatio = (nHash + nEllipsis).cast("double") / nWords
+    val alphaFrac = size(filter(toks, t => t.rlike("[A-Za-z]")))
+      .cast("double") / nWords
+    val stopDistinct = size(filter(array_distinct(toks),
+      t => t.isin(gopherStopwords.map(x => x: Any): _*))).cast("long")
+    val keep = nWords.between(minWords, maxWords) &&
+      meanLen.between(minMeanWordLen, maxMeanWordLen) &&
+      (symbolRatio <= maxSymbolRatio) &&
+      (alphaFrac >= minAlphaWordFrac) &&
+      (stopDistinct >= minDistinctStopwords)
+    struct(nWords.as("n_words"), meanLen.as("mean_word_len"),
+      symbolRatio.as("symbol_ratio"), alphaFrac.as("alpha_word_frac"),
+      stopDistinct.as("n_stop_distinct"), keep.as("keep"))
+  }
+
   /** Marker words per language for the n-gram/stopword language-ID
     * heuristic. Order matters: ties resolve to the earlier entry.
     */

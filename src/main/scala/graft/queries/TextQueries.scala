@@ -408,6 +408,24 @@ object TextQueries {
       .orderBy($"doc_id")
   }
 
+  /** The Gopher rule battery (Rae et al. 2021 A1.1) per document:
+    * word-count / mean-word-length bounds, symbol ratio, alphabetic-word
+    * fraction, stop-word presence, and the composite keep decision.
+    * Paper thresholds except `minDistinctStopwords = 1` (the synthetic
+    * vocabulary contains only "the" from Gopher's list); the word-count
+    * and stop-word rules both bite at sf0.01. Entirely integer counts
+    * and integer-ratio doubles — the whole report hash-checks.
+    */
+  private def q113(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select($"doc_id",
+        TextAnalysis.gopherReport($"text", minDistinctStopwords = 1).as("g"))
+      .select($"doc_id", $"g.n_words", $"g.mean_word_len", $"g.symbol_ratio",
+        $"g.alpha_word_frac", $"g.n_stop_distinct", $"g.keep")
+      .orderBy($"doc_id")
+  }
+
   /** Corpus-level phrasing overlap between every source pair: exact
     * Jaccard of the sources' distinct 3-gram shingle sets — the
     * corpus-vs-corpus redundancy number behind mixture design (q94/q95
@@ -521,6 +539,7 @@ object TextQueries {
     "q58_chunk_dedup" -> (q58 _),
     "q110_intradoc_dedup" -> (q110 _),
     "q112_source_content_overlap" -> (q112 _),
+    "q113_gopher_rules" -> (q113 _),
     "q84_chunking" -> (q84 _),
     "q51_simhash_banded" -> (q51 _),
     "q52_dedup_pipeline" -> (q52 _),
@@ -755,6 +774,30 @@ object TextQueries {
         |       CAST(len(list_slice(toks, u.i * 4 + 1, u.i * 4 + 6)) AS BIGINT) AS n_tokens
         |FROM c, UNNEST(range(0, n_chunks)) AS u(i)
         |ORDER BY doc_id, chunk_idx""".stripMargin,
+    "q113_gopher_rules" ->
+      """WITH t AS (SELECT doc_id, text, string_split_regex(trim(text), ' +') AS toks
+        |           FROM documents),
+        |m AS (SELECT doc_id,
+        |        CAST(len(toks) AS BIGINT) AS n_words,
+        |        CAST(len(replace(text, ' ', '')) AS DOUBLE) / len(toks) AS mean_word_len,
+        |        CAST((len(text) - len(replace(text, '#', '')))
+        |          + (len(text) - len(replace(text, '...', ''))) / 3
+        |          + (len(text) - len(replace(text, '…', ''))) AS DOUBLE)
+        |          / len(toks) AS symbol_ratio,
+        |        CAST(len(list_filter(toks, w -> regexp_matches(w, '[A-Za-z]'))) AS DOUBLE)
+        |          / len(toks) AS alpha_word_frac,
+        |        CAST(len(list_filter(list_distinct(toks),
+        |          w -> w IN ('the','be','to','of','and','that','have','with'))) AS BIGINT)
+        |          AS n_stop_distinct
+        |      FROM t)
+        |SELECT doc_id, n_words, mean_word_len, symbol_ratio, alpha_word_frac,
+        |       n_stop_distinct,
+        |       (n_words BETWEEN 50 AND 100000
+        |        AND mean_word_len BETWEEN 3.0 AND 10.0
+        |        AND symbol_ratio <= 0.1
+        |        AND alpha_word_frac >= 0.8
+        |        AND n_stop_distinct >= 1) AS keep
+        |FROM m ORDER BY doc_id""".stripMargin,
     "q112_source_content_overlap" ->
       """WITH t AS (SELECT source, string_split_regex(trim(text), ' +') AS toks FROM documents),
         |sh AS (SELECT DISTINCT source, g

@@ -647,6 +647,36 @@ class OpsSpec extends SparkSuite {
     assert(mean > 0.3, s"mean ANN recall suspiciously low: $mean")
   }
 
+  test("gopherReport computes the rule battery on hand-built documents") {
+    import spark.implicits._
+    val df = Seq(
+      // 6 words, all alpha, "the"+"of" stopwords, no symbols → keep
+      (1L, "the cat sat of the mat"),
+      // symbol-heavy: 2 '#' + one '...' over 5 words ('#' is a word too)
+      (2L, "ok # then # fine..."),
+      // numeric words: alpha fraction 1/3 < 0.8
+      (3L, "123 456 abc")).toDF("doc_id", "text")
+    val out = df.select($"doc_id",
+        graft.ops.TextAnalysis.gopherReport($"text", minWords = 2,
+          minMeanWordLen = 1.0, minDistinctStopwords = 2).as("g"))
+      .orderBy($"doc_id")
+      .select($"doc_id", $"g.*")
+      .collect()
+    val r1 = out(0)
+    assert(r1.getLong(1) === 6L)                       // n_words
+    assert(math.abs(r1.getDouble(2) - 17.0 / 6) < 1e-12) // mean word len
+    assert(r1.getDouble(3) === 0.0)                    // symbol ratio
+    assert(r1.getDouble(4) === 1.0)                    // alpha fraction
+    assert(r1.getLong(5) === 2L && r1.getBoolean(6))   // the, of → keep
+    val r2 = out(1)
+    assert(r2.getLong(1) === 5L)
+    assert(math.abs(r2.getDouble(3) - 3.0 / 5) < 1e-12)
+    assert(!r2.getBoolean(6))
+    val r3 = out(2)
+    assert(math.abs(r3.getDouble(4) - 1.0 / 3) < 1e-12)
+    assert(!r3.getBoolean(6))
+  }
+
   test("groupContentOverlap: exact shingle and fingerprint Jaccard per pair") {
     import spark.implicits._
     val df = Seq(
