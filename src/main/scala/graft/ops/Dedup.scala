@@ -849,6 +849,36 @@ object Dedup {
           (col("n_a") + col("n_b") - col("n_common"))).as("jaccard"))
   }
 
+  /** Per-source boilerplate detection: word n-gram shingles that appear
+    * in at least `minFraction` of a source's documents — the scraper
+    * template / navigation-chrome signal (a phrase occurring in 60% of
+    * one domain's pages is chrome, not content), feeding a
+    * line/span-removal pass or a source-quality review.
+    *
+    * Scale: ONE shuffle of distinct (source, shingle, doc) — corpus-
+    * proportional with map-side combine — then per-(source, shingle)
+    * doc counts join the model-sized per-source doc totals (broadcast).
+    * Output is report-sized: only shingles clearing the fraction gate.
+    *
+    * @return `source, shingle, n_docs, doc_frac` — `n_docs` = documents
+    *         of that source containing the shingle, `doc_frac` the
+    *         exact integer ratio against the source's document count
+    */
+  def boilerplateShingles(df: DataFrame, idCol: String, textCol: String,
+      groupCol: String, n: Int = 3, minFraction: Double = 0.5): DataFrame = {
+    val totals = df.groupBy(col(groupCol).as("source"))
+      .agg(count(lit(1)).as("__total"))
+    spread(df)
+      .select(col(groupCol).as("source"), col(idCol).as("__id"),
+        explode(shingles(col(textCol), n)).as("shingle"))
+      .groupBy(col("source"), col("shingle"))
+      .agg(count(lit(1)).as("n_docs")) // shingles are per-doc distinct
+      .join(broadcast(totals), Seq("source"))
+      .withColumn("doc_frac", col("n_docs").cast("double") / col("__total"))
+      .where(col("doc_frac") >= minFraction)
+      .select(col("source"), col("shingle"), col("n_docs"), col("doc_frac"))
+  }
+
   /** Per-group novelty: for each `groupCol` value, the fraction of its
     * documents with NO verified near-duplicate in any OTHER group — the
     * actionable scalar behind [[crossGroupNearDupMatrix]] (a new source

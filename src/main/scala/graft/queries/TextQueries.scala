@@ -408,6 +408,18 @@ object TextQueries {
       .orderBy($"doc_id")
   }
 
+  /** Per-source boilerplate detection: 2-gram shingles present in ≥ 20%
+    * of a source's documents (the scraper-template signal). One distinct
+    * (source, shingle, doc) shuffle; totals broadcast; report-sized
+    * output (220 rows at sf0.01). Exact counts + integer-ratio doubles.
+    */
+  private def q114(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Dedup.boilerplateShingles(Tables.documents(s, dir), "doc_id", "text",
+        "source", n = 2, minFraction = 0.2)
+      .orderBy($"source", $"shingle")
+  }
+
   /** The Gopher rule battery (Rae et al. 2021 A1.1) per document:
     * word-count / mean-word-length bounds, symbol ratio, alphabetic-word
     * fraction, stop-word presence, and the composite keep decision.
@@ -540,6 +552,7 @@ object TextQueries {
     "q110_intradoc_dedup" -> (q110 _),
     "q112_source_content_overlap" -> (q112 _),
     "q113_gopher_rules" -> (q113 _),
+    "q114_boilerplate" -> (q114 _),
     "q84_chunking" -> (q84 _),
     "q51_simhash_banded" -> (q51 _),
     "q52_dedup_pipeline" -> (q52 _),
@@ -774,6 +787,23 @@ object TextQueries {
         |       CAST(len(list_slice(toks, u.i * 4 + 1, u.i * 4 + 6)) AS BIGINT) AS n_tokens
         |FROM c, UNNEST(range(0, n_chunks)) AS u(i)
         |ORDER BY doc_id, chunk_idx""".stripMargin,
+    "q114_boilerplate" ->
+      """WITH t AS (SELECT source, doc_id, string_split_regex(trim(text), ' +') AS toks
+        |           FROM documents),
+        |sh AS (SELECT DISTINCT source, doc_id, g
+        |       FROM (SELECT source, doc_id, unnest(CASE WHEN len(toks) >= 2
+        |               THEN list_distinct(list_transform(range(1, len(toks)),
+        |                      i -> array_to_string(list_slice(toks, i, i + 1), ' ')))
+        |               ELSE [] END) AS g FROM t)),
+        |tot AS (SELECT source, CAST(count(DISTINCT doc_id) AS BIGINT) AS tt
+        |        FROM t GROUP BY source),
+        |c AS (SELECT source, g AS shingle, CAST(count(*) AS BIGINT) AS n_docs
+        |      FROM sh GROUP BY 1, 2)
+        |SELECT c.source, shingle, n_docs,
+        |       CAST(n_docs AS DOUBLE) / tt AS doc_frac
+        |FROM c JOIN tot ON c.source = tot.source
+        |WHERE CAST(n_docs AS DOUBLE) / tt >= 0.2
+        |ORDER BY c.source, shingle""".stripMargin,
     "q113_gopher_rules" ->
       """WITH t AS (SELECT doc_id, text, string_split_regex(trim(text), ' +') AS toks
         |           FROM documents),

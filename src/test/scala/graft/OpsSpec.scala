@@ -677,6 +677,30 @@ class OpsSpec extends SparkSuite {
     assert(!r3.getBoolean(6))
   }
 
+  test("boilerplateShingles flags template phrases per source only") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "A", "foo bar x y"),
+      (2L, "A", "foo bar z w"),
+      (3L, "A", "foo bar q r"),
+      (4L, "A", "nothing shared here"),
+      // same phrase in another source, but below ITS fraction gate
+      (5L, "B", "foo bar once"),
+      (6L, "B", "unrelated text one"),
+      (7L, "B", "unrelated text two")).toDF("doc_id", "source", "text")
+    val out = Dedup.boilerplateShingles(df, "doc_id", "text", "source",
+        n = 2, minFraction = 0.6)
+      .orderBy($"source", $"shingle")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3)))
+    // A: "foo bar" in 3/4 docs clears 0.6; B's lone "foo bar" (1/3)
+    // does not, while B's "unrelated text" (2/3) does — the gate is
+    // per-source, so the same phrase passes in one source and not another
+    assert(out.toSeq === Seq(
+      ("A", "foo bar", 3L, 0.75),
+      ("B", "unrelated text", 2L, 2.0 / 3)))
+  }
+
   test("groupContentOverlap: exact shingle and fingerprint Jaccard per pair") {
     import spark.implicits._
     val df = Seq(
