@@ -49,6 +49,13 @@ object Classify {
       .groupBy(col("label"), col("token"))
       .agg(count(lit(1)).as("cnt"))
 
+  /** Per-class training document counts — the prior side of the model,
+    * one row per class (no tokenization: a metadata aggregate).
+    */
+  def nbClassDocs(train: DataFrame, labelCol: String): DataFrame =
+    train.groupBy(col(labelCol).as("label"))
+      .agg(count(lit(1)).as("n_docs"))
+
   /** Score every document against every class of a trained model.
     *
     * Output, one row per (document, class):
@@ -69,17 +76,30 @@ object Classify {
     */
   def nbScore(docs: DataFrame, train: DataFrame, idCol: String,
       labelCol: String, textCol: String, alpha: Double = 1.0,
-      lnScale: Int = 6): DataFrame = {
-    val model = trainNaiveBayes(train, labelCol, textCol)
+      lnScale: Int = 6): DataFrame =
+    nbScoreWithModel(docs, trainNaiveBayes(train, labelCol, textCol),
+      nbClassDocs(train, labelCol), idCol, textCol, alpha, lnScale)
+
+  /** [[nbScore]] against a PRE-TRAINED model — the steady-state asset of
+    * a continuously-running classifier gate (the stored-key-table
+    * discipline): train (and persist) the `(label, token, cnt)` model
+    * once, pass it to every batch, and per-batch work is the batch's
+    * own tokenization plus the token-key join — independent of how much
+    * data trained the model. Class totals, vocabulary size and priors
+    * re-derive from the (model-sized, usually cached) model per call.
+    */
+  def nbScoreWithModel(docs: DataFrame, model: DataFrame,
+      classDocs: DataFrame, idCol: String, textCol: String,
+      alpha: Double = 1.0, lnScale: Int = 6): DataFrame = {
     // one row per class: token total + doc count (for the prior)
     val classTotals = model.groupBy(col("label"))
       .agg(sum(col("cnt")).as("__tot"))
-    val classDocs = train.groupBy(col(labelCol).as("label"))
-      .agg(count(lit(1)).as("__nd"))
-    val classes = classTotals.join(classDocs, Seq("label"))
+    val classes = classTotals
+      .join(classDocs.select(col("label"), col("n_docs").as("__nd")),
+        Seq("label"))
     val vocab = model.select(col("token")).distinct()
       .agg(count(lit(1)).as("__v"))
-    val nTrain = train.agg(count(lit(1)).as("__n"))
+    val nTrain = classDocs.agg(sum(col("n_docs")).as("__n"))
     val docToks = docTokenCounts(docs, idCol, textCol)
     // (doc, token) × classes: the class list is model-sized and
     // broadcasts; the model joins back by (token, label) key
@@ -114,11 +134,21 @@ object Classify {
     * the prediction is deterministic on any partitioning).
     */
   def nbPredict(docs: DataFrame, train: DataFrame, idCol: String,
-      labelCol: String, textCol: String, alpha: Double = 1.0): DataFrame = {
+      labelCol: String, textCol: String, alpha: Double = 1.0): DataFrame =
+    argmax(nbScore(docs, train, idCol, labelCol, textCol, alpha), idCol)
+
+  /** [[nbPredict]] against a pre-trained model ([[nbScoreWithModel]]). */
+  def nbPredictWithModel(docs: DataFrame, model: DataFrame,
+      classDocs: DataFrame, idCol: String, textCol: String,
+      alpha: Double = 1.0): DataFrame =
+    argmax(nbScoreWithModel(docs, model, classDocs, idCol, textCol, alpha),
+      idCol)
+
+  private def argmax(scored: DataFrame, idCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col(idCol))
       .orderBy(col("score_sum").desc, col("label"))
-    nbScore(docs, train, idCol, labelCol, textCol, alpha)
+    scored
       .withColumn("__rn", row_number().over(w))
       .where(col("__rn") === 1)
       .select(col(idCol), col("label").as("predicted"), col("n_tokens"),

@@ -621,6 +621,71 @@ object EventStreams {
     query
   }
 
+  /** Streaming classifier gate: each micro-batch keeps only documents
+    * whose Naive-Bayes-predicted class (under a ONCE-trained model from
+    * the labeled reference at `trainDir` —
+    * [[graft.ops.Classify.nbPredictWithModel]]) is in `keepLabels`,
+    * appending survivors to `outDir` — the "classify pages, keep the
+    * reference-like ones" curation gate (GPT-3/LLaMA style) run at
+    * ingest time so off-class content never lands.
+    *
+    * Steady-state shape: the `(label, token, cnt)` model and the
+    * per-class doc counts are trained ONCE at stream start and
+    * persisted; per-batch work is the batch's own tokenization plus the
+    * token-key model join — independent of stream age and of training
+    * size. Both caches are released by a termination listener.
+    */
+  def ingestClassified(spark: SparkSession, schema: StructType,
+      inDir: String, trainDir: String, outDir: String,
+      checkpointDir: String, idCol: String, labelCol: String,
+      textCol: String, keepLabels: Seq[String],
+      maxFilesPerTrigger: Int = 16,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    import graft.ops.Classify
+    import org.apache.spark.sql.functions.col
+    val train = spark.read.parquet(trainDir)
+    val model = Classify.trainNaiveBayes(train, labelCol, textCol).persist()
+    val classDocs = Classify.nbClassDocs(train, labelCol).persist()
+    model.count(); classDocs.count() // materialize once, before batch 1
+    val query = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(inDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val keep = Classify.nbPredictWithModel(batch, model, classDocs,
+            idCol, textCol)
+          .where(col("predicted").isin(keepLabels.map(x => x: Any): _*))
+          .select(col(idCol))
+        batch.join(keep, Seq(idCol), "left_semi")
+          .write.mode("append").parquet(outDir)
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .start()
+    val release = new StreamingQueryListener {
+      override def onQueryStarted(
+          e: StreamingQueryListener.QueryStartedEvent): Unit = ()
+      override def onQueryProgress(
+          e: StreamingQueryListener.QueryProgressEvent): Unit = ()
+      override def onQueryTerminated(
+          e: StreamingQueryListener.QueryTerminatedEvent): Unit =
+        if (e.id == query.id) {
+          model.unpersist(blocking = false)
+          classDocs.unpersist(blocking = false)
+          spark.streams.removeListener(this)
+        }
+    }
+    spark.streams.addListener(release)
+    // same early-termination race note as ingestDecontaminated
+    if (!query.isActive) {
+      model.unpersist(blocking = false)
+      classDocs.unpersist(blocking = false)
+      spark.streams.removeListener(release)
+    }
+    query
+  }
+
   /** Streaming distribution-drift monitor: every micro-batch's exact TV
     * distance to a ONCE-fit reference feature model is appended to
     * `monitorDir` as `(batch_id, n_features, tv)` — the ingest-side

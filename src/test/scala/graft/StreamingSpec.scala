@@ -436,6 +436,43 @@ class StreamingSpec extends SparkSuite {
       "importance model cache leaked after query termination")
   }
 
+  test("ingestClassified keeps only keep-label predictions, model trained once") {
+    import spark.implicits._
+    val in = tmp("nb-in")
+    val train = tmp("nb-train") + "/data"
+    val out = tmp("nb-out") + "/data"
+    val ckpt = tmp("nb-ckpt")
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "doc_id LONG, text STRING")
+    // labeled reference: "good" = alpha/beta dialect, "bad" = zeta/eta
+    Seq((100L, "good", "alpha beta alpha beta gamma"),
+        (101L, "good", "beta alpha gamma"),
+        (102L, "bad", "zeta eta zeta theta"),
+        (103L, "bad", "eta zeta theta"))
+      .toDF("doc_id", "lang", "text").write.mode("overwrite").parquet(train)
+    // two micro-batches, each with one good-looking and one bad-looking doc
+    Seq((1L, "alpha beta gamma alpha"), (2L, "zeta eta theta"))
+      .toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(in)
+    Seq((3L, "beta gamma alpha"), (4L, "theta zeta eta eta"))
+      .toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(in)
+    val cachedBefore = spark.sparkContext.getPersistentRDDs.keySet
+    graft.streaming.EventStreams
+      .ingestClassified(spark, schema, in, train, out, ckpt,
+        "doc_id", "lang", "text", keepLabels = Seq("good"))
+      .awaitTermination()
+    val kept = spark.read.parquet(out).select($"doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept === Set(1L, 3L), s"got $kept")
+    // model caches released after termination (async listener)
+    def leaked(): Set[Int] =
+      (spark.sparkContext.getPersistentRDDs.keySet -- cachedBefore).toSet
+    val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+    while (leaked().nonEmpty && System.nanoTime() < deadline)
+      Thread.sleep(100)
+    assert(leaked().isEmpty,
+      "NB model cache leaked after query termination")
+  }
+
   test("ingestNearDupKeyed matches ingestNearDup and keeps the key table current") {
     import spark.implicits._
     val in = tmp("keyed-in")
