@@ -954,12 +954,17 @@ object Dedup {
       col("__id").as("idA"), col("__sh").as("__sa"))
     val r = capped.select(col("band"), col("key"),
       col("__id").as("idB"), col("__sh").as("__sb"))
+    // Hamming verification runs BEFORE the cross-band distinct (the
+    // minhashNearDups ordering): bit_count is codegen'd per joined row,
+    // so the dedup exchange carries only surviving pairs — a pair
+    // colliding in two bands computes the same distance twice, which
+    // the distinct collapses
     l.join(r, Seq("band", "key"))
       .where(col("idA") < col("idB"))
       .select(col("idA"), col("idB"),
         hammingDistance(col("__sa"), col("__sb")).as("hamming"))
-      .distinct()
       .where(col("hamming") <= maxBits)
+      .distinct()
   }
 
   /** SimHash near-dup pairs within `blockCol` blocks at ≤ `maxBits`
