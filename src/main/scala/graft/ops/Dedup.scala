@@ -849,6 +849,27 @@ object Dedup {
           (col("n_a") + col("n_b") - col("n_common"))).as("jaccard"))
   }
 
+  /** Shared-lede detection: groups of documents whose first `k` tokens
+    * are identical — the syndication/mirror pattern (same opening
+    * paragraph, diverging bodies) that whole-document fingerprints miss
+    * and MinHash only catches when the whole body is similar. The
+    * report feeds a review or a prefix-aware dedup pass.
+    *
+    * Scale: one groupBy shuffle on the k-token prefix (bounded-width
+    * key, map-side combined); output is only groups of ≥ 2.
+    *
+    * @return `prefix, n_docs, rep_id` (the group's minimum id)
+    */
+  def prefixDupGroups(df: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame =
+    spread(df)
+      .select(col(idCol).as("__id"),
+        concat_ws(" ", slice(TextAnalysis.tokens(col(textCol)), 1, k))
+          .as("prefix"))
+      .groupBy(col("prefix"))
+      .agg(count(lit(1)).as("n_docs"), min(col("__id")).as("rep_id"))
+      .where(col("n_docs") >= 2)
+
   /** Per-source boilerplate detection: word n-gram shingles that appear
     * in at least `minFraction` of a source's documents — the scraper
     * template / navigation-chrome signal (a phrase occurring in 60% of

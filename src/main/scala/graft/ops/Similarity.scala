@@ -255,6 +255,31 @@ object Similarity {
       .where(col("cosine") > threshold)
   }
 
+  /** Embedding-table QA report per `labelCol` group: the integrity check
+    * run before an ANN index build or a release hand-off — dimension
+    * consistency, zero vectors (a failed encoder emits them silently)
+    * and unit-norm discipline.
+    *
+    * All report columns are integer counts; the unit-norm test compares
+    * ‖v‖² to 1 with a margin (`normTol`) orders of magnitude above
+    * float ulps, so the whole report is cross-engine hash-checkable.
+    * One narrow scan, one group-key aggregate — no shuffle carries
+    * vectors.
+    *
+    * @return `label, n_vecs, n_dim_ok, n_zero, n_unit`
+    */
+  def embeddingQa(emb: DataFrame, vecCol: String, labelCol: String,
+      expectedDim: Int, normTol: Double = 1e-3): DataFrame = {
+    val v = col(vecCol)
+    val nsq = dotProduct(v, v)
+    emb.groupBy(col(labelCol).as("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(when(size(v) === expectedDim, 1L).otherwise(0L)).as("n_dim_ok"),
+        // Σx² = 0 ⟺ every component is exactly 0 (squares cannot cancel)
+        sum(when(nsq === 0.0, 1L).otherwise(0L)).as("n_zero"),
+        sum(when(abs(nsq - 1.0) <= normTol, 1L).otherwise(0L)).as("n_unit"))
+  }
+
   /** Symmetric int8 quantization of an embedding column — the storage
     * format for a 100 TB embedding table (4× smaller than float32, 8×
     * than float64; IVF/LSH candidate generation runs on quantized

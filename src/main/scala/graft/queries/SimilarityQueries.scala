@@ -48,6 +48,18 @@ object SimilarityQueries {
       .orderBy($"vec_id")
   }
 
+  /** Embedding-table QA: per-label dimension/zero-vector/unit-norm
+    * integrity counts — the report run before an ANN index build. All
+    * columns are integer counts (the norm test uses a margin ≫ ulp), so
+    * the whole report hash-checks.
+    */
+  private def q115(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Similarity.embeddingQa(Tables.embeddings(s, dir), "embedding", "label",
+        expectedDim = 64)
+      .orderBy($"label")
+  }
+
   /** ANN via sign-LSH bucket pruning. Approximate (recall < 1 vs q30)
     * but fully deterministic, and the md5-derived plane basis lets DuckDB
     * rebuild the bucket assignment — hash-checked.
@@ -290,6 +302,7 @@ object SimilarityQueries {
     "q30_ann_bruteforce" -> (q30 _),
     "q31_cosine_neardup" -> (q31 _),
     "q111_semantic_decontam" -> (q111 _),
+    "q115_embedding_qa" -> (q115 _),
     "q32_ann_lsh" -> (q32 _),
     "q33_label_stats" -> (q33 _),
     "q43_ann_ivf" -> (q43 _),
@@ -370,6 +383,15 @@ object SimilarityQueries {
         |WHERE a.vec_id = 0 AND b.vec_id <> 0
         |ORDER BY cosine DESC, b.vec_id
         |LIMIT 10""".stripMargin,
+    "q115_embedding_qa" ->
+      """WITH n AS (SELECT label, embedding,
+        |             list_sum(list_transform(embedding::DOUBLE[], x -> x * x)) AS nsq
+        |           FROM embeddings)
+        |SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+        |       CAST(sum(CASE WHEN len(embedding) = 64 THEN 1 ELSE 0 END) AS BIGINT) AS n_dim_ok,
+        |       CAST(sum(CASE WHEN nsq = 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
+        |       CAST(sum(CASE WHEN abs(nsq - 1.0) <= 0.001 THEN 1 ELSE 0 END) AS BIGINT) AS n_unit
+        |FROM n GROUP BY label ORDER BY label""".stripMargin,
     "q111_semantic_decontam" ->
       """WITH e AS (SELECT vec_id AS eid, embedding FROM embeddings
         |           WHERE vec_id % 97 = 0),

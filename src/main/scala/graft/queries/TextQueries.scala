@@ -408,6 +408,16 @@ object TextQueries {
       .orderBy($"doc_id")
   }
 
+  /** Shared-lede detection: groups of documents with identical first-5
+    * tokens (syndication pattern) — 23 groups at sf0.01, one
+    * bounded-key groupBy shuffle.
+    */
+  private def q116(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Dedup.prefixDupGroups(Tables.documents(s, dir), "doc_id", "text", k = 5)
+      .orderBy($"prefix")
+  }
+
   /** Per-source boilerplate detection: 2-gram shingles present in ≥ 20%
     * of a source's documents (the scraper-template signal). One distinct
     * (source, shingle, doc) shuffle; totals broadcast; report-sized
@@ -553,6 +563,7 @@ object TextQueries {
     "q112_source_content_overlap" -> (q112 _),
     "q113_gopher_rules" -> (q113 _),
     "q114_boilerplate" -> (q114 _),
+    "q116_prefix_dups" -> (q116 _),
     "q84_chunking" -> (q84 _),
     "q51_simhash_banded" -> (q51 _),
     "q52_dedup_pipeline" -> (q52 _),
@@ -787,6 +798,14 @@ object TextQueries {
         |       CAST(len(list_slice(toks, u.i * 4 + 1, u.i * 4 + 6)) AS BIGINT) AS n_tokens
         |FROM c, UNNEST(range(0, n_chunks)) AS u(i)
         |ORDER BY doc_id, chunk_idx""".stripMargin,
+    "q116_prefix_dups" ->
+      """WITH p AS (SELECT doc_id,
+        |             array_to_string(list_slice(string_split_regex(trim(text), ' +'),
+        |               1, 5), ' ') AS prefix
+        |           FROM documents)
+        |SELECT prefix, CAST(count(*) AS BIGINT) AS n_docs, min(doc_id) AS rep_id
+        |FROM p GROUP BY prefix HAVING count(*) >= 2
+        |ORDER BY prefix""".stripMargin,
     "q114_boilerplate" ->
       """WITH t AS (SELECT source, doc_id, string_split_regex(trim(text), ' +') AS toks
         |           FROM documents),

@@ -677,6 +677,35 @@ class OpsSpec extends SparkSuite {
     assert(!r3.getBoolean(6))
   }
 
+  test("embeddingQa counts dimension, zero-vector and unit-norm violations") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, 0, Array(1f, 0f, 0f)),          // unit, dim ok
+      (2L, 0, Array(0f, 0f, 0f)),          // zero vector
+      (3L, 0, Array(2f, 0f, 0f)),          // dim ok, not unit
+      (4L, 1, Array(0.6f, 0.8f, 0f)),      // unit
+      (5L, 1, Array(1f, 0f))               // wrong dimension (still unit)
+    ).toDF("vec_id", "label", "embedding")
+    val out = graft.ops.Similarity.embeddingQa(df, "embedding", "label",
+        expectedDim = 3)
+      .orderBy($"label").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(out.toSeq === Seq((0, 3L, 3L, 1L, 1L), (1, 2L, 1L, 0L, 2L)))
+  }
+
+  test("prefixDupGroups reports only shared k-token ledes") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "breaking news about x and more body"),
+      (2L, "breaking news about x and other continuation"),
+      (3L, "breaking news about y and more"), // differs within the prefix
+      (4L, "completely different text here now")).toDF("doc_id", "text")
+    val out = Dedup.prefixDupGroups(df, "doc_id", "text", k = 5)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq === Seq(("breaking news about x and", 2L, 1L)))
+  }
+
   test("boilerplateShingles flags template phrases per source only") {
     import spark.implicits._
     val df = Seq(
