@@ -107,6 +107,43 @@ object Curation {
         col("n_bigrams"), col("n_oov"))
   }
 
+  /** The Gopher-rule curation pipeline in ONE composed plan: the full
+    * rule battery ([[TextAnalysis.gopherReport]]) gates admission, the
+    * survivors are decontaminated against `bench`
+    * ([[Decontamination.contaminationScores]]), each document's
+    * repeated spans are removed IN PLACE
+    * ([[Dedup.intraDocChunkDedup]] — text is rewritten, not dropped),
+    * and the cleaned texts are exact-deduped (lowest id survives).
+    * The DeepMind-shape alternative to the CCNet-shape [[curateCcnet]]:
+    * rule-based admission instead of LM scoring.
+    *
+    * Scale shape: the rule battery and span cleanup are narrow codegen
+    * scans; decontamination broadcasts the eval shingle set and
+    * anti-joins the flagged-id sliver; the single corpus shuffle is the
+    * final dedup's fingerprint window.
+    *
+    * @return `idCol, n_chunks, n_kept, dedup_text` for surviving
+    *         documents (q110's columns, post-dedup)
+    */
+  def curateGopher(corpus: DataFrame, bench: DataFrame, idCol: String,
+      textCol: String, minWords: Int = 50,
+      minDistinctStopwords: Int = 2, contaminationN: Int = 8,
+      chunkTokens: Int = 20): DataFrame = {
+    val kept = corpus
+      .select(col(idCol), col(textCol),
+        TextAnalysis.gopherReport(col(textCol), minWords = minWords,
+          minDistinctStopwords = minDistinctStopwords).as("__g"))
+      .where(col("__g.keep"))
+      .select(col(idCol), col(textCol))
+    val flagged = Decontamination.contaminationScores(kept, bench, idCol,
+        textCol, contaminationN)
+      .select(col(idCol))
+    val clean = kept.join(broadcast(flagged), Seq(idCol), "left_anti")
+    val rewritten = Dedup.intraDocChunkDedup(clean, idCol, textCol,
+      chunkTokens)
+    Dedup.exactDedup(rewritten, idCol, "dedup_text")
+  }
+
   /** The complete corpus-production run: [[curate]] (quality →
     * decontamination → exact dedup) followed by MinHash-LSH near-dup
     * collapse over the survivors ([[Dedup.nearDupPipeline]]) — every

@@ -408,6 +408,25 @@ object TextQueries {
       .orderBy($"doc_id")
   }
 
+  /** The Gopher-shape curation pipeline in one plan: rule-battery
+    * admission (word count ≥ 50, stop-word ≥ 1 — both bite) →
+    * 3-gram decontamination vs the doc_id ≡ 0 (mod 97) slice →
+    * intra-doc 2-token span cleanup (text REWRITTEN) → exact dedup on
+    * the cleaned text. Every stage individually verified by
+    * q113/q56/q110/q29; the composition is hash-checked here including
+    * the rebuilt text.
+    */
+  private def q117(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    graft.ops.Curation.curateGopher(
+        docs.where($"doc_id" % 97 =!= 0),
+        docs.where($"doc_id" % 97 === 0),
+        "doc_id", "text", minWords = 50, minDistinctStopwords = 1,
+        contaminationN = 3, chunkTokens = 2)
+      .orderBy($"doc_id")
+  }
+
   /** Shared-lede detection: groups of documents with identical first-5
     * tokens (syndication pattern) — 23 groups at sf0.01, one
     * bounded-key groupBy shuffle.
@@ -564,6 +583,7 @@ object TextQueries {
     "q113_gopher_rules" -> (q113 _),
     "q114_boilerplate" -> (q114 _),
     "q116_prefix_dups" -> (q116 _),
+    "q117_gopher_pipeline" -> (q117 _),
     "q84_chunking" -> (q84 _),
     "q51_simhash_banded" -> (q51 _),
     "q52_dedup_pipeline" -> (q52 _),
@@ -798,6 +818,51 @@ object TextQueries {
         |       CAST(len(list_slice(toks, u.i * 4 + 1, u.i * 4 + 6)) AS BIGINT) AS n_tokens
         |FROM c, UNNEST(range(0, n_chunks)) AS u(i)
         |ORDER BY doc_id, chunk_idx""".stripMargin,
+    // q113's rule CTEs + q56's shingle CTEs + q110's span-cleanup CTEs
+    // + q29's window dedup, chained
+    "q117_gopher_pipeline" ->
+      """WITH t AS (SELECT doc_id, text, string_split_regex(trim(text), ' +') AS toks
+        |           FROM documents WHERE doc_id % 97 <> 0),
+        |g AS (SELECT doc_id, toks FROM t
+        |      WHERE len(toks) BETWEEN 50 AND 100000
+        |        AND CAST(len(replace(text, ' ', '')) AS DOUBLE) / len(toks)
+        |              BETWEEN 3.0 AND 10.0
+        |        AND CAST((len(text) - len(replace(text, '#', '')))
+        |              + (len(text) - len(replace(text, '...', ''))) / 3
+        |              + (len(text) - len(replace(text, '…', ''))) AS DOUBLE)
+        |              / len(toks) <= 0.1
+        |        AND CAST(len(list_filter(toks, w -> regexp_matches(w, '[A-Za-z]'))) AS DOUBLE)
+        |              / len(toks) >= 0.8
+        |        AND len(list_filter(list_distinct(toks),
+        |              w -> w IN ('the','be','to','of','and','that','have','with'))) >= 1),
+        |bsh AS (SELECT DISTINCT unnest(CASE WHEN len(toks) >= 3
+        |          THEN list_distinct(list_transform(range(1, len(toks) - 1),
+        |                 i -> array_to_string(list_slice(toks, i, i + 2), ' ')))
+        |          ELSE [] END) AS sh
+        |        FROM (SELECT string_split_regex(trim(text), ' +') AS toks
+        |              FROM documents WHERE doc_id % 97 = 0)),
+        |flag AS (SELECT DISTINCT doc_id
+        |         FROM (SELECT doc_id, unnest(CASE WHEN len(toks) >= 3
+        |                 THEN list_distinct(list_transform(range(1, len(toks) - 1),
+        |                        i -> array_to_string(list_slice(toks, i, i + 2), ' ')))
+        |                 ELSE [] END) AS sh FROM g) s
+        |         JOIN bsh USING (sh)),
+        |c AS (SELECT doc_id, toks FROM g
+        |      WHERE doc_id NOT IN (SELECT doc_id FROM flag)),
+        |ch AS (SELECT doc_id, CAST((len(toks) + 1) // 2 AS BIGINT) AS n_chunks,
+        |         [array_to_string(list_slice(toks, i * 2 + 1, i * 2 + 2), ' ')
+        |          FOR i IN range(0, CAST((len(toks) + 1) // 2 AS INT))] AS chunks
+        |       FROM c),
+        |r AS (SELECT doc_id, n_chunks,
+        |        list_filter(chunks, (x, i) -> list_position(chunks, x) = i) AS kept
+        |      FROM ch),
+        |o AS (SELECT doc_id, n_chunks, CAST(len(kept) AS BIGINT) AS n_kept,
+        |        array_to_string(kept, ' ') AS dedup_text
+        |      FROM r),
+        |d AS (SELECT *, row_number() OVER (PARTITION BY dedup_text ORDER BY doc_id) AS rn
+        |      FROM o)
+        |SELECT doc_id, n_chunks, n_kept, dedup_text FROM d WHERE rn = 1
+        |ORDER BY doc_id""".stripMargin,
     "q116_prefix_dups" ->
       """WITH p AS (SELECT doc_id,
         |             array_to_string(list_slice(string_split_regex(trim(text), ' +'),

@@ -96,4 +96,32 @@ class CurationSpec extends SparkSuite {
     // doc 2: (z,z) unseen → (0, 0)
     assert(got(2L) === ((0L, 0L)))
   }
+
+  test("curateGopher: rule gate, decontamination, span rewrite, dedup compose") {
+    import spark.implicits._
+    val bench = Seq((100L, "secret eval question body")).toDF("doc_id", "text")
+    val corpus = Seq(
+      // passes rules; repeated 2-token span "aaa bbb" rewritten away
+      (1L, "the cat aaa bbb ccc ddd aaa bbb runs"),
+      // after cleanup identical to doc 1's cleaned text → deduped (higher id)
+      (2L, "the cat aaa bbb ccc ddd ccc ddd runs"),
+      // fails the word-count rule (minWords = 5 below)
+      (3L, "the end"),
+      // contains a bench 3-gram → decontaminated away
+      (4L, "the secret eval question body leaked here today"),
+      // passes everything untouched
+      (5L, "the dog walks eee fff ggg hhh slowly")).toDF("doc_id", "text")
+    val out = Curation.curateGopher(corpus, bench, "doc_id", "text",
+        minWords = 5, minDistinctStopwords = 1, contaminationN = 3,
+        chunkTokens = 2)
+      .orderBy($"doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3)))
+    // doc 1: chunks [the cat][aaa bbb][ccc ddd][aaa bbb][runs] → drop
+    //   the repeated "aaa bbb"; doc 2 drops its repeated "ccc ddd" —
+    //   SAME cleaned text as doc 1 → doc 2 collapses into doc 1
+    assert(out.toSeq === Seq(
+      (1L, 5L, 4L, "the cat aaa bbb ccc ddd runs"),
+      (5L, 4L, 4L, "the dog walks eee fff ggg hhh slowly")))
+  }
 }
