@@ -168,6 +168,15 @@ object Dedup {
     * 100k-token document costs 5000² ≈ 2.5×10⁷ string compares in the
     * worst case, bounded per row and off any shuffle path.
     *
+    * Composition hazard: `dedup_text` is an EXPRESSION, and HOF lambdas
+    * downstream interpret per element without subexpression elimination
+    * — feeding it un-materialized into another chunking/HOF operator
+    * re-evaluates this whole tree per element (measured: a nested
+    * second pass hung for 15 min on 50 documents). Materialize
+    * (checkpoint, cache, or write) between chained text-rewriting
+    * passes; an exchange (as in [[exactDedup]]'s window) also cuts the
+    * expression chain.
+    *
     * @return columns: `idCol`, n_chunks (original), n_kept, dedup_text
     */
   def intraDocChunkDedup(df: DataFrame, idCol: String, textCol: String,

@@ -92,6 +92,20 @@ class ClassifySpec extends SparkSuite {
     assert(pred.count() === docs.count())
   }
 
+  test("intraDocChunkDedup is idempotent on the real corpus") {
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    // materialize pass 1: nesting it as an expression would re-evaluate
+    // the whole pass-1 tree inside pass 2's per-element HOF lambdas
+    // (interpreted, no CSE) — an exponential blowup, not a plan
+    val once = Dedup.intraDocChunkDedup(docs, "doc_id", "text", 2)
+      .withColumnRenamed("dedup_text", "text")
+      .select(col("doc_id"), col("text"))
+      .localCheckpoint()
+    val twice = Dedup.intraDocChunkDedup(once, "doc_id", "text", 2)
+    // a second pass finds nothing left to drop
+    assert(twice.where(col("n_kept") =!= col("n_chunks")).count() === 0)
+  }
+
   test("intraDocChunkDedup drops repeated spans within a doc only") {
     import spark.implicits._
     val df = Seq(
