@@ -272,6 +272,74 @@ object Statistics {
     * `fileStats` rows are (path, records, bytes) — the reference's
     * per-file file_stats table (aggregator.yml:140-149).
     */
+  /** Per-source corpus datasheet — the "data card" table published with
+    * a training-corpus release: document/token/char volumes, exact
+    * in-source duplicate counts, the dominant language, and the
+    * summed quality score per source.
+    *
+    * Exactness discipline: every count is an integer; the per-document
+    * quality score (an integer-ratio double, identical cross-engine —
+    * q22's proven basis) is quantized to DECIMAL(25,6) before the exact
+    * sum, so `quality_sum` is partition-order independent AND
+    * cross-engine hashable; `mean_quality` divides it by the count.
+    *
+    * Scale: one (source, fingerprint) aggregation cascading into the
+    * per-source rollup (duplicates = docs − distinct fingerprints, no
+    * expand), plus a report-sized (source, lang) aggregate for the
+    * dominant language (ties to the lexicographically smaller lang).
+    *
+    * @return `source, n_docs, n_tokens, n_chars, n_dup_docs, top_lang,
+    *         top_lang_docs, quality_sum, mean_quality`
+    */
+  def corpusDatasheet(df: DataFrame, textCol: String, groupCol: String,
+      langCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = df.select(col(groupCol).as("source"),
+      col(langCol).as("__lang"),
+      graft.ops.TextAnalysis.tokenCount(col(textCol)).cast("long").as("__nt"),
+      length(col(textCol)).cast("long").as("__nc"),
+      graft.ops.TextAnalysis.qualityScore(col(textCol))
+        .cast("decimal(25,6)").as("__q"),
+      md5(col(textCol)).as("__fp"))
+    val perFp = base.groupBy(col("source"), col("__fp"))
+      .agg(count(lit(1)).as("__cnt"), sum(col("__nt")).as("__t"),
+        sum(col("__nc")).as("__c"), sum(col("__q")).as("__qs"))
+    val perSource = perFp.groupBy(col("source"))
+      .agg(sum(col("__cnt")).as("n_docs"),
+        sum(col("__t")).as("n_tokens"),
+        sum(col("__c")).as("n_chars"),
+        (sum(col("__cnt")) - count(lit(1))).as("n_dup_docs"),
+        sum(col("__qs")).as("quality_sum"))
+    val topLang = base.groupBy(col("source"), col("__lang"))
+      .agg(count(lit(1)).as("__lc"))
+      .withColumn("__rn", row_number().over(Window.partitionBy(col("source"))
+        .orderBy(col("__lc").desc, col("__lang"))))
+      .where(col("__rn") === 1)
+      .select(col("source"), col("__lang").as("top_lang"),
+        col("__lc").as("top_lang_docs"))
+    perSource.join(topLang, Seq("source"))
+      .select(col("source"), col("n_docs"), col("n_tokens"), col("n_chars"),
+        col("n_dup_docs"), col("top_lang"), col("top_lang_docs"),
+        col("quality_sum").cast("decimal(38,6)").as("quality_sum"),
+        (col("quality_sum").cast("double") / col("n_docs"))
+          .as("mean_quality"))
+  }
+
+  /** Render a [[corpusDatasheet]] frame (report-sized) as the markdown
+    * data card a release ships with.
+    */
+  def datasheetMarkdown(datasheet: DataFrame): String = {
+    val rows = datasheet.orderBy(col("source")).collect().map { r =>
+      f"| ${r.getAs[String]("source")} | ${r.getAs[Long]("n_docs")} | " +
+        f"${r.getAs[Long]("n_tokens")} | ${r.getAs[Long]("n_chars")} | " +
+        f"${r.getAs[Long]("n_dup_docs")} | ${r.getAs[String]("top_lang")} | " +
+        f"${r.getAs[Double]("mean_quality")}%.4f |"
+    }.mkString("\n")
+    "# Corpus datasheet\n\n" +
+      "| Source | Docs | Tokens | Chars | Dup docs | Top lang | Mean quality |\n" +
+      "|---|---|---|---|---|---|---|\n" + rows + "\n"
+  }
+
   def markdownReport(stats: GlobalStats, histogram: Seq[(String, Long)],
       filesCombined: Long,
       fileStats: Seq[(String, Long, Long)] = Nil,

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.agg.Statistics
 import graft.ops.{Decontamination, Dedup, TextAnalysis}
 
 /** Text-analysis + deduplication operators over the `documents` table —
@@ -408,6 +409,19 @@ object TextQueries {
       .orderBy($"doc_id")
   }
 
+  /** Per-source corpus datasheet (the release "data card" table):
+    * volumes, exact in-source duplicate counts, dominant language and
+    * the DECIMAL-summed quality score. Quality doubles are q22's
+    * proven cross-engine-identical integer-ratio basis, quantized
+    * before the exact sum — the whole row hash-checks.
+    */
+  private def q118(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Statistics.corpusDatasheet(Tables.documents(s, dir), "text", "source",
+        "lang")
+      .orderBy($"source")
+  }
+
   /** The Gopher-shape curation pipeline in one plan: rule-battery
     * admission (word count ≥ 50, stop-word ≥ 1 — both bite) →
     * 3-gram decontamination vs the doc_id ≡ 0 (mod 97) slice →
@@ -584,6 +598,7 @@ object TextQueries {
     "q114_boilerplate" -> (q114 _),
     "q116_prefix_dups" -> (q116 _),
     "q117_gopher_pipeline" -> (q117 _),
+    "q118_corpus_datasheet" -> (q118 _),
     "q84_chunking" -> (q84 _),
     "q51_simhash_banded" -> (q51 _),
     "q52_dedup_pipeline" -> (q52 _),
@@ -818,6 +833,37 @@ object TextQueries {
         |       CAST(len(list_slice(toks, u.i * 4 + 1, u.i * 4 + 6)) AS BIGINT) AS n_tokens
         |FROM c, UNNEST(range(0, n_chunks)) AS u(i)
         |ORDER BY doc_id, chunk_idx""".stripMargin,
+    "q118_corpus_datasheet" ->
+      """WITH t AS (SELECT source, lang, text,
+        |             string_split_regex(trim(text), ' +') AS toks
+        |           FROM documents),
+        |b AS (SELECT source, lang, md5(text) AS fp,
+        |        CAST(len(toks) AS BIGINT) AS nt,
+        |        CAST(len(text) AS BIGINT) AS nc,
+        |        CAST((CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)) * 0.5
+        |          + (CAST(len(list_filter(toks, s -> s IN ('the','a','an','of','and','is','in','to','it','that'))) AS DOUBLE) / len(toks)) * 0.3
+        |          + (CASE WHEN len(toks) BETWEEN 5 AND 100000 THEN 1.0 ELSE 0.0 END) * 0.2
+        |          AS DECIMAL(25,6)) AS q
+        |      FROM t),
+        |pf AS (SELECT source, fp, CAST(count(*) AS BIGINT) AS cnt,
+        |         sum(nt) AS tk, sum(nc) AS ch, sum(q) AS qs
+        |       FROM b GROUP BY 1, 2),
+        |ps AS (SELECT source, CAST(sum(cnt) AS BIGINT) AS n_docs,
+        |         CAST(sum(tk) AS BIGINT) AS n_tokens,
+        |         CAST(sum(ch) AS BIGINT) AS n_chars,
+        |         CAST(sum(cnt) - count(*) AS BIGINT) AS n_dup_docs,
+        |         CAST(sum(qs) AS DECIMAL(38,6)) AS quality_sum
+        |       FROM pf GROUP BY 1),
+        |tl AS (SELECT source, lang AS top_lang,
+        |         CAST(count(*) AS BIGINT) AS top_lang_docs,
+        |         row_number() OVER (PARTITION BY source
+        |                            ORDER BY count(*) DESC, lang) AS rn
+        |       FROM t GROUP BY source, lang)
+        |SELECT ps.source, n_docs, n_tokens, n_chars, n_dup_docs, top_lang,
+        |       top_lang_docs, quality_sum,
+        |       CAST(quality_sum AS DOUBLE) / n_docs AS mean_quality
+        |FROM ps JOIN tl ON tl.source = ps.source AND rn = 1
+        |ORDER BY ps.source""".stripMargin,
     // q113's rule CTEs + q56's shingle CTEs + q110's span-cleanup CTEs
     // + q29's window dedup, chained
     "q117_gopher_pipeline" ->

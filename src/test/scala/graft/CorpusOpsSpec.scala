@@ -7,6 +7,35 @@ import graft.ops.{Dedup, Packing, Quantiles, Vocab}
 
 class CorpusOpsSpec extends SparkSuite {
 
+  test("corpusDatasheet aggregates volumes, dups, top lang and quality") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "A", "en", "same text here more words"),
+      (2L, "A", "en", "same text here more words"), // exact in-source dup
+      (3L, "A", "de", "andere worte hier jetzt gut"),
+      (4L, "B", "fr", "un deux trois quatre cinq")).toDF(
+      "doc_id", "source", "lang", "text")
+    val out = Statistics.corpusDatasheet(df, "text", "source", "lang")
+      .orderBy(col("source")).collect()
+    val a = out(0)
+    assert(a.getAs[String]("source") === "A")
+    assert(a.getAs[Long]("n_docs") === 3L)
+    assert(a.getAs[Long]("n_tokens") === 15L)
+    assert(a.getAs[Long]("n_dup_docs") === 1L)
+    // en (2 docs) beats de (1)
+    assert(a.getAs[String]("top_lang") === "en")
+    assert(a.getAs[Long]("top_lang_docs") === 2L)
+    // every doc: distinct ratio 1, stop ratio 0, 5 tokens in [5,1e5]
+    // → quality = 0.5 + 0 + 0.2 exactly; decimal sum 3 × 0.7
+    assert(a.getAs[java.math.BigDecimal]("quality_sum").doubleValue === 2.1)
+    val b = out(1)
+    assert(b.getAs[Long]("n_docs") === 1L && b.getAs[Long]("n_dup_docs") === 0L)
+    val md = Statistics.datasheetMarkdown(
+      Statistics.corpusDatasheet(df, "text", "source", "lang"))
+    assert(md.contains("| A | 3 | 15 |"), md)
+    assert(md.contains("| B | 1 | 5 |"), md)
+  }
+
   test("Vocab.topK counts tf and doc_freq exactly with a deterministic cut") {
     import spark.implicits._
     val df = Seq(
