@@ -402,6 +402,14 @@ class PlanSpec extends SparkSuite {
     assert(countNodes(p, "Scan parquet") <= 2, p)
   }
 
+  test("q10: per-group argmax gets the WindowGroupLimit pushdown") {
+    val p = formatted("q10_argmax_per_group")
+    // Spark 4 turns rn = 1 over a window into a per-partition group-limit
+    // (bounded heap before the exchange) — at 100 TB this is the
+    // difference between sorting every group and keeping one row per key
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
   test("q109: NB model joins by token; classes/vocab/priors broadcast") {
     val p = formatted("q109_nb_classifier")
     assert(!p.contains("CartesianProduct"), p)
