@@ -346,6 +346,46 @@ class StagingSpec extends SparkSuite {
     }
   }
 
+  test("WebDataset shard → sample pairing → real image decode, end to end") {
+    import spark.implicits._
+    val work = Files.createTempDirectory("graft-wds-e2e")
+    def png(w: Int, h: Int, seed: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w)
+        img.setRGB(x, y, ((x * 7 + y * 13 + seed) % 256) * 0x010101)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    Files.write(Paths.get(s"$work/shard0.tar"), TarFixtures.tarBytes(Seq(
+      ("s1.png", png(8, 6, 0), '0'),
+      ("s1.json", """{"label": 7}""".getBytes, '0'),
+      ("s2.png", png(33, 17, 100), '0'),
+      ("s2.json", """{"label": 1}""".getBytes, '0'))))
+    // the loader-side unit: tar shard → (sample, ext → bytes) map, then
+    // the image member feeds the SAME decode plan the multimodal suite
+    // runs — the full WebDataset ingestion path in one flow
+    val samples = Staging.webdatasetSamples(spark, work.toString)
+      .select($"sample", $"files")
+    val assets = samples.select(
+      org.apache.spark.sql.functions.expr("CAST(substr(sample, 2) AS LONG)")
+        .as("asset_id"),
+      org.apache.spark.sql.functions.lit("image").as("kind"),
+      $"files"("png").as("payload"),
+      $"files"("json").cast("string").as("meta"))
+    val meta = assets.select($"asset_id", $"meta").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(meta === Map(1L -> """{"label": 7}""", 2L -> """{"label": 1}"""))
+    val decoded = graft.ops.Multimodal
+      .decode(assets, graft.ops.Multimodal.ImageIoDecoder)
+      .orderBy($"asset_id").collect()
+    assert((decoded(0).getAs[Int]("width"), decoded(0).getAs[Int]("height"))
+      === ((8, 6)))
+    assert((decoded(1).getAs[Int]("width"), decoded(1).getAs[Int]("height"))
+      === ((33, 17)))
+  }
+
   test("stamped retention keys on name-encoded run times, keeps unstamped") {
     val root = Files.createTempDirectory("graft-retain3")
     val day = 24L * 3600 * 1000
