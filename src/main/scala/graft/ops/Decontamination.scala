@@ -226,6 +226,44 @@ object Decontamination {
         col("n_overlap").cast("double") / col("n_shingles"))
   }
 
+  /** Span-level decontamination SURGERY: remove every eval needle
+    * occurrence in place (each occurrence collapses to one space)
+    * instead of dropping the document — the lossless alternative when a
+    * long document contains one pasted eval item ([[verbatimMatches]]
+    * finds them; this removes them).
+    *
+    * The needle set collapses to ONE sorted array (a one-row aggregate
+    * that broadcasts); the corpus side is a single narrow scan folding
+    * literal `replace` over the array per row. Fold order is pinned —
+    * longest needle first, then lexicographic — so nested/overlapping
+    * needles resolve identically on any engine and partitioning.
+    *
+    * @return `idCol, n_hits` (distinct needles present pre-surgery),
+    *         `clean_text, n_chars_removed`
+    */
+  def redactVerbatim(corpus: DataFrame, needles: DataFrame, idCol: String,
+      textCol: String, needleCol: String, minChars: Int = 12): DataFrame = {
+    val ns = needles
+      .select(col(needleCol).cast("string").as("needle"))
+      .where(length(col("needle")) >= minChars)
+      .distinct()
+    val arr = ns
+      .agg(sort_array(collect_list(
+        struct((-length(col("needle"))).as("nl"), col("needle").as("n"))))
+        .as("__s"))
+      .select(transform(col("__s"), s => s.getField("n")).as("__needles"))
+    corpus.select(col(idCol), col(textCol))
+      .crossJoin(broadcast(arr))
+      .select(col(idCol), col(textCol),
+        size(filter(col("__needles"), n => col(textCol).contains(n)))
+          .cast("long").as("n_hits"),
+        aggregate(col("__needles"), col(textCol),
+          (acc, n) => replace(acc, n, lit(" "))).as("clean_text"))
+      .select(col(idCol), col("n_hits"), col("clean_text"),
+        (length(col(textCol)) - length(col("clean_text"))).cast("long")
+          .as("n_chars_removed"))
+  }
+
   /** SEMANTIC decontamination — the embedding-space twin of the n-gram
     * gate: paraphrased eval leakage shares no 8-gram but still sits next
     * to the eval item in embedding space. For every corpus vector,

@@ -349,6 +349,21 @@ object TextQueries {
       .orderBy($"doc_id", $"needle")
   }
 
+  /** Span-level decontamination surgery over q106's needle set: every
+    * pasted eval span collapses to one space, documents survive. The
+    * replace fold is pinned longest-first/lexicographic, so the rebuilt
+    * text hash-checks cross-engine.
+    */
+  private def q119(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    val needles = docs.where($"doc_id" % 11 === 0)
+      .select(substring($"text", 10, 40).as("needle"))
+    Decontamination.redactVerbatim(docs, needles, "doc_id", "text",
+        "needle", minChars = 20)
+      .orderBy($"doc_id")
+  }
+
   /** q106 on the MANY-NEEDLE scale path: one broadcast Aho-Corasick
     * automaton, one linear scan per document — O(text + matches)
     * instead of per-needle `contains` passes. Bit-identical output,
@@ -599,6 +614,7 @@ object TextQueries {
     "q116_prefix_dups" -> (q116 _),
     "q117_gopher_pipeline" -> (q117 _),
     "q118_corpus_datasheet" -> (q118 _),
+    "q119_verbatim_redact" -> (q119 _),
     "q84_chunking" -> (q84 _),
     "q51_simhash_banded" -> (q51 _),
     "q52_dedup_pipeline" -> (q52 _),
@@ -833,6 +849,21 @@ object TextQueries {
         |       CAST(len(list_slice(toks, u.i * 4 + 1, u.i * 4 + 6)) AS BIGINT) AS n_tokens
         |FROM c, UNNEST(range(0, n_chunks)) AS u(i)
         |ORDER BY doc_id, chunk_idx""".stripMargin,
+    "q119_verbatim_redact" ->
+      """WITH n AS (SELECT DISTINCT substr(text, 10, 40) AS needle
+        |           FROM documents WHERE doc_id % 11 = 0
+        |             AND len(substr(text, 10, 40)) >= 20),
+        |a AS (SELECT COALESCE(list(needle ORDER BY len(needle) DESC, needle),
+        |               []) AS needles FROM n)
+        |SELECT doc_id,
+        |       CAST(len(list_filter(needles, x -> contains(text, x))) AS BIGINT)
+        |         AS n_hits,
+        |       list_reduce(list_prepend(text, needles),
+        |         (acc, x) -> replace(acc, x, ' ')) AS clean_text,
+        |       CAST(len(text) - len(list_reduce(list_prepend(text, needles),
+        |         (acc, x) -> replace(acc, x, ' '))) AS BIGINT) AS n_chars_removed
+        |FROM documents CROSS JOIN a
+        |ORDER BY doc_id""".stripMargin,
     "q118_corpus_datasheet" ->
       """WITH t AS (SELECT source, lang, text,
         |             string_split_regex(trim(text), ' +') AS toks

@@ -677,6 +677,27 @@ class OpsSpec extends SparkSuite {
     assert(!r3.getBoolean(6))
   }
 
+  test("redactVerbatim removes needle spans longest-first, deterministically") {
+    import spark.implicits._
+    import graft.ops.Decontamination
+    val needles = Seq("secret question body", "secret question")
+      .toDF("needle")
+    val docs = Seq(
+      // the longer needle wins its span first; the shorter then has no match
+      (1L, "intro secret question body outro"),
+      // only the shorter needle present
+      (2L, "intro secret question outro"),
+      (3L, "untouched document text")).toDF("doc_id", "text")
+    val out = Decontamination.redactVerbatim(docs, needles, "doc_id",
+        "text", "needle", minChars = 5)
+      .orderBy($"doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getLong(3)))
+    assert(out(0) === ((1L, 2L, "intro   outro", 19L)))
+    assert(out(1) === ((2L, 1L, "intro   outro", 14L)))
+    assert(out(2) === ((3L, 0L, "untouched document text", 0L)))
+  }
+
   test("embeddingQa counts dimension, zero-vector and unit-norm violations") {
     import spark.implicits._
     val df = Seq(
