@@ -255,6 +255,27 @@ object Similarity {
       .where(col("cosine") > threshold)
   }
 
+  /** Cluster-balanced ("diverse") sampling: cap every IVF cell at
+    * `perCell` vectors, deterministically (the [[graft.ops.Sampling
+    * .stratifiedTake]] md5 order) — dense embedding regions are
+    * downsampled, sparse regions survive whole, so the selected subset
+    * COVERS the space instead of mirroring its density. The
+    * cluster-then-cap diversity selection used when a corpus
+    * over-represents a few modes (boilerplate-heavy web data) and
+    * uniform sampling would too.
+    *
+    * Scale: the centroid model is plan-literal ([[ivfAssign]] — one
+    * narrow scan assigns cells); the cap is one window over the cell
+    * key. Nothing vector-sized shuffles except the (cell, md5) window
+    * exchange of selected columns.
+    */
+  def diverseSample(emb: DataFrame, idCol: String, vecCol: String,
+      numCentroids: Int, perCell: Int): DataFrame = {
+    val cents = ivfCentroids(emb, idCol, vecCol, numCentroids)
+    Sampling.stratifiedTake(ivfAssign(emb, vecCol, cents), "centroid_id",
+      idCol, perCell)
+  }
+
   /** Embedding-table QA report per `labelCol` group: the integrity check
     * run before an ANN index build or a release hand-off — dimension
     * consistency, zero vectors (a failed encoder emits them silently)

@@ -48,6 +48,19 @@ object SimilarityQueries {
       .orderBy($"vec_id")
   }
 
+  /** Cluster-balanced diverse sampling: every vector is assigned its
+    * nearest of 8 md5-seeded centroids, each cell capped at 20 by the
+    * deterministic md5 take — dense modes downsample, sparse modes
+    * survive. Assignment AND selection hash-checked.
+    */
+  private def q120(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Similarity.diverseSample(Tables.embeddings(s, dir), "vec_id",
+        "embedding", numCentroids = 8, perCell = 20)
+      .select($"vec_id", $"label", $"centroid_id".cast("long").as("centroid_id"))
+      .orderBy($"vec_id")
+  }
+
   /** Embedding-table QA: per-label dimension/zero-vector/unit-norm
     * integrity counts — the report run before an ANN index build. All
     * columns are integer counts (the norm test uses a margin ≫ ulp), so
@@ -303,6 +316,7 @@ object SimilarityQueries {
     "q31_cosine_neardup" -> (q31 _),
     "q111_semantic_decontam" -> (q111 _),
     "q115_embedding_qa" -> (q115 _),
+    "q120_diverse_sample" -> (q120 _),
     "q32_ann_lsh" -> (q32 _),
     "q33_label_stats" -> (q33 _),
     "q43_ann_ivf" -> (q43 _),
@@ -383,6 +397,27 @@ object SimilarityQueries {
         |WHERE a.vec_id = 0 AND b.vec_id <> 0
         |ORDER BY cosine DESC, b.vec_id
         |LIMIT 10""".stripMargin,
+    // q43's md5-seeded centroid + argmax-assignment CTEs, then q54's
+    // deterministic md5-ordered per-cell take
+    "q120_diverse_sample" ->
+      """WITH h AS (SELECT vec_id, embedding,
+        |             ('0x' || substr(md5(vec_id::VARCHAR), 1, 15))::BIGINT AS hh
+        |           FROM embeddings),
+        |cent AS (SELECT row_number() OVER (ORDER BY hh, vec_id) - 1 AS cid,
+        |                embedding AS cvec
+        |         FROM h ORDER BY hh, vec_id LIMIT 8),
+        |asg AS (SELECT e.vec_id, c.cid,
+        |               row_number() OVER (PARTITION BY e.vec_id
+        |                 ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], c.cvec::DOUBLE[]) DESC,
+        |                          c.cid) AS rn
+        |        FROM embeddings e, cent c),
+        |cells AS (SELECT vec_id, cid FROM asg WHERE rn = 1),
+        |r AS (SELECT e.vec_id, e.label, cells.cid AS centroid_id,
+        |        row_number() OVER (PARTITION BY cells.cid
+        |          ORDER BY md5(e.vec_id::VARCHAR), e.vec_id) AS rn2
+        |      FROM embeddings e JOIN cells USING (vec_id))
+        |SELECT vec_id, label, centroid_id FROM r WHERE rn2 <= 20
+        |ORDER BY vec_id""".stripMargin,
     "q115_embedding_qa" ->
       """WITH n AS (SELECT label, embedding,
         |             list_sum(list_transform(embedding::DOUBLE[], x -> x * x)) AS nsq

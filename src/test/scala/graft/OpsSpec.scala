@@ -677,6 +677,25 @@ class OpsSpec extends SparkSuite {
     assert(!r3.getBoolean(6))
   }
 
+  test("diverseSample caps dense cells and keeps sparse cells whole") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sfDir)
+    val out = Similarity.diverseSample(emb, "vec_id", "embedding",
+      numCentroids = 8, perCell = 10)
+    val perCell = out.groupBy(col("centroid_id")).count()
+      .collect().map(r => r.getLong(1))
+    assert(perCell.forall(_ <= 10), perCell.mkString(","))
+    // determinism: the same call selects the same ids
+    val a = out.select(col("vec_id")).collect().map(_.getLong(0)).toSet
+    val b = Similarity.diverseSample(emb, "vec_id", "embedding", 8, 10)
+      .select(col("vec_id")).collect().map(_.getLong(0)).toSet
+    assert(a === b)
+    // a cell with fewer members than the cap survives whole: cap above
+    // the corpus size keeps everything
+    val all = Similarity.diverseSample(emb, "vec_id", "embedding", 8, 100000)
+    assert(all.count() === emb.count())
+  }
+
   test("redactVerbatim removes needle spans longest-first, deterministically") {
     import spark.implicits._
     import graft.ops.Decontamination
