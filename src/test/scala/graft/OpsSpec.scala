@@ -677,6 +677,63 @@ class OpsSpec extends SparkSuite {
     assert(!r3.getBoolean(6))
   }
 
+  test("intraDocChunkDedup matches a Scala reference on random token streams") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val vocab = Seq("a", "b", "c", "d")
+    val docs = (0 until 200).map { i =>
+      val n = rnd.nextInt(25) // incl. 0-token edge
+      (i.toLong, (0 until n).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    val k = 3
+    def model(text: String): (Long, Long, String) = {
+      val toks = text.trim.split(" +").toSeq // "" → Seq("")
+      val chunks = toks.grouped(k).map(_.mkString(" ")).toSeq
+      val kept = chunks.zipWithIndex
+        .filter { case (c, i) => chunks.indexOf(c) == i }.map(_._1)
+      (chunks.size.toLong, kept.size.toLong, kept.mkString(" "))
+    }
+    val got = graft.ops.Dedup
+      .intraDocChunkDedup(docs.toDF("doc_id", "text"), "doc_id", "text", k)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    docs.foreach { case (id, text) =>
+      assert(got(id) === model(text), s"doc $id: '$text'")
+    }
+  }
+
+  test("gopherReport matches a Scala model on random documents") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val vocab = Seq("the", "be", "cat", "dog", "a", "123", "#", "x...", "…", "longword")
+    val docs = (0 until 200).map { i =>
+      val n = 1 + rnd.nextInt(12)
+      (i.toLong, (0 until n).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    def model(text: String) = {
+      val toks = text.trim.split(" +").toSeq
+      val n = toks.size
+      val meanLen = text.replace(" ", "").length.toDouble / n
+      val sym = (text.count(_ == '#') +
+        ("""\.\.\.""".r.findAllIn(text).length) +
+        text.count(_ == '…')).toDouble / n
+      val alpha = toks.count(_.exists(c =>
+        (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z'))).toDouble / n
+      val stop = toks.distinct
+        .count(Set("the", "be", "to", "of", "and", "that", "have", "with"))
+      (n.toLong, meanLen, sym, alpha, stop.toLong)
+    }
+    val got = spark.createDataFrame(docs).toDF("doc_id", "text")
+      .select(col("doc_id"),
+        graft.ops.TextAnalysis.gopherReport(col("text")).as("g"))
+      .select(col("doc_id"), col("g.*")).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4), r.getLong(5)))).toMap
+    docs.foreach { case (id, text) =>
+      assert(got(id) === model(text), s"doc $id: '$text'")
+    }
+  }
+
   test("diverseSample caps dense cells and keeps sparse cells whole") {
     import spark.implicits._
     val emb = Tables.embeddings(spark, sfDir)
