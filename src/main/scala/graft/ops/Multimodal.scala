@@ -29,6 +29,14 @@ case class MediaFeatures(asset_id: Long, kind: String, byte_len: Long,
 
 case class RawAsset(asset_id: Long, kind: String, payload: Array[Byte])
 
+/** [[Multimodal.resizeImages]] output: possibly re-encoded payload with
+  * the post-resize dimensions; `resized = false` rows pass the original
+  * payload through untouched (non-image, undecodable, or already within
+  * the box).
+  */
+case class ResizedAsset(asset_id: Long, kind: String, payload: Array[Byte],
+    width: Int, height: Int, resized: Boolean)
+
 object Multimodal {
 
   /** Per-partition media decoder — the seam where a real codec plugs in.
@@ -209,6 +217,64 @@ object Multimodal {
   def resize(decoded: DataFrame, w: Int, h: Int): DataFrame =
     decoded.withColumn("width", least(col("width"), lit(w)))
       .withColumn("height", least(col("height"), lit(h)))
+
+  /** REAL image resize over the payload bytes (JDK-only): decode, scale
+    * to FIT within `maxW`×`maxH` preserving aspect ratio (never
+    * upscale), re-encode as PNG. Sampling is hand-rolled
+    * nearest-neighbor integer arithmetic — deterministic on any JVM,
+    * unlike `Graphics2D` interpolation whose kernels vary by rendering
+    * hints and platform. Non-image kinds, undecodable payloads and
+    * images already inside the box pass through UNCHANGED
+    * (`resized = false`), so the op is safe to run over a mixed asset
+    * table.
+    *
+    * Scale: the same narrow `mapPartitions` stage as [[decode]] —
+    * payload bytes never shuffle, never reach the driver; output size
+    * is bounded by the box.
+    */
+  def resizeImages(df: DataFrame, maxW: Int, maxH: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("asset_id").cast("long"), col("kind"), col("payload"))
+      .as[RawAsset]
+      .mapPartitions { it =>
+        it.map { a =>
+          val img =
+            if (a.kind != "image") null
+            else try javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(a.payload))
+            catch { case _: Throwable => null }
+          if (img == null || (img.getWidth <= maxW && img.getHeight <= maxH))
+            ResizedAsset(a.asset_id, a.kind, a.payload,
+              if (img == null) -1 else img.getWidth,
+              if (img == null) -1 else img.getHeight, resized = false)
+          else {
+            val (w, h) = (img.getWidth, img.getHeight)
+            // fit-within scale as exact rational math: the larger of the
+            // two overage ratios decides; floor, but never below 1 px
+            val tw = math.max(1, math.min(maxW.toLong, w.toLong * maxH / h)).toInt
+            val th = math.max(1, math.min(maxH.toLong, h.toLong * maxW / w)).toInt
+            val out = new java.awt.image.BufferedImage(tw, th,
+              java.awt.image.BufferedImage.TYPE_INT_RGB)
+            var y = 0
+            while (y < th) {
+              val sy = (y.toLong * h / th).toInt
+              var x = 0
+              while (x < tw) {
+                out.setRGB(x, y, img.getRGB((x.toLong * w / tw).toInt, sy))
+                x += 1
+              }
+              y += 1
+            }
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(out, "png", bos)
+            ResizedAsset(a.asset_id, a.kind, bos.toByteArray, tw, th,
+              resized = true)
+          }
+        }
+      }(org.apache.spark.sql.Encoders.product[ResizedAsset])
+      .toDF()
+  }
 
   /** Split a binary payload into fixed-size frames and keep every
     * `stride`-th one — pure expression algebra (slice the byte range per

@@ -237,4 +237,44 @@ class MultimodalSpec extends SparkSuite {
     assert(resized.count() === decoded.count())
     assert(resized.where(col("width") > 224 || col("height") > 224).count() === 0)
   }
+
+  test("resizeImages downscales real pixels nearest-neighbor, passes the rest") {
+    import spark.implicits._
+    def png(w: Int, h: Int, seed: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w)
+        img.setRGB(x, y, ((x * 7 + y * 13 + seed) % 256) * 0x010101)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val small = png(8, 6, 1)
+    val fixtures = Seq(
+      (1L, "image", png(40, 20, 0)),       // downscaled to fit 10×10
+      (2L, "image", small),                // already inside: untouched
+      (3L, "audio", Array[Byte](1, 2, 3)), // non-image: untouched
+      (4L, "image", Array[Byte](9, 9))     // corrupt: untouched
+    ).toDF("asset_id", "kind", "payload")
+    val rows = Multimodal.resizeImages(fixtures, 10, 10)
+      .orderBy($"asset_id").collect()
+    // 40×20 into a 10×10 box: width binds → 10×5, aspect held
+    assert(rows(0).getAs[Boolean]("resized"))
+    assert((rows(0).getAs[Int]("width"), rows(0).getAs[Int]("height")) === ((10, 5)))
+    val out = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(rows(0).getAs[Array[Byte]]("payload")))
+    assert((out.getWidth, out.getHeight) === ((10, 5)))
+    // nearest-neighbor: target (x, y) samples source (4x, 4y) exactly
+    for (x <- 0 until 10; y <- 0 until 5) {
+      val v = (4 * x * 7 + 4 * y * 13) % 256
+      assert((out.getRGB(x, y) & 0xffffff) === v * 0x010101, s"($x,$y)")
+    }
+    assert(!rows(1).getAs[Boolean]("resized"))
+    assert(rows(1).getAs[Array[Byte]]("payload").toSeq === small.toSeq)
+    assert((rows(1).getAs[Int]("width"), rows(1).getAs[Int]("height")) === ((8, 6)))
+    assert(!rows(2).getAs[Boolean]("resized") &&
+      rows(2).getAs[Int]("width") === -1)
+    assert(!rows(3).getAs[Boolean]("resized") &&
+      rows(3).getAs[Array[Byte]]("payload").length === 2)
+  }
 }
