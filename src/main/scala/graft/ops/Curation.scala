@@ -173,4 +173,36 @@ object Curation {
     Dedup.collapseNearDups(withText, idCol, pairs)
       .select(col(idCol))
   }
+
+  /** C4-style blocklist gate: drop documents whose blocklisted-token
+    * count exceeds `maxHits` (C4 drops on ANY hit → `maxHits = 0`).
+    * Token-exact matching (the C4 rule), not substring — "assess" never
+    * trips an "ass" entry. The word set is a plan literal evaluated
+    * inside the scan's codegen stage: zero shuffles, zero joins.
+    */
+  def blocklistFilter(corpus: DataFrame, textCol: String,
+      words: Seq[String], maxHits: Int = 0): DataFrame =
+    corpus.where(
+      TextAnalysis.wordSetCount(lower(col(textCol)), words) <= maxHits)
+
+  /** Per-source audit of a blocklist gate BEFORE committing it: document
+    * counts, flagged counts, total blocklisted-token hits, and the
+    * keep-rate per source — the table that shows a gate nuking one
+    * source while leaving others untouched. One aggregation pass over
+    * the narrow per-document hit counts.
+    */
+  def blocklistReport(corpus: DataFrame, sourceCol: String,
+      textCol: String, words: Seq[String], maxHits: Int = 0): DataFrame = {
+    val hits = TextAnalysis.wordSetCount(lower(col(textCol)), words)
+    corpus
+      .select(col(sourceCol), hits.cast("long").as("__hits"))
+      .groupBy(col(sourceCol))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("__hits") > maxHits, 1L).otherwise(0L))
+          .as("n_flagged"),
+        sum(col("__hits")).as("total_hits"))
+      .withColumn("keep_rate",
+        (col("n_docs") - col("n_flagged")).cast("double") / col("n_docs"))
+  }
 }

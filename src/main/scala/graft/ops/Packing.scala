@@ -185,4 +185,50 @@ object Packing {
       .select(col(idCol), col(scoreCol), col("n_tokens"), col("tokens_before"))
     (result, pin)
   }
+
+  /** Padding-waste report across a sequence-length grid: for each
+    * candidate `seq_len`, the cost of document-intact batching (every
+    * document padded up to a whole number of sequences — the SFT/no-split
+    * dataloader) vs concat-and-chunk packing (q61's GPT shape, waste only
+    * in the final sequence). Columns: corpus token/doc counts, padded
+    * sequence + token totals, `pad_waste_frac` (fraction of padded slots
+    * holding no real token), and the packed-sequence count for contrast —
+    * the table that picks a context length before a training run.
+    *
+    * One narrow scan computes per-document token counts; the grid fans
+    * out as a `seq_len`-sized explode of the single aggregated row's
+    * inputs (per-length ceil-division sums), so the corpus is read once
+    * for the whole grid. All columns are integers or single IEEE
+    * divisions → the whole report hash-gates cross-engine.
+    */
+  def paddingWasteReport(df: DataFrame, textCol: String,
+      seqLens: Seq[Int]): DataFrame = {
+    require(seqLens.nonEmpty && seqLens.forall(_ > 0),
+      s"seqLens must be positive, got $seqLens")
+    val counted = df.select(
+      TextAnalysis.tokenCount(col(textCol)).cast("long").as("__n"))
+    // Σ ceil(n/L) per candidate L in ONE aggregation pass: each length's
+    // sum is its own aggregate over the same narrow scan
+    val aggs = seqLens.map { l =>
+      sum(ceil(col("__n") / lit(l.toDouble)).cast("long")).as(s"__seqs_$l")
+    }
+    val base = counted.agg(count(lit(1)).as("n_docs"),
+      (sum(col("__n")).as("n_tokens") +: aggs): _*)
+    val perLen = seqLens.map { l =>
+      struct(lit(l).cast("long").as("seq_len"),
+        col(s"__seqs_$l").as("padded_seqs"))
+    }
+    base
+      .select(col("n_docs"), col("n_tokens"),
+        explode(array(perLen: _*)).as("__g"))
+      .select(col("__g.seq_len").as("seq_len"), col("n_docs"),
+        col("n_tokens"),
+        col("__g.padded_seqs").as("padded_seqs"))
+      .withColumn("padded_tokens", col("padded_seqs") * col("seq_len"))
+      .withColumn("pad_waste_frac",
+        (col("padded_tokens") - col("n_tokens")).cast("double") /
+          col("padded_tokens"))
+      .withColumn("packed_seqs",
+        ceil(col("n_tokens") / col("seq_len").cast("double")).cast("long"))
+  }
 }

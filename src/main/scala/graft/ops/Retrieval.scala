@@ -1,0 +1,77 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Corpus keyword retrieval (BM25) as model-as-data relational plans —
+  * the "find the docs about X" primitive a curation team runs when
+  * auditing what a corpus contains (reference analog: the processor's
+  * label→value filter queries over scraped records; here generalized to
+  * ranked full-text scoring).
+  *
+  * Scale shape: the query-term set is a broadcast literal filter applied
+  * DURING the token explode, so the exploded stream that reaches any
+  * shuffle is matched-occurrence-sized, not corpus-token-sized. Document
+  * frequencies and corpus scalars are term-count-sized aggregates joined
+  * back by broadcast. One corpus scan, one matched-token shuffle — the
+  * plan a 100 TB keyword audit needs.
+  */
+object Retrieval {
+
+  /** The integer basis of a BM25 evaluation for a fixed query-term set:
+    * one row per (document, matched term) with the document's term
+    * frequency `tf`, its length `dl` in whitespace tokens, the term's
+    * document frequency `df`, corpus size `n_docs`, and corpus token
+    * total `corpus_tokens`. Every column is integral → the whole table
+    * hash-gates cross-engine; the ln-based BM25 score itself rides on
+    * top in [[bm25TopK]] and stays rows-only (the q87 discipline: a
+    * transcendental never enters a hash gate).
+    */
+  def queryTermStats(df: DataFrame, idCol: String, textCol: String,
+      terms: Seq[String]): DataFrame = {
+    val toks = df.select(col(idCol),
+      TextAnalysis.tokens(col(textCol)).as("__toks"))
+    val lengths = toks.select(col(idCol),
+      size(col("__toks")).cast("long").as("dl"), col("__toks"))
+    // filter BEFORE the explode reaches a shuffle: only query-term
+    // occurrences survive the Generate, so the groupBy input is
+    // match-sized even when the corpus is 100 TB of tokens
+    val matched = lengths
+      .select(col(idCol), col("dl"), explode(col("__toks")).as("term"))
+      .where(col("term").isin(terms.map(x => x: Any): _*))
+    val tf = matched.groupBy(col(idCol), col("term"), col("dl"))
+      .agg(count(lit(1)).as("tf"))
+    // tf has one row per (doc, term) → counting rows per term IS df
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val corpus = toks
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(col("__toks")).cast("long")).as("corpus_tokens"))
+    tf.join(broadcast(dfreq), "term")
+      .crossJoin(broadcast(corpus)) // one-row scalar — never a real cross
+      .select(col(idCol), col("term"), col("tf"), col("dl"), col("df"),
+        col("n_docs"), col("corpus_tokens"))
+  }
+
+  /** Top-k documents by BM25 (Robertson/Sparck Jones, the +1 idf variant
+    * that stays positive at df > N/2). Built on [[queryTermStats]]'s
+    * integer basis; the per-document score sums each matched term's
+    * idf·tf-saturation product. Ties break to the smaller document id so
+    * the cut is deterministic. ln-based → rows-only at the oracle gate.
+    */
+  def bm25TopK(df: DataFrame, idCol: String, textCol: String,
+      terms: Seq[String], k: Int, k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    val stats = queryTermStats(df, idCol, textCol, terms)
+    val avgdl = col("corpus_tokens").cast("double") / col("n_docs")
+    val idf = log(
+      (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))
+        + lit(1.0))
+    val tfSat = col("tf").cast("double") * (k1 + 1.0) /
+      (col("tf") + lit(k1) * (lit(1.0) - b + lit(b) * col("dl") / avgdl))
+    stats
+      .groupBy(col(idCol))
+      .agg(sum(idf * tfSat).as("bm25"), count(lit(1)).as("n_terms_hit"))
+      .orderBy(col("bm25").desc, col(idCol))
+      .limit(k)
+  }
+}

@@ -185,6 +185,51 @@ object Sampling {
       .drop("__rate")
   }
 
+  /** Data-constrained epoch allocation (the "how many times may each
+    * source repeat" table, after Muennighoff et al. 2023: repeating
+    * clean data up to ~4 epochs is near-free; beyond that returns decay):
+    * given a total training token `budget`, α-temperature target shares
+    * over groups, and a repetition cap, emit per group its unique token
+    * count, target weight, granted epochs (`min(cap, budget·w/T)`), and
+    * the effective token contribution `floor(epochs·T)`.
+    *
+    * Everything runs over the group-count-sized aggregate (the corpus
+    * contributes one narrow counting scan); derived rates quantize to
+    * DECIMAL(14,6) before any downstream arithmetic, the q92 discipline
+    * that keeps the pow-chain's cross-engine ulp out of the hash gate.
+    */
+  def epochAllocation(df: DataFrame, groupCol: String, textCol: String,
+      budgetTokens: Long, alpha: Double = 0.5,
+      maxEpochs: Double = 4.0): DataFrame = {
+    require(budgetTokens > 0, s"budget must be positive: $budgetTokens")
+    require(alpha >= 0, s"alpha must be non-negative: $alpha")
+    require(maxEpochs > 0, s"epoch cap must be positive: $maxEpochs")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(lit(1))
+      .rowsBetween(Long.MinValue, Long.MaxValue)
+    df.select(col(groupCol),
+        TextAnalysis.tokenCount(col(textCol)).cast("long").as("__t"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_docs"), sum(col("__t")).as("n_tokens"))
+      .withColumn("__q",
+        pow(col("n_tokens").cast("double") / sum(col("n_tokens")).over(w),
+          alpha))
+      .withColumn("weight",
+        (col("__q") / sum(col("__q")).over(w)).cast("decimal(14,6)"))
+      // the grant is computed in DOUBLE off the already-quantized weight
+      // (decimal→double is exact; ·budget and /tokens are single IEEE
+      // ops) and quantized ONCE — chained decimal ops would pick up each
+      // engine's intermediate-scale rules and diverge at the 6th decimal
+      .withColumn("epochs",
+        least(lit(maxEpochs),
+          col("weight").cast("double") * budgetTokens / col("n_tokens"))
+          .cast("decimal(14,6)"))
+      .withColumn("effective_tokens",
+        floor(col("epochs") * col("n_tokens")).cast("long"))
+      .select(col(groupCol), col("n_docs"), col("n_tokens"), col("weight"),
+        col("epochs"), col("effective_tokens"))
+  }
+
   /** Unigram + consecutive-bigram features of `textCol`, hashed to
     * `buckets` md5 buckets — DSIR's engine-portable hashed bag of
     * n-grams. Unigrams are prefixed `u:`, bigrams `b:w1 w2`, so the two

@@ -83,6 +83,36 @@ object Similarity {
       .drop("__rn")
   }
 
+  /** Hard-negative mining for contrastive training: for each anchor in
+    * `anchors`, the `m` most-cosine-similar corpus vectors whose label
+    * DIFFERS from the anchor's — the near-miss examples a retrieval/
+    * embedding model learns the most from. Ties break to the smaller
+    * corpus id so the cut is deterministic cross-engine.
+    *
+    * Same scale contract as [[bruteForceTopKBatch]]: the anchor set is
+    * eval-sized and broadcasts; the corpus is scanned once; only
+    * (anchor, candidate, score) rows — never vector payloads — reach the
+    * per-anchor top-m window. For corpus-sized anchor sets, pre-bucket
+    * both sides with [[signLshBuckets]] and apply the same label-mismatch
+    * predicate within buckets instead.
+    */
+  def hardNegatives(emb: DataFrame, idCol: String, vecCol: String,
+      labelCol: String, anchors: DataFrame, m: Int): DataFrame = {
+    val a = broadcast(anchors.select(col(idCol).as("anchor_id"),
+      col(vecCol).as("__avec"), col(labelCol).as("__albl")))
+    val scored = Dedup.spread(emb)
+      .crossJoin(a)
+      .where(col(labelCol) =!= col("__albl"))
+      .select(col("anchor_id"), col(idCol).as("negative_id"),
+        col(labelCol).as("negative_label"),
+        cosine(col(vecCol), col("__avec")).as("cosine"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("anchor_id"))
+      .orderBy(desc("cosine"), col("negative_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= m)
+  }
+
   /** All pairs above a cosine threshold (embedding near-dup detection).
     * Quadratic — at scale, run [[signLshBuckets]] first and pair within
     * buckets only.

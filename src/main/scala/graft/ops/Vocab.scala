@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Corpus vocabulary statistics: token frequency and document frequency,
@@ -313,6 +313,61 @@ object Vocab {
           .as("n_oov"))
       .select(col("__id").as(idCol), col("n_tokens"), col("n_oov"),
         (col("n_oov").cast("double") / col("n_tokens")).as("oov_rate"))
+  }
+
+  /** RE2-compatible pre-tokenizer: runs of word characters, or single
+    * non-word non-space symbols — the word-splitting stage every BPE
+    * tokenizer applies before merging. No lookarounds (unlike
+    * [[TextAnalysis.bpeTokens]]), so DuckDB's regexp_extract_all
+    * reproduces it exactly for cross-engine hash gates.
+    */
+  def pretokens(text: Column): Column =
+    regexp_extract_all(text, lit("[A-Za-z0-9_]+|[^A-Za-z0-9_\\s]"), lit(0))
+
+  /** Tokenizer-fertility audit per group (language, source, …): how many
+    * tokenizer units each whitespace word costs, and how many characters
+    * each unit carries — the table that predicts per-language training
+    * cost and flags scripts a tokenizer serves badly (fertility ≫ 1).
+    * Counts use [[pretokens]]; all columns are integer sums or single
+    * IEEE divisions, so the whole report hash-gates cross-engine.
+    *
+    * One narrow scan → one group-sized aggregate; nothing but per-group
+    * sums ever shuffles.
+    */
+  def fertilityReport(df: DataFrame, groupCol: String,
+      textCol: String): DataFrame =
+    df.select(col(groupCol),
+        size(TextAnalysis.tokens(col(textCol))).cast("long").as("__w"),
+        size(pretokens(col(textCol))).cast("long").as("__t"),
+        length(col(textCol)).cast("long").as("__c"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_docs"), sum(col("__w")).as("n_words"),
+        sum(col("__t")).as("n_tokens"), sum(col("__c")).as("n_chars"))
+      .withColumn("fertility",
+        col("n_tokens").cast("double") / col("n_words"))
+      .withColumn("chars_per_token",
+        col("n_chars").cast("double") / col("n_tokens"))
+
+  /** [[fertilityReport]] on a REAL trained BPE segmentation: merges are
+    * trained on the corpus ([[trainBpeMerges]]) and applied by the
+    * codegen'd `graft_bpe_apply` kernel, then per-group subword counts
+    * aggregate the same way. BPE training is not SQL-expressible (see
+    * q75's oracle note) → rows-only at the gate; parity of the apply
+    * kernel itself is pinned in `FunctionsSpec`.
+    */
+  def bpeFertilityReport(df: DataFrame, groupCol: String, textCol: String,
+      numMerges: Int, maxVocab: Int = 100000): DataFrame = {
+    val merges = trainBpeMerges(df, textCol, numMerges, maxVocab)
+    val sub = segmentTokens(TextAnalysis.tokens(col(textCol)), merges)
+    df.select(col(groupCol),
+        size(TextAnalysis.tokens(col(textCol))).cast("long").as("__w"),
+        size(sub).cast("long").as("__t"),
+        length(col(textCol)).cast("long").as("__c"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_docs"), sum(col("__w")).as("n_words"),
+        sum(col("__t")).as("n_subwords"), sum(col("__c")).as("n_chars"))
+      .withColumn("fertility",
+        col("n_subwords").cast("double") / col("n_words"))
   }
 
   def tfidf(df: DataFrame, idCol: String, textCol: String): DataFrame = {

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.agg.Statistics
-import graft.ops.{Classify, Dedup, Packing, Quantiles, TextAnalysis, Vocab}
+import graft.ops.{Classify, Curation, Dedup, Packing, Quantiles, Retrieval, TextAnalysis, Vocab}
 
 /** Corpus-construction operators as oracle-checked queries: vocabulary
   * statistics, sequence packing, incremental ingest dedup, quantile
@@ -406,7 +406,79 @@ object CorpusQueries {
       .orderBy($"doc_id")
   }
 
+  private val Bm25Terms = Seq("spark", "hash", "window", "vector")
+
+  /** BM25 integer basis for a fixed keyword query: per (doc, matched
+    * term) tf/dl/df plus corpus scalars — every column integral, so the
+    * full retrieval model state rides the hash gate; the ln-scored
+    * ranking itself is q121b (rows-only, the q87 discipline).
+    */
+  private def q121(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Retrieval.queryTermStats(Tables.documents(s, dir), "doc_id", "text",
+        Bm25Terms)
+      .orderBy($"doc_id", $"term")
+  }
+
+  /** Ranked BM25 top-20 for the q121 query — ln-based score, rows-only. */
+  private def q121b(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Retrieval.bm25TopK(Tables.documents(s, dir), "doc_id", "text",
+      Bm25Terms, k = 20)
+  }
+
+  /** C4-style blocklist gate audit per source: flagged counts, total
+    * blocklisted-token hits, keep-rate — the pre-commit table for a
+    * content gate. Most blocklist entries are absent from the corpus by
+    * construction (the realistic shape); "slow" is present so the gate
+    * provably bites at sf0.01.
+    */
+  private def q122(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Curation.blocklistReport(Tables.documents(s, dir), "source", "text",
+        words = Seq("slow", "spam", "junk"), maxHits = 2)
+      .orderBy($"source")
+  }
+
+  /** Tokenizer-fertility audit per language on the RE2-portable
+    * pre-tokenizer (word runs + single symbols): tokens per word and
+    * chars per token — integer sums and single IEEE divisions only.
+    */
+  private def q123(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Vocab.fertilityReport(Tables.documents(s, dir), "lang", "text")
+      .orderBy($"lang")
+  }
+
+  /** q123 on a REAL trained-BPE segmentation (100 merges trained on the
+    * corpus, applied by the codegen'd kernel) — BPE training is not
+    * SQL-expressible (q75's note), so rows-only.
+    */
+  private def q123b(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Vocab.bpeFertilityReport(Tables.documents(s, dir), "lang", "text",
+        numMerges = 100)
+      .orderBy($"lang")
+  }
+
+  /** Padding-waste table across a context-length grid: document-intact
+    * batching vs concat-packing cost at each candidate seq_len — the
+    * report that picks a context length. Pure integer arithmetic.
+    */
+  private def q124(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Packing.paddingWasteReport(Tables.documents(s, dir), "text",
+        Seq(64, 128, 256, 512))
+      .orderBy($"seq_len")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q121_bm25" -> (q121 _),
+    "q121b_bm25_rank" -> (q121b _),
+    "q122_blocklist_report" -> (q122 _),
+    "q123_fertility" -> (q123 _),
+    "q123b_bpe_fertility" -> (q123b _),
+    "q124_padding_waste" -> (q124 _),
     "q109_nb_classifier" -> (q109 _),
     "q109b_nb_predict" -> (q109b _),
     "q68_tfidf" -> (q68 _),
@@ -434,6 +506,67 @@ object CorpusQueries {
     "q67_incremental_neardup" -> (q67 _))
 
   val oracles: Map[String, String] = Map(
+    // BM25 integer basis: tf from the term-filtered token explode, df
+    // by counting (doc, term) rows, corpus scalars cross-joined
+    "q121_bm25" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(text), ' +') AS toks
+        |           FROM documents),
+        |e AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl, unnest(toks) AS term
+        |      FROM t),
+        |m AS (SELECT doc_id, term, dl, CAST(count(*) AS BIGINT) AS tf
+        |      FROM e WHERE term IN ('spark', 'hash', 'window', 'vector')
+        |      GROUP BY 1, 2, 3),
+        |d AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM m GROUP BY 1),
+        |c AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |             CAST(sum(len(toks)) AS BIGINT) AS corpus_tokens
+        |      FROM t)
+        |SELECT m.doc_id, m.term, m.tf, m.dl, d.df, c.n_docs, c.corpus_tokens
+        |FROM m JOIN d USING (term) CROSS JOIN c
+        |ORDER BY m.doc_id, m.term""".stripMargin,
+    // token-exact blocklist hits per doc → per-source gate audit
+    "q122_blocklist_report" ->
+      """WITH h AS (SELECT source,
+        |             CAST(len(list_filter(string_split_regex(trim(lower(text)), ' +'),
+        |                                  s -> s IN ('slow', 'spam', 'junk'))) AS BIGINT) AS hits
+        |           FROM documents)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(CASE WHEN hits > 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+        |       CAST(sum(hits) AS BIGINT) AS total_hits,
+        |       CAST(count(*) - sum(CASE WHEN hits > 2 THEN 1 ELSE 0 END) AS DOUBLE)
+        |         / count(*) AS keep_rate
+        |FROM h GROUP BY source ORDER BY source""".stripMargin,
+    // pre-tokenizer fertility: the RE2 pattern is byte-identical to the
+    // Spark side's, so token counts agree exactly
+    "q123_fertility" ->
+      """WITH t AS (SELECT lang,
+        |             CAST(len(string_split_regex(trim(text), ' +')) AS BIGINT) AS w,
+        |             CAST(len(regexp_extract_all(text, '[A-Za-z0-9_]+|[^A-Za-z0-9_\s]')) AS BIGINT) AS tk,
+        |             CAST(length(text) AS BIGINT) AS c
+        |           FROM documents)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(w) AS BIGINT) AS n_words,
+        |       CAST(sum(tk) AS BIGINT) AS n_tokens,
+        |       CAST(sum(c) AS BIGINT) AS n_chars,
+        |       CAST(sum(tk) AS DOUBLE) / sum(w) AS fertility,
+        |       CAST(sum(c) AS DOUBLE) / sum(tk) AS chars_per_token
+        |FROM t GROUP BY lang ORDER BY lang""".stripMargin,
+    // per-length ceil-division sums over one token-count scan; the
+    // waste fractions are single IEEE divisions of exact integers
+    "q124_padding_waste" ->
+      """WITH n AS (SELECT CAST(len(string_split_regex(trim(text), ' +')) AS BIGINT) AS n
+        |           FROM documents),
+        |g AS (SELECT CAST(unnest([64, 128, 256, 512]) AS BIGINT) AS seq_len),
+        |a AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |             CAST(sum(n) AS BIGINT) AS n_tokens FROM n),
+        |p AS (SELECT g.seq_len,
+        |             CAST(sum(CAST(ceil(n / CAST(g.seq_len AS DOUBLE)) AS BIGINT)) AS BIGINT) AS padded_seqs
+        |      FROM n CROSS JOIN g GROUP BY g.seq_len)
+        |SELECT p.seq_len, a.n_docs, a.n_tokens, p.padded_seqs,
+        |       p.padded_seqs * p.seq_len AS padded_tokens,
+        |       CAST(p.padded_seqs * p.seq_len - a.n_tokens AS DOUBLE)
+        |         / (p.padded_seqs * p.seq_len) AS pad_waste_frac,
+        |       CAST(ceil(a.n_tokens / CAST(p.seq_len AS DOUBLE)) AS BIGINT) AS packed_seqs
+        |FROM p CROSS JOIN a ORDER BY p.seq_len""".stripMargin,
     // q59's quality/decontamination/dedup CTEs chained with q87's LM
     // CTEs (gated in DECIMAL) and q88's vocab CTEs (gated in integers)
     "q89_ccnet_pipeline" ->

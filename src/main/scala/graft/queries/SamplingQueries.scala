@@ -121,7 +121,20 @@ object SamplingQueries {
       .select($"doc_id", $"band", $"shuffle_key")
   }
 
+  /** Data-constrained epoch allocation per source: unique tokens, √-
+    * temperature target weight, granted epochs under a 4-epoch cap, and
+    * the effective token contribution at a 200k-token budget — the
+    * repetition schedule table (Muennighoff et al. 2023 shape).
+    */
+  private def q125(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Sampling.epochAllocation(Tables.documents(s, dir), "source", "text",
+        budgetTokens = 200000L, alpha = 0.5, maxEpochs = 4.0)
+      .orderBy($"source")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q125_epoch_allocation" -> (q125 _),
     "q54_stratified_take" -> (q54 _),
     "q55_corpus_mix" -> (q55 _),
     "q73_weighted_sample" -> (q73 _),
@@ -132,6 +145,23 @@ object SamplingQueries {
     "q103_curriculum_order" -> (q103 _))
 
   val oracles: Map[String, String] = Map(
+    // q92's pow/window chain quantized once to DECIMAL(14,6); the grant
+    // is computed in DOUBLE off the quantized weight and quantized once
+    // more — no chained decimal arithmetic (engine scale rules differ)
+    "q125_epoch_allocation" ->
+      """WITH n AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |             CAST(sum(len(string_split_regex(trim(text), ' +'))) AS BIGINT) AS n_tokens
+        |           FROM documents GROUP BY source),
+        |q AS (SELECT *, pow(CAST(n_tokens AS DOUBLE) / sum(n_tokens) OVER (), 0.5) AS q0
+        |      FROM n),
+        |w AS (SELECT source, n_docs, n_tokens,
+        |             CAST(q0 / sum(q0) OVER () AS DECIMAL(14,6)) AS weight
+        |      FROM q),
+        |e AS (SELECT *, CAST(least(4.0, CAST(weight AS DOUBLE) * 200000 / n_tokens) AS DECIMAL(14,6)) AS epochs
+        |      FROM w)
+        |SELECT source, n_docs, n_tokens, weight, epochs,
+        |       CAST(floor(epochs * n_tokens) AS BIGINT) AS effective_tokens
+        |FROM e ORDER BY source""".stripMargin,
     // the q90 quality formula, banded by the same cutoffs, with the
     // q82-style salted md5 shuffle key — band membership and the exact
     // in-band order both ride the hash check

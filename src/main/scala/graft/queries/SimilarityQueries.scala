@@ -304,7 +304,21 @@ object SimilarityQueries {
       emb.where($"vec_id" % 5 =!= 0), "embedding", cents)
   }
 
+  /** Contrastive hard-negative mining: for each of 20 hash-chosen anchor
+    * vectors, the 5 most-cosine-similar vectors with a DIFFERENT label —
+    * the near-miss training pairs an embedding model learns from. Exact
+    * scores ride the hash gate (the q30-proven identical double fold).
+    */
+  private def q126(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables.embeddings(s, dir)
+    Similarity.hardNegatives(emb, "vec_id", "embedding", "label",
+        anchors = emb.where($"vec_id" % 25 === 0), m = 5)
+      .orderBy($"anchor_id", $"rank")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q126_hard_negatives" -> (q126 _),
     "q99_semdedup" -> (q99 _),
     "q108_embedding_drift" -> (q108 _),
     "q69_ann_batch" -> (q69 _),
@@ -327,6 +341,22 @@ object SimilarityQueries {
     "q79_ann_quantized" -> (q79 _))
 
   val oracles: Map[String, String] = Map(
+    // per-anchor top-5 different-label neighbors; cosine via the same
+    // double fold as q30, rank ties to the smaller candidate id
+    "q126_hard_negatives" ->
+      """WITH a AS (SELECT vec_id AS anchor_id, embedding AS avec, label AS albl
+        |           FROM embeddings WHERE vec_id % 25 = 0),
+        |s AS (SELECT a.anchor_id, b.vec_id AS negative_id,
+        |             b.label AS negative_label,
+        |             list_cosine_similarity(b.embedding::DOUBLE[], a.avec::DOUBLE[]) AS cosine
+        |      FROM embeddings b CROSS JOIN a
+        |      WHERE b.label <> a.albl),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY anchor_id
+        |                                   ORDER BY cosine DESC, negative_id) AS rank
+        |      FROM s)
+        |SELECT anchor_id, negative_id, negative_label, cosine, rank
+        |FROM r WHERE rank <= 5
+        |ORDER BY anchor_id, rank""".stripMargin,
     // q32's plane/bucket CTEs generalized to the q69 query set: ANN
     // top-5 from the bucket equi-join, exact top-5 from the full scan,
     // recall = hits/truth per query via a left join from ground truth.
