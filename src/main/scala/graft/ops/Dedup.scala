@@ -879,6 +879,99 @@ object Dedup {
       .agg(count(lit(1)).as("n_docs"), min(col("__id")).as("rep_id"))
       .where(col("n_docs") >= 2)
 
+  /** Shingle-containment pairs: document pairs where the smaller
+    * document's distinct n-gram shingle set is mostly contained in the
+    * larger one's — the quotation/subset pattern symmetric Jaccard
+    * misses entirely (a short document pasted inside a long one has
+    * J ≈ |A|/|B| ≈ 0 but containment ≈ 1, and MinHash estimates J).
+    *
+    * Exact, not sketched: shared-shingle counts come from ONE
+    * (shingle) shuffle whose buckets carry `(id, setSize)` structs, so
+    * `containment = shared / min(|A|, |B|)` is integer-exact with a
+    * single IEEE division — hash-gateable cross-engine. Per-document
+    * set sizes ride the shingle exchange next to the ids (the in-bucket
+    * carry pattern), so nothing re-joins the corpus. The pair-count
+    * aggregation is proportional to co-occurring pairs, which the
+    * bucket cap bounds: shingles present in more than
+    * `maxDocsPerShingle` documents are dropped with CapMetrics
+    * accounting — at corpus scale those are boilerplate
+    * ([[boilerplateShingles]] names them), and a genuinely contained
+    * pair also shares its rarer shingles.
+    *
+    * @return `idA < idB` with both set sizes, the exact shared-shingle
+    *         count, and `containment = shared / min(n_a, n_b)`
+    */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, minContainment: Double = 0.5,
+      maxDocsPerShingle: Int = 1000): DataFrame = {
+    val ex = spread(df)
+      .select(col(idCol).as("__id"), shingles(col(textCol), n).as("__sgl"))
+      .select(col("__id"), size(col("__sgl")).as("__n"),
+        explode(col("__sgl")).as("__s"))
+    val buckets = CapMetrics.cappedWhere(
+      ex.groupBy(col("__s"))
+        .agg(collect_list(struct(col("__id"), col("__n"))).as("__ms"))
+        .where(size(col("__ms")) >= 2),
+      "containment_shingles", size(col("__ms")), maxDocsPerShingle,
+      memberRows = false)
+    val pairs = buckets
+      .select(explode(flatten(transform(col("__ms"), (x, i) =>
+        transform(slice(col("__ms"), i + 2, size(col("__ms"))), y =>
+          when(x("__id") < y("__id"),
+            struct(x("__id").as("idA"), y("__id").as("idB"),
+              x("__n").as("nA"), y("__n").as("nB")))
+            .otherwise(
+              struct(y("__id").as("idA"), x("__id").as("idB"),
+                y("__n").as("nA"), x("__n").as("nB")))))))
+        .as("__p"))
+      .select(col("__p.idA").as("idA"), col("__p.idB").as("idB"),
+        col("__p.nA").as("n_a"), col("__p.nB").as("n_b"))
+    pairs
+      .groupBy(col("idA"), col("idB"), col("n_a"), col("n_b"))
+      .agg(count(lit(1)).as("shared"))
+      .select(col("idA"), col("idB"), col("n_a"), col("n_b"), col("shared"),
+        (col("shared").cast("double") / least(col("n_a"), col("n_b")))
+          .as("containment"))
+      .where(col("containment") >= minContainment)
+  }
+
+  /** Banding-geometry audit: recall and candidate efficiency of
+    * MinHash-LSH against the exact Jaccard ground truth on the SAME
+    * input — "measure, don't guess" for the (numHashes, bands) choice.
+    * The verified detector's output is exactly `candidates ∩ truth`
+    * (verification computes true Jaccard), so
+    * `recall = n_detected / n_truth` and
+    * `candidate_precision = n_detected / n_candidates` (how much of the
+    * verification work banding wastes on sub-threshold pairs).
+    *
+    * Scale: the ground truth is a quadratic all-pairs pass — run the
+    * audit on a [[graft.ops.Sampling.hashSample]] of the corpus. A
+    * banding collision is a per-PAIR event, independent of corpus size,
+    * so sampled recall estimates full-corpus recall; only the bucket
+    * cap's behavior (mass-duplication) needs a full-corpus read, and
+    * that is what CapMetrics reports.
+    *
+    * @return one row: `n_truth, n_candidates, n_detected, recall,
+    *         candidate_precision` (integer counts + single divisions)
+    */
+  def lshRecallAudit(df: DataFrame, idCol: String, textCol: String,
+      threshold: Double, numHashes: Int = 64, bands: Int = 4,
+      md5Basis: Boolean = false): DataFrame = {
+    val truth = blockedJaccardPairs(
+      df.withColumn("__blk", lit(1)), idCol, textCol, "__blk", threshold)
+    val cand = lshCandidates(df, idCol, textCol, numHashes, bands,
+      maxBucket = 1000, md5Basis = md5Basis)
+    val det = minhashNearDups(df, idCol, textCol, threshold, numHashes,
+      bands, md5Basis)
+    truth.agg(count(lit(1)).as("n_truth"))
+      .crossJoin(cand.agg(count(lit(1)).as("n_candidates")))
+      .crossJoin(det.agg(count(lit(1)).as("n_detected")))
+      .select(col("n_truth"), col("n_candidates"), col("n_detected"),
+        (col("n_detected").cast("double") / col("n_truth")).as("recall"),
+        (col("n_detected").cast("double") / col("n_candidates"))
+          .as("candidate_precision"))
+  }
+
   /** Per-source boilerplate detection: word n-gram shingles that appear
     * in at least `minFraction` of a source's documents — the scraper
     * template / navigation-chrome signal (a phrase occurring in 60% of

@@ -193,6 +193,54 @@ object Similarity {
       .where(col("cosine") > threshold)
   }
 
+  /** Approximate kNN graph: every vector's top-`k` nearest neighbors
+    * among its sign-LSH bucket collisions, exact-cosine ranked — the
+    * corpus-wide neighbor structure clustering, SemDeDup-style audits,
+    * and diversity analyses consume. Unlike [[annTopKBatch]] (broadcast
+    * query set), both sides here are the corpus: candidates stream out
+    * of a bucketed self-equi-join, never a cross join.
+    *
+    * Scale: one skinny (band, key, id) shuffle for bucketing; the
+    * candidate join is per-bucket with capped fan-out; the top-k cut is
+    * a per-id window (keyed — no global sort). Recall is governed by
+    * the band geometry exactly as for [[cosineNearDupPairsBucketed]];
+    * vectors sharing no bucket with anything have no row (an isolated
+    * point has no approximate neighbors by construction).
+    *
+    * @return `id, neighbor_id, cosine, rank` with `rank` 1..k ordered
+    *         by cosine descending, ties to the lower neighbor id
+    */
+  def knnGraph(emb: DataFrame, idCol: String, vecCol: String, k: Int,
+      planesPerBand: Int = 8, bands: Int = 4,
+      maxBucket: Int = 10000): DataFrame = {
+    val src = Dedup.spread(emb)
+    val keyed = src.select(col(idCol).as("__id"),
+      posexplode(graftFn("graft_lsh_bands", col(vecCol),
+        lit(planesPerBand), lit(bands))).as(Seq("band", "key")))
+    val capped = CapMetrics.cappedByCount(keyed,
+      "knn_graph", Seq("band", "key"), maxBucket)
+    val cands = capped.select(col("band"), col("key"), col("__id").as("id"))
+      .join(capped.select(col("band"), col("key"),
+        col("__id").as("neighbor_id")), Seq("band", "key"))
+      .where(col("id") =!= col("neighbor_id"))
+      .select(col("id"), col("neighbor_id"))
+      .distinct()
+    val vecs = src.select(col(idCol).as("__vid"), col(vecCol).as("__v"),
+      l2Norm(col(vecCol)).as("__n"))
+    cands
+      .join(vecs.select(col("__vid").as("id"), col("__v").as("__va"),
+        col("__n").as("__na")), Seq("id"))
+      .join(vecs.select(col("__vid").as("neighbor_id"), col("__v").as("__vb"),
+        col("__n").as("__nb")), Seq("neighbor_id"))
+      .select(col("id"), col("neighbor_id"),
+        (dotProduct(col("__va"), col("__vb")) / (col("__na") * col("__nb")))
+          .as("cosine"))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("id"))
+          .orderBy(col("cosine").desc, col("neighbor_id"))))
+      .where(col("rank") <= k)
+  }
+
   /** Incremental embedding near-dup: batch vectors whose cosine with some
     * existing corpus vector exceeds `threshold`, found via sign-LSH band
     * key collisions BETWEEN the sides — the embedding twin of

@@ -198,6 +198,28 @@ object TextAnalysis {
     }
   }
 
+  /** Language-ID confusion matrix: declared language label vs the
+    * [[langId]] prediction, with each cell's exact share of its
+    * declared language — the audit that catches mislabeled sources
+    * before a language-filtered training mix trusts the metadata
+    * column. One bounded-key groupBy shuffle (at most |langs|² cells,
+    * map-side combined); `share` divides exact integer counts once, so
+    * every column is hash-gateable cross-engine.
+    *
+    * @return `lang, pred_lang, n_docs, share` — `share` = cell count /
+    *         declared-language total
+    */
+  def langConfusion(df: DataFrame, langCol: String,
+      textCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang"))
+    df.groupBy(col(langCol).as("lang"), langId(col(textCol)).as("pred_lang"))
+      .agg(count(lit(1)).as("n_docs"))
+      .select(col("lang"), col("pred_lang"), col("n_docs"),
+        (col("n_docs").cast("double") / sum(col("n_docs")).over(w))
+          .as("share"))
+  }
+
   /** PII redaction rules: (pattern, replacement), applied in order.
     * Patterns are RE2-compatible (no lookaround/backreferences) so the
     * same rules run identically on Spark (java.util.regex) and any

@@ -317,7 +317,21 @@ object SimilarityQueries {
       .orderBy($"anchor_id", $"rank")
   }
 
+  /** Approximate kNN graph at q50's 8×4 sign-LSH geometry: every
+    * vector's top-3 bucket-collision neighbors, exact-cosine ranked.
+    * The oracle rebuilds the md5 hyperplanes, bands both directions and
+    * replays the per-id window, so banding recall is replicated, not
+    * approximated (the bucket cap cannot trigger at sf0.01).
+    */
+  private def q130(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Similarity.knnGraph(Tables.embeddings(s, dir), "vec_id", "embedding",
+        k = 3, planesPerBand = 8, bands = 4)
+      .orderBy($"id", $"rank")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q130_knn_graph" -> (q130 _),
     "q126_hard_negatives" -> (q126 _),
     "q99_semdedup" -> (q99 _),
     "q108_embedding_drift" -> (q108 _),
@@ -341,6 +355,40 @@ object SimilarityQueries {
     "q79_ann_quantized" -> (q79 _))
 
   val oracles: Map[String, String] = Map(
+    // q130: q50's md5-derived hyperplane/band-key CTEs, candidates in
+    // BOTH directions (a <> b), exact cosine, per-id row_number <= 3
+    // with ties to the lower neighbor id — value-identical to the Spark
+    // kernel (q50's proven basis).
+    "q130_knn_graph" ->
+      """WITH pl AS (
+        |  SELECT b.b AS band, pp.p AS p, d.i AS i,
+        |         (('0x' || substr(md5('plane:' || (b.b*8 + pp.p) || ':' || d.i), 1, 15))::BIGINT
+        |           / 576460752303423488.0) - 1.0 AS c
+        |  FROM (SELECT unnest(range(0, 4)) AS b) b,
+        |       (SELECT unnest(range(0, 8)) AS p) pp,
+        |       (SELECT unnest(range(0, 64)) AS i) d),
+        |pv AS (SELECT band, p, list(c ORDER BY i) AS pvec FROM pl GROUP BY band, p),
+        |proj AS (SELECT e.vec_id, pv.band, pv.p,
+        |                list_dot_product(e.embedding::DOUBLE[], pv.pvec) AS pr
+        |         FROM embeddings e, pv),
+        |k AS (SELECT vec_id, band,
+        |             sum(CASE WHEN pr > 0 THEN (1::BIGINT << p) ELSE 0 END) AS key
+        |      FROM proj GROUP BY vec_id, band),
+        |cand AS (SELECT DISTINCT a.vec_id AS id, b.vec_id AS neighbor_id
+        |         FROM k a JOIN k b ON a.band = b.band AND a.key = b.key
+        |         WHERE a.vec_id <> b.vec_id),
+        |scored AS (SELECT c.id, c.neighbor_id,
+        |                  list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]) AS cosine
+        |           FROM cand c
+        |           JOIN embeddings ea ON ea.vec_id = c.id
+        |           JOIN embeddings eb ON eb.vec_id = c.neighbor_id),
+        |ranked AS (SELECT id, neighbor_id, cosine,
+        |                  row_number() OVER (PARTITION BY id
+        |                    ORDER BY cosine DESC, neighbor_id) AS rank
+        |           FROM scored)
+        |SELECT id, neighbor_id, cosine, CAST(rank AS INTEGER) AS rank
+        |FROM ranked WHERE rank <= 3
+        |ORDER BY id, rank""".stripMargin,
     // per-anchor top-5 different-label neighbors; cosine via the same
     // double fold as q30, rank ties to the smaller candidate id
     "q126_hard_negatives" ->

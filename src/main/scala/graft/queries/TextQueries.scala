@@ -595,7 +595,42 @@ object TextQueries {
       .orderBy($"lang")
   }
 
+  /** Shingle-containment pairs: the quotation/subset pattern symmetric
+    * Jaccard misses. Exact shared-shingle counts; the shingle-frequency
+    * cap (max observed frequency at sf0.01 is single-digit) cannot
+    * trigger, so the uncapped oracle is exact.
+    */
+  private def q127(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Dedup.containmentPairs(Tables.documents(s, dir), "doc_id", "text",
+        n = 3, minContainment = 0.5)
+      .orderBy($"idA", $"idB")
+  }
+
+  /** LSH banding-geometry audit at q27's own 64/4 md5 basis: recall of
+    * the banded detector against the exact all-pairs Jaccard truth,
+    * plus candidate efficiency — the "measure, don't guess" scalar for
+    * the banding config. Quadratic truth is the audit's documented
+    * cost; at corpus scale it runs on a hash-sample.
+    */
+  private def q128(s: SparkSession, dir: String): DataFrame =
+    Dedup.lshRecallAudit(Tables.documents(s, dir), "doc_id", "text",
+      threshold = 0.95, numHashes = 64, bands = 4, md5Basis = true)
+
+  /** Language-ID confusion matrix: declared `lang` vs the q23 heuristic
+    * prediction with exact per-language shares — the metadata-trust
+    * audit for language-filtered mixes.
+    */
+  private def q129(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    TextAnalysis.langConfusion(Tables.documents(s, dir), "lang", "text")
+      .orderBy($"lang", $"pred_lang")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q127_containment_pairs" -> (q127 _),
+    "q128_lsh_recall_audit" -> (q128 _),
+    "q129_lang_confusion" -> (q129 _),
     "q105_distribution_drift" -> (q105 _),
     "q106_verbatim_leak" -> (q106 _),
     "q106b_verbatim_leak_ac" -> (q106b _),
@@ -638,6 +673,82 @@ object TextQueries {
     "q86_normalized_dedup" -> (q86 _))
 
   val oracles: Map[String, String] = Map(
+    // q127: q25's 3-gram shingle basis; shared counts from the exploded
+    // shingle self-join (exact — one row per shared shingle), sizes are
+    // distinct-shingle counts, containment a single integer division.
+    // The Spark maxDocsPerShingle cap (1000) cannot trigger at sf0.01
+    // (max observed shingle doc-frequency is 7).
+    "q127_containment_pairs" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(text), ' +') AS toks FROM documents),
+        |s AS (SELECT doc_id,
+        |        CASE WHEN len(toks) >= 3
+        |             THEN list_distinct(list_transform(range(1, len(toks) - 1),
+        |                    i -> array_to_string(list_slice(toks, i, i + 2), ' ')))
+        |             ELSE [] END AS sgl
+        |      FROM t),
+        |ex AS (SELECT doc_id, len(sgl) AS n, unnest(sgl) AS sh FROM s),
+        |p AS (SELECT a.doc_id AS idA, b.doc_id AS idB,
+        |             a.n AS n_a, b.n AS n_b, count(*) AS shared
+        |      FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |      GROUP BY 1, 2, 3, 4)
+        |SELECT idA, idB, n_a, n_b, shared,
+        |       CAST(shared AS DOUBLE) / least(n_a, n_b) AS containment
+        |FROM p
+        |WHERE CAST(shared AS DOUBLE) / least(n_a, n_b) >= 0.5
+        |ORDER BY idA, idB""".stripMargin,
+    // q128: q27's md5 MinHash/band CTEs give the candidate set; the
+    // exact all-pairs Jaccard CTE gives the truth; detected =
+    // candidates verified >= threshold. Counts are integers, the two
+    // rates single divisions.
+    "q128_lsh_recall_audit" ->
+      """WITH t AS (SELECT doc_id, list_distinct(string_split_regex(trim(text), ' +')) AS toks
+        |           FROM documents),
+        |tok AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+        |mh AS (SELECT doc_id, j.j AS j,
+        |              min(('0x' || substr(md5(j.j || ':' || tok), 1, 15))::BIGINT) AS h
+        |       FROM tok, (SELECT unnest(range(0, 64)) AS j) j GROUP BY doc_id, j.j),
+        |sig AS (SELECT doc_id, list(h ORDER BY j) AS sig FROM mh GROUP BY doc_id),
+        |k AS (SELECT doc_id, b.b AS band, list_slice(sig, b.b*16 + 1, b.b*16 + 16) AS key
+        |      FROM sig, (SELECT unnest(range(0, 4)) AS b) b),
+        |cand AS (SELECT DISTINCT a.doc_id AS idA, b.doc_id AS idB
+        |         FROM k a JOIN k b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+        |jac AS (SELECT a.doc_id AS idA, b.doc_id AS idB,
+        |               CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+        |                 / len(list_distinct(list_concat(a.toks, b.toks))) AS j
+        |        FROM t a JOIN t b ON a.doc_id < b.doc_id),
+        |agg AS (SELECT
+        |  (SELECT count(*) FROM jac WHERE j >= 0.95) AS n_truth,
+        |  (SELECT count(*) FROM cand) AS n_candidates,
+        |  (SELECT count(*) FROM cand c JOIN jac
+        |     ON jac.idA = c.idA AND jac.idB = c.idB WHERE jac.j >= 0.95) AS n_detected)
+        |SELECT n_truth, n_candidates, n_detected,
+        |       CAST(n_detected AS DOUBLE) / n_truth AS recall,
+        |       CAST(n_detected AS DOUBLE) / n_candidates AS candidate_precision
+        |FROM agg""".stripMargin,
+    // q129: q23's marker-count argmax per document, grouped into the
+    // (declared, predicted) matrix; share = cell count / per-declared
+    // total, one division of exact integers.
+    "q129_lang_confusion" ->
+      """WITH t AS (SELECT doc_id, lang, string_split_regex(trim(text), ' +') AS toks FROM documents),
+        |s AS (SELECT doc_id, lang,
+        |        len(list_filter(toks, t -> t IN ('the','a','of','and','is'))) AS s_en,
+        |        len(list_filter(toks, t -> t IN ('der','die','das','und','ist'))) AS s_de,
+        |        len(list_filter(toks, t -> t IN ('el','los','las','y','es'))) AS s_es,
+        |        len(list_filter(toks, t -> t IN ('le','les','et','est','une'))) AS s_fr,
+        |        len(list_filter(toks, t -> t IN ('的','是','在','了','我'))) AS s_zh
+        |      FROM t),
+        |p AS (SELECT lang,
+        |       CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+        |            WHEN s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+        |            WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
+        |            WHEN s_fr >= s_zh THEN 'fr'
+        |            ELSE 'zh' END AS pred_lang
+        |      FROM s),
+        |cells AS (SELECT lang, pred_lang, count(*) AS n_docs FROM p GROUP BY 1, 2)
+        |SELECT lang, pred_lang, n_docs,
+        |       CAST(n_docs AS DOUBLE) / sum(n_docs) OVER (PARTITION BY lang) AS share
+        |FROM cells
+        |ORDER BY lang, pred_lang""".stripMargin,
     // bench spans rebuilt with the same 1-based 40-char substr; match by
     // substring position — both engines compare by character
     "q106_verbatim_leak" ->

@@ -879,4 +879,117 @@ class OpsSpec extends SparkSuite {
     // (-1,0): cos −1 vs eval 100, 0 vs eval 200 → max 0 from eval 200
     assert(out(2)._2 === 0.0 && out(2)._3 === 200L && !out(2)._4)
   }
+
+  test("containmentPairs: subset doc scores 1.0, partial overlap gated") {
+    import spark.implicits._
+    // doc 2's 3-gram set {a b c, b c d} ⊂ doc 1's; doc 3 shares exactly
+    // one shingle with doc 1 (of its own 4 → containment 0.25 < 0.5);
+    // doc 4 shares nothing
+    val df = Seq(
+      (1L, "a b c d e f"),
+      (2L, "a b c d"),
+      (3L, "d e f g h i"),
+      (4L, "x y z w v")).toDF("doc_id", "text")
+    val out = Dedup.containmentPairs(df, "doc_id", "text",
+        n = 3, minContainment = 0.5)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3),
+        r.getLong(4), r.getDouble(5)))
+    assert(out.length === 1)
+    val (ida, idb, na, nb, shared, cont) = out.head
+    assert((ida, idb) === (1L, 2L))
+    assert(na === 4 && nb === 2 && shared === 2 && cont === 1.0)
+    // lowering the gate admits the 1-shared pair at 1/4
+    val loose = Dedup.containmentPairs(df, "doc_id", "text",
+        n = 3, minContainment = 0.2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(5))).toSet
+    assert(loose === Set((1L, 2L, 1.0), (1L, 3L, 0.25)))
+  }
+
+  test("containmentPairs finds low-jaccard contained quotes minhash misses") {
+    import spark.implicits._
+    // a long doc quoting a short one verbatim: Jaccard ≈ |A|/|B| is far
+    // below any near-dup threshold, containment of the quote is 1.0
+    val long = (1 to 60).map(i => s"w$i").mkString(" ")
+    val quote = (20 to 25).map(i => s"w$i").mkString(" ")
+    val df = Seq((1L, long), (2L, quote)).toDF("doc_id", "text")
+    val mh = Dedup.minhashNearDups(df, "doc_id", "text", threshold = 0.9)
+    assert(mh.count() === 0)
+    val cp = Dedup.containmentPairs(df, "doc_id", "text",
+      n = 3, minContainment = 0.9)
+    val row = cp.head()
+    assert((row.getLong(0), row.getLong(1), row.getDouble(5)) === (1L, 2L, 1.0))
+  }
+
+  test("lshRecallAudit: exact duplicates give recall 1, counts consistent") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "spark query engine fast scan join"),
+      (2L, "spark query engine fast scan join"),
+      (3L, "completely different words entirely here now"),
+      (4L, "another unrelated set of tokens again")).toDF("doc_id", "text")
+    val row = Dedup.lshRecallAudit(df, "doc_id", "text", threshold = 0.95)
+      .head()
+    val (truth, cands, det) = (row.getLong(0), row.getLong(1), row.getLong(2))
+    // the only >= 0.95 pair is the identical one, and identical docs
+    // collide in every band — LSH cannot miss them
+    assert(truth === 1L && det === 1L)
+    assert(det <= cands)
+    assert(row.getDouble(3) === 1.0)
+    assert(row.getDouble(4) === det.toDouble / cands)
+  }
+
+  test("lshRecallAudit on real docs: detected = truth ∩ candidates") {
+    val row = Dedup.lshRecallAudit(docs, "doc_id", "text",
+      threshold = 0.95, numHashes = 16, bands = 4).head()
+    val (truth, cands, det) = (row.getLong(0), row.getLong(1), row.getLong(2))
+    assert(truth > 0)
+    assert(det <= truth && det <= cands)
+    assert(row.getDouble(3) === det.toDouble / truth)
+  }
+
+  test("langConfusion: declared-vs-predicted cells with exact shares") {
+    import spark.implicits._
+    val df = Seq(
+      ("en", "the cat sat"),         // en markers → en
+      ("en", "der hund und die"),    // de markers under an en label
+      ("en", "the dog and the"),     // en
+      ("de", "der und ist")).toDF("lang", "text")
+    val out = graft.ops.TextAnalysis.langConfusion(df, "lang", "text")
+      .orderBy($"lang", $"pred_lang")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(out.toSeq === Seq(
+      ("de", "de", 1L, 1.0),
+      ("en", "de", 1L, 1.0 / 3),
+      ("en", "en", 2L, 2.0 / 3)))
+  }
+
+  test("knnGraph: identical vectors are rank-1 neighbors, k respected") {
+    import spark.implicits._
+    val base = Array.tabulate(8)(i => math.cos(i * 0.7).toFloat)
+    val near = base.zipWithIndex.map { case (v, i) =>
+      v + (if (i == 0) 0.01f else 0f) }
+    val vecs = Seq(
+      (1L, base), (2L, base), (3L, near),
+      (4L, base.map(-_))).toDF("vec_id", "embedding")
+    val g = Similarity.knnGraph(vecs, "vec_id", "embedding", k = 2,
+        planesPerBand = 2, bands = 4)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    val byId = g.groupBy(_._1)
+    // identical vectors share every bucket; cosine ≈ 1 ranks first
+    // (ties to the lower neighbor id; dot/(|a||b|) rounds within 1 ulp)
+    val r1 = byId(1L).head
+    assert((r1._1, r1._2, r1._4) === ((1L, 2L, 1)))
+    assert(math.abs(r1._3 - 1.0) < 1e-12)
+    val r2 = byId(2L).head
+    assert((r2._1, r2._2, r2._4) === ((2L, 1L, 1)))
+    assert(math.abs(r2._3 - 1.0) < 1e-12)
+    // ranks are 1..k with no gaps, never exceeding k
+    byId.values.foreach { rows =>
+      assert(rows.map(_._4).sorted.sameElements(1 to rows.length))
+      assert(rows.length <= 2)
+    }
+  }
 }
