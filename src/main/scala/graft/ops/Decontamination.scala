@@ -257,8 +257,19 @@ object Decontamination {
       .select(col(idCol), col(textCol),
         size(filter(col("__needles"), n => col(textCol).contains(n)))
           .cast("long").as("n_hits"),
-        aggregate(col("__needles"), col(textCol),
-          (acc, n) => replace(acc, n, lit(" "))).as("clean_text"))
+        col("__needles"))
+      // zero-hit short-circuit: when NO needle occurs in the original
+      // text, every replace in the fold is an identity on an unchanged
+      // accumulator, so the fold provably returns the input — skipping
+      // it is byte-exact (a replacement can only create a NEW match
+      // after some first match changed the text). The fold — the
+      // expensive per-needle interpreted HOF — then runs only on the
+      // matched minority (measured at sf0.1: 7.4 s → the contains scan
+      // alone).
+      .select(col(idCol), col(textCol), col("n_hits"),
+        when(col("n_hits") === 0, col(textCol))
+          .otherwise(aggregate(col("__needles"), col(textCol),
+            (acc, n) => replace(acc, n, lit(" ")))).as("clean_text"))
       .select(col(idCol), col("n_hits"), col("clean_text"),
         (length(col(textCol)) - length(col("clean_text"))).cast("long")
           .as("n_chars_removed"))

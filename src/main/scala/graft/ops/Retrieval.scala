@@ -74,4 +74,45 @@ object Retrieval {
       .orderBy(col("bm25").desc, col(idCol))
       .limit(k)
   }
+
+  /** Reciprocal-rank fusion (Cormack/Clarke/Buettcher 2009) of two
+    * per-query rankings — the standard hybrid-retrieval combiner
+    * (lexical BM25 + dense ANN) that needs no score calibration
+    * because it only consumes RANKS:
+    * `rrf = Σ 1 / (kConst + rank)`, missing docs contribute 0.
+    *
+    * Determinism/oracle: each term is a single IEEE division of exact
+    * integers and the sum has two fixed-order operands, so the fused
+    * score (unlike the ln-based BM25 score itself) hash-gates
+    * cross-engine when the input ranks do. Fused ties break to the
+    * smaller id.
+    *
+    * Scale: inputs are per-query top-k lists (retrieval output, never
+    * corpora), so the full-outer join and the per-query rank window
+    * move ≤ |A| + |B| rows per query; the window is keyed by
+    * `queryCol` — no single-partition sort at any query-set size.
+    *
+    * @param a,b rankings with (queryCol, idCol, rankCol); rank is
+    *            1-based
+    * @return `queryCol, idCol, rank_a, rank_b, rrf_score, rank` with
+    *         `rank` ≤ topK per query
+    */
+  def rrfFuse(a: DataFrame, b: DataFrame, queryCol: String, idCol: String,
+      rankCol: String = "rank", kConst: Int = 60,
+      topK: Int = 10): DataFrame = {
+    val fa = a.select(col(queryCol), col(idCol),
+      col(rankCol).cast("long").as("rank_a"))
+    val fb = b.select(col(queryCol), col(idCol),
+      col(rankCol).cast("long").as("rank_b"))
+    val score =
+      coalesce(lit(1.0) / (lit(kConst) + col("rank_a")), lit(0.0)) +
+        coalesce(lit(1.0) / (lit(kConst) + col("rank_b")), lit(0.0))
+    fa.join(fb, Seq(queryCol, idCol), "full_outer")
+      .select(col(queryCol), col(idCol), col("rank_a"), col("rank_b"),
+        score.as("rrf_score"))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col(queryCol))
+          .orderBy(col("rrf_score").desc, col(idCol))))
+      .where(col("rank") <= topK)
+  }
 }

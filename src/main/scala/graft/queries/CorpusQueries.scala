@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.agg.Statistics
-import graft.ops.{Classify, Curation, Dedup, Packing, Quantiles, Retrieval, TextAnalysis, Vocab}
+import graft.ops.{Classify, Curation, Dedup, Packing, Quantiles, Retrieval, Similarity, TextAnalysis, Vocab}
 
 /** Corpus-construction operators as oracle-checked queries: vocabulary
   * statistics, sequence packing, incremental ingest dedup, quantile
@@ -427,6 +427,32 @@ object CorpusQueries {
       Bm25Terms, k = 20)
   }
 
+  /** Hybrid retrieval via reciprocal-rank fusion: an integer-basis
+    * lexical ranking (total Bm25Terms occurrences, ties to the smaller
+    * id) fused with the exact dense cosine ranking against vec 0's
+    * embedding. Both rank inputs are cross-engine-stable (integers /
+    * the q30-proven double fold), so the fused score hash-gates even
+    * though the ln-based BM25 score itself cannot (q121b is rows-only).
+    */
+  private def q131(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+    val lex = Tables.documents(s, dir)
+      .select(lit("q0").as("query_id"), $"doc_id",
+        TextAnalysis.wordSetCount($"text", Bm25Terms).cast("long").as("__tf"))
+      .where($"__tf" > 0)
+      .withColumn("rank", row_number().over(
+        w.partitionBy($"query_id").orderBy($"__tf".desc, $"doc_id")))
+      .where($"rank" <= 50)
+    val dense = Similarity.bruteForceTopK(
+        Tables.embeddings(s, dir), "vec_id", "embedding", 0L, 50)
+      .select(lit("q0").as("query_id"), $"vec_id".as("doc_id"), $"cosine")
+      .withColumn("rank", row_number().over(
+        w.partitionBy($"query_id").orderBy($"cosine".desc, $"doc_id")))
+    Retrieval.rrfFuse(lex, dense, "query_id", "doc_id", topK = 20)
+      .orderBy($"rank")
+  }
+
   /** C4-style blocklist gate audit per source: flagged counts, total
     * blocklisted-token hits, keep-rate — the pre-commit table for a
     * content gate. Most blocklist entries are absent from the corpus by
@@ -473,6 +499,7 @@ object CorpusQueries {
   }
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q131_rrf_hybrid" -> (q131 _),
     "q121_bm25" -> (q121 _),
     "q121b_bm25_rank" -> (q121b _),
     "q122_blocklist_report" -> (q122 _),
@@ -506,6 +533,38 @@ object CorpusQueries {
     "q67_incremental_neardup" -> (q67 _))
 
   val oracles: Map[String, String] = Map(
+    // q131: lexical rank = query-term occurrence count (integer, ties
+    // to smaller id), dense rank = exact cosine vs vec 0 (the q30
+    // double fold); rrf terms are single double divisions summed in
+    // fixed order — CAST(1 AS DOUBLE) matters: a bare 1.0 is DECIMAL
+    // in DuckDB and decimal division diverges from IEEE.
+    "q131_rrf_hybrid" ->
+      """WITH lex AS (
+        |  SELECT doc_id,
+        |         len(list_filter(string_split_regex(trim(text), ' +'),
+        |             t -> t IN ('spark','hash','window','vector'))) AS tf
+        |  FROM documents),
+        |lr AS (SELECT doc_id,
+        |              row_number() OVER (ORDER BY tf DESC, doc_id) AS rank_a
+        |       FROM lex WHERE tf > 0
+        |       QUALIFY rank_a <= 50),
+        |qv AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+        |dr AS (SELECT vec_id AS doc_id,
+        |              row_number() OVER (ORDER BY
+        |                list_cosine_similarity(embedding::DOUBLE[], qv.qe::DOUBLE[]) DESC,
+        |                vec_id) AS rank_b
+        |       FROM embeddings, qv WHERE vec_id <> 0
+        |       QUALIFY rank_b <= 50),
+        |f AS (SELECT coalesce(lr.doc_id, dr.doc_id) AS doc_id,
+        |             lr.rank_a, dr.rank_b,
+        |             coalesce(CAST(1 AS DOUBLE) / (60 + lr.rank_a), 0)
+        |               + coalesce(CAST(1 AS DOUBLE) / (60 + dr.rank_b), 0) AS rrf_score
+        |      FROM lr FULL OUTER JOIN dr ON lr.doc_id = dr.doc_id)
+        |SELECT 'q0' AS query_id, doc_id, rank_a, rank_b, rrf_score,
+        |       CAST(row_number() OVER (ORDER BY rrf_score DESC, doc_id) AS INTEGER) AS rank
+        |FROM f
+        |QUALIFY rank <= 20
+        |ORDER BY rank""".stripMargin,
     // BM25 integer basis: tf from the term-filtered token explode, df
     // by counting (doc, term) rows, corpus scalars cross-joined
     "q121_bm25" ->

@@ -444,6 +444,34 @@ class PlanSpec extends SparkSuite {
     assert(countNodes(p, "Exchange") <= 3, p)
   }
 
+  test("q127: containment pairs — one doc scan, sizes ride the shingle shuffle") {
+    val p = formatted("q127_containment_pairs")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+    // set sizes are bucket carries: no second corpus scan joins back
+    assert(countNodes(p, "Scan parquet") === 1, p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q128: recall audit — the only quadratic stage is the documented truth join") {
+    val p = formatted("q128_lsh_recall_audit")
+    // blockedJaccardPairs' constant-block broadcast join is the truth
+    // pass; everything else stays bucketed equi-joins and the three
+    // 1-row count frames (broadcast-scalar crossJoins)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q130: kNN graph — bucketed self-equi-join, keyed window, no cross join") {
+    val p = formatted("q130_knn_graph")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+    // the top-k cut is a rank window over per-id partitions (keyed —
+    // the WindowGroupLimit pushdown caps each group before the full sort)
+    assert(p.contains("row_number"), p)
+    assert(countNodes(p, "WindowGroupLimit") >= 1, p)
+  }
+
   test("whole-stage codegen covers the kernel expressions") {
     val df = SparkEntry.queries("q31_cosine_neardup")(spark, sfDir)
     df.collect() // materialize THIS plan so AQE finalizes it

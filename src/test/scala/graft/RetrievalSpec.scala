@@ -168,4 +168,40 @@ class RetrievalSpec extends SparkSuite {
     assert(out.forall(_.getAs[Int]("negative_label") === 1))
     assert(out(1).getAs[Double]("cosine") === out(2).getAs[Double]("cosine"))
   }
+
+  test("rrfFuse: hand-computed scores, missing-side zeros, id tie-break") {
+    import spark.implicits._
+    val a = Seq(("q", 1L, 1), ("q", 2L, 2), ("q", 4L, 3))
+      .toDF("query_id", "doc_id", "rank")
+    val b = Seq(("q", 2L, 1), ("q", 3L, 2), ("q", 5L, 3))
+      .toDF("query_id", "doc_id", "rank")
+    val out = Retrieval.rrfFuse(a, b, "query_id", "doc_id", topK = 10)
+      .orderBy(col("rank")).collect()
+    // d2 appears in both lists (1/62 + 1/61); d1 leads its single list
+    assert(out.map(_.getAs[Long]("doc_id")).toSeq ===
+      Seq(2L, 1L, 3L, 4L, 5L))
+    assert(out.head.getAs[Double]("rrf_score") === 1.0 / 62 + 1.0 / 61)
+    assert(out(1).getAs[Double]("rrf_score") === 1.0 / 61)
+    assert(out(1).getAs[Any]("rank_b") === null) // absent side is null
+    // d4 (rank 3 in A) and d5 (rank 3 in B) tie at 1/63 → smaller id first
+    assert(out(3).getAs[Double]("rrf_score") ===
+      out(4).getAs[Double]("rrf_score"))
+    assert(out(3).getAs[Long]("doc_id") === 4L)
+    assert(out.map(_.getAs[Int]("rank")).toSeq === (1 to 5))
+  }
+
+  test("rrfFuse fuses per query independently and honors topK") {
+    import spark.implicits._
+    val a = Seq(("q1", 1L, 1), ("q1", 2L, 2), ("q2", 3L, 1))
+      .toDF("query_id", "doc_id", "rank")
+    val b = Seq(("q1", 2L, 1), ("q2", 1L, 1))
+      .toDF("query_id", "doc_id", "rank")
+    val out = Retrieval.rrfFuse(a, b, "query_id", "doc_id", topK = 1)
+      .collect()
+    // one survivor per query: q1 → d2 (both lists), q2 → d1/d3 tie → d1
+    assert(out.length === 2)
+    val byQ = out.map(r =>
+      r.getAs[String]("query_id") -> r.getAs[Long]("doc_id")).toMap
+    assert(byQ === Map("q1" -> 2L, "q2" -> 1L))
+  }
 }
