@@ -274,12 +274,16 @@ object Bench {
       // twin below removes. Round 4 measured 18.5× growth at 20×; after
       // round 5's distinct-candidate verification (kernels once per
       // candidate doc, never per corpus row) and 16/4 banding the inline
-      // growth has measured ~2.4–4.6× across runs vs ~0.95–1.8×
+      // growth has measured ~1.3–4.6× across runs vs ~0.9–1.8×
       // stored-key — the steady-state corpus-independence claim, as
       // numbers. Timings are min-of-SPARK_GRAFT_SCALE_ITERS (default 2)
       // since round 6: single-shot timings swung up to ~3.5× between
-      // runs on JIT/GC/page-cache warmth; expect residual spread and
-      // compare growth RATIOS, not absolutes, across rounds.
+      // runs on JIT/GC/page-cache warmth, and the growth RATIOS
+      // themselves spread ~2–7× between a focused run and a run
+      // following the full query sweep (r6 measured minhash_pairs at
+      // 1.4× focused/min-of-3 and 9.7× in-sweep BEFORE the per-case
+      // cache release below; 5.5× after). Compare ranges across
+      // rounds, not single numbers.
       // 16/4 banding (r=4), not the loose-threshold 16/8 default: at a
       // 0.95 threshold r=2 floods verification with J≈0.3 junk
       // candidates (the SCALE.md band-geometry rule; q67 measured −57%)
@@ -297,6 +301,18 @@ object Bench {
       } catch { case scala.util.control.NonFatal(e) =>
         System.err.println(s"[bench-scale] case failed: $e")
         -1.0
+      } finally {
+        // same hygiene as the headline loop: operators leave small
+        // persisted RDDs (CC labels, pins) for the ContextCleaner, and
+        // across the scale cases those accumulate into memory pressure
+        // that lands on whichever case runs later — measured: the SAME
+        // minhash probe read 9.7x growth inside a full 141-query sweep
+        // and 1.4x focused, with the x20 leg absorbing the difference.
+        // Clearing OUTSIDE the timed window keeps each timing
+        // independent of sweep position.
+        spark.sharedState.cacheManager.clearCache()
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
       }
     }
     // single-shot scale timings swung up to ~3.5× between runs

@@ -972,6 +972,38 @@ object Dedup {
           .as("candidate_precision"))
   }
 
+  /** Per-document duplication density: the fraction of each document's
+    * distinct n-gram shingles that also occur in at least one OTHER
+    * document — the doc-level memorization-risk score (a doc whose
+    * phrasing is mostly shared is boilerplate/syndication even when no
+    * single pair crosses a near-dup threshold; Dolma/RedPajama report
+    * exactly this distribution before choosing dedup strength).
+    *
+    * Exact integers + one division → hash-gateable. Scale: one
+    * (shingle) doc-frequency aggregate (map-side combined) and one
+    * shingle-keyed equi-join back to the per-doc shingle stream — both
+    * corpus-token-proportional and linear, the splitLeakage class. A
+    * document shorter than `n` tokens has no shingles and no row (it
+    * cannot share phrasing).
+    *
+    * @return `idCol, n_shingles, n_dup, dup_frac` per document
+    */
+  def dupShingleFraction(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3): DataFrame = {
+    val ex = spread(df)
+      .select(col(idCol).as("__id"),
+        explode(shingles(col(textCol), n)).as("__s"))
+    // shingles are distinct per doc, so count(*) per shingle IS its
+    // document frequency
+    val freq = ex.groupBy(col("__s")).agg(count(lit(1)).as("__df"))
+    ex.join(freq, Seq("__s"))
+      .groupBy(col("__id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("__df") >= 2, 1L).otherwise(0L)).as("n_dup"))
+      .select(col("__id").as(idCol), col("n_shingles"), col("n_dup"),
+        (col("n_dup").cast("double") / col("n_shingles")).as("dup_frac"))
+  }
+
   /** Per-source boilerplate detection: word n-gram shingles that appear
     * in at least `minFraction` of a source's documents — the scraper
     * template / navigation-chrome signal (a phrase occurring in 60% of

@@ -627,7 +627,19 @@ object TextQueries {
       .orderBy($"lang", $"pred_lang")
   }
 
+  /** Per-document duplication density: fraction of each doc's 3-gram
+    * shingles shared with any other document — the distribution a
+    * curation team reads before choosing dedup strength.
+    */
+  private def q132(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Dedup.dupShingleFraction(Tables.documents(s, dir), "doc_id", "text",
+        n = 3)
+      .orderBy($"doc_id")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q132_dup_density" -> (q132 _),
     "q127_containment_pairs" -> (q127 _),
     "q128_lsh_recall_audit" -> (q128 _),
     "q129_lang_confusion" -> (q129 _),
@@ -696,6 +708,26 @@ object TextQueries {
         |FROM p
         |WHERE CAST(shared AS DOUBLE) / least(n_a, n_b) >= 0.5
         |ORDER BY idA, idB""".stripMargin,
+    // q132: q25's shingle basis → per-shingle doc frequency → per-doc
+    // shared-shingle counts; dup_frac is one division of exact integers.
+    "q132_dup_density" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(text), ' +') AS toks FROM documents),
+        |s AS (SELECT doc_id,
+        |        CASE WHEN len(toks) >= 3
+        |             THEN list_distinct(list_transform(range(1, len(toks) - 1),
+        |                    i -> array_to_string(list_slice(toks, i, i + 2), ' ')))
+        |             ELSE [] END AS sgl
+        |      FROM t),
+        |ex AS (SELECT doc_id, unnest(sgl) AS sh FROM s),
+        |freq AS (SELECT sh, count(*) AS df FROM ex GROUP BY sh)
+        |SELECT ex.doc_id,
+        |       count(*) AS n_shingles,
+        |       sum(CASE WHEN freq.df >= 2 THEN 1 ELSE 0 END) AS n_dup,
+        |       CAST(sum(CASE WHEN freq.df >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+        |         / count(*) AS dup_frac
+        |FROM ex JOIN freq ON ex.sh = freq.sh
+        |GROUP BY ex.doc_id
+        |ORDER BY ex.doc_id""".stripMargin,
     // q128: q27's md5 MinHash/band CTEs give the candidate set; the
     // exact all-pairs Jaccard CTE gives the truth; detected =
     // candidates verified >= threshold. Counts are integers, the two

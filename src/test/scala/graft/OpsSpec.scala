@@ -921,6 +921,22 @@ class OpsSpec extends SparkSuite {
     assert((row.getLong(0), row.getLong(1), row.getDouble(5)) === (1L, 2L, 1.0))
   }
 
+  test("dupShingleFraction: exact shared-shingle density, short docs absent") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a b c d"),   // shingles {abc, bcd}; abc shared with doc 2
+      (2L, "a b c"),     // {abc} — fully shared
+      (3L, "x y z w"),   // {xyz, yzw} — fully unique
+      (4L, "a b")).toDF("doc_id", "text") // < 3 tokens → no row
+    val out = Dedup.dupShingleFraction(df, "doc_id", "text", n = 3)
+      .orderBy($"doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.toSeq === Seq(
+      (1L, 2L, 1L, 0.5),
+      (2L, 1L, 1L, 1.0),
+      (3L, 2L, 0L, 0.0)))
+  }
+
   test("lshRecallAudit: exact duplicates give recall 1, counts consistent") {
     import spark.implicits._
     val df = Seq(
