@@ -11,6 +11,16 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The forked program's stdout goes straight through, NOT via the sbt
+// logger: the logger prefixes every line with "[info] ", which breaks
+// any consumer that json-parses the program's output lines (the bench
+// protocol emits one JSON line on stdout; five rounds of driver
+// captures show it arriving as "[info] {...}" and failing to parse).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+// ...and no "[success] Total time:" banner AFTER the program's final
+// line, so the last stdout line IS the program's last line.
+showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
