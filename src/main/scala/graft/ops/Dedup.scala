@@ -972,6 +972,27 @@ object Dedup {
           .as("candidate_precision"))
   }
 
+  /** Per-group content manifest: document count plus an exact DECIMAL
+    * sum of 60-bit md5 prefixes over `id:text` — partition-order
+    * independent (the Verify digest discipline), so two releases'
+    * manifests are equal iff their (id, text) multisets are equal per
+    * group. The O(groups)-sized release equality check a versioned
+    * corpus runs BEFORE paying for a full [[snapshotDiff]]: manifest
+    * rows match → skip the diff; a row differs → diff only that group.
+    *
+    * Scale: one narrow hash projection + one map-side-combined group
+    * aggregate; document bytes never shuffle.
+    *
+    * @return `source, n_docs, content_hash` per group
+    */
+  def contentManifest(df: DataFrame, groupCol: String, idCol: String,
+      textCol: String): DataFrame =
+    df.select(col(groupCol).as("source"),
+        conv(substring(md5(concat_ws(":", col(idCol), col(textCol))), 1, 15),
+          16, 10).cast("decimal(38,0)").as("__h"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("__h")).as("content_hash"))
+
   /** Per-document duplication density: the fraction of each document's
     * distinct n-gram shingles that also occur in at least one OTHER
     * document — the doc-level memorization-risk score (a doc whose

@@ -292,6 +292,39 @@ object Vocab {
         col("bigram_hits"), col("unigram_hits"))
   }
 
+  /** CCNet-style language-model buckets (Wenzek et al. 2020): each
+    * language's documents split into head/middle/tail terciles by the
+    * [[bigramLogProb]] mean log-probability — CCNet trains on "head",
+    * reviews "middle", drops "tail". Rank-based (cume_dist with a
+    * total order), so the split adapts per language instead of using a
+    * global threshold that a verbose language would fail wholesale.
+    *
+    * Scale: the LM gate's model-as-data joins (never broadcast the
+    * vocab² bigram table) plus one per-language window over doc-sized
+    * rows — keyed, no single-partition sort. Deterministic within an
+    * engine; the boundaries derive from ln values, so the bucket
+    * column follows the q87 discipline (never hash-gated
+    * cross-engine).
+    *
+    * @return per-document `idCol, langCol, n_bigrams, logprob, bucket`
+    */
+  def ccnetBuckets(corpus: DataFrame, train: DataFrame, idCol: String,
+      textCol: String, langCol: String,
+      alpha: Double = 1.0): DataFrame = {
+    val scored = bigramLogProb(corpus, train, idCol, textCol, alpha)
+      .join(corpus.select(col(idCol), col(langCol)), Seq(idCol))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(langCol))
+      .orderBy(col("logprob").desc, col(idCol))
+    // ids break ln ties → cume_dist is rank/n, a total order per lang
+    scored
+      .withColumn("__cd", cume_dist().over(w))
+      .select(col(idCol), col(langCol), col("n_bigrams"), col("logprob"),
+        when(col("__cd") <= 1.0 / 3, "head")
+          .when(col("__cd") <= 2.0 / 3, "middle")
+          .otherwise("tail").as("bucket"))
+  }
+
   /** Per-document out-of-vocabulary rate against the train side's
     * top-`vocabSize` vocabulary — the tokenizer/vocab-coverage QA run
     * before committing to a vocabulary. The vocabulary is model-sized

@@ -453,6 +453,32 @@ object CorpusQueries {
       .orderBy($"rank")
   }
 
+  /** CCNet-style per-language LM buckets: head/middle/tail terciles of
+    * the bigram mean log-prob, trained on the doc_id ≡ 0 mod 5 slice
+    * (q87b's split). Rank-based per language. ln-derived boundaries →
+    * rows-only (the q87 discipline); determinism and bucket semantics
+    * are spec-pinned.
+    */
+  private def q133(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    Vocab.ccnetBuckets(
+        docs.where($"doc_id" % 5 === 0),
+        docs.where($"doc_id" % 5 =!= 0), "doc_id", "text", "lang")
+      .orderBy($"doc_id")
+  }
+
+  /** Per-source content manifest: the O(groups) release-equality check
+    * (order-independent md5-prefix DECIMAL sums) run before paying for
+    * a full snapshot diff. Fully integer/decimal → hash-gated.
+    */
+  private def q134(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Dedup.contentManifest(Tables.documents(s, dir), "source", "doc_id",
+        "text")
+      .orderBy($"source")
+  }
+
   /** C4-style blocklist gate audit per source: flagged counts, total
     * blocklisted-token hits, keep-rate — the pre-commit table for a
     * content gate. Most blocklist entries are absent from the corpus by
@@ -500,6 +526,8 @@ object CorpusQueries {
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q131_rrf_hybrid" -> (q131 _),
+    "q133_ccnet_buckets" -> (q133 _),
+    "q134_content_manifest" -> (q134 _),
     "q121_bm25" -> (q121 _),
     "q121b_bm25_rank" -> (q121b _),
     "q122_blocklist_report" -> (q122 _),
@@ -533,6 +561,16 @@ object CorpusQueries {
     "q67_incremental_neardup" -> (q67 _))
 
   val oracles: Map[String, String] = Map(
+    // q134: same 60-bit md5-prefix decimal-sum basis as Verify's own
+    // digest — order-independent, so the manifest is layout-proof on
+    // both engines.
+    "q134_content_manifest" ->
+      """SELECT source, count(*) AS n_docs,
+        |       CAST(sum(('0x' || substr(md5(doc_id || ':' || text), 1, 15))::BIGINT)
+        |            AS DECIMAL(38,0)) AS content_hash
+        |FROM documents
+        |GROUP BY source
+        |ORDER BY source""".stripMargin,
     // q131: lexical rank = query-term occurrence count (integer, ties
     // to smaller id), dense rank = exact cosine vs vec 0 (the q30
     // double fold); rrf terms are single double divisions summed in

@@ -520,4 +520,61 @@ class CorpusOpsSpec extends SparkSuite {
     assert(rows(0) === ("s", 3L, 1L, 2L, 2.0, 4.0, (2.0 + 4.0 + 2.0) / 3))
     assert(rows(1) === ("x", 3L, 1L, 2L, 1.0, 2.0, (1.0 + 2.0 + 2.0) / 3))
   }
+
+  test("ccnetBuckets: in-model docs head, off-model tail, per-language terciles") {
+    import spark.implicits._
+    // train on the "good dialect"; score 6 docs per lang — 2 pure
+    // good-dialect, 2 mixed, 2 pure off-model → the per-lang terciles
+    // must rank good > mixed > junk
+    val train = Seq(
+      (100L, "en", "good words flow nicely here"),
+      (101L, "en", "good words flow nicely here today")).toDF(
+      "doc_id", "lang", "text")
+    val good = "good words flow nicely"
+    val mixed = "good words zz qq"
+    val junk = "zz qq xx yy"
+    val corpus = Seq(
+      (1L, "en", good), (2L, "en", good),
+      (3L, "en", mixed), (4L, "en", mixed),
+      (5L, "en", junk), (6L, "en", junk)).toDF("doc_id", "lang", "text")
+    val out = Vocab.ccnetBuckets(corpus, train, "doc_id", "text", "lang")
+      .orderBy($"doc_id").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("bucket")).toMap
+    assert(out(1L) === "head" && out(2L) === "head")
+    assert(out(3L) === "middle" && out(4L) === "middle")
+    assert(out(5L) === "tail" && out(6L) === "tail")
+    // layout invariance: an 8-partition shuffle of the corpus buckets
+    // identically (rank basis, not partition order)
+    val out2 = Vocab.ccnetBuckets(corpus.repartition(8), train,
+        "doc_id", "text", "lang")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("bucket"))
+      .toMap
+    assert(out2 === out)
+  }
+
+  test("contentManifest: layout-independent, flips on any content change") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "A", "alpha text"), (2L, "A", "beta text"),
+      (3L, "B", "gamma text")).toDF("doc_id", "source", "text")
+    val m1 = Dedup.contentManifest(df, "source", "doc_id", "text")
+      .orderBy($"source").collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        r.getDecimal(2).toBigInteger))
+    // identical multiset in a different layout → identical manifest
+    val m2 = Dedup.contentManifest(df.repartition(7).sortWithinPartitions($"text"),
+        "source", "doc_id", "text")
+      .orderBy($"source").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDecimal(2).toBigInteger))
+    assert(m1.toSeq === m2.toSeq)
+    // one changed character in one doc flips exactly that group's hash
+    val df3 = Seq(
+      (1L, "A", "alpha texT"), (2L, "A", "beta text"),
+      (3L, "B", "gamma text")).toDF("doc_id", "source", "text")
+    val m3 = Dedup.contentManifest(df3, "source", "doc_id", "text")
+      .orderBy($"source").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDecimal(2).toBigInteger))
+    assert(m3(0)._3 !== m1(0)._3)
+    assert(m3(1) === m1(1))
+  }
 }

@@ -472,6 +472,30 @@ class PlanSpec extends SparkSuite {
     assert(countNodes(p, "WindowGroupLimit") >= 1, p)
   }
 
+  test("q131: RRF fuses top-k lists — no cross join, rank windows pushed down") {
+    val p = formatted("q131_rrf_hybrid")
+    assert(!p.contains("CartesianProduct"), p)
+    // the only nested-loop is the broadcast single-row query vector
+    assert(countNodes(p, "BroadcastNestedLoopJoin") <= 1, p)
+    // the fusion join is a FULL OUTER (cannot broadcast by definition)
+    // over two top-k lists — SMJ on list-sized inputs is the right
+    // plan; what must NOT appear is a second full-outer or any join of
+    // corpus-sized frames
+    assert(countNodes(p, "SortMergeJoin") === 1, p)
+    assert(p.contains("FullOuter"), p)
+    // every rank cut (lex, dense, fused) gets the group-limit pushdown
+    assert(countNodes(p, "WindowGroupLimit") >= 2, p)
+  }
+
+  test("q132: dup density — shingle-keyed equi-join, no cross join") {
+    val p = formatted("q132_dup_density")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+    // doc-frequency model joins by shingle key; the per-doc cut is a
+    // hash aggregate, not a window
+    assert(countNodes(p, "Window") === 0, p)
+  }
+
   test("whole-stage codegen covers the kernel expressions") {
     val df = SparkEntry.queries("q31_cosine_neardup")(spark, sfDir)
     df.collect() // materialize THIS plan so AQE finalizes it
