@@ -47,6 +47,49 @@ object Decontamination {
       .select(explode(Dedup.shingles(col(textCol), n)).as("__sh"))
       .distinct()
 
+  /** Bloom-filter contamination screen — the Dolma-scale form of
+    * [[contaminationScores]] for eval suites whose distinct shingle set
+    * is too large to broadcast as strings: the shingles compress into a
+    * ~12-bits-per-item Bloom filter (built by one distributed
+    * `stat.bloomFilter` aggregation), and the corpus side becomes a
+    * ZERO-shuffle narrow scan — no shingle explode reaches an exchange
+    * and no per-doc groupBy, because each document counts its own
+    * shingles against the broadcast filter in place.
+    *
+    * Guarantee direction: `mightContain` has NO false negatives, so
+    * per-document `n_overlap` here is ≥ the exact overlap — a screen
+    * that can only over-flag (drop a clean doc at rate ≈ fpp·shingles),
+    * never let contamination through. Route screen-positives to the
+    * exact [[contaminationScoresWithShingles]] for confirmation when
+    * the keep decision is expensive. Deterministic: the filter's bit
+    * array is an insertion-order-independent OR with fixed hash seeds.
+    *
+    * @return `idCol, n_shingles, n_overlap, overlap_frac` (the exact
+    *         gate's schema, overcounted by at most the FP mass)
+    */
+  def contaminationScoresBloom(corpus: DataFrame, bench: DataFrame,
+      idCol: String, textCol: String, n: Int = 8, minOverlap: Int = 1,
+      expectedItems: Long = 1000000L, fpp: Double = 0.001): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val bloom = benchShingles(bench, textCol, n)
+      .stat.bloomFilter("__sh", expectedItems, fpp)
+    val bc = spark.sparkContext.broadcast(bloom)
+    Dedup.spread(corpus)
+      .select(col(idCol).cast("long"), Dedup.shingles(col(textCol), n))
+      .as[(Long, Seq[String])]
+      .mapPartitions { it =>
+        val f = bc.value
+        it.map { case (id, shs) =>
+          (id, shs.size.toLong, shs.count(f.mightContainString).toLong)
+        }
+      }
+      .toDF(idCol, "n_shingles", "n_overlap")
+      .where(col("n_overlap") >= minOverlap)
+      .withColumn("overlap_frac",
+        col("n_overlap").cast("double") / col("n_shingles"))
+  }
+
   /** Verbatim leak check: documents containing any benchmark NEEDLE as
     * an exact substring — the strictest contamination form (an eval
     * answer string pasted into training text), which shingle overlap

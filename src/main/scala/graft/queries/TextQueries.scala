@@ -638,7 +638,23 @@ object TextQueries {
       .orderBy($"doc_id")
   }
 
+  /** q56's Bloom screen twin at an fpp where no false positive occurs
+    * for this corpus (spec-pinned ≡ exact there; at any fpp the screen
+    * only over-flags — `OpsSpec` stresses fpp = 0.5). Bloom bits are
+    * not SQL-expressible → rows-only.
+    */
+  private def q135(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    Decontamination.contaminationScoresBloom(
+        docs.where($"doc_id" % 97 =!= 0),
+        docs.where($"doc_id" % 97 === 0),
+        "doc_id", "text", n = 3)
+      .orderBy($"doc_id")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q135_contamination_bloom" -> (q135 _),
     "q132_dup_density" -> (q132 _),
     "q127_containment_pairs" -> (q127 _),
     "q128_lsh_recall_audit" -> (q128 _),

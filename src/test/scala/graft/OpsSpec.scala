@@ -921,6 +921,31 @@ class OpsSpec extends SparkSuite {
     assert((row.getLong(0), row.getLong(1), row.getDouble(5)) === (1L, 2L, 1.0))
   }
 
+  test("contaminationScoresBloom: never under-counts, ≡ exact at low fpp") {
+    import graft.ops.Decontamination
+    val corpus = docs.where(col("doc_id") % 97 =!= 0)
+    val bench = docs.where(col("doc_id") % 97 === 0)
+    def toMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_overlap")).toMap
+    val exact = toMap(Decontamination.contaminationScores(
+      corpus, bench, "doc_id", "text", n = 3))
+    assert(exact.nonEmpty)
+    // fpp small enough that no false positive lands in this corpus →
+    // the screen IS the exact gate
+    val low = toMap(Decontamination.contaminationScoresBloom(
+      corpus, bench, "doc_id", "text", n = 3))
+    assert(low === exact)
+    // adversarial fpp = 0.5: wild over-flagging allowed, but NEVER a
+    // missed contaminated doc and never an under-count on a flagged one
+    val stressed = toMap(Decontamination.contaminationScoresBloom(
+      corpus, bench, "doc_id", "text", n = 3,
+      expectedItems = 100L, fpp = 0.5))
+    exact.foreach { case (id, n) =>
+      assert(stressed.contains(id), s"doc $id lost by the screen")
+      assert(stressed(id) >= n, s"doc $id under-counted")
+    }
+  }
+
   test("dupShingleFraction: exact shared-shingle density, short docs absent") {
     import spark.implicits._
     val df = Seq(
