@@ -14,6 +14,14 @@ import graft.pipeline.Pipelines
   *   graft.cli.Main canary    <urlList.json> <outDir> [records]
   *   graft.cli.Main aggregate <shardsDir> <outDir>
   *   graft.cli.Main plan      <totalRecords> <numSegments> <avgSecPerRecord>
+  *   graft.cli.Main query     <tableDir> <name|SQL> [outDir]
+  *
+  * `query` runs either a named `SparkEntry.queries` entry (e.g.
+  * `q01_stats_global`) or, when the argument is not a known name, an
+  * arbitrary SQL string over the tables registered as temp views
+  * (`region … documents embeddings`, with every `graft_*` function
+  * available — the ad-hoc surface a library user gets). Results print
+  * (20 rows) or land in `outDir` as parquet when given.
   *
   * GRAFT_FETCHER selects the enrichment fetcher: `html` (the real
   * HTTP/HTML scrape, the reference's live behavior) or `synthetic`
@@ -56,6 +64,25 @@ object Main {
       println(s"total_records=${stats.totalRecords}")
       println(f"avg_processing_time=${stats.avgProcessingTime}%.4f")
       println(f"error_rate=${stats.errorRate}%.4f")
+      spark.stop()
+
+    case "query" :: tableDir :: q :: rest =>
+      val spark = session()
+      val df = graft.SparkEntry.queries.get(q) match {
+        case Some(fn) => fn(spark, tableDir)
+        case None =>
+          graft.Tables.names.foreach { t =>
+            if (new java.io.File(s"$tableDir/$t.parquet").exists())
+              graft.Tables.load(spark, tableDir, t).createOrReplaceTempView(t)
+          }
+          spark.sql(q)
+      }
+      rest.headOption match {
+        case Some(outDir) =>
+          df.write.mode("overwrite").parquet(outDir)
+          println(s"rows=${spark.read.parquet(outDir).count()}")
+        case None => df.show(20, truncate = false)
+      }
       spark.stop()
 
     case "plan" :: total :: segments :: avgSec :: Nil =>
