@@ -962,6 +962,76 @@ class OpsSpec extends SparkSuite {
       (3L, 2L, 0L, 0.0)))
   }
 
+  test("containmentPairs matches a Scala set model on random documents") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    val vocab = Seq("a", "b", "c", "d", "e")
+    val docs = (0 until 80).map { i =>
+      val n = rnd.nextInt(12) // incl. sub-n-token docs
+      (i.toLong, (0 until n).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    def sgl(text: String): Set[String] = {
+      val t = text.trim.split(" +").toSeq.filter(_.nonEmpty)
+      t.sliding(3).filter(_.size == 3).map(_.mkString(" ")).toSet
+    }
+    val model = (for {
+      (ia, ta) <- docs; (ib, tb) <- docs if ia < ib
+      sa = sgl(ta); sb = sgl(tb) if sa.nonEmpty && sb.nonEmpty
+      shared = (sa & sb).size
+      cont = shared.toDouble / math.min(sa.size, sb.size)
+      if cont >= 0.5
+    } yield (ia, ib) -> ((sa.size, sb.size, shared, cont))).toMap
+    val got = graft.ops.Dedup
+      .containmentPairs(docs.toDF("doc_id", "text"), "doc_id", "text",
+        n = 3, minContainment = 0.5)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getInt(2), r.getInt(3), r.getLong(4).toInt, r.getDouble(5))))
+      .toMap
+    assert(got === model)
+  }
+
+  test("knnGraph edges are exactly the bucket-collision top-k (reference planes)") {
+    import spark.implicits._
+    // deterministic subset (limit() row choice is partition-order
+    // dependent across the test's separate actions)
+    val emb = Tables.embeddings(spark, sfDir).where($"vec_id" < 120)
+    val k = 3
+    val g = Similarity.knnGraph(emb, "vec_id", "embedding", k,
+        planesPerBand = 4, bands = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    assert(g.nonEmpty)
+    // rebuild the bucket-collision candidate set from the REFERENCE
+    // plane construction and check every edge (a) collides in some
+    // band, (b) carries the true cosine, (c) ranks correctly per id
+    // band b of graft_lsh_bands(vec, 4, 2) uses global planes b*4..b*4+3
+    val buckets = emb.select($"vec_id",
+        Similarity.signLshBucketReference($"embedding", 4, 0).as("b0"),
+        Similarity.signLshBucketReference($"embedding", 4, 4).as("b1"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val vecs = emb.select($"vec_id", $"embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val collide = (x: Long, y: Long) =>
+      buckets(x)._1 == buckets(y)._1 || buckets(x)._2 == buckets(y)._2
+    g.foreach { case (id, nb, c, _) =>
+      assert(collide(id, nb), s"$id-$nb share no bucket")
+      assert(math.abs(cos(vecs(id), vecs(nb)) - c) < 1e-9)
+    }
+    // per-id: result = top-k of ALL bucket-mates by (cosine desc, id)
+    g.groupBy(_._1).foreach { case (id, rows) =>
+      val mates = vecs.keys.filter(o => o != id && collide(id, o))
+      val want = mates.toSeq
+        .map(o => (o, cos(vecs(id), vecs(o))))
+        .sortBy { case (o, c) => (-c, o) }.take(k).map(_._1)
+      assert(rows.sortBy(_._4).map(_._2).toSeq === want, s"id $id")
+    }
+  }
+
   test("lshRecallAudit: exact duplicates give recall 1, counts consistent") {
     import spark.implicits._
     val df = Seq(
