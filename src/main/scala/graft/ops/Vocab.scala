@@ -292,6 +292,55 @@ object Vocab {
         col("bigram_hits"), col("unigram_hits"))
   }
 
+  /** Vocabulary-size design sweep: token-type and occurrence coverage
+    * at every candidate vocabulary size in ONE pass — the table a
+    * tokenizer design review reads to pick vocab size (the coverage
+    * knee), instead of re-running [[oovRate]] per candidate.
+    *
+    * Scale: one token-count aggregate (map-side combined), a
+    * TakeOrdered top-`max(sizes)` cut (model-sized — never a global
+    * window over the full vocabulary), rank assignment on the
+    * model-sized frame, a broadcast rank join back to the count table
+    * and a |sizes|-keyed aggregate. Integers + single divisions →
+    * hash-gateable.
+    *
+    * @return one row per size: `vocab_size, n_types, covered_types,
+    *         total_occurrences, covered_occurrences, oov_occurrences,
+    *         oov_rate`
+    */
+  def vocabSizeSweep(df: DataFrame, textCol: String,
+      sizes: Seq[Int]): DataFrame = {
+    val maxSize = sizes.max
+    val counts = df
+      .select(explode(TextAnalysis.tokens(col(textCol))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("__tf"))
+    // top-maxSize via TakeOrdered, then ranks over the MODEL-SIZED cut
+    // (a single-partition window over maxSize rows, bounded by design)
+    val ranked = counts
+      .orderBy(col("__tf").desc, col("token"))
+      .limit(maxSize)
+      .withColumn("__rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("__tf").desc, col("token"))))
+      .select(col("token"), col("__rank"))
+    counts
+      .join(broadcast(ranked), Seq("token"), "left")
+      .select(col("__tf"), col("__rank"),
+        explode(lit(sizes.toArray)).as("vocab_size"))
+      .groupBy(col("vocab_size"))
+      .agg(
+        count(lit(1)).as("n_types"),
+        sum(when(col("__rank") <= col("vocab_size"), 1L).otherwise(0L))
+          .as("covered_types"),
+        sum(col("__tf")).as("total_occurrences"),
+        sum(when(col("__rank") <= col("vocab_size"), col("__tf"))
+          .otherwise(0L)).as("covered_occurrences"),
+        sum(when(col("__rank") <= col("vocab_size"), 0L)
+          .otherwise(col("__tf"))).as("oov_occurrences"))
+      .withColumn("oov_rate",
+        col("oov_occurrences").cast("double") / col("total_occurrences"))
+  }
+
   /** CCNet-style language-model buckets (Wenzek et al. 2020): each
     * language's documents split into head/middle/tail terciles by the
     * [[bigramLogProb]] mean log-probability — CCNet trains on "head",

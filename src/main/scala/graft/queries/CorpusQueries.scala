@@ -453,6 +453,17 @@ object CorpusQueries {
       .orderBy($"rank")
   }
 
+  /** Vocabulary-size design sweep: coverage at 10/20/50-token vocabs in
+    * one pass — the OOV-vs-size knee chart's data. The corpus vocabulary
+    * at sf0.01 is ~40 types, so the small sizes provably bite.
+    */
+  private def q137(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Vocab.vocabSizeSweep(Tables.documents(s, dir), "text",
+        sizes = Seq(10, 20, 50))
+      .orderBy($"vocab_size")
+  }
+
   /** CCNet-style per-language LM buckets: head/middle/tail terciles of
     * the bigram mean log-prob, trained on the doc_id ≡ 0 mod 5 slice
     * (q87b's split). Rank-based per language. ln-derived boundaries →
@@ -528,6 +539,7 @@ object CorpusQueries {
     "q131_rrf_hybrid" -> (q131 _),
     "q133_ccnet_buckets" -> (q133 _),
     "q134_content_manifest" -> (q134 _),
+    "q137_vocab_sweep" -> (q137 _),
     "q121_bm25" -> (q121 _),
     "q121b_bm25_rank" -> (q121b _),
     "q122_blocklist_report" -> (q122 _),
@@ -571,6 +583,24 @@ object CorpusQueries {
         |FROM documents
         |GROUP BY source
         |ORDER BY source""".stripMargin,
+    // q137: global token ranks by (tf desc, token), coverage sums per
+    // candidate size — integers + one division per row.
+    "q137_vocab_sweep" ->
+      """WITH tok AS (SELECT unnest(string_split_regex(trim(text), ' +')) AS token FROM documents),
+        |tf AS (SELECT token, count(*) AS tf FROM tok GROUP BY token),
+        |rk AS (SELECT token, tf, row_number() OVER (ORDER BY tf DESC, token) AS rank FROM tf),
+        |sz AS (SELECT unnest([10, 20, 50]) AS vocab_size)
+        |SELECT sz.vocab_size,
+        |       count(*) AS n_types,
+        |       sum(CASE WHEN rank <= vocab_size THEN 1 ELSE 0 END) AS covered_types,
+        |       sum(tf) AS total_occurrences,
+        |       sum(CASE WHEN rank <= vocab_size THEN tf ELSE 0 END) AS covered_occurrences,
+        |       sum(CASE WHEN rank <= vocab_size THEN 0 ELSE tf END) AS oov_occurrences,
+        |       CAST(sum(CASE WHEN rank <= vocab_size THEN 0 ELSE tf END) AS DOUBLE)
+        |         / sum(tf) AS oov_rate
+        |FROM rk, sz
+        |GROUP BY sz.vocab_size
+        |ORDER BY sz.vocab_size""".stripMargin,
     // q131: lexical rank = query-term occurrence count (integer, ties
     // to smaller id), dense rank = exact cosine vs vec 0 (the q30
     // double fold); rrf terms are single double divisions summed in

@@ -330,7 +330,28 @@ object SimilarityQueries {
       .orderBy($"id", $"rank")
   }
 
+  /** Embedding-truncation quality (the Matryoshka/index-dim decision):
+    * recall@10 of exact search over the FIRST-16-dims truncation
+    * against exact search over the full 64 dims, per query — the
+    * measured answer to "how small can the index vectors be". Both
+    * rankings are exact cosine (the q30-proven double fold), so the
+    * whole table hash-gates.
+    */
+  private def q136(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables.embeddings(s, dir)
+    val trunc = emb.select($"vec_id",
+      slice($"embedding", 1, 16).as("embedding"))
+    val exact = Similarity.bruteForceTopKBatch(emb, "vec_id", "embedding",
+      emb.where($"vec_id" % 100 === 0), "vec_id", "embedding", k = 10)
+    val approx = Similarity.bruteForceTopKBatch(trunc, "vec_id", "embedding",
+      trunc.where($"vec_id" % 100 === 0), "vec_id", "embedding", k = 10)
+    Similarity.recallAtK(approx, exact, "query_id", "vec_id")
+      .orderBy($"query_id")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q136_truncation_recall" -> (q136 _),
     "q130_knn_graph" -> (q130 _),
     "q126_hard_negatives" -> (q126 _),
     "q99_semdedup" -> (q99 _),
@@ -355,6 +376,32 @@ object SimilarityQueries {
     "q79_ann_quantized" -> (q79 _))
 
   val oracles: Map[String, String] = Map(
+    // q136: exact rankings over the sliced and full embeddings (same
+    // per-query window + id tie-break as q81's CTEs), recall from the
+    // left join off the full-dim ground truth.
+    "q136_truncation_recall" ->
+      """WITH tr AS (SELECT vec_id, list_slice(embedding, 1, 16) AS tv FROM embeddings),
+        |qs AS (SELECT e.vec_id AS query_id, e.embedding AS qv, t.tv AS qt
+        |       FROM embeddings e JOIN tr t ON t.vec_id = e.vec_id
+        |       WHERE e.vec_id % 100 = 0),
+        |ar AS (SELECT q.query_id, t.vec_id,
+        |         row_number() OVER (PARTITION BY q.query_id
+        |           ORDER BY list_cosine_similarity(t.tv::DOUBLE[], q.qt::DOUBLE[]) DESC,
+        |                    t.vec_id) AS rn
+        |       FROM tr t, qs q WHERE t.vec_id <> q.query_id),
+        |a AS (SELECT query_id, vec_id FROM ar WHERE rn <= 10),
+        |er AS (SELECT q.query_id, e.vec_id,
+        |         row_number() OVER (PARTITION BY q.query_id
+        |           ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], q.qv::DOUBLE[]) DESC,
+        |                    e.vec_id) AS rn
+        |       FROM embeddings e, qs q WHERE e.vec_id <> q.query_id),
+        |x AS (SELECT query_id, vec_id FROM er WHERE rn <= 10)
+        |SELECT x.query_id,
+        |       CAST(count(*) AS BIGINT) AS n_truth,
+        |       CAST(count(a.vec_id) AS BIGINT) AS n_hit,
+        |       CAST(count(a.vec_id) AS DOUBLE) / count(*) AS recall
+        |FROM x LEFT JOIN a ON a.query_id = x.query_id AND a.vec_id = x.vec_id
+        |GROUP BY x.query_id ORDER BY x.query_id""".stripMargin,
     // q130: q50's md5-derived hyperplane/band-key CTEs, candidates in
     // BOTH directions (a <> b), exact cosine, per-id row_number <= 3
     // with ties to the lower neighbor id — value-identical to the Spark

@@ -521,6 +521,20 @@ class CorpusOpsSpec extends SparkSuite {
     assert(rows(1) === ("x", 3L, 1L, 2L, 1.0, 2.0, (1.0 + 2.0 + 2.0) / 3))
   }
 
+  test("vocabSizeSweep: hand-computed coverage per candidate size") {
+    import spark.implicits._
+    // tf: a=4, b=3, c=2, d=1 → ranks a:1 b:2 c:3 d:4
+    val df = Seq("a a a b b c", "a b c d").toDF("text")
+    val out = Vocab.vocabSizeSweep(df, "text", sizes = Seq(1, 2, 10))
+      .orderBy(col("vocab_size")).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getDouble(6)))
+    assert(out.toSeq === Seq(
+      (1, 4L, 1L, 10L, 4L, 6L, 0.6),
+      (2, 4L, 2L, 10L, 7L, 3L, 0.3),
+      (10, 4L, 4L, 10L, 10L, 0L, 0.0)))
+  }
+
   test("ccnetBuckets: in-model docs head, off-model tail, per-language terciles") {
     import spark.implicits._
     // train on the "good dialect"; score 6 docs per lang — 2 pure
