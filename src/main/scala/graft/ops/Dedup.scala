@@ -972,6 +972,59 @@ object Dedup {
           .as("candidate_precision"))
   }
 
+  /** Any-alignment repeated-substring removal — the ExactSubstr dedup
+    * shape (Lee et al. 2021, "Deduplicating Training Data Makes
+    * Language Models Better"): a k-token window is fingerprinted at
+    * EVERY position (not [[chunkDedup]]'s fixed k-aligned chunks), the
+    * globally-first occurrence of each fingerprint survives ((doc_id,
+    * pos) lexicographic — deterministic on any layout), and every
+    * token covered by a non-first window is dropped, including
+    * within-document self-repetition. Catches shifted copies that
+    * chunk alignment misses.
+    *
+    * Scale: positions are corpus-token-proportional (one row per
+    * token, ×1 not ×k — the window hash is computed scan-side); ONE
+    * wide shuffle on the fingerprint for the first-occurrence window;
+    * covered-index expansion is dup-density-proportional. The rebuild
+    * is a per-doc HOF filter — narrow. This is the 100 TB plan the
+    * suffix-array original trades against: no global sort, no
+    * suffix array, at the cost of k-bounded (not unbounded) match
+    * length.
+    *
+    * @return `idCol, n_tokens, n_removed, clean_text`
+    */
+  def exactSubstrDedup(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 50): DataFrame = {
+    val toks = spread(df).select(col(idCol).as("__id"),
+      TextAnalysis.tokens(col(textCol)).as("__t"))
+    // one (pos, fingerprint) row per window start; docs shorter than k
+    // have none (nothing to dedup at window length k)
+    val grams = toks.select(col("__id"),
+        explode(when(size(col("__t")) >= k,
+            transform(sequence(lit(0), size(col("__t")) - k), p =>
+              struct(p.as("pos"),
+                md5(concat_ws(" ", slice(col("__t"), p + 1, lit(k)))).as("h"))))
+          .otherwise(array())).as("__g"))
+      .select(col("__id"), col("__g.pos").as("pos"), col("__g.h").as("h"))
+    val firstW = Window.partitionBy(col("h"))
+      .orderBy(col("__id"), col("pos"))
+    val dupSpans = grams
+      .withColumn("__rn", row_number().over(firstW))
+      .where(col("__rn") > 1)
+      .select(col("__id"),
+        explode(sequence(col("pos"), col("pos") + (k - 1))).as("__ti"))
+    val covered = dupSpans.groupBy(col("__id"))
+      .agg(collect_set(col("__ti")).as("__cov"))
+    toks.join(covered, Seq("__id"), "left")
+      .select(col("__id").as(idCol),
+        size(col("__t")).cast("long").as("n_tokens"),
+        coalesce(size(col("__cov")), lit(0)).cast("long").as("n_removed"),
+        concat_ws(" ", filter(col("__t"), (_, i) =>
+          !array_contains(coalesce(col("__cov"),
+            array().cast("array<int>")), i)))
+          .as("clean_text"))
+  }
+
   /** Per-group content manifest: document count plus an exact DECIMAL
     * sum of 60-bit md5 prefixes over `id:text` — partition-order
     * independent (the Verify digest discipline), so two releases'

@@ -653,7 +653,20 @@ object TextQueries {
       .orderBy($"doc_id")
   }
 
+  /** Any-alignment repeated-substring removal (ExactSubstr shape) at a
+    * 5-token window: the 25 duplicate/contained docs guarantee global
+    * repeats at sf0.01, so the op provably bites. Rebuilt text is
+    * hash-checked byte-exact.
+    */
+  private def q138(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Dedup.exactSubstrDedup(Tables.documents(s, dir), "doc_id", "text",
+        k = 5)
+      .orderBy($"doc_id")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q138_exact_substr" -> (q138 _),
     "q135_contamination_bloom" -> (q135 _),
     "q132_dup_density" -> (q132 _),
     "q127_containment_pairs" -> (q127 _),
@@ -724,6 +737,32 @@ object TextQueries {
         |FROM p
         |WHERE CAST(shared AS DOUBLE) / least(n_a, n_b) >= 0.5
         |ORDER BY idA, idB""".stripMargin,
+    // q138: per-position 5-token window md5s, global first occurrence
+    // by (doc_id, pos), covered token indices dropped, text rebuilt.
+    // Both engines hash the identical space-joined window string, so
+    // collisions (if any) merge the same groups.
+    "q138_exact_substr" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(text), ' +') AS toks FROM documents),
+        |g AS (SELECT doc_id, i AS pos,
+        |             md5(array_to_string(list_slice(toks, i, i + 4), ' ')) AS h
+        |      FROM (SELECT doc_id, toks,
+        |                   unnest(range(1, greatest(len(toks) - 5 + 2, 1))) AS i
+        |            FROM t)),
+        |d AS (SELECT doc_id, pos FROM (
+        |        SELECT doc_id, pos,
+        |               row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
+        |        FROM g)
+        |      WHERE rn > 1),
+        |cov AS (SELECT DISTINCT doc_id, unnest(range(pos, pos + 5)) AS ti FROM d),
+        |cs AS (SELECT doc_id, list(ti) AS cv FROM cov GROUP BY doc_id)
+        |SELECT t.doc_id,
+        |       CAST(len(toks) AS BIGINT) AS n_tokens,
+        |       CAST(coalesce(len(cv), 0) AS BIGINT) AS n_removed,
+        |       coalesce(array_to_string(
+        |         [toks[x] FOR x IN range(1, len(toks) + 1)
+        |          IF cv IS NULL OR NOT list_contains(cv, x)], ' '), '') AS clean_text
+        |FROM t LEFT JOIN cs ON cs.doc_id = t.doc_id
+        |ORDER BY t.doc_id""".stripMargin,
     // q132: q25's shingle basis → per-shingle doc frequency → per-doc
     // shared-shingle counts; dup_frac is one division of exact integers.
     "q132_dup_density" ->

@@ -946,6 +946,63 @@ class OpsSpec extends SparkSuite {
     }
   }
 
+  test("exactSubstrDedup removes shifted copies and self-repetition") {
+    import spark.implicits._
+    // doc 2 embeds doc 1's tokens at a SHIFTED alignment (chunk-aligned
+    // dedup would miss it); doc 3 repeats its own 5-gram
+    val df = Seq(
+      (1L, "a b c d e f g h"),
+      (2L, "x y a b c d e f g h z"),
+      (3L, "p q r s t u p q r s t")).toDF("doc_id", "text")
+    val out = Dedup.exactSubstrDedup(df, "doc_id", "text", k = 5)
+      .orderBy($"doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    // doc 1 is globally first: untouched
+    assert(out(0) === ((1L, 8L, 0L, "a b c d e f g h")))
+    // doc 2: windows over a..h repeat doc 1's → tokens a..h covered
+    assert(out(1) === ((2L, 11L, 8L, "x y z")))
+    // doc 3: "q r s t u"(pos1) survives; the repeat of "p q r s t" at
+    // pos 6 covers tokens 6..10
+    assert(out(2)._3 === 5L)
+    assert(out(2)._4 === "p q r s t u")
+  }
+
+  test("exactSubstrDedup matches a Scala model on random documents") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(99)
+    val vocab = Seq("a", "b", "c")
+    val k = 4
+    val docs = (0 until 60).map { i =>
+      val n = rnd.nextInt(14)
+      (i.toLong, (0 until n).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    def model(id: Long, all: Seq[(Long, String)]): (Long, Long, String) = {
+      def tk(s: String) = s.trim.split(" +").toSeq // "" → Seq("")
+      val grams = all.flatMap { case (d, t) =>
+        tk(t).sliding(k).filter(_.size == k).zipWithIndex
+          .map { case (g, p) => (g.mkString(" "), d, p) }
+      }
+      val first = grams.groupBy(_._1).map { case (g, occ) =>
+        g -> occ.map(o => (o._2, o._3)).min
+      }
+      val toks = tk(all.find(_._1 == id).get._2)
+      val cov = toks.sliding(k).filter(_.size == k).zipWithIndex.flatMap {
+        case (g, p) =>
+          if (first(g.mkString(" ")) != ((id, p))) (p until p + k) else Nil
+      }.toSet
+      val kept = toks.zipWithIndex.collect { case (t, i) if !cov(i) => t }
+      (toks.size.toLong, cov.size.toLong, kept.mkString(" "))
+    }
+    val got = Dedup.exactSubstrDedup(docs.toDF("doc_id", "text"),
+        "doc_id", "text", k)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    docs.foreach { case (id, text) =>
+      assert(got(id) === model(id, docs), s"doc $id: '$text'")
+    }
+  }
+
   test("dupShingleFraction: exact shared-shingle density, short docs absent") {
     import spark.implicits._
     val df = Seq(
