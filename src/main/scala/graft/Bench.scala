@@ -289,7 +289,13 @@ object Bench {
       // candidates (the SCALE.md band-geometry rule; q67 measured −57%)
       "incremental_neardup_probe" ->
         ((dv, _) => Dedup.incrementalNearDups(docs, dv, "doc_id", "text",
-          0.95, numHashes = 16, bands = 4)))
+          0.95, numHashes = 16, bands = 4)),
+      // rewrite-based dedup: one fingerprint shuffle + dup-coverage
+      // explode. The replicated corpus duplicates every base window
+      // ~R×, so the covered-token mass is output-proportional — growth
+      // ~R is the honest linear answer, vs the pair detectors' R·dup²
+      "exact_substr_dedup" ->
+        ((dv, _) => Dedup.exactSubstrDedup(dv, "doc_id", "text", k = 20)))
     // a failed case reports -1, never a bogus partial timing; the cause
     // goes to stderr (never the JSON line) so a -1 is diagnosable from
     // the run log instead of silently reading as "case broken, unknown"
