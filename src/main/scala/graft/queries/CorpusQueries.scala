@@ -453,6 +453,36 @@ object CorpusQueries {
       .orderBy($"rank")
   }
 
+  /** Per-source release churn: q102's snapshot diff rolled up by
+    * source with exact per-status counts and a churn rate (non-
+    * unchanged fraction) — the release-review table that shows WHICH
+    * feed moved, before anyone reads per-id diffs. Report-sized: the
+    * diff joins fingerprints, the rollup is one bounded-key aggregate.
+    */
+  private def q139(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    val before = docs.where($"doc_id" % 3 =!= 0)
+    val after = docs.where($"doc_id" % 5 =!= 0)
+      .withColumn("text",
+        when($"doc_id" % 7 === 0, concat($"text", lit(" v2")))
+          .otherwise($"text"))
+    val diff = Dedup.snapshotDiff(before, after, "doc_id", "text",
+      md5Basis = true)
+    diff.join(docs.select($"doc_id", $"source"), Seq("doc_id"))
+      .groupBy($"source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when($"status" === "added", 1L).otherwise(0L)).as("n_added"),
+        sum(when($"status" === "removed", 1L).otherwise(0L)).as("n_removed"),
+        sum(when($"status" === "changed", 1L).otherwise(0L)).as("n_changed"),
+        sum(when($"status" === "unchanged", 1L).otherwise(0L))
+          .as("n_unchanged"))
+      .withColumn("churn_rate",
+        (col("n_docs") - col("n_unchanged")).cast("double") / col("n_docs"))
+      .orderBy($"source")
+  }
+
   /** Vocabulary-size design sweep: coverage at 10/20/50-token vocabs in
     * one pass — the OOV-vs-size knee chart's data. The corpus vocabulary
     * at sf0.01 is ~40 types, so the small sizes provably bite.
@@ -540,6 +570,7 @@ object CorpusQueries {
     "q133_ccnet_buckets" -> (q133 _),
     "q134_content_manifest" -> (q134 _),
     "q137_vocab_sweep" -> (q137 _),
+    "q139_release_churn" -> (q139 _),
     "q121_bm25" -> (q121 _),
     "q121b_bm25_rank" -> (q121b _),
     "q122_blocklist_report" -> (q122 _),
@@ -919,6 +950,31 @@ object CorpusQueries {
         |FROM j ORDER BY cutoff""".stripMargin,
     // both releases rebuilt in SQL, full-outer joined on id, fingerprints
     // compared — the same md5 the Spark side computes
+    // q139: q102's diff CTEs rolled up by source; counts are integers,
+    // churn_rate a single division.
+    "q139_release_churn" ->
+      """WITH b AS (SELECT doc_id, md5(text) AS f FROM documents
+        |           WHERE doc_id % 3 <> 0),
+        |a AS (SELECT doc_id,
+        |        md5(CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END) AS f
+        |      FROM documents WHERE doc_id % 5 <> 0),
+        |d AS (SELECT COALESCE(b.doc_id, a.doc_id) AS doc_id,
+        |             CASE WHEN b.doc_id IS NULL THEN 'added'
+        |                  WHEN a.doc_id IS NULL THEN 'removed'
+        |                  WHEN a.f = b.f THEN 'unchanged'
+        |                  ELSE 'changed' END AS status
+        |      FROM b FULL OUTER JOIN a ON a.doc_id = b.doc_id)
+        |SELECT s.source,
+        |       count(*) AS n_docs,
+        |       sum(CASE WHEN status = 'added' THEN 1 ELSE 0 END) AS n_added,
+        |       sum(CASE WHEN status = 'removed' THEN 1 ELSE 0 END) AS n_removed,
+        |       sum(CASE WHEN status = 'changed' THEN 1 ELSE 0 END) AS n_changed,
+        |       sum(CASE WHEN status = 'unchanged' THEN 1 ELSE 0 END) AS n_unchanged,
+        |       CAST(count(*) - sum(CASE WHEN status = 'unchanged' THEN 1 ELSE 0 END) AS DOUBLE)
+        |         / count(*) AS churn_rate
+        |FROM d JOIN documents s ON s.doc_id = d.doc_id
+        |GROUP BY s.source
+        |ORDER BY s.source""".stripMargin,
     "q102_snapshot_diff" ->
       """WITH b AS (SELECT doc_id, md5(text) AS f FROM documents
         |           WHERE doc_id % 3 <> 0),
