@@ -12,6 +12,30 @@ import org.apache.spark.sql.functions._
   */
 object Statistics {
 
+  /** Referential-integrity audit between two tables: per group of the
+    * left table, how many rows have a join partner on the right — the
+    * "does every document have an embedding / every order a customer"
+    * check a pipeline runs before a join silently drops rows. One
+    * left semi-ish join (the right side contributes only distinct
+    * keys, pre-aggregated — never its payload) + one bounded-key
+    * rollup; coverage divides exact integers once.
+    *
+    * @return `groupCol, n_rows, n_matched, n_missing, coverage`
+    */
+  def joinCoverage(left: DataFrame, right: DataFrame, leftKey: String,
+      rightKey: String, groupCol: String): DataFrame = {
+    val keys = right.select(col(rightKey).as("__k")).distinct()
+      .withColumn("__hit", lit(1L))
+    left.select(col(groupCol), col(leftKey).as("__k"))
+      .join(keys, Seq("__k"), "left")
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(coalesce(col("__hit"), lit(0L))).as("n_matched"))
+      .select(col(groupCol), col("n_rows"), col("n_matched"),
+        (col("n_rows") - col("n_matched")).as("n_missing"),
+        (col("n_matched").cast("double") / col("n_rows")).as("coverage"))
+  }
+
   /** A1–A7 in one pass (reference evaluate_test_run.py:91-104,
     * aggregator.yml:169-176).
     */

@@ -47,6 +47,37 @@ object Decontamination {
       .select(explode(Dedup.shingles(col(textCol), n)).as("__sh"))
       .distinct()
 
+  /** Multi-suite decontamination in ONE corpus pass: shingle overlap
+    * against EVERY benchmark suite at once, reported per (document,
+    * suite) — the real pre-training shape (a corpus is screened against
+    * MMLU and GSM8K and HumanEval together, not with one scan each).
+    * The (suite, shingle) set is eval-sized and broadcasts; suite
+    * attribution rides the same join that a single-suite gate already
+    * pays, so k suites cost one scan, not k.
+    *
+    * @return `idCol, suite, n_shingles, n_overlap, overlap_frac` for
+    *         pairs clearing `minOverlap`
+    */
+  def contaminationBySuite(corpus: DataFrame, bench: DataFrame,
+      idCol: String, textCol: String, suiteCol: String, n: Int = 8,
+      minOverlap: Int = 1): DataFrame = {
+    val suiteShingles = bench
+      .select(col(suiteCol).as("suite"),
+        explode(Dedup.shingles(col(textCol), n)).as("__sh"))
+      .distinct()
+    Dedup.spread(corpus)
+      .select(col(idCol), Dedup.shingles(col(textCol), n).as("__shs"))
+      .select(col(idCol), size(col("__shs")).cast("long").as("n_shingles"),
+        explode(col("__shs")).as("__sh"))
+      .join(broadcast(suiteShingles), Seq("__sh"))
+      .groupBy(col(idCol), col("suite"))
+      .agg(max(col("n_shingles")).as("n_shingles"),
+        count(lit(1)).as("n_overlap"))
+      .where(col("n_overlap") >= minOverlap)
+      .withColumn("overlap_frac",
+        col("n_overlap").cast("double") / col("n_shingles"))
+  }
+
   /** Bloom-filter contamination screen — the Dolma-scale form of
     * [[contaminationScores]] for eval suites whose distinct shingle set
     * is too large to broadcast as strings: the shingles compress into a

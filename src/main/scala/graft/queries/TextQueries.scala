@@ -665,7 +665,34 @@ object TextQueries {
       .orderBy($"doc_id")
   }
 
+  /** Referential-integrity audit: per-source fraction of documents with
+    * an embedding row (doc_id ↔ vec_id) — the pre-join check that a
+    * silent inner-join drop would otherwise hide.
+    */
+  private def q140(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Statistics.joinCoverage(Tables.documents(s, dir),
+        Tables.embeddings(s, dir), "doc_id", "vec_id", "source")
+      .orderBy($"source")
+  }
+
+  /** Multi-suite decontamination: one corpus pass screened against all
+    * five language "suites" (the eval slice grouped by lang) at once,
+    * reported per (doc, suite).
+    */
+  private def q141(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    Decontamination.contaminationBySuite(
+        docs.where($"doc_id" % 97 =!= 0),
+        docs.where($"doc_id" % 97 === 0),
+        "doc_id", "text", "lang", n = 3)
+      .orderBy($"doc_id", $"suite")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q140_embedding_coverage" -> (q140 _),
+    "q141_multi_suite_decontam" -> (q141 _),
     "q138_exact_substr" -> (q138 _),
     "q135_contamination_bloom" -> (q135 _),
     "q132_dup_density" -> (q132 _),
@@ -737,6 +764,40 @@ object TextQueries {
         |FROM p
         |WHERE CAST(shared AS DOUBLE) / least(n_a, n_b) >= 0.5
         |ORDER BY idA, idB""".stripMargin,
+    // q140: distinct right keys left-joined per document, rolled up by
+    // source — integers + one division.
+    "q140_embedding_coverage" ->
+      """WITH k AS (SELECT DISTINCT vec_id FROM embeddings)
+        |SELECT d.source,
+        |       count(*) AS n_rows,
+        |       sum(CASE WHEN k.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS n_matched,
+        |       sum(CASE WHEN k.vec_id IS NULL THEN 1 ELSE 0 END) AS n_missing,
+        |       CAST(sum(CASE WHEN k.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+        |         / count(*) AS coverage
+        |FROM documents d LEFT JOIN k ON k.vec_id = d.doc_id
+        |GROUP BY d.source
+        |ORDER BY d.source""".stripMargin,
+    // q141: q56's shingle CTEs with the bench side keyed by suite
+    // (lang); one corpus pass, per-(doc, suite) overlap counts.
+    "q141_multi_suite_decontam" ->
+      """WITH t AS (SELECT doc_id, lang, string_split_regex(trim(text), ' +') AS toks FROM documents),
+        |s AS (SELECT doc_id, lang,
+        |        CASE WHEN len(toks) >= 3
+        |             THEN list_distinct(list_transform(range(1, len(toks) - 1),
+        |                    i -> array_to_string(list_slice(toks, i, i + 2), ' ')))
+        |             ELSE [] END AS sh
+        |      FROM t),
+        |bench AS (SELECT DISTINCT lang AS suite, unnest(sh) AS g
+        |          FROM s WHERE doc_id % 97 = 0),
+        |corp AS (SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS g
+        |         FROM s WHERE doc_id % 97 <> 0)
+        |SELECT c.doc_id, b.suite,
+        |       CAST(max(c.n_sh) AS BIGINT) AS n_shingles,
+        |       CAST(count(*) AS BIGINT) AS n_overlap,
+        |       CAST(count(*) AS DOUBLE) / max(c.n_sh) AS overlap_frac
+        |FROM corp c JOIN bench b USING (g)
+        |GROUP BY c.doc_id, b.suite
+        |ORDER BY c.doc_id, b.suite""".stripMargin,
     // q138: per-position 5-token window md5s, global first occurrence
     // by (doc_id, pos), covered token indices dropped, text rebuilt.
     // Both engines hash the identical space-joined window string, so

@@ -521,6 +521,21 @@ class CorpusOpsSpec extends SparkSuite {
     assert(rows(1) === ("x", 3L, 1L, 2L, 1.0, 2.0, (1.0 + 2.0 + 2.0) / 3))
   }
 
+  test("joinCoverage: per-group match counts, duplicate right keys count once") {
+    import spark.implicits._
+    val left = Seq((1L, "A"), (2L, "A"), (3L, "B"), (4L, "B"), (5L, "B"))
+      .toDF("id", "src")
+    // right has id 3 twice — coverage must not double-count
+    val right = Seq(1L, 3L, 3L, 5L).toDF("rid")
+    val out = Statistics.joinCoverage(left, right, "id", "rid", "src")
+      .orderBy(col("src")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    assert(out.toSeq === Seq(
+      ("A", 2L, 1L, 1L, 0.5),
+      ("B", 3L, 2L, 1L, 2.0 / 3)))
+  }
+
   test("vocabSizeSweep: hand-computed coverage per candidate size") {
     import spark.implicits._
     // tf: a=4, b=3, c=2, d=1 → ranks a:1 b:2 c:3 d:4

@@ -921,6 +921,23 @@ class OpsSpec extends SparkSuite {
     assert((row.getLong(0), row.getLong(1), row.getDouble(5)) === (1L, 2L, 1.0))
   }
 
+  test("contaminationBySuite attributes overlap to the right suite only") {
+    import spark.implicits._
+    import graft.ops.Decontamination
+    val bench = Seq(
+      ("mmlu", "alpha beta gamma delta"),
+      ("gsm", "one two three four")).toDF("suite", "text")
+    val corpus = Seq(
+      (1L, "alpha beta gamma epsilon zeta"), // leaks mmlu's 3-gram only
+      (2L, "one two three five six"),        // leaks gsm only
+      (3L, "clean text with nothing shared here")).toDF("doc_id", "text")
+    val out = Decontamination.contaminationBySuite(corpus, bench,
+        "doc_id", "text", "suite", n = 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(3)))
+    assert(out.toSet === Set((1L, "mmlu", 1L), (2L, "gsm", 1L)))
+  }
+
   test("contaminationScoresBloom: never under-counts, ≡ exact at low fpp") {
     import graft.ops.Decontamination
     val corpus = docs.where(col("doc_id") % 97 =!= 0)
