@@ -312,6 +312,13 @@ object Decontamination {
     * longest needle first, then lexicographic — so nested/overlapping
     * needles resolve identically on any engine and partitioning.
     *
+    * Scale: the zero-hit short-circuit below keeps the fold on the
+    * matched minority; the remaining cost is the per-needle `contains`
+    * gate. When the needle set grows past a few thousand, pre-screen
+    * with [[verbatimMatchesMulti]] (one Aho-Corasick pass per document,
+    * proven bit-identical to the contains model by q106/q106b's shared
+    * oracle) and run this surgery on the flagged slice only.
+    *
     * @return `idCol, n_hits` (distinct needles present pre-surgery),
     *         `clean_text, n_chars_removed`
     */
