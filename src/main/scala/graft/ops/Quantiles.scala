@@ -36,6 +36,27 @@ object Quantiles {
       .agg(min(col(valueCol)).as("threshold"))
   }
 
+  /** Multi-percentile profile per group in ONE pass: the p50/p90/p99
+    * table a length/quality distribution review reads — every requested
+    * percentile is the rank-based smallest-value-reaching-`p` (see
+    * above), computed from the same cume_dist window with one
+    * conditional-min aggregate per percentile (no per-p re-sort, no
+    * interpolation). Output columns are `p50, p90, …` (rounded
+    * percent).
+    */
+  def groupPercentiles(df: DataFrame, groupCol: String, valueCol: String,
+      ps: Seq[Double]): DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p > 0 && p <= 1), s"bad ps: $ps")
+    val w = Window.partitionBy(col(groupCol)).orderBy(col(valueCol))
+    val aggs = ps.map(p =>
+      min(when(col("__cd") >= p, col(valueCol)))
+        .as(s"p${math.round(p * 100)}"))
+    df.select(col(groupCol), col(valueCol))
+      .withColumn("__cd", cume_dist().over(w))
+      .groupBy(col(groupCol))
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
   /** Sketch-based thresholds for the 100 TB path: same output shape as
     * [[groupThresholds]], one aggregate, no per-group sort.
     */

@@ -453,6 +453,20 @@ object CorpusQueries {
       .orderBy($"rank")
   }
 
+  /** Per-source token-length percentile profile (p50/p90/p99, exact
+    * rank basis) — the context-length design table per feed, from one
+    * window pass.
+    */
+  private def q142(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val df = Tables.documents(s, dir)
+      .select($"source",
+        TextAnalysis.tokenCount($"text").cast("long").as("n_tokens"))
+    Quantiles.groupPercentiles(df, "source", "n_tokens",
+        Seq(0.5, 0.9, 0.99))
+      .orderBy($"source")
+  }
+
   /** Per-source release churn: q102's snapshot diff rolled up by
     * source with exact per-status counts and a churn rate (non-
     * unchanged fraction) — the release-review table that shows WHICH
@@ -571,6 +585,7 @@ object CorpusQueries {
     "q134_content_manifest" -> (q134 _),
     "q137_vocab_sweep" -> (q137 _),
     "q139_release_churn" -> (q139 _),
+    "q142_length_percentiles" -> (q142 _),
     "q121_bm25" -> (q121 _),
     "q121b_bm25_rank" -> (q121b _),
     "q122_blocklist_report" -> (q122 _),
@@ -950,6 +965,23 @@ object CorpusQueries {
         |FROM j ORDER BY cutoff""".stripMargin,
     // both releases rebuilt in SQL, full-outer joined on id, fingerprints
     // compared — the same md5 the Spark side computes
+    // q142: rank-based discrete percentiles — smallest value whose
+    // cume_dist reaches p; both engines derive cd as rank/n of the
+    // same integers, and the p literals parse to identical doubles.
+    "q142_length_percentiles" ->
+      """WITH v AS (SELECT source,
+        |             CAST(len(string_split_regex(trim(text), ' +')) AS BIGINT) AS n
+        |           FROM documents),
+        |c AS (SELECT source, n,
+        |             cume_dist() OVER (PARTITION BY source ORDER BY n) AS cd
+        |      FROM v)
+        |SELECT source,
+        |       min(CASE WHEN cd >= 0.5 THEN n END) AS p50,
+        |       min(CASE WHEN cd >= 0.9 THEN n END) AS p90,
+        |       min(CASE WHEN cd >= 0.99 THEN n END) AS p99
+        |FROM c
+        |GROUP BY source
+        |ORDER BY source""".stripMargin,
     // q139: q102's diff CTEs rolled up by source; counts are integers,
     // churn_rate a single division.
     "q139_release_churn" ->

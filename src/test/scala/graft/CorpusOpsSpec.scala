@@ -521,6 +521,18 @@ class CorpusOpsSpec extends SparkSuite {
     assert(rows(1) === ("x", 3L, 1L, 2L, 1.0, 2.0, (1.0 + 2.0 + 2.0) / 3))
   }
 
+  test("groupPercentiles: rank-based discrete cuts, hand-computed") {
+    import spark.implicits._
+    // group A: 1..10 → p50 = 5 (cd(5)=0.5), p90 = 9, p99 = 10
+    // group B: [2, 4] → p50 = 2 (cd=0.5), p90/p99 = 4
+    val df = ((1 to 10).map(v => ("A", v.toLong)) ++
+      Seq(("B", 2L), ("B", 4L))).toDF("g", "v")
+    val out = Quantiles.groupPercentiles(df, "g", "v", Seq(0.5, 0.9, 0.99))
+      .orderBy(col("g")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq === Seq(("A", 5L, 9L, 10L), ("B", 2L, 4L, 4L)))
+  }
+
   test("joinCoverage: per-group match counts, duplicate right keys count once") {
     import spark.implicits._
     val left = Seq((1L, "A"), (2L, "A"), (3L, "B"), (4L, "B"), (5L, "B"))
