@@ -359,7 +359,7 @@ class StreamingSpec extends SparkSuite {
     // (listener bus + non-blocking unpersist), so poll briefly; compare
     // against the pre-run snapshot (the context may hold other caches).
     def leaked(): Set[Int] =
-      (spark.sparkContext.getPersistentRDDs.keySet -- cachedBefore).toSet
+      spark.sparkContext.getPersistentRDDs.keySet.toSet.diff(cachedBefore.toSet)
     val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
     while (leaked().nonEmpty && System.nanoTime() < deadline)
       Thread.sleep(100)
@@ -428,7 +428,7 @@ class StreamingSpec extends SparkSuite {
     assert(kept === Set(1L, 3L), s"got $kept")
     // both model caches released after termination (async listener)
     def leaked(): Set[Int] =
-      (spark.sparkContext.getPersistentRDDs.keySet -- cachedBefore).toSet
+      spark.sparkContext.getPersistentRDDs.keySet.toSet.diff(cachedBefore.toSet)
     val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
     while (leaked().nonEmpty && System.nanoTime() < deadline)
       Thread.sleep(100)
@@ -465,7 +465,7 @@ class StreamingSpec extends SparkSuite {
     assert(kept === Set(1L, 3L), s"got $kept")
     // model caches released after termination (async listener)
     def leaked(): Set[Int] =
-      (spark.sparkContext.getPersistentRDDs.keySet -- cachedBefore).toSet
+      spark.sparkContext.getPersistentRDDs.keySet.toSet.diff(cachedBefore.toSet)
     val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
     while (leaked().nonEmpty && System.nanoTime() < deadline)
       Thread.sleep(100)
