@@ -690,7 +690,31 @@ object TextQueries {
       .orderBy($"doc_id", $"suite")
   }
 
+  /** Curation review packet: a deterministic md5 10% sample of the
+    * corpus with quality signals, predicted language and corpus-wide
+    * duplication density joined per document — the one table a human
+    * reviewer opens (every signal is an already-oracled basis: q22's
+    * metrics, q23's argmax, q132's density, q54's sample rule).
+    */
+  private def q143(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    val sampled = docs.where(
+      graft.ops.Sampling.md5Bucket($"doc_id", "review") < lit(100000L))
+    val sigs = sampled.select($"doc_id", $"lang", $"source",
+      TextAnalysis.tokenCount($"text").as("n_tokens"),
+      TextAnalysis.distinctTokenRatio($"text").as("distinct_ratio"),
+      TextAnalysis.wordSetRatio($"text", TextAnalysis.englishStopwords)
+        .as("stop_ratio"),
+      TextAnalysis.langId($"text").as("pred_lang"))
+    sigs
+      .join(Dedup.dupShingleFraction(docs, "doc_id", "text", n = 3)
+        .select($"doc_id", $"dup_frac"), Seq("doc_id"), "left")
+      .orderBy($"doc_id")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q143_review_packet" -> (q143 _),
     "q140_embedding_coverage" -> (q140 _),
     "q141_multi_suite_decontam" -> (q141 _),
     "q138_exact_substr" -> (q138 _),
@@ -764,6 +788,48 @@ object TextQueries {
         |FROM p
         |WHERE CAST(shared AS DOUBLE) / least(n_a, n_b) >= 0.5
         |ORDER BY idA, idB""".stripMargin,
+    // q143: q54's md5 sample gate + q22's quality columns + q23's
+    // argmax + q132's dup-density CTEs, spliced — one review table.
+    "q143_review_packet" ->
+      """WITH t AS (SELECT doc_id, lang, source, text,
+        |             string_split_regex(trim(text), ' +') AS toks
+        |           FROM documents
+        |           WHERE ('0x' || substr(md5('review:' || doc_id), 1, 15))::BIGINT % 1000000 < 100000),
+        |full_t AS (SELECT doc_id, string_split_regex(trim(text), ' +') AS toks FROM documents),
+        |s AS (SELECT doc_id,
+        |        CASE WHEN len(toks) >= 3
+        |             THEN list_distinct(list_transform(range(1, len(toks) - 1),
+        |                    i -> array_to_string(list_slice(toks, i, i + 2), ' ')))
+        |             ELSE [] END AS sgl
+        |      FROM full_t),
+        |ex AS (SELECT doc_id, unnest(sgl) AS sh FROM s),
+        |freq AS (SELECT sh, count(*) AS df FROM ex GROUP BY sh),
+        |dup AS (SELECT ex.doc_id,
+        |               CAST(sum(CASE WHEN freq.df >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+        |                 / count(*) AS dup_frac
+        |        FROM ex JOIN freq ON ex.sh = freq.sh
+        |        GROUP BY ex.doc_id),
+        |lid AS (SELECT doc_id,
+        |          len(list_filter(toks, x -> x IN ('the','a','of','and','is'))) AS s_en,
+        |          len(list_filter(toks, x -> x IN ('der','die','das','und','ist'))) AS s_de,
+        |          len(list_filter(toks, x -> x IN ('el','los','las','y','es'))) AS s_es,
+        |          len(list_filter(toks, x -> x IN ('le','les','et','est','une'))) AS s_fr,
+        |          len(list_filter(toks, x -> x IN ('的','是','在','了','我'))) AS s_zh
+        |        FROM t)
+        |SELECT t.doc_id, t.lang, t.source,
+        |       len(toks) AS n_tokens,
+        |       CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS distinct_ratio,
+        |       CAST(len(list_filter(toks, x -> x IN ('the','a','an','of','and','is','in','to','it','that'))) AS DOUBLE) / len(toks) AS stop_ratio,
+        |       CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+        |            WHEN s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+        |            WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
+        |            WHEN s_fr >= s_zh THEN 'fr'
+        |            ELSE 'zh' END AS pred_lang,
+        |       dup.dup_frac
+        |FROM t
+        |JOIN lid ON lid.doc_id = t.doc_id
+        |LEFT JOIN dup ON dup.doc_id = t.doc_id
+        |ORDER BY t.doc_id""".stripMargin,
     // q140: distinct right keys left-joined per document, rolled up by
     // source — integers + one division.
     "q140_embedding_coverage" ->
