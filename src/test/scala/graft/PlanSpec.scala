@@ -496,6 +496,24 @@ class PlanSpec extends SparkSuite {
     assert(countNodes(p, "Window") === 0, p)
   }
 
+  test("q138: exact-substr — fingerprint window keyed, no cross join") {
+    val p = formatted("q138_exact_substr")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+    // the first-occurrence cut is a row_number window PARTITIONED by
+    // the fingerprint — never a global sort of position rows
+    assert(p.contains("row_number"), p)
+    assert(countNodes(p, "Window") >= 1, p)
+  }
+
+  test("q142: percentile profile — one keyed cume_dist window, no re-sort per p") {
+    val p = formatted("q142_length_percentiles")
+    assert(!p.contains("CartesianProduct"), p)
+    // all three percentiles come from ONE window pass + one aggregate
+    assert(countNodes(p, "Window") === 1, p)
+    assert(p.contains("cume_dist"), p)
+  }
+
   test("whole-stage codegen covers the kernel expressions") {
     val df = SparkEntry.queries("q31_cosine_neardup")(spark, sfDir)
     df.collect() // materialize THIS plan so AQE finalizes it
