@@ -350,8 +350,26 @@ object SimilarityQueries {
       .orderBy($"query_id")
   }
 
+  /** Semantic clusters: the kNN graph's strong edges (cosine ≥ 0.35)
+    * collapsed to connected components — corpus topic/duplication
+    * structure from the q130 graph feeding the q48 CC machinery, per
+    * vector its cluster label (min reachable id).
+    */
+  private def q144(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val edges = Similarity.knnGraph(Tables.embeddings(s, dir), "vec_id",
+        "embedding", k = 5, planesPerBand = 8, bands = 4)
+      .where($"cosine" >= 0.35)
+      .select(least($"id", $"neighbor_id").as("idA"),
+        greatest($"id", $"neighbor_id").as("idB"))
+      .distinct()
+    graft.ops.Dedup.clusterLabels(edges)
+      .orderBy($"id")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q136_truncation_recall" -> (q136 _),
+    "q144_semantic_clusters" -> (q144 _),
     "q130_knn_graph" -> (q130 _),
     "q126_hard_negatives" -> (q126 _),
     "q99_semdedup" -> (q99 _),
@@ -376,6 +394,46 @@ object SimilarityQueries {
     "q79_ann_quantized" -> (q79 _))
 
   val oracles: Map[String, String] = Map(
+    // q144: q130's kNN-edge CTEs (rank ≤ 5, cosine ≥ 0.5, normalized
+    // undirected) + q53's recursive closure → per-id min-reachable
+    // label.
+    "q144_semantic_clusters" ->
+      """WITH RECURSIVE pl AS (
+        |  SELECT b.b AS band, pp.p AS p, d.i AS i,
+        |         (('0x' || substr(md5('plane:' || (b.b*8 + pp.p) || ':' || d.i), 1, 15))::BIGINT
+        |           / 576460752303423488.0) - 1.0 AS c
+        |  FROM (SELECT unnest(range(0, 4)) AS b) b,
+        |       (SELECT unnest(range(0, 8)) AS p) pp,
+        |       (SELECT unnest(range(0, 64)) AS i) d),
+        |pv AS (SELECT band, p, list(c ORDER BY i) AS pvec FROM pl GROUP BY band, p),
+        |proj AS (SELECT e.vec_id, pv.band, pv.p,
+        |                list_dot_product(e.embedding::DOUBLE[], pv.pvec) AS pr
+        |         FROM embeddings e, pv),
+        |k AS (SELECT vec_id, band,
+        |             sum(CASE WHEN pr > 0 THEN (1::BIGINT << p) ELSE 0 END) AS key
+        |      FROM proj GROUP BY vec_id, band),
+        |cand AS (SELECT DISTINCT a.vec_id AS id, b.vec_id AS neighbor_id
+        |         FROM k a JOIN k b ON a.band = b.band AND a.key = b.key
+        |         WHERE a.vec_id <> b.vec_id),
+        |scored AS (SELECT c.id, c.neighbor_id,
+        |                  list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]) AS cosine
+        |           FROM cand c
+        |           JOIN embeddings ea ON ea.vec_id = c.id
+        |           JOIN embeddings eb ON eb.vec_id = c.neighbor_id),
+        |ranked AS (SELECT id, neighbor_id, cosine,
+        |                  row_number() OVER (PARTITION BY id
+        |                    ORDER BY cosine DESC, neighbor_id) AS rn
+        |           FROM scored),
+        |p AS (SELECT DISTINCT least(id, neighbor_id) AS idA,
+        |             greatest(id, neighbor_id) AS idB
+        |      FROM ranked WHERE rn <= 5 AND cosine >= 0.35),
+        |e AS (SELECT idA AS src, idB AS dst FROM p UNION ALL SELECT idB, idA FROM p),
+        |reach AS (
+        |  SELECT src AS id, src AS r FROM e
+        |  UNION
+        |  SELECT e.src, reach.r FROM e JOIN reach ON e.dst = reach.id)
+        |SELECT id, min(r) AS label FROM reach GROUP BY id
+        |ORDER BY id""".stripMargin,
     // q136: exact rankings over the sliced and full embeddings (same
     // per-query window + id tie-break as q81's CTEs), recall from the
     // left join off the full-dim ground truth.

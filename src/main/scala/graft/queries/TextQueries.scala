@@ -713,7 +713,26 @@ object TextQueries {
       .orderBy($"doc_id")
   }
 
+  /** Candidate-similarity histogram: verified LSH candidates at a LOW
+    * threshold (0.3) bucketed by floor(jaccard·20) — the chart that
+    * shows where candidate mass sits and justifies the production
+    * threshold (0.95 sits past the background-similarity bulge).
+    * floor of identical doubles buckets identically cross-engine.
+    */
+  private def q145(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Dedup.minhashNearDups(Tables.documents(s, dir), "doc_id", "text",
+        threshold = 0.3, numHashes = 64, bands = 4, md5Basis = true)
+      .select(floor($"jaccard" * 20).cast("int").as("bucket"),
+        $"jaccard")
+      .groupBy($"bucket")
+      .agg(count(lit(1)).as("n_pairs"), min($"jaccard").as("min_j"),
+        max($"jaccard").as("max_j"))
+      .orderBy($"bucket")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q145_jaccard_histogram" -> (q145 _),
     "q143_review_packet" -> (q143 _),
     "q140_embedding_coverage" -> (q140 _),
     "q141_multi_suite_decontam" -> (q141 _),
@@ -788,6 +807,31 @@ object TextQueries {
         |FROM p
         |WHERE CAST(shared AS DOUBLE) / least(n_a, n_b) >= 0.5
         |ORDER BY idA, idB""".stripMargin,
+    // q145: q27's md5 MinHash/band CTEs at threshold 0.3, bucketed by
+    // floor(j*20) — counts are integers, bucket edges floor identical
+    // doubles.
+    "q145_jaccard_histogram" ->
+      """WITH t AS (SELECT doc_id, list_distinct(string_split_regex(trim(text), ' +')) AS toks
+        |           FROM documents),
+        |tok AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+        |mh AS (SELECT doc_id, j.j AS j,
+        |              min(('0x' || substr(md5(j.j || ':' || tok), 1, 15))::BIGINT) AS h
+        |       FROM tok, (SELECT unnest(range(0, 64)) AS j) j GROUP BY doc_id, j.j),
+        |sig AS (SELECT doc_id, list(h ORDER BY j) AS sig FROM mh GROUP BY doc_id),
+        |k AS (SELECT doc_id, b.b AS band, list_slice(sig, b.b*16 + 1, b.b*16 + 16) AS key
+        |      FROM sig, (SELECT unnest(range(0, 4)) AS b) b),
+        |cand AS (SELECT DISTINCT a.doc_id AS idA, b.doc_id AS idB
+        |         FROM k a JOIN k b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+        |jac AS (SELECT c.idA, c.idB,
+        |               CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+        |                 / len(list_distinct(list_concat(a.toks, b.toks))) AS j
+        |        FROM cand c JOIN t a ON a.doc_id = c.idA JOIN t b ON b.doc_id = c.idB),
+        |kept AS (SELECT CAST(floor(j * 20) AS INTEGER) AS bucket, j
+        |         FROM jac WHERE j >= 0.3)
+        |SELECT bucket, count(*) AS n_pairs, min(j) AS min_j, max(j) AS max_j
+        |FROM kept
+        |GROUP BY bucket
+        |ORDER BY bucket""".stripMargin,
     // q143: q54's md5 sample gate + q22's quality columns + q23's
     // argmax + q132's dup-density CTEs, spliced — one review table.
     "q143_review_packet" ->
