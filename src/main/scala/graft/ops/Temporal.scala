@@ -101,6 +101,39 @@ object Temporal {
     *
     * Columns: interval columns + the point columns listed in `ptCols`.
     */
+  /** Retention cohort matrix: users grouped by their FIRST active
+    * period (the cohort), with per-(cohort, period-offset) distinct
+    * active-user counts and the retention rate against the cohort's
+    * size — the standard product-analytics table, here over the event
+    * stream's integer-ns timestamps (`DIV`, never double division — ns
+    * epochs exceed double precision).
+    *
+    * Scale: one distinct over (user, period) — the only event-sized
+    * shuffle, map-side combined; first-period and activity aggregates
+    * are user-keyed; the output is cohorts × offsets (report-sized).
+    *
+    * @return `cohort, period_offset, n_active, cohort_size, retention`
+    */
+  def retentionCohorts(events: DataFrame, userCol: String, tsCol: String,
+      periodNs: Long): DataFrame = {
+    require(periodNs > 0, s"periodNs must be positive, got $periodNs")
+    val pu = events.select(col(userCol).as("__u"),
+        expr(s"$tsCol DIV $periodNs").as("__p"))
+      .distinct()
+    val firsts = pu.groupBy(col("__u")).agg(min(col("__p")).as("__c"))
+    val counts = pu.join(firsts, Seq("__u"))
+      .groupBy(col("__c").as("cohort"),
+        (col("__p") - col("__c")).as("period_offset"))
+      .agg(count(lit(1)).as("n_active"))
+    val sizes = firsts.groupBy(col("__c").as("cohort"))
+      .agg(count(lit(1)).as("cohort_size"))
+    counts.join(sizes, Seq("cohort"))
+      .select(col("cohort"), col("period_offset"), col("n_active"),
+        col("cohort_size"),
+        (col("n_active").cast("double") / col("cohort_size"))
+          .as("retention"))
+  }
+
   def intervalJoin(intervals: DataFrame, points: DataFrame, keyCol: String,
       loCol: String, hiCol: String, ptCol: String, ptCols: Seq[String],
       bucketWidth: Long): DataFrame = {

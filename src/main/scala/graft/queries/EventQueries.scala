@@ -122,7 +122,19 @@ object EventQueries {
       .orderBy($"user_id")
   }
 
+  /** Weekly retention cohorts over the event stream: users bucketed by
+    * first active week, per-(cohort, offset) active counts + retention
+    * rate — integer ns DIV arithmetic end to end.
+    */
+  private def q146(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.ops.Temporal.retentionCohorts(Tables.events(s, dir),
+        "user_id", "ts", periodNs = 604800000000000L)
+      .orderBy($"cohort", $"period_offset")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q146_retention_cohorts" -> (q146 _),
     "q34_event_windows" -> (q34 _),
     "q35_sessionization" -> (q35 _),
     "q36_transitions" -> (q36 _),
@@ -131,6 +143,22 @@ object EventQueries {
     "q72_funnel" -> (q72 _))
 
   val oracles: Map[String, String] = Map(
+    // q146: (user, week) distinct activity → first week per user →
+    // cohort/offset counts; integers + one division.
+    "q146_retention_cohorts" ->
+      """WITH pu AS (SELECT DISTINCT user_id AS u,
+        |              epoch_ns(ts) // 604800000000000 AS p
+        |            FROM events),
+        |f AS (SELECT u, min(p) AS c FROM pu GROUP BY u),
+        |act AS (SELECT f.c AS cohort, pu.p - f.c AS period_offset, pu.u
+        |        FROM pu JOIN f USING (u)),
+        |cnt AS (SELECT cohort, period_offset, count(*) AS n_active
+        |        FROM act GROUP BY 1, 2),
+        |sz AS (SELECT c AS cohort, count(*) AS cohort_size FROM f GROUP BY c)
+        |SELECT cnt.cohort, cnt.period_offset, cnt.n_active, sz.cohort_size,
+        |       CAST(cnt.n_active AS DOUBLE) / sz.cohort_size AS retention
+        |FROM cnt JOIN sz USING (cohort)
+        |ORDER BY cohort, period_offset""".stripMargin,
     "q34_event_windows" ->
       """SELECT (epoch_ns(ts) // 900000000000) * 900 AS window_start_s,
         |       event_type, count(*) AS n,

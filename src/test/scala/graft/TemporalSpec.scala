@@ -117,4 +117,24 @@ class TemporalSpec extends SparkSuite {
       .select($"pt_id").collect().map(_.getLong(0)).toSet
     assert(got === Set(1L, 2L))
   }
+
+  test("retentionCohorts: hand-computed matrix, repeat events count once") {
+    import spark.implicits._
+    // period = 10 ns. u1 first in p0, active p0/p1/p2 (p1 twice);
+    // u2 first in p0, active p0 only; u3 first in p1, active p1/p2
+    val ev = Seq(
+      (1L, 1L), (1L, 12L), (1L, 15L), (1L, 25L),
+      (2L, 5L),
+      (3L, 11L), (3L, 29L)).toDF("user_id", "ts")
+    val out = Temporal.retentionCohorts(ev, "user_id", "ts", periodNs = 10L)
+      .orderBy($"cohort", $"period_offset").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    assert(out.toSeq === Seq(
+      (0L, 0L, 2L, 2L, 1.0),   // cohort p0: u1+u2 at offset 0
+      (0L, 1L, 1L, 2L, 0.5),   // only u1 returns in p1
+      (0L, 2L, 1L, 2L, 0.5),   // only u1 in p2
+      (1L, 0L, 1L, 1L, 1.0),   // cohort p1: u3
+      (1L, 1L, 1L, 1L, 1.0)))  // u3 returns in p2
+  }
 }
