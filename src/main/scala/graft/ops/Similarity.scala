@@ -193,6 +193,27 @@ object Similarity {
       .where(col("cosine") > threshold)
   }
 
+  /** Per-dimension embedding profile: value range and zero counts for
+    * every vector component — the dead-dimension / scale-imbalance QA
+    * that [[embeddingQa]]'s whole-vector checks can't see (a dimension
+    * that is 0 in every vector, or 100× the others' range, breaks
+    * downstream quantization and distance geometry). Min/max/counts
+    * only — exact on identical floats, no order-dependent sums.
+    *
+    * Scale: one posexplode (rows × dim — map-side combined into a
+    * dim-sized aggregate before any exchange).
+    *
+    * @return `dim (1-based), n, n_zero, min_v, max_v`
+    */
+  def dimensionProfile(emb: DataFrame, vecCol: String): DataFrame =
+    Dedup.spread(emb)
+      .select(posexplode(col(vecCol)).as(Seq("__d", "__v")))
+      .select((col("__d") + 1).as("dim"), col("__v").cast("double").as("__v"))
+      .groupBy(col("dim"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("__v") === 0.0, 1L).otherwise(0L)).as("n_zero"),
+        min(col("__v")).as("min_v"), max(col("__v")).as("max_v"))
+
   /** Approximate kNN graph: every vector's top-`k` nearest neighbors
     * among its sign-LSH bucket collisions, exact-cosine ranked — the
     * corpus-wide neighbor structure clustering, SemDeDup-style audits,

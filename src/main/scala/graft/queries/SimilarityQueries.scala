@@ -367,9 +367,20 @@ object SimilarityQueries {
       .orderBy($"id")
   }
 
+  /** Per-dimension embedding QA: range + zero counts per component —
+    * dead dimensions and scale imbalance, the index-geometry
+    * preconditions q115's whole-vector checks can't see.
+    */
+  private def q147(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Similarity.dimensionProfile(Tables.embeddings(s, dir), "embedding")
+      .orderBy($"dim")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q136_truncation_recall" -> (q136 _),
     "q144_semantic_clusters" -> (q144 _),
+    "q147_dimension_profile" -> (q147 _),
     "q130_knn_graph" -> (q130 _),
     "q126_hard_negatives" -> (q126 _),
     "q99_semdedup" -> (q99 _),
@@ -394,6 +405,17 @@ object SimilarityQueries {
     "q79_ann_quantized" -> (q79 _))
 
   val oracles: Map[String, String] = Map(
+    // q147: per-dimension range/zero counts — exact on identical
+    // floats (min/max/counts, no order-dependent sums).
+    "q147_dimension_profile" ->
+      """SELECT i.i AS dim,
+        |       count(*) AS n,
+        |       sum(CASE WHEN e.embedding[i.i] = 0 THEN 1 ELSE 0 END) AS n_zero,
+        |       min(CAST(e.embedding[i.i] AS DOUBLE)) AS min_v,
+        |       max(CAST(e.embedding[i.i] AS DOUBLE)) AS max_v
+        |FROM embeddings e, (SELECT unnest(range(1, 65)) AS i) i
+        |GROUP BY i.i
+        |ORDER BY dim""".stripMargin,
     // q144: q130's kNN-edge CTEs (rank ≤ 5, cosine ≥ 0.5, normalized
     // undirected) + q53's recursive closure → per-id min-reachable
     // label.

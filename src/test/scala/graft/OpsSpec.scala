@@ -1150,6 +1150,22 @@ class OpsSpec extends SparkSuite {
       ("en", "en", 2L, 2.0 / 3)))
   }
 
+  test("dimensionProfile flags dead and imbalanced dimensions") {
+    import spark.implicits._
+    val emb = Seq(
+      (1L, Array(0f, 1f, 100f)),
+      (2L, Array(0f, -2f, 50f)),
+      (3L, Array(0f, 3f, 0f))).toDF("vec_id", "embedding")
+    val out = Similarity.dimensionProfile(emb, "embedding")
+      .orderBy($"dim").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4)))
+    assert(out.toSeq === Seq(
+      (1, 3L, 3L, 0.0, 0.0),      // dead dimension: all zero
+      (2, 3L, 0L, -2.0, 3.0),
+      (3, 3L, 1L, 0.0, 100.0)))   // 50x the others' range
+  }
+
   test("knnGraph: identical vectors are rank-1 neighbors, k respected") {
     import spark.implicits._
     val base = Array.tabulate(8)(i => math.cos(i * 0.7).toFloat)
