@@ -35,6 +35,16 @@ object Sinks {
   def deadLetterJson(df: DataFrame, dir: String): Unit =
     df.write.mode("append").json(dir)
 
+  /** JSONL export — the interchange format most training-data loaders
+    * consume (one JSON object per line, optionally gzipped so shards
+    * stream-decompress). Parallel many-file write by default; pair with
+    * `repartition(n)` upstream to control shard count.
+    */
+  def jsonl(df: DataFrame, dir: String, gzip: Boolean = false): Unit = {
+    val w = df.write.mode("overwrite")
+    (if (gzip) w.option("compression", "gzip") else w).json(dir)
+  }
+
   /** K4/K5: driver-side small-artifact writers (stats JSON, Markdown
     * report). These hold collected aggregates — bytes, not data — so a
     * plain file write is the right tool even at cluster scale.

@@ -195,4 +195,28 @@ class PipelineSpec extends SparkSuite {
     assert(merged.columns.toSet.contains("points"))
     assert(merged.where($"media_type".isNull).count() === 1)
   }
+
+  test("jsonl sink round-trips plain and gzipped, one object per line") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-jsonl").toString
+    val df = Seq((1L, "alpha"), (2L, "beta \"quoted\"")).toDF("doc_id", "text")
+    Sinks.jsonl(df.repartition(1), s"$dir/plain")
+    Sinks.jsonl(df.repartition(1), s"$dir/gz", gzip = true)
+    // gzip shards carry the .gz suffix so loaders stream-decompress
+    val gzFiles = new java.io.File(s"$dir/gz").listFiles()
+      .filter(_.getName.endsWith(".json.gz"))
+    assert(gzFiles.nonEmpty)
+    // both round-trip through Spark's reader with identical content
+    for (sub <- Seq("plain", "gz")) {
+      val back = spark.read.json(s"$dir/$sub")
+        .select($"doc_id", $"text").as[(Long, String)].collect().toSet
+      assert(back === Set((1L, "alpha"), (2L, "beta \"quoted\"")))
+    }
+    // the plain form is literally one JSON object per line
+    val lines = new java.io.File(s"$dir/plain").listFiles()
+      .filter(_.getName.endsWith(".json"))
+      .flatMap(f => scala.io.Source.fromFile(f).getLines())
+    assert(lines.length === 2)
+    assert(lines.forall(l => l.startsWith("{") && l.endsWith("}")))
+  }
 }
