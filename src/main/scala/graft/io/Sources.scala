@@ -40,6 +40,29 @@ object Sources {
       .option("mergeSchema", true)
       .parquet(dir)
 
+  /** [[parquetTree]] that SKIPS corrupt shards instead of failing the
+    * job — the operational mode for a 100 TB scan where one truncated
+    * upload should cost one shard, not the run. Skipped files are
+    * logged by Spark (`ignoreCorruptFiles`), not silent-dropped without
+    * trace; pair with [[graft.agg.Statistics.fileSizeProfile]]'s census
+    * to reconcile expected-vs-read shard counts after a lenient run.
+    * Default reads stay strict: corruption in a pipeline that DIDN'T
+    * opt in should fail loudly.
+    *
+    * Schema inference reads ONE footer, so when the corrupt shard is
+    * the first file in listing order inference itself has nothing to
+    * read and fails — pass `schema` (the table contract) to make the
+    * scan corruption-proof end to end.
+    */
+  def parquetTreeLenient(spark: SparkSession, dir: String,
+      schema: Option[org.apache.spark.sql.types.StructType] = None): DataFrame = {
+    val r = spark.read
+      .option("recursiveFileLookup", true)
+      .option("pathGlobFilter", "*.parquet")
+      .option("ignoreCorruptFiles", true)
+    schema.fold(r)(r.schema).parquet(dir)
+  }
+
   /** U1 on already-loaded frames: union-by-name with null-fill. */
   def unionMerged(dfs: Seq[DataFrame]): DataFrame =
     dfs.reduce(_.unionByName(_, allowMissingColumns = true))

@@ -196,6 +196,28 @@ class PipelineSpec extends SparkSuite {
     assert(merged.where($"media_type".isNull).count() === 1)
   }
 
+  test("lenient tree scan skips a corrupt shard; strict scan fails loudly") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-corrupt").toString
+    val good = Seq((1L, "good"), (2L, "rows")).toDF("id", "v")
+    good.write.parquet(s"$dir/good.parquet")
+    // a truncated upload: right suffix, garbage bytes — named to sort
+    // AFTER the good shard so schema inference has a readable footer
+    Files.write(java.nio.file.Path.of(s"$dir/zz_broken.parquet"),
+      "not a parquet file at all".getBytes("UTF-8"))
+    assert(Sources.parquetTreeLenient(spark, dir).count() === 2)
+    assert(intercept[org.apache.spark.SparkException] {
+      Sources.parquetTree(spark, dir).count()
+    }.getMessage != null)
+    // corrupt shard FIRST in listing order: inference has nothing to
+    // read — the explicit-schema form is corruption-proof end to end
+    Files.write(java.nio.file.Path.of(s"$dir/aa_broken.parquet"),
+      "also garbage".getBytes("UTF-8"))
+    val withSchema = Sources.parquetTreeLenient(spark, dir,
+      schema = Some(good.schema))
+    assert(withSchema.count() === 2)
+  }
+
   test("jsonl sink round-trips plain and gzipped, one object per line") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-jsonl").toString
