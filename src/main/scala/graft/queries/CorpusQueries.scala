@@ -453,6 +453,22 @@ object CorpusQueries {
       .orderBy($"rank")
   }
 
+  /** q133's bucket SIZES per language — rank terciles depend only on
+    * per-language row counts (head = floor(n/3), middle = floor(2n/3) −
+    * floor(n/3), tail = the rest), never on the ln values that order
+    * them, so the counts hash-gate even though the assignment can't.
+    */
+  private def q133b(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    Vocab.ccnetBuckets(
+        docs.where($"doc_id" % 5 === 0),
+        docs.where($"doc_id" % 5 =!= 0), "doc_id", "text", "lang")
+      .groupBy($"lang", $"bucket")
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy($"lang", $"bucket")
+  }
+
   /** Per-source token-length percentile profile (p50/p90/p99, exact
     * rank basis) — the context-length design table per feed, from one
     * window pass.
@@ -582,6 +598,7 @@ object CorpusQueries {
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q131_rrf_hybrid" -> (q131 _),
     "q133_ccnet_buckets" -> (q133 _),
+    "q133b_ccnet_bucket_counts" -> (q133b _),
     "q134_content_manifest" -> (q134 _),
     "q137_vocab_sweep" -> (q137 _),
     "q139_release_churn" -> (q139 _),
@@ -965,6 +982,24 @@ object CorpusQueries {
         |FROM j ORDER BY cutoff""".stripMargin,
     // both releases rebuilt in SQL, full-outer joined on id, fingerprints
     // compared — the same md5 the Spark side computes
+    // q133b: tercile sizes from per-language counts alone — rank ≤ n/3
+    // ⟺ rank ≤ floor(n/3) and the cume_dist double comparison sits
+    // ≫ ulp from the boundary for any n here, so the counts are exact
+    // without touching the ln ordering. Docs without a bigram never
+    // enter the scored frame (the len ≥ 2 filter — vacuous at sf0.01).
+    "q133b_ccnet_bucket_counts" ->
+      """WITH c AS (SELECT lang, count(*) AS n FROM documents
+        |           WHERE doc_id % 5 = 0
+        |             AND len(string_split_regex(trim(text), ' +')) >= 2
+        |           GROUP BY lang),
+        |b AS (
+        |  SELECT lang, 'head' AS bucket, n // 3 AS n_docs FROM c
+        |  UNION ALL
+        |  SELECT lang, 'middle' AS bucket, (2*n) // 3 - n // 3 AS n_docs FROM c
+        |  UNION ALL
+        |  SELECT lang, 'tail' AS bucket, n - (2*n) // 3 AS n_docs FROM c)
+        |SELECT lang, bucket, n_docs FROM b WHERE n_docs > 0
+        |ORDER BY lang, bucket""".stripMargin,
     // q142: rank-based discrete percentiles — smallest value whose
     // cume_dist reaches p; both engines derive cd as rank/n of the
     // same integers, and the p literals parse to identical doubles.

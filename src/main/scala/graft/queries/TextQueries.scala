@@ -809,7 +809,11 @@ object TextQueries {
         |ORDER BY idA, idB""".stripMargin,
     // q145: q27's md5 MinHash/band CTEs at threshold 0.3, bucketed by
     // floor(j*20) — counts are integers, bucket edges floor identical
-    // doubles.
+    // doubles. Like every minhash oracle, the bucket cap (1000) is not
+    // modeled: it provably cannot trigger at the sf0.01 gate (max
+    // band-bucket ≈ 500), and DOES trigger at sf0.1 (the bench's
+    // lsh_candidates cap_drops), where this histogram intentionally
+    // reports the capped production answer, not the uncapped one.
     "q145_jaccard_histogram" ->
       """WITH t AS (SELECT doc_id, list_distinct(string_split_regex(trim(text), ' +')) AS toks
         |           FROM documents),
