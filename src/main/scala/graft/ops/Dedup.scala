@@ -278,6 +278,41 @@ object Dedup {
     * once and mixes the index in, instead of interpreting a lambda per
     * (token, k) pair.
     */
+  /** Banding-geometry advisor: the smallest (numHashes, bands) whose
+    * S-curve clears `targetRecall` at the detection `threshold` while
+    * minimizing junk candidates at the background similarity — the
+    * SCALE.md band-geometry rule as code, so a pipeline picks its
+    * banding from requirements instead of folklore (the round-3
+    * lesson: 8×2 banding at a 0.9 threshold pulled ~53% of random
+    * J≈0.3 pairs into verification and the pipelines were
+    * candidate-bound).
+    *
+    * Per-pair collision probability at similarity J with b bands of r
+    * rows is `1 − (1 − J^r)^b`. Among geometries with `rows·bands ≤
+    * maxHashes` and recall(threshold) ≥ targetRecall, picks the one
+    * with the lowest junk rate at `backgroundJ`, tie-broken to fewer
+    * total hashes (cheaper signatures).
+    *
+    * @return (numHashes, bands, rows, recallAtThreshold, junkAtBackground)
+    */
+  def bandingFor(threshold: Double, targetRecall: Double = 0.95,
+      backgroundJ: Double = 0.3,
+      maxHashes: Int = 128): (Int, Int, Int, Double, Double) = {
+    require(threshold > 0 && threshold < 1 && targetRecall > 0 &&
+      targetRecall < 1 && backgroundJ >= 0 && backgroundJ < threshold,
+      s"bad advisor inputs: t=$threshold r=$targetRecall bg=$backgroundJ")
+    def collide(j: Double, r: Int, b: Int): Double =
+      1.0 - math.pow(1.0 - math.pow(j, r), b)
+    val candidates = for {
+      r <- 1 to maxHashes
+      b <- 1 to maxHashes / r
+      rec = collide(threshold, r, b) if rec >= targetRecall
+    } yield (r * b, b, r, rec, collide(backgroundJ, r, b))
+    require(candidates.nonEmpty,
+      s"no geometry within $maxHashes hashes reaches recall $targetRecall")
+    candidates.minBy { case (n, _, _, _, junk) => (junk, n) }
+  }
+
   def minhashSignature(tokenArr: Column, numHashes: Int): Column =
     graftFn("graft_minhash", tokenArr, lit(numHashes))
 

@@ -963,6 +963,27 @@ class OpsSpec extends SparkSuite {
     }
   }
 
+  test("bandingFor: meets the recall target, prefers low junk, matches closed form") {
+    def collide(j: Double, r: Int, b: Int): Double =
+      1.0 - math.pow(1.0 - math.pow(j, r), b)
+    val (n, b, r, rec, junk) = Dedup.bandingFor(
+      threshold = 0.95, targetRecall = 0.95, backgroundJ = 0.3,
+      maxHashes = 64)
+    assert(n === b * r && n <= 64)
+    assert(rec === collide(0.95, r, b) && rec >= 0.95)
+    assert(junk === collide(0.3, r, b))
+    // exhaustive optimality: no admissible geometry has lower junk
+    for (rr <- 1 to 64; bb <- 1 to 64 / rr
+         if collide(0.95, rr, bb) >= 0.95) {
+      assert(collide(0.3, rr, bb) >= junk ||
+        (collide(0.3, rr, bb) == junk && rr * bb >= n))
+    }
+    // the round-3 lesson quantified: the advisor's junk rate is far
+    // below the 8x2 geometry's ~53% at the same recall
+    assert(junk < 0.05)
+    assert(collide(0.3, 2, 8) > 0.5)
+  }
+
   test("exactSubstrDedup removes shifted copies and self-repetition") {
     import spark.implicits._
     // doc 2 embeds doc 1's tokens at a SHIFTED alignment (chunk-aligned
