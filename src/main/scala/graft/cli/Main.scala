@@ -15,6 +15,7 @@ import graft.pipeline.Pipelines
   *   graft.cli.Main aggregate <shardsDir> <outDir>
   *   graft.cli.Main plan      <totalRecords> <numSegments> <avgSecPerRecord>
   *   graft.cli.Main query     <tableDir> <name|SQL> [outDir]
+  *   graft.cli.Main release   <corpusParquet> <outDir> [sampleRate]
   *
   * `query` runs either a named `SparkEntry.queries` entry (e.g.
   * `q01_stats_global`) or, when the argument is not a known name, an
@@ -83,6 +84,13 @@ object Main {
           println(s"rows=${spark.read.parquet(outDir).count()}")
         case None => df.show(20, truncate = false)
       }
+      spark.stop()
+
+    case "release" :: corpus :: outDir :: rest =>
+      val rate = rest.headOption.map(_.toDouble).getOrElse(0.05)
+      val spark = session()
+      Pipelines.datasetRelease(spark, corpus, outDir, sampleRate = rate)
+      println(s"release artifacts written to $outDir")
       spark.stop()
 
     case "plan" :: total :: segments :: avgSec :: Nil =>

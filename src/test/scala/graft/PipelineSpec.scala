@@ -218,6 +218,32 @@ class PipelineSpec extends SparkSuite {
     assert(withSchema.count() === 2)
   }
 
+  test("datasetRelease writes datasheet, manifest, sample and the data card") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("graft-release").toString
+    val card = Pipelines.datasetRelease(spark,
+      s"$sfDir/documents.parquet", out)
+    // artifacts on disk
+    val datasheet = spark.read.parquet(s"$out/datasheet.parquet")
+    val manifest = spark.read.parquet(s"$out/manifest.parquet")
+    val sample = spark.read.json(s"$out/sample.jsonl")
+    val docs = Tables.documents(spark, sfDir)
+    assert(datasheet.count() === docs.select($"source").distinct().count())
+    assert(manifest.count() === datasheet.count())
+    // the md5 sample rule is reproducible: re-derive the expected ids
+    val expected = docs.where(graft.ops.Sampling.md5Bucket($"doc_id",
+        "release") < 50000L)
+      .select($"doc_id").collect().map(_.getLong(0)).toSet
+    assert(sample.select($"doc_id").collect().map(_.getLong(0)).toSet
+      === expected)
+    // the card carries every section and matches the written file
+    assert(Files.readString(java.nio.file.Path.of(s"$out/DATASHEET.md"))
+      === card)
+    for (section <- Seq("# Corpus datasheet", "## Duplication density",
+        "## Content manifest", "## Parquet layout"))
+      assert(card.contains(section), section)
+  }
+
   test("jsonl sink round-trips plain and gzipped, one object per line") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-jsonl").toString
