@@ -533,6 +533,52 @@ class CorpusOpsSpec extends SparkSuite {
     assert(out.toSeq === Seq(("A", 5L, 9L, 10L), ("B", 2L, 4L, 4L)))
   }
 
+  test("groupPercentiles matches a sorted-sequence model on random groups") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(21)
+    val data = (0 until 400).map(_ =>
+      (s"g${rnd.nextInt(5)}", rnd.nextInt(50).toLong))
+    val ps = Seq(0.25, 0.5, 0.9, 0.99)
+    def model(vs: Seq[Long], p: Double): Long = {
+      // smallest value whose cume_dist (= #values <= v / n) reaches p
+      val sorted = vs.sorted
+      sorted.find(v => sorted.count(_ <= v).toDouble / vs.size >= p).get
+    }
+    val got = Quantiles.groupPercentiles(data.toDF("g", "v"), "g", "v", ps)
+      .collect()
+      .map(r => r.getString(0) ->
+        ps.indices.map(i => r.getLong(1 + i)))
+      .toMap
+    data.groupBy(_._1).foreach { case (g, rows) =>
+      val vs = rows.map(_._2)
+      assert(got(g) === ps.map(p => model(vs, p)), g)
+    }
+  }
+
+  test("vocabSizeSweep matches a rank model on random corpora") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(31)
+    val vocab = ('a' to 'j').map(_.toString)
+    val docs = (0 until 50).map(_ =>
+      (0 until (1 + rnd.nextInt(20)))
+        .map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    val sizes = Seq(2, 5, 20)
+    val toks = docs.flatMap(_.split(" "))
+    val ranked = toks.groupBy(identity).map { case (t, o) => (t, o.size) }
+      .toSeq.sortBy { case (t, n) => (-n, t) }.map(_._1)
+    val out = Vocab.vocabSizeSweep(docs.toDF("text"), "text", sizes)
+      .collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))))
+      .toMap
+    sizes.foreach { s =>
+      val inVocab = ranked.take(s).toSet
+      val covered = toks.count(inVocab)
+      assert(out(s) === ((ranked.size.toLong, math.min(s, ranked.size).toLong,
+        toks.size.toLong, covered.toLong, (toks.size - covered).toLong)), s"size $s")
+    }
+  }
+
   test("joinCoverage: per-group match counts, duplicate right keys count once") {
     import spark.implicits._
     val left = Seq((1L, "A"), (2L, "A"), (3L, "B"), (4L, "B"), (5L, "B"))
