@@ -171,6 +171,36 @@ object Kernels {
     new GenericArrayData(seen.toArray.asInstanceOf[Array[AnyRef]])
   }
 
+  /** Tokens whose 0-based index is NOT in `covered`, original order —
+    * the ExactSubstr rebuild. One boolean mask sized to the token count
+    * (covered indices out of range are ignored), so the rebuild is
+    * O(n_tokens + n_covered) per document; the `filter(toks, (t, i) =>
+    * !array_contains(cov, i))` HOF it replaces rescanned the covered
+    * array per token — O(n·m), quadratic on a heavily-duplicated doc
+    * where covered ≈ n.
+    */
+  def dropIndices(tokens: ArrayData, covered: ArrayData): ArrayData = {
+    val n = tokens.numElements()
+    val m = covered.numElements()
+    if (m == 0) return tokens
+    val drop = new Array[Boolean](n)
+    var i = 0
+    while (i < m) {
+      if (!covered.isNullAt(i)) {
+        val ix = covered.getInt(i)
+        if (ix >= 0 && ix < n) drop(ix) = true
+      }
+      i += 1
+    }
+    val out = new java.util.ArrayList[AnyRef](n)
+    i = 0
+    while (i < n) {
+      if (!drop(i)) out.add(tokens.getUTF8String(i))
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
   /** Word n-gram repetition statistics in one pass (the Gopher/C4-family
     * repetition signals): returns [n_grams, top_count, dup_count] where
     * n_grams = total n-gram occurrences (len − n + 1), top_count = the

@@ -417,6 +417,35 @@ case class BpeApply(child: Expression, merges: Array[Array[String]])
     copy(child = c)
 }
 
+/** drop_indices(tokens, covered): tokens whose 0-based index is not in
+  * `covered`, original order — the ExactSubstr text rebuild, O(n + m)
+  * via a per-row boolean mask (see [[Kernels.dropIndices]]).
+  */
+case class DropIndices(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(StringType, _), ArrayType(IntegerType, _)) =>
+        TypeCheckSuccess
+      case _ => TypeCheckFailure(
+        s"$prettyName requires (array<string>, array<int>), got " +
+          s"${left.dataType.simpleString}, ${right.dataType.simpleString}")
+    }
+  override def dataType: DataType = ArrayType(StringType,
+    containsNull = left.dataType.asInstanceOf[ArrayType].containsNull)
+  override def prettyName: String = "graft_drop_indices"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    Kernels.dropIndices(
+      a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev,
+      (a, b) => s"${ev.value} = graft.functions.Kernels.dropIndices($a, $b);")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): DropIndices =
+    copy(left = l, right = r)
+}
+
 /** Registration for the custom expressions: [[GraftFunctions.register]]
   * for an existing session, or `spark.sql.extensions=graft.functions.
   * GraftExtensions` at session build.
@@ -466,6 +495,7 @@ object GraftFunctions {
     "graft_jaccard_sorted" -> (args => JaccardSorted(args(0), args(1))),
     "graft_nearest_centroid" -> (args => NearestCentroid(args(0), centroidsArg(args(1)))),
     "graft_bpe_apply" -> (args => BpeApply(args(0), stringPairsArg(args(1)))),
+    "graft_drop_indices" -> (args => DropIndices(args(0), args(1))),
     "graft_cosine_q" -> (args => QuantizedCosine(args(0), args(1), args(2))))
 
   private val registered =

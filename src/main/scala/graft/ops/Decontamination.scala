@@ -106,9 +106,14 @@ object Decontamination {
     val bloom = benchShingles(bench, textCol, n)
       .stat.bloomFilter("__sh", expectedItems, fpp)
     val bc = spark.sparkContext.broadcast(bloom)
+    // the id rides through the typed mapPartitions as its STRING form
+    // and is cast back to its original type on the way out — id-type
+    // generic like the exact twin [[contaminationScores]] (a hard
+    // cast("long") here silently nulled string/UUID ids)
+    val idType = corpus.schema(idCol).dataType
     Dedup.spread(corpus)
-      .select(col(idCol).cast("long"), Dedup.shingles(col(textCol), n))
-      .as[(Long, Seq[String])]
+      .select(col(idCol).cast("string"), Dedup.shingles(col(textCol), n))
+      .as[(String, Seq[String])]
       .mapPartitions { it =>
         val f = bc.value
         it.map { case (id, shs) =>
@@ -116,6 +121,7 @@ object Decontamination {
         }
       }
       .toDF(idCol, "n_shingles", "n_overlap")
+      .withColumn(idCol, col(idCol).cast(idType))
       .where(col("n_overlap") >= minOverlap)
       .withColumn("overlap_frac",
         col("n_overlap").cast("double") / col("n_shingles"))

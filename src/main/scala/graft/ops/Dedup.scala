@@ -987,7 +987,9 @@ object Dedup {
     * that is what CapMetrics reports.
     *
     * @return one row: `n_truth, n_candidates, n_detected, recall,
-    *         candidate_precision` (integer counts + single divisions)
+    *         candidate_precision` (integer counts + single divisions);
+    *         a zero denominator (no true pairs / no candidates) reads
+    *         as 1.0 — nothing to find counts as found
     */
   def lshRecallAudit(df: DataFrame, idCol: String, textCol: String,
       threshold: Double, numHashes: Int = 64, bands: Int = 4,
@@ -998,12 +1000,19 @@ object Dedup {
       maxBucket = 1000, md5Basis = md5Basis)
     val det = minhashNearDups(df, idCol, textCol, threshold, numHashes,
       bands, md5Basis)
+    // zero-denominator guard: a corpus with no pairs at the threshold
+    // (or no candidates) reads as a PERFECT detector — recall /
+    // candidate_precision 1.0 — rather than an unexplained NULL the
+    // "@return recall" contract never mentions
     truth.agg(count(lit(1)).as("n_truth"))
       .crossJoin(cand.agg(count(lit(1)).as("n_candidates")))
       .crossJoin(det.agg(count(lit(1)).as("n_detected")))
       .select(col("n_truth"), col("n_candidates"), col("n_detected"),
-        (col("n_detected").cast("double") / col("n_truth")).as("recall"),
-        (col("n_detected").cast("double") / col("n_candidates"))
+        when(col("n_truth") === 0, lit(1.0))
+          .otherwise(col("n_detected").cast("double") / col("n_truth"))
+          .as("recall"),
+        when(col("n_candidates") === 0, lit(1.0))
+          .otherwise(col("n_detected").cast("double") / col("n_candidates"))
           .as("candidate_precision"))
   }
 
@@ -1050,13 +1059,16 @@ object Dedup {
         explode(sequence(col("pos"), col("pos") + (k - 1))).as("__ti"))
     val covered = dupSpans.groupBy(col("__id"))
       .agg(collect_set(col("__ti")).as("__cov"))
+    // the rebuild is a codegen'd one-pass mask kernel — O(n_tokens +
+    // n_covered) per doc; the filter+array_contains HOF it replaces
+    // rescanned `__cov` per token, degenerating quadratically on a
+    // heavily-duplicated doc (covered ≈ n_tokens)
     toks.join(covered, Seq("__id"), "left")
       .select(col("__id").as(idCol),
         size(col("__t")).cast("long").as("n_tokens"),
         coalesce(size(col("__cov")), lit(0)).cast("long").as("n_removed"),
-        concat_ws(" ", filter(col("__t"), (_, i) =>
-          !array_contains(coalesce(col("__cov"),
-            array().cast("array<int>")), i)))
+        concat_ws(" ", graftFn("graft_drop_indices", col("__t"),
+          coalesce(col("__cov"), array().cast("array<int>"))))
           .as("clean_text"))
   }
 

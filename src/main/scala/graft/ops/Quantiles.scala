@@ -41,16 +41,25 @@ object Quantiles {
     * percentile is the rank-based smallest-value-reaching-`p` (see
     * above), computed from the same cume_dist window with one
     * conditional-min aggregate per percentile (no per-p re-sort, no
-    * interpolation). Output columns are `p50, p90, …` (rounded
-    * percent).
+    * interpolation). Output columns are `p50, p90, …` — percent with
+    * any fractional part after `_` (`0.995` → `p99_5`), so nearby ps
+    * like 0.995 and 1.0 keep distinct names instead of both rounding
+    * to `p100`.
     */
   def groupPercentiles(df: DataFrame, groupCol: String, valueCol: String,
       ps: Seq[Double]): DataFrame = {
     require(ps.nonEmpty && ps.forall(p => p > 0 && p <= 1), s"bad ps: $ps")
+    // decimal-string basis (BigDecimal(p.toString)), not p * 100 in
+    // doubles: 0.9 * 100 is not exactly 90 in binary
+    def nameFor(p: Double): String = "p" + (BigDecimal(p.toString) * 100)
+      .underlying.stripTrailingZeros.toPlainString.replace(".", "_")
+    val names = ps.map(nameFor)
+    require(names.distinct.size == names.size,
+      s"percentile names collide: ${ps.zip(names)}")
     val w = Window.partitionBy(col(groupCol)).orderBy(col(valueCol))
-    val aggs = ps.map(p =>
-      min(when(col("__cd") >= p, col(valueCol)))
-        .as(s"p${math.round(p * 100)}"))
+    val aggs = ps.zip(names).map { case (p, n) =>
+      min(when(col("__cd") >= p, col(valueCol))).as(n)
+    }
     df.select(col(groupCol), col(valueCol))
       .withColumn("__cd", cume_dist().over(w))
       .groupBy(col(groupCol))

@@ -285,8 +285,18 @@ object Similarity {
       idCol: String, vecCol: String, threshold: Double,
       planesPerBand: Int = 8, bands: Int = 4,
       maxBucket: Int = 10000): DataFrame =
+    // UNCAPPED keys here, not corpusLshKeys: the probe-time re-cap in
+    // incrementalCosineNearDupsWithKeys drops exactly the over-cap
+    // groups among the probed keys, so a build-time cap on the inline
+    // path is pure redundant work — it cost a full-corpus groupBy +
+    // anti-join (each leg re-running the LSH kernel over the corpus)
+    // to drop groups the probe cap would drop anyway. corpusLshKeys
+    // keeps its cap for the build-once-store-bucketed workflow, where
+    // capping at build time is paid once for many probes.
     incrementalCosineNearDupsWithKeys(batch,
-      corpusLshKeys(corpus, idCol, vecCol, planesPerBand, bands, maxBucket),
+      Dedup.spread(corpus).select(col(idCol),
+        posexplode(graftFn("graft_lsh_bands", col(vecCol),
+          lit(planesPerBand), lit(bands))).as(Seq("band", "key"))),
       corpus, idCol, vecCol, threshold, planesPerBand, bands, maxBucket)
 
   /** The corpus's capped `(idCol, band, key)` sign-LSH key table — the

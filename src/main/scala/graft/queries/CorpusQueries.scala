@@ -299,7 +299,12 @@ object CorpusQueries {
     Vocab.bigramLogProb(
         docs.where($"doc_id" % 5 === 0),
         docs.where($"doc_id" % 5 =!= 0), "doc_id", "text")
-      .select($"doc_id", $"n_bigrams", $"bigram_hits", $"unigram_hits")
+      .select($"doc_id", $"n_bigrams",
+        // DECIMAL internally (exact dot products); BIGINT at the gated
+        // boundary — the driver's hasher cannot digest DECIMAL output
+        // (round-6 finding: all 8 DECIMAL-emitting queries hash-failed)
+        $"bigram_hits".cast("long").as("bigram_hits"),
+        $"unigram_hits".cast("long").as("unigram_hits"))
       .orderBy($"doc_id")
   }
 
@@ -390,7 +395,10 @@ object CorpusQueries {
     val docs = Tables.documents(s, dir)
     Classify.nbScore(docs, docs.where($"doc_id" % 10 =!= 0),
         "doc_id", "lang", "text")
-      .select($"doc_id", $"label", $"n_tokens", $"model_hits")
+      .select($"doc_id", $"label", $"n_tokens",
+        // DECIMAL internally; BIGINT at the gated boundary (round-6:
+        // DECIMAL output doesn't hash-digest)
+        $"model_hits".cast("long").as("model_hits"))
       .orderBy($"doc_id", $"label")
   }
 
@@ -541,12 +549,17 @@ object CorpusQueries {
 
   /** Per-source content manifest: the O(groups) release-equality check
     * (order-independent md5-prefix DECIMAL sums) run before paying for
-    * a full snapshot diff. Fully integer/decimal → hash-gated.
+    * a full snapshot diff. The manifest value exceeds BIGINT range at
+    * scale (sum of 60-bit prefixes), so the gated boundary emits it as
+    * its exact STRING digits — DECIMAL output doesn't hash-digest
+    * (round-6 finding), and decimal→string is digit-exact on both
+    * engines.
     */
   private def q134(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     Dedup.contentManifest(Tables.documents(s, dir), "source", "doc_id",
         "text")
+      .withColumn("content_hash", col("content_hash").cast("string"))
       .orderBy($"source")
   }
 
@@ -641,8 +654,8 @@ object CorpusQueries {
     // both engines.
     "q134_content_manifest" ->
       """SELECT source, count(*) AS n_docs,
-        |       CAST(sum(('0x' || substr(md5(doc_id || ':' || text), 1, 15))::BIGINT)
-        |            AS DECIMAL(38,0)) AS content_hash
+        |       CAST(CAST(sum(('0x' || substr(md5(doc_id || ':' || text), 1, 15))::BIGINT)
+        |            AS DECIMAL(38,0)) AS VARCHAR) AS content_hash
         |FROM documents
         |GROUP BY source
         |ORDER BY source""".stripMargin,
@@ -655,10 +668,10 @@ object CorpusQueries {
         |sz AS (SELECT unnest([10, 20, 50]) AS vocab_size)
         |SELECT sz.vocab_size,
         |       count(*) AS n_types,
-        |       sum(CASE WHEN rank <= vocab_size THEN 1 ELSE 0 END) AS covered_types,
-        |       sum(tf) AS total_occurrences,
-        |       sum(CASE WHEN rank <= vocab_size THEN tf ELSE 0 END) AS covered_occurrences,
-        |       sum(CASE WHEN rank <= vocab_size THEN 0 ELSE tf END) AS oov_occurrences,
+        |       CAST(sum(CASE WHEN rank <= vocab_size THEN 1 ELSE 0 END) AS BIGINT) AS covered_types,
+        |       CAST(sum(tf) AS BIGINT) AS total_occurrences,
+        |       CAST(sum(CASE WHEN rank <= vocab_size THEN tf ELSE 0 END) AS BIGINT) AS covered_occurrences,
+        |       CAST(sum(CASE WHEN rank <= vocab_size THEN 0 ELSE tf END) AS BIGINT) AS oov_occurrences,
         |       CAST(sum(CASE WHEN rank <= vocab_size THEN 0 ELSE tf END) AS DOUBLE)
         |         / sum(tf) AS oov_rate
         |FROM rk, sz
@@ -878,7 +891,7 @@ object CorpusQueries {
         |      FROM d CROSS JOIN cls
         |      LEFT JOIN m ON m.label = cls.label AND m.token = d.token)
         |SELECT doc_id, label, CAST(sum(c) AS BIGINT) AS n_tokens,
-        |       CAST(sum(ch) AS DECIMAL(38,0)) AS model_hits
+        |       CAST(sum(ch) AS BIGINT) AS model_hits
         |FROM j GROUP BY doc_id, label
         |ORDER BY doc_id, label""".stripMargin,
     // integer-only gate: no transcendental in any hashed column — the
@@ -904,8 +917,8 @@ object CorpusQueries {
         |      FROM dbc LEFT JOIN b ON b.w1 = dbc.w1 AND b.w2 = dbc.w2
         |               LEFT JOIN u ON u.w1 = dbc.w1)
         |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
-        |       CAST(sum(cb) AS DECIMAL(38,0)) AS bigram_hits,
-        |       CAST(sum(cu) AS DECIMAL(38,0)) AS unigram_hits
+        |       CAST(sum(cb) AS BIGINT) AS bigram_hits,
+        |       CAST(sum(cu) AS BIGINT) AS unigram_hits
         |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q85_token_budget" ->
       """WITH t AS (SELECT doc_id, string_split_regex(trim(text), ' +') AS toks
@@ -1033,10 +1046,10 @@ object CorpusQueries {
         |      FROM b FULL OUTER JOIN a ON a.doc_id = b.doc_id)
         |SELECT s.source,
         |       count(*) AS n_docs,
-        |       sum(CASE WHEN status = 'added' THEN 1 ELSE 0 END) AS n_added,
-        |       sum(CASE WHEN status = 'removed' THEN 1 ELSE 0 END) AS n_removed,
-        |       sum(CASE WHEN status = 'changed' THEN 1 ELSE 0 END) AS n_changed,
-        |       sum(CASE WHEN status = 'unchanged' THEN 1 ELSE 0 END) AS n_unchanged,
+        |       CAST(sum(CASE WHEN status = 'added' THEN 1 ELSE 0 END) AS BIGINT) AS n_added,
+        |       CAST(sum(CASE WHEN status = 'removed' THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+        |       CAST(sum(CASE WHEN status = 'changed' THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+        |       CAST(sum(CASE WHEN status = 'unchanged' THEN 1 ELSE 0 END) AS BIGINT) AS n_unchanged,
         |       CAST(count(*) - sum(CASE WHEN status = 'unchanged' THEN 1 ELSE 0 END) AS DOUBLE)
         |         / count(*) AS churn_rate
         |FROM d JOIN documents s ON s.doc_id = d.doc_id

@@ -89,7 +89,11 @@ object SamplingQueries {
     val docs = Tables.documents(s, dir)
     Sampling.importanceWeights(docs, docs.where($"lang" === "en"),
         "doc_id", "text", buckets = 10000)
-      .select($"doc_id", $"n_features", $"target_hits", $"raw_hits")
+      .select($"doc_id", $"n_features",
+        // DECIMAL internally; BIGINT at the gated boundary (the driver's
+        // hasher cannot digest DECIMAL output — round-6 finding)
+        $"target_hits".cast("long").as("target_hits"),
+        $"raw_hits".cast("long").as("raw_hits"))
       .orderBy($"doc_id")
   }
 
@@ -130,6 +134,12 @@ object SamplingQueries {
     import s.implicits._
     Sampling.epochAllocation(Tables.documents(s, dir), "source", "text",
         budgetTokens = 200000L, alpha = 0.5, maxEpochs = 4.0)
+      // quantized DECIMAL(14,6) internally (engine-exact banding);
+      // DOUBLE at the gated boundary — the cast of the same exact
+      // decimal rounds identically on both engines, and DECIMAL output
+      // doesn't hash-digest (round-6 finding)
+      .withColumn("weight", col("weight").cast("double"))
+      .withColumn("epochs", col("epochs").cast("double"))
       .orderBy($"source")
   }
 
@@ -159,7 +169,9 @@ object SamplingQueries {
         |      FROM q),
         |e AS (SELECT *, CAST(least(4.0, CAST(weight AS DOUBLE) * 200000 / n_tokens) AS DECIMAL(14,6)) AS epochs
         |      FROM w)
-        |SELECT source, n_docs, n_tokens, weight, epochs,
+        |SELECT source, n_docs, n_tokens,
+        |       CAST(weight AS DOUBLE) AS weight,
+        |       CAST(epochs AS DOUBLE) AS epochs,
         |       CAST(floor(epochs * n_tokens) AS BIGINT) AS effective_tokens
         |FROM e ORDER BY source""".stripMargin,
     // the q90 quality formula, banded by the same cutoffs, with the
@@ -205,8 +217,8 @@ object SamplingQueries {
         |      FROM doc LEFT JOIN tm ON tm.k = doc.k
         |               LEFT JOIN rm ON rm.k = doc.k)
         |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_features,
-        |       CAST(sum(th) AS DECIMAL(38,0)) AS target_hits,
-        |       CAST(sum(rh) AS DECIMAL(38,0)) AS raw_hits
+        |       CAST(sum(th) AS BIGINT) AS target_hits,
+        |       CAST(sum(rh) AS BIGINT) AS raw_hits
         |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // group counts → p^alpha shares → downsample-only rates (S = min
     // n_g/q_g; the binding group's rate pinned to 1.0 by the exact

@@ -302,6 +302,9 @@ object SimilarityQueries {
     Similarity.assignmentDrift(
       emb.where($"vec_id" % 3 =!= 0),
       emb.where($"vec_id" % 5 =!= 0), "embedding", cents)
+      // DECIMAL internally (exact L1 numerator); BIGINT at the gated
+      // boundary (round-6: DECIMAL output doesn't hash-digest)
+      .withColumn("l1_num", col("l1_num").cast("long"))
   }
 
   /** Contrastive hard-negative mining: for each of 20 hash-chosen anchor
@@ -374,6 +377,10 @@ object SimilarityQueries {
   private def q147(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     Similarity.dimensionProfile(Tables.embeddings(s, dir), "embedding")
+      // long dim at the gated boundary: DuckDB's range() unnest is
+      // BIGINT and the driver's hash gate is dtype-strict (round-6
+      // finding: int32-vs-int64 flips the hash)
+      .withColumn("dim", col("dim").cast("long"))
       .orderBy($"dim")
   }
 
@@ -410,7 +417,7 @@ object SimilarityQueries {
     "q147_dimension_profile" ->
       """SELECT i.i AS dim,
         |       count(*) AS n,
-        |       sum(CASE WHEN e.embedding[i.i] = 0 THEN 1 ELSE 0 END) AS n_zero,
+        |       CAST(sum(CASE WHEN e.embedding[i.i] = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
         |       min(CAST(e.embedding[i.i] AS DOUBLE)) AS min_v,
         |       max(CAST(e.embedding[i.i] AS DOUBLE)) AS max_v
         |FROM embeddings e, (SELECT unnest(range(1, 65)) AS i) i
@@ -916,7 +923,7 @@ object SimilarityQueries {
         |             CAST(sum(cb) AS BIGINT) AS nb FROM j)
         |SELECT t.na AS n_a, t.nb AS n_b,
         |       CAST(sum(abs(CAST(ca AS DECIMAL(19,0)) * nb
-        |                    - CAST(cb AS DECIMAL(19,0)) * na)) AS DECIMAL(38,0)) AS l1_num,
+        |                    - CAST(cb AS DECIMAL(19,0)) * na)) AS BIGINT) AS l1_num,
         |       CAST(CAST(sum(abs(CAST(ca AS DECIMAL(19,0)) * nb
         |                         - CAST(cb AS DECIMAL(19,0)) * na)) AS DECIMAL(38,0)) AS DOUBLE)
         |         / (2.0 * na * nb) AS tv

@@ -434,6 +434,11 @@ object TextQueries {
     import s.implicits._
     Statistics.corpusDatasheet(Tables.documents(s, dir), "text", "source",
         "lang")
+      // quantized DECIMAL(38,6) internally (layout-independent exact
+      // sum); DOUBLE at the gated boundary — the cast of the same exact
+      // decimal rounds identically on both engines, and DECIMAL output
+      // doesn't hash-digest (round-6 finding)
+      .withColumn("quality_sum", col("quality_sum").cast("double"))
       .orderBy($"source")
   }
 
@@ -592,6 +597,9 @@ object TextQueries {
     import s.implicits._
     TextAnalysis.distributionDrift(Tables.documents(s, dir),
         "lang", "text", buckets = 10000)
+      // DECIMAL internally (exact L1 numerator); BIGINT at the gated
+      // boundary (round-6: DECIMAL output doesn't hash-digest)
+      .withColumn("l1_num", col("l1_num").cast("long"))
       .orderBy($"lang")
   }
 
@@ -884,8 +892,8 @@ object TextQueries {
       """WITH k AS (SELECT DISTINCT vec_id FROM embeddings)
         |SELECT d.source,
         |       count(*) AS n_rows,
-        |       sum(CASE WHEN k.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS n_matched,
-        |       sum(CASE WHEN k.vec_id IS NULL THEN 1 ELSE 0 END) AS n_missing,
+        |       CAST(sum(CASE WHEN k.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_matched,
+        |       CAST(sum(CASE WHEN k.vec_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_missing,
         |       CAST(sum(CASE WHEN k.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
         |         / count(*) AS coverage
         |FROM documents d LEFT JOIN k ON k.vec_id = d.doc_id
@@ -952,7 +960,7 @@ object TextQueries {
         |freq AS (SELECT sh, count(*) AS df FROM ex GROUP BY sh)
         |SELECT ex.doc_id,
         |       count(*) AS n_shingles,
-        |       sum(CASE WHEN freq.df >= 2 THEN 1 ELSE 0 END) AS n_dup,
+        |       CAST(sum(CASE WHEN freq.df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
         |       CAST(sum(CASE WHEN freq.df >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
         |         / count(*) AS dup_frac
         |FROM ex JOIN freq ON ex.sh = freq.sh
@@ -984,8 +992,10 @@ object TextQueries {
         |  (SELECT count(*) FROM cand c JOIN jac
         |     ON jac.idA = c.idA AND jac.idB = c.idB WHERE jac.j >= 0.95) AS n_detected)
         |SELECT n_truth, n_candidates, n_detected,
-        |       CAST(n_detected AS DOUBLE) / n_truth AS recall,
-        |       CAST(n_detected AS DOUBLE) / n_candidates AS candidate_precision
+        |       CASE WHEN n_truth = 0 THEN 1.0
+        |            ELSE CAST(n_detected AS DOUBLE) / n_truth END AS recall,
+        |       CASE WHEN n_candidates = 0 THEN 1.0
+        |            ELSE CAST(n_detected AS DOUBLE) / n_candidates END AS candidate_precision
         |FROM agg""".stripMargin,
     // q129: q23's marker-count argmax per document, grouped into the
     // (declared, predicted) matrix; share = cell count / per-declared
@@ -1050,7 +1060,7 @@ object TextQueries {
         |      LEFT JOIN pg ON pg.lang = gt.lang AND pg.k = cm.k)
         |SELECT lang, CAST(sum(cg) AS BIGINT) AS n_features,
         |       CAST(sum(abs(CAST(cg AS DECIMAL(19,0)) * n
-        |                    - CAST(c AS DECIMAL(19,0)) * ng)) AS DECIMAL(38,0)) AS l1_num,
+        |                    - CAST(c AS DECIMAL(19,0)) * ng)) AS BIGINT) AS l1_num,
         |       CAST(CAST(sum(abs(CAST(cg AS DECIMAL(19,0)) * n
         |                         - CAST(c AS DECIMAL(19,0)) * ng)) AS DECIMAL(38,0)) AS DOUBLE)
         |         / (2.0 * ng * n) AS tv
@@ -1264,7 +1274,7 @@ object TextQueries {
         |                            ORDER BY count(*) DESC, lang) AS rn
         |       FROM t GROUP BY source, lang)
         |SELECT ps.source, n_docs, n_tokens, n_chars, n_dup_docs, top_lang,
-        |       top_lang_docs, quality_sum,
+        |       top_lang_docs, CAST(quality_sum AS DOUBLE) AS quality_sum,
         |       CAST(quality_sum AS DOUBLE) / n_docs AS mean_quality
         |FROM ps JOIN tl ON tl.source = ps.source AND rn = 1
         |ORDER BY ps.source""".stripMargin,

@@ -31,13 +31,70 @@ def load_spark_result(con, qdir):
     dset = ds.dataset(qdir, format="parquet")
     files = list(dset.files)
     if not files:
-        return None
-    return con.execute(f"SELECT * FROM read_parquet({files!r})").fetchdf()
+        return None, None
+    df = con.execute(f"SELECT * FROM read_parquet({files!r})").fetchdf()
+    return df, dset.schema
 
 def canon(df):
     df = df[sorted(df.columns)]
     df = df.sort_values(by=list(df.columns)).reset_index(drop=True)
     return df
+
+def canon_type(t, side):
+    """The driver-effective dtype class of an arrow type. Calibrated
+    against CORRECTNESS_r06.json, where the driver's hasher was green on
+    int32-vs-int64 (q21/q22/q23/q44/q99/q127/q143), date-vs-timestamp
+    (q16) and oracle-DECIMAL(3,2)-vs-spark-double (q104), yet failed
+    every query whose SPARK parquet emits DECIMAL and every
+    oracle-HUGEINT/DECIMAL-vs-spark-BIGINT pair. The implied conversion
+    model (matches all 144 r6 outcomes): the oracle side goes through
+    DuckDB's pandas conversion, which renders DECIMAL/HUGEINT as
+    float64; the spark side goes through pyarrow, which keeps parquet
+    DECIMAL as Decimal objects (matching nothing); integer widths fold
+    together; date/timestamp fold together."""
+    import pyarrow as pa
+    if pa.types.is_decimal(t):
+        return "decimal!" if side == "spark" else "double"
+    if pa.types.is_integer(t):
+        return "int"
+    if pa.types.is_floating(t):
+        return "double"
+    if pa.types.is_large_string(t) or pa.types.is_string(t):
+        return "string"
+    if pa.types.is_large_binary(t) or pa.types.is_binary(t):
+        return "binary"
+    if pa.types.is_date(t) or pa.types.is_timestamp(t):
+        return "datetime"
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        return f"list<{canon_type(t.value_type, side)}>"
+    return str(t)
+
+def dtype_check(name, spark_schema, oracle_schema):
+    """Driver-calibrated dtype gate: the round-6 driver tree failed 13
+    queries the value-level compare below called green — 8 on spark-side
+    DECIMAL output columns and 5 on DuckDB SUM(int)->HUGEINT(->float64)
+    vs Spark BIGINT. Both classes are pure dtype facts, invisible to
+    astype(float) value compares, so they are gated HERE: any spark-side
+    DECIMAL fails outright (it surfaces as Decimal objects and matches
+    nothing), and any driver-effective class mismatch (int vs double,
+    string vs anything, ...) fails. Hash-gated outputs should be
+    STRING/BIGINT/deterministic-DOUBLE — SURVEY §8."""
+    import pyarrow as pa
+    bad = []
+    st = {f.name: f.type for f in spark_schema}
+    ot = {f.name: f.type for f in oracle_schema}
+    for c in sorted(set(st) | set(ot)):
+        a, b = st.get(c), ot.get(c)
+        if a is None or b is None:
+            continue  # column-set mismatch is reported separately
+        ca, cb = canon_type(a, "spark"), canon_type(b, "oracle")
+        if "decimal!" in ca:
+            bad.append({"column": c, "kind": "decimal_output",
+                        "side": "spark", "type": str(a)})
+        elif ca != cb:
+            bad.append({"column": c, "kind": "dtype_mismatch",
+                        "spark": f"{ca} ({a})", "oracle": f"{cb} ({b})"})
+    return bad
 
 def main(outdir, sfdir):
     con = duckdb.connect()
@@ -54,7 +111,7 @@ def main(outdir, sfdir):
         if not os.path.isdir(qdir):
             continue
         try:
-            got = load_spark_result(con, qdir)
+            got, got_schema = load_spark_result(con, qdir)
         except Exception as ex:
             print(f"FAIL {name}: driver-style dir read failed: {ex}")
             n_fail += 1
@@ -66,9 +123,22 @@ def main(outdir, sfdir):
             print(f"SKIP {name}: rows-only check, rows={len(got)}")
             continue
         try:
-            exp = con.execute(oracle[name]).fetchdf()
+            exp_arrow = con.execute(oracle[name]).arrow()
+            exp = exp_arrow.to_pandas()
         except Exception as e:
             print(f"FAIL {name}: oracle SQL error: {e}"); n_fail += 1; continue
+        type_bad = dtype_check(name, got_schema, exp_arrow.schema)
+        if type_bad:
+            for b in type_bad:
+                if b["kind"] == "dtype_mismatch":
+                    print(f"FAIL {name}: col {b['column']} dtype"
+                          f" spark={b['spark']} vs oracle={b['oracle']}")
+                else:
+                    print(f"FAIL {name}: col {b['column']} is DECIMAL on"
+                          f" {b['side']} side ({b['type']}) — not hash-gateable")
+            n_fail += 1
+            report[name] = {"status": "fail", "dtype_mismatches": type_bad}
+            continue
         g, e = canon(got), canon(exp)
         if list(g.columns) != list(e.columns):
             print(f"FAIL {name}: columns {list(g.columns)} vs {list(e.columns)}"); n_fail += 1
@@ -86,6 +156,30 @@ def main(outdir, sfdir):
         bad = []
         for c in g.columns:
             gv, ev = g[c], e[c]
+            # date-vs-timestamp canonicalization: the driver hashes
+            # date32 and timestamp-at-midnight identically (q16 is
+            # driver-green), so compare both as datetimes
+            import pandas as pd
+            def dtish(s):
+                return (str(s.dtype).startswith("datetime")
+                        or (s.dtype == object and len(s) > 0
+                            and hasattr(s.iloc[0], "year")))
+            if dtish(gv) or dtish(ev):
+                try:
+                    gv = pd.to_datetime(gv)
+                    ev = pd.to_datetime(ev)
+                except Exception:
+                    pass
+            # oracle-side DECIMAL (small precision) surfaces as Decimal
+            # objects on the arrow path but as float64 on the driver's
+            # pandas path (q104 is driver-green) — mirror the driver.
+            # Spark-side decimals never reach here (dtype gate rejects).
+            from decimal import Decimal
+            def decish(s):
+                return (s.dtype == object and len(s) > 0
+                        and isinstance(s.iloc[0], Decimal))
+            if decish(gv) or decish(ev):
+                gv, ev = gv.astype(float), ev.astype(float)
             try:
                 eq = (gv.values == ev.values) | (gv.isna().values & ev.isna().values)
             except Exception:
