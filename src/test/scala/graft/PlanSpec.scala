@@ -161,6 +161,14 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("CartesianProduct"), p)
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
     assert(p.contains("graft_lsh_bands"), p)
+    // ONE cap anti-join — the probe-time re-cap on the probed sliver —
+    // replayed once per consumer of the candidate set (the corpus-
+    // vector semi-join and the final join), so at most 2 LeftAnti
+    // nodes appear textually. More means the inline path is paying the
+    // build-time corpus cap again on top of the probe re-cap — two
+    // extra full-corpus passes that tripled q74's bench time in
+    // round 6 (2.1 s -> 6.7 s).
+    assert(countNodes(p, "LeftAnti") <= 2, p)
   }
 
   test("q27: minhash verify is bucket-local — zero joins, arrays ride the band exchange") {
