@@ -394,6 +394,23 @@ object Statistics {
         s"\n## Parquet layout\n\n| Size bucket | Files | Total bytes | " +
           s"Min | Max |\n|---|---|---|---|---|\n$body$warn\n"
       }
+    // cap-drop accounting ([[graft.ops.CapMetrics]]): over-cap bucket
+    // groups dropped by the near-dup/ANN guardrails during this
+    // session. A production run must see dropped-recall counts where a
+    // human reads the report, not only in bench JSON — a silent cap is
+    // a mass-duplication event read as "covered everything".
+    val capDrops = graft.ops.CapMetrics.drops
+      .filter { case (_, (g, r)) => g > 0 || r > 0 }
+    val capSection =
+      if (capDrops.isEmpty) ""
+      else capDrops.toSeq.sortBy(_._1).map { case (tag, (g, r)) =>
+        s"| $tag | $g | $r |"
+      }.mkString(
+        "\n## Cap drops\n\n**⚠ over-cap bucket groups were dropped** — " +
+          "recall is bounded below exact in the tagged paths; raise the " +
+          "cap or run exact dedup first.\n\n" +
+          "| Cap tag | Groups dropped | Rows dropped |\n|---|---|---|\n",
+        "\n", "\n")
     // Dynamic table rows are substituted AFTER stripMargin: interpolating
     // them into the margin template would let stripMargin eat the leading
     // '|' of every row beyond the first (it is the margin character).
@@ -410,9 +427,10 @@ object Statistics {
        || Media type | Count |
        ||---|---|
        |@@ROWS@@
-       |@@FILES@@@@LAYOUT@@""".stripMargin
+       |@@FILES@@@@LAYOUT@@@@CAPS@@""".stripMargin
       .replace("@@ROWS@@", rows)
       .replace("@@FILES@@", fileSection)
       .replace("@@LAYOUT@@", layoutSection)
+      .replace("@@CAPS@@", capSection)
   }
 }

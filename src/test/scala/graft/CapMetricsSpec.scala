@@ -81,4 +81,22 @@ class CapMetricsSpec extends SparkSuite {
     Dedup.lshCandidates(df, "doc_id", "text", maxBucket = 100).collect()
     assert(CapMetrics.dropsFor("lsh_candidates") === ((0L, 0L)))
   }
+
+  test("markdown report surfaces cap drops where a human reads them") {
+    import spark.implicits._
+    val stats = graft.agg.Statistics.GlobalStats(2L, 0L, 0.1, 0.1, 0.1, 0.2)
+    CapMetrics.reset()
+    // clean session → no section (a zero-drop run must not alarm)
+    val clean = graft.agg.Statistics.markdownReport(stats,
+      Seq(("image", 2L)), 1L)
+    assert(!clean.contains("## Cap drops"), clean)
+    // plant a mass-duplication drop, then render again
+    val flood = (1L to 6L).map(i => (i, "the same flood document text"))
+      .toDF("doc_id", "text")
+    Dedup.lshCandidates(flood, "doc_id", "text", maxBucket = 3).collect()
+    val md = graft.agg.Statistics.markdownReport(stats,
+      Seq(("image", 2L)), 1L)
+    assert(md.contains("## Cap drops"), md)
+    assert(md.contains("lsh_candidates"), md)
+  }
 }
