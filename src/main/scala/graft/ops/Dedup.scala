@@ -1043,13 +1043,24 @@ object Dedup {
       TextAnalysis.tokens(col(textCol)).as("__t"))
     // one (pos, fingerprint) row per window start; docs shorter than k
     // have none (nothing to dedup at window length k)
+    // unhex folds the 32-char md5 string to its 16-byte binary BEFORE
+    // the rows reach the exchange — same groups (bijective), half the
+    // shuffled key bytes on the operator's one wide shuffle
     val grams = toks.select(col("__id"),
         explode(when(size(col("__t")) >= k,
             transform(sequence(lit(0), size(col("__t")) - k), p =>
               struct(p.as("pos"),
-                md5(concat_ws(" ", slice(col("__t"), p + 1, lit(k)))).as("h"))))
+                unhex(md5(concat_ws(" ", slice(col("__t"), p + 1, lit(k)))))
+                  .as("h"))))
           .otherwise(array())).as("__g"))
       .select(col("__id"), col("__g.pos").as("pos"), col("__g.h").as("h"))
+    // first-occurrence survivor via ONE row_number window over the
+    // fingerprint: every gram row shuffles once and sorts within its h
+    // partition. (Measured alternative at 100k docs: a map-side-
+    // combinable min(struct(id, pos)) aggregate + join-back avoids the
+    // sort but recomputes the md5 gram stream for the join leg and pays
+    // a second gram-sized exchange — 18.2 s vs 9.4 s for this window —
+    // so the window form stays.)
     val firstW = Window.partitionBy(col("h"))
       .orderBy(col("__id"), col("pos"))
     val dupSpans = grams

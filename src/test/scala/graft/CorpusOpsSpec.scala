@@ -533,6 +533,23 @@ class CorpusOpsSpec extends SparkSuite {
     assert(out.toSeq === Seq(("A", 5L, 9L, 10L), ("B", 2L, 4L, 4L)))
   }
 
+  test("groupPercentiles: fractional ps keep distinct precise names") {
+    import spark.implicits._
+    val df = (1 to 1000).map(v => ("A", v.toLong)).toDF("g", "v")
+    val out = Quantiles.groupPercentiles(df, "g", "v",
+      Seq(0.005, 0.5, 0.995, 1.0))
+    // 0.995 and 1.0 must NOT both round to p100 (nor 0.005 to p0)
+    assert(out.columns.toSeq === Seq("g", "p0_5", "p50", "p99_5", "p100"))
+    val r = out.collect().head
+    assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)) ===
+      ((5L, 500L, 995L, 1000L)))
+    // duplicate ps collide on the same name → fail fast, not a
+    // silently ambiguous schema
+    intercept[IllegalArgumentException] {
+      Quantiles.groupPercentiles(df, "g", "v", Seq(0.5, 0.5))
+    }
+  }
+
   test("groupPercentiles matches a sorted-sequence model on random groups") {
     import spark.implicits._
     val rnd = new scala.util.Random(21)

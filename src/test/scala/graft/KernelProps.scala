@@ -49,6 +49,17 @@ object KernelProps extends Properties("graft") {
       }
     }
 
+  property("dropIndices matches the filter-by-index model") =
+    forAll(tokenSeq, Gen.listOf(Gen.choose(-2, 30))) { (xs, cov) =>
+      val got = Kernels.dropIndices(strArr(xs),
+        new GenericArrayData(cov.toArray[Any]))
+      val expected = xs.zipWithIndex.collect {
+        case (t, i) if !cov.contains(i) => t
+      }
+      (0 until got.numElements()).map(got.getUTF8String(_).toString) ==
+        expected
+    }
+
   property("gramStats matches the groupBy-count model") =
     forAll(tokenSeq, Gen.choose(1, 4)) { (xs, n) =>
       val out = Kernels.gramStats(strArr(xs), n)

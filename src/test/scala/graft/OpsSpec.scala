@@ -963,6 +963,22 @@ class OpsSpec extends SparkSuite {
     }
   }
 
+  test("contaminationScoresBloom is id-type generic (string ids survive)") {
+    import spark.implicits._
+    import graft.ops.Decontamination
+    // a hard cast("long") here used to silently null string/UUID ids
+    val corpus = Seq(
+      ("uuid-aa", "alpha beta gamma delta epsilon zeta"),
+      ("uuid-bb", "totally unrelated words nothing shared here"))
+      .toDF("doc_id", "text")
+    val bench = Seq(("b1", "alpha beta gamma delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    val out = Decontamination.contaminationScoresBloom(
+      corpus, bench, "doc_id", "text", n = 3).collect()
+    assert(out.map(_.getAs[String]("doc_id")).toSet === Set("uuid-aa"))
+    assert(out.head.getAs[Long]("n_overlap") === 4L)
+  }
+
   test("bandingFor: meets the recall target, prefers low junk, matches closed form") {
     def collide(j: Double, r: Int, b: Int): Double =
       1.0 - math.pow(1.0 - math.pow(j, r), b)
