@@ -417,6 +417,33 @@ case class BpeApply(child: Expression, merges: Array[Array[String]])
     copy(child = c)
 }
 
+/** ac_count(text): number of DISTINCT needles from a fixed set occurring
+  * in `text` — one linear Aho-Corasick pass, ≡ `size(filter(needles,
+  * n => contains(text, n)))` which rescans the text once per needle.
+  * The automaton compiles once at plan build and ships with the plan
+  * (the BpeApply model pattern).
+  */
+case class AcCountMatches(child: Expression, needles: Array[String])
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckSuccess
+    case _ => TypeCheckFailure(s"$prettyName requires a string column")
+  }
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "graft_ac_count"
+
+  @transient private lazy val ac =
+    new graft.ops.Decontamination.AhoCorasick(needles)
+  override def nullSafeEval(a: Any): Any = ac.countMatches(a.toString)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("acAutomaton", ac,
+      classOf[graft.ops.Decontamination.AhoCorasick].getName)
+    defineCodeGen(ctx, ev, a => s"$ref.countMatches($a.toString())")
+  }
+  override protected def withNewChildInternal(c: Expression): AcCountMatches =
+    copy(child = c)
+}
+
 /** drop_indices(tokens, covered): tokens whose 0-based index is not in
   * `covered`, original order — the ExactSubstr text rebuild, O(n + m)
   * via a per-row boolean mask (see [[Kernels.dropIndices]]).
@@ -468,6 +495,14 @@ object GraftFunctions {
       s"merges must be an array<array<string>> literal (typedLit), got $other")
   }
 
+  private def stringsArg(e: Expression, what: String): Array[String] = e match {
+    case l @ Literal(_, ArrayType(StringType, _)) =>
+      l.value.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        .toObjectArray(StringType).map(_.toString)
+    case other => throw new IllegalArgumentException(
+      s"$what must be an array<string> literal (typedLit), got $other")
+  }
+
   private def centroidsArg(e: Expression): Array[Array[Float]] = e match {
     case l @ Literal(_, ArrayType(ArrayType(FloatType, _), _)) =>
       l.value.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
@@ -496,6 +531,8 @@ object GraftFunctions {
     "graft_nearest_centroid" -> (args => NearestCentroid(args(0), centroidsArg(args(1)))),
     "graft_bpe_apply" -> (args => BpeApply(args(0), stringPairsArg(args(1)))),
     "graft_drop_indices" -> (args => DropIndices(args(0), args(1))),
+    "graft_ac_count" -> (args => AcCountMatches(args(0),
+      stringsArg(args(1), "needles"))),
     "graft_cosine_q" -> (args => QuantizedCosine(args(0), args(1), args(2))))
 
   private val registered =

@@ -18,6 +18,15 @@ import org.apache.spark.sql.functions._
   */
 object Decontamination {
 
+  /** call_function on a graft_* expression, auto-registering in the
+    * active session first (idempotent).
+    */
+  private def graftFn(name: String,
+      args: org.apache.spark.sql.Column*): org.apache.spark.sql.Column = {
+    graft.functions.GraftFunctions.ensureRegistered()
+    call_function(name, args: _*)
+  }
+
   /** Per-document contamination scores against `bench`: the number of
     * distinct `n`-gram shingles shared with any benchmark document, and
     * that count as a fraction of the document's distinct shingles. Only
@@ -202,6 +211,11 @@ object Decontamination {
       }
       seen.iterator
     }
+
+    /** Number of DISTINCT needles occurring in `text` — one linear
+      * pass; equals `size(filter(needles, text.contains(_)))`.
+      */
+    def countMatches(text: String): Int = matchedNeedles(text).size
   }
 
   /** [[verbatimMatches]] at the many-needle scale: the needle set
@@ -312,50 +326,44 @@ object Decontamination {
     * long document contains one pasted eval item ([[verbatimMatches]]
     * finds them; this removes them).
     *
-    * The needle set collapses to ONE sorted array (a one-row aggregate
-    * that broadcasts); the corpus side is a single narrow scan folding
-    * literal `replace` over the array per row. Fold order is pinned —
-    * longest needle first, then lexicographic — so nested/overlapping
-    * needles resolve identically on any engine and partitioning.
-    *
-    * Scale: the zero-hit short-circuit below keeps the fold on the
-    * matched minority; the remaining cost is the per-needle `contains`
-    * gate. When the needle set grows past a few thousand, pre-screen
-    * with [[verbatimMatchesMulti]] (one Aho-Corasick pass per document,
-    * proven bit-identical to the contains model by q106/q106b's shared
-    * oracle) and run this surgery on the flagged slice only.
+    * The needle set is eval-sized by contract and collapses to ONE
+    * sorted plan-literal array (collected at build, like
+    * [[verbatimMatchesMulti]]); the corpus side is a single narrow
+    * scan. The hit gate is ONE Aho-Corasick pass per document
+    * (`graft_ac_count`, ≡ the per-needle `contains` model the
+    * q106/q106b shared oracle proves bit-identical — O(text) instead
+    * of O(needles × text)); only the matched minority pays the
+    * `replace` fold. Fold order is pinned — longest needle first, then
+    * lexicographic — so nested/overlapping needles resolve identically
+    * on any engine and partitioning.
     *
     * @return `idCol, n_hits` (distinct needles present pre-surgery),
     *         `clean_text, n_chars_removed`
     */
   def redactVerbatim(corpus: DataFrame, needles: DataFrame, idCol: String,
       textCol: String, needleCol: String, minChars: Int = 12): DataFrame = {
-    val ns = needles
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val arr = needles
       .select(col(needleCol).cast("string").as("needle"))
       .where(length(col("needle")) >= minChars)
-      .distinct()
-    val arr = ns
-      .agg(sort_array(collect_list(
-        struct((-length(col("needle"))).as("nl"), col("needle").as("n"))))
-        .as("__s"))
-      .select(transform(col("__s"), s => s.getField("n")).as("__needles"))
+      .distinct().as[String].collect()
+      .sortBy(n => (-n.length, n)) // longest first, then lexicographic
+    val needleArr = typedLit(arr.toSeq)
     corpus.select(col(idCol), col(textCol))
-      .crossJoin(broadcast(arr))
       .select(col(idCol), col(textCol),
-        size(filter(col("__needles"), n => col(textCol).contains(n)))
-          .cast("long").as("n_hits"),
-        col("__needles"))
+        graftFn("graft_ac_count", col(textCol), needleArr)
+          .cast("long").as("n_hits"))
       // zero-hit short-circuit: when NO needle occurs in the original
       // text, every replace in the fold is an identity on an unchanged
       // accumulator, so the fold provably returns the input — skipping
       // it is byte-exact (a replacement can only create a NEW match
       // after some first match changed the text). The fold — the
       // expensive per-needle interpreted HOF — then runs only on the
-      // matched minority (measured at sf0.1: 7.4 s → the contains scan
-      // alone).
+      // matched minority.
       .select(col(idCol), col(textCol), col("n_hits"),
         when(col("n_hits") === 0, col(textCol))
-          .otherwise(aggregate(col("__needles"), col(textCol),
+          .otherwise(aggregate(needleArr, col(textCol),
             (acc, n) => replace(acc, n, lit(" ")))).as("clean_text"))
       .select(col(idCol), col("n_hits"), col("clean_text"),
         (length(col(textCol)) - length(col("clean_text"))).cast("long")

@@ -240,6 +240,27 @@ class FunctionsSpec extends SparkSuite {
     assert(bad === 0)
   }
 
+  test("graft_ac_count matches the per-needle contains model on real docs") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir)
+    // needles drawn from the corpus itself so hits actually occur
+    val needles = docs.where($"doc_id" % 11 === 0)
+      .select(substring($"text", 10, 40).as("n"))
+      .where(length($"n") >= 20)
+      .distinct().as[String].collect().sorted
+    val needleArr = typedLit(needles.toSeq)
+    val bad = docs.select(
+        call_function("graft_ac_count", $"text", needleArr).as("ac"),
+        size(filter(needleArr, n => $"text".contains(n))).as("model"))
+      .where($"ac" =!= $"model").count()
+    assert(bad === 0)
+    // and hits exist, so the equivalence is not vacuous
+    val hits = docs.select(
+      call_function("graft_ac_count", $"text", needleArr).as("ac"))
+      .where($"ac" > 0).count()
+    assert(hits > 0)
+  }
+
   test("size prefilter does not change blockedJaccardPairs results") {
     import spark.implicits._
     val docs = Tables.documents(spark, sfDir)
