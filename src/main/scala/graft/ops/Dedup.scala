@@ -458,9 +458,16 @@ object Dedup {
       textCol: String, threshold: Double, numHashes: Int = 16,
       bands: Int = 8, maxBucket: Int = 10000,
       md5Basis: Boolean = false): DataFrame =
+    // UNCAPPED keys here, not corpusBandKeys: the probe-time re-cap in
+    // incrementalNearDupsWithKeys drops exactly the over-cap groups
+    // among the probed keys, so a build-time cap on the inline path is
+    // redundant work — a full-corpus groupBy + anti-join whose drops
+    // the probe cap repeats (the q74 finding, Similarity
+    // .incrementalCosineNearDups). corpusBandKeys keeps its cap for
+    // the build-once-store-bucketed workflow.
     incrementalNearDupsWithKeys(batch,
-      corpusBandKeys(corpus, idCol, textCol, numHashes, bands, maxBucket,
-        md5Basis),
+      bandedKeys(spread(corpus), idCol, textCol, numHashes, bands, md5Basis)
+        .select(col("__id").as(idCol), col("band"), col("key")),
       corpus, idCol, textCol, threshold, numHashes, bands, maxBucket,
       md5Basis)
 
