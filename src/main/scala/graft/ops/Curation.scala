@@ -161,8 +161,19 @@ object Curation {
       maxDupGramFraction: Double = 0.2, contaminationN: Int = 8,
       threshold: Double = 0.9, numHashes: Int = 16, bands: Int = 8,
       md5Basis: Boolean = false): DataFrame = {
+    // The survivor ID SET is persisted eagerly (ids only — node-sized,
+    // spillable) so the expensive curation chain (gram-stats quality
+    // kernel, decontamination, exact dedup) runs ONCE: the near-dup
+    // stages below reference the curated frame several times, and
+    // without the cache each reference replayed the whole chain
+    // (measured: 4 gram-stats evaluations / 4 corpus scans in q71's
+    // plan, zero exchange reuse). Spark's ContextCleaner unpersists it
+    // once the returned frame is unreachable (the clusterLabels
+    // discipline).
     val kept = curate(corpus, bench, idCol, textCol, minTokens,
       maxDupGramFraction, contaminationN).select(col(idCol))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    kept.count() // materialize before the multi-consumer fan-out
     val withText = corpus.select(col(idCol), col(textCol))
       .join(kept, Seq(idCol))
     // curate() already exact-deduped, so go straight to the near-dup
