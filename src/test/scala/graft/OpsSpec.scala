@@ -772,6 +772,14 @@ class OpsSpec extends SparkSuite {
     assert(out(0) === ((1L, 2L, "intro   outro", 19L)))
     assert(out(1) === ((2L, 1L, "intro   outro", 14L)))
     assert(out(2) === ((3L, 0L, "untouched document text", 0L)))
+    // empty needle set (nothing survives minChars): every doc passes
+    // through untouched with n_hits 0 — the AC gate must not reject an
+    // empty automaton
+    val none = Decontamination.redactVerbatim(docs,
+        Seq("shrt").toDF("needle"), "doc_id", "text", "needle",
+        minChars = 10)
+      .collect().map(r => (r.getLong(1), r.getLong(3)))
+    assert(none.toSeq === Seq((0L, 0L), (0L, 0L), (0L, 0L)))
   }
 
   test("embeddingQa counts dimension, zero-vector and unit-norm violations") {
