@@ -63,7 +63,12 @@ object Curation {
     * The corpus parquet is re-scanned once per gate (narrow
     * two-column projections with the quality predicate pushed into each
     * derived scan) — at 100 TB persist the post-quality slice once and
-    * feed it to the gates instead.
+    * feed it to the gates instead. Persistence is deliberately left to
+    * the CALLER here: an in-op eager MEMORY_AND_DISK cache of the text
+    * slice was measured SLOWER at test scale (2.3 s vs 2.0 s at sf0.1
+    * — writing text blocks costs more than the kernel recompute it
+    * saves), unlike [[curateAndDedup]]'s id-only cache, which is skinny
+    * enough to win at every scale.
     *
     * @return survivors: `idCol, n_tokens, dup_2gram_frac, n_bigrams,
     *         n_oov` — all exact integer/ratio-of-integer columns. The
