@@ -295,7 +295,12 @@ object Bench {
       // ~R×, so the covered-token mass is output-proportional — growth
       // ~R is the honest linear answer, vs the pair detectors' R·dup²
       "exact_substr_dedup" ->
-        ((dv, _) => Dedup.exactSubstrDedup(dv, "doc_id", "text", k = 20)))
+        ((dv, _) => Dedup.exactSubstrDedup(dv, "doc_id", "text", k = 20)),
+      // the xxhash64 production basis (q138b): same plan, ~8× cheaper
+      // per-position fingerprint kernel and 8-byte shuffle keys
+      "exact_substr_dedup_xxh64" ->
+        ((dv, _) => Dedup.exactSubstrDedup(dv, "doc_id", "text", k = 20,
+          md5Basis = false)))
     // a failed case reports -1, never a bogus partial timing; the cause
     // goes to stderr (never the JSON line) so a -1 is diagnosable from
     // the run log instead of silently reading as "case broken, unknown"

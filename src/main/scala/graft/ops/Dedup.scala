@@ -1042,10 +1042,20 @@ object Dedup {
     * suffix array, at the cost of k-bounded (not unbounded) match
     * length.
     *
+    * Fingerprint basis: `md5Basis = true` (default) hashes each window
+    * with md5 folded to its 16-byte binary — DuckDB-reproducible, the
+    * oracle basis (q138). `md5Basis = false` is the PRODUCTION basis:
+    * `xxhash64` longs, an ~8× cheaper per-position kernel and half the
+    * shuffled key bytes again; a 64-bit collision merges two unrelated
+    * windows' groups (≈ n²/2⁶⁵ — negligible beside the near-dup
+    * detectors' same exposure), so results are identical except with
+    * that probability (the q52b/q67b/q71b twin discipline; equality on
+    * the test corpus is spec-pinned).
+    *
     * @return `idCol, n_tokens, n_removed, clean_text`
     */
   def exactSubstrDedup(df: DataFrame, idCol: String, textCol: String,
-      k: Int = 50): DataFrame = {
+      k: Int = 50, md5Basis: Boolean = true): DataFrame = {
     val toks = spread(df).select(col(idCol).as("__id"),
       TextAnalysis.tokens(col(textCol)).as("__t"))
     // one (pos, fingerprint) row per window start; docs shorter than k
@@ -1053,11 +1063,13 @@ object Dedup {
     // unhex folds the 32-char md5 string to its 16-byte binary BEFORE
     // the rows reach the exchange — same groups (bijective), half the
     // shuffled key bytes on the operator's one wide shuffle
+    def fp(window: Column): Column =
+      if (md5Basis) unhex(md5(window)) else xxhash64(window)
     val grams = toks.select(col("__id"),
         explode(when(size(col("__t")) >= k,
             transform(sequence(lit(0), size(col("__t")) - k), p =>
               struct(p.as("pos"),
-                unhex(md5(concat_ws(" ", slice(col("__t"), p + 1, lit(k)))))
+                fp(concat_ws(" ", slice(col("__t"), p + 1, lit(k))))
                   .as("h"))))
           .otherwise(array())).as("__g"))
       .select(col("__id"), col("__g.pos").as("pos"), col("__g.h").as("h"))

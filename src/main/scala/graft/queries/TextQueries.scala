@@ -673,6 +673,18 @@ object TextQueries {
       .orderBy($"doc_id")
   }
 
+  /** PRODUCTION-BASIS twin of q138 (xxhash64 window fingerprints — an
+    * ~8× cheaper per-position kernel, 8-byte shuffle keys): xxhash64 is
+    * not DuckDB-expressible → rows-only; OpsSpec pins result equality
+    * with the md5 basis on the test corpus (the q52b discipline).
+    */
+  private def q138b(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Dedup.exactSubstrDedup(Tables.documents(s, dir), "doc_id", "text",
+        k = 5, md5Basis = false)
+      .orderBy($"doc_id")
+  }
+
   /** Referential-integrity audit: per-source fraction of documents with
     * an embedding row (doc_id ↔ vec_id) — the pre-join check that a
     * silent inner-join drop would otherwise hide.
@@ -745,6 +757,7 @@ object TextQueries {
     "q140_embedding_coverage" -> (q140 _),
     "q141_multi_suite_decontam" -> (q141 _),
     "q138_exact_substr" -> (q138 _),
+    "q138b_exact_substr_xxh64" -> (q138b _),
     "q135_contamination_bloom" -> (q135 _),
     "q132_dup_density" -> (q132 _),
     "q127_containment_pairs" -> (q127 _),

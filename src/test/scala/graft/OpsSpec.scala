@@ -1063,6 +1063,14 @@ class OpsSpec extends SparkSuite {
     docs.foreach { case (id, text) =>
       assert(got(id) === model(id, docs), s"doc $id: '$text'")
     }
+    // the xxhash64 production basis groups the same equal-window
+    // classes (collisions negligible at test size) → identical results
+    val fast = Dedup.exactSubstrDedup(docs.toDF("doc_id", "text"),
+        "doc_id", "text", k, md5Basis = false)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    assert(fast === got)
   }
 
   test("dupShingleFraction: exact shared-shingle density, short docs absent") {
