@@ -176,6 +176,13 @@ object Statistics {
     * on their length; `n_distinct` always counts original values. At
     * 100 TB prefer [[columnProfileApprox]] — the per-column distinct
     * exchanges here carry every distinct value.
+    *
+    * Contract: each column branch RE-EXECUTES the input plan, so
+    * profile stored tables (the intended use — each branch's scan
+    * prunes to its one column, same total bytes), and persist a
+    * derived or non-deterministic frame first (a sampled/rand-filtered
+    * input would give each column a different row snapshot). The
+    * approx path reads the input exactly once.
     */
   def columnProfile(df: DataFrame, numericCols: Seq[String],
       stringCols: Seq[String] = Nil): DataFrame =

@@ -554,6 +554,16 @@ object GraftFunctions {
     */
   def ensureRegistered(): Unit =
     SparkSession.getActiveSession.foreach(register)
+
+  /** `call_function` on a `graft_*` expression, auto-registering in the
+    * active session first (idempotent) — the one shared wrapper every
+    * op module's private `graftFn` delegates to.
+    */
+  def fn(name: String,
+      args: org.apache.spark.sql.Column*): org.apache.spark.sql.Column = {
+    ensureRegistered()
+    org.apache.spark.sql.functions.call_function(name, args: _*)
+  }
 }
 
 /** `SparkSessionExtensions` hook so the functions exist in every session

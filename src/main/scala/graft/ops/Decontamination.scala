@@ -22,10 +22,8 @@ object Decontamination {
     * active session first (idempotent).
     */
   private def graftFn(name: String,
-      args: org.apache.spark.sql.Column*): org.apache.spark.sql.Column = {
-    graft.functions.GraftFunctions.ensureRegistered()
-    call_function(name, args: _*)
-  }
+      args: org.apache.spark.sql.Column*): org.apache.spark.sql.Column =
+    graft.functions.GraftFunctions.fn(name, args: _*)
 
   /** Per-document contamination scores against `bench`: the number of
     * distinct `n`-gram shingles shared with any benchmark document, and
@@ -118,10 +116,17 @@ object Decontamination {
     // the id rides through the typed mapPartitions as its STRING form
     // and is cast back to its original type on the way out — id-type
     // generic like the exact twin [[contaminationScores]] (a hard
-    // cast("long") here silently nulled string/UUID ids)
+    // cast("long") here silently nulled string/UUID ids). BINARY ids
+    // round-trip via base64 — a raw binary→string cast mangles
+    // non-UTF8 bytes, the same silent-corruption class.
     val idType = corpus.schema(idCol).dataType
+    val isBinary = idType == org.apache.spark.sql.types.BinaryType
+    val idOut =
+      if (isBinary) base64(col(idCol)) else col(idCol).cast("string")
+    def idBack(c: org.apache.spark.sql.Column) =
+      if (isBinary) unbase64(c) else c.cast(idType)
     Dedup.spread(corpus)
-      .select(col(idCol).cast("string"), Dedup.shingles(col(textCol), n))
+      .select(idOut, Dedup.shingles(col(textCol), n))
       .as[(String, Seq[String])]
       .mapPartitions { it =>
         val f = bc.value
@@ -130,7 +135,7 @@ object Decontamination {
         }
       }
       .toDF(idCol, "n_shingles", "n_overlap")
-      .withColumn(idCol, col(idCol).cast(idType))
+      .withColumn(idCol, idBack(col(idCol)))
       .where(col("n_overlap") >= minOverlap)
       .withColumn("overlap_frac",
         col("n_overlap").cast("double") / col("n_shingles"))
@@ -344,16 +349,31 @@ object Decontamination {
       textCol: String, needleCol: String, minChars: Int = 12): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
+    // sort on the ENGINE bases, not Java's: length is code points
+    // (Spark length() / DuckDB len(), not UTF-16 code units) and ties
+    // break by UTF-8 byte order (Spark string comparison; UTF-8
+    // preserves code-point order, where String.compareTo's UTF-16
+    // units would rank astral chars below some BMP chars) — so the
+    // fold order is byte-identical to the oracle's
+    // `ORDER BY len DESC, needle` on any needle set
     val arr = needles
       .select(col(needleCol).cast("string").as("needle"))
       .where(length(col("needle")) >= minChars)
       .distinct().as[String].collect()
-      .sortBy(n => (-n.length, n)) // longest first, then lexicographic
+      .sortWith { (a, b) =>
+        val (la, lb) = (a.codePointCount(0, a.length), b.codePointCount(0, b.length))
+        if (la != lb) la > lb
+        else java.util.Arrays.compareUnsigned(
+          a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+          b.getBytes(java.nio.charset.StandardCharsets.UTF_8)) < 0
+      }
     val needleArr = typedLit(arr.toSeq)
     corpus.select(col(idCol), col(textCol))
       .select(col(idCol), col(textCol),
-        graftFn("graft_ac_count", col(textCol), needleArr)
-          .cast("long").as("n_hits"))
+        // coalesce: a NULL text has zero hits (the contains-model
+        // behavior), not a NULL n_hits that would poison the fold gate
+        coalesce(graftFn("graft_ac_count", col(textCol), needleArr)
+          .cast("long"), lit(0L)).as("n_hits"))
       // zero-hit short-circuit: when NO needle occurs in the original
       // text, every replace in the fold is an identity on an unchanged
       // accumulator, so the fold provably returns the input — skipping

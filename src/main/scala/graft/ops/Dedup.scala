@@ -21,10 +21,8 @@ object Dedup {
   /** call_function on a graft_* expression, auto-registering in the
     * active session first (idempotent).
     */
-  private def graftFn(name: String, args: Column*): Column = {
-    graft.functions.GraftFunctions.ensureRegistered()
-    call_function(name, args: _*)
-  }
+  private def graftFn(name: String, args: Column*): Column =
+    graft.functions.GraftFunctions.fn(name, args: _*)
 
   /** Spread a narrow input across the cluster before compute-heavy
     * per-row work (signatures, token hashing). A small corpus arrives as

@@ -22,10 +22,8 @@ object Similarity {
   /** call_function on a graft_* expression, auto-registering in the
     * active session first (idempotent).
     */
-  private def graftFn(name: String, args: Column*): Column = {
-    graft.functions.GraftFunctions.ensureRegistered()
-    call_function(name, args: _*)
-  }
+  private def graftFn(name: String, args: Column*): Column =
+    graft.functions.GraftFunctions.fn(name, args: _*)
 
   /** Dot product in Double (sequential fold — custom codegen'd expression,
     * bit-identical to the `aggregate(zip_with(...))` formulation it

@@ -16,10 +16,8 @@ object TextAnalysis {
   /** call_function on a graft_* expression, auto-registering in the
     * active session first (idempotent).
     */
-  private def graftFn(name: String, args: Column*): Column = {
-    graft.functions.GraftFunctions.ensureRegistered()
-    call_function(name, args: _*)
-  }
+  private def graftFn(name: String, args: Column*): Column =
+    graft.functions.GraftFunctions.fn(name, args: _*)
 
   /** Whitespace tokenizer. The corpora this engine targets are
     * pre-normalized; a BPE-ish regex split is [[bpeTokens]].

@@ -303,7 +303,9 @@ object SimilarityQueries {
       emb.where($"vec_id" % 3 =!= 0),
       emb.where($"vec_id" % 5 =!= 0), "embedding", cents)
       // DECIMAL internally (exact L1 numerator); BIGINT at the gated
-      // boundary (round-6: DECIMAL output doesn't hash-digest)
+      // boundary (round-6: DECIMAL output doesn't hash-digest). Gate-
+      // only cast — the op's DECIMAL output remains the production API
+      // (Long overflows diverge between engines at extreme scale).
       .withColumn("l1_num", col("l1_num").cast("long"))
   }
 
@@ -377,9 +379,11 @@ object SimilarityQueries {
   private def q147(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     Similarity.dimensionProfile(Tables.embeddings(s, dir), "embedding")
-      // long dim at the gated boundary: DuckDB's range() unnest is
-      // BIGINT and the driver's hash gate is dtype-strict (round-6
-      // finding: int32-vs-int64 flips the hash)
+      // long dim aligns the published schema with the oracle's BIGINT
+      // range() unnest. NOT load-bearing for the hash gate — integer
+      // widths are hash-equivalent (SURVEY §8 calibration; q21/q22/q23
+      // were driver-green on int32-vs-int64); q147's round-6 failure
+      // was n_zero's HUGEINT, fixed in the oracle SQL.
       .withColumn("dim", col("dim").cast("long"))
       .orderBy($"dim")
   }

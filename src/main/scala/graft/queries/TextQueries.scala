@@ -598,7 +598,11 @@ object TextQueries {
     TextAnalysis.distributionDrift(Tables.documents(s, dir),
         "lang", "text", buckets = 10000)
       // DECIMAL internally (exact L1 numerator); BIGINT at the gated
-      // boundary (round-6: DECIMAL output doesn't hash-digest)
+      // boundary (round-6: DECIMAL output doesn't hash-digest). The
+      // cast is gate-only and verify-scale-safe; the op's DECIMAL
+      // output remains the production API — at corpus scale the value
+      // can exceed Long range, where Spark's cast nulls and DuckDB's
+      // raises.
       .withColumn("l1_num", col("l1_num").cast("long"))
       .orderBy($"lang")
   }

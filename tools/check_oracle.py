@@ -160,10 +160,21 @@ def main(outdir, sfdir):
             # date32 and timestamp-at-midnight identically (q16 is
             # driver-green), so compare both as datetimes
             import pandas as pd
+            def first_valid(s):
+                # classify by the first NON-NULL value: a None/NaN in
+                # row 0 of a secondary sort column must not turn off the
+                # canonicalization for the whole column
+                for v in s:
+                    if v is None:
+                        continue
+                    if isinstance(v, float) and v != v:
+                        continue
+                    return v
+                return None
             def dtish(s):
                 return (str(s.dtype).startswith("datetime")
-                        or (s.dtype == object and len(s) > 0
-                            and hasattr(s.iloc[0], "year")))
+                        or (s.dtype == object
+                            and hasattr(first_valid(s), "year")))
             if dtish(gv) or dtish(ev):
                 try:
                     gv = pd.to_datetime(gv)
@@ -176,8 +187,8 @@ def main(outdir, sfdir):
             # Spark-side decimals never reach here (dtype gate rejects).
             from decimal import Decimal
             def decish(s):
-                return (s.dtype == object and len(s) > 0
-                        and isinstance(s.iloc[0], Decimal))
+                return (s.dtype == object
+                        and isinstance(first_valid(s), Decimal))
             if decish(gv) or decish(ev):
                 gv, ev = gv.astype(float), ev.astype(float)
             try:
