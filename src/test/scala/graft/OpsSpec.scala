@@ -782,6 +782,31 @@ class OpsSpec extends SparkSuite {
     assert(none.toSeq === Seq((0L, 0L), (0L, 0L), (0L, 0L)))
   }
 
+  test("redactVerbatim fold order matches the engine sort on non-BMP needles") {
+    import spark.implicits._
+    import graft.ops.Decontamination
+    // "𝔘..." is 12 code points / 13 UTF-16 units; the
+    // 13-code-point BMP needle must fold FIRST (longer by the engines'
+    // code-point length). Java's (-n.length, n) ordering would tie or
+    // invert them — the round-7 self-review class.
+    val astral = "𝔘nicode leak X"   // 15 code points incl. one astral
+    val bmp    = "plain leak needle"           // 17 code points, BMP
+    val needles = Seq(astral, bmp).toDF("needle")
+    val docs = Seq((1L, s"a $bmp b $astral c")).toDF("doc_id", "text")
+    val got = Decontamination.redactVerbatim(docs, needles, "doc_id",
+        "text", "needle", minChars = 5)
+      .collect().map(r => (r.getLong(1), r.getString(2))).head
+    // model: fold in code-point-length-desc order (the engines' sort)
+    val model = {
+      val sorted = Seq(astral, bmp).sortWith { (a, b) =>
+        val (la, lb) = (a.codePointCount(0, a.length), b.codePointCount(0, b.length))
+        if (la != lb) la > lb else a < b // ASCII-disjoint here; tie impossible
+      }
+      sorted.foldLeft(s"a $bmp b $astral c")((t, n) => t.replace(n, " "))
+    }
+    assert(got === ((2L, model)))
+  }
+
   test("embeddingQa counts dimension, zero-vector and unit-norm violations") {
     import spark.implicits._
     val df = Seq(
