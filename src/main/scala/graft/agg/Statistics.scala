@@ -398,10 +398,19 @@ object Statistics {
       "|---|---|---|---|---|---|---|\n" + rows + "\n"
   }
 
+  /** @param capDrops cap-drop counters to report — defaults to the
+    *   session-wide [[graft.ops.CapMetrics.drops]] totals. In a
+    *   long-lived session those include drops from EARLIER unrelated
+    *   jobs; a caller reporting on one specific run should snapshot
+    *   the counters before the run and pass the difference here, so
+    *   the report blames only its own job.
+    */
   def markdownReport(stats: GlobalStats, histogram: Seq[(String, Long)],
       filesCombined: Long,
       fileStats: Seq[(String, Long, Long)] = Nil,
-      sizeProfile: Seq[(Int, Long, Long, Long, Long)] = Nil): String = {
+      sizeProfile: Seq[(Int, Long, Long, Long, Long)] = Nil,
+      capDrops: Map[String, (Long, Long)] = graft.ops.CapMetrics.drops)
+      : String = {
     val rows = histogram.map { case (k, v) =>
       s"| ${Option(k).getOrElse("(unknown)")} | $v |" }.mkString("\n")
     val fileSection =
@@ -429,20 +438,20 @@ object Statistics {
           s"Min | Max |\n|---|---|---|---|---|\n$body$warn\n"
       }
     // cap-drop accounting ([[graft.ops.CapMetrics]]): over-cap bucket
-    // groups dropped by the near-dup/ANN guardrails during this
-    // session. A production run must see dropped-recall counts where a
-    // human reads the report, not only in bench JSON — a silent cap is
-    // a mass-duplication event read as "covered everything".
-    val capDrops = graft.ops.CapMetrics.drops
-      .filter { case (_, (g, r)) => g > 0 || r > 0 }
+    // groups dropped by the near-dup/ANN guardrails. A production run
+    // must see dropped-recall counts where a human reads the report,
+    // not only in bench JSON — a silent cap is a mass-duplication
+    // event read as "covered everything". (Session-wide by default;
+    // see the @param note.)
+    val drops = capDrops.filter { case (_, (g, r)) => g > 0 || r > 0 }
     val capSection =
-      if (capDrops.isEmpty) ""
-      else capDrops.toSeq.sortBy(_._1).map { case (tag, (g, r)) =>
+      if (drops.isEmpty) ""
+      else drops.toSeq.sortBy(_._1).map { case (tag, (g, r)) =>
         s"| $tag | $g | $r |"
       }.mkString(
-        "\n## Cap drops\n\n**⚠ over-cap bucket groups were dropped** — " +
-          "recall is bounded below exact in the tagged paths; raise the " +
-          "cap or run exact dedup first.\n\n" +
+        "\n## Cap drops (session-wide)\n\n**⚠ over-cap bucket groups " +
+          "were dropped** — recall is bounded below exact in the " +
+          "tagged paths; raise the cap or run exact dedup first.\n\n" +
           "| Cap tag | Groups dropped | Rows dropped |\n|---|---|---|\n",
         "\n", "\n")
     // Dynamic table rows are substituted AFTER stripMargin: interpolating

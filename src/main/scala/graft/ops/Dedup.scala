@@ -464,10 +464,19 @@ object Dedup {
     // .incrementalCosineNearDups). corpusBandKeys keeps its cap for
     // the build-once-store-bucketed workflow.
     incrementalNearDupsWithKeys(batch,
-      bandedKeys(spread(corpus), idCol, textCol, numHashes, bands, md5Basis)
-        .select(col("__id").as(idCol), col("band"), col("key")),
+      uncappedCorpusKeys(corpus, idCol, textCol, numHashes, bands, md5Basis),
       corpus, idCol, textCol, threshold, numHashes, bands, maxBucket,
       md5Basis)
+
+  /** The uncapped `(idCol, band, key)` MinHash band-key projection the
+    * capped build and the inline probe both derive from — ONE
+    * definition so the two paths can never desynchronize on key shape.
+    */
+  private def uncappedCorpusKeys(corpus: DataFrame, idCol: String,
+      textCol: String, numHashes: Int, bands: Int,
+      md5Basis: Boolean): DataFrame =
+    bandedKeys(spread(corpus), idCol, textCol, numHashes, bands, md5Basis)
+      .select(col("__id").as(idCol), col("band"), col("key"))
 
   /** The corpus's capped `(idCol, band, key)` MinHash band-key table —
     * the steady-state ingest asset: compute it ONCE, store it bucketed
@@ -486,9 +495,9 @@ object Dedup {
       numHashes: Int = 16, bands: Int = 8, maxBucket: Int = 10000,
       md5Basis: Boolean = false): DataFrame =
     CapMetrics.cappedByCount(
-        bandedKeys(spread(corpus), idCol, textCol, numHashes, bands, md5Basis),
+        uncappedCorpusKeys(corpus, idCol, textCol, numHashes, bands,
+          md5Basis),
         "incremental_neardup_corpus", Seq("band", "key"), maxBucket)
-      .select(col("__id").as(idCol), col("band"), col("key"))
 
   /** [[incrementalNearDups]] against a PRECOMPUTED (usually persisted
     * and bucketed) corpus band-key table: only the batch side computes

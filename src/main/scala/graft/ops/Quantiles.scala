@@ -50,8 +50,12 @@ object Quantiles {
       ps: Seq[Double]): DataFrame = {
     require(ps.nonEmpty && ps.forall(p => p > 0 && p <= 1), s"bad ps: $ps")
     // decimal-string basis (BigDecimal(p.toString)), not p * 100 in
-    // doubles: 0.9 * 100 is not exactly 90 in binary
+    // doubles: 0.9 * 100 is not exactly 90 in binary. Rounded to 4
+    // decimal places of the percent so an arithmetically-computed p
+    // (0.1 * 3 = 0.30000000000000004) still names p30, while 0.995 vs
+    // 1.0 stay distinct; the require below catches any collision.
     def nameFor(p: Double): String = "p" + (BigDecimal(p.toString) * 100)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP)
       .underlying.stripTrailingZeros.toPlainString.replace(".", "_")
     val names = ps.map(nameFor)
     require(names.distinct.size == names.size,

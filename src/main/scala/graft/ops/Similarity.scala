@@ -292,10 +292,18 @@ object Similarity {
     // keeps its cap for the build-once-store-bucketed workflow, where
     // capping at build time is paid once for many probes.
     incrementalCosineNearDupsWithKeys(batch,
-      Dedup.spread(corpus).select(col(idCol),
-        posexplode(graftFn("graft_lsh_bands", col(vecCol),
-          lit(planesPerBand), lit(bands))).as(Seq("band", "key"))),
+      lshKeys(Dedup.spread(corpus), idCol, vecCol, planesPerBand, bands),
       corpus, idCol, vecCol, threshold, planesPerBand, bands, maxBucket)
+
+  /** The uncapped `(idCol, band, key)` sign-LSH projection every keyed
+    * path derives from — ONE definition so the capped build, the inline
+    * probe, and the batch side can never desynchronize on key shape.
+    */
+  private def lshKeys(df: DataFrame, idCol: String, vecCol: String,
+      planesPerBand: Int, bands: Int): DataFrame =
+    df.select(col(idCol),
+      posexplode(graftFn("graft_lsh_bands", col(vecCol),
+        lit(planesPerBand), lit(bands))).as(Seq("band", "key")))
 
   /** The corpus's capped `(idCol, band, key)` sign-LSH key table — the
     * embedding twin of [[Dedup.corpusBandKeys]]: build once, store
@@ -309,9 +317,7 @@ object Similarity {
       planesPerBand: Int = 8, bands: Int = 4,
       maxBucket: Int = 10000): DataFrame =
     CapMetrics.cappedByCount(
-        Dedup.spread(corpus).select(col(idCol),
-          posexplode(graftFn("graft_lsh_bands", col(vecCol),
-            lit(planesPerBand), lit(bands))).as(Seq("band", "key"))),
+        lshKeys(Dedup.spread(corpus), idCol, vecCol, planesPerBand, bands),
         "incremental_cosine_corpus", Seq("band", "key"), maxBucket)
       .select(col(idCol), col("band"), col("key"))
 
@@ -327,9 +333,9 @@ object Similarity {
       corpusKeys: DataFrame, corpus: DataFrame, idCol: String,
       vecCol: String, threshold: Double, planesPerBand: Int = 8,
       bands: Int = 4, maxBucket: Int = 10000): DataFrame = {
-    val batchKeys = Dedup.spread(batch).select(col(idCol).as("idA"),
-      posexplode(graftFn("graft_lsh_bands", col(vecCol),
-        lit(planesPerBand), lit(bands))).as(Seq("band", "key")))
+    val batchKeys = lshKeys(Dedup.spread(batch), idCol, vecCol,
+        planesPerBand, bands)
+      .withColumnRenamed(idCol, "idA")
     // restrict the stored table to the batch's probed key set before the
     // re-cap window (see Dedup.incrementalNearDupsWithKeys): the window
     // then runs over a batch-sized sliver, never the corpus-sized table

@@ -785,12 +785,13 @@ class OpsSpec extends SparkSuite {
   test("redactVerbatim fold order matches the engine sort on non-BMP needles") {
     import spark.implicits._
     import graft.ops.Decontamination
-    // "𝔘..." is 12 code points / 13 UTF-16 units; the
-    // 13-code-point BMP needle must fold FIRST (longer by the engines'
-    // code-point length). Java's (-n.length, n) ordering would tie or
-    // invert them — the round-7 self-review class.
-    val astral = "𝔘nicode leak X"   // 15 code points incl. one astral
-    val bmp    = "plain leak needle"           // 17 code points, BMP
+    // The astral needle is 14 code points but 15 UTF-16 units; the
+    // 17-code-point BMP needle must fold FIRST (longer by the engines'
+    // code-point length), and an ordering derived from Java's UTF-16
+    // `length` would mis-rank needles whose unit and code-point counts
+    // straddle each other — the round-7 self-review class.
+    val astral = "𝔘nicode leak X"    // 14 code points incl. one astral
+    val bmp    = "plain leak needle" // 17 code points, BMP
     val needles = Seq(astral, bmp).toDF("needle")
     val docs = Seq((1L, s"a $bmp b $astral c")).toDF("doc_id", "text")
     val got = Decontamination.redactVerbatim(docs, needles, "doc_id",

@@ -172,11 +172,15 @@ class PlanSpec extends SparkSuite {
     // ONE cap anti-join — the probe-time re-cap on the probed sliver —
     // replayed once per consumer of the candidate set (the corpus-
     // vector semi-join and the final join), so at most 2 LeftAnti
-    // nodes appear textually. More means the inline path is paying the
+    // joins appear textually. More means the inline path is paying the
     // build-time corpus cap again on top of the probe re-cap — two
     // extra full-corpus passes that tripled q74's bench time in
-    // round 6 (2.1 s -> 6.7 s).
-    assert(countNodes(p, "LeftAnti") <= 2, p)
+    // round 6 (2.1 s -> 6.7 s). Count the one-per-join detail line:
+    // anti-joins print as "BroadcastHashJoin LeftAnti" + a
+    // "Join type: LeftAnti" detail, never as a node NAMED LeftAnti,
+    // so countNodes would always see 0 (vacuous).
+    val antis = "Join type: LeftAnti".r.findAllIn(p).length
+    assert(antis >= 1 && antis <= 2, p)
   }
 
   test("q27: minhash verify is bucket-local — zero joins, arrays ride the band exchange") {
