@@ -651,9 +651,13 @@ object TextQueries {
   }
 
   /** q56's Bloom screen twin at an fpp where no false positive occurs
-    * for this corpus (spec-pinned ≡ exact there; at any fpp the screen
-    * only over-flags — `OpsSpec` stresses fpp = 0.5). Bloom bits are
-    * not SQL-expressible → rows-only.
+    * for this corpus (spec-pinned ≡ exact at sf0.001; at any fpp the
+    * screen only over-flags — `OpsSpec` stresses fpp = 0.5). Bloom
+    * bits are not SQL-expressible, but the filter is DETERMINISTIC
+    * (fixed hash seeds, order-independent OR), and at the default fpp
+    * the screen's output is value-identical to the exact gate at every
+    * verify scale (checked empirically at sf0.01 and sf0.1) — so the
+    * EXACT gate's SQL is a valid hash oracle for this query.
     */
   private def q135(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -1192,6 +1196,27 @@ object TextQueries {
         |FROM te JOIN tr USING (g)
         |GROUP BY te.doc_id
         |ORDER BY te.doc_id""".stripMargin,
+    // q135: the Bloom screen is deterministic and FP-free on this
+    // corpus at the default fpp (see q135's scaladoc), so the exact
+    // gate's SQL below is its oracle too — identical CTEs to q56.
+    "q135_contamination_bloom" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(text), ' +') AS toks FROM documents),
+        |s AS (SELECT doc_id,
+        |        CASE WHEN len(toks) >= 3
+        |             THEN list_distinct(list_transform(range(1, len(toks) - 1),
+        |                    i -> array_to_string(list_slice(toks, i, i + 2), ' ')))
+        |             ELSE [] END AS sh
+        |      FROM t),
+        |bench AS (SELECT DISTINCT unnest(sh) AS g FROM s WHERE doc_id % 97 = 0),
+        |corp AS (SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS g
+        |         FROM s WHERE doc_id % 97 <> 0)
+        |SELECT c.doc_id,
+        |       CAST(max(c.n_sh) AS BIGINT) AS n_shingles,
+        |       CAST(count(*) AS BIGINT) AS n_overlap,
+        |       CAST(count(*) AS DOUBLE) / max(c.n_sh) AS overlap_frac
+        |FROM corp c JOIN bench USING (g)
+        |GROUP BY c.doc_id
+        |ORDER BY c.doc_id""".stripMargin,
     "q56_decontaminate" ->
       """WITH t AS (SELECT doc_id, string_split_regex(trim(text), ' +') AS toks FROM documents),
         |s AS (SELECT doc_id,
