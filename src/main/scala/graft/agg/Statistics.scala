@@ -402,14 +402,17 @@ object Statistics {
     *   session-wide [[graft.ops.CapMetrics.drops]] totals. In a
     *   long-lived session those include drops from EARLIER unrelated
     *   jobs; a caller reporting on one specific run should snapshot
-    *   the counters before the run and pass the difference here, so
-    *   the report blames only its own job.
+    *   the counters before the run and pass the difference here (with
+    *   `capScope = "this run"`), so the report blames only its own job.
+    * @param capScope qualifier printed in the cap-drops heading —
+    *   matches whatever window `capDrops` covers.
     */
   def markdownReport(stats: GlobalStats, histogram: Seq[(String, Long)],
       filesCombined: Long,
       fileStats: Seq[(String, Long, Long)] = Nil,
       sizeProfile: Seq[(Int, Long, Long, Long, Long)] = Nil,
-      capDrops: Map[String, (Long, Long)] = graft.ops.CapMetrics.drops)
+      capDrops: Map[String, (Long, Long)] = graft.ops.CapMetrics.drops,
+      capScope: String = "session-wide")
       : String = {
     val rows = histogram.map { case (k, v) =>
       s"| ${Option(k).getOrElse("(unknown)")} | $v |" }.mkString("\n")
@@ -449,7 +452,7 @@ object Statistics {
       else drops.toSeq.sortBy(_._1).map { case (tag, (g, r)) =>
         s"| $tag | $g | $r |"
       }.mkString(
-        "\n## Cap drops (session-wide)\n\n**⚠ over-cap bucket groups " +
+        s"\n## Cap drops ($capScope)\n\n**⚠ over-cap bucket groups " +
           "were dropped** — recall is bounded below exact in the " +
           "tagged paths; raise the cap or run exact dedup first.\n\n" +
           "| Cap tag | Groups dropped | Rows dropped |\n|---|---|---|\n",

@@ -50,16 +50,19 @@ object Quantiles {
       ps: Seq[Double]): DataFrame = {
     require(ps.nonEmpty && ps.forall(p => p > 0 && p <= 1), s"bad ps: $ps")
     // decimal-string basis (BigDecimal(p.toString)), not p * 100 in
-    // doubles: 0.9 * 100 is not exactly 90 in binary. Rounded to 4
+    // doubles: 0.9 * 100 is not exactly 90 in binary. Rounded to 6
     // decimal places of the percent so an arithmetically-computed p
     // (0.1 * 3 = 0.30000000000000004) still names p30, while 0.995 vs
-    // 1.0 stay distinct; the require below catches any collision.
+    // 1.0 stay distinct; the requires below catch a collision or a p
+    // so small it rounds to zero (p ≥ 1e-8 always names nonzero).
     def nameFor(p: Double): String = "p" + (BigDecimal(p.toString) * 100)
-      .setScale(4, BigDecimal.RoundingMode.HALF_UP)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP)
       .underlying.stripTrailingZeros.toPlainString.replace(".", "_")
     val names = ps.map(nameFor)
     require(names.distinct.size == names.size,
       s"percentile names collide: ${ps.zip(names)}")
+    require(!names.contains("p0"),
+      s"a percentile rounds to p0 — p too small to name: ${ps.zip(names)}")
     val w = Window.partitionBy(col(groupCol)).orderBy(col(valueCol))
     val aggs = ps.zip(names).map { case (p, n) =>
       min(when(col("__cd") >= p, col(valueCol))).as(n)

@@ -319,7 +319,6 @@ object Similarity {
     CapMetrics.cappedByCount(
         lshKeys(Dedup.spread(corpus), idCol, vecCol, planesPerBand, bands),
         "incremental_cosine_corpus", Seq("band", "key"), maxBucket)
-      .select(col(idCol), col("band"), col("key"))
 
   /** [[incrementalCosineNearDups]] against a PRECOMPUTED (usually
     * persisted and bucketed) corpus key table: only the batch side

@@ -812,6 +812,30 @@ object TextQueries {
     "q29_dedup_exact" -> (q29 _),
     "q86_normalized_dedup" -> (q86 _))
 
+  /** The exact decontamination gate's SQL, bound ONCE: it oracles both
+    * q56 (the exact gate) and q135 (the Bloom screen, whose validity
+    * argument is literally "identical output to the exact gate" — a
+    * copy would let a q56 edit silently desynchronize q135's oracle).
+    */
+  private val ExactDecontamSql =
+    """WITH t AS (SELECT doc_id, string_split_regex(trim(text), ' +') AS toks FROM documents),
+      |s AS (SELECT doc_id,
+      |        CASE WHEN len(toks) >= 3
+      |             THEN list_distinct(list_transform(range(1, len(toks) - 1),
+      |                    i -> array_to_string(list_slice(toks, i, i + 2), ' ')))
+      |             ELSE [] END AS sh
+      |      FROM t),
+      |bench AS (SELECT DISTINCT unnest(sh) AS g FROM s WHERE doc_id % 97 = 0),
+      |corp AS (SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS g
+      |         FROM s WHERE doc_id % 97 <> 0)
+      |SELECT c.doc_id,
+      |       CAST(max(c.n_sh) AS BIGINT) AS n_shingles,
+      |       CAST(count(*) AS BIGINT) AS n_overlap,
+      |       CAST(count(*) AS DOUBLE) / max(c.n_sh) AS overlap_frac
+      |FROM corp c JOIN bench USING (g)
+      |GROUP BY c.doc_id
+      |ORDER BY c.doc_id""".stripMargin
+
   val oracles: Map[String, String] = Map(
     // q127: q25's 3-gram shingle basis; shared counts from the exploded
     // shingle self-join (exact — one row per shared shingle), sizes are
@@ -1198,43 +1222,9 @@ object TextQueries {
         |ORDER BY te.doc_id""".stripMargin,
     // q135: the Bloom screen is deterministic and FP-free on this
     // corpus at the default fpp (see q135's scaladoc), so the exact
-    // gate's SQL below is its oracle too — identical CTEs to q56.
-    "q135_contamination_bloom" ->
-      """WITH t AS (SELECT doc_id, string_split_regex(trim(text), ' +') AS toks FROM documents),
-        |s AS (SELECT doc_id,
-        |        CASE WHEN len(toks) >= 3
-        |             THEN list_distinct(list_transform(range(1, len(toks) - 1),
-        |                    i -> array_to_string(list_slice(toks, i, i + 2), ' ')))
-        |             ELSE [] END AS sh
-        |      FROM t),
-        |bench AS (SELECT DISTINCT unnest(sh) AS g FROM s WHERE doc_id % 97 = 0),
-        |corp AS (SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS g
-        |         FROM s WHERE doc_id % 97 <> 0)
-        |SELECT c.doc_id,
-        |       CAST(max(c.n_sh) AS BIGINT) AS n_shingles,
-        |       CAST(count(*) AS BIGINT) AS n_overlap,
-        |       CAST(count(*) AS DOUBLE) / max(c.n_sh) AS overlap_frac
-        |FROM corp c JOIN bench USING (g)
-        |GROUP BY c.doc_id
-        |ORDER BY c.doc_id""".stripMargin,
-    "q56_decontaminate" ->
-      """WITH t AS (SELECT doc_id, string_split_regex(trim(text), ' +') AS toks FROM documents),
-        |s AS (SELECT doc_id,
-        |        CASE WHEN len(toks) >= 3
-        |             THEN list_distinct(list_transform(range(1, len(toks) - 1),
-        |                    i -> array_to_string(list_slice(toks, i, i + 2), ' ')))
-        |             ELSE [] END AS sh
-        |      FROM t),
-        |bench AS (SELECT DISTINCT unnest(sh) AS g FROM s WHERE doc_id % 97 = 0),
-        |corp AS (SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS g
-        |         FROM s WHERE doc_id % 97 <> 0)
-        |SELECT c.doc_id,
-        |       CAST(max(c.n_sh) AS BIGINT) AS n_shingles,
-        |       CAST(count(*) AS BIGINT) AS n_overlap,
-        |       CAST(count(*) AS DOUBLE) / max(c.n_sh) AS overlap_frac
-        |FROM corp c JOIN bench USING (g)
-        |GROUP BY c.doc_id
-        |ORDER BY c.doc_id""".stripMargin,
+    // gate's SQL IS its oracle — the shared binding, not a copy.
+    "q135_contamination_bloom" -> ExactDecontamSql,
+    "q56_decontaminate" -> ExactDecontamSql,
     "q57_repetition_stats" ->
       """WITH t AS (SELECT doc_id, string_split_regex(trim(text), ' +') AS toks FROM documents),
         |g2 AS (SELECT doc_id, array_to_string(list_slice(toks, i, i + 1), ' ') AS gram

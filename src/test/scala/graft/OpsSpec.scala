@@ -785,26 +785,29 @@ class OpsSpec extends SparkSuite {
   test("redactVerbatim fold order matches the engine sort on non-BMP needles") {
     import spark.implicits._
     import graft.ops.Decontamination
-    // The astral needle is 14 code points but 15 UTF-16 units; the
-    // 17-code-point BMP needle must fold FIRST (longer by the engines'
-    // code-point length), and an ordering derived from Java's UTF-16
-    // `length` would mis-rank needles whose unit and code-point counts
-    // straddle each other — the round-7 self-review class.
-    val astral = "𝔘nicode leak X"    // 14 code points incl. one astral
-    val bmp    = "plain leak needle" // 17 code points, BMP
+    // STRADDLING needles: the astral needle is 10 code points but 19
+    // UTF-16 units; the BMP needle is 17 code points / 17 units. The
+    // engines' code-point order folds the BMP needle FIRST (17 > 10);
+    // an ordering derived from Java's UTF-16 `length` would fold the
+    // astral needle first (19 > 17) — and because the two occurrences
+    // OVERLAP at the shared "Z", the two orders produce different
+    // clean_text, so a regression here must fail this assertion (the
+    // round-7 self-review class; a disjoint-needle doc could not
+    // observe fold order at all).
+    val astral = "𝔞" * 9 + "Z"         // 10 code points / 19 UTF-16 units
+    val bmp    = "Zabcdefghijklmnop"   // 17 code points / 17 units
+    val text   = s"w ${"𝔞" * 9}Zabcdefghijklmnop y" // needles overlap at Z
     val needles = Seq(astral, bmp).toDF("needle")
-    val docs = Seq((1L, s"a $bmp b $astral c")).toDF("doc_id", "text")
+    val docs = Seq((1L, text)).toDF("doc_id", "text")
     val got = Decontamination.redactVerbatim(docs, needles, "doc_id",
-        "text", "needle", minChars = 5)
+        "text", "needle", minChars = 10)
       .collect().map(r => (r.getLong(1), r.getString(2))).head
-    // model: fold in code-point-length-desc order (the engines' sort)
-    val model = {
-      val sorted = Seq(astral, bmp).sortWith { (a, b) =>
-        val (la, lb) = (a.codePointCount(0, a.length), b.codePointCount(0, b.length))
-        if (la != lb) la > lb else a < b // ASCII-disjoint here; tie impossible
-      }
-      sorted.foldLeft(s"a $bmp b $astral c")((t, n) => t.replace(n, " "))
-    }
+    // model: BMP (17 cp) folds first, consuming the shared Z, so the
+    // astral needle no longer matches; the wrong order leaves the BMP
+    // tail intact instead
+    val model = text.replace(bmp, " ").replace(astral, " ")
+    assert(model !== text.replace(astral, " ").replace(bmp, " "),
+      "needles must overlap for fold order to be observable")
     assert(got === ((2L, model)))
   }
 
