@@ -84,14 +84,25 @@ object Bench {
             .foreach(_.unpersist(blocking = false))
         }
       }
-      name -> (if (times.isEmpty) -1.0 else times.min)
-    }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+      name -> times.sorted
+    }.map { case (name, ts) => (name, if (ts.isEmpty) -1.0 else ts.head, ts) }
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
+    // per-query [min, median, max] of the iterations: the noise floor a
+    // round-over-round diff needs to tell "regressed" from "jittery"
+    // (r7 finding: q93/q81 moved >30% with no code cause and the
+    // comparison couldn't adjudicate). Full line / durable file only —
+    // the driver-parsed compact summary stays small.
+    val spreadJson =
+      if (iterations < 2) ""
+      else results.collect { case (k, _, ts) if ts.nonEmpty =>
+        val med = ts(ts.size / 2)
+        "\"" + k + s"\":[${fmt(ts.head)},${fmt(med)},${fmt(ts.last)}]"
+      }.mkString(""","spread":{""", ",", "}")
     val errJson = errors
       .map { case (q, m) => s"""{"query":"${escape(q)}","error":"${escape(m)}"}""" }
       .mkString("[", ",", "]")
-    val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    val total = results.collect { case (_, v, _) if v >= 0 => v }.sum
     val scaleJson = scaleProfile(spark, sfDir)
     val procJson = processorProfile(spark, sfDir)
     // bucket/cell cap drops accumulated across the whole bench run
@@ -108,7 +119,7 @@ object Bench {
     // 4; rounds ≤3 reported median-of-3) so cross-round comparisons can
     // see the methodology, not read it as an engine speedup
     val line =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","agg":"min","iters":$iterations,"queries":$qs,"sf":"$sfDir","errors":$errJson$scaleJson$procJson$capJson}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","agg":"min","iters":$iterations,"queries":$qs$spreadJson,"sf":"$sfDir","errors":$errJson$scaleJson$procJson$capJson}"""
     // durable copy (the driver's stdout tail capture is lossy); stdout
     // line stays the contract and is printed LAST
     try java.nio.file.Files.write(
@@ -124,7 +135,7 @@ object Bench {
     // survives the tail capture alongside sbt's [success] banner.
     def compact(topN: Int): String = {
       val slow = results.filter(_._2 >= 0).sortBy(-_._2).take(topN)
-        .map { case (k, v) => "\"" + escape(k) + "\":" + fmt(v) }
+        .map { case (k, v, _) => "\"" + escape(k) + "\":" + fmt(v) }
         .mkString("{", ",", "}")
       val errNames = errors.keys.take(8)
         .map(n => "\"" + escape(n) + "\"").mkString("[", ",", "]")

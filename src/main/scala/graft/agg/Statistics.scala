@@ -279,6 +279,18 @@ object Statistics {
       // WITHOUT Expand, each branch's scan prunes to its one column
       // (same total bytes read as the one wide scan), and every branch
       // stays in whole-stage codegen at 1× the row count.
+      //
+      // Each branch RE-EXECUTES the input plan (the scaladoc contract):
+      // surface the one case where that silently changes semantics — a
+      // non-deterministic input gives every column a different row
+      // snapshot — instead of leaving it to the contract's fine print.
+      if (df.queryExecution.analyzed.exists(_.expressions.exists(e =>
+          !e.deterministic))) {
+        System.err.println("[graft] columnProfile: input plan contains " +
+          "non-deterministic expressions and each column branch re-runs " +
+          "it — persist() the frame first (or use columnProfileApprox, " +
+          "which scans once) for a consistent snapshot")
+      }
       cols.map { case (c, isNum) =>
         df.select(col(c))
           .agg(

@@ -182,7 +182,11 @@ object Kernels {
   def dropIndices(tokens: ArrayData, covered: ArrayData): ArrayData = {
     val n = tokens.numElements()
     val m = covered.numElements()
-    if (m == 0) return tokens
+    // copy(), not the input aliased: an UnsafeArrayData points into a
+    // buffer the upstream operator may reuse, so handing it out is only
+    // safe under immediate consumption — which the registered
+    // graft_drop_indices function can't guarantee for every caller
+    if (m == 0) return tokens.copy()
     val drop = new Array[Boolean](n)
     var i = 0
     while (i < m) {
@@ -195,7 +199,10 @@ object Kernels {
     val out = new java.util.ArrayList[AnyRef](n)
     i = 0
     while (i < n) {
-      if (!drop(i)) out.add(tokens.getUTF8String(i))
+      // null slots pass through as null (DropIndices.dataType propagates
+      // the input's containsNull; getUTF8String on a null slot of an
+      // UnsafeArrayData is undefined)
+      if (!drop(i)) out.add(if (tokens.isNullAt(i)) null else tokens.getUTF8String(i))
       i += 1
     }
     new GenericArrayData(out.toArray)

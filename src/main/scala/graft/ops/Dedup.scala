@@ -463,6 +463,12 @@ object Dedup {
     // the probe cap repeats (the q74 finding, Similarity
     // .incrementalCosineNearDups). corpusBandKeys keeps its cap for
     // the build-once-store-bucketed workflow.
+    // ACCOUNTING WINDOW: the "incremental_neardup_corpus" CapMetrics tag
+    // on this path now counts only over-cap groups the batch actually
+    // PROBED (the probe-time re-cap), not every over-cap group in the
+    // corpus as the pre-round-7 build-time cap did — session drop totals
+    // for the same data are lower than round-6 runs by the unprobed
+    // over-cap groups. Don't compare the two eras' drop counts 1:1.
     incrementalNearDupsWithKeys(batch,
       uncappedCorpusKeys(corpus, idCol, textCol, numHashes, bands, md5Basis),
       corpus, idCol, textCol, threshold, numHashes, bands, maxBucket,

@@ -1,0 +1,179 @@
+#!/usr/bin/env python3
+"""Round-over-round bench diff that tells "regressed" from "noisy".
+
+Why: round 7's verdict found q93 (1.48->1.95 s) and q81 (0.43->0.91 s)
+moved >30% between rounds with no code cause, and the per-round
+comparison had no way to adjudicate — min-of-3 absolutes at the ~1 s
+scale jitter hard on a shared sandbox. This tool makes the noise floor
+MEASURED instead of guessed:
+
+  calibrate: two bench runs of IDENTICAL code (same commit, same sf)
+      -> per-query cross-run swing |a-b| plus global percentiles,
+      written as a noise profile JSON. Run with the scale/processor
+      profiles disabled so the headline queries are the measurement:
+        SPARK_GRAFT_SCALE_BENCH=0 SPARK_GRAFT_PROC_BENCH=0 \
+          SPARK_GRAFT_BENCH_OUT=runA.json sbt "runMain graft.Bench"
+      (twice), then:
+        tools/check_bench.py calibrate runA.json runB.json \
+          -o bench_history/noise_sf0.1.json
+
+  compare: OLD.json NEW.json [--noise noise.json]
+      -> per-query classification. A delta is a REGRESSION only when it
+      exceeds every component of the noise band:
+        band(q) = max(abs_floor,
+                      rel_floor * old(q),
+                      noise_mult * measured_swing(q),   # from --noise
+                      spread_mult * (spread_old(q) + spread_new(q)))
+      spread_* comes from the bench line's "spread" object
+      ([min, median, max] of the iterations, emitted since round 8);
+      rounds before r8 have no spread and contribute 0 there.
+
+Inputs are full bench lines (bench_result.json / bench_history/*.json),
+NOT the driver's BENCH_rN.json wrappers (those keep only a 2 KB stdout
+tail). Archive each round's bench_result.json under bench_history/.
+
+Exit code: 0 = no regressions beyond the noise band, 1 = at least one.
+"""
+import argparse
+import json
+import sys
+
+
+def load(path):
+    with open(path) as f:
+        d = json.load(f)
+    if "queries" not in d:
+        sys.exit(f"{path}: not a full bench line (no 'queries' key) — "
+                 "use bench_result.json, not a driver BENCH_rN.json wrapper")
+    return d
+
+
+def spread_width(d, q):
+    s = d.get("spread", {}).get(q)
+    return (s[2] - s[0]) if s else 0.0
+
+
+def calibrate(args):
+    a, b = load(args.runs[0]), load(args.runs[1])
+    qa, qb = a["queries"], b["queries"]
+    common = sorted(set(qa) & set(qb))
+    swings = {}
+    for q in common:
+        if qa[q] < 0 or qb[q] < 0:
+            continue
+        swings[q] = round(abs(qa[q] - qb[q]), 3)
+    vals = sorted(swings.values())
+    rels = sorted(abs(qa[q] - qb[q]) / max(qa[q], 1e-9) for q in swings)
+
+    def pct(xs, p):
+        return round(xs[min(len(xs) - 1, int(p * len(xs)))], 3) if xs else 0.0
+    prof = {
+        "runs": args.runs,
+        "n_queries": len(swings),
+        "swing": swings,
+        "abs_p50": pct(vals, 0.50), "abs_p90": pct(vals, 0.90),
+        "abs_p99": pct(vals, 0.99), "abs_max": pct(vals, 1.0),
+        "rel_p50": pct(rels, 0.50), "rel_p90": pct(rels, 0.90),
+        "rel_max": pct(rels, 1.0),
+    }
+    out = json.dumps(prof, indent=1)
+    if args.output:
+        with open(args.output, "w") as f:
+            f.write(out + "\n")
+        print(f"wrote {args.output}: n={prof['n_queries']} "
+              f"abs_p50={prof['abs_p50']} abs_p90={prof['abs_p90']} "
+              f"abs_max={prof['abs_max']} rel_p90={prof['rel_p50']}/"
+              f"{prof['rel_p90']}/{prof['rel_max']} (p50/p90/max)")
+    else:
+        print(out)
+    return 0
+
+
+def compare(args):
+    old, new = load(args.old), load(args.new)
+    qo, qn = old["queries"], new["queries"]
+    noise = {}
+    noise_meta = {}
+    if args.noise:
+        with open(args.noise) as f:
+            prof = json.load(f)
+        noise = prof.get("swing", {})
+        noise_meta = {k: prof[k] for k in ("abs_p90", "abs_max", "rel_p90")
+                      if k in prof}
+    # a query absent from the calibration (new this round, or errored in a
+    # calibration run) falls back to the profile's p90 swing
+    fallback_swing = noise_meta.get("abs_p90", 0.0)
+
+    rows = []
+    for q in sorted(set(qo) | set(qn)):
+        o, n = qo.get(q), qn.get(q)
+        if o is None:
+            rows.append({"query": q, "class": "added", "new": n})
+            continue
+        if n is None:
+            rows.append({"query": q, "class": "removed", "old": o})
+            continue
+        if n < 0:
+            rows.append({"query": q, "class": "error", "old": o})
+            continue
+        if o < 0:
+            rows.append({"query": q, "class": "fixed", "new": n})
+            continue
+        band = max(
+            args.abs_floor,
+            args.rel_floor * o,
+            args.noise_mult * noise.get(q, fallback_swing),
+            args.spread_mult * (spread_width(old, q) + spread_width(new, q)),
+        )
+        delta = n - o
+        if delta > band:
+            cls = "regression"
+        elif delta < -band:
+            cls = "improvement"
+        else:
+            cls = "noise"
+        rows.append({"query": q, "class": cls, "old": o, "new": n,
+                     "delta": round(delta, 3), "band": round(band, 3)})
+
+    counts = {}
+    for r in rows:
+        counts[r["class"]] = counts.get(r["class"], 0) + 1
+    interesting = [r for r in rows if r["class"] not in ("noise",)]
+    if args.all:
+        interesting = rows
+    for r in interesting:
+        print(json.dumps(r))
+    print(json.dumps({"summary": counts,
+                      "old_total": old.get("value"),
+                      "new_total": new.get("value"),
+                      "noise_profile": args.noise or None,
+                      "noise_meta": noise_meta or None}))
+    return 1 if counts.get("regression") or counts.get("error") else 0
+
+
+def main():
+    p = argparse.ArgumentParser(description=__doc__)
+    sub = p.add_subparsers(dest="mode", required=True)
+    c = sub.add_parser("calibrate", help="two identical-code runs -> noise profile")
+    c.add_argument("runs", nargs=2)
+    c.add_argument("-o", "--output")
+    d = sub.add_parser("compare", help="old vs new bench line")
+    d.add_argument("old")
+    d.add_argument("new")
+    d.add_argument("--noise", help="noise profile from calibrate")
+    # defaults: abs floor covers sub-100ms absolute jitter always present
+    # in a JVM; rel floor 0.25 protects sub-second queries where a single
+    # GC pause is a large fraction; multipliers treat the measured
+    # one-pair swing as a ~1-sigma-ish estimate (x3) and within-run
+    # spread as a weak lower bound (x2)
+    d.add_argument("--abs-floor", type=float, default=0.1)
+    d.add_argument("--rel-floor", type=float, default=0.25)
+    d.add_argument("--noise-mult", type=float, default=3.0)
+    d.add_argument("--spread-mult", type=float, default=2.0)
+    d.add_argument("--all", action="store_true", help="print noise rows too")
+    args = p.parse_args()
+    sys.exit(calibrate(args) if args.mode == "calibrate" else compare(args))
+
+
+if __name__ == "__main__":
+    main()
