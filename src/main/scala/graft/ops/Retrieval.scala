@@ -75,6 +75,54 @@ object Retrieval {
       .limit(k)
   }
 
+  /** [[bm25TopK]] with an explicit 1-based `rank` column whose ORDER is
+    * cross-engine hash-gateable even though the ln-based score is not:
+    * each term's idf·tf-saturation product is quantized to
+    * DECIMAL(38,`quantScale`) BEFORE the per-document sum, so the score
+    * is exact decimal arithmetic — partition-order independent within an
+    * engine (a float sum of a doc's terms is not: two docs with
+    * identical integer stats could drift a ulp apart on merge order and
+    * flip a doc_id tie-break), and rank-stable across engines as long
+    * as adjacent top-k scores differ by more than the quantization step
+    * + ln ulp noise (~1e-9 at the default scale; measured adjacent gaps
+    * on the fixtures are ≥ 3e-5 relative, sf0.01 and sf0.1, with the
+    * only exact tie coming from identical (tf, dl, df) stats — which
+    * both engines tie and break by id identically). The gate is thus
+    * corpus-conditional like q135's: re-verify the gap audit after a
+    * fixture regeneration.
+    *
+    * Scale: the top-k cut is a distributed TakeOrdered on the decimal
+    * score; only the k survivors enter the rank window (single
+    * partition of k rows, never corpus-sized).
+    *
+    * @return `rank, idCol, n_terms_hit, bm25` ordered by rank; gate
+    *         (rank, id, n_terms_hit), all integral
+    */
+  def bm25TopKRanked(df: DataFrame, idCol: String, textCol: String,
+      terms: Seq[String], k: Int, k1: Double = 1.2, b: Double = 0.75,
+      quantScale: Int = 9): DataFrame = {
+    val stats = queryTermStats(df, idCol, textCol, terms)
+    val avgdl = col("corpus_tokens").cast("double") / col("n_docs")
+    val idf = log(
+      (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))
+        + lit(1.0))
+    val tfSat = col("tf").cast("double") * (k1 + 1.0) /
+      (col("tf") + lit(k1) * (lit(1.0) - b + lit(b) * col("dl") / avgdl))
+    val top = stats
+      .groupBy(col(idCol))
+      .agg(sum((idf * tfSat).cast(s"decimal(38,$quantScale)")).as("__s"),
+        count(lit(1)).as("n_terms_hit"))
+      .orderBy(col("__s").desc, col(idCol))
+      .limit(k)
+    top
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("__s").desc, col(idCol))))
+      .select(col("rank"), col(idCol), col("n_terms_hit"),
+        col("__s").cast("double").as("bm25"))
+      .orderBy(col("rank"))
+  }
+
   /** Reciprocal-rank fusion (Cormack/Clarke/Buettcher 2009) of two
     * per-query rankings — the standard hybrid-retrieval combiner
     * (lexical BM25 + dense ANN) that needs no score calibration

@@ -414,6 +414,28 @@ object CorpusQueries {
       .orderBy($"doc_id")
   }
 
+  /** The NB ARGMAX, hash-gated (round-8 promotion of q109b's label
+    * choice): (doc_id, predicted, n_tokens) — STRING + BIGINTs. Sound
+    * because the score is exact decimal arithmetic over per-(token,
+    * label) lns QUANTIZED to 1e-6 ([[Classify.nbScore]]): the oracle
+    * recomputes the identical quantization, so scores agree exactly
+    * unless an ln lands within a ulp of a 5e-7 rounding boundary
+    * (probability ~1e-9 per model entry; none on these fixtures —
+    * all 5,000 sf0.1 argmax-row score_sums compare exactly equal to
+    * the DuckDB recomputation, 0 mismatches).
+    * Exact score ties break to the lexicographically smallest label on
+    * both engines. Corpus-conditional like q135 — re-verify after any
+    * fixture regeneration.
+    */
+  private def q109c(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    Classify.nbPredict(docs, docs.where($"doc_id" % 10 =!= 0),
+        "doc_id", "lang", "text")
+      .select($"doc_id", $"predicted", $"n_tokens")
+      .orderBy($"doc_id")
+  }
+
   private val Bm25Terms = Seq("spark", "hash", "window", "vector")
 
   /** BM25 integer basis for a fixed keyword query: per (doc, matched
@@ -433,6 +455,22 @@ object CorpusQueries {
     import s.implicits._
     Retrieval.bm25TopK(Tables.documents(s, dir), "doc_id", "text",
       Bm25Terms, k = 20)
+  }
+
+  /** The BM25 RANKING, hash-gated (round-8 promotion of q121b's
+    * order): [[Retrieval.bm25TopKRanked]]'s (rank, doc_id, n_terms_hit)
+    * projection — all integral, and the quantized-decimal score makes
+    * the order engine-stable (gap audit in the scaladoc there: adjacent
+    * top-25 scores ≥ 3e-5 apart relative at sf0.01/sf0.1 vs ~1e-9
+    * noise; the one exact tie has identical integer stats, so both
+    * engines break it by doc_id). Corpus-conditional like q135 —
+    * re-run the gap audit after any fixture regeneration.
+    */
+  private def q121c(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Retrieval.bm25TopKRanked(Tables.documents(s, dir), "doc_id", "text",
+        Bm25Terms, k = 20)
+      .select($"rank", $"doc_id", $"n_terms_hit")
   }
 
   /** Hybrid retrieval via reciprocal-rank fusion: an integer-basis
@@ -618,12 +656,14 @@ object CorpusQueries {
     "q142_length_percentiles" -> (q142 _),
     "q121_bm25" -> (q121 _),
     "q121b_bm25_rank" -> (q121b _),
+    "q121c_bm25_rank_order" -> (q121c _),
     "q122_blocklist_report" -> (q122 _),
     "q123_fertility" -> (q123 _),
     "q123b_bpe_fertility" -> (q123b _),
     "q124_padding_waste" -> (q124 _),
     "q109_nb_classifier" -> (q109 _),
     "q109b_nb_predict" -> (q109b _),
+    "q109c_nb_argmax" -> (q109c _),
     "q68_tfidf" -> (q68 _),
     "q80_incremental_dedup_bloom" -> (q80 _),
     "q85_token_budget" -> (q85 _),
@@ -726,6 +766,35 @@ object CorpusQueries {
         |SELECT m.doc_id, m.term, m.tf, m.dl, d.df, c.n_docs, c.corpus_tokens
         |FROM m JOIN d USING (term) CROSS JOIN c
         |ORDER BY m.doc_id, m.term""".stripMargin,
+    // the RANKING gate (q121c): per-term score quantized to
+    // DECIMAL(38,9) before the sum on BOTH engines, so the order is
+    // exact decimal arithmetic; every IEEE op below mirrors the Spark
+    // expression tree operand-for-operand (constants as the SAME source
+    // expressions — (1.2 + 1.0), not 2.2, because the two parses can
+    // round to different doubles)
+    "q121c_bm25_rank_order" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(text), ' +') AS toks
+        |           FROM documents),
+        |e AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl, unnest(toks) AS term
+        |      FROM t),
+        |m AS (SELECT doc_id, term, dl, CAST(count(*) AS BIGINT) AS tf
+        |      FROM e WHERE term IN ('spark', 'hash', 'window', 'vector')
+        |      GROUP BY 1, 2, 3),
+        |d AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM m GROUP BY 1),
+        |c AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |             CAST(sum(len(toks)) AS BIGINT) AS corpus_tokens
+        |      FROM t),
+        |s AS (SELECT m.doc_id,
+        |        sum(CAST(ln((c.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0)
+        |                 * (CAST(m.tf AS DOUBLE) * (1.2 + 1.0)
+        |                    / (m.tf + 1.2 * (1.0 - 0.75 + 0.75 * m.dl
+        |                       / (CAST(c.corpus_tokens AS DOUBLE) / c.n_docs))))
+        |                 AS DECIMAL(38,9))) AS sc,
+        |        CAST(count(*) AS BIGINT) AS n_terms_hit
+        |      FROM m JOIN d USING (term) CROSS JOIN c GROUP BY m.doc_id)
+        |SELECT CAST(row_number() OVER (ORDER BY sc DESC, doc_id) AS INTEGER) AS rank,
+        |       doc_id, n_terms_hit
+        |FROM s QUALIFY rank <= 20 ORDER BY rank""".stripMargin,
     // token-exact blocklist hits per doc → per-source gate audit
     "q122_blocklist_report" ->
       """WITH h AS (SELECT source,
@@ -894,6 +963,42 @@ object CorpusQueries {
         |       CAST(sum(ch) AS BIGINT) AS model_hits
         |FROM j GROUP BY doc_id, label
         |ORDER BY doc_id, label""".stripMargin,
+    // the ARGMAX gate (q109c): reproduces nbScore's quantized-decimal
+    // arithmetic — each ln cast to DECIMAL(25,6), multiplied by the
+    // exact token count, decimal-summed, prior added — so scores agree
+    // exactly cross-engine unless an ln lands within a ulp of a 5e-7
+    // boundary (none on these fixtures; see q109c's scaladoc). IEEE op
+    // order mirrors Classify.nbScore operand-for-operand.
+    "q109c_nb_argmax" ->
+      """WITH tr AS (SELECT lang, string_split_regex(trim(text), ' +') AS toks
+        |            FROM documents WHERE doc_id % 10 <> 0),
+        |m AS (SELECT lang AS label, t AS token, CAST(count(*) AS BIGINT) AS cnt
+        |      FROM (SELECT lang, unnest(toks) AS t FROM tr) GROUP BY 1, 2),
+        |ct AS (SELECT label, CAST(sum(cnt) AS BIGINT) AS tot FROM m GROUP BY 1),
+        |cd AS (SELECT lang AS label, CAST(count(*) AS BIGINT) AS nd
+        |       FROM documents WHERE doc_id % 10 <> 0 GROUP BY 1),
+        |v AS (SELECT CAST(count(DISTINCT token) AS BIGINT) AS vs FROM m),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS nt
+        |      FROM documents WHERE doc_id % 10 <> 0),
+        |d AS (SELECT doc_id, t AS token, CAST(count(*) AS BIGINT) AS c
+        |      FROM (SELECT doc_id, unnest(string_split_regex(trim(text), ' +')) AS t
+        |            FROM documents) GROUP BY 1, 2),
+        |j AS (SELECT d.doc_id, ct.label, d.c,
+        |        CAST(ln((COALESCE(m.cnt, 0) + 1.0) / (ct.tot + 1.0 * v.vs))
+        |             AS DECIMAL(25,6)) * CAST(d.c AS DECIMAL(10,0)) AS wl
+        |      FROM d CROSS JOIN ct CROSS JOIN v
+        |      LEFT JOIN m ON m.label = ct.label AND m.token = d.token),
+        |p AS (SELECT cd.label,
+        |        CAST(ln(CAST(cd.nd AS DOUBLE) / n.nt) AS DECIMAL(25,6)) AS lp
+        |      FROM cd CROSS JOIN n),
+        |s AS (SELECT j.doc_id, j.label, CAST(sum(j.c) AS BIGINT) AS n_tokens,
+        |        sum(j.wl) + any_value(p.lp) AS sc
+        |      FROM j JOIN p USING (label) GROUP BY j.doc_id, j.label)
+        |SELECT doc_id, label AS predicted, n_tokens
+        |FROM (SELECT doc_id, label, n_tokens,
+        |        row_number() OVER (PARTITION BY doc_id ORDER BY sc DESC, label) AS rn
+        |      FROM s)
+        |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
     // integer-only gate: no transcendental in any hashed column — the
     // count dot products pin the joined model counts exactly
     "q87_lm_score" ->

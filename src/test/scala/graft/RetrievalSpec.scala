@@ -41,6 +41,24 @@ class RetrievalSpec extends SparkSuite {
     assert(top(0).getAs[Double]("bm25") > top(1).getAs[Double]("bm25"))
   }
 
+  test("bm25TopKRanked agrees with bm25TopK's order and numbers ranks 1..k") {
+    val plain = Retrieval.bm25TopK(corpus3, "doc_id", "text",
+      Seq("apple", "banana"), k = 2).collect()
+    val ranked = Retrieval.bm25TopKRanked(corpus3, "doc_id", "text",
+      Seq("apple", "banana"), k = 2).collect()
+    assert(ranked.map(_.getAs[Int]("rank")).toSeq === Seq(1, 2))
+    // the quantized-decimal twin must order identically to the float
+    // scorer (quantization at 1e-9 can't flip these hand-sized gaps)
+    assert(ranked.map(_.getAs[Long]("doc_id")).toSeq ===
+      plain.map(_.getAs[Long]("doc_id")).toSeq)
+    assert(ranked.map(_.getAs[Long]("n_terms_hit")).toSeq ===
+      plain.map(_.getAs[Long]("n_terms_hit")).toSeq)
+    // the convenience double tracks the float score closely
+    ranked.zip(plain).foreach { case (r, p) =>
+      assert(math.abs(r.getAs[Double]("bm25") - p.getAs[Double]("bm25")) < 1e-6)
+    }
+  }
+
   test("blocklist gate is token-exact, case-folded, and per-source audited") {
     import spark.implicits._
     val docs = Seq(
