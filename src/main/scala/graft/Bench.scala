@@ -115,11 +115,25 @@ object Bench {
         s""""${escape(tag)}":{"groups":$g,"rows":$r}"""
       }.mkString(""","cap_drops":{""", ",", "}")
     }
+    // RECORDED sf1 evidence (round-8 scale validation): the full-suite
+    // sf1 run is ~10× the per-round bench budget, so it runs once per
+    // round out-of-band (ScaleData + Bench at testdata/sf1, summarized
+    // by tools/check_bench.py growth) and its committed summary rides
+    // the live line verbatim, clearly labeled as a recording — the
+    // generating commit and method are inside the file.
+    val sf1Json = {
+      val p = java.nio.file.Path.of("bench_history/sf1_summary.json")
+      if (java.nio.file.Files.isRegularFile(p)) {
+        val s = java.nio.file.Files.readString(p).trim
+        if (s.startsWith("{") && s.length <= 600) s""","sf1_recorded":$s"""
+        else ""
+      } else ""
+    }
     // "agg"/"iters" label the per-query statistic (min-of-N since round
     // 4; rounds ≤3 reported median-of-3) so cross-round comparisons can
     // see the methodology, not read it as an engine speedup
     val line =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","agg":"min","iters":$iterations,"queries":$qs$spreadJson,"sf":"$sfDir","errors":$errJson$scaleJson$procJson$capJson}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","agg":"min","iters":$iterations,"queries":$qs$spreadJson,"sf":"$sfDir","errors":$errJson$scaleJson$procJson$capJson$sf1Json}"""
     // durable copy (the driver's stdout tail capture is lossy); stdout
     // line stays the contract and is printed LAST
     try java.nio.file.Files.write(

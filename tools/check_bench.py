@@ -151,12 +151,62 @@ def compare(args):
     return 1 if counts.get("regression") or counts.get("error") else 0
 
 
+def growth(args):
+    """sf-to-sf growth table: NEW (larger sf) vs OLD (smaller sf), one
+    row per query with the time ratio. A shipped path should grow about
+    linearly with the data factor; --flag-above names the suspects
+    (default 1.5 x the data factor, the round-8 verdict's bar)."""
+    old, new = load(args.old), load(args.new)
+    qo, qn = old["queries"], new["queries"]
+    flag_at = args.flag_above if args.flag_above else 1.5 * args.data_factor
+    rows = []
+    for q in sorted(set(qo) & set(qn)):
+        o, n = qo[q], qn[q]
+        if o is None or n is None or o < 0 or n < 0:
+            rows.append({"query": q, "class": "error", "old": o, "new": n})
+            continue
+        # sub-second queries are overhead-dominated at BOTH sfs; their
+        # ratio measures scheduling, not the operator — still reported,
+        # but only flagged when the new-side absolute is material
+        ratio = n / o if o > 0 else float("inf")
+        cls = ("flagged" if ratio > flag_at and n >= args.min_new_sec
+               else "ok")
+        rows.append({"query": q, "class": cls, "old": o, "new": n,
+                     "ratio": round(ratio, 2)})
+    flagged = [r for r in rows if r["class"] != "ok"]
+    shown = rows if args.all else flagged
+    for r in sorted(shown, key=lambda r: -r.get("ratio", 0)):
+        print(json.dumps(r))
+    ratios = sorted(r["ratio"] for r in rows if "ratio" in r)
+    summary = {
+        "summary": {
+            "n": len(rows), "flagged": len(flagged),
+            "data_factor": args.data_factor, "flag_above": round(flag_at, 2),
+            "ratio_p50": round(ratios[len(ratios) // 2], 2) if ratios else None,
+            "ratio_p90": round(ratios[int(0.9 * len(ratios))], 2) if ratios else None,
+            "ratio_max": round(ratios[-1], 2) if ratios else None,
+            "old_total": old.get("value"), "new_total": new.get("value"),
+        }
+    }
+    print(json.dumps(summary))
+    return 1 if flagged else 0
+
+
 def main():
     p = argparse.ArgumentParser(description=__doc__)
     sub = p.add_subparsers(dest="mode", required=True)
     c = sub.add_parser("calibrate", help="two identical-code runs -> noise profile")
     c.add_argument("runs", nargs=2)
     c.add_argument("-o", "--output")
+    g = sub.add_parser("growth", help="smaller-sf vs larger-sf growth table")
+    g.add_argument("old", help="bench line at the smaller sf")
+    g.add_argument("new", help="bench line at the larger sf")
+    g.add_argument("--data-factor", type=float, default=10.0)
+    g.add_argument("--flag-above", type=float, default=None,
+                   help="flag ratio threshold (default 1.5 * data factor)")
+    g.add_argument("--min-new-sec", type=float, default=1.0,
+                   help="only flag when the larger-sf time is at least this")
+    g.add_argument("--all", action="store_true")
     d = sub.add_parser("compare", help="old vs new bench line")
     d.add_argument("old")
     d.add_argument("new")
@@ -172,7 +222,8 @@ def main():
     d.add_argument("--spread-mult", type=float, default=2.0)
     d.add_argument("--all", action="store_true", help="print noise rows too")
     args = p.parse_args()
-    sys.exit(calibrate(args) if args.mode == "calibrate" else compare(args))
+    sys.exit({"calibrate": calibrate, "growth": growth,
+              "compare": compare}[args.mode](args))
 
 
 if __name__ == "__main__":
