@@ -656,8 +656,12 @@ object TextQueries {
     * bits are not SQL-expressible, but the filter is DETERMINISTIC
     * (fixed hash seeds, order-independent OR), and at the default fpp
     * the screen's output is value-identical to the exact gate at every
-    * verify scale (checked empirically at sf0.01 and sf0.1) — so the
-    * EXACT gate's SQL is a valid hash oracle for this query.
+    * verify scale (checked empirically at sf0.01, sf0.1, and the
+    * round-8 ScaleData sf1 fixture — `check_oracle.py` hash-PASS on
+    * 46,735 rows) — so the EXACT gate's SQL is a valid hash oracle for
+    * this query. Re-verify after any testdata regeneration: a new
+    * corpus could introduce an FP and flip the gate with no code
+    * change (the failure mode is loud — a hash mismatch, not silence).
     */
   private def q135(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
