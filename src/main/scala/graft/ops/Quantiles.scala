@@ -48,21 +48,7 @@ object Quantiles {
     */
   def groupPercentiles(df: DataFrame, groupCol: String, valueCol: String,
       ps: Seq[Double]): DataFrame = {
-    require(ps.nonEmpty && ps.forall(p => p > 0 && p <= 1), s"bad ps: $ps")
-    // decimal-string basis (BigDecimal(p.toString)), not p * 100 in
-    // doubles: 0.9 * 100 is not exactly 90 in binary. Rounded to 6
-    // decimal places of the percent so an arithmetically-computed p
-    // (0.1 * 3 = 0.30000000000000004) still names p30, while 0.995 vs
-    // 1.0 stay distinct; the requires below catch a collision or a p
-    // so small it rounds to zero (p ≥ 1e-8 always names nonzero).
-    def nameFor(p: Double): String = "p" + (BigDecimal(p.toString) * 100)
-      .setScale(6, BigDecimal.RoundingMode.HALF_UP)
-      .underlying.stripTrailingZeros.toPlainString.replace(".", "_")
-    val names = ps.map(nameFor)
-    require(names.distinct.size == names.size,
-      s"percentile names collide: ${ps.zip(names)}")
-    require(!names.contains("p0"),
-      s"a percentile rounds to p0 — p too small to name: ${ps.zip(names)}")
+    val names = percentileNames(ps)
     val w = Window.partitionBy(col(groupCol)).orderBy(col(valueCol))
     val aggs = ps.zip(names).map { case (p, n) =>
       min(when(col("__cd") >= p, col(valueCol))).as(n)
@@ -71,6 +57,48 @@ object Quantiles {
       .withColumn("__cd", cume_dist().over(w))
       .groupBy(col(groupCol))
       .agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Shared `p → column name` contract for the percentile tables:
+    * percent with any fractional part after `_` (`0.995` → `p99_5`).
+    * Decimal-string basis (BigDecimal(p.toString)), not p * 100 in
+    * doubles: 0.9 * 100 is not exactly 90 in binary. Rounded to 6
+    * decimal places of the percent so an arithmetically-computed p
+    * (0.1 * 3 = 0.30000000000000004) still names p30, while 0.995 vs
+    * 1.0 stay distinct; the requires catch a collision or a p so
+    * small it rounds to zero (p ≥ 1e-8 always names nonzero).
+    */
+  private def percentileNames(ps: Seq[Double]): Seq[String] = {
+    require(ps.nonEmpty && ps.forall(p => p > 0 && p <= 1), s"bad ps: $ps")
+    def nameFor(p: Double): String = "p" + (BigDecimal(p.toString) * 100)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+      .underlying.stripTrailingZeros.toPlainString.replace(".", "_")
+    val names = ps.map(nameFor)
+    require(names.distinct.size == names.size,
+      s"percentile names collide: ${ps.zip(names)}")
+    require(!names.contains("p0"),
+      s"a percentile rounds to p0 — p too small to name: ${ps.zip(names)}")
+    names
+  }
+
+  /** Sketch-based twin of [[groupPercentiles]] for the 100 TB path:
+    * same output shape and column-name contract, ONE ordinary
+    * aggregate (mergeable `percentile_approx` sketches, map-side
+    * partial, no shuffle-and-sort of the values) — in particular no
+    * single-partition window when the "group" is the whole corpus,
+    * which is exactly the datasheet's corpus-wide dup-density row.
+    * Values are approximate within the sketch's rank error
+    * (1/accuracy); the exact twin stays the oracle-gated one.
+    */
+  def groupPercentilesApprox(df: DataFrame, groupCol: String,
+      valueCol: String, ps: Seq[Double],
+      accuracy: Int = 10000): DataFrame = {
+    val names = percentileNames(ps)
+    val sk = percentile_approx(col(valueCol),
+      array(ps.map(lit): _*), lit(accuracy))
+    df.groupBy(col(groupCol)).agg(sk.as("__ps"))
+      .select(col(groupCol) +:
+        names.zipWithIndex.map { case (n, i) => col("__ps")(i).as(n) }: _*)
   }
 
   /** Sketch-based thresholds for the 100 TB path: same output shape as

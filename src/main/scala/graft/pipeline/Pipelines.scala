@@ -188,8 +188,14 @@ object Pipelines {
     Sinks.parquet(manifest, s"$outDir/manifest.parquet")
     val dup = graft.ops.Dedup.dupShingleFraction(docs, idCol, textCol,
       n = 3)
-    // empty when no doc reaches 3 tokens — the card then says n/a
-    val dupRow = graft.ops.Quantiles.groupPercentiles(
+    // empty when no doc reaches 3 tokens — the card then says n/a.
+    // Sketch percentiles, not the exact window: the "group" here is
+    // the WHOLE corpus, and the exact path's cume_dist window would
+    // sort every doc's dup_frac in one partition (observed as the
+    // WindowExec single-partition warning in the sf1 release run) —
+    // a data card tolerates 1/accuracy rank error, a single-executor
+    // corpus-wide sort at 100 TB does not.
+    val dupRow = graft.ops.Quantiles.groupPercentilesApprox(
         dup.withColumn("__all", lit("corpus")), "__all", "dup_frac",
         Seq(0.5, 0.9, 0.99))
       .collect().headOption

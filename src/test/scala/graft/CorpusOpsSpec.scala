@@ -550,6 +550,32 @@ class CorpusOpsSpec extends SparkSuite {
     }
   }
 
+  test("groupPercentilesApprox: same name contract, no window, near-exact") {
+    import spark.implicits._
+    val df = ((1 to 10).map(v => ("A", v.toDouble)) ++
+      Seq(("B", 2.0), ("B", 4.0))).toDF("g", "v")
+    val out = Quantiles.groupPercentilesApprox(df, "g", "v",
+      Seq(0.5, 0.9, 0.99))
+    // identical column-name contract to the exact twin
+    assert(out.columns.toSeq === Seq("g", "p50", "p90", "p99"))
+    // the scale property this twin exists for: one mergeable
+    // aggregate, NO window (the exact path's cume_dist would put a
+    // whole-corpus "group" in one partition)
+    assert(!out.queryExecution.executedPlan.toString.contains("Window"))
+    // at accuracy >> n the sketch keeps every sample: values must be
+    // drawn from the data and within one rank of the exact cut
+    val exact = Quantiles.groupPercentiles(df, "g", "v",
+        Seq(0.5, 0.9, 0.99)).orderBy($"g").collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+    val approx = out.orderBy($"g").collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+    exact.zip(approx).foreach { case ((g1, e50, e90, e99), (g2, a50, a90, a99)) =>
+      assert(g1 === g2)
+      assert(math.abs(e50 - a50) <= 1.0 && math.abs(e90 - a90) <= 1.0 &&
+        math.abs(e99 - a99) <= 1.0, s"$g1: $exact vs $approx")
+    }
+  }
+
   test("groupPercentiles matches a sorted-sequence model on random groups") {
     import spark.implicits._
     val rnd = new scala.util.Random(21)
