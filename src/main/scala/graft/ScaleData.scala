@@ -44,6 +44,12 @@ object ScaleData {
     val replicas = if (args.length > 1) args(1).toInt else 10
     val srcDir = if (args.length > 2) args(2) else "/root/testdata/sf0.1"
     val spark = GraftSession.local("graft-scale-data")
+    try generate(spark, outDir, replicas, srcDir)
+    finally spark.stop()
+  }
+
+  def generate(spark: SparkSession, outDir: String, replicas: Int,
+      srcDir: String): Unit = {
     def src(t: String): DataFrame = spark.read.parquet(s"$srcDir/$t.parquet")
     def write(t: String, df: DataFrame): Unit = {
       df.write.mode("overwrite").parquet(s"$outDir/$t.parquet")
@@ -107,6 +113,5 @@ object ScaleData {
       embeddings.select(shifted("vec_id", k), vec.as("embedding"),
         col("label"))
     })
-    spark.stop()
   }
 }

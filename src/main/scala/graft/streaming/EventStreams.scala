@@ -453,18 +453,28 @@ object EventStreams {
             val corpus = spark.read.parquet(corpusDir)
             // heal (once per run): re-key corpus docs a previous run
             // appended without keys — within this run appends are
-            // strictly ordered, so later batches cannot be unkeyed
+            // strictly ordered, so later batches cannot be unkeyed.
+            // The healthy-path audit is ids-only: the anti-join reads
+            // just the two id columns (parquet-pruned — never the fat
+            // text column) and joins against the RAW key rows (left_anti
+            // ignores build-side duplicates, so the previous
+            // corpus-sized distinct() shuffle bought nothing); text is
+            // scanned only for the usually-empty unkeyed sliver, via a
+            // semi-join back
             if (healed.compareAndSet(false, true)) {
               val keysExist = fs.exists(new org.apache.hadoop.fs.Path(keysDir))
-              val unkeyed =
+              val unkeyedIds =
                 if (keysExist)
-                  corpus.select(col(idCol), col(textCol)).join(
-                    spark.read.parquet(keysDir).select(col(idCol)).distinct(),
+                  corpus.select(col(idCol)).join(
+                    spark.read.parquet(keysDir).select(col(idCol)),
                     Seq(idCol), "left_anti")
-                else corpus.select(col(idCol), col(textCol))
-              if (!unkeyed.isEmpty)
+                else corpus.select(col(idCol))
+              if (!unkeyedIds.isEmpty) {
+                val unkeyed = corpus.select(col(idCol), col(textCol))
+                  .join(unkeyedIds, Seq(idCol), "left_semi")
                 Dedup.corpusBandKeys(unkeyed, idCol, textCol, numHashes, bands)
                   .write.mode("append").parquet(keysDir)
+              }
             }
             val keys = spark.read.parquet(keysDir)
             val linked = Dedup.incrementalNearDupsWithKeys(local, keys,
