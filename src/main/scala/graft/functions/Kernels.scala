@@ -569,14 +569,14 @@ final class BpeModel(merges: Array[Array[String]]) extends Serializable {
   locally {
     var i = 0
     while (i < merges.length) {
-      //   never appears in whitespace-split tokens → unambiguous key
-      ranks.put(merges(i)(0) + " " + merges(i)(1), Integer.valueOf(i))
+      // NUL (\u0000) never appears in whitespace-split tokens → unambiguous key
+      ranks.put(merges(i)(0) + "\u0000" + merges(i)(1), Integer.valueOf(i))
       i += 1
     }
   }
 
   private def rank(a: String, b: String): Int = {
-    val r = ranks.get(a + " " + b)
+    val r = ranks.get(a + "\u0000" + b)
     if (r == null) Int.MaxValue else r.intValue()
   }
 

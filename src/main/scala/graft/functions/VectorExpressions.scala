@@ -548,12 +548,21 @@ object GraftFunctions {
       }
     }
 
-  /** Register into the thread's active session — called by every ops
-    * helper that emits a `graft_*` call, so Column-only APIs work on any
-    * session without an explicit setup step.
+  /** Register into the thread's active session AND the default session —
+    * called by every ops helper that emits a `graft_*` call, so
+    * Column-only APIs work on any session without an explicit setup
+    * step. Both sessions matter: inside a streaming `foreachBatch` the
+    * thread's active session is the stream's CLONE, while frames built
+    * from the caller's handle (`spark.read.parquet(...)`) resolve
+    * against the base (default) session — registering only the active
+    * one left such mixed-session plans with UNRESOLVED_ROUTINE when the
+    * ingest was the session's first graft op (caught by the isolated
+    * StreamingSpec keyed-ingest run; ordering masked it in-suite).
     */
-  def ensureRegistered(): Unit =
+  def ensureRegistered(): Unit = {
     SparkSession.getActiveSession.foreach(register)
+    SparkSession.getDefaultSession.foreach(register)
+  }
 
   /** `call_function` on a `graft_*` expression, auto-registering in the
     * active session first (idempotent) — the one shared wrapper every

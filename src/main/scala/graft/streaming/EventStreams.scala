@@ -265,6 +265,11 @@ object EventStreams {
       textCol: String, maxFilesPerTrigger: Int = 16,
       trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
     import graft.ops.Dedup
+    // register on the CALLER's session up front: foreachBatch below
+    // builds frames from this handle (spark.read.parquet), which may be
+    // neither the batch thread's active session (the stream's clone)
+    // nor the default — ensureRegistered() alone cannot reach it
+    graft.functions.GraftFunctions.register(spark)
     spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .parquet(inDir)
@@ -312,6 +317,11 @@ object EventStreams {
       maxFilesPerTrigger: Int = 16,
       trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
     import graft.ops.Dedup
+    // register on the CALLER's session up front: foreachBatch below
+    // builds frames from this handle (spark.read.parquet), which may be
+    // neither the batch thread's active session (the stream's clone)
+    // nor the default — ensureRegistered() alone cannot reach it
+    graft.functions.GraftFunctions.register(spark)
     import org.apache.spark.sql.functions.{col, md5}
     var bloom: Option[org.apache.spark.util.sketch.BloomFilter] = None
     spark.readStream.schema(schema)
@@ -374,6 +384,11 @@ object EventStreams {
       bands: Int = 8, maxFilesPerTrigger: Int = 16,
       trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
     import graft.ops.Dedup
+    // register on the CALLER's session up front: foreachBatch below
+    // builds frames from this handle (spark.read.parquet), which may be
+    // neither the batch thread's active session (the stream's clone)
+    // nor the default — ensureRegistered() alone cannot reach it
+    graft.functions.GraftFunctions.register(spark)
     import org.apache.spark.sql.functions.col
     spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
@@ -436,6 +451,11 @@ object EventStreams {
       maxFilesPerTrigger: Int = 16,
       trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
     import graft.ops.Dedup
+    // register on the CALLER's session up front: foreachBatch below
+    // builds frames from this handle (spark.read.parquet), which may be
+    // neither the batch thread's active session (the stream's clone)
+    // nor the default — ensureRegistered() alone cannot reach it
+    graft.functions.GraftFunctions.register(spark)
     import org.apache.spark.sql.functions.col
     val healed = new java.util.concurrent.atomic.AtomicBoolean(false)
     spark.readStream.schema(schema)

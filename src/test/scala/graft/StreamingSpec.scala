@@ -529,6 +529,33 @@ class StreamingSpec extends SparkSuite {
     assert(ids() === s2 + 31L) // healed keys caught the replay of 22
     assert(spark.read.parquet(keys).select($"doc_id").distinct()
       .collect().map(_.getLong(0)).toSet === ids())
+
+    // partial crash: the key table EXISTS but one corpus doc is
+    // unkeyed (died between the corpus append and the keys append
+    // after a healthy history) — this drives the keysExist=true heal
+    // branch with a NON-EMPTY sliver: the ids-only anti-join must find
+    // exactly that doc, the semi-join must fetch its text, and a
+    // replayed exact copy must self-filter against the healed keys.
+    // (The full-loss block above only ever heals via keysExist=false.)
+    val s3 = ids()
+    val pruned = tmp("keyed-keys-pruned") + "/keys"
+    spark.read.parquet(keys).where($"doc_id" =!= 31L)
+      .write.mode("overwrite").parquet(pruned)
+    keysPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(keysPath, true)
+    spark.read.parquet(pruned).write.mode("overwrite").parquet(keys)
+    Seq(
+      (40L, "fresh novel content for the recovery batch check"), // replay of 31
+      (41L, "entirely new material for the partial heal scenario"))
+      .toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(in)
+    run()
+    assert(ids() === s3 + 41L) // re-keyed 31 caught its replay (40)
+    // exactly 8 band keys per corpus doc: the heal re-keyed ONLY the
+    // unkeyed sliver (a corpus-wide re-key would duplicate key rows)
+    val healedKeys = spark.read.parquet(keys)
+    assert(healedKeys.count() === ids().size * 8L)
+    assert(healedKeys.select($"doc_id").distinct()
+      .collect().map(_.getLong(0)).toSet === ids())
   }
 
   test("sessionize (flatMapGroupsWithState) agrees with the q35 batch count") {
