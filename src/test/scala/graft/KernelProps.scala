@@ -60,6 +60,32 @@ object KernelProps extends Properties("graft") {
         expected
     }
 
+  private def strArrNullable(xs: Seq[Option[String]]): GenericArrayData =
+    new GenericArrayData(
+      xs.map(_.map(UTF8String.fromString).orNull).toArray[Any])
+
+  property("dropIndices passes null element slots through unchanged") =
+    forAll(Gen.listOf(Gen.option(token)), Gen.listOf(Gen.choose(-2, 30))) {
+      (xs, cov) =>
+        val got = Kernels.dropIndices(strArrNullable(xs),
+          new GenericArrayData(cov.toArray[Any]))
+        val expected = xs.zipWithIndex.collect {
+          case (t, i) if !cov.contains(i) => t
+        }
+        (0 until got.numElements()).map(i =>
+          if (got.isNullAt(i)) None
+          else Some(got.getUTF8String(i).toString)) == expected
+    }
+
+  property("dropIndices never aliases the input on the covered-empty path") =
+    forAll(tokenSeq) { xs =>
+      val in = strArr(xs)
+      val got = Kernels.dropIndices(in,
+        new GenericArrayData(Array.empty[Any]))
+      (got ne in) &&
+        (0 until got.numElements()).map(got.getUTF8String(_).toString) == xs
+    }
+
   property("gramStats matches the groupBy-count model") =
     forAll(tokenSeq, Gen.choose(1, 4)) { (xs, n) =>
       val out = Kernels.gramStats(strArr(xs), n)
