@@ -28,6 +28,33 @@ object Bench {
     case c => c.toString
   }
 
+  /** Structural JSON-object sanity for a string about to be spliced
+    * verbatim into the bench line: starts with `{`, every brace/bracket
+    * outside string literals balances, strings close, depth returns to
+    * zero exactly at the end. Not a full parser (no dependency allowed)
+    * but rejects every truncation/concatenation corruption mode.
+    */
+  private[graft] def jsonObjectish(s: String): Boolean = {
+    if (!s.startsWith("{")) return false
+    var depth = 0; var inStr = false; var esc = false; var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (inStr) {
+        if (esc) esc = false
+        else if (c == '\\') esc = true
+        else if (c == '"') inStr = false
+      } else c match {
+        case '"' => inStr = true
+        case '{' | '[' => depth += 1
+        case '}' | ']' => depth -= 1; if (depth == 0 && i != s.length - 1) return false
+        case _ => ()
+      }
+      if (depth < 0) return false
+      i += 1
+    }
+    depth == 0 && !inStr
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = GraftSession.local("graft-bench")
@@ -96,7 +123,12 @@ object Bench {
     val spreadJson =
       if (iterations < 2) ""
       else results.collect { case (k, _, ts) if ts.nonEmpty =>
-        val med = ts(ts.size / 2)
+        // true median: average the two middles on even counts —
+        // ts(size/2) alone is the UPPER middle, which at iters=2
+        // degenerates to the max masquerading as a center statistic
+        val med =
+          if (ts.size % 2 == 1) ts(ts.size / 2)
+          else (ts(ts.size / 2 - 1) + ts(ts.size / 2)) / 2.0
         "\"" + k + s"\":[${fmt(ts.head)},${fmt(med)},${fmt(ts.last)}]"
       }.mkString(""","spread":{""", ",", "}")
     val errJson = errors
@@ -125,7 +157,11 @@ object Bench {
       val p = java.nio.file.Path.of("bench_history/sf1_summary.json")
       if (java.nio.file.Files.isRegularFile(p)) {
         val s = java.nio.file.Files.readString(p).trim
-        if (s.startsWith("{") && s.length <= 600) s""","sf1_recorded":$s"""
+        // splice only if structurally valid JSON (balanced braces/
+        // brackets outside strings, closed strings): a truncated or
+        // hand-edited file would otherwise corrupt the whole machine-
+        // parsed bench line — the one contract every tool json.load()s
+        if (s.length <= 600 && jsonObjectish(s)) s""","sf1_recorded":$s"""
         else ""
       } else ""
     }

@@ -25,9 +25,10 @@ import org.apache.spark.sql.functions._
   *    20×-replica stress probe plants on purpose). Every 50th doc keeps
   *    its base text verbatim — cross-replica exact-dup cliques of size
   *    R, the mass-duplication shape exact dedup must collapse.
-  *    `n_chars` is recomputed from the rebuilt text (whitespace
-  *    normalizes to single spaces; the source invariant
-  *    n_chars = length(text) is preserved);
+  *    The rename is an in-place regexp (whitespace preserved
+  *    byte-exact, so distinct base texts stay distinct in every
+  *    replica); `n_chars` is recomputed from the rebuilt text, keeping
+  *    the source invariant n_chars = length(text);
   *  - embeddings: circular shift by (k·7) mod 64 (norm- and
   *    within-replica-geometry-preserving; all shifts distinct for
   *    R ≤ 10 since 7 is invertible mod 64), with every 50th vector
@@ -92,10 +93,16 @@ object ScaleData {
       col("event_type"), col("value"), col("props"))))
     val documents = src("documents")
     write("documents", rep(documents) { k =>
+      // suffix every maximal non-space run in place (regexp_replace),
+      // NOT split/concat_ws: the split form collapsed whitespace runs
+      // and trimmed, so two base docs differing only in whitespace
+      // became IDENTICAL strings in every k>0 replica — unplanted
+      // cross-doc exact dups that broke the linear-dup-density
+      // invariant (and turned null/blank text into a bare "_rk" token).
+      // In-place replacement keeps the original whitespace byte-exact.
       val renamed =
         if (k == 0) col("text")
-        else concat_ws(" ", transform(
-          split(trim(col("text")), " +"), t => concat(t, lit(s"_r$k"))))
+        else regexp_replace(col("text"), "(\\S+)", s"$$1_r$k")
       val text = when(col("doc_id") % 50 === 0, col("text"))
         .otherwise(renamed)
       documents.select(shifted("doc_id", k), text.as("text"), col("lang"),

@@ -284,7 +284,12 @@ object Statistics {
       // surface the one case where that silently changes semantics — a
       // non-deterministic input gives every column a different row
       // snapshot — instead of leaving it to the contract's fine print.
-      if (df.queryExecution.analyzed.exists(_.expressions.exists(e =>
+      // storageLevel gate: a caller who already persisted the frame has
+      // FOLLOWED the advice below (every branch reads the cached
+      // snapshot, so the inconsistency can't occur) — warning them
+      // anyway would train users to ignore it
+      if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE &&
+          df.queryExecution.analyzed.exists(_.expressions.exists(e =>
           !e.deterministic))) {
         System.err.println("[graft] columnProfile: input plan contains " +
           "non-deterministic expressions and each column branch re-runs " +

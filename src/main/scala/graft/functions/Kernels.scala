@@ -201,8 +201,14 @@ object Kernels {
     while (i < n) {
       // null slots pass through as null (DropIndices.dataType propagates
       // the input's containsNull; getUTF8String on a null slot of an
-      // UnsafeArrayData is undefined)
-      if (!drop(i)) out.add(if (tokens.isNullAt(i)) null else tokens.getUTF8String(i))
+      // UnsafeArrayData is undefined). clone() each retained string for
+      // the same reason the m==0 path copies: getUTF8String on an
+      // UnsafeArrayData returns a pointer into the operator's reusable
+      // buffer, and GenericArrayData.copy() is shallow — without the
+      // clone a caller that buffers rows past the current one would see
+      // the retained tokens' bytes overwritten by a later row
+      if (!drop(i))
+        out.add(if (tokens.isNullAt(i)) null else tokens.getUTF8String(i).clone())
       i += 1
     }
     new GenericArrayData(out.toArray)

@@ -19,6 +19,15 @@ import org.apache.spark.sql.functions._
   * threshold only needs to be approximately placed, swap in
   * `approx_percentile` (one ordinary aggregate, mergeable sketches, no
   * sort) — same downstream join/filter shape.
+  *
+  * Null contract (all four functions): percentiles are over the NON-NULL
+  * values of `valueCol`; null rows are dropped before ranking, and a
+  * group whose values are all null is absent from the output. Without
+  * the explicit filter the exact and approx twins silently diverged on
+  * nullable inputs — `cume_dist` counts null rows in its denominator
+  * (they sort first), shifting every non-null rank, while
+  * `percentile_approx` ignores nulls — so the "twins" disagreed by more
+  * than the sketch's rank error wherever nulls were present.
   */
 object Quantiles {
 
@@ -30,6 +39,7 @@ object Quantiles {
     require(p > 0 && p <= 1, s"p must be in (0, 1], got $p")
     val w = Window.partitionBy(col(groupCol)).orderBy(col(valueCol))
     df.select(col(groupCol), col(valueCol))
+      .where(col(valueCol).isNotNull)
       .withColumn("__cd", cume_dist().over(w))
       .where(col("__cd") >= p)
       .groupBy(col(groupCol))
@@ -54,6 +64,7 @@ object Quantiles {
       min(when(col("__cd") >= p, col(valueCol))).as(n)
     }
     df.select(col(groupCol), col(valueCol))
+      .where(col(valueCol).isNotNull)
       .withColumn("__cd", cume_dist().over(w))
       .groupBy(col(groupCol))
       .agg(aggs.head, aggs.tail: _*)
@@ -96,7 +107,7 @@ object Quantiles {
     val names = percentileNames(ps)
     val sk = percentile_approx(col(valueCol),
       array(ps.map(lit): _*), lit(accuracy))
-    df.groupBy(col(groupCol)).agg(sk.as("__ps"))
+    df.where(col(valueCol).isNotNull).groupBy(col(groupCol)).agg(sk.as("__ps"))
       .select(col(groupCol) +:
         names.zipWithIndex.map { case (n, i) => col("__ps")(i).as(n) }: _*)
   }
@@ -106,7 +117,7 @@ object Quantiles {
     */
   def groupThresholdsApprox(df: DataFrame, groupCol: String, valueCol: String,
       p: Double, accuracy: Int = 10000): DataFrame =
-    df.groupBy(col(groupCol))
+    df.where(col(valueCol).isNotNull).groupBy(col(groupCol))
       .agg(percentile_approx(col(valueCol), lit(p), lit(accuracy)).as("threshold"))
 
   /** Keep rows whose `valueCol` is at or above their group's `p`-quantile

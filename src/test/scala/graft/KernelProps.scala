@@ -86,6 +86,24 @@ object KernelProps extends Properties("graft") {
         (0 until got.numElements()).map(got.getUTF8String(_).toString) == xs
     }
 
+  property("jsonObjectish accepts what json emitters produce, rejects truncations") = {
+    val good = Seq(
+      """{}""",
+      """{"a":1,"b":[1,2,{"c":"x"}]}""",
+      """{"s":"br{ce \" and ] inside","n":-1.5}""")
+    val bad = Seq(
+      "", "[1]", """{"a":1""", """{"a":1}}""", """{"a":1}{"b":2}""",
+      """{"a":"unterminated}""", """{"a":1} trailing""")
+    Prop(good.forall(Bench.jsonObjectish) && !bad.exists(Bench.jsonObjectish)) :| {
+      // every valid prefix-truncation of a real summary must be rejected
+      val line = """{"sf":"testdata/sf1","total_sec":372.55,"queries":162}"""
+      s"truncations: ${(1 until line.length).count(i => Bench.jsonObjectish(line.take(i)))}"
+    } && Prop((1 until 53).forall { i =>
+      val line = """{"sf":"testdata/sf1","total_sec":372.55,"queries":162}"""
+      !Bench.jsonObjectish(line.take(i))
+    })
+  }
+
   property("gramStats matches the groupBy-count model") =
     forAll(tokenSeq, Gen.choose(1, 4)) { (xs, n) =>
       val out = Kernels.gramStats(strArr(xs), n)

@@ -82,7 +82,7 @@ def calibrate(args):
             f.write(out + "\n")
         print(f"wrote {args.output}: n={prof['n_queries']} "
               f"abs_p50={prof['abs_p50']} abs_p90={prof['abs_p90']} "
-              f"abs_max={prof['abs_max']} rel_p90={prof['rel_p50']}/"
+              f"abs_max={prof['abs_max']} rel={prof['rel_p50']}/"
               f"{prof['rel_p90']}/{prof['rel_max']} (p50/p90/max)")
     else:
         print(out)
@@ -107,14 +107,21 @@ def compare(args):
     rows = []
     for q in sorted(set(qo) | set(qn)):
         o, n = qo.get(q), qn.get(q)
+        # error checks FIRST: a query new this round whose iterations all
+        # failed (n < 0) must be an exit-affecting error, not a benign
+        # "added" (the original order silently shipped broken new queries)
+        if n is not None and n < 0:
+            cls = "still_error" if (o is not None and o < 0) else "error"
+            # still_error = broken in BOTH runs: reported loudly but not a
+            # REGRESSION (nothing changed); the bench's own errors[] list
+            # is the gate for standing breakage
+            rows.append({"query": q, "class": cls, "old": o, "new": n})
+            continue
         if o is None:
             rows.append({"query": q, "class": "added", "new": n})
             continue
         if n is None:
             rows.append({"query": q, "class": "removed", "old": o})
-            continue
-        if n < 0:
-            rows.append({"query": q, "class": "error", "old": o})
             continue
         if o < 0:
             rows.append({"query": q, "class": "fixed", "new": n})
@@ -148,6 +155,12 @@ def compare(args):
                       "new_total": new.get("value"),
                       "noise_profile": args.noise or None,
                       "noise_meta": noise_meta or None}))
+    # removed queries (lost coverage) surface on stderr so a rename/drop
+    # can't pass silently, but don't fail the exit by themselves
+    for r in rows:
+        if r["class"] == "removed":
+            print(f"note: query removed since OLD run: {r['query']}",
+                  file=sys.stderr)
     return 1 if counts.get("regression") or counts.get("error") else 0
 
 

@@ -123,7 +123,9 @@ def main(outdir, sfdir):
             report[name] = {"status": "fail", "dir_read_error": str(ex)}
             continue
         if got is None:
-            print(f"FAIL {name}: no spark output"); n_fail += 1; continue
+            print(f"FAIL {name}: no spark output"); n_fail += 1
+            report[name] = {"status": "fail", "reason": "no spark output"}
+            continue
         if name not in oracle:
             print(f"SKIP {name}: rows-only check, rows={len(got)}")
             continue
@@ -131,7 +133,9 @@ def main(outdir, sfdir):
             exp_arrow = con.execute(oracle[name]).arrow()
             exp = exp_arrow.to_pandas()
         except Exception as e:
-            print(f"FAIL {name}: oracle SQL error: {e}"); n_fail += 1; continue
+            print(f"FAIL {name}: oracle SQL error: {e}"); n_fail += 1
+            report[name] = {"status": "fail", "oracle_sql_error": str(e)}
+            continue
         type_bad = dtype_check(name, got_schema, exp_arrow.schema)
         if type_bad:
             for b in type_bad:
