@@ -182,11 +182,16 @@ object Kernels {
   def dropIndices(tokens: ArrayData, covered: ArrayData): ArrayData = {
     val n = tokens.numElements()
     val m = covered.numElements()
-    // copy(), not the input aliased: an UnsafeArrayData points into a
-    // buffer the upstream operator may reuse, so handing it out is only
-    // safe under immediate consumption — which the registered
-    // graft_drop_indices function can't guarantee for every caller
-    if (m == 0) return tokens.copy()
+    // Aliasing contract: the result (and the retained UTF8Strings) may
+    // point into the input's buffer — the SAME contract as Spark's own
+    // split()/substring()/array HOFs, whose outputs alias until the next
+    // row is produced. Consumers that buffer rows copy (UnsafeProjection
+    // does), so a defensive per-element clone() here would only protect
+    // callers already broken with every Spark string function; a 5-iter
+    // A/B at sf0.1 could not distinguish clone from alias on q138
+    // (shuffle-dominated), so the alias is chosen on idiom, keeping the
+    // rebuild allocation-proportional to SURVIVING tokens only.
+    if (m == 0) return tokens
     val drop = new Array[Boolean](n)
     var i = 0
     while (i < m) {
@@ -201,14 +206,10 @@ object Kernels {
     while (i < n) {
       // null slots pass through as null (DropIndices.dataType propagates
       // the input's containsNull; getUTF8String on a null slot of an
-      // UnsafeArrayData is undefined). clone() each retained string for
-      // the same reason the m==0 path copies: getUTF8String on an
-      // UnsafeArrayData returns a pointer into the operator's reusable
-      // buffer, and GenericArrayData.copy() is shallow — without the
-      // clone a caller that buffers rows past the current one would see
-      // the retained tokens' bytes overwritten by a later row
+      // UnsafeArrayData is undefined). Retained strings alias the input
+      // buffer — see the contract note above.
       if (!drop(i))
-        out.add(if (tokens.isNullAt(i)) null else tokens.getUTF8String(i).clone())
+        out.add(if (tokens.isNullAt(i)) null else tokens.getUTF8String(i))
       i += 1
     }
     new GenericArrayData(out.toArray)
