@@ -52,8 +52,18 @@ object Enricher {
 
   /** Result pair: `records` follow MediaSchema.superset; `deadLetter`
     * follows [[deadLetterSchema]] (reason ∈ timeout | max_attempts).
+    *
+    * The two frames share one persisted enrichment pass; call
+    * [[Enriched.release]] after BOTH have been consumed (their sink jobs
+    * completed) — otherwise every batch leaks a CacheManager entry (plus
+    * any disk-spilled blocks) for the application's lifetime, which a
+    * long [[graft.pipeline.Pipelines.processAll]] run turns into
+    * unbounded storage growth.
     */
-  case class Enriched(records: DataFrame, deadLetter: DataFrame)
+  case class Enriched(records: DataFrame, deadLetter: DataFrame,
+      private val unified: DataFrame) {
+    def release(): Unit = unified.unpersist(blocking = false)
+  }
 
   /** Enrich a URL dataset. Input must have a `url` string column; a stable
     * `batch_index` is assigned as `startIndex + rank` in `url` order —
@@ -78,9 +88,7 @@ object Enricher {
 
     val unified = indexed.mapPartitions { it =>
         val fetcher = fetcherFactory()
-        val timer = Executors.newSingleThreadExecutor { r =>
-          val t = new Thread(r, "graft-enrich-timeout"); t.setDaemon(true); t
-        }
+        val timer = new RecordTimer
         val out = it.map { row =>
           processOne(row.getString(0), row.getLong(1), fetcher, timer, cfg)
         }
@@ -88,7 +96,7 @@ object Enricher {
         new Iterator[Row] {
           def hasNext: Boolean = {
             val h = out.hasNext
-            if (!h) { timer.shutdownNow(); fetcher.close() }
+            if (!h) { timer.shutdown(); fetcher.close() }
             h
           }
           def next(): Row = out.next()
@@ -100,17 +108,44 @@ object Enricher {
     val records = unified.where(!col("__dead"))
       .select(MediaSchema.superset.fieldNames.map(col).toSeq: _*)
     val dead = unified.where(col("__dead")).select(
-      col("url"), col("batch_index").cast("long").as("index"),
+      col("url"), col("batch_index").as("index"),
       col("__reason").as("reason"), col("processing_time"),
       col("attempt").as("attempts"))
-    Enriched(records, dead)
+    Enriched(records, dead, unified)
+  }
+
+  /** One timeout-watch thread per partition, REPLACEABLE: a fetch that
+    * ignores interruption (a blocked socket read, a stuck native driver —
+    * the failure mode of the Selenium scrape this stage mirrors) survives
+    * `Future.cancel(true)` and would otherwise occupy the single worker
+    * forever, silently turning every later record in the partition into a
+    * false "timeout" dead letter without its fetch ever running. After a
+    * cancel, [[replaceIfStuck]] polls the callable's own completion flag
+    * briefly; if the worker is truly wedged the executor is abandoned
+    * (daemon thread — leaks one thread per wedged fetch, bounded by the
+    * partition's timeout count) and a fresh one takes over.
+    */
+  private final class RecordTimer {
+    private def make() = Executors.newSingleThreadExecutor { r =>
+      val t = new Thread(r, "graft-enrich-timeout"); t.setDaemon(true); t
+    }
+    private var exec = make()
+    def submit[T](c: java.util.concurrent.Callable[T]): java.util.concurrent.Future[T] =
+      exec.submit(c)
+    def replaceIfStuck(finished: java.util.concurrent.atomic.AtomicBoolean,
+        graceMs: Long = 100): Unit = {
+      val deadline = System.nanoTime() + graceMs * 1000000
+      while (!finished.get() && System.nanoTime() < deadline) Thread.sleep(5)
+      if (!finished.get()) { exec.shutdownNow(); exec = make() }
+    }
+    def shutdown(): Unit = exec.shutdownNow()
   }
 
   /** Retry/timeout state machine for one record
     * (test_parquet_processor.py:294-360).
     */
   private def processOne(url: String, idx: Long, fetcher: Fetcher,
-      timer: java.util.concurrent.ExecutorService, cfg: Config): Row = {
+      timer: RecordTimer, cfg: Config): Row = {
     val t0 = System.nanoTime()
     def elapsedSec = (System.nanoTime() - t0) / 1e9
     var attempt = 0
@@ -122,17 +157,28 @@ object Enricher {
       val remainingMs = cfg.recordTimeoutMs - (System.nanoTime() - t0) / 1000000
       if (remainingMs <= 0) timedOut = true
       else {
+        val finished = new java.util.concurrent.atomic.AtomicBoolean(false)
         val task = timer.submit(new java.util.concurrent.Callable[Map[String, String]] {
-          def call(): Map[String, String] = fetcher.fetch(url)
+          def call(): Map[String, String] =
+            try fetcher.fetch(url) finally finished.set(true)
         })
         try fields = task.get(remainingMs, TimeUnit.MILLISECONDS)
         catch {
           case _: TimeoutException =>
             task.cancel(true); timedOut = true; lastError = "timeout"
+            // an interrupt-deaf fetch wedges the worker: swap executors
+            // so the NEXT record's fetch actually runs, and reset the
+            // shared fetcher — the abandoned thread may have left its
+            // connection state mid-request
+            timer.replaceIfStuck(finished)
+            fetcher.reset()
           case e: Exception =>
             lastError = Option(e.getCause).getOrElse(e).getMessage
             fetcher.reset()
-            if (attempt < cfg.maxAttempts) Thread.sleep(cfg.backoffMs min 50)
+            // honor the configured backoff (the reference's 1 s default,
+            // test_parquet_processor.py:332) — an earlier `min 50` cap
+            // here silently made every backoffMs above 50 ms a no-op
+            if (attempt < cfg.maxAttempts) Thread.sleep(cfg.backoffMs)
         }
       }
     }
@@ -151,13 +197,13 @@ object Enricher {
       val data = MediaSchema.dataColumns.map { c =>
         if (wanted.contains(c)) normalized.getOrElse(c, null) else null
       }
-      Row.fromSeq(Seq(url, now, null, idx.toInt, attempt, procTime) ++ data ++ Seq(false, null))
+      Row.fromSeq(Seq(url, now, null, idx, attempt, procTime) ++ data ++ Seq(false, null))
     } else if (timedOut) {
-      Row.fromSeq(Seq(url, now, "timeout", idx.toInt, attempt, procTime) ++
+      Row.fromSeq(Seq(url, now, "timeout", idx, attempt, procTime) ++
         MediaSchema.dataColumns.map(_ => null) ++ Seq(true, "timeout"))
     } else {
       Row.fromSeq(Seq(url, now, s"failed after $attempt attempts: $lastError",
-        idx.toInt, attempt, procTime) ++
+        idx, attempt, procTime) ++
         MediaSchema.dataColumns.map(_ => null) ++ Seq(true, "max_attempts"))
     }
   }

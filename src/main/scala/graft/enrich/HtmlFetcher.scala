@@ -99,19 +99,26 @@ object HtmlFetcher {
     * this for free from a real DOM). An unclosed div runs to the end of
     * the document, like a browser's recovery parse.
     */
-  private def nextDivInner(html: String, from: Int): Option[String] =
-    OpenDiv.findFirstMatchIn(html.substring(from)).map { open =>
-      val bodyStart = from + open.end
+  private def nextDivInner(html: String, from: Int): Option[String] = {
+    // Matcher.region, not html.substring(from): the substring form copied
+    // the page tail TWICE per label, O(labels × page bytes) of transient
+    // char[] churn on a label-dense page; region scans in place
+    val open = OpenDiv.pattern.matcher(html)
+    open.region(from, html.length)
+    if (!open.find()) None
+    else {
+      val bodyStart = open.end
       var depth = 1
       var end = html.length
-      val tags = DivTag.findAllMatchIn(html.substring(bodyStart))
-      while (end == html.length && tags.hasNext) {
-        val t = tags.next()
-        depth += (if (t.group(1).isEmpty) 1 else -1)
-        if (depth == 0) end = bodyStart + t.start
+      val tags = DivTag.pattern.matcher(html)
+      tags.region(bodyStart, html.length)
+      while (end == html.length && tags.find()) {
+        depth += (if (tags.group(1).isEmpty) 1 else -1)
+        if (depth == 0) end = tags.start
       }
-      html.substring(bodyStart, end)
+      Some(html.substring(bodyStart, end))
     }
+  }
 
   /** Probe showcase then traditional: the layout whose "Media type" label
     * is followed by a value div of the layout's value class wins
@@ -121,8 +128,11 @@ object HtmlFetcher {
   private[enrich] def detectLayout(html: String): Option[Layout] =
     Seq(Showcase, Traditional).find { layout =>
       divWithClass(layout.labelClass).findAllMatchIn(html).exists { m =>
-        text(m.group(1)).contains("Media type") &&
-          divWithClass(layout.valueClass).findFirstMatchIn(html.substring(m.end)).isDefined
+        text(m.group(1)).contains("Media type") && {
+          val vm = divWithClass(layout.valueClass).pattern.matcher(html)
+          vm.region(m.end, html.length)
+          vm.find()
+        }
       }
     }
 

@@ -66,7 +66,12 @@ object Layouts {
       max(col(c).cast("double"))))
     val bounds = df.agg(aggs.head, aggs.tail: _*).head()
     val zcol = cols.zipWithIndex.map { case (c, ci) =>
-      val (lo, hi) = (bounds.getDouble(ci * 2), bounds.getDouble(ci * 2 + 1))
+      // null bounds (empty input, or an entirely-null clustering column)
+      // degenerate to (0,0) → every row lands in bucket 0, same as the
+      // hi <= lo path below — getDouble on the null min/max would NPE
+      val (lo, hi) =
+        if (bounds.isNullAt(ci * 2) || bounds.isNullAt(ci * 2 + 1)) (0.0, 0.0)
+        else (bounds.getDouble(ci * 2), bounds.getDouble(ci * 2 + 1))
       // bucket index in [0, n): equal-width between the observed bounds
       // (degenerate column → bucket 0); nulls → bucket 0
       val bucket =

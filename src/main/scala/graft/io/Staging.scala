@@ -173,6 +173,17 @@ object Staging {
     * shards, and [[tarEntries]]/[[webdatasetSamples]] read them back
     * verbatim.
     *
+    * Commit protocol: tasks write into an attempt-unique temp directory
+    * (`_tmp-wds-&lt;ts&gt;/attempt-&lt;id&gt;`) and the DRIVER renames exactly the
+    * files of each partition's winning attempt into place, then deletes
+    * the temp tree. Writing final names from tasks directly would break
+    * under retries and speculation: the shuffle's within-partition row
+    * order is not stable across attempts, so a retry can legally pack
+    * the same rows into FEWER shards, leaving a dead attempt's extra
+    * `shard-xxxxx-0003.tar` alive next to the new set (silent duplicate
+    * samples), and two speculative attempts would interleave bytes into
+    * one open file.
+    *
     * @return number of shards written
     */
   def writeWebDataset(samples: DataFrame, outDir: String,
@@ -185,7 +196,8 @@ object Staging {
     val confMap = spark.sessionState.newHadoopConf().asScala
       .map(e => e.getKey -> e.getValue).toMap
     val confBc = spark.sparkContext.broadcast(confMap)
-    val written = samples
+    val tmpName = s"_tmp-wds-${System.nanoTime()}"
+    val committed = samples
       .select(col("sample").cast("string"), col("files"))
       .as[(String, Map[String, Array[Byte]])]
       .mapPartitions { rows =>
@@ -193,7 +205,11 @@ object Staging {
         confBc.value.foreach { case (k, v) => conf.set(k, v) }
         val root = new Path(outDir)
         val fs = FileSystem.get(root.toUri, conf)
-        val part = org.apache.spark.TaskContext.getPartitionId()
+        val ctx = org.apache.spark.TaskContext.get()
+        val part = ctx.partitionId()
+        // attempt-unique staging dir: concurrent speculative attempts
+        // and retries never touch each other's files (see scaladoc)
+        val attemptDir = new Path(root, s"$tmpName/attempt-${ctx.taskAttemptId()}")
         var out: org.apache.hadoop.fs.FSDataOutputStream = null
         var seq = 0
         var inShard = 0
@@ -205,7 +221,7 @@ object Staging {
           out = null
         }
         def openShard(): Unit = {
-          out = fs.create(new Path(root, f"shard-$part%05d-$seq%04d.tar"), true)
+          out = fs.create(new Path(attemptDir, f"shard-$part%05d-$seq%04d.tar"), true)
           seq += 1; inShard = 0; shardBytes = 0L; shards += 1
         }
         rows.foreach { case (sample, files) =>
@@ -229,13 +245,26 @@ object Staging {
           inShard += 1
         }
         closeShard()
-        Iterator.single(shards)
+        Iterator.single((part, ctx.taskAttemptId(), shards))
       }
-      .toDF("n")
-    written.agg(org.apache.spark.sql.functions.coalesce(
-        org.apache.spark.sql.functions.sum(col("n")),
-        org.apache.spark.sql.functions.lit(0L)))
-      .head().getLong(0)
+      .collect() // one row per partition: its WINNING attempt + shard count
+    // driver-side commit: move exactly the winners' files into place,
+    // then drop the temp tree (losing attempts' files go with it)
+    val root = new Path(outDir)
+    val fs = FileSystem.get(root.toUri, spark.sessionState.newHadoopConf())
+    var total = 0L
+    committed.foreach { case (part, attempt, n) =>
+      (0 until n.toInt).foreach { seq =>
+        val name = f"shard-$part%05d-$seq%04d.tar"
+        val src = new Path(root, s"$tmpName/attempt-$attempt/$name")
+        val dst = new Path(root, name)
+        if (fs.exists(dst)) fs.delete(dst, false) // rerun over old output
+        require(fs.rename(src, dst), s"commit rename failed: $src -> $dst")
+      }
+      total += n
+    }
+    fs.delete(new Path(root, tmpName), true)
+    total
   }
 
   /** One 512-byte POSIX-ustar header [[parseTar]] accepts back: octal
@@ -349,6 +378,12 @@ object Staging {
       }
       require(sum == stored,
         s"tar header checksum mismatch at offset $off in $archive")
+      // a truncated shard (upload cut off mid-entry) must fail LOUDLY:
+      // copyOfRange past the array end silently zero-pads, which would
+      // hand downstream loaders full-size members of NUL bytes
+      require(off + 512 + size <= bytes.length,
+        s"truncated tar entry at offset $off in $archive: header claims " +
+          s"$size data bytes, only ${bytes.length - off - 512} remain")
       val dataLen = ((size + 511) / 512 * 512).toInt
       val name = pendingLongName.getOrElse {
         val base = cstr(off, 100)

@@ -84,7 +84,10 @@ object MediaSchema {
     StructField("url", StringType, nullable = false),
     StructField("processed_at", TimestampType, nullable = true),
     StructField("error", StringType, nullable = true),
-    StructField("batch_index", IntegerType, nullable = true),
+    // LongType: the reference writes it from a pandas int (int64 in
+    // parquet, test_parquet_processor.py:303), and an Int here overflowed
+    // wrapped-negative past 2^31 records on the 100 TB list
+    StructField("batch_index", LongType, nullable = true),
     StructField("attempt", IntegerType, nullable = true),
     StructField("processing_time", DoubleType, nullable = true))
 

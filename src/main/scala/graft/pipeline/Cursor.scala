@@ -1,7 +1,5 @@
 package graft.pipeline
 
-import java.nio.file.{Files, Paths}
-
 /** T2/K7: incremental cursor state chained across runs
   * (reference test_parquet_processor.py:377-386,447-457 — the
   * `$GITHUB_OUTPUT` key=value contract, persisted to a checkpoint file).
@@ -25,31 +23,33 @@ case class Cursor(nextIndex: Long, totalProcessed: Long, hasMore: Boolean,
 object Cursor {
   val initial: Cursor = Cursor(0, 0, hasMore = true, 0, 0)
 
-  def write(path: String, c: Cursor): Unit = {
-    val p = Paths.get(path)
-    if (p.getParent != null) Files.createDirectories(p.getParent)
-    Files.writeString(p, c.toKeyValue)
-  }
+  /** Scheme-aware via [[graft.io.Sinks.writeText]]: an `s3a://…` cursor
+    * path lands on the object store, not in a local `./s3a:/…` tree —
+    * the java.nio form silently did the latter, so a new driver host
+    * read `initial` and reprocessed the corpus from index 0.
+    */
+  def write(path: String, c: Cursor): Unit =
+    graft.io.Sinks.writeText(path, c.toKeyValue)
 
   /** Parse the key=value form; missing/garbled ints fall back to 0 like
     * the reference's defensive int() coercion
     * (test_parquet_processor.py:433-442).
     */
-  def read(path: String): Cursor = {
-    if (!Files.exists(Paths.get(path))) initial
-    else {
-      val kv = Files.readAllLines(Paths.get(path)).toArray(Array.empty[String])
-        .flatMap { line =>
-          line.split("=", 2) match {
-            case Array(k, v) => Some(k.trim -> v.trim)
-            case _ => None
-          }
-        }.toMap
-      def long(k: String) = kv.get(k).flatMap(_.toLongOption).getOrElse(0L)
-      Cursor(long("next_index"), long("total_processed"),
-        kv.get("has_more").flatMap(_.toBooleanOption).getOrElse(true),
-        long("error_count"),
-        long("skipped_count"))
+  def read(path: String): Cursor =
+    graft.io.Sinks.readTextIfExists(path) match {
+      case None => initial
+      case Some(content) =>
+        val kv = content.linesIterator
+          .flatMap { line =>
+            line.split("=", 2) match {
+              case Array(k, v) => Some(k.trim -> v.trim)
+              case _ => None
+            }
+          }.toMap
+        def long(k: String) = kv.get(k).flatMap(_.toLongOption).getOrElse(0L)
+        Cursor(long("next_index"), long("total_processed"),
+          kv.get("has_more").flatMap(_.toBooleanOption).getOrElse(true),
+          long("error_count"),
+          long("skipped_count"))
     }
-  }
 }

@@ -25,7 +25,8 @@ object Pipelines {
   def processor(spark: SparkSession, urlListPath: String, outDir: String,
       fetcherFactory: () => Fetcher, maxRecords: Int,
       cursorPath: String, totalTarget: Long = Long.MaxValue,
-      numPartitions: Int = 0): Cursor = {
+      numPartitions: Int = 0,
+      enrichConfig: Enricher.Config = Enricher.Config()): Cursor = {
     val cur = Cursor.read(cursorPath)
     val remaining = totalTarget - cur.totalProcessed
     if (remaining <= 0 || !cur.hasMore) {
@@ -36,11 +37,21 @@ object Pipelines {
     val take = math.min(maxRecords.toLong, remaining).toInt
     val t0 = System.nanoTime()
 
+    // offset() pagination is Int-bounded in the DataFrame API; past 2^31
+    // records use the Structured-Streaming twin (StreamingProcessor),
+    // whose file-based offsets have no such ceiling. Fail loudly instead
+    // of wrapping the cursor negative and corrupting the index chain.
+    require(cur.nextIndex + take <= Int.MaxValue,
+      s"cursor ${cur.nextIndex} + $take exceeds the offset() pagination " +
+        "ceiling (2^31); switch to streaming.StreamingProcessor for lists " +
+        "this long")
     val urls = Sources.urlList(spark, urlListPath)
     val slice = Sources.slice(urls, "url", cur.nextIndex.toInt, take)
 
     val enriched = Enricher.enrich(slice, fetcherFactory,
-      Enricher.Config(startIndex = cur.nextIndex, numPartitions = numPartitions))
+      enrichConfig.copy(startIndex = cur.nextIndex,
+        numPartitions =
+          if (numPartitions > 0) numPartitions else enrichConfig.numPartitions))
 
     // A11 running counters ride on the sink jobs as observed metrics
     // (df.observe) instead of separate count() jobs — the batch loop
@@ -67,6 +78,9 @@ object Pipelines {
     val errors = recObs.get("errors").asInstanceOf[Long] +
       deadObs.get("dead_attempts").asInstanceOf[Long]
     val dead = deadObs.get("dead").asInstanceOf[Long]
+    // both sink jobs are done (observations resolved) — drop the batch's
+    // cached enrichment pass, or processAll leaks one cache entry per batch
+    enriched.release()
     val consumed = produced + dead
     val next = Cursor(
       nextIndex = cur.nextIndex + consumed,
@@ -105,11 +119,12 @@ object Pipelines {
     */
   def processAll(spark: SparkSession, urlListPath: String, outDir: String,
       fetcherFactory: () => Fetcher, batchSize: Int,
-      cursorPath: String, totalTarget: Long): Cursor = {
+      cursorPath: String, totalTarget: Long,
+      enrichConfig: Enricher.Config = Enricher.Config()): Cursor = {
     var c = Cursor.read(cursorPath)
     while (c.hasMore && c.totalProcessed < totalTarget) {
       c = processor(spark, urlListPath, outDir, fetcherFactory, batchSize,
-        cursorPath, totalTarget)
+        cursorPath, totalTarget, enrichConfig = enrichConfig)
     }
     c
   }
@@ -140,10 +155,11 @@ object Pipelines {
     * (pass, avgSecondsPerRecord) (coordinator.yml:38-241).
     */
   def canary(spark: SparkSession, urlListPath: String, outDir: String,
-      fetcherFactory: () => Fetcher, records: Int = 10): (Boolean, Double) = {
+      fetcherFactory: () => Fetcher, records: Int = 10,
+      enrichConfig: Enricher.Config = Enricher.Config()): (Boolean, Double) = {
     val c = processor(spark, urlListPath, outDir, fetcherFactory,
       maxRecords = records, cursorPath = s"$outDir/canary_cursor.txt",
-      totalTarget = records)
+      totalTarget = records, enrichConfig = enrichConfig)
     val df = Sources.parquetTreeMerged(spark, s"$outDir/shards")
     val stats = Statistics.globalStats(df)
     (Statistics.accept(stats), stats.avgProcessingTime)
@@ -227,7 +243,28 @@ object Pipelines {
 
   def aggregator(spark: SparkSession, shardsDir: String, outDir: String,
       singleFile: Boolean = false): Statistics.GlobalStats = {
-    val merged = Sources.parquetTreeMerged(spark, shardsDir)
+    // Contract validation is PER SHARD FILE, excluding violators and
+    // continuing — the reference's semantics (evaluate_test_run.py:60-67).
+    // Validating only the schema-MERGED frame has two failure modes: one
+    // bad shard is silently null-filled into the combined output (its
+    // rows count as successes), and an all-bad tree is fatal instead of
+    // exclude-and-continue. Footer reads are O(files) driver metadata
+    // work, the same order as the file census below.
+    val allFiles = Statistics.listParquetFiles(spark, shardsDir).map(_._1)
+    val (okFiles, badFiles) = allFiles.partition { f =>
+      (MediaSchema.requiredColumns --
+        spark.read.parquet(f).schema.fieldNames.toSet).isEmpty
+    }
+    if (badFiles.nonEmpty)
+      System.err.println(s"[graft] aggregator: excluding ${badFiles.size} " +
+        s"shard file(s) violating the read contract: " +
+        badFiles.take(5).mkString(", "))
+    require(okFiles.nonEmpty,
+      s"no shard in $shardsDir satisfies the read contract " +
+        s"(${MediaSchema.requiredColumns.mkString(", ")})")
+    val merged =
+      if (badFiles.isEmpty) Sources.parquetTreeMerged(spark, shardsDir)
+      else spark.read.option("mergeSchema", true).parquet(okFiles: _*)
     val df = MediaSchema.validate(merged) match {
       case Right(ok) => ok
       case Left(missing) =>
@@ -239,7 +276,10 @@ object Pipelines {
       val histogram = Statistics.mediaTypeHistogram(df).collect()
         .map(r => (r.getString(0), r.getLong(1))).toSeq
       // File census from FS metadata — O(files), not a second data scan.
+      // Counts only contract-passing shards, consistent with the data.
+      val okSet = okFiles.toSet
       val files = Statistics.listParquetFiles(spark, shardsDir)
+        .filter { case (f, _) => okSet.contains(f) }
       val fileStats = Statistics.perFileStatsWithSize(spark, df, shardsDir)
         .collect()
         .map(r => (r.getString(0), r.getLong(1),

@@ -25,7 +25,11 @@ object EnrichQueries {
     val urls = graft.ops.Dedup.spread(
       Tables.documents(s, dir)
         .select(concat(lit("http://synth/"), $"doc_id").as("url")))
-    Enricher.enrich(urls, () => new SyntheticFetcher).records
+    // backoffMs=1: these queries verify enrichment OUTPUT; the reference's
+    // 1 s origin-politeness backoff would add wall-clock sleeps per
+    // transient failure (~1/16 of urls) without changing a single value
+    Enricher.enrich(urls, () => new SyntheticFetcher,
+      Enricher.Config(backoffMs = 1)).records
   }
 
   /** Per-record enrichment output: media-type branching (P5), retry
@@ -58,7 +62,8 @@ object EnrichQueries {
     val urls = graft.ops.Dedup.spread(
       Tables.documents(s, dir)
         .select(concat(lit("http://synth/"), $"doc_id").as("url")))
-    Enricher.enrich(urls, () => new SyntheticFetcher).deadLetter
+    Enricher.enrich(urls, () => new SyntheticFetcher,
+      Enricher.Config(backoffMs = 1)).deadLetter
       .select($"url", $"reason", $"attempts")
       .orderBy($"url")
   }

@@ -29,7 +29,8 @@ class EnrichSpec extends SparkSuite {
   test("transient failures are retried and recorded via attempt > 1") {
     // SyntheticFetcher fails the first attempt for urls whose md5 ends in 'f'
     val urls = (0 until 200).map(i => s"https://example.org/media/$i")
-    val out = Enricher.enrich(urlDf(urls), () => new SyntheticFetcher)
+    val out = Enricher.enrich(urlDf(urls), () => new SyntheticFetcher,
+      Enricher.Config(backoffMs = 1))
     import org.apache.spark.sql.functions._
     val retried = out.records.where(col("attempt") > 1).count()
     assert(retried > 0, "expected at least one retried record")
@@ -38,7 +39,8 @@ class EnrichSpec extends SparkSuite {
 
   test("permanent failures dead-letter with reason max_attempts") {
     val urls = (0 until 400).map(i => s"https://example.org/media/$i")
-    val out = Enricher.enrich(urlDf(urls), () => new SyntheticFetcher)
+    val out = Enricher.enrich(urlDf(urls), () => new SyntheticFetcher,
+      Enricher.Config(backoffMs = 1))
     val dead = out.deadLetter.collect()
     assert(dead.nonEmpty, "expected md5-prefix-00 urls to dead-letter")
     assert(dead.forall(_.getAs[String]("reason") == "max_attempts"))
@@ -68,13 +70,14 @@ class EnrichSpec extends SparkSuite {
         failFirstSuffix = "zz", alwaysFailPrefix = "zz"),
       Enricher.Config(startIndex = 1000))
     import org.apache.spark.sql.functions._
-    val idx = out.records.orderBy("url").select("batch_index").collect().map(_.getInt(0))
-    assert(idx.toSeq === (1000 until 1050))
+    val idx = out.records.orderBy("url").select("batch_index").collect().map(_.getLong(0))
+    assert(idx.toSeq === (1000L until 1050L))
   }
 
   test("media-type-conditional columns: mesh fields null for volumetric") {
     val urls = (0 until 100).map(i => s"https://example.org/media/$i")
-    val out = Enricher.enrich(urlDf(urls), () => new SyntheticFetcher)
+    val out = Enricher.enrich(urlDf(urls), () => new SyntheticFetcher,
+      Enricher.Config(backoffMs = 1))
     import org.apache.spark.sql.functions._
     // SyntheticFetcher never emits section fields beyond base — but the
     // conditional masking is what produced the all-null section columns

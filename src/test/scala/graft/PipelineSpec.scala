@@ -8,6 +8,11 @@ import graft.pipeline.{Cursor, Pipelines}
 
 class PipelineSpec extends SparkSuite {
 
+  // specs verify pipeline semantics, not the reference's 1 s
+  // origin-politeness backoff (honored since round 8) — keep retry
+  // sleeps out of the test wall-clock
+  private val fastEnrich = graft.enrich.Enricher.Config(backoffMs = 1)
+
   private def writeUrlList(n: Int): String = {
     val dir = Files.createTempDirectory("graft-pipe").toString
     val json = (0 until n)
@@ -22,15 +27,15 @@ class PipelineSpec extends SparkSuite {
     val out = Files.createTempDirectory("graft-out").toString
     val c1 = Pipelines.processor(spark, urlPath, out,
       () => new SyntheticFetcher, maxRecords = 40,
-      cursorPath = s"$out/cursor.txt", totalTarget = 100)
+      cursorPath = s"$out/cursor.txt", totalTarget = 100, enrichConfig = fastEnrich)
     assert(c1.totalProcessed === 40)
     assert(c1.hasMore)
     val c2 = Pipelines.processor(spark, urlPath, out,
       () => new SyntheticFetcher, maxRecords = 40,
-      cursorPath = s"$out/cursor.txt", totalTarget = 100)
+      cursorPath = s"$out/cursor.txt", totalTarget = 100, enrichConfig = fastEnrich)
     val c3 = Pipelines.processor(spark, urlPath, out,
       () => new SyntheticFetcher, maxRecords = 40,
-      cursorPath = s"$out/cursor.txt", totalTarget = 100)
+      cursorPath = s"$out/cursor.txt", totalTarget = 100, enrichConfig = fastEnrich)
     assert(c3.totalProcessed === 100)
     assert(!c3.hasMore)
     val shards = Sources.parquetTreeMerged(spark, s"$out/shards")
@@ -43,7 +48,7 @@ class PipelineSpec extends SparkSuite {
     val urlPath = writeUrlList(60)
     val out = Files.createTempDirectory("graft-agg").toString
     Pipelines.processAll(spark, urlPath, out, () => new SyntheticFetcher,
-      batchSize = 25, cursorPath = s"$out/cursor.txt", totalTarget = 60)
+      batchSize = 25, cursorPath = s"$out/cursor.txt", totalTarget = 60, enrichConfig = fastEnrich)
     val stats = Pipelines.aggregator(spark, s"$out/shards", s"$out/agg")
     assert(stats.totalRecords > 0)
     assert(new java.io.File(s"$out/agg/statistics.json").exists)
@@ -57,7 +62,7 @@ class PipelineSpec extends SparkSuite {
     val urlPath = writeUrlList(50)
     val out = Files.createTempDirectory("graft-sum").toString
     Pipelines.processAll(spark, urlPath, out, () => new SyntheticFetcher,
-      batchSize = 25, cursorPath = s"$out/cursor.txt", totalTarget = 50)
+      batchSize = 25, cursorPath = s"$out/cursor.txt", totalTarget = 50, enrichConfig = fastEnrich)
     val md = Files.readString(java.nio.file.Paths.get(s"$out/processing_summary.md"))
     assert(md.contains("Processing Summary"))
     assert(md.contains("- Batch Size: 25"))
@@ -73,7 +78,7 @@ class PipelineSpec extends SparkSuite {
     val urlPath = writeUrlList(400)
     val out = Files.createTempDirectory("graft-err").toString
     val c = Pipelines.processAll(spark, urlPath, out, () => new SyntheticFetcher,
-      batchSize = 400, cursorPath = s"$out/cursor.txt", totalTarget = 400)
+      batchSize = 400, cursorPath = s"$out/cursor.txt", totalTarget = 400, enrichConfig = fastEnrich)
     import org.apache.spark.sql.functions._
     val retried = Sources.parquetTreeMerged(spark, s"$out/shards")
       .where(col("attempt") > 1).count()
@@ -87,7 +92,7 @@ class PipelineSpec extends SparkSuite {
     val urlPath = writeUrlList(60)
     val out = Files.createTempDirectory("graft-fs").toString
     Pipelines.processAll(spark, urlPath, out, () => new SyntheticFetcher,
-      batchSize = 30, cursorPath = s"$out/cursor.txt", totalTarget = 60)
+      batchSize = 30, cursorPath = s"$out/cursor.txt", totalTarget = 60, enrichConfig = fastEnrich)
     Pipelines.aggregator(spark, s"$out/shards", s"$out/agg")
 
     val files = graft.agg.Statistics.listParquetFiles(spark, s"$out/shards")
@@ -178,6 +183,53 @@ class PipelineSpec extends SparkSuite {
       () => new SyntheticFetcher, records = 10)
     assert(ok)
     assert(avg < 30.0)
+  }
+
+  test("aggregator excludes a contract-violating shard instead of null-filling it") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("graft-excl").toString
+    // two conforming shards + one missing the required 'error' column
+    Seq(("u1", 0.1, null: String, 0L, "Mesh"))
+      .toDF("url", "processing_time", "error", "batch_index", "media_type")
+      .write.parquet(s"$out/shards/a.parquet")
+    Seq(("u2", 0.2, null: String, 1L, "Mesh"))
+      .toDF("url", "processing_time", "error", "batch_index", "media_type")
+      .write.parquet(s"$out/shards/b.parquet")
+    Seq(("bad", 0.3, 2L, "Mesh"))
+      .toDF("url", "processing_time", "batch_index", "media_type")
+      .write.parquet(s"$out/shards/c.parquet")
+    val stats = Pipelines.aggregator(spark, s"$out/shards", s"$out/agg")
+    // the bad shard's row must NOT appear as a null-filled success
+    // (the reference excludes invalid shards and continues,
+    // evaluate_test_run.py:60-67)
+    assert(stats.totalRecords === 2L)
+    val combined = Sources.parquet(spark, s"$out/agg/combined.parquet")
+    assert(combined.where($"url" === "bad").count() === 0)
+  }
+
+  test("aggregator fails loudly when every shard violates the contract") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("graft-allbad").toString
+    Seq(("x", 0.1)).toDF("url", "processing_time")
+      .write.parquet(s"$out/shards/only.parquet")
+    intercept[IllegalArgumentException] {
+      Pipelines.aggregator(spark, s"$out/shards", s"$out/agg")
+    }
+  }
+
+  test("text artifacts and cursor honor filesystem schemes (file://)") {
+    val dir = Files.createTempDirectory("graft-scheme").toString
+    // scheme'd path → Hadoop FileSystem route; must land at the URI's
+    // local location, not in a ./file:/ tree relative to the cwd
+    Sinks.writeText(s"file://$dir/sub/note.md", "hello")
+    assert(Files.readString(java.nio.file.Paths.get(s"$dir/sub/note.md")) === "hello")
+    Sinks.appendText(s"file://$dir/sub/log.txt", "l1")
+    Sinks.appendText(s"file://$dir/sub/log.txt", "l2")
+    assert(Files.readString(java.nio.file.Paths.get(s"$dir/sub/log.txt")) === "l1\nl2\n")
+    val c = Cursor(7, 7, hasMore = true, 1, 0)
+    Cursor.write(s"file://$dir/cursor.txt", c)
+    assert(Cursor.read(s"file://$dir/cursor.txt") === c)
+    assert(Files.exists(java.nio.file.Paths.get(s"$dir/cursor.txt")))
   }
 
   test("schema-merge union null-fills heterogeneous shards") {

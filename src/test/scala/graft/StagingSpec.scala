@@ -295,6 +295,25 @@ class StagingSpec extends SparkSuite {
     assert(Staging.webdatasetSamples(spark, tight.toString).count() === 5L)
   }
 
+  test("a truncated tar entry fails loudly instead of zero-padding") {
+    val work = Files.createTempDirectory("graft-tar-trunc")
+    val full = TarFixtures.tarBytes(Seq(
+      ("s1.json", ("y" * 2000).getBytes, '0')))
+    // cut the upload mid-entry: keep the 512-byte header + half the data
+    Files.write(Paths.get(s"$work/cut.tar"), full.take(512 + 1000))
+    val e = intercept[Exception] {
+      Staging.tarEntries(spark, work.toString).collect()
+    }
+    // copyOfRange would have silently returned 2000 bytes with a
+    // zero-filled tail — valid-looking, corrupt training samples
+    // (the require surfaces through Spark's task-failure wrapping,
+    // so search the cause chain)
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause)
+      .takeWhile(_ != null).map(t => Option(t.getMessage).getOrElse(""))
+      .toSeq
+    assert(msgs.exists(_.contains("truncated tar entry")), msgs.mkString(" | "))
+  }
+
   test("tarEntries rejects shards over the size cap before reading content") {
     val work = Files.createTempDirectory("graft-tar-big")
     Files.write(Paths.get(s"$work/shard0.tar"), TarFixtures.tarBytes(Seq(
