@@ -91,12 +91,17 @@ object Classify {
   def nbScoreWithModel(docs: DataFrame, model: DataFrame,
       classDocs: DataFrame, idCol: String, textCol: String,
       alpha: Double = 1.0, lnScale: Int = 6): DataFrame = {
-    // one row per class: token total + doc count (for the prior)
+    // one row per class: token total + doc count (for the prior). The
+    // class UNIVERSE is classDocs — a label whose training docs produced
+    // no (label, token) rows (all-null/empty text, or a pruned
+    // user-supplied model) still scores with total 0, i.e. the pure
+    // smoothed likelihood ln(α/(αV)); an inner join here silently erased
+    // such a class from scoring and nbPredict's argmax
     val classTotals = model.groupBy(col("label"))
       .agg(sum(col("cnt")).as("__tot"))
-    val classes = classTotals
-      .join(classDocs.select(col("label"), col("n_docs").as("__nd")),
-        Seq("label"))
+    val classes = classDocs.select(col("label"), col("n_docs").as("__nd"))
+      .join(classTotals, Seq("label"), "left")
+      .na.fill(0L, Seq("__tot"))
     val vocab = model.select(col("token")).distinct()
       .agg(count(lit(1)).as("__v"))
     val nTrain = classDocs.agg(sum(col("n_docs")).as("__n"))

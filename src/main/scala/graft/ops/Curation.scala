@@ -84,6 +84,13 @@ object Curation {
       maxDupGramFraction: Double = 0.2,
       lmThreshold: BigDecimal = BigDecimal("-3.55"), vocabSize: Int = 20,
       oovNum: Int = 3, oovDen: Int = 8, contaminationN: Int = 8): DataFrame = {
+    // the LM gate joins bigramLogProb's output, which has no row for a
+    // zero-bigram (< 2 token) document — such a doc would be dropped by
+    // the join, not gated; ≥ 2 tokens makes every quality survivor
+    // LM-scorable, so the gates compose as documented
+    require(minTokens >= 2,
+      s"minTokens must be >= 2 (a < 2-token document has no bigrams and " +
+        s"cannot be LM-gated), got $minTokens")
     val scored = corpus.select(col(idCol), col(textCol),
         TextAnalysis.tokenCount(col(textCol)).cast("long").as("n_tokens"),
         TextAnalysis.dupGramFraction(col(textCol), 2).as("dup_2gram_frac"))

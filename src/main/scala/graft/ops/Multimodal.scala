@@ -281,14 +281,22 @@ object Multimodal {
     * frame), codegen'd, no UDF. The last frame may be short.
     *
     * Output: one row per sampled frame with `frame_idx` (0-based index in
-    * the full frame sequence) and the frame bytes.
+    * the full frame sequence) and the frame bytes. An empty or null
+    * payload has zero frames and contributes NO rows (an earlier clamp
+    * emitted one phantom zero-length frame per empty asset, inflating
+    * downstream frame counts).
     */
   def frameSample(df: DataFrame, payload: Column, frameBytes: Int,
       stride: Int): DataFrame = {
+    require(frameBytes > 0, s"frameBytes must be positive, got $frameBytes")
+    require(stride > 0, s"stride must be positive, got $stride")
     val nFrames = ceil(length(payload).cast("double") / frameBytes).cast("int")
     df.withColumn("__n_frames", nFrames)
       .withColumn("frame_idx",
-        explode(sequence(lit(0), greatest(col("__n_frames"), lit(1)) - 1, lit(stride))))
+        // explode drops null/empty: n = 0 (empty payload) or null
+        // payload yields no frame rows
+        explode(when(col("__n_frames") > 0,
+          sequence(lit(0), col("__n_frames") - 1, lit(stride)))))
       .withColumn("frame",
         // substring is 1-based; works on binary and returns binary
         substring(payload, col("frame_idx") * frameBytes + 1, lit(frameBytes)))
@@ -300,16 +308,21 @@ object Multimodal {
     * total frames and sampled-frame count/bytes per asset, O(1) per row.
     */
   def frameStats(payloadLen: Column, frameBytes: Int, stride: Int): (Column, Column, Column) = {
+    require(frameBytes > 0, s"frameBytes must be positive, got $frameBytes")
+    require(stride > 0, s"stride must be positive, got $stride")
     val n = ceil(payloadLen.cast("double") / frameBytes).cast("long")
-    val nClamped = greatest(n, lit(1L))
-    // Column./ is double division; floor+cast gives integral div (args ≥ 0)
-    val sampled = floor((nClamped - 1) / stride).cast("long") + 1
+    // Column./ is double division; floor+cast gives integral div (args ≥ 0);
+    // a zero-length payload has ZERO frames ([[frameSample]] agrees — an
+    // earlier clamp reported 1)
+    val sampled = when(n === 0, lit(0L))
+      .otherwise(floor((n - 1) / stride).cast("long") + 1)
     // all sampled frames are full except possibly the last (short) frame,
     // which is sampled iff (n-1) % stride == 0
-    val lastLen = payloadLen - (nClamped - 1) * frameBytes
-    val lastSampled = (nClamped - 1) % stride === 0
-    val bytes = when(lastSampled, (sampled - 1) * frameBytes + lastLen)
-      .otherwise(sampled * frameBytes)
-    (nClamped, sampled, bytes)
+    val lastLen = payloadLen - (n - 1) * frameBytes
+    val lastSampled = (n - 1) % stride === 0
+    val bytes = when(n === 0, lit(0L))
+      .otherwise(when(lastSampled, (sampled - 1) * frameBytes + lastLen)
+        .otherwise(sampled * frameBytes))
+    (n, sampled, bytes)
   }
 }

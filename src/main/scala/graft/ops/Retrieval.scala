@@ -13,8 +13,12 @@ import org.apache.spark.sql.functions._
   * DURING the token explode, so the exploded stream that reaches any
   * shuffle is matched-occurrence-sized, not corpus-token-sized. Document
   * frequencies and corpus scalars are term-count-sized aggregates joined
-  * back by broadcast. One corpus scan, one matched-token shuffle — the
-  * plan a 100 TB keyword audit needs.
+  * back by broadcast. One exploded corpus scan plus one count-only
+  * corpus scan (the `(n_docs, corpus_tokens)` scalars need every doc,
+  * matched or not, and Spark does not share a subtree between the two
+  * aggregations), then one matched-token shuffle. At 100 TB, compute
+  * the two scalars once per corpus snapshot and reuse them across
+  * queries instead of paying the count scan per call.
   */
 object Retrieval {
 
@@ -43,13 +47,32 @@ object Retrieval {
       .agg(count(lit(1)).as("tf"))
     // tf has one row per (doc, term) → counting rows per term IS df
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
-    val corpus = toks
+    // count-only second scan (see object doc): two aggregated longs per
+    // task, no token arrays carried
+    val corpus = df
       .agg(count(lit(1)).as("n_docs"),
-        sum(size(col("__toks")).cast("long")).as("corpus_tokens"))
+        sum(TextAnalysis.tokenCount(col(textCol)).cast("long"))
+          .as("corpus_tokens"))
     tf.join(broadcast(dfreq), "term")
       .crossJoin(broadcast(corpus)) // one-row scalar — never a real cross
       .select(col(idCol), col("term"), col("tf"), col("dl"), col("df"),
         col("n_docs"), col("corpus_tokens"))
+  }
+
+  /** The per-(doc, term) BM25 score term over [[queryTermStats]]'s
+    * column names: idf (the +1 variant that stays positive at
+    * df > N/2) × tf-saturation. ONE definition — [[bm25TopK]] and
+    * [[bm25TopKRanked]] must rank identically for any future formula
+    * tweak.
+    */
+  private def bm25Term(k1: Double, b: Double) = {
+    val avgdl = col("corpus_tokens").cast("double") / col("n_docs")
+    val idf = log(
+      (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))
+        + lit(1.0))
+    val tfSat = col("tf").cast("double") * (k1 + 1.0) /
+      (col("tf") + lit(k1) * (lit(1.0) - b + lit(b) * col("dl") / avgdl))
+    idf * tfSat
   }
 
   /** Top-k documents by BM25 (Robertson/Sparck Jones, the +1 idf variant
@@ -60,20 +83,12 @@ object Retrieval {
     */
   def bm25TopK(df: DataFrame, idCol: String, textCol: String,
       terms: Seq[String], k: Int, k1: Double = 1.2,
-      b: Double = 0.75): DataFrame = {
-    val stats = queryTermStats(df, idCol, textCol, terms)
-    val avgdl = col("corpus_tokens").cast("double") / col("n_docs")
-    val idf = log(
-      (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))
-        + lit(1.0))
-    val tfSat = col("tf").cast("double") * (k1 + 1.0) /
-      (col("tf") + lit(k1) * (lit(1.0) - b + lit(b) * col("dl") / avgdl))
-    stats
+      b: Double = 0.75): DataFrame =
+    queryTermStats(df, idCol, textCol, terms)
       .groupBy(col(idCol))
-      .agg(sum(idf * tfSat).as("bm25"), count(lit(1)).as("n_terms_hit"))
+      .agg(sum(bm25Term(k1, b)).as("bm25"), count(lit(1)).as("n_terms_hit"))
       .orderBy(col("bm25").desc, col(idCol))
       .limit(k)
-  }
 
   /** [[bm25TopK]] with an explicit 1-based `rank` column whose ORDER is
     * cross-engine hash-gateable even though the ln-based score is not:
@@ -101,16 +116,9 @@ object Retrieval {
   def bm25TopKRanked(df: DataFrame, idCol: String, textCol: String,
       terms: Seq[String], k: Int, k1: Double = 1.2, b: Double = 0.75,
       quantScale: Int = 9): DataFrame = {
-    val stats = queryTermStats(df, idCol, textCol, terms)
-    val avgdl = col("corpus_tokens").cast("double") / col("n_docs")
-    val idf = log(
-      (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))
-        + lit(1.0))
-    val tfSat = col("tf").cast("double") * (k1 + 1.0) /
-      (col("tf") + lit(k1) * (lit(1.0) - b + lit(b) * col("dl") / avgdl))
-    val top = stats
+    val top = queryTermStats(df, idCol, textCol, terms)
       .groupBy(col(idCol))
-      .agg(sum((idf * tfSat).cast(s"decimal(38,$quantScale)")).as("__s"),
+      .agg(sum(bm25Term(k1, b).cast(s"decimal(38,$quantScale)")).as("__s"),
         count(lit(1)).as("n_terms_hit"))
       .orderBy(col("__s").desc, col(idCol))
       .limit(k)

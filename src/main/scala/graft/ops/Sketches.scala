@@ -92,14 +92,17 @@ object Sketches {
   /** Global heavy hitters over a string column: top-`k` tokens by
     * estimated count from one [[MisraGries]] pass with capacity `m`
     * (choose `m` ≥ a few × the k of interest; `m` ≥ the distinct count
-    * makes the result exact). Output: `(token, est_count)` ordered by
-    * (count desc, token).
+    * makes the result exact). Null tokens are ignored, SQL-aggregate
+    * style — a null is not a token, and letting one into the summary
+    * would crash the Map-key encoder mid-aggregation. Output:
+    * `(token, est_count)` ordered by (count desc, token).
     */
   def heavyHitters(df: DataFrame, tokenCol: String, m: Int,
       k: Int): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    df.select(col(tokenCol).cast("string")).as[String]
+    df.where(col(tokenCol).isNotNull)
+      .select(col(tokenCol).cast("string")).as[String]
       .select(new MisraGries[String](m, identity).toColumn.name("hh"))
       .select(explode(col("hh")).as("e"))
       .select(col("e._1").as("token"), col("e._2").as("est_count"))
@@ -109,13 +112,19 @@ object Sketches {
 
   /** Per-group heavy hitters: top-`k` tokens within each value of
     * `groupCol` — e.g. the dominant tokens per language — with the same
-    * one-summary-per-(partition, group) movement bound.
+    * one-summary-per-(partition, group) movement bound. Null tokens are
+    * ignored like [[heavyHitters]]'s; a null GROUP is a group (SQL
+    * GROUP BY semantics). The output `groupCol` is coerced to string
+    * (the typed groupByKey needs one key type for any input); join the
+    * result back on a cast of the source column, not the raw column,
+    * when the original type was numeric.
     */
   def heavyHittersBy(df: DataFrame, groupCol: String, tokenCol: String,
       m: Int, k: Int): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    df.select(col(groupCol).cast("string"), col(tokenCol).cast("string"))
+    df.where(col(tokenCol).isNotNull)
+      .select(col(groupCol).cast("string"), col(tokenCol).cast("string"))
       .as[(String, String)]
       .groupByKey(_._1)
       .agg(new MisraGries[(String, String)](m, _._2).toColumn)

@@ -27,8 +27,13 @@ object Skew {
     * content hash would send them all to ONE salt bucket, recreating the
     * exact hotspot salting exists to break.
     */
-  private def saltCol(salts: Int): Column =
+  private def saltCol(salts: Int): Column = {
+    // every public op routes through here; salts <= 0 otherwise degrades
+    // silently (pmod by 0 → null salt → the single-reducer hotspot these
+    // ops exist to break) or throws mid-job inside sequence()
+    require(salts > 0, s"salts must be positive, got $salts")
     pmod(spark_partition_id() * 31 + monotonically_increasing_id(), lit(salts))
+  }
 
   /** Salted two-phase count: groupBy(key, salt) partial counts, then
     * groupBy(key) sums the partials. Identical result to

@@ -88,19 +88,6 @@ object Temporal {
     }
   }
 
-  /** Point-in-interval join: every (interval, point) pair of the same
-    * `keyCol` with `lo <= pt <= hi`. Both sides bucketize on
-    * `bucketWidth`-sized ranges of the point/interval domain and
-    * equi-join on (key, bucket): a point belongs to EXACTLY one bucket,
-    * so each qualifying pair is produced exactly once — no dedup pass.
-    * Intervals explode into ceil(len/width)+1 bucket rows; size
-    * `bucketWidth` near the typical interval length to keep the
-    * explosion factor ~2 while the join stays an equi-shuffle (the
-    * scale-safe shape — a `BETWEEN` theta join plans as a per-key cross
-    * product).
-    *
-    * Columns: interval columns + the point columns listed in `ptCols`.
-    */
   /** Retention cohort matrix: users grouped by their FIRST active
     * period (the cohort), with per-(cohort, period-offset) distinct
     * active-user counts and the retention rate against the cohort's
@@ -134,6 +121,19 @@ object Temporal {
           .as("retention"))
   }
 
+  /** Point-in-interval join: every (interval, point) pair of the same
+    * `keyCol` with `lo <= pt <= hi`. Both sides bucketize on
+    * `bucketWidth`-sized ranges of the point/interval domain and
+    * equi-join on (key, bucket): a point belongs to EXACTLY one bucket,
+    * so each qualifying pair is produced exactly once — no dedup pass.
+    * Intervals explode into ceil(len/width)+1 bucket rows; size
+    * `bucketWidth` near the typical interval length to keep the
+    * explosion factor ~2 while the join stays an equi-shuffle (the
+    * scale-safe shape — a `BETWEEN` theta join plans as a per-key cross
+    * product).
+    *
+    * Columns: interval columns + the point columns listed in `ptCols`.
+    */
   def intervalJoin(intervals: DataFrame, points: DataFrame, keyCol: String,
       loCol: String, hiCol: String, ptCol: String, ptCols: Seq[String],
       bucketWidth: Long): DataFrame = {

@@ -130,11 +130,13 @@ object MultimodalQueries {
         |              WHEN doc_id % 3 = 1 THEN 'audio'
         |              ELSE 'video' END AS kind,
         |         octet_length(encode(text)) AS len,
-        |         greatest(CAST(ceil(octet_length(encode(text)) / 256.0) AS BIGINT), 1) AS nf
+        |         CAST(ceil(octet_length(encode(text)) / 256.0) AS BIGINT) AS nf
         |  FROM documents),
         |u AS (
-        |  SELECT kind, len, nf, (nf - 1) // 4 + 1 AS ns,
-        |         CASE WHEN (nf - 1) % 4 = 0
+        |  SELECT kind, len, nf,
+        |         CASE WHEN nf = 0 THEN 0 ELSE (nf - 1) // 4 + 1 END AS ns,
+        |         CASE WHEN nf = 0 THEN 0
+        |              WHEN (nf - 1) % 4 = 0
         |              THEN ((nf - 1) // 4) * 256 + (len - (nf - 1) * 256)
         |              ELSE ((nf - 1) // 4 + 1) * 256 END AS nb
         |  FROM t)
@@ -146,7 +148,7 @@ object MultimodalQueries {
     "q39_frame_sample" ->
       """WITH t AS (
         |  SELECT doc_id, octet_length(encode(text)) AS len,
-        |         greatest(CAST(ceil(octet_length(encode(text)) / 256.0) AS BIGINT), 1) AS nf
+        |         CAST(ceil(octet_length(encode(text)) / 256.0) AS BIGINT) AS nf
         |  FROM documents WHERE doc_id < 50)
         |SELECT doc_id, CAST(g.i AS INTEGER) AS frame_idx,
         |       CAST(least(256, len - g.i * 256) AS INTEGER) AS frame_len

@@ -41,6 +41,22 @@ class ClassifySpec extends SparkSuite {
     assert(math.abs(out("de")._3 - de) < 1e-9, s"${out("de")._3} vs $de")
   }
 
+  test("a class with zero model tokens still scores (pure smoothed likelihood)") {
+    import spark.implicits._
+    // label "fr" has training docs but NO (label, token) model rows —
+    // e.g. a pruned user-supplied model; it must stay in the class
+    // universe with total 0 (ln(α/(αV)) likelihood), not vanish
+    val model = Classify.trainNaiveBayes(trainDf, "lang", "text")
+    val classDocs = Classify.nbClassDocs(trainDf, "lang")
+      .union(Seq(("fr", 3L)).toDF("label", "n_docs"))
+    val docs = Seq((10L, "a b")).toDF("doc_id", "text")
+    val out = Classify.nbScoreWithModel(docs, model, classDocs, "doc_id", "text")
+      .collect().map(r => r.getString(1) -> r.getDecimal(3).longValueExact())
+      .toMap
+    assert(out.keySet === Set("en", "de", "fr"), "fr must be scored, not dropped")
+    assert(out("fr") === 0L)
+  }
+
   test("nbPredict argmaxes deterministically and recovers planted classes") {
     import spark.implicits._
     val docs = Seq(

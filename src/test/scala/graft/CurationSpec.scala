@@ -97,6 +97,17 @@ class CurationSpec extends SparkSuite {
     assert(got(2L) === ((0L, 0L)))
   }
 
+  test("curateCcnet rejects minTokens < 2 (an LM-ungateable document class)") {
+    import spark.implicits._
+    // a < 2-token doc has no bigrams → no bigramLogProb row → the LM
+    // join would silently DROP it rather than gate it; the require makes
+    // the constraint loud
+    val df = Seq((1L, "one")).toDF("doc_id", "text")
+    intercept[IllegalArgumentException] {
+      Curation.curateCcnet(df, df, df, "doc_id", "text", minTokens = 1)
+    }
+  }
+
   test("curateGopher: rule gate, decontamination, span rewrite, dedup compose") {
     import spark.implicits._
     val bench = Seq((100L, "secret eval question body")).toDF("doc_id", "text")

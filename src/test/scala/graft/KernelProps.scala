@@ -263,11 +263,16 @@ object KernelProps extends Properties("graft") {
   property("frameStats algebra: sampled bytes never exceed payload, frames cover it") =
     forAll(Gen.choose(0L, 100000L), Gen.choose(1, 8)) { (len, stride) =>
       val frameBytes = 256
-      val nf = math.max(math.ceil(len / 256.0).toLong, 1L)
-      val ns = (nf - 1) / stride + 1
+      // mirrors Multimodal.frameStats exactly: zero-length payload has
+      // ZERO frames (no phantom-frame clamp)
+      val nf = math.ceil(len / 256.0).toLong
+      val ns = if (nf == 0) 0L else (nf - 1) / stride + 1
       val lastLen = len - (nf - 1) * frameBytes
-      val nb = if ((nf - 1) % stride == 0) (ns - 1) * frameBytes + lastLen
+      val nb =
+        if (nf == 0) 0L
+        else if ((nf - 1) % stride == 0) (ns - 1) * frameBytes + lastLen
         else ns * frameBytes
-      nb <= math.max(len, 0L) + frameBytes && ns >= 1 && nf * frameBytes >= len
+      nb <= len && (ns == 0) == (nf == 0) && nf * frameBytes >= len &&
+        (len == 0 || nb > 0)
     }
 }

@@ -57,6 +57,26 @@ class MultimodalSpec extends SparkSuite {
     assert(disagree === 0)
   }
 
+  test("empty and null payloads have zero frames in frameSample AND frameStats") {
+    import spark.implicits._
+    val df = Seq((1L, Array.emptyByteArray), (2L, null: Array[Byte]),
+        (3L, Array[Byte](1, 2, 3)))
+      .toDF("asset_id", "payload")
+    // no phantom zero-length frame rows for empty/null payloads
+    val frames = Multimodal.frameSample(df, $"payload", frameBytes = 64, stride = 1)
+    assert(frames.select($"asset_id").as[Long].collect().toSeq === Seq(3L))
+    val (nf, ns, nb) = Multimodal.frameStats(length($"payload").cast("long"), 64, 1)
+    val r = df.where($"asset_id" === 1L)
+      .select(nf.as("nf"), ns.as("ns"), nb.as("nb")).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) === ((0L, 0L, 0L)))
+    intercept[IllegalArgumentException] {
+      Multimodal.frameSample(df, $"payload", frameBytes = 0, stride = 1)
+    }
+    intercept[IllegalArgumentException] {
+      Multimodal.frameStats($"payload", 64, 0)
+    }
+  }
+
   test("frameStats sampled bytes accounts for the short last frame") {
     import spark.implicits._
     // 150 bytes, 64-byte frames, stride 2 → frames [0,64) [64,128) [128,150);

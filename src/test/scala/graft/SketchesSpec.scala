@@ -49,6 +49,23 @@ class SketchesSpec extends SparkSuite {
     }
   }
 
+  test("null tokens are ignored, not crashed on or counted") {
+    import spark.implicits._
+    // a null in the summary Map would fail the Map-key encoder (and the
+    // finish sortBy) mid-aggregation; null tokens must never enter
+    val df = Seq(Some("a"), None, Some("a"), Some("b"), None)
+      .toDF("token").repartition(3)
+    val got = Sketches.heavyHitters(df, "token", m = 16, k = 10)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+    assert(got === Seq("a" -> 2L, "b" -> 1L))
+    val grouped = Seq((Some(1), Some("x")), (Some(1), None), (None, Some("x")))
+      .toDF("g", "token")
+    val by = Sketches.heavyHittersBy(grouped, "g", "token", m = 16, k = 10)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    // null GROUP is a group (SQL GROUP BY semantics); null token is not
+    assert(by.toSet === Set(("1", "x", 1L), (null, "x", 1L)))
+  }
+
   test("per-group heavy hitters: exact per language, k rows max per group") {
     import spark.implicits._
     val byLang = Tables.documents(spark, sfDir)

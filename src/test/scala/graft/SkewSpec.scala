@@ -26,6 +26,13 @@ class SkewSpec extends SparkSuite {
     assert(got.exceptAll(exp).isEmpty && exp.exceptAll(got).isEmpty)
   }
 
+  test("non-positive salts fail at call time, not mid-job") {
+    import spark.implicits._
+    val df = Seq(("k", 1L)).toDF("key", "v")
+    intercept[IllegalArgumentException] { Skew.saltedCount(df, "key", 0) }
+    intercept[IllegalArgumentException] { Skew.saltedJoin(df, df, "key", -1) }
+  }
+
   test("saltedJoin equals the plain inner join") {
     import spark.implicits._
     val orders = Tables.orders(spark, sfDir)
