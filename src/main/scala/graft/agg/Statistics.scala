@@ -212,25 +212,38 @@ object Statistics {
     * single 4×|cutoffs|-cell row no matter the corpus size; the sweep
     * never re-scans per threshold. Rates divide exact integer counts
     * (NULL where undefined), so the whole table is engine-exact.
+    *
+    * Rows with a NULL label or NULL score belong to NO cell: all four
+    * cells are direct conditional sums (a null condition matches
+    * nothing), never derived from row totals — deriving `tn` as
+    * `count(*) − …` would silently count every unlabeled row as a true
+    * negative at every cutoff, inflating `tn` and `keep_rate`'s
+    * denominator exactly where the reference set is least trustworthy.
     */
   def thresholdSweep(df: DataFrame, score: Column, label: Column,
       cutoffs: Seq[Double]): DataFrame = {
     require(cutoffs.nonEmpty, "at least one cutoff")
+    // Materialize score/label ONCE per row: the caller's expressions can
+    // be large trees (the quality composite), and inlining them into
+    // 4×|cutoffs| conditional sums re-evaluates each per cell and blows
+    // whole-stage codegen's method-size limit (measured: 0.33 s → 2.2 s
+    // on q104 when inlined). After this projection every cell references
+    // two cheap column refs.
+    val scored = df.select(score.as("__score"), label.as("__label"))
+    val (sc, lb) = (col("__score"), col("__label"))
     val cells = cutoffs.zipWithIndex.flatMap { case (c, i) =>
       Seq(
-        sum(when(label && score >= c, 1L).otherwise(0L)).as(s"__tp$i"),
-        sum(when(!label && score >= c, 1L).otherwise(0L)).as(s"__fp$i"))
+        sum(when(lb && sc >= c, 1L).otherwise(0L)).as(s"__tp$i"),
+        sum(when(!lb && sc >= c, 1L).otherwise(0L)).as(s"__fp$i"),
+        sum(when(lb && sc < c, 1L).otherwise(0L)).as(s"__fn$i"),
+        sum(when(!lb && sc < c, 1L).otherwise(0L)).as(s"__tn$i"))
     }
-    val aggd = df.agg(
-      sum(when(label, 1L).otherwise(0L)).as("__pos"),
-      (sum(when(label, 1L).otherwise(0L)) * -1 + count(lit(1))).as("__neg")
-        +: cells: _*)
+    val aggd = scored.agg(cells.head, cells.tail: _*)
     val rows = aggd.select(explode(array(cutoffs.zipWithIndex.map {
       case (c, i) =>
         struct(lit(c).as("cutoff"),
           col(s"__tp$i").as("tp"), col(s"__fp$i").as("fp"),
-          (col("__pos") - col(s"__tp$i")).as("fn"),
-          (col("__neg") - col(s"__fp$i")).as("tn"))
+          col(s"__fn$i").as("fn"), col(s"__tn$i").as("tn"))
     }: _*)).as("r")).select(col("r.*"))
     def ratio(num: Column, den: Column): Column =
       when(den =!= 0, num.cast("double") / den.cast("double"))

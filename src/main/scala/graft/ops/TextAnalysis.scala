@@ -109,12 +109,25 @@ object TextAnalysis {
 
   /** Composite quality score in [0,1]: rewards lexical diversity, a sane
     * stopword rate and mid-length tokens. Deterministic double arithmetic.
+    *
+    * Blank (empty/whitespace-only) text scores 0.0 explicitly: `split`
+    * gives a blank document the single token `""`, so the raw composite
+    * would score it 0.5 (perfect "diversity") — ABOVE genuinely
+    * repetitive spam — and a gate thresholded between them would keep
+    * blank docs while dropping real text. NULL text stays NULL.
     */
   def qualityScore(text: Column): Column = {
     val diversity = distinctTokenRatio(text)
     val stop = wordSetRatio(text, englishStopwords)
     val lenOk = when(tokenCount(text).between(5, 100000), lit(1.0)).otherwise(lit(0.0))
-    (diversity * 0.5 + stop * 0.3 + lenOk * 0.2)
+    // Blank-guard as a MULTIPLIER, not a when(...).otherwise(composite)
+    // wrapper: the wrapper makes the whole composite a conditional
+    // CaseWhen branch, where Spark skips subexpression elimination and
+    // re-evaluates the token array per term (measured 2× on q73). The
+    // multiplier keeps the composite unconditional (tokens CSE'd once);
+    // null text stays null (null × anything), blank → × 0.0.
+    (diversity * 0.5 + stop * 0.3 + lenOk * 0.2) *
+      when(length(trim(text)) === 0, lit(0.0)).otherwise(lit(1.0))
   }
 
   /** Gopher's stop-word presence list (Rae et al. 2021, appendix A —
@@ -181,7 +194,10 @@ object TextAnalysis {
     wordSetCount(text, langMarkers.toMap.apply(lang))
 
   /** Heuristic language ID: argmax of marker counts, first-listed language
-    * wins ties (deterministic — required for oracle parity).
+    * wins ties (deterministic — required for oracle parity). NULL text →
+    * NULL (without the guard every marker score is null, every argmax
+    * condition is null, and the CASE falls through to the LAST language —
+    * null rows would report as phantom "zh" in [[langConfusion]]).
     */
   def langId(text: Column): Column = {
     val scores = langMarkers.map { case (l, ws) => l -> wordSetCount(text, ws) }
@@ -191,8 +207,16 @@ object TextAnalysis {
         .foldLeft(lit(true))(_ && _)
       (l, geAll)
     }
-    branches.init.foldRight(lit(branches.last._1)) { case ((l, cond), els) =>
-      when(cond, lit(l)).otherwise(els)
+    // Null-guard via the FINAL branch (`WHEN s_zh IS NOT NULL THEN 'zh'`,
+    // no ELSE → null on null text) instead of wrapping the whole argmax
+    // in when(text.isNull, …): a wrapper makes every marker count a
+    // conditional CaseWhen branch, where Spark skips subexpression
+    // elimination — split(trim(text)) would re-evaluate per marker set
+    // (measured 2× on q23). Here the first branch's condition stays
+    // unconditional, so the shared token array is CSE'd as before.
+    branches.init.foldRight(
+        when(scores.last._2.isNotNull, lit(branches.last._1))) {
+      case ((l, cond), els) => when(cond, lit(l)).otherwise(els)
     }
   }
 

@@ -1029,9 +1029,9 @@ object CorpusQueries {
       """WITH t AS (SELECT doc_id, string_split_regex(trim(text), ' +') AS toks
         |           FROM documents),
         |q AS (SELECT doc_id,
-        |        (CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)) * 0.5
+        |        CASE WHEN toks[1] = '' THEN 0.0 ELSE (CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)) * 0.5
         |          + (CAST(len(list_filter(toks, s -> s IN ('the','a','an','of','and','is','in','to','it','that'))) AS DOUBLE) / len(toks)) * 0.3
-        |          + (CASE WHEN len(toks) BETWEEN 5 AND 100000 THEN 1.0 ELSE 0.0 END) * 0.2 AS quality,
+        |          + (CASE WHEN len(toks) BETWEEN 5 AND 100000 THEN 1.0 ELSE 0.0 END) * 0.2 END AS quality,
         |        CAST(len(toks) AS BIGINT) AS n_tokens
         |      FROM t),
         |c AS (SELECT doc_id, quality, n_tokens,
@@ -1065,9 +1065,9 @@ object CorpusQueries {
         |        string_split_regex(trim(text), ' +') AS toks
         |      FROM delta),
         |q AS (SELECT doc_id, text, status FROM g
-        |      WHERE (CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)) * 0.5
+        |      WHERE CASE WHEN toks[1] = '' THEN 0.0 ELSE (CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)) * 0.5
         |          + (CAST(len(list_filter(toks, s -> s IN ('the','a','an','of','and','is','in','to','it','that'))) AS DOUBLE) / len(toks)) * 0.3
-        |          + (CASE WHEN len(toks) BETWEEN 5 AND 100000 THEN 1.0 ELSE 0.0 END) * 0.2 >= 0.5),
+        |          + (CASE WHEN len(toks) BETWEEN 5 AND 100000 THEN 1.0 ELSE 0.0 END) * 0.2 END >= 0.5),
         |ex AS (SELECT doc_id, text, status,
         |         row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
         |       FROM q)
@@ -1081,9 +1081,9 @@ object CorpusQueries {
         |             string_split_regex(trim(text), ' +') AS toks
         |           FROM documents),
         |q AS (SELECT doc_id, label,
-        |        (CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)) * 0.5
+        |        CASE WHEN toks[1] = '' THEN 0.0 ELSE (CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)) * 0.5
         |          + (CAST(len(list_filter(toks, s -> s IN ('the','a','an','of','and','is','in','to','it','that'))) AS DOUBLE) / len(toks)) * 0.3
-        |          + (CASE WHEN len(toks) BETWEEN 5 AND 100000 THEN 1.0 ELSE 0.0 END) * 0.2 AS quality
+        |          + (CASE WHEN len(toks) BETWEEN 5 AND 100000 THEN 1.0 ELSE 0.0 END) * 0.2 END AS quality
         |      FROM t),
         |c AS (SELECT unnest([0.45, 0.5, 0.55, 0.62]) AS cutoff),
         |j AS (SELECT c.cutoff,
@@ -1237,9 +1237,9 @@ object CorpusQueries {
       """WITH t AS (SELECT doc_id, lang, text, string_split_regex(trim(text), ' +') AS toks
         |           FROM documents),
         |q AS (SELECT doc_id, lang,
-        |        (CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)) * 0.5
+        |        CASE WHEN toks[1] = '' THEN 0.0 ELSE (CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)) * 0.5
         |          + (CAST(len(list_filter(toks, s -> s IN ('the','a','an','of','and','is','in','to','it','that'))) AS DOUBLE) / len(toks)) * 0.3
-        |          + (CASE WHEN len(toks) BETWEEN 5 AND 100000 THEN 1.0 ELSE 0.0 END) * 0.2 AS quality
+        |          + (CASE WHEN len(toks) BETWEEN 5 AND 100000 THEN 1.0 ELSE 0.0 END) * 0.2 END AS quality
         |      FROM t),
         |cd AS (SELECT lang, quality,
         |         cume_dist() OVER (PARTITION BY lang ORDER BY quality) AS cd

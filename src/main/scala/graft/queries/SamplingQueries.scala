@@ -181,9 +181,9 @@ object SamplingQueries {
       """WITH t AS (SELECT doc_id, string_split_regex(trim(text), ' +') AS toks
         |           FROM documents),
         |q AS (SELECT doc_id,
-        |        (CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)) * 0.5
+        |        CASE WHEN toks[1] = '' THEN 0.0 ELSE (CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)) * 0.5
         |          + (CAST(len(list_filter(toks, s -> s IN ('the','a','an','of','and','is','in','to','it','that'))) AS DOUBLE) / len(toks)) * 0.3
-        |          + (CASE WHEN len(toks) BETWEEN 5 AND 100000 THEN 1.0 ELSE 0.0 END) * 0.2 AS quality
+        |          + (CASE WHEN len(toks) BETWEEN 5 AND 100000 THEN 1.0 ELSE 0.0 END) * 0.2 END AS quality
         |      FROM t)
         |SELECT doc_id,
         |       CASE WHEN quality >= 0.62 THEN 0
@@ -268,9 +268,9 @@ object SamplingQueries {
       """WITH t AS (SELECT doc_id, lang, string_split_regex(trim(text), ' +') AS toks
         |           FROM documents),
         |q AS (SELECT doc_id, lang,
-        |        (CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)) * 0.5
+        |        CASE WHEN toks[1] = '' THEN 0.0 ELSE (CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)) * 0.5
         |          + (CAST(len(list_filter(toks, s -> s IN ('the','a','an','of','and','is','in','to','it','that'))) AS DOUBLE) / len(toks)) * 0.3
-        |          + (CASE WHEN len(toks) BETWEEN 5 AND 100000 THEN 1.0 ELSE 0.0 END) * 0.2 AS quality
+        |          + (CASE WHEN len(toks) BETWEEN 5 AND 100000 THEN 1.0 ELSE 0.0 END) * 0.2 END AS quality
         |      FROM t)
         |SELECT doc_id, lang, quality FROM q
         |WHERE CAST(('0x' || substr(md5('w:' || doc_id), 1, 15))::BIGINT % 1000000 AS DOUBLE)

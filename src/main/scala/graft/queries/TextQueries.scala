@@ -925,7 +925,7 @@ object TextQueries {
         |       len(toks) AS n_tokens,
         |       CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS distinct_ratio,
         |       CAST(len(list_filter(toks, x -> x IN ('the','a','an','of','and','is','in','to','it','that'))) AS DOUBLE) / len(toks) AS stop_ratio,
-        |       CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+        |       CASE WHEN s_en IS NULL THEN NULL WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
         |            WHEN s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
         |            WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
         |            WHEN s_fr >= s_zh THEN 'fr'
@@ -1059,7 +1059,7 @@ object TextQueries {
         |        len(list_filter(toks, t -> t IN ('的','是','在','了','我'))) AS s_zh
         |      FROM t),
         |p AS (SELECT lang,
-        |       CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+        |       CASE WHEN s_en IS NULL THEN NULL WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
         |            WHEN s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
         |            WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
         |            WHEN s_fr >= s_zh THEN 'fr'
@@ -1290,9 +1290,9 @@ object TextQueries {
         |b AS (SELECT source, lang, md5(text) AS fp,
         |        CAST(len(toks) AS BIGINT) AS nt,
         |        CAST(len(text) AS BIGINT) AS nc,
-        |        CAST((CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)) * 0.5
+        |        CAST(CASE WHEN toks[1] = '' THEN 0.0 ELSE (CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)) * 0.5
         |          + (CAST(len(list_filter(toks, s -> s IN ('the','a','an','of','and','is','in','to','it','that'))) AS DOUBLE) / len(toks)) * 0.3
-        |          + (CASE WHEN len(toks) BETWEEN 5 AND 100000 THEN 1.0 ELSE 0.0 END) * 0.2
+        |          + (CASE WHEN len(toks) BETWEEN 5 AND 100000 THEN 1.0 ELSE 0.0 END) * 0.2 END
         |          AS DECIMAL(25,6)) AS q
         |      FROM t),
         |pf AS (SELECT source, fp, CAST(count(*) AS BIGINT) AS cnt,
@@ -1479,7 +1479,7 @@ object TextQueries {
         |        len(list_filter(toks, t -> t IN ('的','是','在','了','我'))) AS s_zh
         |      FROM t)
         |SELECT doc_id, lang, s_en, s_de,
-        |       CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+        |       CASE WHEN s_en IS NULL THEN NULL WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
         |            WHEN s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
         |            WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
         |            WHEN s_fr >= s_zh THEN 'fr'
@@ -1551,9 +1551,9 @@ object TextQueries {
         |       len(toks) AS n_ws_tokens,
         |       (length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')))::DOUBLE
         |         / length(text) AS punct_ratio,
-        |       (CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)) * 0.5
+        |       CASE WHEN toks[1] = '' THEN 0.0 ELSE (CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)) * 0.5
         |         + (CAST(len(list_filter(toks, s -> s IN ('the','a','an','of','and','is','in','to','it','that'))) AS DOUBLE) / len(toks)) * 0.3
-        |         + (CASE WHEN len(toks) BETWEEN 5 AND 100000 THEN 1.0 ELSE 0.0 END) * 0.2 AS quality
+        |         + (CASE WHEN len(toks) BETWEEN 5 AND 100000 THEN 1.0 ELSE 0.0 END) * 0.2 END AS quality
         |FROM t ORDER BY doc_id""".stripMargin,
     // q27: rebuild the exact md5 MinHash signatures (64 hashes), band
     // them 4 × 16 on raw signature slices, and verify candidates with
@@ -1691,9 +1691,9 @@ object TextQueries {
         |           FROM documents),
         |ft AS (SELECT doc_id, string_split_regex(trim(text), ' +') AS toks FROM documents),
         |q AS (SELECT doc_id,
-        |        (CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)) * 0.5
+        |        CASE WHEN toks[1] = '' THEN 0.0 ELSE (CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)) * 0.5
         |          + (CAST(len(list_filter(toks, s -> s IN ('the','a','an','of','and','is','in','to','it','that'))) AS DOUBLE) / len(toks)) * 0.3
-        |          + (CASE WHEN len(toks) BETWEEN 5 AND 100000 THEN 1.0 ELSE 0.0 END) * 0.2 AS quality
+        |          + (CASE WHEN len(toks) BETWEEN 5 AND 100000 THEN 1.0 ELSE 0.0 END) * 0.2 END AS quality
         |      FROM ft),
         |tok AS (SELECT doc_id, unnest(toks) AS tok FROM t),
         |mh AS (SELECT doc_id, j.j AS j,

@@ -124,29 +124,53 @@ object EventStreams {
             state.remove()
             Iterator.single(SessionOut(userId, s.events, s.last - s.start))
           } else {
-            // Events within a micro-batch are not ordered — sort the chunk.
-            val sorted = batch.toSeq.sortBy(e => (e.tsNs, e.event_id))
-            var st = state.getOption.orNull
-            val closed = Seq.newBuilder[SessionOut]
-            sorted.foreach { e =>
-              st match {
-                case null =>
-                  st = SessionState(e.tsNs, e.tsNs, 1)
-                case s if e.tsNs - s.last > gapNs =>
-                  closed += SessionOut(userId, s.events, s.last - s.start)
-                  st = SessionState(e.tsNs, e.tsNs, 1)
-                case s =>
-                  st = SessionState(s.start, e.tsNs, s.events + 1)
-              }
+            val (closed, open) =
+              sessionFold(userId, state.getOption, batch.toSeq, gapNs)
+            open match {
+              case Some(st) =>
+                state.update(st)
+                state.setTimeoutDuration(gapNs / 1000000L)
+              case None => state.remove()
             }
-            if (st != null) {
-              state.update(st)
-              state.setTimeoutDuration(gapNs / 1000000L)
-            } else state.remove()
-            closed.result().iterator
+            closed.iterator
           }
         })
     out.toDF()
+  }
+
+  /** One micro-batch chunk of [[sessionize]]'s per-user state machine:
+    * fold `chunk` (sorted here — events within a micro-batch are not
+    * ordered) into `prev`, returning the sessions closed by this chunk
+    * and the still-open state. Factored out of the stateful closure so
+    * the CROSS-BATCH path is unit-testable without a streaming query
+    * (ProcessingTimeTimeout + AvailableNow never terminates — the
+    * streaming-trigger caveat in [[streamingFunnel]]'s scaladoc).
+    *
+    * A late cross-chunk event (older than the session's extent — no
+    * watermark on this path) merges into the open session but never
+    * moves its bounds backwards: regressing `last` to the late
+    * timestamp would corrupt durations (even negative) and let a
+    * following event close against the stale `last`.
+    */
+  private[graft] def sessionFold(userId: Long,
+      prev: Option[SessionState], chunk: Seq[SessionEvent],
+      gapNs: Long): (Seq[SessionOut], Option[SessionState]) = {
+    val sorted = chunk.sortBy(e => (e.tsNs, e.event_id))
+    var st = prev.orNull
+    val closed = Seq.newBuilder[SessionOut]
+    sorted.foreach { e =>
+      st match {
+        case null =>
+          st = SessionState(e.tsNs, e.tsNs, 1)
+        case s if e.tsNs - s.last > gapNs =>
+          closed += SessionOut(userId, s.events, s.last - s.start)
+          st = SessionState(e.tsNs, e.tsNs, 1)
+        case s =>
+          st = SessionState(math.min(s.start, e.tsNs),
+            math.max(s.last, e.tsNs), s.events + 1)
+      }
+    }
+    (closed.result(), Option(st))
   }
 
   case class FunnelEvent(user_id: Long, ts: Long, event_id: Long,
@@ -161,8 +185,16 @@ object EventStreams {
     * processed in event-time order within each chunk, so over an
     * event-time-ordered stream (and in batch execution, where a user's
     * whole history arrives as one chunk) the result matches the batch
-    * funnel's earliest-ordered-completion exactly; with cross-batch
-    * disorder the match is greedy in arrival order.
+    * funnel's earliest-ordered-completion exactly.
+    *
+    * CROSS-BATCH DISORDER is bounded by `watermarkDelay`: events older
+    * than the stream's event-time watermark are dropped by Spark BEFORE
+    * they reach the funnel state (required for the event-time TTL below
+    * to be able to fire). The default "0 seconds" therefore tolerates
+    * no disorder across micro-batch boundaries — size `watermarkDelay`
+    * to the source's expected lateness in production; events within the
+    * allowance are matched greedily in arrival order. Batch execution
+    * eliminates the watermark node, so batch parity is unaffected.
     *
     * EXPIRY: a key's partial progress is dropped once the EVENT-TIME
     * watermark passes `lastStageTs + ttlMs` (the abandoned-funnel case —
@@ -489,7 +521,12 @@ object EventStreams {
                     spark.read.parquet(keysDir).select(col(idCol)),
                     Seq(idCol), "left_anti")
                 else corpus.select(col(idCol))
-              if (!unkeyedIds.isEmpty) {
+              // `|| !keysExist`: a crash after an EMPTY batch's corpus
+              // append leaves corpusDir present (schema-only) with no
+              // keysDir and zero unkeyed ids — the heal must still
+              // create the (empty) key table or the read below wedges
+              // every restart on PATH_NOT_FOUND.
+              if (!unkeyedIds.isEmpty || !keysExist) {
                 val unkeyed = corpus.select(col(idCol), col(textCol))
                   .join(unkeyedIds, Seq(idCol), "left_semi")
                 Dedup.corpusBandKeys(unkeyed, idCol, textCol, numHashes, bands)
@@ -513,6 +550,38 @@ object EventStreams {
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .start()
+  }
+
+  /** Release `caches` when `query` terminates, then deregister the
+    * listener. An AvailableNow query over an empty input can terminate
+    * before the listener registers and the terminated event would be
+    * missed, so a post-registration `isActive` check releases eagerly in
+    * that case — unpersist/removeListener are idempotent, making the
+    * double-fire race the other way harmless. Shared by every ingest
+    * gate that persists stream-lifetime model frames; the subtle
+    * early-termination handling lives here once instead of per-gate.
+    */
+  private def releaseOnTermination(spark: SparkSession,
+      query: StreamingQuery, caches: DataFrame*): StreamingQuery = {
+    def releaseAll(): Unit = caches.foreach(_.unpersist(blocking = false))
+    val release = new StreamingQueryListener {
+      override def onQueryStarted(
+          e: StreamingQueryListener.QueryStartedEvent): Unit = ()
+      override def onQueryProgress(
+          e: StreamingQueryListener.QueryProgressEvent): Unit = ()
+      override def onQueryTerminated(
+          e: StreamingQueryListener.QueryTerminatedEvent): Unit =
+        if (e.id == query.id) {
+          releaseAll()
+          spark.streams.removeListener(this)
+        }
+    }
+    spark.streams.addListener(release)
+    if (!query.isActive) {
+      releaseAll()
+      spark.streams.removeListener(release)
+    }
+    query
   }
 
   /** Streaming decontamination gate: each micro-batch drops documents
@@ -559,28 +628,7 @@ object EventStreams {
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .start()
-    val release = new StreamingQueryListener {
-      override def onQueryStarted(
-          e: StreamingQueryListener.QueryStartedEvent): Unit = ()
-      override def onQueryProgress(
-          e: StreamingQueryListener.QueryProgressEvent): Unit = ()
-      override def onQueryTerminated(
-          e: StreamingQueryListener.QueryTerminatedEvent): Unit =
-        if (e.id == query.id) {
-          shingles.unpersist(blocking = false)
-          spark.streams.removeListener(this)
-        }
-    }
-    spark.streams.addListener(release)
-    // an AvailableNow query over an empty input can terminate before the
-    // listener registers; the terminated event would then be missed.
-    // unpersist/removeListener are idempotent, so the double-fire race
-    // the other way is harmless.
-    if (!query.isActive) {
-      shingles.unpersist(blocking = false)
-      spark.streams.removeListener(release)
-    }
-    query
+    releaseOnTermination(spark, query, shingles)
   }
 
   /** Streaming DSIR quality gate: each micro-batch keeps only documents
@@ -628,27 +676,7 @@ object EventStreams {
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .start()
-    val release = new StreamingQueryListener {
-      override def onQueryStarted(
-          e: StreamingQueryListener.QueryStartedEvent): Unit = ()
-      override def onQueryProgress(
-          e: StreamingQueryListener.QueryProgressEvent): Unit = ()
-      override def onQueryTerminated(
-          e: StreamingQueryListener.QueryTerminatedEvent): Unit =
-        if (e.id == query.id) {
-          tModel.unpersist(blocking = false)
-          rModel.unpersist(blocking = false)
-          spark.streams.removeListener(this)
-        }
-    }
-    spark.streams.addListener(release)
-    // same early-termination race note as ingestDecontaminated
-    if (!query.isActive) {
-      tModel.unpersist(blocking = false)
-      rModel.unpersist(blocking = false)
-      spark.streams.removeListener(release)
-    }
-    query
+    releaseOnTermination(spark, query, tModel, rModel)
   }
 
   /** Streaming classifier gate: each micro-batch keeps only documents
@@ -693,27 +721,7 @@ object EventStreams {
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .start()
-    val release = new StreamingQueryListener {
-      override def onQueryStarted(
-          e: StreamingQueryListener.QueryStartedEvent): Unit = ()
-      override def onQueryProgress(
-          e: StreamingQueryListener.QueryProgressEvent): Unit = ()
-      override def onQueryTerminated(
-          e: StreamingQueryListener.QueryTerminatedEvent): Unit =
-        if (e.id == query.id) {
-          model.unpersist(blocking = false)
-          classDocs.unpersist(blocking = false)
-          spark.streams.removeListener(this)
-        }
-    }
-    spark.streams.addListener(release)
-    // same early-termination race note as ingestDecontaminated
-    if (!query.isActive) {
-      model.unpersist(blocking = false)
-      classDocs.unpersist(blocking = false)
-      spark.streams.removeListener(release)
-    }
-    query
+    releaseOnTermination(spark, query, model, classDocs)
   }
 
   /** Streaming distribution-drift monitor: every micro-batch's exact TV
@@ -741,34 +749,21 @@ object EventStreams {
       .parquet(inDir)
       .writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        batch.write.mode("append").parquet(outDir)
+        // Monitor row FIRST: if the second write fails the batch replays,
+        // and replay duplication must land in the dedupable-by-batch_id
+        // monitor table, never in the primary data sink (data-first would
+        // double-append committed data rows on a monitor-write failure).
         TextAnalysis.textDriftAgainstModel(batch, textCol, refModel, buckets)
           .select(lit(batchId).as("batch_id"), col("n_features"),
             col("tv"))
           .write.mode("append").parquet(monitorDir)
+        batch.write.mode("append").parquet(outDir)
         ()
       }
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .start()
-    val release = new StreamingQueryListener {
-      override def onQueryStarted(
-          e: StreamingQueryListener.QueryStartedEvent): Unit = ()
-      override def onQueryProgress(
-          e: StreamingQueryListener.QueryProgressEvent): Unit = ()
-      override def onQueryTerminated(
-          e: StreamingQueryListener.QueryTerminatedEvent): Unit =
-        if (e.id == query.id) {
-          refModel.unpersist(blocking = false)
-          spark.streams.removeListener(this)
-        }
-    }
-    spark.streams.addListener(release)
-    if (!query.isActive) {
-      refModel.unpersist(blocking = false)
-      spark.streams.removeListener(release)
-    }
-    query
+    releaseOnTermination(spark, query, refModel)
   }
 
   /** Run a streaming DataFrame to completion against a memory sink and

@@ -39,9 +39,15 @@ object StreamingProcessor {
       maxFilesPerTrigger: Int = 16,
       trigger: Trigger = Trigger.AvailableNow(),
       exactlyOnce: Boolean = false): StreamingQuery = {
+    // multiLine matches the batch twin's input contract (Sources.urlList:
+    // one pretty-printed JSON array of {url} objects per file — the
+    // reference's list format). Without it each array file parses as
+    // corrupt line-JSON, every url comes back null, and the checkpoint
+    // still commits the offsets — a stream that "succeeds" on zero rows.
     val urls = spark.readStream
       .schema("url STRING")
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .option("multiLine", true)
       .json(inDir)
       .where(col("url").isNotNull)
 
@@ -50,19 +56,21 @@ object StreamingProcessor {
         // batch_index restarts per micro-batch; globally unique ids come
         // from (micro_batch_id, batch_index)
         val enriched = Enricher.enrich(batch, fetcherFactory, config)
-        if (exactlyOnce) {
-          enriched.records.write.mode("overwrite")
-            .parquet(s"$outDir/shards/micro_batch_id=$batchId")
-          enriched.deadLetter.write.mode("overwrite")
-            .json(s"$outDir/dead_letter/micro_batch_id=$batchId")
-        } else {
-          Sinks.appendParquet(
-            enriched.records.withColumn("micro_batch_id", lit(batchId)),
-            s"$outDir/shards")
-          Sinks.deadLetterJson(
-            enriched.deadLetter.withColumn("micro_batch_id", lit(batchId)),
-            s"$outDir/dead_letter")
-        }
+        try {
+          if (exactlyOnce) {
+            enriched.records.write.mode("overwrite")
+              .parquet(s"$outDir/shards/micro_batch_id=$batchId")
+            enriched.deadLetter.write.mode("overwrite")
+              .json(s"$outDir/dead_letter/micro_batch_id=$batchId")
+          } else {
+            Sinks.appendParquet(
+              enriched.records.withColumn("micro_batch_id", lit(batchId)),
+              s"$outDir/shards")
+            Sinks.deadLetterJson(
+              enriched.deadLetter.withColumn("micro_batch_id", lit(batchId)),
+              s"$outDir/dead_letter")
+          }
+        } finally enriched.release() // else one cache entry leaks per batch
         ()
       }
       .option("checkpointLocation", checkpointDir)

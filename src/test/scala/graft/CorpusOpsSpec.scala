@@ -350,9 +350,14 @@ class CorpusOpsSpec extends SparkSuite {
 
   test("thresholdSweep: hand-computed confusion cells and rates per cutoff") {
     import spark.implicits._
-    // scores: positives at 0.9, 0.6, 0.4; negatives at 0.7, 0.3
+    // scores: positives at 0.9, 0.6, 0.4; negatives at 0.7, 0.3.
+    // The null-label and null-score rows must land in NO confusion cell
+    // (an unlabeled row is not evidence of anything — deriving tn from
+    // count(*) would silently absorb them).
     val df = Seq(
-      (0.9, true), (0.6, true), (0.4, true), (0.7, false), (0.3, false))
+      (Some(0.9), Some(true)), (Some(0.6), Some(true)), (Some(0.4), Some(true)),
+      (Some(0.7), Some(false)), (Some(0.3), Some(false)),
+      (Some(0.8), None), (None, Some(true)))
       .toDF("score", "label")
     val got = Statistics.thresholdSweep(df, $"score", $"label",
         cutoffs = Seq(0.5, 0.95))

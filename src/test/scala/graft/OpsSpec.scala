@@ -397,12 +397,26 @@ class OpsSpec extends SparkSuite {
 
   test("langId: marker argmax with deterministic first-listed tie-break") {
     import spark.implicits._
-    val df = Seq("der und ist text", "the of and text", "nomarkers at all")
-      .toDF("text")
+    val df = Seq("der und ist text", "the of and text", "nomarkers at all",
+      null).toDF("text")
     val out = df.select(TextAnalysis.langId($"text")).collect().map(_.getString(0))
     assert(out(0) === "de")
     assert(out(1) === "en")
     assert(out(2) === "en") // all-zero scores → first listed
+    assert(out(3) === null) // null text → null, not the last-listed lang
+  }
+
+  test("qualityScore: blank text scores 0.0, below repetitive spam; null stays null") {
+    import spark.implicits._
+    val df = Seq("", "   ", "buy buy buy buy buy buy buy buy", null)
+      .toDF("text")
+    val out = df.select(TextAnalysis.qualityScore($"text")).collect()
+    assert(out(0).getDouble(0) === 0.0) // empty
+    assert(out(1).getDouble(0) === 0.0) // whitespace-only
+    // spam: diversity 1/8, stopwords 0, length ok → 0.0625+0+0.2
+    assert(math.abs(out(2).getDouble(0) - 0.2625) < 1e-15)
+    assert(out(0).getDouble(0) < out(2).getDouble(0)) // blank below spam
+    assert(out(3).isNullAt(0))
   }
 
   test("quality metrics: token count, diversity, avg length") {

@@ -70,8 +70,10 @@ class StreamingSpec extends SparkSuite {
     val out = tmp("sp-out")
     val ckpt = tmp("sp-ckpt")
 
-    Seq("""{"url": "http://a/1"}""", """{"url": "http://a/2"}""")
-      .toDF("value").write.mode("append").text(in)
+    // the batch twin's input contract: one JSON ARRAY of {url} objects
+    // per file (Sources.urlList / the reference's list format)
+    Seq("""[{"url": "http://a/1"}, {"url": "http://a/2"}]""")
+      .toDF("value").coalesce(1).write.mode("append").text(in)
     graft.streaming.StreamingProcessor.start(spark, in, out, ckpt,
       () => new graft.enrich.SyntheticFetcher).awaitTermination()
     val first = spark.read.parquet(s"$out/shards")
@@ -80,7 +82,8 @@ class StreamingSpec extends SparkSuite {
       first.columns.contains("micro_batch_id"))
 
     // a new file arrives: only it is processed on resume
-    Seq("""{"url": "http://a/3"}""").toDF("value").write.mode("append").text(in)
+    Seq("""[{"url": "http://a/3"}]""")
+      .toDF("value").coalesce(1).write.mode("append").text(in)
     graft.streaming.StreamingProcessor.start(spark, in, out, ckpt,
       () => new graft.enrich.SyntheticFetcher).awaitTermination()
     val after = spark.read.parquet(s"$out/shards")
@@ -127,8 +130,8 @@ class StreamingSpec extends SparkSuite {
     val in = tmp("eo-in")
     val out = tmp("eo-out")
 
-    Seq("""{"url": "http://b/1"}""", """{"url": "http://b/2"}""")
-      .toDF("value").write.mode("append").text(in)
+    Seq("""[{"url": "http://b/1"}, {"url": "http://b/2"}]""")
+      .toDF("value").coalesce(1).write.mode("append").text(in)
     graft.streaming.StreamingProcessor.start(spark, in, out, tmp("eo-ckpt1"),
       () => new graft.enrich.SyntheticFetcher, exactlyOnce = true)
       .awaitTermination()
@@ -556,6 +559,111 @@ class StreamingSpec extends SparkSuite {
     assert(healedKeys.count() === ids().size * 8L)
     assert(healedKeys.select($"doc_id").distinct()
       .collect().map(_.getLong(0)).toSet === ids())
+  }
+
+  test("ingestNearDupKeyed heals past a crash that left an empty corpus and no key table") {
+    import spark.implicits._
+    // a previous run appended an EMPTY batch's corpus (schema-only
+    // parquet directory) and crashed before its keys append: corpusDir
+    // exists, keysDir doesn't, and the heal's unkeyed sliver is empty —
+    // the stream must create the key table anyway instead of wedging
+    // every restart on a PATH_NOT_FOUND read of keysDir
+    val in = tmp("wedge-in")
+    val corpus = tmp("wedge-corpus") + "/data"
+    val keys = tmp("wedge-keys") + "/keys"
+    val ckpt = tmp("wedge-ckpt")
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "doc_id LONG, text STRING")
+    Seq.empty[(Long, String)].toDF("doc_id", "text")
+      .write.parquet(corpus) // schema-only: the crashed run's leftover
+
+    Seq((1L, "alpha beta gamma delta epsilon zeta eta theta"),
+        (2L, "one two three four five six seven eight"))
+      .toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(in)
+    graft.streaming.EventStreams
+      .ingestNearDupKeyed(spark, schema, in, corpus, keys, ckpt,
+        "doc_id", "text", threshold = 0.6, numHashes = 16, bands = 8)
+      .awaitTermination()
+    assert(spark.read.parquet(corpus).select($"doc_id")
+      .collect().map(_.getLong(0)).toSet === Set(1L, 2L))
+    assert(spark.read.parquet(keys).count() === 2 * 8L)
+  }
+
+  test("sessionize never moves a session's bounds backwards on cross-batch disorder") {
+    // drives the per-chunk state machine directly: a streaming two-batch
+    // run of sessionize can't terminate under AvailableNow
+    // (ProcessingTimeTimeout — see sessionFold's scaladoc)
+    import graft.streaming.EventStreams.{SessionEvent, sessionFold}
+    val gapNs = 2L * 1000000000L // 2 s event-time gap
+    def ns(s: Double): Long = (s * 1e9).toLong
+    def ev(id: Long, s: Double) = SessionEvent(1L, id, ns(s))
+
+    // chunk 1 (micro-batch 1): user 1 at 0 s and 1 s
+    val (closed1, open1) = sessionFold(1L, None,
+      Seq(ev(1, 0), ev(2, 1)), gapNs)
+    assert(closed1.isEmpty && open1.exists(s =>
+      s.start === ns(0) && s.last === ns(1) && s.events === 2))
+
+    // chunk 2 (micro-batch 2): a LATE event at 0.2 s plus one at 2.8 s —
+    // 1.8 s after the session's true extent, so it must MERGE; regressing
+    // `last` to 0.2 s would wrongly close (2.6 s apparent gap) and leave
+    // a 0.2 s duration
+    val (closed2, open2) = sessionFold(1L, open1,
+      Seq(ev(4, 2.8), ev(3, 0.2)), gapNs)
+    assert(closed2.isEmpty, closed2.toString)
+    assert(open2.exists(s =>
+      s.start === ns(0) && s.last === ns(2.8) && s.events === 4))
+
+    // an event even EARLIER than the session start must not produce a
+    // negative-duration close later: bounds only ever widen
+    val (closed3, open3) = sessionFold(1L, open2,
+      Seq(ev(5, -0.5), ev(6, 6.0)), gapNs)
+    assert(closed3 === Seq(
+      graft.streaming.EventStreams.SessionOut(1L, 5, ns(2.8) - ns(-0.5))))
+    assert(open3.exists(s => s.start === ns(6) && s.events === 1))
+  }
+
+  test("streamingFunnel watermarkDelay bounds cross-batch disorder tolerance") {
+    import org.apache.spark.sql.streaming.Trigger
+    import spark.implicits._
+    val in = tmp("funnel-late-in")
+    val stages = Seq("signup", "view")
+    val schema = "user_id LONG, ts LONG, event_id LONG, event_type STRING"
+    val T0 = 1600000000L * 1000000000L
+    def sec(s: Long): Long = T0 + s * 1000000000L
+
+    def run(delay: String, out: String, ckpt: String): Unit =
+      graft.streaming.EventStreams.streamingFunnel(spark,
+          spark.readStream.schema(schema).parquet(in), stages,
+          watermarkDelay = delay)
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    def completions(out: String): Seq[Long] =
+      spark.read.schema("user_id LONG, stage_ts ARRAY<LONG>").parquet(out)
+        .select("user_id").collect().map(_.getLong(0)).toSeq
+
+    val (outStrict, ckptStrict) = (tmp("funnel-late-o1"), tmp("funnel-late-c1"))
+    val (outLax, ckptLax) = (tmp("funnel-late-o2"), tmp("funnel-late-c2"))
+    def both(): Unit = { run("0 seconds", outStrict, ckptStrict)
+                         run("5 minutes", outLax, ckptLax) }
+
+    // batch 1: user 1 signs up at T0+100 s; unrelated traffic at
+    // T0+200 s commits the watermark (200 s − delay)
+    Seq((1L, sec(100), 1L, "signup"), (99L, sec(200), 2L, "signup"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+      .coalesce(1).write.mode("append").parquet(in)
+    both()
+    // batch 2: user 1's view arrives LATE at T0+150 s — older than the
+    // strict variant's watermark, inside the 5-minute allowance
+    Seq((1L, sec(150), 3L, "view"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+      .coalesce(1).write.mode("append").parquet(in)
+    both()
+
+    assert(completions(outLax) === Seq(1L)) // admitted within the delay
+    assert(completions(outStrict).isEmpty)  // dropped by the 0 s watermark
   }
 
   test("sessionize (flatMapGroupsWithState) agrees with the q35 batch count") {
