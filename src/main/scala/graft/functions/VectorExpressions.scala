@@ -32,8 +32,12 @@ private[functions] trait ArrayOfNumericCheck { self: Expression =>
       case ArrayType(FloatType | DoubleType, _) => true
       case _ => false
     })
-    val same = vectorInputs.map(_.dataType.asInstanceOf[ArrayType].elementType)
-      .distinct.sizeIs == 1
+    // `same` only when `ok` — on a non-array input the cast below would
+    // throw a raw ClassCastException during analysis instead of
+    // returning the formatted TypeCheckFailure
+    val same = ok &&
+      vectorInputs.map(_.dataType.asInstanceOf[ArrayType].elementType)
+        .distinct.sizeIs == 1
     if (ok && same) TypeCheckSuccess
     else TypeCheckFailure(
       s"$prettyName requires array<float> or array<double> args of one element type, " +

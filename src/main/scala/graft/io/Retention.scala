@@ -34,9 +34,12 @@ object Retention {
     if (!filesystem.exists(root)) return Nil
     filesystem.listStatus(root).toSeq
       .filter(st => nowMs - st.getModificationTime > maxAgeMs)
-      .map { st =>
-        filesystem.delete(st.getPath, true)
-        st.getPath.toString
+      .flatMap { st =>
+        // report only what was ACTUALLY deleted: delete() returns false
+        // on failure (permissions, concurrent removal) and a retention
+        // audit must not claim reclaimed space that still exists
+        if (filesystem.delete(st.getPath, true)) Some(st.getPath.toString)
+        else None
       }
   }
 
@@ -50,9 +53,12 @@ object Retention {
     filesystem.listStatus(root).toSeq
       .sortBy(st => (-st.getModificationTime, st.getPath.toString))
       .drop(n)
-      .map { st =>
-        filesystem.delete(st.getPath, true)
-        st.getPath.toString
+      .flatMap { st =>
+        // report only what was ACTUALLY deleted: delete() returns false
+        // on failure (permissions, concurrent removal) and a retention
+        // audit must not claim reclaimed space that still exists
+        if (filesystem.delete(st.getPath, true)) Some(st.getPath.toString)
+        else None
       }
   }
 
@@ -79,9 +85,12 @@ object Retention {
     if (!filesystem.exists(root)) return Nil
     filesystem.listStatus(root).toSeq
       .filter(st => stamp(st.getPath.getName).exists(t => nowMs - t > maxAgeMs))
-      .map { st =>
-        filesystem.delete(st.getPath, true)
-        st.getPath.toString
+      .flatMap { st =>
+        // report only what was ACTUALLY deleted: delete() returns false
+        // on failure (permissions, concurrent removal) and a retention
+        // audit must not claim reclaimed space that still exists
+        if (filesystem.delete(st.getPath, true)) Some(st.getPath.toString)
+        else None
       }
   }
 
@@ -97,9 +106,9 @@ object Retention {
       .flatMap(st => stamp(st.getPath.getName).map(t => (t, st)))
       .sortBy { case (t, st) => (-t, st.getPath.toString) }
       .drop(n)
-      .map { case (_, st) =>
-        filesystem.delete(st.getPath, true)
-        st.getPath.toString
+      .flatMap { case (_, st) =>
+        if (filesystem.delete(st.getPath, true)) Some(st.getPath.toString)
+        else None
       }
   }
 }

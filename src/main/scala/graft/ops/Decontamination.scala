@@ -131,7 +131,11 @@ object Decontamination {
       .mapPartitions { it =>
         val f = bc.value
         it.map { case (id, shs) =>
-          (id, shs.size.toLong, shs.count(f.mightContainString).toLong)
+          // null text decodes to a null Seq; the exact twin drops such
+          // docs (explode(null) eliminates the row), so score 0 here —
+          // the minOverlap filter below removes it identically
+          val s = if (shs == null) Seq.empty[String] else shs
+          (id, s.size.toLong, s.count(f.mightContainString).toLong)
         }
       }
       .toDF(idCol, "n_shingles", "n_overlap")
@@ -187,8 +191,11 @@ object Decontamination {
       outputs(s) = i :: outputs(s)
     }
     private val fail = Array.fill(gotoMaps.size)(0)
-    // BFS: child's fail = deepest proper suffix state; outputs inherit
-    private val queue = scala.collection.mutable.Queue.empty[Int]
+    // BFS: child's fail = deepest proper suffix state; outputs inherit.
+    // The queue is a construction-only local — as a field it would ride
+    // every broadcast/plan serialization of the automaton as dead state.
+    locally {
+    val queue = scala.collection.mutable.Queue.empty[Int]
     gotoMaps(0).values.foreach(queue.enqueue(_))
     while (queue.nonEmpty) {
       val s = queue.dequeue()
@@ -200,6 +207,7 @@ object Decontamination {
         fail(child) = if (cand == child) 0 else cand // depth-1 self guard
         outputs(child) = outputs(child) ++ outputs(fail(child))
       }
+    }
     }
 
     def matchedNeedles(text: String): Iterator[Int] = {
@@ -243,16 +251,30 @@ object Decontamination {
       .where(length(col(needleCol)) >= minChars)
       .distinct().as[String].collect().sorted // eval-sized, deterministic
     val bc = spark.sparkContext.broadcast(arr)
-    corpus.select(col(idCol).cast("long"), col(textCol).cast("string"))
-      .as[(Long, String)]
+    // id-type generic like the exact twin: the id rides through the
+    // typed mapPartitions as its STRING form (binary via base64) and is
+    // cast back on the way out — a hard cast("long") here nulled
+    // string/UUID ids and broke the documented bit-identical contract
+    // with verbatimMatches (same class as contaminationScoresBloom's
+    // fixed bug). Null text matches nothing, like `contains` on null.
+    val idType = corpus.schema(idCol).dataType
+    val isBinary = idType == org.apache.spark.sql.types.BinaryType
+    val idOut =
+      if (isBinary) base64(col(idCol)) else col(idCol).cast("string")
+    def idBack(c: org.apache.spark.sql.Column) =
+      if (isBinary) unbase64(c) else c.cast(idType)
+    corpus.select(idOut, col(textCol).cast("string"))
+      .as[(String, String)]
       .mapPartitions { it =>
         val local = bc.value
         val ac = new AhoCorasick(local)
         it.flatMap { case (id, text) =>
-          ac.matchedNeedles(text).map(i => (id, local(i)))
+          if (text == null) Iterator.empty
+          else ac.matchedNeedles(text).map(i => (id, local(i)))
         }
       }
       .toDF(idCol, "needle")
+      .withColumn(idCol, idBack(col(idCol)))
   }
 
   /** [[contaminationScores]] against a PRECOMPUTED (usually persisted)
@@ -415,8 +437,15 @@ object Decontamination {
   def semanticContamination(corpus: DataFrame, evalSet: DataFrame,
       idCol: String, vecCol: String, evalIdCol: String,
       evalVecCol: String, threshold: Double): DataFrame = {
+    // Degenerate (zero-norm) EVAL vectors are excluded up front: their
+    // cosine is 0/0 = NaN against every corpus row, and Spark orders NaN
+    // above all doubles — one silent failed-encoder eval row would win
+    // every max and flag the ENTIRE corpus contaminated. A degenerate
+    // CORPUS vector still surfaces as max_cosine = NaN (honest — it
+    // cannot be measured) but never as contaminated = true.
     val q = broadcast(evalSet.select(col(evalIdCol).as("__eid"),
-      col(evalVecCol).as("__evec")))
+        col(evalVecCol).as("__evec"))
+      .where(!isnan(Similarity.cosine(col("__evec"), col("__evec")))))
     Dedup.spread(corpus)
       .crossJoin(q)
       .select(col(idCol),
@@ -427,6 +456,7 @@ object Decontamination {
       .select(col(idCol),
         col("__m.__cos").as("max_cosine"),
         (-col("__m.__neg")).as("nearest_eval_id"),
-        (col("__m.__cos") >= threshold).as("contaminated"))
+        (col("__m.__cos") >= threshold &&
+          !isnan(col("__m.__cos"))).as("contaminated"))
   }
 }

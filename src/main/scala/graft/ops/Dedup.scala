@@ -258,7 +258,11 @@ object Dedup {
     val bf = bloom.getOrElse(
       corpusFp.stat.bloomFilter("__fp", expectedCorpusItems, fpp))
     val bfBc = spark.sparkContext.broadcast(bf)
-    val mightContain = udf((fp: String) => bfBc.value.mightContainString(fp))
+    // null fp (null text) → not suspected: the row keeps, exactly like
+    // the exact twin, whose anti-join null key never matches — a bare
+    // mightContainString(null) would NPE the task instead
+    val mightContain =
+      udf((fp: String) => fp != null && bfBc.value.mightContainString(fp))
     val flagged = exactDedup(batch, idCol, textCol)
       .withColumn("__fp", md5(col(textCol)))
       .withColumn("__hit", mightContain(col("__fp")))
@@ -329,6 +333,12 @@ object Dedup {
   private def bandedKeys(df: DataFrame, idCol: String, textCol: String,
       numHashes: Int, bands: Int, md5Basis: Boolean,
       carry: Seq[(String, Column)] = Nil): DataFrame = {
+    // bands > numHashes would make every band key an empty slice (ALL
+    // documents collide, the bucket cap then drops everything — zero
+    // recall, silently); a non-divisible geometry would silently use
+    // only rows*bands of the requested hashes, changing the S-curve.
+    require(bands >= 1 && numHashes % bands == 0,
+      s"bands must divide numHashes: numHashes=$numHashes bands=$bands")
     val toks = tokenSet(col(textCol))
     val rows = numHashes / bands
     val sig =
@@ -409,19 +419,22 @@ object Dedup {
     */
   def minhashNearDups(df: DataFrame, idCol: String, textCol: String,
       threshold: Double, numHashes: Int = 64, bands: Int = 4,
-      md5Basis: Boolean = false): DataFrame = {
+      md5Basis: Boolean = false, maxBucket: Int = 1000): DataFrame = {
     val keyed = bandedKeys(spread(df), idCol, textCol, numHashes, bands,
       md5Basis, carry = Seq("__toks" ->
         graftFn("graft_token_hashes", TextAnalysis.tokens(col(textCol)))))
-    // same bucket cap + accumulator accounting as lshCandidates: the
-    // size >= 2 filter runs first (codegen'd) so the singleton majority
-    // never pays the counting UDF, and drop counts are unchanged for
-    // any cap >= 2
+    // same bucket cap + accumulator accounting (and the same
+    // "lsh_candidates" CapMetrics tag) as lshCandidates: the size >= 2
+    // filter runs first (codegen'd) so the singleton majority never pays
+    // the counting UDF, and drop counts are unchanged for any cap >= 2.
+    // maxBucket is the legitimate->pathological bucket-size boundary; a
+    // corpus with real >1000-member near-dup families should raise it
+    // (or run exact dedup first, which is what oversized buckets mean).
     val buckets = CapMetrics.cappedWhere(
         keyed.groupBy(col("band"), col("key"))
           .agg(collect_list(struct(col("__id"), col("__toks"))).as("__ms"))
           .where(size(col("__ms")) >= 2),
-        "lsh_candidates", size(col("__ms")), 1000, memberRows = false)
+        "lsh_candidates", size(col("__ms")), maxBucket, memberRows = false)
     buckets
       .select(explode(flatten(transform(col("__ms"), (x, i) =>
         transform(slice(col("__ms"), i + 2, size(col("__ms"))), y =>

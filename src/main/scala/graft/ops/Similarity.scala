@@ -63,14 +63,25 @@ object Similarity {
     * (id, id, double) — prune the corpus or batch the query set if that
     * product is too large, never the vectors themselves).
     */
+  /** Self-exclusion for batch top-k: drop a candidate only when it IS
+    * the query row — applied only when the two id columns share a type.
+    * With different id domains a query cannot be a corpus row, and
+    * ANSI's cross-type `=!=` coercion would throw on non-numeric ids
+    * instead of comparing.
+    */
+  private def excludeSelf(scored: DataFrame, idCol: String,
+      emb: DataFrame, queries: DataFrame, queryIdCol: String): DataFrame =
+    if (emb.schema(idCol).dataType == queries.schema(queryIdCol).dataType)
+      scored.where(col(idCol) =!= col("query_id"))
+    else scored
+
   def bruteForceTopKBatch(emb: DataFrame, idCol: String, vecCol: String,
       queries: DataFrame, queryIdCol: String, queryVecCol: String,
       k: Int): DataFrame = {
     val q = broadcast(queries.select(col(queryIdCol).as("query_id"),
       col(queryVecCol).as("__qvec")))
-    val scored = Dedup.spread(emb)
-      .crossJoin(q)
-      .where(col(idCol) =!= col("query_id"))
+    val scored = excludeSelf(Dedup.spread(emb).crossJoin(q),
+        idCol, emb, queries, queryIdCol)
       .select(col("query_id"), col(idCol),
         cosine(col(vecCol), col("__qvec")).as("cosine"))
     val w = org.apache.spark.sql.expressions.Window
@@ -661,16 +672,29 @@ object Similarity {
       k: Int, centroids: Array[Array[Float]], nprobe: Int = 2): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
+    // id-type generic like bruteForceTopKBatch (the exact baseline
+    // recallAtK measures this against — both must run on the same eval
+    // set): the query id rides the driver-side probe expansion as its
+    // STRING form and is cast back on the way out; a hard cast("long")
+    // nulled string/UUID ids and crashed the typed collect.
+    val qidType = queries.schema(queryIdCol).dataType
+    val isBinary = qidType == org.apache.spark.sql.types.BinaryType
+    val qidOut =
+      if (isBinary) base64(col(queryIdCol)) else col(queryIdCol).cast("string")
     val qRows = queries
-      .select(col(queryIdCol).cast("long"), col(queryVecCol))
-      .as[(Long, Array[Float])].collect()
+      .select(qidOut, col(queryVecCol))
+      .as[(String, Array[Float])].collect()
     val probes = qRows.toSeq.flatMap { case (qid, qv) =>
       probeCells(qv, centroids, nprobe).map(cell => (qid, qv, cell))
     }
-    val probeDf = broadcast(probes.toDF("query_id", "__qvec", "__cell"))
-    ivfAssign(Dedup.spread(emb), vecCol, centroids)
-      .join(probeDf, col("centroid_id") === col("__cell"))
-      .where(col(idCol) =!= col("query_id"))
+    val probeDf = broadcast(probes.toDF("query_id", "__qvec", "__cell")
+      .withColumn("query_id",
+        if (isBinary) unbase64(col("query_id"))
+        else col("query_id").cast(qidType)))
+    excludeSelf(
+        ivfAssign(Dedup.spread(emb), vecCol, centroids)
+          .join(probeDf, col("centroid_id") === col("__cell")),
+        idCol, emb, queries, queryIdCol)
       .select(col("query_id"), col(idCol),
         cosine(col(vecCol), col("__qvec")).as("cosine"))
       .withColumn("__rn", row_number().over(
@@ -820,8 +844,9 @@ object Similarity {
     val q = broadcast(queries
       .select(col(queryIdCol).as("query_id"), col(queryVecCol).as("__qvec"))
       .withColumn("__qbucket", signLshBucket(col("__qvec"), planes)))
-    val scored = bucketed.join(q, col("bucket") === col("__qbucket"))
-      .where(col(idCol) =!= col("query_id"))
+    val scored = excludeSelf(
+        bucketed.join(q, col("bucket") === col("__qbucket")),
+        idCol, emb, queries, queryIdCol)
       .select(col("query_id"), col(idCol),
         cosine(col(vecCol), col("__qvec")).as("cosine"))
     val w = org.apache.spark.sql.expressions.Window

@@ -292,6 +292,36 @@ class CorpusOpsSpec extends SparkSuite {
     assert(exact.nonEmpty)
   }
 
+  test("incrementalDedupBloom keeps null-text rows like the exact twin (no NPE)") {
+    import spark.implicits._
+    val batch = Seq((1L, Some("alpha beta gamma")), (2L, None))
+      .toDF("doc_id", "text")
+    val corpus = Seq((10L, "alpha beta gamma")).toDF("doc_id", "text")
+    // exact twin: null join key never matches the anti-join → row kept
+    val exact = Dedup.incrementalDedup(batch, corpus, "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val bloomed = Dedup.incrementalDedupBloom(batch, corpus, "doc_id",
+        "text", expectedCorpusItems = 8L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(exact === Set(2L))
+    assert(bloomed === exact)
+  }
+
+  test("LSH banding rejects geometries where bands does not divide numHashes") {
+    import spark.implicits._
+    val df = Seq((1L, "a b c")).toDF("doc_id", "text")
+    // bands > numHashes: every band key would be an empty slice — all
+    // docs collide and the cap silently drops everything (zero recall)
+    intercept[IllegalArgumentException] {
+      Dedup.minhashNearDups(df, "doc_id", "text", 0.8,
+        numHashes = 8, bands = 16)
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.minhashNearDups(df, "doc_id", "text", 0.8,
+        numHashes = 64, bands = 3)
+    }
+  }
+
   test("incrementalNearDups links batch paraphrases to corpus docs only") {
     import spark.implicits._
     val corpus = Seq(

@@ -1014,6 +1014,75 @@ class OpsSpec extends SparkSuite {
     }
   }
 
+  test("verbatimMatchesMulti is id-type generic and null-text safe, ≡ verbatimMatches") {
+    import spark.implicits._
+    import graft.ops.Decontamination
+    // string/UUID ids + a null-text row: the exact twin's `contains`
+    // yields unknown on null (row dropped); the AC path must match
+    val corpus = Seq(
+      ("uuid-aa", "the quick brown fox jumps over the lazy dog tonight"),
+      ("uuid-bb", null),
+      ("uuid-cc", "nothing from any benchmark appears here at all today"))
+      .toDF("doc_id", "text")
+    val needles = Seq("brown fox jumps over", "absent needle phrase")
+      .toDF("needle")
+    def got(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getString(1))).toSet
+    val exact = got(Decontamination.verbatimMatches(
+      corpus, needles, "doc_id", "text", "needle"))
+    val multi = got(Decontamination.verbatimMatchesMulti(
+      corpus, needles, "doc_id", "text", "needle"))
+    assert(exact === Set(("uuid-aa", "brown fox jumps over")))
+    assert(multi === exact)
+  }
+
+  test("semanticContamination: a zero-norm eval vector cannot flag the corpus") {
+    import spark.implicits._
+    import graft.ops.Decontamination
+    // eval 999 is all-zero (the silent failed-encoder case): its cosine
+    // is NaN against everything and NaN sorts above all doubles — it
+    // must be excluded or it wins every max and flags the whole corpus
+    val evalSet = Seq(
+      (100L, Array(1f, 0f)),
+      (999L, Array(0f, 0f))).toDF("vec_id", "embedding")
+    val corpus = Seq(
+      (1L, Array(2f, 0f)),
+      (2L, Array(0f, 5f)),
+      (3L, Array(0f, 0f))). // degenerate CORPUS vector: never contaminated
+      toDF("vec_id", "embedding")
+    val out = Decontamination.semanticContamination(corpus, evalSet,
+        "vec_id", "embedding", "vec_id", "embedding", threshold = 0.9)
+      .orderBy($"vec_id").collect()
+    assert(out(0).getDouble(1) === 1.0 && out(0).getLong(2) === 100L
+      && out(0).getBoolean(3))
+    assert(out(1).getDouble(1) === 0.0 && !out(1).getBoolean(3))
+    assert(out(2).getDouble(1).isNaN && !out(2).getBoolean(3))
+  }
+
+  test("ivfTopKBatch is query-id-type generic (string ids survive)") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sfDir)
+    val centroids = Similarity.ivfCentroids(emb, "vec_id", "embedding", 8)
+    val queries = emb.where($"vec_id".isin(0L, 7L))
+      .select(concat(lit("q-"), $"vec_id").as("qid"), $"embedding")
+    val got = Similarity.ivfTopKBatch(emb, "vec_id", "embedding",
+        queries, "qid", "embedding", k = 4, centroids, nprobe = 3)
+      .collect()
+    assert(got.nonEmpty)
+    assert(got.map(_.getString(0)).toSet === Set("q-0", "q-7"))
+  }
+
+  test("graft vector functions reject non-array inputs with a typed error, not a CCE") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val df = Seq(("x", Array(1f, 2f))).toDF("s", "v")
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      df.select(expr("graft_cosine(s, v)")).collect()
+    }
+    assert(e.getMessage.contains("array<float> or array<double>"),
+      e.getMessage)
+  }
+
   test("contaminationScoresBloom is id-type generic (string ids survive)") {
     import spark.implicits._
     import graft.ops.Decontamination
