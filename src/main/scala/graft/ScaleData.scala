@@ -59,40 +59,51 @@ object ScaleData {
     def shifted(c: String, k: Int) = (col(c) + lit(k * Off)).as(c)
     def suffixed(c: String, k: Int) =
       (if (k == 0) col(c) else concat(col(c), lit(s"_r$k"))).as(c)
-    def rep(df: DataFrame)(f: Int => DataFrame): DataFrame =
+    def rep(f: Int => DataFrame): DataFrame =
       (0 until replicas).map(f).reduce(_ unionByName _)
 
     write("region", src("region"))
     write("nation", src("nation"))
     val customer = src("customer")
-    write("customer", rep(customer)(k => customer.select(
+    write("customer", rep(k => customer.select(
       shifted("c_custkey", k), suffixed("c_name", k), col("c_nationkey"),
       col("c_acctbal"), col("c_mktsegment"))))
     val supplier = src("supplier")
-    write("supplier", rep(supplier)(k => supplier.select(
+    write("supplier", rep(k => supplier.select(
       shifted("s_suppkey", k), suffixed("s_name", k), col("s_nationkey"),
       col("s_acctbal"))))
     val part = src("part")
-    write("part", rep(part)(k => part.select(
+    write("part", rep(k => part.select(
       shifted("p_partkey", k), suffixed("p_name", k), col("p_brand"),
       col("p_type"), col("p_size"), col("p_retailprice"))))
     val orders = src("orders")
-    write("orders", rep(orders)(k => orders.select(
+    write("orders", rep(k => orders.select(
       shifted("o_orderkey", k), shifted("o_custkey", k),
       col("o_orderstatus"), col("o_totalprice"), col("o_orderdate"),
       col("o_orderpriority"))))
     val lineitem = src("lineitem")
-    write("lineitem", rep(lineitem)(k => lineitem.select(
+    write("lineitem", rep(k => lineitem.select(
       shifted("l_orderkey", k), shifted("l_partkey", k),
       shifted("l_suppkey", k), col("l_linenumber"), col("l_quantity"),
       col("l_extendedprice"), col("l_discount"), col("l_tax"),
       col("l_returnflag"), col("l_linestatus"), col("l_shipdate"))))
-    val events = src("events")
-    write("events", rep(events)(k => events.select(
+    // Normalize ts to TIMESTAMP(MICROS) whatever the source generation:
+    // a TIMESTAMP(NANOS)-round fixture arrives as Long (the global
+    // nanosAsLong flag) and would otherwise be WRITTEN as BIGINT, on
+    // which every events oracle's epoch_ns(ts) fails to bind. µs
+    // truncation is the emitted-timestamp contract; current-generation
+    // (µs) sources pass through unchanged.
+    val events0 = src("events")
+    val events =
+      if (events0.schema("ts").dataType ==
+          org.apache.spark.sql.types.LongType)
+        events0.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      else events0
+    write("events", rep(k => events.select(
       shifted("event_id", k), col("ts"), shifted("user_id", k),
       col("event_type"), col("value"), col("props"))))
     val documents = src("documents")
-    write("documents", rep(documents) { k =>
+    write("documents", rep { k =>
       // suffix every maximal non-space run in place (regexp_replace),
       // NOT split/concat_ws: the split form collapsed whitespace runs
       // and trimmed, so two base docs differing only in whitespace
@@ -109,7 +120,7 @@ object ScaleData {
         col("source"), length(text).cast("long").as("n_chars"))
     })
     val embeddings = src("embeddings")
-    write("embeddings", rep(embeddings) { k =>
+    write("embeddings", rep { k =>
       val s = (k * 7) % 64
       val shiftedVec =
         if (s == 0) col("embedding")

@@ -72,8 +72,14 @@ object Main {
       val df = graft.SparkEntry.queries.get(q) match {
         case Some(fn) => fn(spark, tableDir)
         case None =>
+          // existence via the Hadoop FS of the PATH, not java.io.File —
+          // the CLI supports cluster masters (SPARK_MASTER), where the
+          // table dir can be hdfs://, s3a://, …; a local-File check is
+          // always false there and would register zero temp views
+          val hconf = spark.sparkContext.hadoopConfiguration
           graft.Tables.names.foreach { t =>
-            if (new java.io.File(s"$tableDir/$t.parquet").exists())
+            val p = new org.apache.hadoop.fs.Path(s"$tableDir/$t.parquet")
+            if (p.getFileSystem(hconf).exists(p))
               graft.Tables.load(spark, tableDir, t).createOrReplaceTempView(t)
           }
           spark.sql(q)
@@ -101,7 +107,8 @@ object Main {
 
     case other =>
       System.err.println(s"unknown command: ${other.mkString(" ")}")
-      System.err.println("commands: process | canary | aggregate | plan")
+      System.err.println(
+        "commands: process | canary | aggregate | query | release | plan")
       sys.exit(2)
   }
 }

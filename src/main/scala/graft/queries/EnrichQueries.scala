@@ -17,7 +17,13 @@ import graft.enrich.{Enricher, SyntheticFetcher}
   */
 object EnrichQueries {
 
-  private def enriched(s: SparkSession, dir: String): DataFrame = {
+  /** ONE enrichment setup for q45/q46/q47 (records AND dead-letter):
+    * the three queries share a single md5-derived oracle model, so the
+    * URL scheme / fetcher / Config must never diverge between them —
+    * return the full pair instead of `.records` so the dead-letter
+    * query can't drift onto its own copy.
+    */
+  private def enriched(s: SparkSession, dir: String): Enricher.Enriched = {
     import s.implicits._
     // Spread the URL list before the fetch stage: retry backoffs are
     // wall-clock sleeps, so a coalesced single partition would serialize
@@ -29,7 +35,7 @@ object EnrichQueries {
     // 1 s origin-politeness backoff would add wall-clock sleeps per
     // transient failure (~1/16 of urls) without changing a single value
     Enricher.enrich(urls, () => new SyntheticFetcher,
-      Enricher.Config(backoffMs = 1)).records
+      Enricher.Config(backoffMs = 1))
   }
 
   /** Per-record enrichment output: media-type branching (P5), retry
@@ -38,7 +44,7 @@ object EnrichQueries {
     */
   private def q45(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    enriched(s, dir)
+    enriched(s, dir).records
       .select($"url", $"media_type", $"attempt", $"media_id", $"error")
       .orderBy($"url")
   }
@@ -48,7 +54,7 @@ object EnrichQueries {
     */
   private def q46(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    enriched(s, dir)
+    enriched(s, dir).records
       .groupBy($"media_type")
       .agg(count(lit(1)).as("n"), max($"attempt").as("max_attempt"))
       .orderBy(desc("n"), $"media_type")
@@ -59,11 +65,7 @@ object EnrichQueries {
     */
   private def q47(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val urls = graft.ops.Dedup.spread(
-      Tables.documents(s, dir)
-        .select(concat(lit("http://synth/"), $"doc_id").as("url")))
-    Enricher.enrich(urls, () => new SyntheticFetcher,
-      Enricher.Config(backoffMs = 1)).deadLetter
+    enriched(s, dir).deadLetter
       .select($"url", $"reason", $"attempts")
       .orderBy($"url")
   }

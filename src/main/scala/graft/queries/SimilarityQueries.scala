@@ -427,7 +427,7 @@ object SimilarityQueries {
         |FROM embeddings e, (SELECT unnest(range(1, 65)) AS i) i
         |GROUP BY i.i
         |ORDER BY dim""".stripMargin,
-    // q144: q130's kNN-edge CTEs (rank ≤ 5, cosine ≥ 0.5, normalized
+    // q144: q130's kNN-edge CTEs (rank ≤ 5, cosine ≥ 0.35, normalized
     // undirected) + q53's recursive closure → per-id min-reachable
     // label.
     "q144_semantic_clusters" ->

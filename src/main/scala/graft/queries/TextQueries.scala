@@ -1760,10 +1760,12 @@ object TextQueries {
         |               - (SELECT COALESCE(sum(cluster_size), 0) FROM cs))
         |SELECT cluster_size, CAST(sum(n_clusters) AS BIGINT) AS n_clusters
         |FROM h GROUP BY cluster_size ORDER BY cluster_size""".stripMargin,
-    // Full pipeline: md5-MinHash signatures (16 hashes), 8 bands of 2
-    // rows keyed by the raw signature slice, candidate pairs, exact
-    // token-set Jaccard ≥ 0.9, recursive-CTE transitive closure, then
-    // survivors = docs that are not a non-minimum member of a cluster.
+    // Full pipeline: md5-MinHash signatures (16 hashes), 4 bands of 4
+    // rows keyed by the raw signature slice (NOT 8×2 — see q52's
+    // scaladoc: r=2 pulls ~53% of J≈0.3 pairs into verification),
+    // candidate pairs, exact token-set Jaccard ≥ 0.9, recursive-CTE
+    // transitive closure, then survivors = docs that are not a
+    // non-minimum member of a cluster.
     "q52_dedup_pipeline" ->
       """WITH RECURSIVE t AS (SELECT doc_id, list_distinct(string_split_regex(trim(text), ' +')) AS toks
         |           FROM documents),

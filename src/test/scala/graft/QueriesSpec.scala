@@ -15,6 +15,31 @@ class QueriesSpec extends SparkSuite {
     assert(missing.isEmpty, s"oracle without query: $missing")
   }
 
+  test("the quality-score formula is byte-identical in every oracle embedding it") {
+    // TextAnalysis.qualityScore is restated in SQL by ~9 oracles whose
+    // surrounding contexts differ (so no single string binding à la
+    // ExactDecontamSql applies). This pin makes a drifted copy fail
+    // HERE, naming the query, instead of surfacing later as an opaque
+    // driver hash-gate failure.
+    val canonical =
+      "CASE WHEN toks[1] = '' THEN 0.0 ELSE " +
+        "(CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)) * 0.5 " +
+        "+ (CAST(len(list_filter(toks, s -> s IN ('the','a','an','of','and'," +
+        "'is','in','to','it','that'))) AS DOUBLE) / len(toks)) * 0.3 " +
+        "+ (CASE WHEN len(toks) BETWEEN 5 AND 100000 THEN 1.0 ELSE 0.0 END)" +
+        " * 0.2 END"
+    def norm(s: String) = s.replaceAll("\\s+", " ")
+    // the ×0.3 stop-ratio term is unique to the quality composite
+    // (q22's bare stop_ratio shares the IN-list but not the weight)
+    val marker = "AS DOUBLE) / len(toks)) * 0.3"
+    val embedding = SparkEntry.oracleSql.filter(kv => norm(kv._2).contains(marker))
+    assert(embedding.size >= 9, s"expected >=9 embeddings, got ${embedding.keys}")
+    embedding.foreach { case (name, sql) =>
+      assert(norm(sql).contains(norm(canonical)),
+        s"$name's quality formula drifted from the canonical form")
+    }
+  }
+
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
     test(s"$name runs at sf0.001") {
       val df = fn(spark, sfDir)
