@@ -43,9 +43,13 @@ object KernelProps extends Properties("graft") {
       (a.nonEmpty || b.nonEmpty) ==> {
         val ha = Kernels.sortedTokenHashes(strArr(a))
         val hb = Kernels.sortedTokenHashes(strArr(b))
-        // hash-distinct sizes equal string-distinct sizes on these inputs
-        (ha.numElements() == a.size && hb.numElements() == b.size) ==>
-          (Kernels.jaccardSorted(ha, hb) == Kernels.jaccard(strArr(a), strArr(b)))
+        // HARD assertion, not a `==>` guard: a guard would silently
+        // DISCARD exactly the inputs where sortedTokenHashes drops or
+        // merges tokens (the bug this property exists to catch). A real
+        // 64-bit xxh64 collision on generated short tokens is ~n²/2⁶⁵ —
+        // effectively impossible, so size equality is the expectation.
+        ha.numElements() == a.size && hb.numElements() == b.size &&
+          Kernels.jaccardSorted(ha, hb) == Kernels.jaccard(strArr(a), strArr(b))
       }
     }
 
@@ -99,10 +103,12 @@ object KernelProps extends Properties("graft") {
       // every valid prefix-truncation of a real summary must be rejected
       val line = """{"sf":"testdata/sf1","total_sec":372.55,"queries":162}"""
       s"truncations: ${(1 until line.length).count(i => Bench.jsonObjectish(line.take(i)))}"
-    } && Prop((1 until 53).forall { i =>
+    } && Prop {
+      // every strict prefix, INCLUDING the one missing only the final
+      // '}' (a hardcoded `1 until 53` on the 54-char line skipped it)
       val line = """{"sf":"testdata/sf1","total_sec":372.55,"queries":162}"""
-      !Bench.jsonObjectish(line.take(i))
-    })
+      (1 until line.length).forall(i => !Bench.jsonObjectish(line.take(i)))
+    }
   }
 
   property("gramStats matches the groupBy-count model") =
@@ -135,8 +141,12 @@ object KernelProps extends Properties("graft") {
   property("shingle count is len-n+1 for distinct tokens, 0 when too short") =
     forAll(tokenSeq.map(_.distinct), Gen.choose(1, 5)) { (toks, n) =>
       val count = Kernels.shingles(strArr(toks), n).numElements()
+      // EXACT equality: with distinct tokens every window starts with a
+      // distinct token, so no two windows can repeat and the kernel's
+      // dedup must keep all of them (a `<=` bound passed even on an
+      // implementation returning zero shingles)
       if (toks.size < n) count == 0
-      else count <= toks.size - n + 1 // ≤: adjacent windows can repeat
+      else count == toks.size - n + 1
     }
 
   property("normalizeFieldName is idempotent and emits no spaces/parens") =
@@ -260,19 +270,8 @@ object KernelProps extends Properties("graft") {
       got == expected
     }
 
-  property("frameStats algebra: sampled bytes never exceed payload, frames cover it") =
-    forAll(Gen.choose(0L, 100000L), Gen.choose(1, 8)) { (len, stride) =>
-      val frameBytes = 256
-      // mirrors Multimodal.frameStats exactly: zero-length payload has
-      // ZERO frames (no phantom-frame clamp)
-      val nf = math.ceil(len / 256.0).toLong
-      val ns = if (nf == 0) 0L else (nf - 1) / stride + 1
-      val lastLen = len - (nf - 1) * frameBytes
-      val nb =
-        if (nf == 0) 0L
-        else if ((nf - 1) % stride == 0) (ns - 1) * frameBytes + lastLen
-        else ns * frameBytes
-      nb <= len && (ns == 0) == (nf == 0) && nf * frameBytes >= len &&
-        (len == 0 || nb > 0)
-    }
+  // frameStats is pinned against the REAL Column implementation in
+  // MultimodalSpec ("frameStats matches the scalar model over a swept
+  // domain") — a ScalaCheck mirror here asserted arithmetic about its
+  // own local copy, which no implementation change could fail.
 }

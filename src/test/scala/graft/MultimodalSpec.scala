@@ -87,6 +87,44 @@ class MultimodalSpec extends SparkSuite {
     assert((r.getLong(0), r.getLong(1), r.getLong(2)) === ((3L, 2L, 86L)))
   }
 
+  test("frameStats matches the scalar model over a swept domain") {
+    import spark.implicits._
+    // Drive the REAL Column implementation over every (len, stride)
+    // boundary shape — exact multiples, short last frames, zero length,
+    // sub-frame payloads — and check each row against an independent
+    // scalar model plus the algebraic invariants. (A ScalaCheck mirror
+    // of the formula proved nothing: it asserted facts about its own
+    // local copy.)
+    val frameBytes = 256
+    val lens = (0L to 8L).map(_ * frameBytes) ++ // exact multiples
+      Seq(1L, 100L, 255L, 257L, 511L, 1000L, 99999L, 100000L)
+    val cases = for { len <- lens.distinct; stride <- 1 to 8 }
+      yield (len, stride)
+    val byStride = cases.groupBy(_._2)
+    byStride.foreach { case (stride, cs) =>
+      val (nf, ns, nb) =
+        Multimodal.frameStats($"len", frameBytes, stride)
+      val got = cs.map(_._1).toDF("len")
+        .select($"len", nf.as("nf"), ns.as("ns"), nb.as("nb"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      got.foreach { case (len, nfG, nsG, nbG) =>
+        val nfE = math.ceil(len / frameBytes.toDouble).toLong
+        val nsE = if (nfE == 0) 0L else (nfE - 1) / stride + 1
+        val lastLen = len - (nfE - 1) * frameBytes
+        val nbE =
+          if (nfE == 0) 0L
+          else if ((nfE - 1) % stride == 0) (nsE - 1) * frameBytes + lastLen
+          else nsE * frameBytes
+        assert((nfG, nsG, nbG) === ((nfE, nsE, nbE)),
+          s"len=$len stride=$stride")
+        // algebra: sampled bytes bounded by payload, frames cover it
+        assert(nbG <= len && (nsG == 0) == (nfG == 0) &&
+          nfG * frameBytes >= len && (len == 0L || nbG > 0),
+          s"len=$len stride=$stride")
+      }
+    }
+  }
+
   test("ImageIoDecoder decodes real PNG fixtures through the same mapPartitions plan") {
     import spark.implicits._
     // deterministic gradient PNGs encoded with the JDK codec itself

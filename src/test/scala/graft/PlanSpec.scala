@@ -35,6 +35,12 @@ class PlanSpec extends SparkSuite {
     val p = formatted("q04_top_nations")
     assert(countNodes(p, "BroadcastHashJoin") >= 2, p)
     assert(p.contains("BroadcastExchange"), p)
+    // the title's actual invariant: the ONLY shuffle Exchange is the
+    // aggregation's — a dimension join degrading to sort-merge would
+    // add fact-sized Exchanges here (countNodes' "(N) Exchange" does
+    // not match BroadcastExchange)
+    assert(countNodes(p, "Exchange") <= 1, p)
+    assert(!p.contains("SortMergeJoin"), p)
   }
 
   test("q05: two broadcast joins, no sort-merge") {
@@ -62,7 +68,13 @@ class PlanSpec extends SparkSuite {
   test("q30: brute-force ANN is scan + broadcast probe + TakeOrdered (no sort/shuffle of the corpus)") {
     val p = formatted("q30_ann_bruteforce")
     assert(p.contains("TakeOrderedAndProject"), p)
-    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("BroadcastExchange"), p)
+    // the title's invariant, now actually pinned: the corpus is never
+    // globally sorted (TakeOrdered's bounded heap replaces the Sort)
+    // and at most the spread repartition touches it
+    assert(countNodes(p, "Sort") === 0, p)
+    assert(countNodes(p, "Exchange") <= 1, p)
   }
 
   test("q50: bucketed near-dup has no cross join and keeps the LSH kernel in codegen") {
@@ -253,11 +265,17 @@ class PlanSpec extends SparkSuite {
 
   test("q80: bloom path keeps ONE anti-join (suspected sliver) and no extra corpus shuffle") {
     val p = formatted("q80_incremental_dedup_bloom")
-    // exactly one left-anti join: the bloom-negative branch bypasses it
-    assert("LeftAnti".r.findAllIn(p).length >= 1, p)
+    // EXACTLY one left-anti join (detail-line count, the q74 pattern):
+    // the bloom-negative branch bypasses it, and a reintroduced
+    // build-time corpus-cap anti-join (the round-6 q74 regression,
+    // 2.1 s -> 6.7 s) would show up as a second one
+    assert("Join type: LeftAnti".r.findAllIn(p).length === 1, p)
     assert(!p.contains("CartesianProduct"), p)
     // the definitely-new branch is a union, not a second corpus join
     assert(countNodes(p, "Union") >= 1, p)
+    // shuffle budget: dedup exchange + anti-join's two sides (current
+    // plan: 3) — extra corpus-sized exchanges fail here
+    assert(countNodes(p, "Exchange") <= 3, p)
   }
 
   test("q81: ANN candidates come from a bucket equi-join, not a corpus cross join") {
@@ -415,9 +433,14 @@ class PlanSpec extends SparkSuite {
   test("q106: the needle set broadcasts; the corpus side is one scan") {
     val p = formatted("q106_verbatim_leak")
     // a contains-join is necessarily a broadcast nested loop — the pin
-    // is that the NEEDLE side is the broadcast one and nothing cartesian
-    assert(p.contains("BroadcastNestedLoopJoin"), p)
-    assert(p.contains("BroadcastExchange"), p)
+    // is that the NEEDLE side is the broadcast one and nothing cartesian.
+    // verbatimMatches builds corpus.join(broadcast(needles)), so the
+    // needle side is the RIGHT input: BuildRight IS the "needles
+    // broadcast, corpus streams" property; a planner flip to
+    // broadcasting the corpus would read BuildLeft (catastrophic at
+    // 100 TB) and fail here
+    assert(p.contains("BroadcastNestedLoopJoin Inner BuildRight"), p)
+    assert(countNodes(p, "BroadcastExchange") === 1, p)
     assert(!p.contains("CartesianProduct"), p)
     assert(countNodes(p, "Scan parquet") <= 2, p)
   }
@@ -480,6 +503,10 @@ class PlanSpec extends SparkSuite {
     // 1-row count frames (broadcast-scalar crossJoins)
     assert(!p.contains("CartesianProduct"), p)
     assert(!p.contains("SortMergeJoin"), p)
+    // bound the nested-loop count (current plan: truth join + 2 scalar
+    // one-row count frames = 3) — a bucketed equi-join degrading into a
+    // data-sized BNLJ would be a NEW quadratic stage and must fail here
+    assert(countNodes(p, "BroadcastNestedLoopJoin") <= 3, p)
   }
 
   test("q130: kNN graph — bucketed self-equi-join, keyed window, no cross join") {

@@ -29,15 +29,24 @@ class QueriesSpec extends SparkSuite {
         "+ (CASE WHEN len(toks) BETWEEN 5 AND 100000 THEN 1.0 ELSE 0.0 END)" +
         " * 0.2 END"
     def norm(s: String) = s.replaceAll("\\s+", " ")
+    // The checked set is NAMED, not marker-derived: a marker inside the
+    // guarded formula would let a drifted copy silently drop out of the
+    // checked set. The marker scan below only catches NEW embeddings
+    // missing from this list.
+    val expected = Set(
+      "q44_text_extras", "q63_quality_quantile", "q73_weighted_sample",
+      "q85_token_budget", "q90_quality_dedup", "q103_curriculum_order",
+      "q104_gate_calibration", "q107_release_delta", "q118_corpus_datasheet")
+    expected.foreach { name =>
+      assert(norm(SparkEntry.oracleSql(name)).contains(norm(canonical)),
+        s"$name's quality formula drifted from the canonical form")
+    }
     // the ×0.3 stop-ratio term is unique to the quality composite
     // (q22's bare stop_ratio shares the IN-list but not the weight)
     val marker = "AS DOUBLE) / len(toks)) * 0.3"
-    val embedding = SparkEntry.oracleSql.filter(kv => norm(kv._2).contains(marker))
-    assert(embedding.size >= 9, s"expected >=9 embeddings, got ${embedding.keys}")
-    embedding.foreach { case (name, sql) =>
-      assert(norm(sql).contains(norm(canonical)),
-        s"$name's quality formula drifted from the canonical form")
-    }
+    val found = SparkEntry.oracleSql.filter(kv => norm(kv._2).contains(marker)).keySet
+    assert((found -- expected).isEmpty,
+      s"new quality-formula embeddings not in the pinned set: ${found -- expected}")
   }
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
