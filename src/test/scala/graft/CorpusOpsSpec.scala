@@ -197,11 +197,29 @@ class CorpusOpsSpec extends SparkSuite {
     import spark.implicits._
     val df = Seq((1L, "a b c", 0.9), (2L, "d e", 0.8))
       .toDF("doc_id", "text", "quality")
+    // the scoped call runs FIRST: takeTokenBudget shares the pin's
+    // logical plan, and a pending (non-blocking) unpersist from it
+    // would let CacheManager REUSE its entry ("Asked to cache already
+    // cached data"), hiding the pin from the registration checks below
+    val cachedBefore = spark.sparkContext.getPersistentRDDs.keySet.toSet
+    def extraCached(): Set[Int] =
+      spark.sparkContext.getPersistentRDDs.keySet.toSet.diff(cachedBefore)
+    val scoped = Packing.withTokenBudget(df, "doc_id", "text", "quality", 4L) {
+      frame =>
+        val rows = frame.collect().map(r => (r.getLong(0), r.getLong(3))).toSet
+        // after the action the prefix-sum pin is LIVE (persist is lazy —
+        // the cached RDD registers once an action materializes it)
+        assert(extraCached().nonEmpty, "the scoped pin never materialized")
+        rows
+    }
+    // ... and RELEASED on exit — the contract that distinguishes this
+    // from takeTokenBudget (unpersist is non-blocking; poll briefly)
+    val deadline = System.nanoTime() + 10L * 1000000000L
+    while (extraCached().nonEmpty && System.nanoTime() < deadline)
+      Thread.sleep(50)
+    assert(extraCached().isEmpty, "withTokenBudget leaked its prefix-sum pin")
     val direct = Packing.takeTokenBudget(df, "doc_id", "text", "quality", 4L)
       .collect().map(r => (r.getLong(0), r.getLong(3))).toSet
-    val scoped = Packing.withTokenBudget(df, "doc_id", "text", "quality", 4L) {
-      frame => frame.collect().map(r => (r.getLong(0), r.getLong(3))).toSet
-    }
     assert(scoped === direct && direct === Set((1L, 0L), (2L, 3L)))
   }
 
@@ -502,12 +520,26 @@ class CorpusOpsSpec extends SparkSuite {
       ((0 until len).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString + i,
         (1 + rnd.nextInt(100)).toLong)
     }
-    val t0 = System.nanoTime()
-    val merges = Vocab.trainBpeMergesLocal(words, 1000)
-    val secs = (System.nanoTime() - t0) / 1e9
+    // pin the title's actual claim: ZERO Spark jobs during training
+    // (the round-3 design ran one job per merge — 1,000 of them)
+    @volatile var jobsStarted = 0
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobsStarted += 1
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val merges =
+      try {
+        val m = Vocab.trainBpeMergesLocal(words, 1000)
+        // the listener bus is async (and private) — a short sleep is
+        // ample for any job-start event from the seconds-long training
+        Thread.sleep(500)
+        m
+      } finally spark.sparkContext.removeSparkListener(listener)
+    assert(jobsStarted === 0, s"training ran $jobsStarted Spark job(s)")
     assert(merges.length === 1000)
     assert(merges.distinct.length === 1000) // each merge is a new symbol pair
-    info(f"1k merges over 5k words in $secs%.2f s driver-side")
   }
 
   test("trainIvfCentroids recovers planted clusters and lowers inertia") {

@@ -48,6 +48,9 @@ class OpsSpec extends SparkSuite {
       .select("idA", "idB").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val mh = Dedup.minhashNearDups(docs, "doc_id", "text", threshold = 0.99)
       .select("idA", "idB").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the reference must be non-empty or the subset check is vacuous
+    // (the fixture plants exact dup pairs, J = 1)
+    assert(exact.nonEmpty)
     // jaccard ≈ 1 pairs collide in every band — LSH cannot miss them
     assert(exact.subsetOf(mh))
   }
@@ -178,6 +181,7 @@ class OpsSpec extends SparkSuite {
       .select("idA", "idB").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val scale = Dedup.simhashNearDupsBanded(docs, "doc_id", "text", maxBits = 3)
       .select("idA", "idB").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty) // else the completeness check below is vacuous
     assert(exact.subsetOf(scale))
   }
 
@@ -202,10 +206,15 @@ class OpsSpec extends SparkSuite {
     val ann = Similarity.annTopK(emb, "vec_id", "embedding", 0L, 5, planes = 2)
       .collect()
     assert(ann.nonEmpty)
-    // every ANN hit must carry the true cosine (spot check one)
+    // NOTE: with k=500 over a 500-row corpus, bf holds every non-query
+    // id, so id-membership alone is unfalsifiable — the real pin is
+    // that each ANN hit carries the TRUE cosine (independently
+    // recomputed by the brute-force path) and the list is rank-ordered
     val bf = Similarity.bruteForceTopK(emb, "vec_id", "embedding", 0L, 500)
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
     ann.foreach(r => assert(math.abs(bf(r.getLong(0)) - r.getDouble(1)) < 1e-12))
+    val sims = ann.map(_.getDouble(1))
+    assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })
   }
 
   test("bucketed cosine pairs are a verified subset of the exact pairs") {
@@ -577,6 +586,16 @@ class OpsSpec extends SparkSuite {
     val emb = Tables.embeddings(spark, sfDir)
     val rt = Similarity.dequantizeInt8(
       Similarity.quantizeInt8(emb, "embedding"))
+    // the stored scale must BE max|x|/127, recomputed here independently:
+    // bounding err only by the implementation's own scale column would
+    // pass under arbitrary scale inflation (2x the scale -> 2x the error,
+    // bound still "holds")
+    val badScale = rt.select($"scale".cast("double").as("s"),
+        (array_max(transform($"embedding", x => abs(x.cast("double"))))
+          / 127.0).as("e"))
+      .where(abs($"s" - $"e") > abs($"e") * 1e-6 + 1e-9)
+      .count()
+    assert(badScale === 0L)
     val bad = rt.select($"vec_id", $"scale",
         array_max(zip_with($"embedding", $"dequantized",
           (x, d) => abs(x.cast("double") - d.cast("double")))).as("err"))
@@ -755,7 +774,13 @@ class OpsSpec extends SparkSuite {
       numCentroids = 8, perCell = 10)
     val perCell = out.groupBy(col("centroid_id")).count()
       .collect().map(r => r.getLong(1))
+    assert(perCell.nonEmpty, "empty sample satisfies any cap vacuously")
     assert(perCell.forall(_ <= 10), perCell.mkString(","))
+    // the cap must actually BITE: 500 vectors over 8 cells means dense
+    // cells exist, so at least one cell holds exactly perCell members
+    // and the sample is a strict subset of the corpus
+    assert(perCell.max === 10L, perCell.mkString(","))
+    assert(out.count() < emb.count())
     // determinism: the same call selects the same ids
     val a = out.select(col("vec_id")).collect().map(_.getLong(0)).toSet
     val b = Similarity.diverseSample(emb, "vec_id", "embedding", 8, 10)
@@ -1294,7 +1319,13 @@ class OpsSpec extends SparkSuite {
       threshold = 0.95, numHashes = 16, bands = 4).head()
     val (truth, cands, det) = (row.getLong(0), row.getLong(1), row.getLong(2))
     assert(truth > 0)
+    // det > 0 is the anti-zero pin: the fixture plants exact dup pairs
+    // (J = 1), which collide in EVERY band — an LSH regression that
+    // detects nothing would otherwise pass every inequality below
+    assert(det > 0)
     assert(det <= truth && det <= cands)
+    // recall here restates det/truth (computed in the same query), so
+    // it is a consistency check, not an independent oracle
     assert(row.getDouble(3) === det.toDouble / truth)
   }
 

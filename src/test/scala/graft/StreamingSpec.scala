@@ -61,6 +61,9 @@ class StreamingSpec extends SparkSuite {
       .agg(count(lit(1)).as("n"))
       .select(col("window.start").as("ws"), col("event_type"), col("n"))
 
+    // both sides share withEventTime, so a shared regression could empty
+    // both and the mutual exceptAll would pass vacuously
+    assert(batch.count() > 0)
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
   }
 
@@ -120,6 +123,11 @@ class StreamingSpec extends SparkSuite {
     val viaLag = graft.queries.EventQueries.all("q35_sessionization")(spark, sfDir)
     val joined = viaLag.join(viaWindow.withColumnRenamed("n_sessions", "w_sessions")
         .withColumnRenamed("n_events", "w_events"), Seq("user_id"))
+    // the inner join must cover EVERY q35 user, or a sessionWindows
+    // regression that drops users (or all rows) passes `bad === 0`
+    // vacuously over the shrunken join
+    val nUsers = viaLag.count()
+    assert(nUsers > 0 && joined.count() === nUsers)
     val bad = joined.where($"n_sessions" =!= $"w_sessions" ||
       $"n_events" =!= $"w_events").count()
     assert(bad === 0)
