@@ -117,8 +117,12 @@ class ClassifySpec extends SparkSuite {
       .withColumnRenamed("dedup_text", "text")
       .select(col("doc_id"), col("text"))
       .localCheckpoint()
+    // pass 1 must cover every document, or the idempotence predicate
+    // below is vacuous over whatever rows survived
+    assert(once.count() === docs.count())
     val twice = Dedup.intraDocChunkDedup(once, "doc_id", "text", 2)
     // a second pass finds nothing left to drop
+    assert(twice.count() === docs.count())
     assert(twice.where(col("n_kept") =!= col("n_chunks")).count() === 0)
   }
 

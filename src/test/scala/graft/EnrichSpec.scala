@@ -22,7 +22,10 @@ class EnrichSpec extends SparkSuite {
     recs.foreach { r =>
       assert(!r.isNullAt(byName("url")))
       assert(!r.isNullAt(byName("processing_time")))
-      assert(r.getInt(byName("attempt")) >= 1)
+      // attempt is 1 except where the synthetic one-retry injection
+      // fired, and never exceeds the default maxAttempts of 2 — the
+      // bare `>= 1` could not fail on any reachable code path
+      assert(r.getInt(byName("attempt")) >= 1 && r.getInt(byName("attempt")) <= 2)
     }
   }
 
@@ -74,15 +77,27 @@ class EnrichSpec extends SparkSuite {
     assert(idx.toSeq === (1000L until 1050L))
   }
 
-  test("media-type-conditional columns: mesh fields null for volumetric") {
+  test("media-type-conditional columns: offered section fields masked by type") {
+    // a fetcher that OFFERS a volumetric-only field on EVERY page: the
+    // P5 masking must null it for non-volumetric types and keep it for
+    // volumetric. (With SyntheticFetcher — which never emits section
+    // fields — the old all-null assertion held with or without masking.)
+    class OfferingFetcher extends graft.enrich.Fetcher {
+      private val inner = new SyntheticFetcher
+      override def fetch(url: String): Map[String, String] =
+        inner.fetch(url) + ("Slice Thickness" -> "0.05")
+      override def close(): Unit = inner.close()
+    }
     val urls = (0 until 100).map(i => s"https://example.org/media/$i")
-    val out = Enricher.enrich(urlDf(urls), () => new SyntheticFetcher,
+    val out = Enricher.enrich(urlDf(urls), () => new OfferingFetcher,
       Enricher.Config(backoffMs = 1))
     import org.apache.spark.sql.functions._
-    // SyntheticFetcher never emits section fields beyond base — but the
-    // conditional masking is what produced the all-null section columns
     val mesh = out.records.where(col("media_type") === "Mesh")
-    assert(mesh.count() > 0)
+    val vol = out.records.where(col("media_type") === "Volumetric Image Series")
+    assert(mesh.count() > 0 && vol.count() > 0)
+    // offered everywhere; kept ONLY where the type's sections include it
     assert(mesh.where(col("slice_thickness").isNotNull).count() === 0)
+    assert(vol.where(col("slice_thickness").isNull ||
+      col("slice_thickness") =!= "0.05").count() === 0)
   }
 }

@@ -32,7 +32,10 @@ class FunctionsSpec extends SparkSuite {
         oldNorm($"a").as("on"),
         call_function("graft_cosine", $"a", $"b").as("nc"),
         (oldDot($"a", $"b") / (oldNorm($"a") * oldNorm($"b"))).as("oc"))
-      .where($"nd" =!= $"od" || $"nn" =!= $"on" || $"nc" =!= $"oc")
+      // null-safe <=> throughout this suite: with =!=, a kernel
+      // regressing to all-NULL output made every comparison NULL, the
+      // rows vanished from the filter, and "bit-identical" passed
+      .where(!($"nd" <=> $"od") || !($"nn" <=> $"on") || !($"nc" <=> $"oc"))
       .count()
     assert(bad === 0)
   }
@@ -47,7 +50,7 @@ class FunctionsSpec extends SparkSuite {
       s => array_min(transform($"t", x => xxhash64(x, s))))
     val bad = toks.select(
         Dedup.minhashSignature($"t", k).as("nw"), old.as("od"))
-      .where($"nw" =!= $"od").count()
+      .where(!($"nw" <=> $"od")).count()
     assert(bad === 0)
   }
 
@@ -98,7 +101,7 @@ class FunctionsSpec extends SparkSuite {
         Dedup.jaccard($"a", $"b").as("nw"),
         (size(array_intersect($"a", $"b")).cast("double")
           / size(array_union($"a", $"b"))).as("od"))
-      .where($"nw" =!= $"od").count()
+      .where(!($"nw" <=> $"od")).count()
     assert(bad === 0)
     // disjoint and empty edges
     val edge = Seq(
@@ -120,7 +123,7 @@ class FunctionsSpec extends SparkSuite {
       .otherwise(array().cast("array<string>"))
     val bad = d.select(
         call_function("graft_shingles", $"t", lit(n)).as("nw"), old.as("od"))
-      .where($"nw" =!= $"od").count()
+      .where(!($"nw" <=> $"od")).count()
     assert(bad === 0)
     // shorter than n → empty
     val short = Seq(Seq("a", "b")).toDF("t")
@@ -135,7 +138,7 @@ class FunctionsSpec extends SparkSuite {
     val bad = emb.select(
         call_function("graft_lsh_bucket", $"embedding", lit(6)).as("nw"),
         graft.ops.Similarity.signLshBucketReference($"embedding", 6).as("od"))
-      .where($"nw" =!= $"od").count()
+      .where(!($"nw" <=> $"od")).count()
     assert(bad === 0)
   }
 
@@ -150,14 +153,14 @@ class FunctionsSpec extends SparkSuite {
       val bad = withBands.select(
           element_at($"ks", b + 1).as("nw"),
           graft.ops.Similarity.signLshBucketReference($"embedding", pp, b * pp).as("od"))
-        .where($"nw" =!= $"od").count()
+        .where(!($"nw" <=> $"od")).count()
       assert(bad === 0, s"band $b mismatch")
     }
     // single band degenerates to the bucket expression
     val one = emb.limit(50).select(
         element_at(call_function("graft_lsh_bands", $"embedding", lit(5), lit(1)), 1).as("a"),
         call_function("graft_lsh_bucket", $"embedding", lit(5)).as("b"))
-      .where($"a" =!= $"b").count()
+      .where(!($"a" <=> $"b")).count()
     assert(one === 0)
   }
 
@@ -195,7 +198,7 @@ class FunctionsSpec extends SparkSuite {
       .select(
         Similarity.quantizedCosine($"qvec", $"scale", $"__q").as("fused"),
         Similarity.cosine(deq, $"__q".cast("array<double>")).as("ref"))
-      .where($"fused" =!= $"ref")
+      .where(!($"fused" <=> $"ref"))
       .count()
     assert(bad === 0)
   }
@@ -212,7 +215,7 @@ class FunctionsSpec extends SparkSuite {
           16, 10).cast("long"))))
     val bad = toks.select(
         call_function("graft_minhash_md5", $"t", lit(k)).as("nw"), old.as("od"))
-      .where($"nw" =!= $"od").count()
+      .where(!($"nw" <=> $"od")).count()
     assert(bad === 0)
   }
 
@@ -236,7 +239,7 @@ class FunctionsSpec extends SparkSuite {
     })
     val bad = df.select(
         call_function("graft_simhash_md5", $"t").as("nw"), expected.as("od"))
-      .where($"nw" =!= $"od").count()
+      .where(!($"nw" <=> $"od")).count()
     assert(bad === 0)
   }
 
@@ -252,7 +255,7 @@ class FunctionsSpec extends SparkSuite {
     val bad = docs.select(
         call_function("graft_ac_count", $"text", needleArr).as("ac"),
         size(filter(needleArr, n => $"text".contains(n))).as("model"))
-      .where($"ac" =!= $"model").count()
+      .where(!($"ac" <=> $"model")).count()
     assert(bad === 0)
     // and hits exist, so the equivalence is not vacuous
     val hits = docs.select(

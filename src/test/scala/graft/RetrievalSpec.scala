@@ -41,6 +41,25 @@ class RetrievalSpec extends SparkSuite {
     assert(top(0).getAs[Double]("bm25") > top(1).getAs[Double]("bm25"))
   }
 
+  test("bm25 score matches the hand-computed Robertson +1-idf value") {
+    // independent restatement of the published formula (k1=1.2, b=0.75)
+    // over queryTermStats' hand-verified integer basis — bm25TopK and
+    // bm25TopKRanked share bm25Term, so their mutual agreement alone
+    // cannot catch a formula bug (swapped k1/b, dropped k1+1, wrong
+    // idf smoothing)
+    val top = Retrieval.bm25TopK(corpus3, "doc_id", "text",
+      Seq("apple", "banana"), k = 2).collect()
+    val avgdl = 8.0 / 3 // corpus_tokens / n_docs from the stats test
+    def idf(df: Long): Double = math.log((3 - df + 0.5) / (df + 0.5) + 1.0)
+    def sat(tf: Long, dl: Long): Double =
+      tf * (1.2 + 1.0) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+    val doc1 = idf(1) * sat(2, 4) + idf(2) * sat(1, 4) // apple×2 + banana×1
+    val doc2 = idf(2) * sat(2, 2)                      // banana×2
+    assert(top.map(_.getAs[Long]("doc_id")).toSeq === Seq(1L, 2L))
+    assert(math.abs(top(0).getAs[Double]("bm25") - doc1) < 1e-12, top(0).toString)
+    assert(math.abs(top(1).getAs[Double]("bm25") - doc2) < 1e-12, top(1).toString)
+  }
+
   test("bm25TopKRanked agrees with bm25TopK's order and numbers ranks 1..k") {
     val plain = Retrieval.bm25TopK(corpus3, "doc_id", "text",
       Seq("apple", "banana"), k = 2).collect()

@@ -28,7 +28,11 @@ class SamplingSpec extends SparkSuite {
 
   test("hashSample is deterministic and approximately proportional") {
     val s1 = Sampling.hashSample(docs, "doc_id", 0.3)
-    val s2 = Sampling.hashSample(docs, "doc_id", 0.3)
+    // LAYOUT invariance is the named property (seeded-RNG sampling
+    // can't give it): compare against a different partitioning, not a
+    // byte-identical second plan, which a spark_partition_id()-keyed
+    // implementation would also satisfy
+    val s2 = Sampling.hashSample(docs.repartition(7), "doc_id", 0.3)
     assert(s1.exceptAll(s2).isEmpty && s2.exceptAll(s1).isEmpty)
     val n = docs.count().toDouble
     val k = s1.count().toDouble
@@ -89,8 +93,10 @@ class SamplingSpec extends SparkSuite {
     assert(counts.keySet === Set(0, 1, 2))
     val n = docs.count().toDouble
     assert(math.abs(counts(0) / n - 0.8) < 0.1)
-    // same key always lands in the same split
-    val again = Sampling.hashSplit(docs, "doc_id", Seq(0.8, 0.1, 0.1))
+    // same key always lands in the same split — ON ANY LAYOUT (a
+    // partition-id-keyed split would pass a same-plan re-run)
+    val again = Sampling.hashSplit(docs.repartition(7), "doc_id",
+      Seq(0.8, 0.1, 0.1))
     val disagree = split.select($"doc_id", $"split")
       .join(again.select($"doc_id", $"split".as("s2")), "doc_id")
       .where($"split" =!= $"s2").count()
@@ -109,6 +115,15 @@ class SamplingSpec extends SparkSuite {
     // emitted sequence is band-sorted, and each band internally follows
     // the deterministic shuffle (same salt on a different layout agrees)
     assert(out.map(_._2).toSeq === out.map(_._2).toSeq.sorted)
+    // the WITHIN-band order is the salted md5 one, recomputed here
+    // independently — an implementation that sorted bands by doc_id
+    // passed every other assertion
+    def saltedMd5(id: Long): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s"e0:$id".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val band0 = out.filter(_._2 == 0).map(_._1).toSeq
+    assert(band0 === Seq(1L, 2L, 6L).sortBy(id => (saltedMd5(id), id)),
+      band0.toString)
     val again = Sampling.curriculumOrder(scored.repartition(5), "doc_id",
         $"quality", cutoffs = Seq(0.9, 0.5), salt = "e0")
       .collect().map(r => r.getAs[Long]("doc_id")).toSeq
