@@ -78,7 +78,7 @@ class LayoutsSpec extends SparkSuite {
       batch, corpus, "doc_id", "text", threshold = 0.9)
     def rows(df: org.apache.spark.sql.DataFrame) =
       df.select("idA", "idB").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    assert(rows(viaStore) === rows(inline))
+    assert(rows(viaStore) === rows(inline) && rows(inline).nonEmpty)
     // steady-state plan: the stored key table is scanned, never rebuilt —
     // its (band, key) bucketing matches the join requirement exactly, so
     // only the batch side exchanges (its spread + window shuffles) and
@@ -152,6 +152,27 @@ class LayoutsSpec extends SparkSuite {
       assert(64 - java.lang.Long.numberOfLeadingZeros(mn) === bucket)
       assert(64 - java.lang.Long.numberOfLeadingZeros(mx) === bucket)
     }
+  }
+
+  test("fileSizeProfile buckets match hand-computed bit lengths") {
+    // independent pin of the bucket formula: the census test above
+    // reconciles the profile against the listing with the SAME
+    // 64-numberOfLeadingZeros expression the implementation uses, so a
+    // consistently wrong formula passed it. Sizes here are planted
+    // exactly (listing stats bytes only — content need not be parquet).
+    val dir = java.nio.file.Files.createTempDirectory("census-pin").toString
+    def plant(name: String, bytes: Int): Unit =
+      java.nio.file.Files.write(
+        java.nio.file.Path.of(s"$dir/$name"), Array.fill(bytes)('x'.toByte))
+    plant("a.parquet", 1)      // bit length 1
+    plant("b.parquet", 512)    // 2^9 → bit length 10
+    plant("c.parquet", 1000)   // 512 ≤ 1000 < 1024 → bit length 10
+    plant("d.parquet", 1024)   // 2^10 → bit length 11
+    val profile = graft.agg.Statistics.fileSizeProfile(spark, dir)
+    assert(profile === Seq(
+      (1, 1L, 1L, 1L, 1L),
+      (10, 2L, 1512L, 512L, 1000L),
+      (11, 1L, 1024L, 1024L, 1024L)))
   }
 
   test("hive-partitioned write prunes directories on an equality predicate") {

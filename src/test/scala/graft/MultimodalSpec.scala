@@ -290,6 +290,15 @@ class MultimodalSpec extends SparkSuite {
   }
 
   test("resize clamps dimensions and preserves row count") {
+    import spark.implicits._
+    // hand-built dims: the clamp must map an oversized dim to EXACTLY
+    // the box edge and leave in-range dims untouched — a degenerate
+    // "resize" setting every dim to 0 satisfied the old <= 224 bound
+    val dims = Seq((1L, 300, 100), (2L, 200, 250), (3L, 64, 48))
+      .toDF("asset_id", "width", "height")
+    val clamped = Multimodal.resize(dims, 224, 224).orderBy($"asset_id")
+      .collect().map(r => (r.getInt(1), r.getInt(2))).toSeq
+    assert(clamped === Seq((224, 100), (200, 224), (64, 48)))
     val decoded = Multimodal.decode(assets)
     val resized = Multimodal.resize(decoded, 224, 224)
     assert(resized.count() === decoded.count())

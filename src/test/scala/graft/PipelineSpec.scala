@@ -47,10 +47,12 @@ class PipelineSpec extends SparkSuite {
   test("aggregator validates, merges and writes all four artifacts") {
     val urlPath = writeUrlList(60)
     val out = Files.createTempDirectory("graft-agg").toString
-    Pipelines.processAll(spark, urlPath, out, () => new SyntheticFetcher,
+    val c = Pipelines.processAll(spark, urlPath, out, () => new SyntheticFetcher,
       batchSize = 25, cursorPath = s"$out/cursor.txt", totalTarget = 60, enrichConfig = fastEnrich)
     val stats = Pipelines.aggregator(spark, s"$out/shards", s"$out/agg")
-    assert(stats.totalRecords > 0)
+    // EXACT record accounting: every processed url lands in exactly one
+    // shard row (a `> 0` bound passed while silently dropping shards)
+    assert(stats.totalRecords === 60L - c.skippedCount)
     assert(new java.io.File(s"$out/agg/statistics.json").exists)
     assert(new java.io.File(s"$out/agg/aggregation_summary.md").exists)
     assert(Sources.parquet(spark, s"$out/agg/combined.parquet").count() === stats.totalRecords)
@@ -185,6 +187,22 @@ class PipelineSpec extends SparkSuite {
     assert(avg < 30.0)
   }
 
+  test("accept rejects on each clause: record floor, avg ceiling, error rate") {
+    import graft.agg.Statistics
+    // the canary test above only exercises the accepting direction (the
+    // in-memory fetcher clears every threshold by orders of magnitude) —
+    // each rejecting clause needs its own case or accept could regress
+    // to `true` unnoticed
+    def stats(n: Long, errs: Long, avg: Double) =
+      Statistics.GlobalStats(n, errs, avg, avg, avg, avg * n)
+    assert(Statistics.accept(stats(10, 1, 1.0)))
+    assert(!Statistics.accept(stats(7, 0, 1.0)))   // below minRecords = 8
+    assert(Statistics.accept(stats(8, 0, 1.0)))    // boundary: >= is accept
+    assert(!Statistics.accept(stats(10, 0, 30.0))) // avg at the 30 s ceiling
+    assert(!Statistics.accept(stats(10, 2, 1.0)))  // errorRate 0.2 at the cap
+    assert(Statistics.accept(stats(10, 1, 29.9)))  // just inside both
+  }
+
   test("aggregator excludes a contract-violating shard instead of null-filling it") {
     import spark.implicits._
     val out = Files.createTempDirectory("graft-excl").toString
@@ -258,9 +276,16 @@ class PipelineSpec extends SparkSuite {
     Files.write(java.nio.file.Path.of(s"$dir/zz_broken.parquet"),
       "not a parquet file at all".getBytes("UTF-8"))
     assert(Sources.parquetTreeLenient(spark, dir).count() === 2)
-    assert(intercept[org.apache.spark.SparkException] {
+    // the strict scan must fail ON THE CORRUPT SHARD specifically — any
+    // SparkException with a non-null message (they all have one) would
+    // have passed, masking a strict mode broken on valid trees
+    val strictErr = intercept[org.apache.spark.SparkException] {
       Sources.parquetTree(spark, dir).count()
-    }.getMessage != null)
+    }
+    val chain = Iterator.iterate(strictErr: Throwable)(_.getCause)
+      .takeWhile(_ != null).map(e => Option(e.getMessage).getOrElse(""))
+      .mkString("\n")
+    assert(chain.contains("zz_broken.parquet"), chain)
     // corrupt shard FIRST in listing order: inference has nothing to
     // read — the explicit-schema form is corruption-proof end to end
     Files.write(java.nio.file.Path.of(s"$dir/aa_broken.parquet"),
@@ -282,10 +307,15 @@ class PipelineSpec extends SparkSuite {
     val docs = Tables.documents(spark, sfDir)
     assert(datasheet.count() === docs.select($"source").distinct().count())
     assert(manifest.count() === datasheet.count())
-    // the md5 sample rule is reproducible: re-derive the expected ids
+    // the md5 sample rule is reproducible: re-derive the expected ids.
+    // This re-derivation goes through the same md5Bucket the release
+    // uses — the bucket space + hash basis themselves are independently
+    // pinned by SamplingSpec's MessageDigest recomputation, which is
+    // what keeps this from being implementation-vs-itself.
     val expected = docs.where(graft.ops.Sampling.md5Bucket($"doc_id",
         "release") < 50000L)
       .select($"doc_id").collect().map(_.getLong(0)).toSet
+    assert(expected.nonEmpty)
     assert(sample.select($"doc_id").collect().map(_.getLong(0)).toSet
       === expected)
     // the card carries every section and matches the written file

@@ -35,29 +35,52 @@ class RewriteJaccardSpec extends SparkSuite {
     assert(!plain.queryExecution.optimizedPlan.toString.contains("graft_jaccard"))
   }
 
+  /** The edge-shape rows, written to parquet: a `toDF` LocalRelation is
+    * eagerly evaluated by `ConvertToLocalRelation` BEFORE the
+    * User Provided Optimizers batch, so the rule never sees such plans —
+    * an in-memory df here compared the naive evaluation to itself.
+    */
+  private def edgeParquet(): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("rw-jaccard").toString
+    Seq(
+      (Seq("a", "a", "b"), Seq("b", "b", "c"), Seq("z")), // duplicates
+      (Seq("a", null, "b"), Seq(null, "c"), Seq("z")),    // null elements
+      (Seq.empty[String], Seq("x"), Seq("z")),            // one empty
+      (Seq("x"), Seq("x"), Seq("z")))                     // identical
+      .toDF("x", "y", "z").write.mode("overwrite").parquet(dir)
+    spark.read.parquet(dir)
+  }
+
   test("rewritten result matches the naive one on edge shapes") {
     import spark.implicits._
-    val rows = Seq(
-      (Seq("a", "a", "b"), Seq("b", "b", "c")),      // duplicates
-      (Seq("a", null, "b"), Seq(null, "c")),         // null elements
-      (Seq.empty[String], Seq("x")),                 // one empty
-      (Seq("x"), Seq("x")))                          // identical
-    val df = rows.toDF("x", "y")
-    val base = df.select(naive($"x", $"y").as("j")).collect().map(_.getDouble(0))
+    val df = edgeParquet()
+    val base = df.select(naive($"x", $"y").as("j"))
+      .orderBy($"j").collect().map(_.getDouble(0))
     val rewritten = withRule {
-      df.select(naive($"x", $"y").as("j")).collect().map(_.getDouble(0))
+      val q = df.select(naive($"x", $"y").as("j")).orderBy($"j")
+      // the rule must actually FIRE on this plan, or the comparison
+      // below is the naive evaluation against itself
+      assert(q.queryExecution.optimizedPlan.toString.contains("graft_jaccard"),
+        q.queryExecution.optimizedPlan.toString)
+      q.collect().map(_.getDouble(0))
     }
     assert(base.toSeq === rewritten.toSeq)
   }
 
   test("mismatched argument pairs are left untouched") {
     import spark.implicits._
-    val df = Seq((Seq("a"), Seq("b"), Seq("c"))).toDF("x", "y", "z")
+    // parquet-backed for the same reason as above: on a pre-collapsed
+    // LocalRelation the negative assertion could never fail
+    val df = edgeParquet()
     withRule {
       val q = df.select(
         (size(array_intersect($"x", $"y")).cast("double")
           / size(array_union($"x", $"z"))).as("j"))
       assert(!q.queryExecution.optimizedPlan.toString.contains("graft_jaccard"))
+      // control: the matched pair in the SAME session still rewrites
+      assert(df.select(naive($"x", $"y").as("j"))
+        .queryExecution.optimizedPlan.toString.contains("graft_jaccard"))
     }
   }
 }

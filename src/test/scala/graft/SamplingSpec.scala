@@ -26,6 +26,24 @@ class SamplingSpec extends SparkSuite {
     assert(c.sorted === a.sorted)         // same membership
   }
 
+  test("md5Bucket matches an independent MessageDigest recomputation") {
+    import spark.implicits._
+    // md5Bucket is the basis of hashSample/hashSplit/datasetRelease's
+    // sample rule; every other test re-derives expectations THROUGH it,
+    // so this is the one independent pin of the bucket space (1e6) and
+    // the salt:key hash basis
+    def expected(id: Long, salt: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$salt:$id".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 15), 16) % 1000000L
+    }
+    val keys = Seq(0L, 1L, 42L, 999999L, 123456789L)
+    val got = keys.toDF("id")
+      .select($"id", Sampling.md5Bucket($"id", "release").as("b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    keys.foreach(k => assert(got(k) === expected(k, "release"), s"key $k"))
+  }
+
   test("hashSample is deterministic and approximately proportional") {
     val s1 = Sampling.hashSample(docs, "doc_id", 0.3)
     // LAYOUT invariance is the named property (seeded-RNG sampling

@@ -270,6 +270,33 @@ class StagingSpec extends SparkSuite {
       s"$longStem.json"))
   }
 
+  test("writeWebDataset shards parse with the host tar when one is present") {
+    import spark.implicits._
+    // the round-trip test validates the writer only against the
+    // IN-HOUSE reader, which could tolerate malformed headers a real
+    // tar rejects — verify a written shard with the external binary
+    // (skipped silently where unavailable, like the GNU-tar read test)
+    val out = Files.createTempDirectory("graft-wds-ext")
+    val samples = Seq(
+      ("a/s1", Map("jpg" -> Array[Byte](1, 2, 3), "json" -> """{"l":1}""".getBytes)),
+      ("a/s2", Map("jpg" -> Array[Byte](9, 8), "cls" -> "4".getBytes)))
+      .toDF("sample", "files").repartition(1).sortWithinPartitions($"sample")
+    assert(Staging.writeWebDataset(samples, out.toString) === 1L)
+    val shard = Files.list(out).iterator().asScala
+      .map(_.toString).filter(_.endsWith(".tar")).toSeq.head
+    val listing = Files.createTempFile("wds-ext", ".txt")
+    val rc = try new ProcessBuilder("tar", "-tf", shard)
+        .redirectOutput(listing.toFile).start().waitFor()
+      catch { case _: java.io.IOException => -1 }
+    if (rc >= 0) {
+      assert(rc === 0, s"host tar rejected the written shard $shard")
+      val entries = Files.readString(listing).split("\n")
+        .filter(_.nonEmpty).toSeq
+      assert(entries === Seq("a/s1.jpg", "a/s1.json", "a/s2.cls", "a/s2.jpg"),
+        entries.toString)
+    }
+  }
+
   test("writeWebDataset rolls shards by sample count and never splits a sample") {
     import spark.implicits._
     val out = Files.createTempDirectory("graft-wds-roll")
