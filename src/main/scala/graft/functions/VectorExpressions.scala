@@ -448,6 +448,52 @@ case class AcCountMatches(child: Expression, needles: Array[String])
     copy(child = c)
 }
 
+/** The serializable automaton + needle-array pair [[AcMatchedNeedles]]
+  * references from generated code: one Aho-Corasick pass returns the
+  * matched needles THEMSELVES (as UTF8String, in needle-array order —
+  * [[graft.ops.Decontamination.AhoCorasick.matchedNeedles]] iterates an
+  * ascending index BitSet), so a downstream fold touches only the
+  * needles present in the document instead of the whole set.
+  */
+private[functions] final class AcMatcher(needles: Array[String])
+    extends Serializable {
+  private val ac = new graft.ops.Decontamination.AhoCorasick(needles)
+  // rebuilt per executor after deserialization; UTF8String is not
+  // serialization-stable across Spark versions, String is
+  @transient private lazy val utf8 =
+    needles.map(org.apache.spark.unsafe.types.UTF8String.fromString)
+  def matchedArray(text: String): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val out = ac.matchedNeedles(text).map(utf8(_): Any).toArray
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
+/** ac_matches(text): the needles from a fixed set occurring in `text`,
+  * in needle-ARRAY order — the match-set twin of [[AcCountMatches]]
+  * (same single linear automaton pass), for callers that go on to do
+  * per-matched-needle work (the redaction fold) and must not pay
+  * O(full needle set) on every matched document.
+  */
+case class AcMatchedNeedles(child: Expression, needles: Array[String])
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckSuccess
+    case _ => TypeCheckFailure(s"$prettyName requires a string column")
+  }
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_ac_matches"
+
+  @transient private lazy val matcher = new AcMatcher(needles)
+  override def nullSafeEval(a: Any): Any = matcher.matchedArray(a.toString)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("acMatcher", matcher,
+      classOf[AcMatcher].getName)
+    defineCodeGen(ctx, ev, a => s"$ref.matchedArray($a.toString())")
+  }
+  override protected def withNewChildInternal(c: Expression): AcMatchedNeedles =
+    copy(child = c)
+}
+
 /** drop_indices(tokens, covered): tokens whose 0-based index is not in
   * `covered`, original order — the ExactSubstr text rebuild, O(n + m)
   * via a per-row boolean mask (see [[Kernels.dropIndices]]).
@@ -536,6 +582,8 @@ object GraftFunctions {
     "graft_bpe_apply" -> (args => BpeApply(args(0), stringPairsArg(args(1)))),
     "graft_drop_indices" -> (args => DropIndices(args(0), args(1))),
     "graft_ac_count" -> (args => AcCountMatches(args(0),
+      stringsArg(args(1), "needles"))),
+    "graft_ac_matches" -> (args => AcMatchedNeedles(args(0),
       stringsArg(args(1), "needles"))),
     "graft_cosine_q" -> (args => QuantizedCosine(args(0), args(1), args(2))))
 

@@ -357,12 +357,24 @@ object Decontamination {
     * sorted plan-literal array (collected at build, like
     * [[verbatimMatchesMulti]]); the corpus side is a single narrow
     * scan. The hit gate is ONE Aho-Corasick pass per document
-    * (`graft_ac_count`, ≡ the per-needle `contains` model the
+    * (`graft_ac_matches`, ≡ the per-needle `contains` model the
     * q106/q106b shared oracle proves bit-identical — O(text) instead
-    * of O(needles × text)); only the matched minority pays the
-    * `replace` fold. Fold order is pinned — longest needle first, then
-    * lexicographic — so nested/overlapping needles resolve identically
-    * on any engine and partitioning.
+    * of O(needles × text)), and it returns the MATCHED needle subset in
+    * the pinned order, so a matched document folds `replace` over only
+    * the needles actually present in it — O(hits), not O(needle set)
+    * (at sf1 the full-set fold compounded corpus × needle growth into
+    * 11× query growth). Fold order is pinned — longest needle first,
+    * then lexicographic — so nested/overlapping needles resolve
+    * identically on any engine and partitioning.
+    *
+    * Semantics pin: needles are matched against the ORIGINAL text. A
+    * needle absent from the original that becomes a substring only
+    * AFTER an earlier (longer) needle's occurrences collapse to spaces
+    * is NOT re-matched — redaction targets pasted eval spans, which
+    * exist in the source document or not at all; matching against fold
+    * intermediates would make a needle's fate depend on unrelated
+    * needles in the set. The oracle SQL states the same rule
+    * (`list_filter(needles, contains(text, ·))` before the fold).
     *
     * @return `idCol, n_hits` (distinct needles present pre-surgery),
     *         `clean_text, n_chars_removed`
@@ -392,20 +404,20 @@ object Decontamination {
     val needleArr = typedLit(arr.toSeq)
     corpus.select(col(idCol), col(textCol))
       .select(col(idCol), col(textCol),
-        // coalesce: a NULL text has zero hits (the contains-model
-        // behavior), not a NULL n_hits that would poison the fold gate
-        coalesce(graftFn("graft_ac_count", col(textCol), needleArr)
-          .cast("long"), lit(0L)).as("n_hits"))
-      // zero-hit short-circuit: when NO needle occurs in the original
-      // text, every replace in the fold is an identity on an unchanged
-      // accumulator, so the fold provably returns the input — skipping
-      // it is byte-exact (a replacement can only create a NEW match
-      // after some first match changed the text). The fold — the
-      // expensive per-needle interpreted HOF — then runs only on the
-      // matched minority.
-      .select(col(idCol), col(textCol), col("n_hits"),
-        when(col("n_hits") === 0, col(textCol))
-          .otherwise(aggregate(needleArr, col(textCol),
+        // one AC pass yields the matched subset IN the pinned array
+        // order (ascending automaton indices over the sorted literal);
+        // a NULL text matches nothing — coalesce to the empty set so
+        // n_hits is 0, not NULL (the contains-model behavior)
+        coalesce(graftFn("graft_ac_matches", col(textCol), needleArr),
+          typedLit(Seq.empty[String])).as("__matched"))
+      // the fold — the expensive per-needle interpreted HOF — runs
+      // over ONLY the matched subset: the unmatched majority folds the
+      // empty array (identity), and a matched document pays O(its own
+      // hits), never O(needle set)
+      .select(col(idCol), col(textCol),
+        size(col("__matched")).cast("long").as("n_hits"),
+        when(size(col("__matched")) === 0, col(textCol))
+          .otherwise(aggregate(col("__matched"), col(textCol),
             (acc, n) => replace(acc, n, lit(" ")))).as("clean_text"))
       .select(col(idCol), col("n_hits"), col("clean_text"),
         (length(col(textCol)) - length(col("clean_text"))).cast("long")

@@ -336,15 +336,22 @@ object TextQueries {
   /** Verbatim leak check: documents containing a benchmark doc's exact
     * 40-char span — the strictest contamination form, catching pasted
     * eval strings that shingle overlap under-reports below the window
-    * length. The needle set broadcasts; the corpus side is one narrow
-    * contains scan.
+    * length. HEADLINE = the Aho-Corasick basis ([[Decontamination
+    * .verbatimMatchesMulti]]): the needle set compiles once into a
+    * broadcast automaton and each document is ONE linear pass —
+    * O(text + matches) — because the needle set grows with the eval
+    * suite and the per-needle `contains` form is O(needles × text)
+    * per document (measured 34× slower at sf1, 14× growth vs 3.5×).
+    * The contains form stays as the oracle-proving twin q106b — both
+    * share this query's SQL, so the bases are proven bit-identical
+    * every round.
     */
   private def q106(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val docs = Tables.documents(s, dir)
     val needles = docs.where($"doc_id" % 11 === 0)
       .select(substring($"text", 10, 40).as("needle"))
-    Decontamination.verbatimMatches(docs, needles, "doc_id", "text",
+    Decontamination.verbatimMatchesMulti(docs, needles, "doc_id", "text",
         "needle", minChars = 20)
       .orderBy($"doc_id", $"needle")
   }
@@ -364,17 +371,20 @@ object TextQueries {
       .orderBy($"doc_id")
   }
 
-  /** q106 on the MANY-NEEDLE scale path: one broadcast Aho-Corasick
-    * automaton, one linear scan per document — O(text + matches)
-    * instead of per-needle `contains` passes. Bit-identical output,
-    * checked by the SAME oracle as q106.
+  /** q106's oracle-proving twin on the per-needle `contains` basis
+    * ([[Decontamination.verbatimMatches]] — the broadcast nested-loop
+    * join whose semantics DuckDB can state directly as `position(needle
+    * IN text) > 0`). Checked by the SAME SQL as q106, so the automaton
+    * and contains bases are proven bit-identical at oracle scale; the
+    * AC basis is the headline because this form is O(needles × text)
+    * per document (the sf1 scale-killer: 33.9 s vs 1.0 s).
     */
   private def q106b(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val docs = Tables.documents(s, dir)
     val needles = docs.where($"doc_id" % 11 === 0)
       .select(substring($"text", 10, 40).as("needle"))
-    Decontamination.verbatimMatchesMulti(docs, needles, "doc_id", "text",
+    Decontamination.verbatimMatches(docs, needles, "doc_id", "text",
         "needle", minChars = 20)
       .orderBy($"doc_id", $"needle")
   }
@@ -777,7 +787,7 @@ object TextQueries {
     "q129_lang_confusion" -> (q129 _),
     "q105_distribution_drift" -> (q105 _),
     "q106_verbatim_leak" -> (q106 _),
-    "q106b_verbatim_leak_ac" -> (q106b _),
+    "q106b_verbatim_leak_contains" -> (q106b _),
     "q71_production_pipeline" -> (q71 _),
     "q71b_production_pipeline_xxh64" -> (q71b _),
     "q52b_dedup_pipeline_xxh64" -> (q52b _),
@@ -1079,9 +1089,10 @@ object TextQueries {
         |SELECT d.doc_id, n.needle
         |FROM documents d JOIN n ON position(n.needle IN d.text) > 0
         |ORDER BY d.doc_id, n.needle""".stripMargin,
-    // the automaton path must be BIT-IDENTICAL to the contains path —
-    // same oracle as q106
-    "q106b_verbatim_leak_ac" ->
+    // the contains path must be BIT-IDENTICAL to the automaton path —
+    // same oracle as q106 (the AC headline); renamed from
+    // q106b_verbatim_leak_ac in round 9 when the bases swapped roles
+    "q106b_verbatim_leak_contains" ->
       """WITH n AS (SELECT DISTINCT substr(text, 10, 40) AS needle
         |           FROM documents
         |           WHERE doc_id % 11 = 0 AND length(substr(text, 10, 40)) >= 20)
@@ -1268,20 +1279,26 @@ object TextQueries {
         |       CAST(len(list_slice(toks, u.i * 4 + 1, u.i * 4 + 6)) AS BIGINT) AS n_tokens
         |FROM c, UNNEST(range(0, n_chunks)) AS u(i)
         |ORDER BY doc_id, chunk_idx""".stripMargin,
+    // the fold runs over ONLY the needles present in the ORIGINAL text
+    // (list_filter before list_reduce) — the redactVerbatim semantics
+    // pin: a needle materialized by an earlier replacement is not
+    // re-matched. list_filter preserves the pinned longest-first order.
     "q119_verbatim_redact" ->
       """WITH n AS (SELECT DISTINCT substr(text, 10, 40) AS needle
         |           FROM documents WHERE doc_id % 11 = 0
         |             AND len(substr(text, 10, 40)) >= 20),
         |a AS (SELECT COALESCE(list(needle ORDER BY len(needle) DESC, needle),
-        |               []) AS needles FROM n)
+        |               []) AS needles FROM n),
+        |m AS (SELECT doc_id, text,
+        |        list_filter(needles, x -> contains(text, x)) AS hit
+        |      FROM documents CROSS JOIN a)
         |SELECT doc_id,
-        |       CAST(len(list_filter(needles, x -> contains(text, x))) AS BIGINT)
-        |         AS n_hits,
-        |       list_reduce(list_prepend(text, needles),
+        |       CAST(len(hit) AS BIGINT) AS n_hits,
+        |       list_reduce(list_prepend(text, hit),
         |         (acc, x) -> replace(acc, x, ' ')) AS clean_text,
-        |       CAST(len(text) - len(list_reduce(list_prepend(text, needles),
+        |       CAST(len(text) - len(list_reduce(list_prepend(text, hit),
         |         (acc, x) -> replace(acc, x, ' '))) AS BIGINT) AS n_chars_removed
-        |FROM documents CROSS JOIN a
+        |FROM m
         |ORDER BY doc_id""".stripMargin,
     "q118_corpus_datasheet" ->
       """WITH t AS (SELECT source, lang, text,

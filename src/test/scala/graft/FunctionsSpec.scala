@@ -264,6 +264,28 @@ class FunctionsSpec extends SparkSuite {
     assert(hits > 0)
   }
 
+  test("graft_ac_matches ≡ filter(needles, contains) in array order on real docs") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir)
+    val needles = docs.where($"doc_id" % 11 === 0)
+      .select(substring($"text", 10, 40).as("n"))
+      .where(length($"n") >= 20)
+      .distinct().as[String].collect().sorted
+    val needleArr = typedLit(needles.toSeq)
+    // exact ARRAY equality (not set equality): the contract is the
+    // matched subset in needle-array order — the redaction fold's
+    // pinned order depends on it
+    val bad = docs.select(
+        call_function("graft_ac_matches", $"text", needleArr).as("ac"),
+        filter(needleArr, n => $"text".contains(n)).as("model"))
+      .where(!($"ac" <=> $"model")).count()
+    assert(bad === 0)
+    val hits = docs.select(
+        call_function("graft_ac_matches", $"text", needleArr).as("ac"))
+      .where(size($"ac") > 0).count()
+    assert(hits > 0)
+  }
+
   test("size prefilter does not change blockedJaccardPairs results") {
     import spark.implicits._
     val docs = Tables.documents(spark, sfDir)

@@ -850,6 +850,24 @@ class OpsSpec extends SparkSuite {
     assert(got === ((2L, model)))
   }
 
+  test("redactVerbatim matches needles against the ORIGINAL text only") {
+    import spark.implicits._
+    import graft.ops.Decontamination
+    // the semantics pin (round 9): "a b" is NOT a substring of the
+    // original text, but replacing "QQQ" with a space MATERIALIZES it
+    // ("aQQQb" → "a b"). The fold runs over the original-text match set
+    // only, so the materialized needle survives — a fold over the full
+    // needle array (the pre-round-9 form) would redact it to " " and
+    // fail here. Both needles are 3 chars; UTF-8 order folds "QQQ"
+    // ('Q' < 'a') first, so the full-array fold would observably cascade.
+    val docs = Seq((1L, "aQQQb")).toDF("doc_id", "text")
+    val needles = Seq("QQQ", "a b").toDF("needle")
+    val out = Decontamination.redactVerbatim(docs, needles, "doc_id",
+        "text", "needle", minChars = 3)
+      .collect().map(r => (r.getLong(1), r.getString(2), r.getLong(3))).head
+    assert(out === ((1L, "a b", 2L)))
+  }
+
   test("embeddingQa counts dimension, zero-vector and unit-norm violations") {
     import spark.implicits._
     val df = Seq(

@@ -430,8 +430,22 @@ class PlanSpec extends SparkSuite {
       .findAllIn(p).length) >= 2, p)
   }
 
-  test("q106: the needle set broadcasts; the corpus side is one scan") {
+  test("q106: the AC headline is one corpus scan, no join at all") {
     val p = formatted("q106_verbatim_leak")
+    // the headline basis (round 9) is the broadcast Aho-Corasick
+    // automaton: the needle set collects driver-side (eval-sized by
+    // contract) and the corpus side is ONE linear mapPartitions scan —
+    // there is no per-needle join of any kind in the plan. A regression
+    // that reintroduces the O(needles × text) nested-loop contains scan
+    // (the sf1 scale-killer: 33.9 s vs 1.0 s) fails here.
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("MapPartitions"), p)
+    assert(countNodes(p, "Scan parquet") <= 1, p)
+  }
+
+  test("q106b: the contains twin broadcasts needles, streams the corpus") {
+    val p = formatted("q106b_verbatim_leak_contains")
     // a contains-join is necessarily a broadcast nested loop — the pin
     // is that the NEEDLE side is the broadcast one and nothing cartesian.
     // verbatimMatches builds corpus.join(broadcast(needles)), so the
