@@ -1,0 +1,45 @@
+#!/usr/bin/env bash
+# Corpus-conditional oracle gate at sf0.1 — run once per round.
+#
+# q135 (Bloom contamination screen), q121c (BM25 ranking) and q109c
+# (NB argmax) are hash-gated on CORPUS-CONDITIONAL arguments: their
+# oracle equivalence holds because an audited property of the fixture
+# data holds (Bloom FP-freeness at the chosen fpp, no score ties within
+# float ulp of the rank/argmax boundary). The driver's gate runs at
+# sf0.01; this script re-proves the three at sf0.1 so a fixture
+# regeneration cannot silently invalidate the gating arguments between
+# rounds (VERDICT r8 task 6). Evidence lands in
+# bench_history/<tag>_sf0.1_oracle_gate.json.
+#
+# Usage: tools/gate_sf01.sh [tag]   (default tag: rNN from $(date +%s))
+set -euo pipefail
+cd "$(dirname "$0")/.."
+TAG="${1:-manual}"
+OUT=/tmp/verify_gate_sf01
+QUERIES="q135_contamination_bloom,q121c_bm25_rank_order,q109c_nb_argmax"
+
+rm -rf "$OUT"
+SPARK_GRAFT_VERIFY_FILTER="$QUERIES" \
+  sbt -batch "runMain graft.Verify /root/testdata/sf0.1 $OUT"
+
+python3 tools/check_oracle.py "$OUT" /root/testdata/sf0.1 | tee /tmp/gate_sf01.log
+
+PASS=$(grep -c '^PASS' /tmp/gate_sf01.log || true)
+FAIL=$(grep -c '^FAIL' /tmp/gate_sf01.log || true)
+python3 - "$TAG" "$PASS" "$FAIL" <<'EOF'
+import json, sys, subprocess, datetime
+tag, npass, nfail = sys.argv[1], int(sys.argv[2]), int(sys.argv[3])
+commit = subprocess.run(["git", "rev-parse", "--short", "HEAD"],
+                        capture_output=True, text=True).stdout.strip()
+lines = [l.strip() for l in open("/tmp/gate_sf01.log")
+         if l.startswith(("PASS", "FAIL", "SKIP"))]
+out = {"gate": "corpus_conditional_sf0.1", "tag": tag, "commit": commit,
+       "sf": "/root/testdata/sf0.1", "pass": npass, "fail": nfail,
+       "queries": lines,
+       "note": "q135/q121c/q109c hash-gates re-proven at sf0.1; "
+               "re-run after any fixture regeneration"}
+path = f"bench_history/{tag}_sf0.1_oracle_gate.json"
+json.dump(out, open(path, "w"), indent=1)
+print(f"wrote {path}: {npass} pass, {nfail} fail")
+EOF
+test "$FAIL" -eq 0
