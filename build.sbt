@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The host locale is POSIX, which makes the JVM's filesystem-path
+// encoder (sun.jnu.encoding) ASCII-only — staging a UTF-8-named file
+// throws InvalidPathException. Tests exercise multibyte archive
+// member names (the tar fuzz property), so force a UTF-8 locale in
+// the forked test JVM; production surfaces are left as the host sets
+// them (parquet/JSON paths in the driver contract are ASCII).
+Test / envVars += ("LC_ALL" -> "C.UTF-8")
 // The forked program's stdout goes straight through, NOT via the sbt
 // logger: the logger prefixes every line with "[info] ", which breaks
 // any consumer that json-parses the program's output lines (the bench

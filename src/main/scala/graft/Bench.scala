@@ -55,6 +55,45 @@ object Bench {
     depth == 0 && !inStr
   }
 
+  /** Machine-epoch probe: a fixed synthetic workload timed each run, so
+    * cross-round comparisons can tell "the code got slower" from "the
+    * HOST got slower" — round 9 adjudicated r8's one claimed regression
+    * (q74) as exactly that: the same commit re-run months^W rounds later
+    * read 1.6× its recorded time on an identical plan. `st_sec` is a
+    * single-thread multiply-rotate mix over a fixed count; `mt_sec`
+    * runs one such mix per available core simultaneously (scheduler +
+    * SMT pressure, the regime bench queries actually run in). The mixed
+    * value is folded into the JSON (`h`) so the loop cannot be
+    * dead-code-eliminated. Compare runs via the st ratio
+    * (`check_bench.py compare` prints it when both lines carry it).
+    */
+  private def machineProbe(): String = {
+    def mix(iters: Long, seed: Long): Long = {
+      var h = seed ^ 0x9E3779B97F4A7C15L
+      var i = 0L
+      while (i < iters) {
+        h = java.lang.Long.rotateLeft(h ^ (i * 0xff51afd7ed558ccdL), 31) *
+          0x4cf5ad432745937fL
+        i += 1
+      }
+      h
+    }
+    mix(5000000L, 1) // JIT warm
+    val t0 = System.nanoTime()
+    val h1 = mix(100000000L, 2)
+    val st = (System.nanoTime() - t0) / 1e9
+    val n = Runtime.getRuntime.availableProcessors()
+    val acc = new java.util.concurrent.atomic.AtomicLong(0)
+    val threads = (0 until n).map { k =>
+      new Thread(() => { acc.addAndGet(mix(100000000L, k + 3)); () })
+    }
+    val t1 = System.nanoTime()
+    threads.foreach(_.start())
+    threads.foreach(_.join())
+    val mt = (System.nanoTime() - t1) / 1e9
+    s""","machine":{"st_sec":${fmt(st)},"mt_sec":${fmt(mt)},"threads":$n,"h":${(h1 ^ acc.get()) & 0xffff}}"""
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = GraftSession.local("graft-bench")
@@ -135,6 +174,9 @@ object Bench {
       .map { case (q, m) => s"""{"query":"${escape(q)}","error":"${escape(m)}"}""" }
       .mkString("[", ",", "]")
     val total = results.collect { case (_, v, _) if v >= 0 => v }.sum
+    // the probe runs AFTER the timed queries (its own burn must not
+    // heat/throttle into them) and before the optional profiles
+    val machineJson = machineProbe()
     val scaleJson = scaleProfile(spark, sfDir)
     val procJson = processorProfile(spark, sfDir)
     // bucket/cell cap drops accumulated across the whole bench run
@@ -169,7 +211,7 @@ object Bench {
     // 4; rounds ≤3 reported median-of-3) so cross-round comparisons can
     // see the methodology, not read it as an engine speedup
     val line =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","agg":"min","iters":$iterations,"queries":$qs$spreadJson,"sf":"$sfDir","errors":$errJson$scaleJson$procJson$capJson$sf1Json}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","agg":"min","iters":$iterations,"queries":$qs$spreadJson,"sf":"$sfDir","errors":$errJson$machineJson$scaleJson$procJson$capJson$sf1Json}"""
     // durable copy (the driver's stdout tail capture is lossy); stdout
     // line stays the contract and is printed LAST
     try java.nio.file.Files.write(

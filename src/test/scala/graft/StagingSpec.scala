@@ -392,6 +392,102 @@ class StagingSpec extends SparkSuite {
     }
   }
 
+  test("tarEntries round-trips generated adversarial trees through real tar tools") {
+    // Generator-driven parity fuzz (round 9): build a file tree whose
+    // names hit every parser boundary — exactly 100 chars (the ustar
+    // name field with NO terminating NUL), 101 (forces prefix-split /
+    // pax / GNU longname), ~155+100 prefix-boundary nested paths,
+    // multibyte UTF-8 (Greek, CJK, astral — byte lengths ≠ char
+    // lengths), dotted directories, deep nesting — and content sizes
+    // that straddle the 512-byte block padding (0, 511, 512, 513,
+    // random). Pack it with EVERY available system tool/format (GNU
+    // tar gnu+posix formats, bsdtar's restricted pax), read the
+    // archives back through tarEntries, and demand exact (name →
+    // bytes) parity with the tree that was packed. The three formats
+    // drive the 'L' longname, pax 'x' path-record, ustar prefix and
+    // pax 'g' global code paths of parseTar against REAL emitters, not
+    // the hand-built fixtures. Tools missing from the host are skipped
+    // silently (the fixture tests above still cover the format paths).
+    val work = Files.createTempDirectory("graft-tarfuzz")
+    val src = Files.createDirectories(Paths.get(s"$work/src"))
+    val rng = new scala.util.Random(20260815L)
+    val alphabets = Seq("abcdefghij", "αβγδεζηθικ", "数据处理管道测试样本", "𝔞𝔟𝔠𝔡𝔢")
+    // surrogate-safe generator: appends whole CODE POINTS, so astral
+    // chars never split; an astral overshoot drops the whole pair and
+    // pads with 'z'. Boundary-length names (100/101 chars) use the
+    // ASCII alphabet — a 101-char CJK component is 303 UTF-8 bytes,
+    // past ext4's 255-byte component limit, and could not be staged.
+    def nameFrom(a: String, chars: Int): String = {
+      val cps = a.codePoints().toArray
+        .map(cp => new String(Character.toChars(cp)))
+      val sb = new StringBuilder
+      while (sb.length < chars) sb.append(cps(rng.nextInt(cps.length)))
+      if (sb.length > chars) { sb.setLength(chars - 1); sb.append('z') }
+      sb.toString
+    }
+    def name(chars: Int): String =
+      nameFrom(alphabets(rng.nextInt(alphabets.length)), chars)
+    val ascii = alphabets.head
+    val paths = scala.collection.mutable.ArrayBuffer.empty[String]
+    paths += nameFrom(ascii, 100)                   // exact ustar field
+    paths += nameFrom(ascii, 101)                   // one past it
+    paths += Seq(60, 60, 60).map(nameFrom(ascii, _)).mkString("/") // >155 prefix zone
+    paths += s"d.v2/${name(20)}.seg.png"            // dotted dir + multi-ext
+    paths += (1 to 8).map(_ => name(10)).mkString("/") // deep nesting
+    (1 to 15).foreach { _ =>
+      val depth = 1 + rng.nextInt(3)
+      paths += (1 to depth).map(_ => name(3 + rng.nextInt(40))).mkString("/")
+    }
+    val sizes = Seq(0, 511, 512, 513) ++ (1 to paths.size).map(_ => rng.nextInt(4096))
+    // a random path can collide with an earlier one's directory (file
+    // where a dir exists or vice versa) — first staged wins, the loser
+    // is dropped from the truth set (seeded, so the kept set is stable)
+    val truth = paths.distinct.zip(sizes).flatMap { case (p, sz) =>
+      val bytes = new Array[Byte](sz)
+      rng.nextBytes(bytes)
+      try {
+        val f = Paths.get(s"$src/$p")
+        Files.createDirectories(f.getParent)
+        Files.write(f, bytes)
+        Some(p -> bytes)
+      } catch { case _: java.io.IOException => None }
+    }.toMap
+    assert(truth.size >= 15, s"generator staged only ${truth.size} files")
+    // each tool maps (archivePath, srcDir) to its full argv; python3's
+    // tarfile (pax by default since 3.8) is the 4th emitter — the one
+    // most WebDataset shards in the wild were actually written with
+    val tools: Seq[(String, (String, String) => Seq[String])] = Seq(
+      "gnu.tar" -> ((a, s) => Seq("tar", "--format=gnu", "-cf", a, "-C", s, ".")),
+      "pax.tar" -> ((a, s) => Seq("tar", "--format=posix", "-cf", a, "-C", s, ".")),
+      "bsd.tar" -> ((a, s) => Seq("bsdtar", "-cf", a, "-C", s, ".")),
+      "py.tar" -> ((a, s) => Seq("python3", "-c",
+        "import tarfile, os, sys\n" +
+          "os.chdir(sys.argv[2])\n" +
+          "with tarfile.open(sys.argv[1], 'w') as t:\n" +
+          "    t.add('.')\n", a, s)))
+    val packed = tools.flatMap { case (out, argv) =>
+      val dir = Files.createDirectories(Paths.get(s"$work/tars_${out.takeWhile(_ != '.')}"))
+      val rc = try new ProcessBuilder(argv(s"$dir/$out", src.toString): _*)
+        .inheritIO().start().waitFor()
+        catch { case _: java.io.IOException => -1 }
+      if (rc == 0) Some(out -> dir) else None
+    }
+    assert(packed.nonEmpty, "no system tar tool available to fuzz against")
+    packed.foreach { case (archive, dir) =>
+      val got = Staging.tarEntries(spark, dir.toString)
+        .collect()
+        .map(r => (r.getString(1).stripPrefix("./"), r.getAs[Array[Byte]](3)))
+        .toMap
+      assert(got.keySet === truth.keySet,
+        s"$archive: missing=${(truth.keySet -- got.keySet).take(3)} " +
+          s"extra=${(got.keySet -- truth.keySet).take(3)}")
+      truth.foreach { case (p, bytes) =>
+        assert(java.util.Arrays.equals(got(p), bytes),
+          s"$archive: content mismatch for $p (${bytes.length} B)")
+      }
+    }
+  }
+
   test("WebDataset shard → sample pairing → real image decode, end to end") {
     import spark.implicits._
     val work = Files.createTempDirectory("graft-wds-e2e")

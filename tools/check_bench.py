@@ -92,6 +92,25 @@ def calibrate(args):
 def compare(args):
     old, new = load(args.old), load(args.new)
     qo, qn = old["queries"], new["queries"]
+    # Machine-epoch ratio (round 9): both lines may carry a "machine"
+    # probe (fixed synthetic workload timed per run). A ratio far from
+    # 1.0 means the HOST changed speed between the runs — absolute
+    # deltas then measure the machine, not the code (the r8 q74 lesson:
+    # an identical plan read 1.6x its recorded time a round later).
+    # --epoch-normalize rescales OLD by the ratio before banding.
+    epoch_ratio = None
+    mo, mn = old.get("machine"), new.get("machine")
+    if mo and mn and mo.get("st_sec") and mn.get("st_sec"):
+        epoch_ratio = mn["st_sec"] / mo["st_sec"]
+        if getattr(args, "epoch_normalize", False):
+            qo = {q: v * epoch_ratio if v and v > 0 else v
+                  for q, v in qo.items()}
+        elif abs(epoch_ratio - 1.0) > 0.15:
+            print(f"warning: machine epoch ratio {epoch_ratio:.2f} "
+                  f"(new st {mn['st_sec']} / old st {mo['st_sec']}) — "
+                  "absolute deltas reflect the host, not the code; "
+                  "consider --epoch-normalize or a same-day old-code rerun",
+                  file=sys.stderr)
     noise = {}
     noise_meta = {}
     if args.noise:
@@ -154,7 +173,12 @@ def compare(args):
                       "old_total": old.get("value"),
                       "new_total": new.get("value"),
                       "noise_profile": args.noise or None,
-                      "noise_meta": noise_meta or None}))
+                      "noise_meta": noise_meta or None,
+                      "machine_epoch_ratio":
+                          round(epoch_ratio, 3) if epoch_ratio else None,
+                      "epoch_normalized":
+                          bool(getattr(args, "epoch_normalize", False))
+                          and epoch_ratio is not None}))
     # removed queries (lost coverage) surface on stderr so a rename/drop
     # can't pass silently, but don't fail the exit by themselves
     for r in rows:
@@ -234,6 +258,9 @@ def main():
     d.add_argument("--noise-mult", type=float, default=3.0)
     d.add_argument("--spread-mult", type=float, default=2.0)
     d.add_argument("--all", action="store_true", help="print noise rows too")
+    d.add_argument("--epoch-normalize", action="store_true",
+                   help="rescale OLD by the machine-probe st ratio before "
+                        "banding (both lines must carry a 'machine' object)")
     args = p.parse_args()
     sys.exit({"calibrate": calibrate, "growth": growth,
               "compare": compare}[args.mode](args))
