@@ -325,6 +325,54 @@ object Kernels {
     best
   }
 
+  /** Product-quantization encode (Jégou et al. 2011, "Product
+    * Quantization for Nearest Neighbor Search"): split `vec` into
+    * `codebooks.length` contiguous subvectors (subspace j's width =
+    * `codebooks(j)(0).length`) and emit, per subspace, the index of the
+    * L2-nearest codeword — a dim-float vector becomes m small ints, the
+    * compressed-at-rest ANN layout. Distance per codeword is the same
+    * sequential double fold DuckDB's `list_distance(DOUBLE[], DOUBLE[])`
+    * computes (Σ(x−y)² left to right, then sqrt — verified bit-identical
+    * empirically), so code assignment is oracle-checkable; ties break to
+    * the lower code. One fused pass per codeword, no allocation beyond
+    * the m-int result.
+    */
+  def pqEncode(vec: ArrayData, codebooks: Array[Array[Array[Float]]]): ArrayData = {
+    val m = codebooks.length
+    val codes = new Array[Int](m)
+    val n = vec.numElements()
+    var off = 0
+    var j = 0
+    while (j < m) {
+      val cb = codebooks(j)
+      val dsub = if (cb.nonEmpty) cb(0).length else 0
+      val lim = math.max(0, math.min(dsub, n - off))
+      var best = 0
+      var bestD = Double.PositiveInfinity
+      var c = 0
+      while (c < cb.length) {
+        val cw = cb(c)
+        var acc = 0.0
+        var i = 0
+        while (i < lim) {
+          val d = vec.getFloat(off + i).toDouble - cw(i).toDouble
+          acc += d * d
+          i += 1
+        }
+        // codewords reaching past the vector compare their tail against
+        // implicit zeros, so short vectors still encode deterministically
+        while (i < dsub) { val y = cw(i).toDouble; acc += y * y; i += 1 }
+        val dist = math.sqrt(acc)
+        if (dist < bestD) { bestD = dist; best = c }
+        c += 1
+      }
+      codes(j) = best
+      off += dsub
+      j += 1
+    }
+    new GenericArrayData(codes)
+  }
+
   // -------------------------------------------------- md5-basis kernels
   //
   // Cross-engine-reproducible variants: every hash is md5 of a short

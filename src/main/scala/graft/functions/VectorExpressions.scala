@@ -354,6 +354,37 @@ case class NearestCentroid(child: Expression, centroids: Array[Array[Float]])
     copy(child = c)
 }
 
+/** pq_encode(vec, codebooks-literal): product-quantization codes of a
+  * float vector — one L2-argmin codeword index per contiguous subspace.
+  * The 3-D codebook model (m subspaces × ksub codewords × dsub floats)
+  * arrives as a foldable literal, is unpacked once at plan time, and
+  * rides into generated code as a referenced object — the same
+  * "tiny model as plan literal" pattern as [[NearestCentroid]], one
+  * level deeper. See [[Kernels.pqEncode]] for the oracle-reproducible
+  * distance discipline.
+  */
+case class PqEncode(child: Expression, codebooks: Array[Array[Array[Float]]])
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _)
+        if codebooks.nonEmpty && codebooks.forall(_.nonEmpty) => TypeCheckSuccess
+    case _ => TypeCheckFailure(
+      s"$prettyName requires array<float> and ≥1 codeword in every subspace")
+  }
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "graft_pq_encode"
+
+  override def nullSafeEval(a: Any): Any =
+    Kernels.pqEncode(
+      a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], codebooks)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("codebooks", codebooks, "float[][][]")
+    defineCodeGen(ctx, ev, a => s"graft.functions.Kernels.pqEncode($a, $ref)")
+  }
+  override protected def withNewChildInternal(c: Expression): PqEncode =
+    copy(child = c)
+}
+
 /** cosine_q(codes, scale, query): cosine of an int8-quantized vector
   * (array<tinyint> codes × per-vector scale) against a float/double
   * query, with dequantization fused into the fold — quantized candidate
@@ -553,6 +584,18 @@ object GraftFunctions {
       s"$what must be an array<string> literal (typedLit), got $other")
   }
 
+  private def codebooksArg(e: Expression): Array[Array[Array[Float]]] = e match {
+    case l @ Literal(_, ArrayType(ArrayType(ArrayType(FloatType, _), _), _)) =>
+      l.value.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        .toObjectArray(ArrayType(ArrayType(FloatType)))
+        .map(_.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+          .toObjectArray(ArrayType(FloatType))
+          .map(_.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+            .toFloatArray()))
+    case other => throw new IllegalArgumentException(
+      s"codebooks must be an array<array<array<float>>> literal (typedLit), got $other")
+  }
+
   private def centroidsArg(e: Expression): Array[Array[Float]] = e match {
     case l @ Literal(_, ArrayType(ArrayType(FloatType, _), _)) =>
       l.value.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
@@ -585,7 +628,8 @@ object GraftFunctions {
       stringsArg(args(1), "needles"))),
     "graft_ac_matches" -> (args => AcMatchedNeedles(args(0),
       stringsArg(args(1), "needles"))),
-    "graft_cosine_q" -> (args => QuantizedCosine(args(0), args(1), args(2))))
+    "graft_cosine_q" -> (args => QuantizedCosine(args(0), args(1), args(2))),
+    "graft_pq_encode" -> (args => PqEncode(args(0), codebooksArg(args(1)))))
 
   private val registered =
     java.util.Collections.synchronizedMap(

@@ -875,4 +875,217 @@ object Similarity {
         sum(coalesce(col("__hit"), lit(0L))).as("n_hit"))
       .withColumn("recall", col("n_hit").cast("double") / col("n_truth"))
   }
+
+  // ------------------------------------------- product quantization (PQ)
+  //
+  // Jégou et al. 2011 ("Product Quantization for Nearest Neighbor
+  // Search"): the corpus representation that makes 100 TB of embeddings
+  // scannable — each dim-float vector is stored as m small codeword
+  // indices (64 floats = 256 B → 8 ints; with 4-bit-sized codebooks
+  // that's a 32–64× smaller table at rest AND in memory), and queries
+  // rank candidates with Asymmetric Distance Computation (ADC): per
+  // query a tiny m×ksub table of subspace inner products is precomputed
+  // once, and a candidate's approximate score is m table lookups — no
+  // vector is touched. Composes with the IVF index (IVFADC, the paper's
+  // §V): cells prune candidates, codes score them.
+
+  private def pqLit(cbs: Array[Array[Array[Float]]]): Column =
+    typedLit(cbs.map(_.map(_.toSeq).toSeq).toSeq)
+
+  /** Deterministic PQ "training" (the [[ivfCentroids]] discipline): the
+    * codebook of subspace j is the j-th dsub-wide slice of the `ksub`
+    * corpus vectors with the lowest md5-derived id hash — no iterative
+    * k-means, reproducible on any cluster AND in the DuckDB oracle. The
+    * model is m × ksub × dsub floats (= ksub full vectors), plan-literal
+    * sized. `dim` must divide evenly into `m` subspaces. For cell
+    * QUALITY (lower reconstruction error) refine with
+    * [[trainPqCodebooks]]; the oracle-checked paths keep this
+    * deterministic model.
+    */
+  def pqCodebooks(emb: DataFrame, idCol: String, vecCol: String,
+      m: Int, ksub: Int): Array[Array[Array[Float]]] = {
+    val sample = ivfCentroids(emb, idCol, vecCol, ksub)
+    require(sample.nonEmpty, "pqCodebooks: empty corpus")
+    val dim = sample(0).length
+    require(m >= 1 && dim % m == 0,
+      s"pqCodebooks: dim $dim is not divisible into m=$m subspaces")
+    val dsub = dim / m
+    Array.tabulate(m)(j =>
+      sample.map(v => java.util.Arrays.copyOfRange(v, j * dsub, (j + 1) * dsub)))
+  }
+
+  /** Lloyd's refinement of [[pqCodebooks]]: `iters` rounds of k-means
+    * over ALL subspaces in one corpus scan per round — vectors are
+    * encoded scan-side (the plan-literal kernel), positions explode to
+    * (subspace, codeword, within-dim) partial means with map-side
+    * combine collapsing them before the exchange (the shuffle carries at
+    * most partitions × m × ksub × dsub rows), and the new model collects
+    * m × ksub codewords. Codewords that lose all members keep their
+    * previous value. Same double-mean caveat as [[trainIvfCentroids]]:
+    * training is for reconstruction QUALITY; oracle-checked paths use
+    * the deterministic [[pqCodebooks]] model.
+    */
+  def trainPqCodebooks(emb: DataFrame, idCol: String, vecCol: String,
+      m: Int, ksub: Int, iters: Int = 3): Array[Array[Array[Float]]] = {
+    var cbs = pqCodebooks(emb, idCol, vecCol, m, ksub)
+    val dsub = cbs(0)(0).length
+    for (_ <- 1 to iters) {
+      val means = emb
+        .select(graftFn("graft_pq_encode", col(vecCol), pqLit(cbs)).as("__codes"),
+          posexplode(col(vecCol)).as(Seq("__pos", "__x")))
+        .where(col("__pos") < m * dsub) // over-length tails train nothing
+        .select((col("__pos") / dsub).cast("int").as("__j"),
+          pmod(col("__pos"), lit(dsub)).as("__p"),
+          element_at(col("__codes"), (col("__pos") / dsub).cast("int") + 1)
+            .as("__c"),
+          col("__x"))
+        .groupBy(col("__j"), col("__c"), col("__p"))
+        .agg(avg(col("__x")).as("__m"))
+        .groupBy(col("__j"), col("__c"))
+        .agg(transform(
+          array_sort(collect_list(struct(col("__p"), col("__m")))),
+          s => s.getField("__m").cast("float")).as("__cw"))
+        .collect()
+        .map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Float](2).toArray)
+        .toMap
+      cbs = Array.tabulate(cbs.length)(j => Array.tabulate(cbs(j).length)(c =>
+        means.getOrElse((j, c), cbs(j)(c))))
+    }
+    cbs
+  }
+
+  /** Corpus → PQ representation: `pq_code` (array<int>, one codeword
+    * index per subspace, scan-side kernel) plus `vnorm` (the exact
+    * full-precision norm). The (id, pq_code, vnorm, centroid_id) table
+    * is what ships to the ANN serving layer — m ints + a double per
+    * vector; the float vectors themselves stay cold.
+    */
+  def pqEncode(emb: DataFrame, vecCol: String,
+      codebooks: Array[Array[Array[Float]]]): DataFrame =
+    emb.withColumn("pq_code",
+        graftFn("graft_pq_encode", col(vecCol), pqLit(codebooks)))
+      .withColumn("vnorm", l2Norm(col(vecCol)))
+
+  /** Mean / max L2 reconstruction error of the PQ model over the corpus
+    * — the quality metric [[trainPqCodebooks]] is tuned against (more
+    * subspaces or codewords → lower error → better ADC ranking).
+    */
+  def pqReconstructionError(emb: DataFrame, vecCol: String,
+      codebooks: Array[Array[Array[Float]]]): DataFrame = {
+    val flat: Seq[Seq[Float]] = codebooks.toSeq.map(_.toSeq.map(_.toSeq))
+      .flatten.map(_.toSeq)
+    // reconstruction = concat of each subspace's chosen codeword; the
+    // codeword table flattens to (j*ksub + code) for one element_at
+    val ksub = codebooks(0).length
+    val rec = flatten(zip_with(
+      graftFn("graft_pq_encode", col(vecCol), pqLit(codebooks)),
+      sequence(lit(0), lit(codebooks.length - 1)),
+      (c, j) => element_at(typedLit(flat), j * ksub + c + 1)))
+    pqEncode(emb, vecCol, codebooks)
+      .select(sqrt(aggregate(
+        zip_with(col(vecCol), rec, (x, y) =>
+          (x.cast("double") - y.cast("double")) *
+            (x.cast("double") - y.cast("double"))),
+        lit(0.0), (acc, e) => acc + coalesce(e, lit(0.0)))).as("__err"))
+      .agg(avg(col("__err")).as("mean_err"), max(col("__err")).as("max_err"),
+        count(lit(1)).as("n"))
+  }
+
+  /** IVFADC batch ANN with exact re-rank (Jégou et al. §V + the
+    * standard serving refinement): candidates come from each query's
+    * `nprobe` IVF cells (the [[ivfTopKBatch]] equi-join — never a cross
+    * join), the ADC stage ranks them reading ONLY the PQ codes, and the
+    * top `k × rerankFactor` shortlist is re-scored with exact cosine
+    * over the full vectors (a shortlist-sized fetch, not a scan).
+    * Driver-side, per query (the query set is eval-sized by contract):
+    * the m×ksub ADC table of subspace inner products ⟨q_j, codeword⟩
+    * and |q|; the table rides the broadcast probe rows. A candidate's
+    * approximate dot product is the fold of its m table lookups —
+    * `aggregate(zip_with(pq_code, table))` over codegen'd builtins —
+    * and dividing by |q|·`vnorm` (the stored exact norm) yields the ADC
+    * cosine estimate. Every stage is fixed-order double arithmetic the
+    * DuckDB oracle reproduces bit-for-bit (the table via
+    * `list_inner_product(DOUBLE[], DOUBLE[])`, the ADC sum via
+    * `list_inner_product(list(lookup ORDER BY j), ones)`, the re-rank
+    * via `list_cosine_similarity`).
+    *
+    * At scale the corpus side would read a pre-encoded codes table
+    * ([[pqEncode]] output persisted/bucketed by `centroid_id`); here it
+    * is computed scan-side so the query stays one self-contained plan.
+    * The ADC stage never touches a corpus vector; only the shortlist's
+    * `k × rerankFactor` vectors per query are ever fetched — at 10⁹+
+    * vectors that is the difference between scanning TBs of floats and
+    * scanning GBs of codes.
+    */
+  def pqAdcTopKBatch(emb: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, queryIdCol: String, queryVecCol: String, k: Int,
+      codebooks: Array[Array[Array[Float]]],
+      centroids: Array[Array[Float]], nprobe: Int = 2,
+      rerankFactor: Int = 4): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    // id-type generic like bruteForceTopKBatch / ivfTopKBatch
+    val qidType = queries.schema(queryIdCol).dataType
+    val isBinary = qidType == org.apache.spark.sql.types.BinaryType
+    val qidOut =
+      if (isBinary) base64(col(queryIdCol)) else col(queryIdCol).cast("string")
+    val qRows = queries
+      .select(qidOut, col(queryVecCol))
+      .as[(String, Array[Float])].collect()
+    val probes = qRows.toSeq.flatMap { case (qid, qv) =>
+      var off = 0
+      val tbl: Seq[Seq[Double]] = codebooks.toSeq.map { cb =>
+        val row: Seq[Double] = cb.toSeq.map { cw =>
+          var acc = 0.0
+          var i = 0
+          val lim = math.min(cw.length, math.max(0, qv.length - off))
+          while (i < lim) { acc += qv(off + i).toDouble * cw(i).toDouble; i += 1 }
+          acc
+        }
+        off += cb(0).length
+        row
+      }
+      var nacc = 0.0
+      var i = 0
+      while (i < qv.length) { nacc += qv(i).toDouble * qv(i).toDouble; i += 1 }
+      val qnorm = math.sqrt(nacc)
+      probeCells(qv, centroids, nprobe).map(cell => (qid, cell, tbl, qnorm))
+    }
+    val probeDf = broadcast(probes.toDF("query_id", "__cell", "__tbl", "__qnorm")
+      .withColumn("query_id",
+        if (isBinary) unbase64(col("query_id"))
+        else col("query_id").cast(qidType)))
+    val corpus = pqEncode(
+      ivfAssign(Dedup.spread(emb), vecCol, centroids), vecCol, codebooks)
+    val scored = excludeSelf(
+        corpus.join(probeDf, col("centroid_id") === col("__cell")),
+        idCol, emb, queries, queryIdCol)
+      .select(col("query_id"), col(idCol),
+        (aggregate(
+          zip_with(col("pq_code"), col("__tbl"),
+            (c, row) => element_at(row, c + 1)),
+          lit(0.0), (acc, x) => acc + x) / (col("__qnorm") * col("vnorm")))
+          .as("adc_cosine"))
+    val wAdc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(desc("adc_cosine"), col(idCol))
+    val shortlist = scored.withColumn("__rn", row_number().over(wAdc))
+      .where(col("__rn") <= k * rerankFactor)
+      .drop("__rn")
+    // exact re-rank: fetch only the shortlist's vectors (equi-join on
+    // id) and the eval-sized query vectors (broadcast)
+    val qvecDf = broadcast(queries
+      .select(col(queryIdCol).as("query_id"), col(queryVecCol).as("__qvec")))
+    val wExact = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(desc("cosine"), col(idCol))
+    shortlist
+      .join(emb.select(col(idCol), col(vecCol).as("__v")), Seq(idCol))
+      .join(qvecDf, Seq("query_id"))
+      .select(col("query_id"), col(idCol), col("adc_cosine"),
+        cosine(col("__v"), col("__qvec")).as("cosine"))
+      .withColumn("__rn", row_number().over(wExact))
+      .where(col("__rn") <= k)
+      .drop("__rn")
+  }
 }

@@ -388,7 +388,70 @@ object SimilarityQueries {
       .orderBy($"dim")
   }
 
+  /** PQ codes + exact norms for the whole corpus — the compressed ANN
+    * representation (64 floats → 8 codeword indices, Jégou et al. 2011)
+    * as a first-class table. Deterministic end to end: codebooks are
+    * per-subspace slices of the md5-hash-sampled vectors (q43's
+    * discipline), assignment is L2 argmin in the same sequential double
+    * fold DuckDB's `list_distance(DOUBLE[],DOUBLE[])` computes (ties to
+    * the lower code), so codes AND norms hash-gate.
+    */
+  private def q148(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables.embeddings(s, dir)
+    val cbs = Similarity.pqCodebooks(emb, "vec_id", "embedding",
+      m = 8, ksub = 16)
+    Similarity.pqEncode(emb, "embedding", cbs)
+      .select($"vec_id",
+        posexplode($"pq_code").as(Seq("subspace", "code")), $"vnorm")
+      .withColumn("subspace", $"subspace".cast("long"))
+      .withColumn("code", $"code".cast("long"))
+      .orderBy($"vec_id", $"subspace")
+  }
+
+  /** IVFADC batch ANN (the 100 TB serving shape): per eval query, IVF
+    * cells prune candidates, PQ codes rank them (no vector reads), and
+    * only the ADC top-20 shortlist is re-scored with exact cosine.
+    * Every arithmetic stage (probe ranking, the m×ksub ADC table, the
+    * per-candidate lookup fold, the |q|·|d| normalization, the re-rank)
+    * is fixed-order double math the oracle reproduces, so the
+    * approximate AND exact scores hash-gate.
+    */
+  private def q149(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables.embeddings(s, dir)
+    val centroids = Similarity.ivfCentroids(emb, "vec_id", "embedding", 16)
+    val cbs = Similarity.pqCodebooks(emb, "vec_id", "embedding",
+      m = 8, ksub = 16)
+    Similarity.pqAdcTopKBatch(emb, "vec_id", "embedding",
+        emb.where($"vec_id" % 100 === 0), "vec_id", "embedding", k = 5,
+        cbs, centroids, nprobe = 4)
+      .orderBy($"query_id", $"vec_id")
+  }
+
+  /** Measured recall@5 of IVFADC against the exact batch ground truth —
+    * q83's measurement for the quantized index: how much ranking quality
+    * the 32× compression costs, per query, hash-checked end to end.
+    */
+  private def q150(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables.embeddings(s, dir)
+    val queries = emb.where($"vec_id" % 100 === 0)
+    val centroids = Similarity.ivfCentroids(emb, "vec_id", "embedding", 16)
+    val cbs = Similarity.pqCodebooks(emb, "vec_id", "embedding",
+      m = 8, ksub = 16)
+    val exact = Similarity.bruteForceTopKBatch(emb, "vec_id", "embedding",
+      queries, "vec_id", "embedding", k = 5)
+    val ann = Similarity.pqAdcTopKBatch(emb, "vec_id", "embedding",
+      queries, "vec_id", "embedding", k = 5, cbs, centroids, nprobe = 4)
+    Similarity.recallAtK(ann, exact, "query_id", "vec_id")
+      .orderBy($"query_id")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q148_pq_codes" -> (q148 _),
+    "q149_pq_adc_topk" -> (q149 _),
+    "q150_pq_recall" -> (q150 _),
     "q136_truncation_recall" -> (q136 _),
     "q144_semantic_clusters" -> (q144 _),
     "q147_dimension_profile" -> (q147 _),
@@ -416,6 +479,186 @@ object SimilarityQueries {
     "q79_ann_quantized" -> (q79 _))
 
   val oracles: Map[String, String] = Map(
+    // q148: PQ codebooks = 8-wide slices of the 16 lowest-md5(vec_id)
+    // vectors (q43's sample); code = L2-argmin (list_distance on DOUBLE[]
+    // is the kernel's sequential fold bit-for-bit), ties to lower code;
+    // vnorm = sqrt(Σx²) in the same fold.
+    "q148_pq_codes" ->
+      """WITH h AS (SELECT vec_id, embedding,
+        |             ('0x' || substr(md5(vec_id::VARCHAR), 1, 15))::BIGINT AS hh
+        |           FROM embeddings),
+        |samp AS (SELECT row_number() OVER (ORDER BY hh, vec_id) - 1 AS code,
+        |                embedding AS svec
+        |         FROM h ORDER BY hh, vec_id LIMIT 16),
+        |cw AS (SELECT j.j, s.code, s.svec[j.j*8+1 : j.j*8+8] AS cvec
+        |       FROM samp s, (SELECT unnest(range(0, 8)) AS j) j),
+        |asg AS (SELECT e.vec_id, c.j, c.code,
+        |               row_number() OVER (PARTITION BY e.vec_id, c.j
+        |                 ORDER BY list_distance(e.embedding[c.j*8+1 : c.j*8+8]::DOUBLE[],
+        |                                        c.cvec::DOUBLE[]),
+        |                          c.code) AS rn
+        |        FROM embeddings e, cw c)
+        |SELECT a.vec_id, a.j AS subspace, a.code,
+        |       sqrt(list_inner_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) AS vnorm
+        |FROM asg a JOIN embeddings e ON e.vec_id = a.vec_id
+        |WHERE a.rn = 1
+        |ORDER BY a.vec_id, subspace""".stripMargin,
+    // q149: q83's cells/probes + q148's codes; ADC dot = the j-ordered
+    // table-lookup list inner-product'd against ones (the same 0+t0+t1+…
+    // double sequence Spark's aggregate fold computes), normalized by
+    // the two exact norms.
+    "q149_pq_adc_topk" ->
+      """WITH h AS (SELECT vec_id, embedding,
+        |             ('0x' || substr(md5(vec_id::VARCHAR), 1, 15))::BIGINT AS hh
+        |           FROM embeddings),
+        |cent AS (SELECT row_number() OVER (ORDER BY hh, vec_id) - 1 AS cid,
+        |                embedding AS cvec
+        |         FROM h ORDER BY hh, vec_id LIMIT 16),
+        |samp AS (SELECT row_number() OVER (ORDER BY hh, vec_id) - 1 AS code,
+        |                embedding AS svec
+        |         FROM h ORDER BY hh, vec_id LIMIT 16),
+        |cw AS (SELECT j.j, s.code, s.svec[j.j*8+1 : j.j*8+8] AS cvec
+        |       FROM samp s, (SELECT unnest(range(0, 8)) AS j) j),
+        |asg AS (SELECT e.vec_id, c.cid,
+        |               row_number() OVER (PARTITION BY e.vec_id
+        |                 ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], c.cvec::DOUBLE[]) DESC,
+        |                          c.cid) AS rn
+        |        FROM embeddings e, cent c),
+        |cells AS (SELECT vec_id, cid FROM asg WHERE rn = 1),
+        |cr AS (SELECT e.vec_id, c.j, c.code,
+        |              row_number() OVER (PARTITION BY e.vec_id, c.j
+        |                ORDER BY list_distance(e.embedding[c.j*8+1 : c.j*8+8]::DOUBLE[],
+        |                                       c.cvec::DOUBLE[]),
+        |                         c.code) AS rn
+        |       FROM embeddings e, cw c),
+        |codes AS (SELECT vec_id, j, code FROM cr WHERE rn = 1),
+        |vn AS (SELECT vec_id,
+        |              sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS vnorm
+        |       FROM embeddings),
+        |qs AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+        |       WHERE vec_id % 100 = 0),
+        |qn AS (SELECT query_id,
+        |              sqrt(list_inner_product(qv::DOUBLE[], qv::DOUBLE[])) AS qnorm
+        |       FROM qs),
+        |pr AS (SELECT q.query_id, c.cid,
+        |              row_number() OVER (PARTITION BY q.query_id
+        |                ORDER BY list_cosine_similarity(q.qv::DOUBLE[], c.cvec::DOUBLE[]) DESC,
+        |                         c.cid) AS rn
+        |       FROM qs q, cent c),
+        |probes AS (SELECT query_id, cid FROM pr WHERE rn <= 4),
+        |tbl AS (SELECT q.query_id, c.j, c.code,
+        |               list_inner_product(q.qv[c.j*8+1 : c.j*8+8]::DOUBLE[],
+        |                                  c.cvec::DOUBLE[]) AS tv
+        |        FROM qs q, cw c),
+        |adc AS (SELECT p.query_id, cl.vec_id,
+        |               list_inner_product(list(t.tv ORDER BY t.j),
+        |                 [1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0]) AS dots
+        |        FROM probes p
+        |        JOIN cells cl ON cl.cid = p.cid
+        |        JOIN codes co ON co.vec_id = cl.vec_id
+        |        JOIN tbl t ON t.query_id = p.query_id AND t.j = co.j
+        |                  AND t.code = co.code
+        |        WHERE cl.vec_id <> p.query_id
+        |        GROUP BY p.query_id, cl.vec_id),
+        |rk AS (SELECT a.query_id, a.vec_id,
+        |              a.dots / (qn.qnorm * vn.vnorm) AS adc_cosine,
+        |              row_number() OVER (PARTITION BY a.query_id
+        |                ORDER BY a.dots / (qn.qnorm * vn.vnorm) DESC, a.vec_id) AS rn
+        |       FROM adc a
+        |       JOIN qn ON qn.query_id = a.query_id
+        |       JOIN vn ON vn.vec_id = a.vec_id),
+        |short AS (SELECT query_id, vec_id, adc_cosine FROM rk WHERE rn <= 20),
+        |rr AS (SELECT s.query_id, s.vec_id, s.adc_cosine,
+        |              list_cosine_similarity(e.embedding::DOUBLE[], q.qv::DOUBLE[]) AS cosine,
+        |              row_number() OVER (PARTITION BY s.query_id
+        |                ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], q.qv::DOUBLE[]) DESC,
+        |                         s.vec_id) AS rn
+        |       FROM short s
+        |       JOIN embeddings e ON e.vec_id = s.vec_id
+        |       JOIN qs q ON q.query_id = s.query_id)
+        |SELECT query_id, vec_id, adc_cosine, cosine FROM rr WHERE rn <= 5
+        |ORDER BY query_id, vec_id""".stripMargin,
+    // q150: q149's ADC ranking vs q83's exact arm, q81's recall shape.
+    "q150_pq_recall" ->
+      """WITH h AS (SELECT vec_id, embedding,
+        |             ('0x' || substr(md5(vec_id::VARCHAR), 1, 15))::BIGINT AS hh
+        |           FROM embeddings),
+        |cent AS (SELECT row_number() OVER (ORDER BY hh, vec_id) - 1 AS cid,
+        |                embedding AS cvec
+        |         FROM h ORDER BY hh, vec_id LIMIT 16),
+        |samp AS (SELECT row_number() OVER (ORDER BY hh, vec_id) - 1 AS code,
+        |                embedding AS svec
+        |         FROM h ORDER BY hh, vec_id LIMIT 16),
+        |cw AS (SELECT j.j, s.code, s.svec[j.j*8+1 : j.j*8+8] AS cvec
+        |       FROM samp s, (SELECT unnest(range(0, 8)) AS j) j),
+        |asg AS (SELECT e.vec_id, c.cid,
+        |               row_number() OVER (PARTITION BY e.vec_id
+        |                 ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], c.cvec::DOUBLE[]) DESC,
+        |                          c.cid) AS rn
+        |        FROM embeddings e, cent c),
+        |cells AS (SELECT vec_id, cid FROM asg WHERE rn = 1),
+        |cr AS (SELECT e.vec_id, c.j, c.code,
+        |              row_number() OVER (PARTITION BY e.vec_id, c.j
+        |                ORDER BY list_distance(e.embedding[c.j*8+1 : c.j*8+8]::DOUBLE[],
+        |                                       c.cvec::DOUBLE[]),
+        |                         c.code) AS rn
+        |       FROM embeddings e, cw c),
+        |codes AS (SELECT vec_id, j, code FROM cr WHERE rn = 1),
+        |vn AS (SELECT vec_id,
+        |              sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS vnorm
+        |       FROM embeddings),
+        |qs AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+        |       WHERE vec_id % 100 = 0),
+        |qn AS (SELECT query_id,
+        |              sqrt(list_inner_product(qv::DOUBLE[], qv::DOUBLE[])) AS qnorm
+        |       FROM qs),
+        |pr AS (SELECT q.query_id, c.cid,
+        |              row_number() OVER (PARTITION BY q.query_id
+        |                ORDER BY list_cosine_similarity(q.qv::DOUBLE[], c.cvec::DOUBLE[]) DESC,
+        |                         c.cid) AS rn
+        |       FROM qs q, cent c),
+        |probes AS (SELECT query_id, cid FROM pr WHERE rn <= 4),
+        |tbl AS (SELECT q.query_id, c.j, c.code,
+        |               list_inner_product(q.qv[c.j*8+1 : c.j*8+8]::DOUBLE[],
+        |                                  c.cvec::DOUBLE[]) AS tv
+        |        FROM qs q, cw c),
+        |adc AS (SELECT p.query_id, cl.vec_id,
+        |               list_inner_product(list(t.tv ORDER BY t.j),
+        |                 [1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0]) AS dots
+        |        FROM probes p
+        |        JOIN cells cl ON cl.cid = p.cid
+        |        JOIN codes co ON co.vec_id = cl.vec_id
+        |        JOIN tbl t ON t.query_id = p.query_id AND t.j = co.j
+        |                  AND t.code = co.code
+        |        WHERE cl.vec_id <> p.query_id
+        |        GROUP BY p.query_id, cl.vec_id),
+        |rk AS (SELECT a.query_id, a.vec_id,
+        |              row_number() OVER (PARTITION BY a.query_id
+        |                ORDER BY a.dots / (qn.qnorm * vn.vnorm) DESC, a.vec_id) AS rn
+        |       FROM adc a
+        |       JOIN qn ON qn.query_id = a.query_id
+        |       JOIN vn ON vn.vec_id = a.vec_id),
+        |short AS (SELECT query_id, vec_id FROM rk WHERE rn <= 20),
+        |rr AS (SELECT s.query_id, s.vec_id,
+        |              row_number() OVER (PARTITION BY s.query_id
+        |                ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], q.qv::DOUBLE[]) DESC,
+        |                         s.vec_id) AS rn
+        |       FROM short s
+        |       JOIN embeddings e ON e.vec_id = s.vec_id
+        |       JOIN qs q ON q.query_id = s.query_id),
+        |a AS (SELECT query_id, vec_id FROM rr WHERE rn <= 5),
+        |er AS (SELECT q.query_id, e.vec_id,
+        |              row_number() OVER (PARTITION BY q.query_id
+        |                ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], q.qv::DOUBLE[]) DESC,
+        |                         e.vec_id) AS rn
+        |       FROM embeddings e, qs q WHERE e.vec_id <> q.query_id),
+        |x AS (SELECT query_id, vec_id FROM er WHERE rn <= 5)
+        |SELECT x.query_id,
+        |       CAST(count(*) AS BIGINT) AS n_truth,
+        |       CAST(count(a.vec_id) AS BIGINT) AS n_hit,
+        |       CAST(count(a.vec_id) AS DOUBLE) / count(*) AS recall
+        |FROM x LEFT JOIN a ON a.query_id = x.query_id AND a.vec_id = x.vec_id
+        |GROUP BY x.query_id ORDER BY x.query_id""".stripMargin,
     // q147: per-dimension range/zero counts — exact on identical
     // floats (min/max/counts, no order-dependent sums).
     "q147_dimension_profile" ->

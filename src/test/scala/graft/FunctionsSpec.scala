@@ -286,6 +286,46 @@ class FunctionsSpec extends SparkSuite {
     assert(hits > 0)
   }
 
+  test("graft_pq_encode matches the per-subspace L2-argmin HOF reference") {
+    import spark.implicits._
+    import graft.ops.Similarity
+    GraftFunctions.register(spark)
+    val (m, ksub, dsub) = (8, 16, 8)
+    val cbs = Similarity.pqCodebooks(emb, "vec_id", "embedding", m, ksub)
+    assert(cbs.length === m && cbs.forall(_.length === ksub) &&
+      cbs.forall(_.forall(_.length === dsub)))
+    val cbsLit = typedLit(cbs.map(_.map(_.toSeq).toSeq).toSeq)
+    // interpreted ground truth: per subspace, sqrt of the sequential
+    // squared-diff fold per codeword, argmin via first-position-of-min
+    // (ties to the LOWER code, like the kernel)
+    def ref(v: org.apache.spark.sql.Column) =
+      transform(sequence(lit(0), lit(m - 1)), j => {
+        val sub = slice(v, j * dsub + 1, lit(dsub))
+        val dists = transform(element_at(cbsLit, j + 1), cw =>
+          sqrt(aggregate(
+            zip_with(sub, cw, (x, y) =>
+              (x.cast("double") - y.cast("double")) *
+                (x.cast("double") - y.cast("double"))),
+            lit(0.0), (acc, e) => acc + e)))
+        (array_position(dists, array_min(dists)) - 1).cast("int")
+      })
+    val bad = emb.select(
+        call_function("graft_pq_encode", $"embedding", cbsLit).as("nw"),
+        ref($"embedding").as("od"))
+      .where(!($"nw" <=> $"od")).count()
+    assert(bad === 0)
+    // null in → null out; the codes column never exceeds its codebook
+    val row = spark.range(1)
+      .select(call_function("graft_pq_encode",
+        lit(null).cast("array<float>"), cbsLit).as("c"))
+      .head()
+    assert(row.isNullAt(0))
+    val maxCode = emb
+      .select(array_max(call_function("graft_pq_encode", $"embedding", cbsLit))
+        .as("mx")).agg(max($"mx")).head().getInt(0)
+    assert(maxCode < ksub)
+  }
+
   test("size prefilter does not change blockedJaccardPairs results") {
     import spark.implicits._
     val docs = Tables.documents(spark, sfDir)

@@ -575,6 +575,20 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("cume_dist"), p)
   }
 
+  test("q149: IVFADC is equi-joins + the encode kernel, never a cartesian") {
+    val df = SparkEntry.queries("q149_pq_adc_topk")(spark, sfDir)
+    df.collect() // materialize so AQE finalizes the plan
+    val p = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    // candidates come from the (centroid_id = __cell) equi-join against
+    // the broadcast probe rows; the shortlist re-rank joins on id — a
+    // cartesian or nested loop here would scan corpus × queries
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("graft_pq_encode"), p)
+    assert(p.contains("graft_nearest_centroid"), p)
+    assert(p.contains("BroadcastExchange"), p)
+  }
+
   test("whole-stage codegen covers the kernel expressions") {
     val df = SparkEntry.queries("q31_cosine_neardup")(spark, sfDir)
     df.collect() // materialize THIS plan so AQE finalizes it
