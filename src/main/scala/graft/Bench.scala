@@ -174,11 +174,12 @@ object Bench {
       .map { case (q, m) => s"""{"query":"${escape(q)}","error":"${escape(m)}"}""" }
       .mkString("[", ",", "]")
     val total = results.collect { case (_, v, _) if v >= 0 => v }.sum
-    // the probe runs AFTER the timed queries (its own burn must not
-    // heat/throttle into them) and before the optional profiles
-    val machineJson = machineProbe()
     val scaleJson = scaleProfile(spark, sfDir)
     val procJson = processorProfile(spark, sfDir)
+    // the probe runs AFTER every timed section — queries AND the
+    // scale/processor profiles — so its all-core burn cannot
+    // heat/throttle into anything it is supposed to calibrate
+    val machineJson = machineProbe()
     // bucket/cell cap drops accumulated across the whole bench run
     // (queries + scale profile): a silent cap would read as "covered
     // everything" — here every dropped group/row count is in the JSON

@@ -174,6 +174,10 @@ object Decontamination {
     * `matchedNeedles` returns the distinct needle indices found.
     */
   private[graft] final class AhoCorasick(needles: Array[String]) extends Serializable {
+    // captured as a val so the needle ARRAY itself is construction-only
+    // and never retained/serialized — callers that also hold the needles
+    // (AcMatcher's UTF8 rebuild) would otherwise ship every string twice
+    private val noNeedles = needles.isEmpty
     private val gotoMaps =
       scala.collection.mutable.ArrayBuffer(
         scala.collection.mutable.HashMap.empty[Char, Int])
@@ -211,7 +215,7 @@ object Decontamination {
     }
 
     def matchedNeedles(text: String): Iterator[Int] = {
-      if (needles.isEmpty) return Iterator.empty
+      if (noNeedles) return Iterator.empty
       val seen = scala.collection.mutable.BitSet.empty
       var s = 0
       var i = 0

@@ -981,7 +981,7 @@ object Similarity {
       graftFn("graft_pq_encode", col(vecCol), pqLit(codebooks)),
       sequence(lit(0), lit(codebooks.length - 1)),
       (c, j) => element_at(typedLit(flat), j * ksub + c + 1)))
-    pqEncode(emb, vecCol, codebooks)
+    emb
       .select(sqrt(aggregate(
         zip_with(col(vecCol), rec, (x, y) =>
           (x.cast("double") - y.cast("double")) *

@@ -99,10 +99,12 @@ def compare(args):
     # an identical plan read 1.6x its recorded time a round later).
     # --epoch-normalize rescales OLD by the ratio before banding.
     epoch_ratio = None
+    norm_ratio = None  # set only when --epoch-normalize is active
     mo, mn = old.get("machine"), new.get("machine")
     if mo and mn and mo.get("st_sec") and mn.get("st_sec"):
         epoch_ratio = mn["st_sec"] / mo["st_sec"]
         if getattr(args, "epoch_normalize", False):
+            norm_ratio = epoch_ratio
             qo = {q: v * epoch_ratio if v and v > 0 else v
                   for q, v in qo.items()}
         elif abs(epoch_ratio - 1.0) > 0.15:
@@ -145,11 +147,20 @@ def compare(args):
         if o < 0:
             rows.append({"query": q, "class": "fixed", "new": n})
             continue
+        # when normalizing epochs, everything measured in OLD-epoch
+        # seconds must be rescaled too, or the band is understated by the
+        # ratio (a 1.6x-slower host would flag pure jitter as regression):
+        # the old run's iteration spread scales exactly; the calibrated
+        # noise profile's epoch is unknown, so scale it by max(ratio, 1)
+        # — never SHRINK a band because the host got faster
+        old_scale = norm_ratio if norm_ratio else 1.0
+        noise_scale = max(norm_ratio, 1.0) if norm_ratio else 1.0
         band = max(
             args.abs_floor,
             args.rel_floor * o,
-            args.noise_mult * noise.get(q, fallback_swing),
-            args.spread_mult * (spread_width(old, q) + spread_width(new, q)),
+            args.noise_mult * noise.get(q, fallback_swing) * noise_scale,
+            args.spread_mult * (spread_width(old, q) * old_scale +
+                                spread_width(new, q)),
         )
         delta = n - o
         if delta > band:
@@ -171,6 +182,9 @@ def compare(args):
         print(json.dumps(r))
     print(json.dumps({"summary": counts,
                       "old_total": old.get("value"),
+                      "old_total_normalized":
+                          round(old["value"] * norm_ratio, 3)
+                          if norm_ratio and old.get("value") else None,
                       "new_total": new.get("value"),
                       "noise_profile": args.noise or None,
                       "noise_meta": noise_meta or None,
