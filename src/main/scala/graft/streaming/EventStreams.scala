@@ -572,6 +572,102 @@ object EventStreams {
     } finally freshP.unpersist(blocking = false)
   }
 
+  /** [[ingestNearDupKeyed]] for the EMBEDDING modality — the streaming
+    * gate that keeps a vector corpus near-duplicate-free as batches
+    * arrive (re-embedded content is the dedup problem ANN corpora
+    * actually have). Each micro-batch is collapsed within-batch first
+    * (banded sign-LSH pairs → component collapse,
+    * [[graft.ops.Similarity.cosineNearDupPairsBucketed]] +
+    * [[graft.ops.Dedup.collapseNearDups]]), then probed against the
+    * stored corpus through its persistent `(id, band, key)` table
+    * ([[graft.ops.Similarity.incrementalCosineNearDupsWithKeys]] — only
+    * the batch side hashes or shuffles; the corpus contributes the key
+    * table as a build side plus one narrow candidate-sliver vector
+    * read). Survivors append together with their keys
+    * ([[graft.ops.Similarity.corpusLshKeys]]).
+    *
+    * Crash consistency is the text gate's, verbatim: keys append
+    * strictly AFTER the corpus append, and the first corpus-seeing
+    * batch of each run heals unkeyed corpus rows (ids-only anti-join
+    * audit; vectors are read only for the usually-empty unkeyed
+    * sliver). Replays self-filter — a replayed vector links to its
+    * previous, now re-keyed append at cosine 1 and is dropped.
+    */
+  def ingestEmbeddingNearDupKeyed(spark: SparkSession, schema: StructType,
+      inDir: String, corpusDir: String, keysDir: String,
+      checkpointDir: String, idCol: String, vecCol: String,
+      threshold: Double, planesPerBand: Int = 8, bands: Int = 4,
+      maxFilesPerTrigger: Int = 16,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    // register on the CALLER's session up front (see ingestNearDupKeyed)
+    graft.functions.GraftFunctions.register(spark)
+    val healed = new java.util.concurrent.atomic.AtomicBoolean(false)
+    spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(inDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        ingestEmbeddingNearDupKeyedBatch(spark, batch, corpusDir, keysDir,
+          idCol, vecCol, threshold, planesPerBand, bands, healed)
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .start()
+  }
+
+  /** One [[ingestEmbeddingNearDupKeyed]] micro-batch, directly callable
+    * (the [[ingestNearDupKeyedBatch]] profiling/parity seam, embedding
+    * flavor).
+    */
+  private[graft] def ingestEmbeddingNearDupKeyedBatch(spark: SparkSession,
+      batch: DataFrame, corpusDir: String, keysDir: String, idCol: String,
+      vecCol: String, threshold: Double, planesPerBand: Int, bands: Int,
+      healed: java.util.concurrent.atomic.AtomicBoolean): Unit = {
+    import graft.ops.{Dedup, Similarity}
+    import org.apache.spark.sql.functions.col
+    val fs = new org.apache.hadoop.fs.Path(corpusDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val corpusExists = fs.exists(new org.apache.hadoop.fs.Path(corpusDir))
+    val pairs = Similarity.cosineNearDupPairsBucketed(batch, idCol, vecCol,
+        threshold, planesPerBand, bands)
+      .select(col("idA"), col("idB"))
+    val local = Dedup.collapseNearDups(batch, idCol, pairs)
+    val fresh =
+      if (corpusExists) {
+        val corpus = spark.read.parquet(corpusDir)
+        // once-per-run heal of unkeyed corpus rows; ids-only audit,
+        // vectors read only for the unkeyed sliver (see the text gate)
+        if (healed.compareAndSet(false, true)) {
+          val keysExist = fs.exists(new org.apache.hadoop.fs.Path(keysDir))
+          val unkeyedIds =
+            if (keysExist)
+              corpus.select(col(idCol)).join(
+                spark.read.parquet(keysDir).select(col(idCol)),
+                Seq(idCol), "left_anti")
+            else corpus.select(col(idCol))
+          if (!unkeyedIds.isEmpty || !keysExist) {
+            val unkeyed = corpus.select(col(idCol), col(vecCol))
+              .join(unkeyedIds, Seq(idCol), "left_semi")
+            Similarity.corpusLshKeys(unkeyed, idCol, vecCol, planesPerBand,
+                bands)
+              .write.mode("append").parquet(keysDir)
+          }
+        }
+        val keys = spark.read.parquet(keysDir)
+        val linked = Similarity.incrementalCosineNearDupsWithKeys(local,
+            keys, corpus, idCol, vecCol, threshold, planesPerBand, bands)
+          .select(col("idA").as(idCol)).distinct()
+        local.join(linked, Seq(idCol), "left_anti")
+      } else local
+    val freshP = fresh.persist()
+    try {
+      freshP.write.mode("append").parquet(corpusDir)
+      Similarity.corpusLshKeys(freshP, idCol, vecCol, planesPerBand, bands)
+        .write.mode("append").parquet(keysDir)
+    } finally freshP.unpersist(blocking = false)
+  }
+
   /** Release `caches` when `query` terminates, then deregister the
     * listener. An AvailableNow query over an empty input can terminate
     * before the listener registers and the terminated event would be

@@ -569,6 +569,66 @@ class StreamingSpec extends SparkSuite {
       .collect().map(_.getLong(0)).toSet === ids())
   }
 
+  test("ingestEmbeddingNearDupKeyed gates re-embedded vectors across batches, restarts, and key loss") {
+    import spark.implicits._
+    val in = tmp("emb-keyed-in")
+    val corpus = tmp("emb-keyed-corpus") + "/data"
+    val keys = tmp("emb-keyed-keys") + "/keys"
+    val ckpt = tmp("emb-keyed-ckpt")
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "vec_id LONG, embedding ARRAY<FLOAT>")
+    def run(): Unit = graft.streaming.EventStreams
+      .ingestEmbeddingNearDupKeyed(spark, schema, in, corpus, keys, ckpt,
+        "vec_id", "embedding", threshold = 0.9, planesPerBand = 4,
+        bands = 4)
+      .awaitTermination()
+    def ids(): Set[Long] =
+      spark.read.parquet(corpus).select($"vec_id")
+        .collect().map(_.getLong(0)).toSet
+    // positive scalings have cosine exactly 1 AND identical sign-LSH
+    // keys (projections scale), so the planted links are layout- and
+    // plane-independent; distinct basis vectors that happen to share a
+    // band become candidates but fail the exact cosine verification
+    def df(rows: (Long, Seq[Float])*) =
+      rows.toDF("vec_id", "embedding").coalesce(1)
+
+    df(10L -> Seq(1f, 0f, 0f, 0f),
+       11L -> Seq(2f, 0f, 0f, 0f),  // scaled copy of 10 (cosine 1)
+       12L -> Seq(0f, 1f, 0f, 0f))
+      .write.mode("append").parquet(in)
+    run()
+    val s1 = ids()
+    assert(s1.size === 2 && s1.contains(12L) &&
+      (s1.contains(10L) || s1.contains(11L)), s1.toString)
+
+    df(20L -> Seq(3f, 0f, 0f, 0f),  // re-embeds 10's content
+       21L -> Seq(0f, 5f, 0f, 0f),  // re-embeds 12's content
+       22L -> Seq(0f, 0f, 1f, 0f))  // genuinely new
+      .write.mode("append").parquet(in)
+    run()
+    assert(ids() === s1 + 22L)
+    val keyRows = spark.read.parquet(keys)
+    assert(keyRows.select($"vec_id").distinct()
+      .collect().map(_.getLong(0)).toSet === ids())
+    assert(keyRows.count() === ids().size * 4L) // 4 bands per vector
+
+    // lose the ENTIRE key table (crash between the two appends): the
+    // next run must heal it and a replayed vector must self-filter
+    val keysPath = new org.apache.hadoop.fs.Path(keys)
+    keysPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(keysPath, true)
+    val s2 = ids()
+    df(30L -> Seq(0f, 0f, 4f, 0f),  // replay of 22's content
+       31L -> Seq(0f, 0f, 0f, 1f))  // new
+      .write.mode("append").parquet(in)
+    run()
+    assert(ids() === s2 + 31L)
+    val healedKeys = spark.read.parquet(keys)
+    assert(healedKeys.count() === ids().size * 4L)
+    assert(healedKeys.select($"vec_id").distinct()
+      .collect().map(_.getLong(0)).toSet === ids())
+  }
+
   test("ingestNearDupKeyed heals past a crash that left an empty corpus and no key table") {
     import spark.implicits._
     // a previous run appended an EMPTY batch's corpus (schema-only
