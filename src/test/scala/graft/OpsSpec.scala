@@ -748,6 +748,30 @@ class OpsSpec extends SparkSuite {
     assert(mean > 0.2, s"mean IVFADC recall suspiciously low: $mean")
   }
 
+  test("pqAdcTopKBatch degrades gracefully on empty query sets and null vectors") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sfDir)
+    val centroids = Similarity.ivfCentroids(emb, "vec_id", "embedding", 8)
+    val cbs = Similarity.pqCodebooks(emb, "vec_id", "embedding", 8, 8)
+    // zero queries → zero rows, no crash (probes/toDF on an empty
+    // driver-side seq, empty broadcast join)
+    val none = Similarity.pqAdcTopKBatch(emb, "vec_id", "embedding",
+      emb.where($"vec_id" < 0), "vec_id", "embedding", k = 3, cbs,
+      centroids, nprobe = 2)
+    assert(none.count() === 0)
+    // a null corpus vector gets null codes AND a null cell id, so it
+    // silently drops from candidacy instead of crashing the fold
+    val withNull = emb.limit(50).select($"vec_id", $"embedding")
+      .union(Seq((-1L, null.asInstanceOf[Seq[Float]]))
+        .toDF("vec_id", "embedding"))
+    val got = Similarity.pqAdcTopKBatch(withNull, "vec_id", "embedding",
+        emb.where($"vec_id" === 0), "vec_id", "embedding", k = 5, cbs,
+        centroids, nprobe = 8)
+      .collect()
+    assert(got.nonEmpty)
+    assert(!got.exists(_.getLong(1) === -1L), "null-vector row surfaced")
+  }
+
   test("gopherReport computes the rule battery on hand-built documents") {
     import spark.implicits._
     val df = Seq(

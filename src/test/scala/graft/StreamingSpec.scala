@@ -629,6 +629,31 @@ class StreamingSpec extends SparkSuite {
       .collect().map(_.getLong(0)).toSet === ids())
   }
 
+  test("ingestEmbeddingNearDupKeyed heals past an empty-corpus/no-keys crash leftover") {
+    import spark.implicits._
+    // the embedding twin of the text gate's wedge case below: corpusDir
+    // exists (schema-only), keysDir doesn't — the heal must create the
+    // empty key table instead of wedging every restart
+    val in = tmp("emb-wedge-in")
+    val corpus = tmp("emb-wedge-corpus") + "/data"
+    val keys = tmp("emb-wedge-keys") + "/keys"
+    val ckpt = tmp("emb-wedge-ckpt")
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "vec_id LONG, embedding ARRAY<FLOAT>")
+    Seq.empty[(Long, Seq[Float])].toDF("vec_id", "embedding")
+      .write.parquet(corpus)
+    Seq((1L, Seq(1f, 0f, 0f, 0f)), (2L, Seq(0f, 1f, 0f, 0f)))
+      .toDF("vec_id", "embedding").coalesce(1).write.mode("append").parquet(in)
+    graft.streaming.EventStreams
+      .ingestEmbeddingNearDupKeyed(spark, schema, in, corpus, keys, ckpt,
+        "vec_id", "embedding", threshold = 0.9, planesPerBand = 4,
+        bands = 4)
+      .awaitTermination()
+    assert(spark.read.parquet(corpus).select($"vec_id")
+      .collect().map(_.getLong(0)).toSet === Set(1L, 2L))
+    assert(spark.read.parquet(keys).count() === 2 * 4L)
+  }
+
   test("ingestNearDupKeyed heals past a crash that left an empty corpus and no key table") {
     import spark.implicits._
     // a previous run appended an EMPTY batch's corpus (schema-only
