@@ -29,6 +29,27 @@ object Layouts {
       .sortBy(key, moreKeys: _*)
       .saveAsTable(table)
 
+  /** [[writeBucketed]] that first drops any previous incarnation of the
+    * table INCLUDING an orphaned warehouse directory: the in-memory
+    * catalog forgets tables between JVMs but the filesystem location
+    * survives, and `saveAsTable` refuses to overwrite a location the
+    * current catalog doesn't own. The rebuild-each-run entry point for
+    * queries that materialize their own stored index (q149).
+    */
+  def replaceBucketed(df: DataFrame, table: String, key: String,
+      buckets: Int, moreKeys: String*): Unit = {
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val wh = new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath
+    val loc = new java.io.File(wh, table.toLowerCase)
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete(); ()
+    }
+    if (loc.exists()) rm(loc)
+    writeBucketed(df, table, key, buckets, moreKeys: _*)
+  }
+
   /** Repartition-then-write for plain directories (no metastore): gives
     * one file per key-range so downstream range predicates prune files,
     * but unlike bucketing does NOT carry partitioning metadata into

@@ -571,24 +571,56 @@ object Similarity {
     * vary across cluster layouts — training is for cell QUALITY (lower
     * mean distance-to-centroid); the oracle-checked q43 path keeps the
     * deterministic hash-sample model.
+    *
+    * `sampleFraction < 1` trains on a deterministic hash sample of the
+    * corpus ([[Sampling.hashSample]] — the same row lands in the sample
+    * on any cluster/layout/day) persisted for the duration of training:
+    * a k-means model is a statistical summary, so at 100 TB `iters` FULL
+    * corpus scans buy nothing a few-million-row sample doesn't — sampled
+    * training cost is ~flat in corpus size (seed + every Lloyd's round
+    * read only the sample). 1.0 (default) is the exact full-scan arm.
     */
   def trainIvfCentroids(emb: DataFrame, idCol: String, vecCol: String,
-      numCentroids: Int, iters: Int = 3): Array[Array[Float]] = {
+      numCentroids: Int, iters: Int = 3,
+      sampleFraction: Double = 1.0): Array[Array[Float]] = {
+    require(sampleFraction > 0 && sampleFraction <= 1,
+      s"sampleFraction out of (0, 1]: $sampleFraction")
+    val train =
+      if (sampleFraction >= 1.0) emb
+      else Sampling.hashSample(emb, idCol, sampleFraction)
+        .select(col(idCol), col(vecCol)).persist()
+    try trainIvfOn(train, idCol, vecCol, numCentroids, iters)
+    finally if (sampleFraction < 1.0) { train.unpersist(false); () }
+  }
+
+  private def trainIvfOn(emb: DataFrame, idCol: String, vecCol: String,
+      numCentroids: Int, iters: Int): Array[Array[Float]] = {
     var centroids = ivfCentroids(emb, idCol, vecCol, numCentroids)
     for (_ <- 1 to iters) {
       val means = ivfAssign(emb, vecCol, centroids)
         .select(col("centroid_id"), posexplode(col(vecCol)).as(Seq("__pos", "__x")))
         .groupBy(col("centroid_id"), col("__pos"))
         .agg(avg(col("__x")).as("__m"))
-        .groupBy(col("centroid_id"))
-        .agg(transform(
-          array_sort(collect_list(struct(col("__pos"), col("__m")))),
-          s => s.getField("__m").cast("float")).as("__c"))
         .collect()
-        .map(r => r.getInt(0) -> r.getSeq[Float](1).toArray)
-        .toMap
-      centroids = centroids.indices
-        .map(i => means.getOrElse(i, centroids(i))).toArray
+        .groupBy(_.getInt(0))
+        .map { case (c, rs) =>
+          c -> rs.map(r => r.getInt(1) -> r.getDouble(2)).toMap
+        }
+      // merge observed dims into a COPY of the previous centroid (the
+      // trainPqCodebooks discipline): if every member of a cell is
+      // shorter than the model dim, the unobserved tail keeps its
+      // previous value instead of producing a ragged centroid
+      centroids = centroids.indices.map { i =>
+        means.get(i) match {
+          case None => centroids(i)
+          case Some(byPos) =>
+            val next = centroids(i).clone()
+            byPos.foreach { case (p, v) =>
+              if (p >= 0 && p < next.length) next(p) = v.toFloat
+            }
+            next
+        }
+      }.toArray
     }
     centroids
   }
@@ -924,9 +956,27 @@ object Similarity {
     * previous value. Same double-mean caveat as [[trainIvfCentroids]]:
     * training is for reconstruction QUALITY; oracle-checked paths use
     * the deterministic [[pqCodebooks]] model.
+    *
+    * `sampleFraction < 1` trains on a deterministic persisted hash
+    * sample exactly like [[trainIvfCentroids]] — at 100 TB the codebook
+    * is a statistical summary and `iters` full scans are waste; 1.0
+    * (default) is the exact full-scan arm.
     */
   def trainPqCodebooks(emb: DataFrame, idCol: String, vecCol: String,
-      m: Int, ksub: Int, iters: Int = 3): Array[Array[Array[Float]]] = {
+      m: Int, ksub: Int, iters: Int = 3,
+      sampleFraction: Double = 1.0): Array[Array[Array[Float]]] = {
+    require(sampleFraction > 0 && sampleFraction <= 1,
+      s"sampleFraction out of (0, 1]: $sampleFraction")
+    val train =
+      if (sampleFraction >= 1.0) emb
+      else Sampling.hashSample(emb, idCol, sampleFraction)
+        .select(col(idCol), col(vecCol)).persist()
+    try trainPqOn(train, idCol, vecCol, m, ksub, iters)
+    finally if (sampleFraction < 1.0) { train.unpersist(false); () }
+  }
+
+  private def trainPqOn(emb: DataFrame, idCol: String, vecCol: String,
+      m: Int, ksub: Int, iters: Int): Array[Array[Array[Float]]] = {
     var cbs = pqCodebooks(emb, idCol, vecCol, m, ksub)
     val dsub = cbs(0)(0).length
     for (_ <- 1 to iters) {
@@ -941,15 +991,29 @@ object Similarity {
           col("__x"))
         .groupBy(col("__j"), col("__c"), col("__p"))
         .agg(avg(col("__x")).as("__m"))
-        .groupBy(col("__j"), col("__c"))
-        .agg(transform(
-          array_sort(collect_list(struct(col("__p"), col("__m")))),
-          s => s.getField("__m").cast("float")).as("__cw"))
         .collect()
-        .map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Float](2).toArray)
-        .toMap
-      cbs = Array.tabulate(cbs.length)(j => Array.tabulate(cbs(j).length)(c =>
-        means.getOrElse((j, c), cbs(j)(c))))
+        .groupBy(r => (r.getInt(0), r.getInt(1)))
+        .map { case (jc, rs) =>
+          jc -> rs.map(r => r.getInt(2) -> r.getDouble(3)).toMap
+        }
+      // merge observed positions into a COPY of the previous codeword:
+      // if every member vector of a codeword is shorter than (j+1)*dsub,
+      // some positions collect nothing — an array built from only the
+      // observed positions would be ragged (< dsub floats) and
+      // desynchronize the encode kernel's offset walk next iteration.
+      // Unobserved positions keep their previous value, like codewords
+      // that lose all members keep theirs.
+      cbs = Array.tabulate(cbs.length)(j => Array.tabulate(cbs(j).length) { c =>
+        means.get((j, c)) match {
+          case None => cbs(j)(c)
+          case Some(byPos) =>
+            val next = cbs(j)(c).clone()
+            byPos.foreach { case (p, v) =>
+              if (p >= 0 && p < next.length) next(p) = v.toFloat
+            }
+            next
+        }
+      })
     }
     cbs
   }
@@ -1009,10 +1073,10 @@ object Similarity {
     * `list_inner_product(list(lookup ORDER BY j), ones)`, the re-rank
     * via `list_cosine_similarity`).
     *
-    * At scale the corpus side would read a pre-encoded codes table
-    * ([[pqEncode]] output persisted/bucketed by `centroid_id`); here it
-    * is computed scan-side so the query stays one self-contained plan.
-    * The ADC stage never touches a corpus vector; only the shortlist's
+    * The corpus here is encoded scan-side so the query stays one
+    * self-contained plan; the production steady state is
+    * [[pqAdcTopKBatchWithCodes]] over a PERSISTED codes table. The ADC
+    * stage never touches a corpus vector; only the shortlist's
     * `k × rerankFactor` vectors per query are ever fetched — at 10⁹+
     * vectors that is the difference between scanning TBs of floats and
     * scanning GBs of codes.
@@ -1021,7 +1085,40 @@ object Similarity {
       queries: DataFrame, queryIdCol: String, queryVecCol: String, k: Int,
       codebooks: Array[Array[Array[Float]]],
       centroids: Array[Array[Float]], nprobe: Int = 2,
-      rerankFactor: Int = 4): DataFrame = {
+      rerankFactor: Int = 4): DataFrame =
+    pqAdcServe(
+      pqEncode(ivfAssign(Dedup.spread(emb), vecCol, centroids),
+        vecCol, codebooks),
+      emb, idCol, vecCol, queries, queryIdCol, queryVecCol, k,
+      codebooks, centroids, nprobe, rerankFactor)
+
+  /** [[pqAdcTopKBatch]] against a PRECOMPUTED codes table — the
+    * `corpusLshKeys`/`incrementalNearDupsWithKeys` stored-index
+    * discipline applied to PQ serving. `codes` is [[pqEncode]]∘
+    * [[ivfAssign]] output (`idCol`, `pq_code`, `vnorm`, `centroid_id`)
+    * persisted once at ingest — bucket it by `centroid_id`
+    * ([[graft.io.Layouts.writeBucketed]]) and the probe join needs NO
+    * exchange on the corpus side (LayoutsSpec pins it). Per query batch
+    * this probes the stored table instead of re-encoding the corpus:
+    * the float vectors (`emb`) are read only for the shortlist-sized
+    * exact re-rank fetch. `codebooks`/`centroids` must be the model the
+    * table was encoded with — codes are meaningless under any other.
+    */
+  def pqAdcTopKBatchWithCodes(emb: DataFrame, codes: DataFrame,
+      idCol: String, vecCol: String,
+      queries: DataFrame, queryIdCol: String, queryVecCol: String, k: Int,
+      codebooks: Array[Array[Array[Float]]],
+      centroids: Array[Array[Float]], nprobe: Int = 2,
+      rerankFactor: Int = 4): DataFrame =
+    pqAdcServe(codes, emb, idCol, vecCol, queries, queryIdCol, queryVecCol,
+      k, codebooks, centroids, nprobe, rerankFactor)
+
+  private def pqAdcServe(codes: DataFrame, emb: DataFrame,
+      idCol: String, vecCol: String,
+      queries: DataFrame, queryIdCol: String, queryVecCol: String, k: Int,
+      codebooks: Array[Array[Array[Float]]],
+      centroids: Array[Array[Float]], nprobe: Int,
+      rerankFactor: Int): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
     // id-type generic like bruteForceTopKBatch / ivfTopKBatch
@@ -1049,14 +1146,22 @@ object Similarity {
       var i = 0
       while (i < qv.length) { nacc += qv(i).toDouble * qv(i).toDouble; i += 1 }
       val qnorm = math.sqrt(nacc)
-      probeCells(qv, centroids, nprobe).map(cell => (qid, cell, tbl, qnorm))
+      // a zero-norm query has no cosine ranking (every score is 0/0):
+      // it contributes no probe rows and therefore no result rows,
+      // like a query absent from the eval set — never NaN scores
+      if (qnorm == 0.0) Seq.empty
+      else probeCells(qv, centroids, nprobe).map(cell => (qid, cell, tbl, qnorm))
     }
     val probeDf = broadcast(probes.toDF("query_id", "__cell", "__tbl", "__qnorm")
       .withColumn("query_id",
         if (isBinary) unbase64(col("query_id"))
         else col("query_id").cast(qidType)))
-    val corpus = pqEncode(
-      ivfAssign(Dedup.spread(emb), vecCol, centroids), vecCol, codebooks)
+    // vnorm > 0: a zero-norm corpus vector makes adc_cosine ±Inf/NaN and
+    // the exact re-rank cosine NaN, and Spark (and DuckDB) sort NaN above
+    // every real value in a descending window — a degenerate vector would
+    // outrank every genuine candidate in both stages. It has no defined
+    // cosine to anything, so it is excluded from candidacy outright.
+    val corpus = codes.where(col("vnorm") > 0)
     val scored = excludeSelf(
         corpus.join(probeDf, col("centroid_id") === col("__cell")),
         idCol, emb, queries, queryIdCol)

@@ -573,6 +573,54 @@ class CorpusOpsSpec extends SparkSuite {
     assert(matched.forall(_ > 0.99), matched.mkString(","))
   }
 
+  test("sampled trainIvfCentroids recovers planted clusters from a hash sample") {
+    import spark.implicits._
+    import graft.ops.Similarity
+    // same planted geometry as the full-scan test, denser so a 50%
+    // hash sample still holds ~30 members per cluster
+    val centers = Seq(
+      Array(1f, 0f, 0f, 0f), Array(0f, 1f, 0f, 0f), Array(0f, 0f, 1f, 0f))
+    val rows = for {
+      (c, ci) <- centers.zipWithIndex
+      j <- 0 until 60
+    } yield {
+      val eps = 0.05f * ((j % 5) - 2)
+      (ci * 100L + j, c.zipWithIndex.map { case (x, i) =>
+        x + (if (i == 3) eps else 0f) }.toSeq)
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    intercept[IllegalArgumentException] {
+      Similarity.trainIvfCentroids(df, "vec_id", "embedding", 3,
+        sampleFraction = 0.0)
+    }
+    val init = Similarity.ivfCentroids(df, "vec_id", "embedding", 3)
+    val trained = Similarity.trainIvfCentroids(df, "vec_id", "embedding", 3,
+      iters = 3, sampleFraction = 0.5)
+    // inertia measured on the FULL corpus: the sample-trained model must
+    // still beat the untrained seed there, not just on its own sample
+    val before = Similarity.ivfInertia(df, "embedding", init)
+    val after = Similarity.ivfInertia(df, "embedding", trained)
+    assert(after <= before + 1e-12, s"inertia rose: $before -> $after")
+    val matched = trained.map { c =>
+      centers.map { t =>
+        val dot = c.zip(t).map { case (a, b) => a.toDouble * b }.sum
+        val nc = math.sqrt(c.map(x => x.toDouble * x).sum)
+        dot / nc
+      }.max
+    }
+    assert(matched.forall(_ > 0.99), matched.mkString(","))
+    // deterministic: the hash sample is content-addressed, so two runs
+    // over an identically-valued corpus train the identical model
+    val beforeIds = spark.sparkContext.getPersistentRDDs.keySet
+    val again = Similarity.trainIvfCentroids(df, "vec_id", "embedding", 3,
+      iters = 3, sampleFraction = 0.5)
+    assert(trained.map(_.toSeq).toSeq === again.map(_.toSeq).toSeq)
+    // the training-scoped persist of the sample is released on exit —
+    // no new persistent RDDs survive the call
+    val afterIds = spark.sparkContext.getPersistentRDDs.keySet
+    assert(afterIds.subsetOf(beforeIds), s"leaked: ${afterIds -- beforeIds}")
+  }
+
   test("columnProfile counts nulls/distincts and profiles strings on length") {
     import spark.implicits._
     val df = Seq(

@@ -125,6 +125,50 @@ class LayoutsSpec extends SparkSuite {
     assert(rows(viaStore) === rows(inline) && rows(inline).nonEmpty)
   }
 
+  test("persisted PQ codes: stored IVFADC serve matches inline, corpus never re-encoded") {
+    import graft.ops.Similarity
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sfDir)
+    val queries = emb.where($"vec_id" % 100 === 0)
+    val centroids = Similarity.ivfCentroids(emb, "vec_id", "embedding", 8)
+    val cbs = Similarity.pqCodebooks(emb, "vec_id", "embedding", 8, 8)
+    cleanTable("b_pq_codes")
+    Layouts.writeBucketed(
+      Similarity.pqEncode(
+          Similarity.ivfAssign(emb, "embedding", centroids), "embedding", cbs)
+        .select($"vec_id", $"pq_code", $"vnorm", $"centroid_id"),
+      "b_pq_codes", "centroid_id",
+      spark.conf.get("spark.sql.shuffle.partitions").toInt)
+    val stored = spark.table("b_pq_codes")
+    val viaStore = Similarity.pqAdcTopKBatchWithCodes(emb, stored,
+      "vec_id", "embedding", queries, "vec_id", "embedding", k = 5,
+      cbs, centroids, nprobe = 3)
+    val inline = Similarity.pqAdcTopKBatch(emb, "vec_id", "embedding",
+      queries, "vec_id", "embedding", k = 5, cbs, centroids, nprobe = 3)
+    // identical down to the double scores: the stored codes round-trip
+    // parquet exactly (int codes, double norm), so ADC and re-rank
+    // arithmetic is bit-identical to the inline encode
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "vec_id", "adc_cosine", "cosine").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+        .toSet
+    assert(rows(viaStore) === rows(inline) && rows(inline).nonEmpty)
+    // steady-state plan: the corpus side is a SCAN of the stored codes —
+    // no encode kernel, no centroid assignment anywhere in the serve
+    // plan (queries are tabled driver-side), and the bucketed scan feeds
+    // the broadcast probe join with zero corpus-side exchange, so the
+    // stored plan needs no MORE exchanges than the inline one
+    val p = viaStore.queryExecution
+      .explainString(ExplainMode.fromString("formatted"))
+    assert(!p.contains("graft_pq_encode"), p)
+    assert(!p.contains("graft_nearest_centroid"), p)
+    assert(p.contains("Bucketed: true"), p)
+    val pi = inline.queryExecution
+      .explainString(ExplainMode.fromString("formatted"))
+    def nEx(s: String) = """\(\d+\) Exchange\b""".r.findAllIn(s).length
+    assert(nEx(p) <= nEx(pi), s"stored=${nEx(p)} inline=${nEx(pi)}\n$p")
+  }
+
   test("sized-shard write balances skewed input and caps file row counts") {
     import spark.implicits._
     // skew: one partition holds 10k rows, three hold ~10 each

@@ -721,6 +721,29 @@ class OpsSpec extends SparkSuite {
       s"trained=${err(trained)} init=${err(init)}")
   }
 
+  test("sampled trainPqCodebooks refines reconstruction over the FULL corpus") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val init = Similarity.pqCodebooks(emb, "vec_id", "embedding", 8, 8)
+    val trained = Similarity.trainPqCodebooks(emb, "vec_id", "embedding",
+      8, 8, iters = 2, sampleFraction = 0.5)
+    // shape survives sampling (no ragged codebook from a thin sample)
+    assert(trained.length === 8 && trained.forall(_.length === 8) &&
+      trained.forall(_.forall(_.length === 8)))
+    def err(cbs: Array[Array[Array[Float]]]) =
+      Similarity.pqReconstructionError(emb, "embedding", cbs)
+        .head().getDouble(0)
+    // quality is judged on the full corpus, not the training sample: a
+    // codebook is a statistical summary, so half the rows carry the
+    // same subspace geometry and still beat the untrained hash seed
+    assert(err(trained) < err(init),
+      s"trained=${err(trained)} init=${err(init)}")
+    // deterministic hash sample -> reproducible model
+    val again = Similarity.trainPqCodebooks(emb, "vec_id", "embedding",
+      8, 8, iters = 2, sampleFraction = 0.5)
+    assert(trained.map(_.map(_.toSeq).toSeq).toSeq ===
+      again.map(_.map(_.toSeq).toSeq).toSeq)
+  }
+
   test("pqAdcTopKBatch: k-bounded, self-excluded, recall tracks the IVF arm") {
     import spark.implicits._
     val emb = Tables.embeddings(spark, sfDir)
@@ -770,6 +793,27 @@ class OpsSpec extends SparkSuite {
       .collect()
     assert(got.nonEmpty)
     assert(!got.exists(_.getLong(1) === -1L), "null-vector row surfaced")
+    // a ZERO-NORM corpus vector has no defined cosine: vnorm=0 would make
+    // adc_cosine ±Inf/NaN, and both Spark and DuckDB sort NaN above every
+    // real value in a descending window — unguarded, the degenerate
+    // vector outranks every genuine candidate in BOTH stages. Pinned: it
+    // is excluded from candidacy, and no NaN/Inf score ever surfaces.
+    val withZero = emb.limit(50).select($"vec_id", $"embedding")
+      .union(Seq((-2L, Seq.fill(64)(0f))).toDF("vec_id", "embedding"))
+    val gz = Similarity.pqAdcTopKBatch(withZero, "vec_id", "embedding",
+        emb.where($"vec_id" === 0), "vec_id", "embedding", k = 5, cbs,
+        centroids, nprobe = 8)
+      .collect()
+    assert(gz.nonEmpty)
+    assert(!gz.exists(_.getLong(1) === -2L), "zero-norm row surfaced")
+    assert(gz.forall(r => java.lang.Double.isFinite(r.getDouble(2)) &&
+      java.lang.Double.isFinite(r.getDouble(3))), gz.mkString("\n"))
+    // a zero-norm QUERY contributes no probe rows (its ranking is 0/0
+    // against everything): zero result rows for it, none for NaN reasons
+    val zq = Seq((999999L, Seq.fill(64)(0f))).toDF("vec_id", "embedding")
+    val gq = Similarity.pqAdcTopKBatch(emb, "vec_id", "embedding",
+      zq, "vec_id", "embedding", k = 5, cbs, centroids, nprobe = 8)
+    assert(gq.count() === 0)
   }
 
   test("gopherReport computes the rule battery on hand-built documents") {

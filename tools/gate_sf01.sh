@@ -11,7 +11,7 @@
 # rounds (VERDICT r8 task 6). Evidence lands in
 # bench_history/<tag>_sf0.1_oracle_gate.json.
 #
-# Usage: tools/gate_sf01.sh [tag]   (default tag: rNN from $(date +%s))
+# Usage: tools/gate_sf01.sh [tag]   (default tag: "manual")
 set -euo pipefail
 cd "$(dirname "$0")/.."
 TAG="${1:-manual}"
@@ -22,10 +22,20 @@ rm -rf "$OUT"
 SPARK_GRAFT_VERIFY_FILTER="$QUERIES" \
   sbt -batch "runMain graft.Verify /root/testdata/sf0.1 $OUT"
 
-# `|| true`: check_oracle exits 1 on any FAIL, which under `set -e`
-# would kill the script BEFORE the evidence write below — exactly when
-# the recording matters most. The gate still fails via the final test.
-python3 tools/check_oracle.py "$OUT" /root/testdata/sf0.1 | tee /tmp/gate_sf01.log || true
+# check_oracle exits 1 on any FAIL, which under `set -e` would kill the
+# script BEFORE the evidence write below — exactly when the recording
+# matters most. Capture the exit code instead of `|| true`: 0/1 are the
+# tool's own verdicts (the final assertions gate on the parsed lines);
+# anything else is a CRASH (bad args, import error, unreadable dir) and
+# must fail loudly here — a crashed oracle proves nothing, and grep-ing
+# an empty log would otherwise report PASS=0 FAIL=0 and exit green.
+RC=0
+python3 tools/check_oracle.py "$OUT" /root/testdata/sf0.1 \
+  | tee /tmp/gate_sf01.log || RC=$?
+if [ "$RC" -gt 1 ]; then
+  echo "gate_sf01: check_oracle.py crashed (exit $RC)" >&2
+  exit "$RC"
+fi
 
 PASS=$(grep -c '^PASS' /tmp/gate_sf01.log || true)
 FAIL=$(grep -c '^FAIL' /tmp/gate_sf01.log || true)
@@ -45,4 +55,8 @@ path = f"bench_history/{tag}_sf0.1_oracle_gate.json"
 json.dump(out, open(path, "w"), indent=1)
 print(f"wrote {path}: {npass} pass, {nfail} fail")
 EOF
-test "$FAIL" -eq 0
+# Both assertions matter: FAIL=0 alone passes vacuously when the log has
+# zero PASS/FAIL lines (all three queries SKIPped as rows-only, or a
+# filter typo selected nothing) — the gate must have POSITIVELY proven
+# all three corpus-conditional hash gates, not merely failed none.
+test "$FAIL" -eq 0 && test "$PASS" -eq 3
