@@ -243,6 +243,88 @@ def growth(args):
     return 1 if flagged else 0
 
 
+def anomaly(args):
+    """Transient-host-load detector over ONE interleaved bench line.
+
+    Round 9's official record read 208 s for a 117 s engine: a
+    minutes-long external load window inflated the contiguous
+    alphabetical block q43->q49 in every back-to-back iteration, and
+    min-of-3 couldn't filter it. Since round 10 Bench interleaves at
+    the suite level and emits the raw per-pass matrix ("passes") plus
+    pass-boundary load stamps ("pass_probes"). This mode flags:
+
+      * per-(query, pass) cells far above the query's own cross-pass
+        min (ratio > --ratio AND delta > --abs-floor),
+      * CONTIGUOUS alphabetical runs of >= --min-block flagged queries
+        within one pass -- the load-window signature (independent
+        per-query jitter doesn't line up alphabetically),
+      * elevated pass stamps (> --probe-ratio x the min stamp).
+
+    The reported per-query min stays valid as long as at least one
+    pass of each query is clean; exit 1 when a block is found so the
+    round's record can note the window, exit 2 if ALL passes of some
+    query inside a block are flagged (the min itself is suspect --
+    re-run the bench)."""
+    d = load(args.run)
+    passes = d.get("passes")
+    if not passes:
+        sys.exit(f"{args.run}: no 'passes' matrix — produced by "
+                 "interleaved Bench runs (round 10+) with iters >= 2")
+    names = sorted(passes)
+    flagged = {}  # pass index -> alphabetical indices of flagged queries
+    for qi, q in enumerate(names):
+        ts = passes[q]
+        ok = [t for t in ts if t >= 0]
+        if not ok:
+            continue
+        mn = min(ok)
+        for i, t in enumerate(ts):
+            if t >= 0 and t > args.ratio * mn and t - mn > args.abs_floor:
+                flagged.setdefault(i, []).append(qi)
+    blocks = []
+    for i, idxs in sorted(flagged.items()):
+        run = [idxs[0]]
+        for j in idxs[1:] + [None]:
+            if j is not None and j == run[-1] + 1:
+                run.append(j)
+                continue
+            if len(run) >= args.min_block:
+                qs = [names[x] for x in run]
+                blocks.append({
+                    "pass": i, "queries": qs,
+                    "slowdowns": {q: round(passes[q][i] /
+                                           max(min(t for t in passes[q]
+                                                   if t >= 0), 1e-9), 1)
+                                  for q in qs},
+                })
+            run = [j] if j is not None else []
+    probes = d.get("pass_probes") or []
+    probe_suspects = []
+    if probes:
+        mnp = min(probes)
+        # stamp k is taken at the START of pass k (0-based); stamp k+1
+        # at its end -- an elevated stamp implicates both passes it
+        # borders (the load window could span either side of it)
+        elevated = [k for k, v in enumerate(probes)
+                    if v > args.probe_ratio * mnp]
+        probe_suspects = sorted({p for k in elevated for p in (k - 1, k)
+                                 if 0 <= p < len(probes) - 1})
+    # min poisoned: every pass of a block query flagged (can only happen
+    # with >= 2 distinct flagged passes covering a query's whole row)
+    npass = max(len(v) for v in passes.values())
+    poisoned = [names[qi] for qi in range(len(names))
+                if sum(1 for i in flagged if qi in flagged[i]) >= npass]
+    for b in blocks:
+        print(json.dumps(b))
+    print(json.dumps({"summary": {
+        "n_queries": len(names), "n_passes": npass,
+        "n_flagged_cells": sum(len(v) for v in flagged.values()),
+        "blocks": len(blocks), "probe_suspect_passes": probe_suspects,
+        "pass_probes": probes, "min_poisoned_queries": poisoned,
+        "ratio": args.ratio, "min_block": args.min_block}}))
+    return 2 if poisoned else (1 if blocks else 0)
+
+
 def main():
     p = argparse.ArgumentParser(description=__doc__)
     sub = p.add_subparsers(dest="mode", required=True)
@@ -275,9 +357,21 @@ def main():
     d.add_argument("--epoch-normalize", action="store_true",
                    help="rescale OLD by the machine-probe st ratio before "
                         "banding (both lines must carry a 'machine' object)")
+    a = sub.add_parser(
+        "anomaly", help="flag transient-host-load windows in one "
+                        "interleaved bench line (passes matrix)")
+    a.add_argument("run", help="full bench line with a 'passes' matrix")
+    # ratio 3 / floor 0.3 s: the r9 poisoning read 8-70x with multi-second
+    # absolutes; genuine JVM jitter on these queries stays well under 3x
+    # past a 0.3 s delta
+    a.add_argument("--ratio", type=float, default=3.0)
+    a.add_argument("--abs-floor", type=float, default=0.3)
+    a.add_argument("--min-block", type=int, default=3,
+                   help="contiguous flagged queries that make a block")
+    a.add_argument("--probe-ratio", type=float, default=1.5)
     args = p.parse_args()
     sys.exit({"calibrate": calibrate, "growth": growth,
-              "compare": compare}[args.mode](args))
+              "compare": compare, "anomaly": anomaly}[args.mode](args))
 
 
 if __name__ == "__main__":
