@@ -626,10 +626,38 @@ object Bench {
       val growth = if (t1 > 0 && tr > 0) tr / t1 else -1.0
       s""""streaming_ingest_keyed":{"x1":${fmt(t1)},"x$r":${fmt(tr)},"growth":${fmt(growth)}}"""
     }
+    // Sampled k-means training at a FIXED row budget: the x1 leg samples
+    // half the base corpus; the xR leg samples the SAME number of rows
+    // out of the replicated one (fraction 0.5/R). Growth ~1 is the claim
+    // behind trainIvfCentroids(sampleFraction): Lloyd's rounds scan a
+    // constant-size persisted sample, so training cost is ~flat in
+    // corpus size — only the one narrow sampling filter grows with it.
+    def trainSampledJson = {
+      def once(embDf: DataFrame, frac: Double): Double = {
+        val t0 = System.nanoTime()
+        try {
+          Similarity.trainIvfCentroids(embDf, "vec_id", "embedding",
+            numCentroids = 16, iters = 2, sampleFraction = frac)
+          (System.nanoTime() - t0) / 1e9
+        } catch { case scala.util.control.NonFatal(ex) =>
+          System.err.println(s"[bench-scale] ivf_train_sampled failed: $ex")
+          -1.0
+        }
+      }
+      def tMin(embDf: DataFrame, frac: Double): Double = {
+        val ts = (1 to scaleIters).map(_ => once(embDf, frac)).filter(_ > 0)
+        if (ts.isEmpty) -1.0 else ts.min
+      }
+      val t1 = tMin(emb, 0.5)
+      val tr = tMin(e, 0.5 / r)
+      val growth = if (t1 > 0 && tr > 0) tr / t1 else -1.0
+      s""""ivf_train_sampled":{"x1":${fmt(t1)},"x$r":${fmt(tr)},"growth":${fmt(growth)}}"""
+    }
     val lateCases = Seq(
       "incremental_neardup_probe_keyed" -> (() => keyedText),
       "incremental_cosine_probe_keyed" -> (() => keyedVec),
-      "streaming_ingest_keyed" -> (() => streamJson))
+      "streaming_ingest_keyed" -> (() => streamJson),
+      "ivf_train_sampled" -> (() => trainSampledJson))
     val qs = (timed ++
         lateCases.collect { case (n, run) if caseWanted(n) => run() })
       .mkString("{", ",", "}")
