@@ -165,6 +165,10 @@ object Bench {
     // aligned with a pass so the demo is reproducible. The demo's claim
     // is that the reported min is UNAFFECTED and the anomaly is flagged.
     val spikePass = sys.env.get("SPARK_GRAFT_SPIKE_PASS").map(_.toInt)
+    // JIT-warm the probe loop before the first stamp: an interpreted/
+    // tier-1 first call read ~1.5× the steady state and false-flagged
+    // pass 0 as load-suspect in the r10 runA/runB records
+    probeSink ^= mix(20000000L, 1)
     for (pass <- 1 to iterations) {
       val burn = new java.util.concurrent.atomic.AtomicBoolean(
         spikePass.contains(pass))

@@ -34,6 +34,16 @@ object GraftSession {
       .config("spark.sql.files.maxPartitionBytes",
         sys.env.getOrElse("SPARK_GRAFT_MAX_PARTITION_BYTES", "1m"))
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+      // whole-stage-codegen class cache (static conf, default 100
+      // entries): a workload cycling through >100 distinct plans —
+      // the 165-query bench suite, a multi-query pipeline, any busy
+      // shared session — evicts every entry between revisits and
+      // re-pays Janino compilation per plan per cycle (measured: the
+      // round-10 interleaved bench read a diffuse ~0.25 s/query over
+      // back-to-back iterations, ~40 s across the suite). Compiled
+      // classes are KB-sized; 5000 entries is a few hundred MB ceiling
+      // on a driver that budgets GBs for broadcasts.
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       .config("spark.ui.enabled", "false")
 
   /** Local session sized by SPARK_GRAFT_CPUS (the shape Verify/Bench and

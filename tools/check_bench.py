@@ -368,7 +368,9 @@ def main():
     a.add_argument("--abs-floor", type=float, default=0.3)
     a.add_argument("--min-block", type=int, default=3,
                    help="contiguous flagged queries that make a block")
-    a.add_argument("--probe-ratio", type=float, default=1.5)
+    # 2.0: JVM warmth wobbles the ~15 ms stamp up to ~1.5x on its own
+    # (r10 runA/runB first-pass stamps); a real load window reads 7x+
+    a.add_argument("--probe-ratio", type=float, default=2.0)
     args = p.parse_args()
     sys.exit({"calibrate": calibrate, "growth": growth,
               "compare": compare, "anomaly": anomaly}[args.mode](args))
