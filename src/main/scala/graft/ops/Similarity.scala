@@ -1161,7 +1161,15 @@ object Similarity {
     // every real value in a descending window — a degenerate vector would
     // outrank every genuine candidate in both stages. It has no defined
     // cosine to anything, so it is excluded from candidacy outright.
-    val corpus = codes.where(col("vnorm") > 0)
+    //
+    // The isin on the UNION of probed cells is implied by the probe join
+    // but stated as a scan filter so it PUSHES DOWN: against a stored
+    // codes table bucketed/sorted by centroid_id it prunes buckets and
+    // row groups, so a small query batch reads only its own cells
+    // instead of scanning the whole codes table before the join.
+    val probedCells = probes.map(_._2).distinct
+    val corpus = codes.where(col("vnorm") > 0 &&
+      col("centroid_id").isin(probedCells: _*))
     val scored = excludeSelf(
         corpus.join(probeDf, col("centroid_id") === col("__cell")),
         idCol, emb, queries, queryIdCol)
