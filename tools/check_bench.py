@@ -98,6 +98,14 @@ def compare(args):
     # deltas then measure the machine, not the code (the r8 q74 lesson:
     # an identical plan read 1.6x its recorded time a round later).
     # --epoch-normalize rescales OLD by the ratio before banding.
+    # methodology guard (round 10): interleaved min-across-passes and
+    # back-to-back min-of-N are different statistics (interleaved pays
+    # in-sweep costs in every pass; back-to-back gets warm-cache runs),
+    # so absolute deltas across the boundary partly measure the method
+    if bool(old.get("interleaved")) != bool(new.get("interleaved")):
+        print("warning: comparing a back-to-back line with an "
+              "interleaved line — deltas partly reflect the iteration "
+              "methodology, not the code", file=sys.stderr)
     epoch_ratio = None
     norm_ratio = None  # set only when --epoch-normalize is active
     mo, mn = old.get("machine"), new.get("machine")
