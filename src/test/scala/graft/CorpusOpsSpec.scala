@@ -611,13 +611,13 @@ class CorpusOpsSpec extends SparkSuite {
     assert(matched.forall(_ > 0.99), matched.mkString(","))
     // deterministic: the hash sample is content-addressed, so two runs
     // over an identically-valued corpus train the identical model
-    val beforeIds = spark.sparkContext.getPersistentRDDs.keySet
+    val beforeIds = spark.sparkContext.getPersistentRDDs.keySet.toSet
     val again = Similarity.trainIvfCentroids(df, "vec_id", "embedding", 3,
       iters = 3, sampleFraction = 0.5)
     assert(trained.map(_.toSeq).toSeq === again.map(_.toSeq).toSeq)
     // the training-scoped persist of the sample is released on exit —
     // no new persistent RDDs survive the call
-    val afterIds = spark.sparkContext.getPersistentRDDs.keySet
+    val afterIds = spark.sparkContext.getPersistentRDDs.keySet.toSet
     assert(afterIds.subsetOf(beforeIds), s"leaked: ${afterIds -- beforeIds}")
   }
 
