@@ -317,11 +317,30 @@ def anomaly(args):
                     if v > args.probe_ratio * mnp]
         probe_suspects = sorted({p for k in elevated for p in (k - 1, k)
                                  if 0 <= p < len(probes) - 1})
-    # min poisoned: every pass of a block query flagged (can only happen
-    # with >= 2 distinct flagged passes covering a query's whole row)
+    # min poisoned: "flagged in every pass" can never trigger — cells
+    # are flagged relative to the row's own min, whose cell has ratio 1
+    # (a query slow in ALL passes is indistinguishable from a genuinely
+    # slow query by its own row alone). The detectable poisoned-min
+    # signature is structural: the query sits inside a flagged block in
+    # some pass AND the pass its min came from is itself load-suspect
+    # per the stamps — conservative by design; the remedy is a re-run.
     npass = max(len(v) for v in passes.values())
-    poisoned = [names[qi] for qi in range(len(names))
-                if sum(1 for i in flagged if qi in flagged[i]) >= npass]
+    block_qs = {q for b in blocks for q in b["queries"]}
+    # for POISONING only a pass whose own START stamp is elevated is
+    # suspect — the looser bordering rule above is informational (a
+    # window beginning exactly at a pass boundary would otherwise
+    # condemn the previous pass's perfectly clean mins)
+    start_suspect = set()
+    if probes:
+        mnp = min(probes)
+        start_suspect = {k for k, v in enumerate(probes[:-1])
+                         if v > args.probe_ratio * mnp}
+
+    def argmin_pass(q):
+        ts = passes[q]
+        ok = [(t, i) for i, t in enumerate(ts) if t >= 0]
+        return min(ok)[1] if ok else -1
+    poisoned = sorted(q for q in block_qs if argmin_pass(q) in start_suspect)
     for b in blocks:
         print(json.dumps(b))
     print(json.dumps({"summary": {

@@ -50,6 +50,10 @@ run() { # name required(0/1) cmd...
   return 0
 }
 
+# tool self-test first: the bench_anomaly verdict below means nothing
+# if the anomaly exit contract itself is broken
+run anomaly_selftest 1 tools/test_check_bench.sh
+
 run corpus_gate 1 tools/gate_sf01.sh "$TAG"
 
 if [ -n "$PREV_BENCH" ] && [ -f "$PREV_BENCH" ]; then

@@ -1,0 +1,53 @@
+#!/usr/bin/env bash
+# Self-test for check_bench.py's anomaly exit contract (round 10):
+#   0 = clean, 1 = load-window block flagged (per-query min still valid),
+#   2 = some block query's min itself came from a load-suspect pass
+#       (re-run the bench).
+# Exercised on synthetic pass matrices because exit 2 should never occur
+# in a healthy recorded line — without this test the path would be
+# permanently unexecuted.
+set -euo pipefail
+cd "$(dirname "$0")/.."
+W=$(mktemp -d /tmp/cbtest.XXXXXX)
+trap 'rm -rf "$W"' EXIT
+
+py() { python3 - "$@"; }
+
+# clean: mild jitter only
+py <<'EOF'
+import json
+json.dump({"queries": {},
+           "passes": {f"q_{c}": [0.5, 0.52, 0.51] for c in "abcdefg"},
+           "pass_probes": [0.015, 0.015, 0.016, 0.015]},
+          open("/tmp/cbtest_clean.json", "w"))
+EOF
+rc=0; python3 tools/check_bench.py anomaly /tmp/cbtest_clean.json >/dev/null || rc=$?
+test "$rc" -eq 0 || { echo "clean line: expected exit 0, got $rc"; exit 1; }
+
+# window: contiguous block slow in ONE pass, min pass clean
+py <<'EOF'
+import json
+p = {f"q_{c}": [0.5, 5.0, 0.51] for c in "bcdef"}
+p["q_a"] = [0.5, 0.52, 0.51]; p["q_g"] = [0.4, 0.41, 0.4]
+json.dump({"queries": {}, "passes": p,
+           "pass_probes": [0.015, 0.15, 0.015, 0.015]},
+          open("/tmp/cbtest_window.json", "w"))
+EOF
+rc=0; python3 tools/check_bench.py anomaly /tmp/cbtest_window.json >/dev/null || rc=$?
+test "$rc" -eq 1 || { echo "window line: expected exit 1, got $rc"; exit 1; }
+
+# poisoned: blocks in passes 0 and 1 (windows that began after those
+# passes' stamps), and the pass the mins come from STARTED under load
+# (its stamp is elevated) — nothing in the line is trustworthy
+py <<'EOF'
+import json
+p = {f"q_{c}": [5.0, 5.1, 0.5] for c in "bcdef"}
+p["q_a"] = [0.5, 0.52, 0.51]; p["q_g"] = [0.4, 0.41, 0.4]
+json.dump({"queries": {}, "passes": p,
+           "pass_probes": [0.015, 0.015, 0.15, 0.015]},
+          open("/tmp/cbtest_poisoned.json", "w"))
+EOF
+rc=0; python3 tools/check_bench.py anomaly /tmp/cbtest_poisoned.json >/dev/null || rc=$?
+test "$rc" -eq 2 || { echo "poisoned line: expected exit 2, got $rc"; exit 1; }
+
+echo "check_bench anomaly exit contract: 0/1/2 all verified"
