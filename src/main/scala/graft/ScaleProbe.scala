@@ -81,38 +81,57 @@ object ScaleProbe {
     val fixedQueries = Tables.embeddings(spark, fixedDir)
       .where(col("vec_id") % 100 === 0)
 
+    // dev loop: SPARK_GRAFT_PROBE_FILTER=pq times only matching cases
+    // (substring on the case name); filtered cases report -1
+    val caseFilters = sys.env.get("SPARK_GRAFT_PROBE_FILTER")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Nil)
+    def wanted(name: String): Boolean =
+      caseFilters.isEmpty || caseFilters.exists(name.contains)
+    def ifWanted(name: String)(body: => Double): Double =
+      if (wanted(name)) body else -1.0
+
     def measure(dir: String, tag: String): Map[String, Double] = {
       val docs = Tables.documents(spark, dir)
       val emb = Tables.embeddings(spark, dir)
 
-      val ac = timeMin(Decontamination.verbatimMatchesMulti(
-        docs, fixedNeedles, "doc_id", "text", "needle", minChars = 20))
-      val es = timeMin(Dedup.exactSubstrDedup(docs, "doc_id", "text", k = 20))
+      val ac = ifWanted("ac_verbatim_fixed")(timeMin(
+        Decontamination.verbatimMatchesMulti(
+          docs, fixedNeedles, "doc_id", "text", "needle", minChars = 20)))
+      val es = ifWanted("exact_substr")(timeMin(
+        Dedup.exactSubstrDedup(docs, "doc_id", "text", k = 20)))
 
       // stored MinHash band keys: ingest (key build + bucketed write)
       // runs untimed, the probe pays only batch hashing + the
       // co-bucketed join + candidate verification
-      val tKeys = s"graft_probe_keys_$tag"
-      graft.io.Layouts.replaceBucketed(
-        Dedup.corpusBandKeys(docs, "doc_id", "text", numHashes = 16,
-          bands = 4), tKeys, "band", parts, "key")
-      val kn = timeMin(Dedup.incrementalNearDupsWithKeys(
-        fixedDocBatch, spark.table(tKeys), docs, "doc_id", "text",
-        threshold = 0.95, numHashes = 16, bands = 4))
-      spark.sql(s"DROP TABLE IF EXISTS $tKeys")
+      val kn = ifWanted("keyed_neardup_fixed") {
+        val tKeys = s"graft_probe_keys_$tag"
+        graft.io.Layouts.replaceBucketed(
+          Dedup.corpusBandKeys(docs, "doc_id", "text", numHashes = 16,
+            bands = 4), tKeys, "band", parts, "key")
+        val t = timeMin(Dedup.incrementalNearDupsWithKeys(
+          fixedDocBatch, spark.table(tKeys), docs, "doc_id", "text",
+          threshold = 0.95, numHashes = 16, bands = 4))
+        spark.sql(s"DROP TABLE IF EXISTS $tKeys")
+        t
+      }
 
-      val tLsh = s"graft_probe_lsh_$tag"
-      graft.io.Layouts.replaceBucketed(
-        Similarity.corpusLshKeys(emb, "vec_id", "embedding",
-          planesPerBand = 16, bands = 8), tLsh, "band", parts, "key")
-      val kc = timeMin(Similarity.incrementalCosineNearDupsWithKeys(
-        fixedVecBatch, spark.table(tLsh), emb, "vec_id", "embedding",
-        threshold = 0.95, planesPerBand = 16, bands = 8))
-      spark.sql(s"DROP TABLE IF EXISTS $tLsh")
+      val kc = ifWanted("keyed_cosine_fixed") {
+        val tLsh = s"graft_probe_lsh_$tag"
+        graft.io.Layouts.replaceBucketed(
+          Similarity.corpusLshKeys(emb, "vec_id", "embedding",
+            planesPerBand = 16, bands = 8), tLsh, "band", parts, "key")
+        val t = timeMin(Similarity.incrementalCosineNearDupsWithKeys(
+          fixedVecBatch, spark.table(tLsh), emb, "vec_id", "embedding",
+          threshold = 0.95, planesPerBand = 16, bands = 8))
+        spark.sql(s"DROP TABLE IF EXISTS $tLsh")
+        t
+      }
 
       Map("ac_verbatim_fixed" -> ac, "exact_substr" -> es,
         "keyed_neardup_fixed" -> kn, "keyed_cosine_fixed" -> kc,
-        "pq_serve_fixed" -> pqCase(dir, tag, cells = 16))
+        "pq_serve_fixed" -> ifWanted("pq_serve_fixed")(
+          pqCase(dir, tag, cells = 16)))
     }
 
     // stored PQ serving: model training + encode + bucketed write are
@@ -122,7 +141,8 @@ object ScaleProbe {
     // candidate list grows linearly with the corpus and the serve
     // inherits it; production scales cells ∝ √N (per-cell size √N, so
     // nprobe fixed ⇒ candidates/query √N) — the *_sqrtcells case below.
-    def pqCase(dir: String, tag: String, cells: Int): Double = {
+    def pqCase(dir: String, tag: String, cells: Int,
+        queries: DataFrame = fixedQueries): Double = {
       val emb = Tables.embeddings(spark, dir)
       val centroids = Similarity.ivfCentroids(emb, "vec_id", "embedding",
         cells)
@@ -137,7 +157,7 @@ object ScaleProbe {
         tPq, "centroid_id", parts)
       val pq = timeMin(Similarity.pqAdcTopKBatchWithCodes(
         emb, spark.table(tPq), "vec_id", "embedding",
-        fixedQueries, "vec_id", "embedding", k = 5, cbs, centroids,
+        queries, "vec_id", "embedding", k = 5, cbs, centroids,
         nprobe = 4))
       spark.sql(s"DROP TABLE IF EXISTS $tPq")
       pq
@@ -155,10 +175,24 @@ object ScaleProbe {
     val factor = Tables.embeddings(spark, dir2).count().toDouble /
       math.max(1L, Tables.embeddings(spark, dir1).count())
     val sqrtCells = math.max(16, math.round(16 * math.sqrt(factor)).toInt)
-    val pqSqrt = pqCase(dir2, "c", sqrtCells)
+    val pqSqrt = ifWanted("pq_serve_sqrtcells")(pqCase(dir2, "c", sqrtCells))
+    // small-batch serve: 5 fixed queries probe ≤ 20 of the scaled cell
+    // count, so the probed-cell isin BUCKET-PRUNES the stored codes
+    // table — the measurement separating "codes scan grows with the
+    // corpus" from "a small query batch reads only its own cells"
+    val small = Tables.embeddings(spark, fixedDir)
+      .where(col("vec_id") % 4000 === 0)
+    val pqSmall1 = ifWanted("pq_serve_small_batch")(
+      pqCase(dir1, "d", cells = 16, queries = small))
+    val pqSmall2 = ifWanted("pq_serve_small_batch")(
+      pqCase(dir2, "e", cells = sqrtCells, queries = small))
     val mm1 = m1
-    val mm2 = m2 + ("pq_serve_sqrtcells" -> pqSqrt)
-    val base = mm1 + ("pq_serve_sqrtcells" -> m1("pq_serve_fixed"))
+    val mm2 = m2 +
+      ("pq_serve_sqrtcells" -> pqSqrt) +
+      ("pq_serve_small_batch" -> pqSmall2)
+    val base = mm1 +
+      ("pq_serve_sqrtcells" -> m1("pq_serve_fixed")) +
+      ("pq_serve_small_batch" -> pqSmall1)
     val cases = mm2.keys.toSeq.sorted.map { k =>
       val (a, b) = (base(k), mm2(k))
       val g = if (a > 0 && b > 0) b / a else -1.0
