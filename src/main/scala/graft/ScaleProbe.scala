@@ -171,10 +171,17 @@ object ScaleProbe {
     val m2 = measure(dir2, "b")
     // cells ∝ √(data factor): the IVF sizing a production deployment
     // applies as the corpus grows — measured against dir1's 16-cell
-    // serve, this is the realistic second-decade PQ growth number
-    val factor = Tables.embeddings(spark, dir2).count().toDouble /
-      math.max(1L, Tables.embeddings(spark, dir1).count())
-    val sqrtCells = math.max(16, math.round(16 * math.sqrt(factor)).toInt)
+    // serve, this is the realistic second-decade PQ growth number.
+    // The two full count() scans run only when a case needs them.
+    val needSqrt = wanted("pq_serve_sqrtcells") ||
+      wanted("pq_serve_small_batch")
+    val sqrtCells =
+      if (!needSqrt) 16
+      else {
+        val factor = Tables.embeddings(spark, dir2).count().toDouble /
+          math.max(1L, Tables.embeddings(spark, dir1).count())
+        math.max(16, math.round(16 * math.sqrt(factor)).toInt)
+      }
     val pqSqrt = ifWanted("pq_serve_sqrtcells")(pqCase(dir2, "c", sqrtCells))
     // small-batch serve: 5 fixed queries probe ≤ 20 of the scaled cell
     // count, so the probed-cell isin BUCKET-PRUNES the stored codes
@@ -186,11 +193,10 @@ object ScaleProbe {
       pqCase(dir1, "d", cells = 16, queries = small))
     val pqSmall2 = ifWanted("pq_serve_small_batch")(
       pqCase(dir2, "e", cells = sqrtCells, queries = small))
-    val mm1 = m1
     val mm2 = m2 +
       ("pq_serve_sqrtcells" -> pqSqrt) +
       ("pq_serve_small_batch" -> pqSmall2)
-    val base = mm1 +
+    val base = m1 +
       ("pq_serve_sqrtcells" -> m1("pq_serve_fixed")) +
       ("pq_serve_small_batch" -> pqSmall1)
     val cases = mm2.keys.toSeq.sorted.map { k =>

@@ -40,13 +40,25 @@ object Layouts {
       buckets: Int, moreKeys: String*): Unit = {
     val spark = df.sparkSession
     spark.sql(s"DROP TABLE IF EXISTS `$table`")
-    val wh = new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath
-    val loc = new java.io.File(wh, table.toLowerCase)
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles().foreach(rm)
-      f.delete(); ()
+    // orphan cleanup applies only where the orphan can exist: an
+    // UNQUALIFIED table in a LOCAL-filesystem warehouse at
+    // <warehouse>/<lowercase(table)>. A db-qualified name lives at
+    // <warehouse>/<db>.db/<table> and a remote (hdfs/s3a) warehouse is
+    // not reachable via java.io.File — in both cases the catalog DROP
+    // above is the whole story and we must not guess at paths.
+    val whUri = new java.net.URI(spark.conf.get("spark.sql.warehouse.dir"))
+    val localFs = whUri.getScheme == null || whUri.getScheme == "file"
+    if (localFs && !table.contains(".")) {
+      val loc = new java.io.File(whUri.getPath, table.toLowerCase)
+      def rm(f: java.io.File): Unit = {
+        // listFiles is null if the dir vanished or turned unreadable
+        // between checks — nothing left to delete in that case
+        val children = if (f.isDirectory) f.listFiles() else null
+        if (children != null) children.foreach(rm)
+        f.delete(); ()
+      }
+      if (loc.exists()) rm(loc)
     }
-    if (loc.exists()) rm(loc)
     writeBucketed(df, table, key, buckets, moreKeys: _*)
   }
 

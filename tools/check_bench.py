@@ -43,8 +43,14 @@ def load(path):
     with open(path) as f:
         d = json.load(f)
     if "queries" not in d:
-        sys.exit(f"{path}: not a full bench line (no 'queries' key) — "
-                 "use bench_result.json, not a driver BENCH_rN.json wrapper")
+        # exit 3 = "could not analyze" — distinct from every verdict code
+        # (compare: 1 = regression; anomaly: 1 = window, 2 = poisoned min),
+        # so a caller gating on the verdict can't mistake a bad input for
+        # a benign result
+        print(f"{path}: not a full bench line (no 'queries' key) — "
+              "use bench_result.json, not a driver BENCH_rN.json wrapper",
+              file=sys.stderr)
+        sys.exit(3)
     return d
 
 
@@ -276,8 +282,14 @@ def anomaly(args):
     d = load(args.run)
     passes = d.get("passes")
     if not passes:
-        sys.exit(f"{args.run}: no 'passes' matrix — produced by "
-                 "interleaved Bench runs (round 10+) with iters >= 2")
+        # exit 3 (NOT 1): "could not analyze" must be distinguishable
+        # from the benign "window flagged, min valid" verdict — a caller
+        # accepting exit 1 would otherwise record an anomaly check as
+        # done when no analysis ran at all (pre-r10 line, iters=1 run)
+        print(f"{args.run}: no 'passes' matrix — produced by "
+              "interleaved Bench runs (round 10+) with iters >= 2",
+              file=sys.stderr)
+        return 3
     names = sorted(passes)
     flagged = {}  # pass index -> alphabetical indices of flagged queries
     for qi, q in enumerate(names):
@@ -291,11 +303,24 @@ def anomaly(args):
                 flagged.setdefault(i, []).append(qi)
     blocks = []
     for i, idxs in sorted(flagged.items()):
-        run = [idxs[0]]
-        for j in idxs[1:] + [None]:
-            if j is not None and j == run[-1] + 1:
-                run.append(j)
+        idx_set = set(idxs)
+
+        def neutral(qi):
+            # a query that ERRORED in this pass (or has no usable min)
+            # gives no evidence either way — it must not split a load
+            # window into sub-min_block fragments (a window over
+            # q10..q14 with q12 erroring in that pass is still one
+            # window, not two runs of two)
+            ts = passes[names[qi]]
+            return (i >= len(ts) or ts[i] < 0 or
+                    not any(t >= 0 for t in ts))
+        run = []
+        for qi in list(range(len(names))) + [None]:
+            if qi is not None and qi in idx_set:
+                run.append(qi)
                 continue
+            if qi is not None and run and neutral(qi):
+                continue  # gap carries no evidence; run stays open
             if len(run) >= args.min_block:
                 qs = [names[x] for x in run]
                 blocks.append({
@@ -305,7 +330,7 @@ def anomaly(args):
                                                    if t >= 0), 1e-9), 1)
                                   for q in qs},
                 })
-            run = [j] if j is not None else []
+            run = []
     probes = d.get("pass_probes") or []
     probe_suspects = []
     if probes:

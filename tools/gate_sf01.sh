@@ -56,7 +56,9 @@ json.dump(out, open(path, "w"), indent=1)
 print(f"wrote {path}: {npass} pass, {nfail} fail")
 EOF
 # Both assertions matter: FAIL=0 alone passes vacuously when the log has
-# zero PASS/FAIL lines (all three queries SKIPped as rows-only, or a
-# filter typo selected nothing) — the gate must have POSITIVELY proven
-# all three corpus-conditional hash gates, not merely failed none.
-test "$FAIL" -eq 0 && test "$PASS" -eq 3
+# zero PASS/FAIL lines (all queries SKIPped as rows-only, or a filter
+# typo selected nothing) — the gate must have POSITIVELY proven every
+# gated query. The expected count derives from QUERIES so adding a
+# fourth corpus-conditional query can't desynchronize the assertion.
+EXPECTED=$(echo "$QUERIES" | awk -F, '{print NF}')
+test "$FAIL" -eq 0 && test "$PASS" -eq "$EXPECTED"

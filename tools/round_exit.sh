@@ -34,9 +34,14 @@ SF1_BENCH="${4:-}"
 WORK=$(mktemp -d /tmp/round_exit.XXXXXX)
 
 if [ -z "$PREV_BENCH" ]; then
-  # newest recorded sf0.1 line that isn't this round's
+  # newest recorded sf0.1 line that isn't this ROUND's: exclude every
+  # file carrying this TAG, not just the literal NEW_BENCH path —
+  # otherwise a same-round sibling run (runB, calA/calB) is picked and
+  # the required regression compare is the round against itself,
+  # vacuously green
   PREV_BENCH=$(ls -t bench_history/r*_sf0.1*.json 2>/dev/null \
-    | grep -v "^$NEW_BENCH\$" | grep -v oracle_gate | head -1 || true)
+    | grep -v "^$NEW_BENCH\$" | grep -v "/${TAG}_" \
+    | grep -v oracle_gate | head -1 || true)
 fi
 
 run() { # name required(0/1) cmd...
@@ -112,7 +117,8 @@ for name in sorted(os.listdir(work)):
     out = open(f"{work}/{base}.out").read().strip().splitlines()
     checks[base] = {"exit": rc, "required": bool(req), "tail": out[-12:]}
     # anomaly exit 1 = load window flagged but min valid: recorded, not
-    # a failure; exit 2 = min poisoned: fail the round
+    # a failure; exit 2 = min poisoned and exit 3 = could-not-analyze
+    # (no passes matrix / bad line — the check never ran): both fail
     ok = rc == 0 or (base == "bench_anomaly" and rc == 1)
     if req and not ok:
         failed.append(base)

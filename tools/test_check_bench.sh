@@ -50,4 +50,32 @@ EOF
 rc=0; python3 tools/check_bench.py anomaly /tmp/cbtest_poisoned.json >/dev/null || rc=$?
 test "$rc" -eq 2 || { echo "poisoned line: expected exit 2, got $rc"; exit 1; }
 
-echo "check_bench anomaly exit contract: 0/1/2 all verified"
+# could-not-analyze: no passes matrix (pre-round-10 line or iters=1 run)
+# must be exit 3 — NOT 1, which a caller treats as the benign
+# window-flagged verdict
+py <<'EOF'
+import json
+json.dump({"queries": {"q_a": 0.5}}, open("/tmp/cbtest_nopasses.json", "w"))
+EOF
+rc=0; python3 tools/check_bench.py anomaly /tmp/cbtest_nopasses.json \
+  >/dev/null 2>&1 || rc=$?
+test "$rc" -eq 3 || { echo "no-passes line: expected exit 3, got $rc"; exit 1; }
+
+# error gap: a query that ERRORED in the loaded pass must not split the
+# window into sub-min_block fragments (q_c errors in pass 1; q_b/q_d/q_e
+# are still ONE block)
+py <<'EOF'
+import json
+p = {f"q_{c}": [0.5, 5.0, 0.51] for c in "bde"}
+p["q_c"] = [0.5, -1, 0.5]
+p["q_a"] = [0.5, 0.52, 0.51]; p["q_g"] = [0.4, 0.41, 0.4]
+json.dump({"queries": {}, "passes": p,
+           "pass_probes": [0.015, 0.15, 0.015, 0.015]},
+          open("/tmp/cbtest_gap.json", "w"))
+EOF
+rc=0; out=$(python3 tools/check_bench.py anomaly /tmp/cbtest_gap.json) || rc=$?
+test "$rc" -eq 1 || { echo "error-gap line: expected exit 1, got $rc"; exit 1; }
+echo "$out" | grep -q '"blocks": 1' \
+  || { echo "error-gap line: expected 1 block"; echo "$out"; exit 1; }
+
+echo "check_bench anomaly exit contract: 0/1/2/3 + error-gap verified"
