@@ -31,8 +31,19 @@ object Enricher {
     * `numPartitions` sets fetch-stage parallelism (0 = auto via
     * [[graft.ops.Dedup.spread]]).
     */
+  /** `distributedIndex = true` switches `batch_index` assignment from
+    * the single-partition `row_number` window to a range-partitioned
+    * rank (sample bounds → per-partition sort → offset by preceding
+    * partition counts): the SAME url-order rank, bit-identical indices
+    * (equivalence is spec-pinned), with no single-partition sort. The
+    * default stays the window form — the processor's `maxRecords`
+    * micro-batch contract bounds it and it is one job instead of two.
+    * Callers feeding enrich() an UNBOUNDED frame directly (outside the
+    * processor contract) set this flag.
+    */
   case class Config(maxAttempts: Int = 2, recordTimeoutMs: Long = 10000,
-      backoffMs: Long = 1000, startIndex: Long = 0, numPartitions: Int = 0)
+      backoffMs: Long = 1000, startIndex: Long = 0, numPartitions: Int = 0,
+      distributedIndex: Boolean = false)
 
   val deadLetterSchema =
     org.apache.spark.sql.types.StructType(Seq(
@@ -61,8 +72,13 @@ object Enricher {
     * unbounded storage growth.
     */
   case class Enriched(records: DataFrame, deadLetter: DataFrame,
-      private val unified: DataFrame) {
-    def release(): Unit = unified.unpersist(blocking = false)
+      private val unified: DataFrame,
+      private val pins: Seq[DataFrame] = Nil) {
+    def release(): Unit = {
+      unified.unpersist(blocking = false)
+      pins.foreach(_.unpersist(blocking = false))
+      ()
+    }
   }
 
   /** Enrich a URL dataset. Input must have a `url` string column; a stable
@@ -74,14 +90,24 @@ object Enricher {
     * detour). The global window sorts on a single partition, which is fine
     * because the processor bounds each micro-batch by `maxRecords`; the
     * fetch stage is re-spread to `numPartitions` afterwards so retry
-    * backoffs and slow fetches run in parallel.
+    * backoffs and slow fetches run in parallel. Callers OUTSIDE that
+    * contract (an unbounded url frame fed to enrich() directly) set
+    * `Config.distributedIndex` — [[distributedRank]] assigns the
+    * identical indices with no single-partition sort.
     */
   def enrich(urls: DataFrame, fetcherFactory: () => Fetcher,
       config: Config = Config()): Enriched = {
     val cfg = config
-    val w = org.apache.spark.sql.expressions.Window.orderBy(col("url"))
-    val indexed0 = urls.select(col("url"))
-      .withColumn("__idx", row_number().over(w).cast("long") - 1 + cfg.startIndex)
+    val (indexed0, pins) =
+      if (cfg.distributedIndex) {
+        val (df, pin) = distributedRank(urls, cfg)
+        (df, Seq(pin))
+      } else {
+        val w = org.apache.spark.sql.expressions.Window.orderBy(col("url"))
+        (urls.select(col("url")).withColumn("__idx",
+          row_number().over(w).cast("long") - 1 + cfg.startIndex),
+          Seq.empty[DataFrame])
+      }
     val indexed =
       if (cfg.numPartitions > 0) indexed0.repartition(cfg.numPartitions)
       else graft.ops.Dedup.spread(indexed0)
@@ -111,7 +137,49 @@ object Enricher {
       col("url"), col("batch_index").as("index"),
       col("__reason").as("reason"), col("processing_time"),
       col("attempt").as("attempts"))
-    Enriched(records, dead, unified)
+    Enriched(records, dead, unified, pins)
+  }
+
+  /** The distributed `batch_index` assignment behind
+    * `Config.distributedIndex`: range-partition by url, sort within
+    * partitions, then offset each partition's local positions by the
+    * preceding partitions' row counts — the same url-order global rank
+    * the window form computes, with no single-partition sort
+    * (equivalence spec-pinned in EnrichSpec).
+    *
+    * The ranged frame is PERSISTED and returned as a pin the caller
+    * releases with [[Enriched.release]]: range bounds are re-SAMPLED on
+    * every execution of the plan, so without the pin the counts job and
+    * a later recomputation could draw different bounds and the offsets
+    * would label the wrong partitions — the cache makes every pass read
+    * the one partitioning the offsets were computed from.
+    */
+  private[enrich] def distributedRank(urls: DataFrame,
+      cfg: Config): (DataFrame, DataFrame) = {
+    val spark = urls.sparkSession
+    val parts = math.max(1,
+      if (cfg.numPartitions > 0) cfg.numPartitions
+      else spark.conf.get("spark.sql.shuffle.partitions").toInt)
+    val ranged = urls.select(col("url"))
+      .repartitionByRange(parts, col("url"))
+      .sortWithinPartitions("url")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val rdd = ranged.rdd
+    val counts = rdd
+      .mapPartitionsWithIndex((i, it) => Iterator((i, it.size.toLong)))
+      .collect().toMap
+    val offsets = (0 until rdd.getNumPartitions)
+      .scanLeft(cfg.startIndex)((acc, i) => acc + counts.getOrElse(i, 0L))
+    val indexed = rdd.mapPartitionsWithIndex { (i, it) =>
+      var k = offsets(i)
+      it.map { row => val r = Row(row.getString(0), k); k += 1; r }
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("url",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("__idx",
+        org.apache.spark.sql.types.LongType)))
+    (spark.createDataFrame(indexed, schema), ranged)
   }
 
   /** One timeout-watch thread per partition, REPLACEABLE: a fetch that

@@ -77,6 +77,32 @@ class EnrichSpec extends SparkSuite {
     assert(idx.toSeq === (1000L until 1050L))
   }
 
+  test("distributedIndex assigns indices identical to the window form") {
+    // 500 urls across many range partitions, deliberately fed in a
+    // scrambled order with skewed-looking keys: the distributed rank
+    // (range partitions + per-partition offsets, no single-partition
+    // sort) must reproduce the window form's url-order global rank
+    // bit-for-bit, from any input layout
+    val urls = scala.util.Random.shuffle(
+      (0 until 500).map(i => f"https://example.org/m/${(i * 37) % 500}%03d"))
+    val fetcher = () => new SyntheticFetcher(
+      failFirstSuffix = "zz", alwaysFailPrefix = "zz")
+    val viaWindow = Enricher.enrich(urlDf(urls), fetcher,
+      Enricher.Config(startIndex = 77))
+    val viaRank = Enricher.enrich(urlDf(urls.reverse), fetcher,
+      Enricher.Config(startIndex = 77, distributedIndex = true,
+        numPartitions = 7))
+    def pairs(out: Enricher.Enriched) =
+      out.records.select("url", "batch_index").collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(pairs(viaRank) === pairs(viaWindow))
+    assert(pairs(viaRank).nonEmpty)
+    // release drops BOTH the unified cache and the ranged pin
+    val pinnedBefore = spark.sparkContext.getPersistentRDDs.size
+    viaWindow.release(); viaRank.release()
+    assert(spark.sparkContext.getPersistentRDDs.size < pinnedBefore)
+  }
+
   test("media-type-conditional columns: offered section fields masked by type") {
     // a fetcher that OFFERS a volumetric-only field on EVERY page: the
     // P5 masking must null it for non-volumetric types and keep it for
