@@ -142,8 +142,7 @@ object Enricher {
 
   /** The distributed `batch_index` assignment behind
     * `Config.distributedIndex`: range-partition by url, sort within
-    * partitions, then offset each partition's local positions by the
-    * preceding partitions' row counts — the same url-order global rank
+    * partitions, then `zipWithIndex` — the same url-order global rank
     * the window form computes, with no single-partition sort
     * (equivalence spec-pinned in EnrichSpec).
     *
@@ -164,15 +163,11 @@ object Enricher {
       .repartitionByRange(parts, col("url"))
       .sortWithinPartitions("url")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val rdd = ranged.rdd
-    val counts = rdd
-      .mapPartitionsWithIndex((i, it) => Iterator((i, it.size.toLong)))
-      .collect().toMap
-    val offsets = (0 until rdd.getNumPartitions)
-      .scanLeft(cfg.startIndex)((acc, i) => acc + counts.getOrElse(i, 0L))
-    val indexed = rdd.mapPartitionsWithIndex { (i, it) =>
-      var k = offsets(i)
-      it.map { row => val r = Row(row.getString(0), k); k += 1; r }
+    // zipWithIndex IS the count-then-offset structure (one job for the
+    // per-partition counts, offsets on the driver, one stateless pass
+    // to assign) — Spark's own implementation, not re-rolled here
+    val indexed = ranged.rdd.zipWithIndex().map { case (row, i) =>
+      Row(row.getString(0), i + cfg.startIndex)
     }
     val schema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("url",

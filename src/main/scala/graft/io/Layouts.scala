@@ -41,14 +41,19 @@ object Layouts {
     val spark = df.sparkSession
     spark.sql(s"DROP TABLE IF EXISTS `$table`")
     // orphan cleanup applies only where the orphan can exist: an
-    // UNQUALIFIED table in a LOCAL-filesystem warehouse at
-    // <warehouse>/<lowercase(table)>. A db-qualified name lives at
-    // <warehouse>/<db>.db/<table> and a remote (hdfs/s3a) warehouse is
-    // not reachable via java.io.File — in both cases the catalog DROP
-    // above is the whole story and we must not guess at paths.
+    // UNQUALIFIED table in the DEFAULT database of a LOCAL-filesystem
+    // warehouse, at <warehouse>/<lowercase(table)>. A db-qualified name
+    // lives at <warehouse>/<db>.db/<table>, an unqualified name under a
+    // non-default CURRENT database resolves (and was just dropped)
+    // there too — deleting <warehouse>/<table> then would destroy the
+    // DEFAULT database's unrelated table of the same name — and a
+    // remote (hdfs/s3a) warehouse is not reachable via java.io.File.
+    // In all three cases the catalog DROP above is the whole story and
+    // we must not guess at paths.
     val whUri = new java.net.URI(spark.conf.get("spark.sql.warehouse.dir"))
     val localFs = whUri.getScheme == null || whUri.getScheme == "file"
-    if (localFs && !table.contains(".")) {
+    if (localFs && !table.contains(".") &&
+        spark.catalog.currentDatabase == "default") {
       val loc = new java.io.File(whUri.getPath, table.toLowerCase)
       def rm(f: java.io.File): Unit = {
         // listFiles is null if the dir vanished or turned unreadable

@@ -596,6 +596,12 @@ object Similarity {
   private def trainIvfOn(emb: DataFrame, idCol: String, vecCol: String,
       numCentroids: Int, iters: Int): Array[Array[Float]] = {
     var centroids = ivfCentroids(emb, idCol, vecCol, numCentroids)
+    // fail HERE, not at the caller's ivfAssign against a 0-centroid
+    // model: an aggressive sampleFraction on a small corpus can select
+    // zero rows (pqCodebooks has the same guard via its require)
+    require(centroids.nonEmpty, "IVF training input has no rows — " +
+      "empty corpus, or sampleFraction selected zero rows; " +
+      "raise sampleFraction or pass the full corpus")
     for (_ <- 1 to iters) {
       val means = ivfAssign(emb, vecCol, centroids)
         .select(col("centroid_id"), posexplode(col(vecCol)).as(Seq("__pos", "__x")))

@@ -593,6 +593,16 @@ class CorpusOpsSpec extends SparkSuite {
       Similarity.trainIvfCentroids(df, "vec_id", "embedding", 3,
         sampleFraction = 0.0)
     }
+    // a sample that selects ZERO rows must fail at the trainer with a
+    // clear message, not return an empty model the caller's ivfAssign
+    // trips over later (hashSample is content-addressed: these ids are
+    // deterministically all outside a 1e-6 keep-bucket)
+    val emptyTrain = intercept[IllegalArgumentException] {
+      Similarity.trainIvfCentroids(df, "vec_id", "embedding", 3,
+        iters = 1, sampleFraction = 1e-6)
+    }
+    assert(emptyTrain.getMessage.contains("sampleFraction"),
+      emptyTrain.getMessage)
     val init = Similarity.ivfCentroids(df, "vec_id", "embedding", 3)
     val trained = Similarity.trainIvfCentroids(df, "vec_id", "embedding", 3,
       iters = 3, sampleFraction = 0.5)

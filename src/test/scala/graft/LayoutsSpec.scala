@@ -169,6 +169,34 @@ class LayoutsSpec extends SparkSuite {
     assert(nEx(p) <= nEx(pi), s"stored=${nEx(p)} inline=${nEx(pi)}\n$p")
   }
 
+  test("replaceBucketed under a non-default database never touches default's directory") {
+    import spark.implicits._
+    // default.layout_guard is a MANAGED table at <warehouse>/layout_guard
+    // — exactly the path the orphan cleanup computes from an unqualified
+    // name. Before the currentDatabase guard, replaceBucketed("layout_
+    // guard") issued under another database deleted this directory while
+    // dropping/creating the OTHER database's table of the same name.
+    cleanTable("layout_guard")
+    Seq((1L, "keep")).toDF("id", "v").write.format("parquet")
+      .saveAsTable("default.layout_guard")
+    spark.sql("CREATE DATABASE IF NOT EXISTS graft_guard_db")
+    spark.catalog.setCurrentDatabase("graft_guard_db")
+    try {
+      Layouts.replaceBucketed(Seq((2L, "other")).toDF("id", "v"),
+        "layout_guard", "id", 4)
+      assert(spark.table("graft_guard_db.layout_guard")
+        .collect().map(_.getString(1)).toSeq === Seq("other"))
+      // the default database's same-named table survives, data intact
+      assert(spark.table("default.layout_guard")
+        .collect().map(_.getString(1)).toSeq === Seq("keep"))
+    } finally {
+      spark.catalog.setCurrentDatabase("default")
+      spark.sql("DROP TABLE IF EXISTS graft_guard_db.layout_guard")
+      spark.sql("DROP DATABASE IF EXISTS graft_guard_db")
+      cleanTable("layout_guard")
+    }
+  }
+
   test("sized-shard write balances skewed input and caps file row counts") {
     import spark.implicits._
     // skew: one partition holds 10k rows, three hold ~10 each

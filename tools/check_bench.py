@@ -424,8 +424,22 @@ def main():
     # (r10 runA/runB first-pass stamps); a real load window reads 7x+
     a.add_argument("--probe-ratio", type=float, default=2.0)
     args = p.parse_args()
-    sys.exit({"calibrate": calibrate, "growth": growth,
-              "compare": compare, "anomaly": anomaly}[args.mode](args))
+    # crashes exit 3 ("could not analyze"), NEVER a verdict code: an
+    # uncaught exception's default exit 1 collides with compare's
+    # "regression" and anomaly's benign "window flagged, min valid", so
+    # a gate treating those as tolerable would record a crashed check
+    # as having run (round_exit.sh tolerates bench_anomaly rc==1)
+    try:
+        sys.exit({"calibrate": calibrate, "growth": growth,
+                  "compare": compare, "anomaly": anomaly}[args.mode](args))
+    except SystemExit:
+        raise
+    except Exception:
+        import traceback
+        traceback.print_exc()
+        print(f"check_bench.py {args.mode}: crashed — exit 3 "
+              "(could not analyze)", file=sys.stderr)
+        sys.exit(3)
 
 
 if __name__ == "__main__":

@@ -78,4 +78,14 @@ test "$rc" -eq 1 || { echo "error-gap line: expected exit 1, got $rc"; exit 1; }
 echo "$out" | grep -q '"blocks": 1' \
   || { echo "error-gap line: expected 1 block"; echo "$out"; exit 1; }
 
-echo "check_bench anomaly exit contract: 0/1/2/3 + error-gap verified"
+# crash channel: an unreadable input (or any uncaught exception) must
+# exit 3 like every other could-not-analyze — Python's default crash
+# exit 1 would collide with the benign window-flagged verdict that
+# round_exit.sh tolerates for bench_anomaly
+rc=0; python3 tools/check_bench.py anomaly /nonexistent_cbtest.json \
+  >/dev/null 2>&1 || rc=$?
+test "$rc" -eq 3 || { echo "crash: expected exit 3, got $rc"; exit 1; }
+rc=0; python3 tools/check_bench.py anomaly "$W" >/dev/null 2>&1 || rc=$?
+test "$rc" -eq 3 || { echo "dir input: expected exit 3, got $rc"; exit 1; }
+
+echo "check_bench anomaly exit contract: 0/1/2/3 + error-gap + crash=3 verified"
