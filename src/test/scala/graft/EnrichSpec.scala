@@ -103,6 +103,36 @@ class EnrichSpec extends SparkSuite {
     assert(spark.sparkContext.getPersistentRDDs.size < pinnedBefore)
   }
 
+  test("distributedIndex matches the window form on random inputs with duplicate urls") {
+    // duplicate urls are the case the fixture test above can't reach:
+    // both forms break index ties WITHIN a duplicated url arbitrarily,
+    // but each url's duplicates occupy the same contiguous index block
+    // in url order, so the (url, batch_index) pair set is still
+    // identical — the semantics a caller can rely on. A fetcher with
+    // unreachable failure triggers keeps every row in `records`.
+    val rnd = new scala.util.Random(7)
+    val fetcher = () => new SyntheticFetcher(
+      failFirstSuffix = "zzz", alwaysFailPrefix = "zzz")
+    for (trial <- 1 to 3) {
+      val base = (0 until 40).map(i => s"https://example.org/d/$i")
+      val urls = rnd.shuffle(
+        base ++ (0 until 60).map(_ => base(rnd.nextInt(base.size))))
+      val viaWindow = Enricher.enrich(urlDf(urls), fetcher,
+        Enricher.Config(startIndex = 5))
+      val viaRank = Enricher.enrich(urlDf(rnd.shuffle(urls)), fetcher,
+        Enricher.Config(startIndex = 5, distributedIndex = true,
+          numPartitions = 6))
+      def pairs(out: Enricher.Enriched) =
+        out.records.select("url", "batch_index").collect()
+          .map(r => (r.getString(0), r.getLong(1))).toSet
+      val (pw, pr) = (pairs(viaWindow), pairs(viaRank))
+      assert(pw === pr, s"trial $trial")
+      // indices are exactly the contiguous block [startIndex, +n)
+      assert(pw.map(_._2) === (5L until 5L + urls.size).toSet, s"trial $trial")
+      viaWindow.release(); viaRank.release()
+    }
+  }
+
   test("media-type-conditional columns: offered section fields masked by type") {
     // a fetcher that OFFERS a volumetric-only field on EVERY page: the
     // P5 masking must null it for non-volumetric types and keep it for

@@ -816,6 +816,48 @@ class OpsSpec extends SparkSuite {
     assert(gq.count() === 0)
   }
 
+  test("stored-codes IVFADC serve matches inline on random corpora (parquet round-trip)") {
+    import spark.implicits._
+    // the LayoutsSpec fixture pins ONE shape (64-dim, bucketed table);
+    // this trial loop varies dim/m/corpus under a plain parquet
+    // round-trip — the claim is that pqAdcTopKBatchWithCodes is the
+    // same arithmetic as the inline encode on ANY well-formed model,
+    // with the zero-norm exclusion holding on both paths
+    val rnd = new scala.util.Random(11)
+    for (trial <- 1 to 3) {
+      val m = Seq(2, 4)(rnd.nextInt(2))
+      val dim = m * (1 + rnd.nextInt(3))
+      val n = 60 + rnd.nextInt(40)
+      val vecs = (0 until n).map(i =>
+        (i.toLong, Seq.fill(dim)(rnd.nextGaussian().toFloat)))
+      val emb = (vecs :+ ((n + 1000L, Seq.fill(dim)(0f))))
+        .toDF("vec_id", "embedding")
+      val queries = emb.where($"vec_id" % 7 === 0 && $"vec_id" < n)
+      val centroids = Similarity.ivfCentroids(emb, "vec_id", "embedding", 4)
+      val cbs = Similarity.pqCodebooks(emb, "vec_id", "embedding", m, 8)
+      val dir = java.nio.file.Files.createTempDirectory("graft-pq-prop")
+      Similarity.pqEncode(Similarity.ivfAssign(emb, "embedding", centroids),
+          "embedding", cbs)
+        .select($"vec_id", $"pq_code", $"vnorm", $"centroid_id")
+        .write.mode("overwrite").parquet(dir.toString)
+      val stored = spark.read.parquet(dir.toString)
+      def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3))).toSet
+      val inline = Similarity.pqAdcTopKBatch(emb, "vec_id", "embedding",
+        queries, "vec_id", "embedding", k = 3, cbs, centroids, nprobe = 2)
+      val viaStore = Similarity.pqAdcTopKBatchWithCodes(emb, stored,
+        "vec_id", "embedding", queries, "vec_id", "embedding", k = 3,
+        cbs, centroids, nprobe = 2)
+      val (ri, rs) = (rows(inline), rows(viaStore))
+      assert(rs === ri, s"trial $trial dim=$dim m=$m n=$n")
+      assert(ri.nonEmpty, s"trial $trial produced no rows")
+      assert(!ri.exists(_._2 == n + 1000L), "zero-norm row surfaced")
+      import java.nio.file.Files
+      Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => { Files.deleteIfExists(p); () })
+    }
+  }
+
   test("gopherReport computes the rule battery on hand-built documents") {
     import spark.implicits._
     val df = Seq(
