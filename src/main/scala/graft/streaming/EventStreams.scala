@@ -668,6 +668,104 @@ object EventStreams {
     } finally freshP.unpersist(blocking = false)
   }
 
+  /** Streaming IVFADC index maintenance — the ingest arm of the stored
+    * PQ serving path ([[graft.ops.Similarity.pqAdcTopKBatchWithCodes]],
+    * q149): vectors arrive, are encoded with the FROZEN model
+    * (`centroids`/`codebooks` are plan literals, trained once at
+    * deployment — retraining is an index REBUILD, not an ingest), and
+    * their `(id, pq_code, vnorm, centroid_id)` rows append to
+    * `codesDir` PARTITIONED BY `centroid_id`, so a serving batch's
+    * probed-cell `isin` prunes whole directories before a single file
+    * opens (the layout twin of the bucketed q149 table, plus directory
+    * pruning for small query batches). Per-batch work is encode (one
+    * narrow scan of the batch) + the replay guard below — independent
+    * of index size.
+    *
+    * Degenerate vectors (null, zero-norm) never enter the index: they
+    * have no defined cosine to any query and [[graft.ops.Similarity]]'s
+    * serve stage excludes `vnorm <= 0` from candidacy anyway — an
+    * index row that can never serve is dead weight at 10⁹ rows.
+    *
+    * Replay safety: a crash between the append and the checkpoint
+    * commit replays the batch on restart. Ids are unique by the index
+    * contract and the model is frozen, so a replayed row re-encodes to
+    * the SAME cell — the batch anti-joins on id against the stored ids
+    * OF ITS OWN CELLS only (a directory-pruned, ids-only read: per-
+    * batch cost ∝ the batch's cells, never the whole index), and
+    * replayed rows drop instead of duplicating index entries.
+    */
+  def ingestPqIndex(spark: SparkSession, schema: StructType, inDir: String,
+      codesDir: String, checkpointDir: String, idCol: String,
+      vecCol: String, codebooks: Array[Array[Array[Float]]],
+      centroids: Array[Array[Float]], maxFilesPerTrigger: Int = 16,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    // register on the CALLER's session up front (see ingestNearDupKeyed)
+    graft.functions.GraftFunctions.register(spark)
+    spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(inDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        ingestPqIndexBatch(spark, batch, codesDir, idCol, vecCol,
+          codebooks, centroids)
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .start()
+  }
+
+  /** One [[ingestPqIndex]] micro-batch, directly callable (the
+    * profiling/parity seam, like the other gates' `*Batch` twins).
+    */
+  private[graft] def ingestPqIndexBatch(spark: SparkSession,
+      batch: DataFrame, codesDir: String, idCol: String, vecCol: String,
+      codebooks: Array[Array[Array[Float]]],
+      centroids: Array[Array[Float]]): Unit = {
+    import graft.ops.Similarity
+    val encoded = Similarity.pqEncode(
+        Similarity.ivfAssign(batch.select(col(idCol), col(vecCol)),
+          vecCol, centroids),
+        vecCol, codebooks)
+      // null vector → null vnorm/codes/cell (all dropped here); a
+      // zero-norm vector has vnorm = 0 — neither can ever serve
+      .where(col("vnorm") > 0)
+      .select(col(idCol), col("pq_code"), col("vnorm"), col("centroid_id"))
+      // a replayed FILE inside one trigger duplicates rows within the
+      // batch itself; replays are byte-identical so any-row-per-id is
+      // deterministic in content
+      .dropDuplicates(idCol)
+      .persist()
+    try {
+      val fs = new org.apache.hadoop.fs.Path(codesDir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      // an all-degenerate (or all-replayed) earlier batch leaves the
+      // directory with _SUCCESS but NO data files — partitioned writes
+      // of zero rows create no partition dirs, so schema inference on
+      // the read fails; that state means "index empty", not an error
+      val stored =
+        if (!fs.exists(new org.apache.hadoop.fs.Path(codesDir))) None
+        else
+          try Some(spark.read.parquet(codesDir))
+          catch {
+            case _: org.apache.spark.sql.AnalysisException => None
+          }
+      val fresh = stored match {
+        case Some(table) =>
+          // cells list is bounded by numCentroids (plan-literal sized)
+          val cells = encoded.select(col("centroid_id")).distinct()
+            .collect().map(_.getInt(0)).toSeq
+          val storedIds = table
+            .where(col("centroid_id").isin(cells: _*))
+            .select(col(idCol))
+          encoded.join(storedIds, Seq(idCol), "left_anti")
+        case None => encoded
+      }
+      fresh.write.mode("append").partitionBy("centroid_id")
+        .parquet(codesDir)
+    } finally { encoded.unpersist(blocking = false); () }
+  }
+
   /** Release `caches` when `query` terminates, then deregister the
     * listener. An AvailableNow query over an empty input can terminate
     * before the listener registers and the terminated event would be

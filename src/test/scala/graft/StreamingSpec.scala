@@ -629,6 +629,102 @@ class StreamingSpec extends SparkSuite {
       .collect().map(_.getLong(0)).toSet === ids())
   }
 
+  test("ingestPqIndex maintains a centroid-partitioned codes table that serves like inline") {
+    import spark.implicits._
+    import graft.ops.Similarity
+    val in = tmp("pq-ingest-in")
+    val codes = tmp("pq-ingest-codes") + "/codes"
+    val ckpt = tmp("pq-ingest-ckpt")
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "vec_id LONG, embedding ARRAY<FLOAT>")
+    val rnd = new scala.util.Random(3)
+    def vec() = Seq.fill(4)(rnd.nextGaussian().toFloat)
+    val batch1 = (0L until 30L).map(i => (i, vec()))
+    val batch2 = (100L until 130L).map(i => (i, vec()))
+    val corpus = (batch1 ++ batch2).toDF("vec_id", "embedding")
+    val centroids = Similarity.ivfCentroids(corpus, "vec_id", "embedding", 4)
+    val cbs = Similarity.pqCodebooks(corpus, "vec_id", "embedding", 2, 4)
+    def run(ck: String): Unit = EventStreams.ingestPqIndex(spark, schema,
+      in, codes, ck, "vec_id", "embedding", cbs, centroids)
+      .awaitTermination()
+
+    // batch 1 rides with two degenerates that must never enter the index
+    (batch1 :+ (900L, Seq(0f, 0f, 0f, 0f))
+      :+ (901L, null.asInstanceOf[Seq[Float]]))
+      .toDF("vec_id", "embedding").coalesce(1)
+      .write.mode("append").parquet(in)
+    run(ckpt)
+    batch2.toDF("vec_id", "embedding").coalesce(1)
+      .write.mode("append").parquet(in)
+    run(ckpt)
+
+    val stored = spark.read.parquet(codes)
+    def codeRows(df: org.apache.spark.sql.DataFrame) =
+      df.select($"vec_id", $"pq_code", $"vnorm", $"centroid_id")
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Int](1), r.getDouble(2),
+          r.getInt(3))).toSet
+    // index content equals the batch encode of the union — degenerates
+    // excluded on both sides (pqEncode emits them; the gate filters)
+    val expected = codeRows(Similarity.pqEncode(
+      Similarity.ivfAssign(corpus, "embedding", centroids),
+      "embedding", cbs))
+    assert(codeRows(stored) === expected)
+    assert(!stored.where($"vec_id" >= 900L).collect().exists(_ => true))
+    // on-disk layout: one directory per cell, the serve-side pruning key
+    val dirs = new java.io.File(codes).listFiles()
+      .filter(_.isDirectory).map(_.getName)
+    assert(dirs.nonEmpty && dirs.forall(_.startsWith("centroid_id=")), dirs.mkString(","))
+    // serving through the streamed index == the inline encode
+    val queries = corpus.where($"vec_id" % 7 === 0)
+    def hits(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3))).toSet
+    val viaStream = Similarity.pqAdcTopKBatchWithCodes(corpus, stored,
+      "vec_id", "embedding", queries, "vec_id", "embedding", k = 3,
+      cbs, centroids, nprobe = 2)
+    val inline = Similarity.pqAdcTopKBatch(corpus, "vec_id", "embedding",
+      queries, "vec_id", "embedding", k = 3, cbs, centroids, nprobe = 2)
+    assert(hits(viaStream) === hits(inline) && hits(inline).nonEmpty)
+    // full replay (fresh checkpoint, same input): the cell-pruned id
+    // anti-join self-filters every row — the index does not grow
+    val n = stored.count()
+    run(tmp("pq-ingest-ckpt2"))
+    assert(spark.read.parquet(codes).count() === n)
+  }
+
+  test("ingestPqIndex survives an all-degenerate first batch (schema-less codes dir)") {
+    import spark.implicits._
+    import graft.ops.Similarity
+    // a first batch of only zero-norm/null vectors writes NO partition
+    // directories (a partitioned write of zero rows leaves _SUCCESS
+    // alone), so the next batch's stored-ids read cannot infer a schema
+    // — that state must read as "index empty", not wedge every restart
+    val in = tmp("pq-wedge-in")
+    val codes = tmp("pq-wedge-codes") + "/codes"
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "vec_id LONG, embedding ARRAY<FLOAT>")
+    val model = Seq((1L, Seq(1f, 0f, 0f, 0f)), (2L, Seq(0f, 1f, 0f, 0f)),
+      (3L, Seq(0f, 0f, 1f, 0f)), (4L, Seq(0f, 0f, 0f, 1f)))
+      .toDF("vec_id", "embedding")
+    val centroids = Similarity.ivfCentroids(model, "vec_id", "embedding", 2)
+    val cbs = Similarity.pqCodebooks(model, "vec_id", "embedding", 2, 2)
+    def run(): Unit = EventStreams.ingestPqIndex(spark, schema, in, codes,
+      tmp("pq-wedge-ckpt"), "vec_id", "embedding", cbs, centroids)
+      .awaitTermination()
+    Seq((900L, Seq(0f, 0f, 0f, 0f)),
+        (901L, null.asInstanceOf[Seq[Float]]))
+      .toDF("vec_id", "embedding").coalesce(1)
+      .write.mode("append").parquet(in)
+    run()
+    Seq((1L, Seq(1f, 0f, 0f, 0f)), (2L, Seq(0f, 1f, 0f, 0f)))
+      .toDF("vec_id", "embedding").coalesce(1)
+      .write.mode("append").parquet(in)
+    run()
+    assert(spark.read.parquet(codes).select($"vec_id")
+      .collect().map(_.getLong(0)).toSet === Set(1L, 2L))
+  }
+
   test("ingestEmbeddingNearDupKeyed heals past an empty-corpus/no-keys crash leftover") {
     import spark.implicits._
     // the embedding twin of the text gate's wedge case below: corpusDir
