@@ -681,17 +681,21 @@ object EventStreams {
     * narrow scan of the batch) + the replay guard below — independent
     * of index size.
     *
-    * Degenerate vectors (null, zero-norm) never enter the index: they
-    * have no defined cosine to any query and [[graft.ops.Similarity]]'s
-    * serve stage excludes `vnorm <= 0` from candidacy anyway — an
-    * index row that can never serve is dead weight at 10⁹ rows.
+    * Degenerate rows (null id, null vector, zero norm) never enter the
+    * index: a degenerate vector has no defined cosine to any query and
+    * [[graft.ops.Similarity]]'s serve stage excludes `vnorm <= 0` from
+    * candidacy anyway, and a null ID would defeat the replay guard
+    * below (an equi-anti-join never matches null keys, so a null-id
+    * row would re-append on every replay) — an index row that can
+    * never serve or never dedup is dead weight at 10⁹ rows.
     *
     * Replay safety: a crash between the append and the checkpoint
     * commit replays the batch on restart. Ids are unique by the index
     * contract and the model is frozen, so a replayed row re-encodes to
     * the SAME cell — the batch anti-joins on id against the stored ids
-    * OF ITS OWN CELLS only (a directory-pruned, ids-only read: per-
-    * batch cost ∝ the batch's cells, never the whole index), and
+    * OF ITS OWN CELLS only, reading ONLY those cells' directories
+    * (listed driver-side, bounded by numCentroids): per-batch list AND
+    * read cost ∝ the batch's cells, never the whole index — and
     * replayed rows drop instead of duplicating index entries.
     */
   def ingestPqIndex(spark: SparkSession, schema: StructType, inDir: String,
@@ -728,8 +732,11 @@ object EventStreams {
           vecCol, centroids),
         vecCol, codebooks)
       // null vector → null vnorm/codes/cell (all dropped here); a
-      // zero-norm vector has vnorm = 0 — neither can ever serve
-      .where(col("vnorm") > 0)
+      // zero-norm vector has vnorm = 0 — neither can ever serve. A
+      // null ID is dropped too: the replay anti-join is an equi-join
+      // on id, which never matches null, so a null-id row would grow
+      // the index on every replay
+      .where(col(idCol).isNotNull && col("vnorm") > 0)
       .select(col(idCol), col("pq_code"), col("vnorm"), col("centroid_id"))
       // a replayed FILE inside one trigger duplicates rows within the
       // batch itself; replays are byte-identical so any-row-per-id is
@@ -737,30 +744,33 @@ object EventStreams {
       .dropDuplicates(idCol)
       .persist()
     try {
-      val fs = new org.apache.hadoop.fs.Path(codesDir)
-        .getFileSystem(spark.sparkContext.hadoopConfiguration)
-      // an all-degenerate (or all-replayed) earlier batch leaves the
-      // directory with _SUCCESS but NO data files — partitioned writes
-      // of zero rows create no partition dirs, so schema inference on
-      // the read fails; that state means "index empty", not an error
-      val stored =
-        if (!fs.exists(new org.apache.hadoop.fs.Path(codesDir))) None
-        else
-          try Some(spark.read.parquet(codesDir))
-          catch {
-            case _: org.apache.spark.sql.AnalysisException => None
-          }
-      val fresh = stored match {
-        case Some(table) =>
-          // cells list is bounded by numCentroids (plan-literal sized)
-          val cells = encoded.select(col("centroid_id")).distinct()
-            .collect().map(_.getInt(0)).toSeq
-          val storedIds = table
-            .where(col("centroid_id").isin(cells: _*))
+      val base = new org.apache.hadoop.fs.Path(codesDir)
+      val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      // The replay guard reads ONLY the batch's own cell directories,
+      // never `spark.read.parquet(codesDir)`: a whole-index read lists
+      // every leaf file on the driver each micro-batch, a floor that
+      // grows with index size. The cells list is bounded by
+      // numCentroids (plan-literal sized), and per-cell existence
+      // checks skip cells nothing has landed in yet — which also
+      // covers the all-degenerate first batch that leaves _SUCCESS
+      // with no partition dirs ("index empty", not an error). The
+      // explicit schema skips inference entirely, so a malformed
+      // index fails loudly at read time instead of being silently
+      // treated as empty.
+      val cells = encoded.select(col("centroid_id")).distinct()
+        .collect().map(_.getInt(0)).toSeq
+      val cellDirs = cells
+        .map(c => new org.apache.hadoop.fs.Path(base, s"centroid_id=$c"))
+        .filter(fs.exists).map(_.toString)
+      val fresh =
+        if (cellDirs.isEmpty) encoded // none of this batch's cells stored yet
+        else {
+          val storedIds = spark.read
+            .option("basePath", codesDir).schema(encoded.schema)
+            .parquet(cellDirs: _*)
             .select(col(idCol))
           encoded.join(storedIds, Seq(idCol), "left_anti")
-        case None => encoded
-      }
+        }
       fresh.write.mode("append").partitionBy("centroid_id")
         .parquet(codesDir)
     } finally { encoded.unpersist(blocking = false); () }

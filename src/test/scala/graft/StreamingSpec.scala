@@ -693,6 +693,38 @@ class StreamingSpec extends SparkSuite {
     assert(spark.read.parquet(codes).count() === n)
   }
 
+  test("ingestPqIndex drops null-id rows, which would defeat the replay guard") {
+    import spark.implicits._
+    import graft.ops.Similarity
+    // the replay guard is an equi-anti-join on id and null never
+    // equals null there: a null-id row that entered the index would
+    // re-append on EVERY replay. Pin that it never enters, and that a
+    // full replay of a batch containing one still adds zero rows.
+    val in = tmp("pq-nullid-in")
+    val codes = tmp("pq-nullid-codes") + "/codes"
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "vec_id BIGINT, embedding ARRAY<FLOAT>")
+    val model = Seq((1L, Seq(1f, 0f, 0f, 0f)), (2L, Seq(0f, 1f, 0f, 0f)),
+      (3L, Seq(0f, 0f, 1f, 0f)), (4L, Seq(0f, 0f, 0f, 1f)))
+      .toDF("vec_id", "embedding")
+    val centroids = Similarity.ivfCentroids(model, "vec_id", "embedding", 2)
+    val cbs = Similarity.pqCodebooks(model, "vec_id", "embedding", 2, 2)
+    def run(ck: String): Unit = EventStreams.ingestPqIndex(spark, schema,
+      in, codes, ck, "vec_id", "embedding", cbs, centroids)
+      .awaitTermination()
+    val rows = java.util.Arrays.asList(
+      org.apache.spark.sql.Row(null, Seq(1f, 0f, 0f, 0f)),
+      org.apache.spark.sql.Row(5L, Seq(0f, 1f, 0f, 0f)))
+    spark.createDataFrame(rows, schema).coalesce(1)
+      .write.mode("append").parquet(in)
+    run(tmp("pq-nullid-ckpt"))
+    val stored = spark.read.parquet(codes)
+    assert(stored.select($"vec_id").collect().map(_.getLong(0)).toSet
+      === Set(5L))
+    run(tmp("pq-nullid-ckpt2")) // full replay: index must not grow
+    assert(spark.read.parquet(codes).count() === 1L)
+  }
+
   test("ingestPqIndex survives an all-degenerate first batch (schema-less codes dir)") {
     import spark.implicits._
     import graft.ops.Similarity
