@@ -13,6 +13,16 @@ import org.apache.spark.sql.DataFrame
   */
 object Layouts {
 
+  /** Parse `spark.sql.warehouse.dir` — a stringified Hadoop Path, which
+    * does NOT percent-encode characters illegal in a URI (a space in
+    * the checkout path). A raw `new java.net.URI(...)` would throw
+    * `URISyntaxException` on such a value before [[replaceBucketed]]'s
+    * DROP-only fallback could apply; `hadoop.fs.Path` re-encodes the
+    * path component itself. Pinned in `LayoutsSpec`.
+    */
+  private[graft] def warehouseUri(conf: String): java.net.URI =
+    new org.apache.hadoop.fs.Path(conf).toUri
+
   /** Write `df` as a parquet table bucketed (and sorted) by one or more
     * keys. Joins/aggregations on exactly those keys between tables
     * sharing `buckets` then run shuffle-free — verified by
@@ -50,7 +60,8 @@ object Layouts {
     // remote (hdfs/s3a) warehouse is not reachable via java.io.File.
     // In all three cases the catalog DROP above is the whole story and
     // we must not guess at paths.
-    val whUri = new java.net.URI(spark.conf.get("spark.sql.warehouse.dir"))
+    //
+    val whUri = warehouseUri(spark.conf.get("spark.sql.warehouse.dir"))
     val localFs = whUri.getScheme == null || whUri.getScheme == "file"
     if (localFs && !table.contains(".") &&
         spark.catalog.currentDatabase == "default") {

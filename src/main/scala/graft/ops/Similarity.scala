@@ -607,11 +607,18 @@ object Similarity {
         .select(col("centroid_id"), posexplode(col(vecCol)).as(Seq("__pos", "__x")))
         .groupBy(col("centroid_id"), col("__pos"))
         .agg(avg(col("__x")).as("__m"))
+        // re-group executor-side so the driver collects ONE row per
+        // centroid (a dim-sized struct array), not one boxed Row per
+        // (centroid, dim) SCALAR — at the production sizing the
+        // scaladoc targets (cells ~ √N × hundreds of dims) per-scalar
+        // rows are a multi-GB driver collect for the same float payload
+        .groupBy(col("centroid_id"))
+        .agg(collect_list(struct(col("__pos"), col("__m"))).as("__dims"))
         .collect()
-        .groupBy(_.getInt(0))
-        .map { case (c, rs) =>
-          c -> rs.map(r => r.getInt(1) -> r.getDouble(2)).toMap
-        }
+        .map { r =>
+          r.getInt(0) -> r.getSeq[org.apache.spark.sql.Row](1)
+            .map(d => d.getInt(0) -> d.getDouble(1))
+        }.toMap
       // merge observed dims into a COPY of the previous centroid (the
       // trainPqCodebooks discipline): if every member of a cell is
       // shorter than the model dim, the unobserved tail keeps its
@@ -997,11 +1004,17 @@ object Similarity {
           col("__x"))
         .groupBy(col("__j"), col("__c"), col("__p"))
         .agg(avg(col("__x")).as("__m"))
+        // one driver row per (subspace, codeword) — a dsub-sized struct
+        // array — not one per scalar (the trainIvfOn discipline; here
+        // the blowup factor is dsub)
+        .groupBy(col("__j"), col("__c"))
+        .agg(collect_list(struct(col("__p"), col("__m"))).as("__dims"))
         .collect()
-        .groupBy(r => (r.getInt(0), r.getInt(1)))
-        .map { case (jc, rs) =>
-          jc -> rs.map(r => r.getInt(2) -> r.getDouble(3)).toMap
-        }
+        .map { r =>
+          (r.getInt(0), r.getInt(1)) ->
+            r.getSeq[org.apache.spark.sql.Row](2)
+              .map(d => d.getInt(0) -> d.getDouble(1))
+        }.toMap
       // merge observed positions into a COPY of the previous codeword:
       // if every member vector of a codeword is shorter than (j+1)*dsub,
       // some positions collect nothing — an array built from only the

@@ -325,4 +325,19 @@ class LayoutsSpec extends SparkSuite {
     assert(zx <= 8, s"x slice on z-order touched $zx files")
     assert(zy <= 8, s"y slice on z-order touched $zy files")
   }
+
+  test("warehouseUri parses a warehouse dir containing URI-illegal characters") {
+    // spark.sql.warehouse.dir is a stringified Hadoop Path — a space in
+    // the checkout path is legal there but fatal to java.net.URI; a
+    // crash here would abort every replaceBucketed caller (q149,
+    // ScaleProbe) before the DROP-only fallback could apply
+    val u = graft.io.Layouts.warehouseUri("file:/tmp/my repo/spark-warehouse")
+    assert(u.getScheme === "file")
+    assert(u.getPath === "/tmp/my repo/spark-warehouse")
+    val plain = graft.io.Layouts.warehouseUri("/tmp/my repo/wh")
+    assert(plain.getScheme === null && plain.getPath === "/tmp/my repo/wh")
+    // remote schemes survive the parse (replaceBucketed must classify
+    // them as non-local and skip the java.io.File cleanup)
+    assert(graft.io.Layouts.warehouseUri("hdfs://nn:8020/wh").getScheme === "hdfs")
+  }
 }

@@ -127,6 +127,19 @@ def compare(args):
                   "absolute deltas reflect the host, not the code; "
                   "consider --epoch-normalize or a same-day old-code rerun",
                   file=sys.stderr)
+    if getattr(args, "epoch_normalize", False) and norm_ratio is None:
+        # an EXPLICITLY requested normalization that cannot run must not
+        # silently degrade to raw-seconds banding across a possible
+        # host-speed change — that is the exact failure the flag exists
+        # to prevent (and the silent no-op recorded a false required-
+        # check failure in the first r10 exit evidence). Exit 3 =
+        # could-not-analyze, distinct from every verdict code.
+        missing = "OLD" if not (mo and mo.get("st_sec")) else "NEW"
+        print(f"error: --epoch-normalize requested but the {missing} "
+              "line carries no machine probe — normalization is "
+              "impossible; re-pick a probe-bearing baseline or drop "
+              "the flag to compare raw seconds", file=sys.stderr)
+        sys.exit(3)
     noise = {}
     noise_meta = {}
     if args.noise:

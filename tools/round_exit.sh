@@ -34,14 +34,12 @@ SF1_BENCH="${4:-}"
 WORK=$(mktemp -d /tmp/round_exit.XXXXXX)
 
 if [ -z "$PREV_BENCH" ]; then
-  # newest recorded sf0.1 line that isn't this ROUND's: exclude every
-  # file carrying this TAG, not just the literal NEW_BENCH path —
-  # otherwise a same-round sibling run (runB, calA/calB) is picked and
-  # the required regression compare is the round against itself,
-  # vacuously green
-  PREV_BENCH=$(ls -t bench_history/r*_sf0.1*.json 2>/dev/null \
-    | grep -v "^$NEW_BENCH\$" | grep -v "/${TAG}_" \
-    | grep -v oracle_gate | head -1 || true)
+  # newest PRIOR ROUND's line, picked by round tag — never by mtime
+  # (after a fresh checkout `ls -t` order is arbitrary: the first r10
+  # exit evidence compared against r07 that way) and never a same-round
+  # sibling (runB, calA/calB — the compare would be the round against
+  # itself, vacuously green). Rules + self-test: tools/pick_prev_bench.py
+  PREV_BENCH=$(python3 tools/pick_prev_bench.py bench_history "$TAG" || true)
 fi
 
 run() { # name required(0/1) cmd...

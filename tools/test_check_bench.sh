@@ -88,4 +88,49 @@ test "$rc" -eq 3 || { echo "crash: expected exit 3, got $rc"; exit 1; }
 rc=0; python3 tools/check_bench.py anomaly "$W" >/dev/null 2>&1 || rc=$?
 test "$rc" -eq 3 || { echo "dir input: expected exit 3, got $rc"; exit 1; }
 
-echo "check_bench anomaly exit contract: 0/1/2/3 + error-gap + crash=3 verified"
+# compare --epoch-normalize with a probe-less side: must exit 3, not
+# silently band raw seconds across a host-speed change (the first r10
+# exit evidence did exactly that against a probe-less r07 baseline)
+py <<'EOF'
+import json
+json.dump({"queries": {"q_a": 0.5}, "machine": {"st_sec": 0.1}},
+          open("/tmp/cbtest_probed.json", "w"))
+json.dump({"queries": {"q_a": 0.5}}, open("/tmp/cbtest_noprobe.json", "w"))
+EOF
+rc=0; python3 tools/check_bench.py compare /tmp/cbtest_noprobe.json \
+  /tmp/cbtest_probed.json --epoch-normalize >/dev/null 2>&1 || rc=$?
+test "$rc" -eq 3 || { echo "normalize w/o old probe: expected 3, got $rc"; exit 1; }
+rc=0; python3 tools/check_bench.py compare /tmp/cbtest_probed.json \
+  /tmp/cbtest_noprobe.json --epoch-normalize >/dev/null 2>&1 || rc=$?
+test "$rc" -eq 3 || { echo "normalize w/o new probe: expected 3, got $rc"; exit 1; }
+# ...and WITHOUT the flag the same pair compares fine (raw seconds)
+rc=0; python3 tools/check_bench.py compare /tmp/cbtest_noprobe.json \
+  /tmp/cbtest_probed.json >/dev/null 2>&1 || rc=$?
+test "$rc" -eq 0 || { echo "raw compare: expected 0, got $rc"; exit 1; }
+
+# baseline pick: round tag order, never mtime; prefer finals; never a
+# rerun line; never the excluded round; empty -> exit 1
+PICKDIR="$W/bh"; mkdir -p "$PICKDIR"
+touch "$PICKDIR/r07_sf0.1.json" \
+      "$PICKDIR/r09_sf0.1_final.json" \
+      "$PICKDIR/r09_sf0.1_queries_runA.json" \
+      "$PICKDIR/r09_sf0.1_r7code_rerun.json" \
+      "$PICKDIR/r09_final_sf0.1_oracle_gate.json" \
+      "$PICKDIR/r10_sf0.1_runA.json" "$PICKDIR/r10_sf0.1_runB.json"
+# make r07 the mtime-newest — the pick must STILL return the r09 final
+touch -d "2030-01-01" "$PICKDIR/r07_sf0.1.json" 2>/dev/null || true
+got=$(python3 tools/pick_prev_bench.py "$PICKDIR" r10)
+test "$got" = "$PICKDIR/r09_sf0.1_final.json" \
+  || { echo "pick: expected r09 final, got $got"; exit 1; }
+rm "$PICKDIR/r09_sf0.1_final.json"
+got=$(python3 tools/pick_prev_bench.py "$PICKDIR" r10)
+test "$got" = "$PICKDIR/r09_sf0.1_queries_runA.json" \
+  || { echo "pick sans final: expected r09 runA (never the rerun), got $got"; exit 1; }
+got=$(python3 tools/pick_prev_bench.py "$PICKDIR" r09)
+test "$got" = "$PICKDIR/r10_sf0.1_runB.json" \
+  || { echo "pick excl r09: expected r10 runB, got $got"; exit 1; }
+rm "$PICKDIR"/r*.json
+rc=0; python3 tools/pick_prev_bench.py "$PICKDIR" r10 >/dev/null || rc=$?
+test "$rc" -eq 1 || { echo "empty pick: expected exit 1, got $rc"; exit 1; }
+
+echo "check_bench anomaly exit contract: 0/1/2/3 + error-gap + crash=3 verified; compare normalize-impossible=3; baseline pick by round tag verified"
