@@ -296,9 +296,8 @@ object Bench {
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","agg":"min","iters":$iterations,"interleaved":true,"queries":$qs$spreadJson$passesJson$probesJson,"sf":"$sfDir","errors":$errJson$machineJson$scaleJson$procJson$capJson$sf1Json}"""
     // durable copy (the driver's stdout tail capture is lossy); stdout
     // line stays the contract and is printed LAST
-    try java.nio.file.Files.write(
-      java.nio.file.Path.of(
-        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_result.json")),
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_result.json")
+    try java.nio.file.Files.write(java.nio.file.Path.of(outPath),
       (line + "\n").getBytes("UTF-8"))
     catch { case scala.util.control.NonFatal(_) => }
     // The driver records only the last ~2,000 BYTES of stdout (measured:
@@ -313,7 +312,7 @@ object Bench {
         .mkString("{", ",", "}")
       val errNames = errors.keys.take(8)
         .map(n => "\"" + escape(n) + "\"").mkString("[", ",", "]")
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","agg":"min","iters":$iterations,"sf":"$sfDir","n_queries":${results.size},"n_errors":${errors.size},"errors":$errNames,"slowest":$slow,"full":"bench_result.json"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","agg":"min","iters":$iterations,"sf":"$sfDir","n_queries":${results.size},"n_errors":${errors.size},"errors":$errNames,"slowest":$slow,"full":"${escape(outPath)}"}"""
     }
     val summary = (10 to 0 by -2).iterator.map(compact)
       .find(_.length <= 1800).getOrElse(compact(0))
