@@ -754,9 +754,8 @@ object EventStreams {
       // checks skip cells nothing has landed in yet — which also
       // covers the all-degenerate first batch that leaves _SUCCESS
       // with no partition dirs ("index empty", not an error). The
-      // explicit schema skips inference entirely, so a malformed
-      // index fails loudly at read time instead of being silently
-      // treated as empty.
+      // explicit schema skips inference; a TYPE-mismatched index fails
+      // loudly at read time.
       val cells = encoded.select(col("centroid_id")).distinct()
         .collect().map(_.getInt(0)).toSeq
       val cellDirs = cells
@@ -769,6 +768,18 @@ object EventStreams {
             .option("basePath", codesDir).schema(encoded.schema)
             .parquet(cellDirs: _*)
             .select(col(idCol))
+          // A MISSING column, by contrast, NULL-FILLS under a
+          // user-supplied schema — and this gate never appends a null
+          // id, so one in the stored table means files this gate did
+          // not write (a foreign writer whose files lack `idCol`).
+          // Null keys silently disable the equi-anti-join, so refuse
+          // to append into a suspect index instead of duplicating
+          // rows on every replay. Cost: one extra cell-pruned
+          // ids-only pass per batch, the replay guard's own class.
+          require(storedIds.where(col(idCol).isNull).isEmpty,
+            s"stored PQ index at $codesDir has null $idCol rows in " +
+              s"cells ${cells.mkString(",")} — not written by this " +
+              "gate; refusing to append into a suspect index")
           encoded.join(storedIds, Seq(idCol), "left_anti")
         }
       fresh.write.mode("append").partitionBy("centroid_id")

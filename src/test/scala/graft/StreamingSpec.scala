@@ -725,6 +725,46 @@ class StreamingSpec extends SparkSuite {
     assert(spark.read.parquet(codes).count() === 1L)
   }
 
+  test("ingestPqIndex refuses a codes dir holding files it did not write") {
+    import spark.implicits._
+    import graft.ops.Similarity
+    // a foreign writer's file that LACKS the id column null-fills under
+    // the gate's user-supplied read schema instead of failing the read;
+    // null keys silently disable the replay anti-join (rows would then
+    // duplicate on every replay), so the gate must refuse loudly
+    val in = tmp("pq-foreign-in")
+    val codes = tmp("pq-foreign-codes") + "/codes"
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "vec_id BIGINT, embedding ARRAY<FLOAT>")
+    val model = Seq((1L, Seq(1f, 0f, 0f, 0f)), (2L, Seq(0f, 1f, 0f, 0f)),
+      (3L, Seq(0f, 0f, 1f, 0f)), (4L, Seq(0f, 0f, 0f, 1f)))
+      .toDF("vec_id", "embedding")
+    val centroids = Similarity.ivfCentroids(model, "vec_id", "embedding", 2)
+    val cbs = Similarity.pqCodebooks(model, "vec_id", "embedding", 2, 2)
+    def run(ck: String): Unit = EventStreams.ingestPqIndex(spark, schema,
+      in, codes, ck, "vec_id", "embedding", cbs, centroids)
+      .awaitTermination()
+    model.coalesce(1).write.mode("append").parquet(in)
+    run(tmp("pq-foreign-ckpt"))
+    // drop an id-less parquet file into every existing cell directory
+    val cellDirs = new java.io.File(codes).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("centroid_id="))
+    assert(cellDirs.nonEmpty)
+    cellDirs.foreach { d =>
+      Seq((Seq(0, 1), 1.0)).toDF("pq_code", "vnorm")
+        .coalesce(1).write.mode("append").parquet(d.getPath)
+    }
+    model.limit(2).coalesce(1).write.mode("append").parquet(in)
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      run(tmp("pq-foreign-ckpt2"))
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(e).exists(c =>
+      c.isInstanceOf[IllegalArgumentException] &&
+        c.getMessage.contains("suspect index")), e.toString)
+  }
+
   test("ingestPqIndex survives an all-degenerate first batch (schema-less codes dir)") {
     import spark.implicits._
     import graft.ops.Similarity

@@ -36,10 +36,13 @@ WORK=$(mktemp -d /tmp/round_exit.XXXXXX)
 if [ -z "$PREV_BENCH" ]; then
   # newest PRIOR ROUND's line, picked by round tag — never by mtime
   # (after a fresh checkout `ls -t` order is arbitrary: the first r10
-  # exit evidence compared against r07 that way) and never a same-round
+  # exit evidence compared against r07 that way), never a same-round
   # sibling (runB, calA/calB — the compare would be the round against
-  # itself, vacuously green). Rules + self-test: tools/pick_prev_bench.py
-  PREV_BENCH=$(python3 tools/pick_prev_bench.py bench_history "$TAG" || true)
+  # itself, vacuously green), and never NEW_BENCH itself (passed as an
+  # explicit exclusion so even a mislabeled TAG can't self-compare).
+  # Rules + self-test: tools/pick_prev_bench.py
+  PREV_BENCH=$(python3 tools/pick_prev_bench.py bench_history "$TAG" \
+    "$NEW_BENCH" || true)
 fi
 
 run() { # name required(0/1) cmd...

@@ -129,6 +129,26 @@ test "$got" = "$PICKDIR/r09_sf0.1_queries_runA.json" \
 got=$(python3 tools/pick_prev_bench.py "$PICKDIR" r09)
 test "$got" = "$PICKDIR/r10_sf0.1_runB.json" \
   || { echo "pick excl r09: expected r10 runB, got $got"; exit 1; }
+# an unpadded tag must exclude the same round as its zero-padded form
+# (round_exit.sh passes TAG verbatim; 'r9' failing to exclude r09 files
+# would compare the round against its own sibling, vacuously green)
+rc=0; python3 tools/pick_prev_bench.py "$PICKDIR" r9 >/dev/null
+got=$(python3 tools/pick_prev_bench.py "$PICKDIR" r9)
+test "$got" = "$PICKDIR/r10_sf0.1_runB.json" \
+  || { echo "unpadded tag: expected r10 runB, got $got"; exit 1; }
+rm "$PICKDIR"/r09_sf0.1_queries_runA.json
+rc=0; python3 tools/pick_prev_bench.py "$PICKDIR" r10 >/dev/null || rc=$?
+# r09 now holds ONLY the rerun adjudication line: the round is skipped
+# (never a baseline), falling back to the next older round
+touch "$PICKDIR/r08_sf0.1_runA.json"
+got=$(python3 tools/pick_prev_bench.py "$PICKDIR" r10)
+test "$got" = "$PICKDIR/r08_sf0.1_runA.json" \
+  || { echo "all-rerun round: expected fallback to r08, got $got"; exit 1; }
+# NEW_BENCH itself must never be its own baseline, even when a
+# mislabeled TAG fails to exclude it by round
+got=$(python3 tools/pick_prev_bench.py "$PICKDIR" r11 "$PICKDIR/r10_sf0.1_runB.json")
+test "$got" = "$PICKDIR/r10_sf0.1_runA.json" \
+  || { echo "exclude-file: expected r10 runA, got $got"; exit 1; }
 rm "$PICKDIR"/r*.json
 rc=0; python3 tools/pick_prev_bench.py "$PICKDIR" r10 >/dev/null || rc=$?
 test "$rc" -eq 1 || { echo "empty pick: expected exit 1, got $rc"; exit 1; }
