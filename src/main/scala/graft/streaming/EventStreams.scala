@@ -107,6 +107,12 @@ object EventStreams {
     */
   def sessionize(spark: SparkSession, events: DataFrame,
       gapNs: Long = 1800L * 1000000000L): DataFrame = {
+    // the idle-flush timeout is gapNs in MILLISECONDS: a sub-millisecond
+    // gap would floor to setTimeoutDuration(0), which Spark rejects
+    // inside the stateful closure — fail at the API edge instead (the
+    // streamingFunnel ttlMs discipline)
+    require(gapNs >= 1000000L,
+      s"gapNs must be >= 1ms (1000000 ns), got $gapNs")
     import spark.implicits._
     val typed = graft.Tables.tsAsNanos(events)
       .select(col("user_id").cast("long"), col("event_id").cast("long"),
@@ -283,7 +289,10 @@ object EventStreams {
     * Replay-safe WITHOUT an idempotent sink: a micro-batch replayed
     * after a mid-write failure re-runs the anti-join against the corpus,
     * which now already contains whatever the failed attempt appended —
-    * the duplicates filter themselves out. (A replay interleaved with a
+    * the duplicates filter themselves out. Null-text rows are the one
+    * content class the op's md5 anti-join cannot self-filter (null
+    * never equi-joins); [[dropNullTextIfCorpusHasOne]] closes that at
+    * the gate. (A replay interleaved with a
     * partial write of the SAME batch could still double-append a row
     * that hadn't landed; at-least-once on rows, never on content beyond
     * one batch boundary.)
@@ -292,6 +301,21 @@ object EventStreams {
     * projection of `corpusDir`; store the corpus bucketed by fingerprint
     * and only the (small) batch shuffles — see `Dedup.incrementalDedup`.
     */
+  /** Drop `df`'s null-`textCol` rows when the corpus already holds one.
+    * The exact-dedup ops keep null-text rows by documented design (an
+    * md5-null anti-join key never matches), which at INGEST means a
+    * replayed contentless row re-appends on every crash replay. The
+    * gate-level rule matches [[graft.ops.Dedup.exactDedup]]'s null
+    * grouping — all contentless docs are one duplicate class — so at
+    * most one ever lands. Cost: one narrow null-predicate corpus scan
+    * with limit 1; non-null rows are untouched.
+    */
+  private def dropNullTextIfCorpusHasOne(df: DataFrame, corpus: DataFrame,
+      textCol: String): DataFrame =
+    df.join(corpus.where(col(textCol).isNull)
+        .select(lit(true).as("__corpus_has_null")).limit(1),
+      col(textCol).isNull && col("__corpus_has_null"), "left_anti")
+
   def ingestDedup(spark: SparkSession, schema: StructType, inDir: String,
       corpusDir: String, checkpointDir: String, idCol: String,
       textCol: String, maxFilesPerTrigger: Int = 16,
@@ -312,10 +336,12 @@ object EventStreams {
           .getFileSystem(spark.sparkContext.hadoopConfiguration)
           .exists(cPath)
         val fresh =
-          if (corpusExists)
-            Dedup.incrementalDedup(batch, spark.read.parquet(corpusDir),
-              idCol, textCol)
-          else Dedup.exactDedup(batch, idCol, textCol)
+          if (corpusExists) {
+            val corpus = spark.read.parquet(corpusDir)
+            dropNullTextIfCorpusHasOne(
+              Dedup.incrementalDedup(batch, corpus, idCol, textCol),
+              corpus, textCol)
+          } else Dedup.exactDedup(batch, idCol, textCol)
         fresh.write.mode("append").parquet(corpusDir)
         ()
       }
@@ -377,10 +403,13 @@ object EventStreams {
           seeded
         }
         val fresh =
-          (if (corpusExists)
-            Dedup.incrementalDedupBloom(batch, spark.read.parquet(corpusDir),
-              idCol, textCol, expectedCorpusItems, fpp, bloom = Some(bf))
-          else Dedup.exactDedup(batch, idCol, textCol)).persist()
+          (if (corpusExists) {
+            val corpus = spark.read.parquet(corpusDir)
+            dropNullTextIfCorpusHasOne(
+              Dedup.incrementalDedupBloom(batch, corpus, idCol, textCol,
+                expectedCorpusItems, fpp, bloom = Some(bf)),
+              corpus, textCol)
+          } else Dedup.exactDedup(batch, idCol, textCol)).persist()
         try {
           fresh.write.mode("append").parquet(corpusDir)
           // identical geometry (items, fpp) → compatible bit arrays; the
@@ -436,10 +465,22 @@ object EventStreams {
         val fresh =
           if (corpusExists) {
             val corpus = spark.read.parquet(corpusDir)
-            val linked = Dedup.incrementalNearDups(local, corpus, idCol,
+            // exact replay guard FIRST: near-LINKING self-filters a
+            // replay only when its content can collide and verify — an
+            // empty token set has NaN Jaccard and never links, so such
+            // rows would re-append on every crash replay. xxhash64
+            // never returns null (null text folds to the hash seed),
+            // so this also covers null-text rows. The corpus is read
+            // per batch here anyway (the unkeyed form); this adds one
+            // narrow fingerprint projection of it.
+            val fp = org.apache.spark.sql.functions.xxhash64(col(textCol))
+            val novel = local.withColumn("__xfp", fp)
+              .join(corpus.select(fp.as("__xfp")), Seq("__xfp"), "left_anti")
+              .drop("__xfp")
+            val linked = Dedup.incrementalNearDups(novel, corpus, idCol,
                 textCol, threshold, numHashes, bands)
               .select(col("idA").as(idCol)).distinct()
-            local.join(linked, Seq(idCol), "left_anti")
+            novel.join(linked, Seq(idCol), "left_anti")
           } else local
         fresh.write.mode("append").parquet(corpusDir)
         ()
@@ -465,10 +506,13 @@ object EventStreams {
     * corpus-seeing batch of each stream run HEALS the key table — an
     * id-projection anti-join finds corpus docs with no keys (a crash
     * between the two appends, including a first-batch crash that never
-    * created `keysDir`) and re-keys them before the probe. The heal is
-    * what makes replays self-filter: the replayed batch's survivors
-    * near-link (Jaccard 1) to their previous, now re-keyed append and
-    * are dropped instead of duplicated. The heal runs ONCE per stream
+    * created `keysDir`) and re-keys them before the probe. The heal
+    * plus the EXACT replay guard (band -1 fingerprint rows — see
+    * [[keyedIngestBatch]]) are what make replays self-filter: a
+    * replayed batch's survivors match their previous, now re-keyed
+    * append by exact fingerprint (degenerate content included — an
+    * empty token set can never near-LINK, its Jaccard is NaN) and are
+    * dropped instead of duplicated. The heal runs ONCE per stream
     * run, not per batch: a missing key append can only be left behind by
     * a previous (crashed) run — within a run foreachBatch is sequential,
     * so batch N's key append completed before batch N+1 starts. Steady-
@@ -514,17 +558,67 @@ object EventStreams {
       textCol: String, threshold: Double, numHashes: Int, bands: Int,
       healed: java.util.concurrent.atomic.AtomicBoolean): Unit = {
     import graft.ops.Dedup
-    import org.apache.spark.sql.functions.col
+    keyedIngestBatch(spark, batch, corpusDir, keysDir, idCol, textCol,
+      healed)(
+      collapse = b => Dedup.nearDupPipeline(b, idCol, textCol, threshold,
+        numHashes, bands),
+      bandKeys = df => Dedup.corpusBandKeys(df, idCol, textCol, numHashes,
+        bands),
+      linkedIds = (novel, keys, corpus) =>
+        Dedup.incrementalNearDupsWithKeys(novel, keys, corpus, idCol,
+          textCol, threshold, numHashes, bands))
+  }
+
+  /** Shared micro-batch skeleton of the keyed ingest gates — the text
+    * ([[ingestNearDupKeyedBatch]]) and embedding
+    * ([[ingestEmbeddingNearDupKeyedBatch]]) flavors differ only in
+    * their collapse / key-derivation / near-link functions; the heal
+    * and replay discipline must stay byte-identical or the gates
+    * drift apart.
+    *
+    * Flow: within-batch `collapse` → once-per-run heal of unkeyed
+    * corpus rows → EXACT replay guard → `linkedIds` near-link probe of
+    * the stored key table → append survivors to the corpus, then their
+    * keys.
+    *
+    * The EXACT replay guard closes the degenerate-content hole in the
+    * "replays self-filter" contract: near-LINKING self-filters a
+    * byte-identical replay only when its content can collide and
+    * verify — an empty token set has NaN Jaccard, a zero-norm vector
+    * NaN cosine; neither ever links, so such rows would re-append on
+    * every crash replay. Each appended row therefore also gets one key
+    * row in the RESERVED BAND -1 carrying `xxhash64(content)` (the
+    * engine's production fingerprint basis; never null — null content
+    * folds to the hash seed, so all contentless rows share one
+    * fingerprint, matching [[graft.ops.Dedup.exactDedup]]'s null
+    * grouping), and each batch drops rows whose exact fingerprint is
+    * already stored in band -1 BEFORE the near-link probe. Real bands
+    * are 0-based and every key join includes the band column, so
+    * band -1 rows are invisible to the near-link probes; the heal
+    * re-keys BOTH kinds for unkeyed corpus rows, which is what makes a
+    * replay after a keys-append crash still self-filter. Key tables
+    * written before this guard existed simply have no band -1 rows:
+    * probes of them degrade to the old near-link-only behavior.
+    */
+  private def keyedIngestBatch(spark: SparkSession, batch: DataFrame,
+      corpusDir: String, keysDir: String, idCol: String,
+      contentCol: String, healed: java.util.concurrent.atomic.AtomicBoolean)(
+      collapse: DataFrame => DataFrame,
+      bandKeys: DataFrame => DataFrame,
+      linkedIds: (DataFrame, DataFrame, DataFrame) => DataFrame): Unit = {
+    import org.apache.spark.sql.functions.{col, lit, xxhash64}
     val fs = new org.apache.hadoop.fs.Path(corpusDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val corpusExists = fs.exists(new org.apache.hadoop.fs.Path(corpusDir))
+    def withExactKeys(df: DataFrame): DataFrame =
+      bandKeys(df).unionByName(df.select(col(idCol),
+        lit(-1).as("band"), xxhash64(col(contentCol)).as("key")))
     // `local` feeds the probe's batch-key derivation, the candidate
     // joins AND the final anti-join; an explicit persist was A/B'd
     // (StreamProfile, round 9) and did NOT move the per-batch time —
     // Spark's exchange/stage reuse already covers the shared prefix,
     // so the plan stays unpinned.
-    val local = Dedup.nearDupPipeline(batch, idCol, textCol, threshold,
-      numHashes, bands)
+    val local = collapse(batch)
     val fresh =
       if (corpusExists) {
         val corpus = spark.read.parquet(corpusDir)
@@ -533,11 +627,11 @@ object EventStreams {
         // strictly ordered, so later batches cannot be unkeyed.
         // The healthy-path audit is ids-only: the anti-join reads
         // just the two id columns (parquet-pruned — never the fat
-        // text column) and joins against the RAW key rows (left_anti
-        // ignores build-side duplicates, so the previous
-        // corpus-sized distinct() shuffle bought nothing); text is
-        // scanned only for the usually-empty unkeyed sliver, via a
-        // semi-join back
+        // content column) and joins against the RAW key rows
+        // (left_anti ignores build-side duplicates, so a corpus-sized
+        // distinct() shuffle would buy nothing); content is scanned
+        // only for the usually-empty unkeyed sliver, via a semi-join
+        // back
         if (healed.compareAndSet(false, true)) {
           val keysExist = fs.exists(new org.apache.hadoop.fs.Path(keysDir))
           val unkeyedIds =
@@ -552,23 +646,29 @@ object EventStreams {
           // create the (empty) key table or the read below wedges
           // every restart on PATH_NOT_FOUND.
           if (!unkeyedIds.isEmpty || !keysExist) {
-            val unkeyed = corpus.select(col(idCol), col(textCol))
+            val unkeyed = corpus.select(col(idCol), col(contentCol))
               .join(unkeyedIds, Seq(idCol), "left_semi")
-            Dedup.corpusBandKeys(unkeyed, idCol, textCol, numHashes, bands)
-              .write.mode("append").parquet(keysDir)
+            withExactKeys(unkeyed).write.mode("append").parquet(keysDir)
           }
         }
         val keys = spark.read.parquet(keysDir)
-        val linked = Dedup.incrementalNearDupsWithKeys(local, keys,
-            corpus, idCol, textCol, threshold, numHashes, bands)
+        // exact replay guard (scaladoc above): byte-identical content
+        // already in the corpus drops here, degenerate or not, before
+        // any near-link work
+        val replayedIds = local
+          .select(col(idCol), xxhash64(col(contentCol)).as("key"))
+          .join(keys.where(col("band") === -1).select(col("key")),
+            Seq("key"), "left_semi")
+          .select(col(idCol))
+        val novel = local.join(replayedIds, Seq(idCol), "left_anti")
+        val linked = linkedIds(novel, keys, corpus)
           .select(col("idA").as(idCol)).distinct()
-        local.join(linked, Seq(idCol), "left_anti")
+        novel.join(linked, Seq(idCol), "left_anti")
       } else local
     val freshP = fresh.persist()
     try {
       freshP.write.mode("append").parquet(corpusDir)
-      Dedup.corpusBandKeys(freshP, idCol, textCol, numHashes, bands)
-        .write.mode("append").parquet(keysDir)
+      withExactKeys(freshP).write.mode("append").parquet(keysDir)
     } finally freshP.unpersist(blocking = false)
   }
 
@@ -586,12 +686,14 @@ object EventStreams {
     * read). Survivors append together with their keys
     * ([[graft.ops.Similarity.corpusLshKeys]]).
     *
-    * Crash consistency is the text gate's, verbatim: keys append
-    * strictly AFTER the corpus append, and the first corpus-seeing
-    * batch of each run heals unkeyed corpus rows (ids-only anti-join
-    * audit; vectors are read only for the usually-empty unkeyed
-    * sliver). Replays self-filter — a replayed vector links to its
-    * previous, now re-keyed append at cosine 1 and is dropped.
+    * Crash consistency is the text gate's, verbatim (the two flavors
+    * share [[keyedIngestBatch]]): keys append strictly AFTER the corpus
+    * append, and the first corpus-seeing batch of each run heals
+    * unkeyed corpus rows (ids-only anti-join audit; vectors are read
+    * only for the usually-empty unkeyed sliver). Replays self-filter
+    * through the band -1 exact-fingerprint guard — degenerate vectors
+    * (null, zero-norm: NaN cosine, can never near-link) included —
+    * with near-linking catching re-embedded paraphrases as before.
     */
   def ingestEmbeddingNearDupKeyed(spark: SparkSession, schema: StructType,
       inDir: String, corpusDir: String, keysDir: String,
@@ -625,47 +727,30 @@ object EventStreams {
       vecCol: String, threshold: Double, planesPerBand: Int, bands: Int,
       healed: java.util.concurrent.atomic.AtomicBoolean): Unit = {
     import graft.ops.{Dedup, Similarity}
-    import org.apache.spark.sql.functions.col
-    val fs = new org.apache.hadoop.fs.Path(corpusDir)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val corpusExists = fs.exists(new org.apache.hadoop.fs.Path(corpusDir))
-    val pairs = Similarity.cosineNearDupPairsBucketed(batch, idCol, vecCol,
-        threshold, planesPerBand, bands)
-      .select(col("idA"), col("idB"))
-    val local = Dedup.collapseNearDups(batch, idCol, pairs)
-    val fresh =
-      if (corpusExists) {
-        val corpus = spark.read.parquet(corpusDir)
-        // once-per-run heal of unkeyed corpus rows; ids-only audit,
-        // vectors read only for the unkeyed sliver (see the text gate)
-        if (healed.compareAndSet(false, true)) {
-          val keysExist = fs.exists(new org.apache.hadoop.fs.Path(keysDir))
-          val unkeyedIds =
-            if (keysExist)
-              corpus.select(col(idCol)).join(
-                spark.read.parquet(keysDir).select(col(idCol)),
-                Seq(idCol), "left_anti")
-            else corpus.select(col(idCol))
-          if (!unkeyedIds.isEmpty || !keysExist) {
-            val unkeyed = corpus.select(col(idCol), col(vecCol))
-              .join(unkeyedIds, Seq(idCol), "left_semi")
-            Similarity.corpusLshKeys(unkeyed, idCol, vecCol, planesPerBand,
-                bands)
-              .write.mode("append").parquet(keysDir)
-          }
-        }
-        val keys = spark.read.parquet(keysDir)
-        val linked = Similarity.incrementalCosineNearDupsWithKeys(local,
-            keys, corpus, idCol, vecCol, threshold, planesPerBand, bands)
-          .select(col("idA").as(idCol)).distinct()
-        local.join(linked, Seq(idCol), "left_anti")
-      } else local
-    val freshP = fresh.persist()
-    try {
-      freshP.write.mode("append").parquet(corpusDir)
-      Similarity.corpusLshKeys(freshP, idCol, vecCol, planesPerBand, bands)
-        .write.mode("append").parquet(keysDir)
-    } finally freshP.unpersist(blocking = false)
+    import org.apache.spark.sql.functions.{col, row_number, xxhash64}
+    keyedIngestBatch(spark, batch, corpusDir, keysDir, idCol, vecCol,
+      healed)(
+      collapse = { b =>
+        // exact within-batch collapse FIRST (the text flavor gets this
+        // from nearDupPipeline's exactDedup): byte-identical vectors —
+        // including a replayed file inside one trigger duplicating a
+        // row under the SAME id, which the pair expansion can never
+        // link because self-pairs are excluded — keep one survivor,
+        // lowest id wins
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(xxhash64(col(vecCol))).orderBy(col(idCol))
+        val exact = b.withColumn("__rn", row_number().over(w))
+          .where(col("__rn") === 1).drop("__rn")
+        val pairs = Similarity.cosineNearDupPairsBucketed(exact, idCol,
+            vecCol, threshold, planesPerBand, bands)
+          .select(col("idA"), col("idB"))
+        Dedup.collapseNearDups(exact, idCol, pairs)
+      },
+      bandKeys = df => Similarity.corpusLshKeys(df, idCol, vecCol,
+        planesPerBand, bands),
+      linkedIds = (novel, keys, corpus) =>
+        Similarity.incrementalCosineNearDupsWithKeys(novel, keys, corpus,
+          idCol, vecCol, threshold, planesPerBand, bands))
   }
 
   /** Streaming IVFADC index maintenance — the ingest arm of the stored
@@ -819,6 +904,22 @@ object EventStreams {
     query
   }
 
+  /** Start a gate query (`mkQuery` is the `.start()` call) and attach
+    * [[releaseOnTermination]] for its stream-lifetime `caches`. If
+    * starting THROWS (corrupt/incompatible checkpoint, bad input dir),
+    * the caches release before the rethrow — without this, every failed
+    * launch attempt in a long-lived session leaks one pinned copy of
+    * each model, exactly the accumulation the gates' scaladoc forbids.
+    */
+  private def startReleasing(spark: SparkSession, caches: Seq[DataFrame])(
+      mkQuery: => StreamingQuery): StreamingQuery =
+    try releaseOnTermination(spark, mkQuery, caches: _*)
+    catch {
+      case e: Throwable =>
+        caches.foreach(_.unpersist(blocking = false))
+        throw e
+    }
+
   /** Streaming decontamination gate: each micro-batch drops documents
     * sharing at least `minOverlap` distinct word `n`-gram shingles with
     * the static benchmark set at `benchDir`, appending only clean
@@ -839,16 +940,19 @@ object EventStreams {
     */
   def ingestDecontaminated(spark: SparkSession, schema: StructType,
       inDir: String, benchDir: String, outDir: String,
-      checkpointDir: String, idCol: String, textCol: String, n: Int = 3,
+      checkpointDir: String, idCol: String, textCol: String, n: Int = 8,
       minOverlap: Int = 1, maxFilesPerTrigger: Int = 16,
       trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    // n defaults to 8 to MATCH the batch twin contaminationScores: a
+    // silently stricter streaming default (3-grams flag common phrases)
+    // would drop documents the batch pipeline keeps
     import graft.ops.Decontamination
     import org.apache.spark.sql.functions.col
     val shingles = Decontamination
       .benchShingles(spark.read.parquet(benchDir), textCol, n)
       .persist()
     shingles.count() // materialize once, before the first batch
-    val query = spark.readStream.schema(schema)
+    startReleasing(spark, Seq(shingles)) { spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .parquet(inDir)
       .writeStream
@@ -863,7 +967,7 @@ object EventStreams {
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .start()
-    releaseOnTermination(spark, query, shingles)
+    }
   }
 
   /** Streaming DSIR quality gate: each micro-batch keeps only documents
@@ -895,7 +999,7 @@ object EventStreams {
     val rModel = Sampling.importanceModel(
       spark.read.parquet(rawDir), textCol, buckets).persist()
     tModel.count(); rModel.count() // materialize once, before batch 1
-    val query = spark.readStream.schema(schema)
+    startReleasing(spark, Seq(tModel, rModel)) { spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .parquet(inDir)
       .writeStream
@@ -911,7 +1015,7 @@ object EventStreams {
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .start()
-    releaseOnTermination(spark, query, tModel, rModel)
+    }
   }
 
   /** Streaming classifier gate: each micro-batch keeps only documents
@@ -940,23 +1044,24 @@ object EventStreams {
     val model = Classify.trainNaiveBayes(train, labelCol, textCol).persist()
     val classDocs = Classify.nbClassDocs(train, labelCol).persist()
     model.count(); classDocs.count() // materialize once, before batch 1
-    val query = spark.readStream.schema(schema)
-      .option("maxFilesPerTrigger", maxFilesPerTrigger)
-      .parquet(inDir)
-      .writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val keep = Classify.nbPredictWithModel(batch, model, classDocs,
-            idCol, textCol)
-          .where(col("predicted").isin(keepLabels.map(x => x: Any): _*))
-          .select(col(idCol))
-        batch.join(keep, Seq(idCol), "left_semi")
-          .write.mode("append").parquet(outDir)
-        ()
-      }
-      .option("checkpointLocation", checkpointDir)
-      .trigger(trigger)
-      .start()
-    releaseOnTermination(spark, query, model, classDocs)
+    startReleasing(spark, Seq(model, classDocs)) {
+      spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", maxFilesPerTrigger)
+        .parquet(inDir)
+        .writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val keep = Classify.nbPredictWithModel(batch, model, classDocs,
+              idCol, textCol)
+            .where(col("predicted").isin(keepLabels.map(x => x: Any): _*))
+            .select(col(idCol))
+          batch.join(keep, Seq(idCol), "left_semi")
+            .write.mode("append").parquet(outDir)
+          ()
+        }
+        .option("checkpointLocation", checkpointDir)
+        .trigger(trigger)
+        .start()
+    }
   }
 
   /** Streaming distribution-drift monitor: every micro-batch's exact TV
@@ -979,26 +1084,33 @@ object EventStreams {
     val refModel = Sampling.importanceModel(
       spark.read.parquet(referenceDir), textCol, buckets).persist()
     refModel.count() // materialize once, before batch 1
-    val query = spark.readStream.schema(schema)
-      .option("maxFilesPerTrigger", maxFilesPerTrigger)
-      .parquet(inDir)
-      .writeStream
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        // Monitor row FIRST: if the second write fails the batch replays,
-        // and replay duplication must land in the dedupable-by-batch_id
-        // monitor table, never in the primary data sink (data-first would
-        // double-append committed data rows on a monitor-write failure).
-        TextAnalysis.textDriftAgainstModel(batch, textCol, refModel, buckets)
-          .select(lit(batchId).as("batch_id"), col("n_features"),
-            col("tv"))
-          .write.mode("append").parquet(monitorDir)
-        batch.write.mode("append").parquet(outDir)
-        ()
-      }
-      .option("checkpointLocation", checkpointDir)
-      .trigger(trigger)
-      .start()
-    releaseOnTermination(spark, query, refModel)
+    startReleasing(spark, Seq(refModel)) {
+      spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", maxFilesPerTrigger)
+        .parquet(inDir)
+        .writeStream
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          // Monitor row FIRST: if the second write fails the batch
+          // replays, and the monitor table dedups by batch_id. The
+          // primary data sink has no such key in its rows, so it writes
+          // the StreamingProcessor exactlyOnce way instead: each batch
+          // OVERWRITES its own micro_batch_id=N partition directory —
+          // a replay rewrites the same partition rather than appending
+          // a second copy of committed data rows (readers see
+          // micro_batch_id as a partition column).
+          TextAnalysis.textDriftAgainstModel(batch, textCol, refModel,
+              buckets)
+            .select(lit(batchId).as("batch_id"), col("n_features"),
+              col("tv"))
+            .write.mode("append").parquet(monitorDir)
+          batch.write.mode("overwrite")
+            .parquet(s"$outDir/micro_batch_id=$batchId")
+          ()
+        }
+        .option("checkpointLocation", checkpointDir)
+        .trigger(trigger)
+        .start()
+    }
   }
 
   /** Run a streaming DataFrame to completion against a memory sink and

@@ -255,6 +255,39 @@ class StreamingSpec extends SparkSuite {
     assert(spark.read.parquet(corpus).count() === 3) // no duplicate rows at all
   }
 
+  test("ingestDedup: contentless (null-text) rows land once ever and replay-filter") {
+    import spark.implicits._
+    // incrementalDedup's md5 anti-join keeps null-text rows by
+    // documented op design (null never equi-joins) — at INGEST a
+    // replayed contentless row would re-append forever. The gate's
+    // rule: all contentless docs are ONE duplicate class (exactDedup's
+    // null grouping), so at most one lands and replays add zero rows.
+    val in = tmp("nulltext-in")
+    val corpus = tmp("nulltext-corpus") + "/data"
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "doc_id LONG, text STRING")
+    def run(ck: String): Unit = graft.streaming.EventStreams
+      .ingestDedup(spark, schema, in, corpus, ck, "doc_id", "text")
+      .awaitTermination()
+    val rows = java.util.Arrays.asList(
+      org.apache.spark.sql.Row(1L, null),
+      org.apache.spark.sql.Row(2L, "hello world"),
+      org.apache.spark.sql.Row(3L, null))
+    spark.createDataFrame(rows, schema).coalesce(1)
+      .write.mode("append").parquet(in)
+    run(tmp("nulltext-ckpt"))
+    def ids(): Set[Long] = spark.read.parquet(corpus).select($"doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(ids() === Set(1L, 2L)) // in-batch: nulls collapse to lowest id
+    run(tmp("nulltext-ckpt2")) // full replay: no growth, null included
+    assert(ids() === Set(1L, 2L))
+    // a later contentless doc is a duplicate of the stored one
+    Seq((9L, null.asInstanceOf[String]), (10L, "fresh content"))
+      .toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(in)
+    run(tmp("nulltext-ckpt3"))
+    assert(ids() === Set(1L, 2L, 10L))
+  }
+
   test("ingestDedupBloom keeps the corpus duplicate-free with a live filter across batches and restarts") {
     import spark.implicits._
     val in = tmp("bloom-in")
@@ -330,6 +363,30 @@ class StreamingSpec extends SparkSuite {
       .toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(in)
     run()
     assert(ids() === s1 + 22L)
+  }
+
+  test("ingestNearDup: a degenerate (empty-token) doc replays without duplicating") {
+    import spark.implicits._
+    // an empty token set can never near-LINK (its Jaccard is NaN), so
+    // before the exact replay guard a crash-replayed degenerate doc
+    // re-appended on every restart; the guard drops byte-identical
+    // replays regardless of token degeneracy
+    val in = tmp("neardup-degen-in")
+    val corpus = tmp("neardup-degen-corpus") + "/data"
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "doc_id LONG, text STRING")
+    def run(ck: String): Unit = graft.streaming.EventStreams
+      .ingestNearDup(spark, schema, in, corpus, ck, "doc_id", "text",
+        threshold = 0.6, numHashes = 16, bands = 8)
+      .awaitTermination()
+    Seq((1L, ""), (2L, "real words in a real document body"))
+      .toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(in)
+    run(tmp("neardup-degen-ckpt"))
+    def ids(): Set[Long] = spark.read.parquet(corpus).select($"doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(ids() === Set(1L, 2L))
+    run(tmp("neardup-degen-ckpt2")) // full replay — zero growth
+    assert(ids() === Set(1L, 2L))
   }
 
   test("ingestDecontaminated drops bench-overlapping docs across batches, once-computed shingles") {
@@ -523,7 +580,9 @@ class StreamingSpec extends SparkSuite {
     val keyRows = spark.read.parquet(keys)
     assert(keyRows.select($"doc_id").distinct()
       .collect().map(_.getLong(0)).toSet === ids())
-    assert(keyRows.count() === ids().size * 8L) // 8 bands per doc
+    // 8 near-link bands + the band -1 exact-fingerprint row per doc
+    assert(keyRows.count() === ids().size * 9L)
+    assert(keyRows.where($"band" === -1).count() === ids().size.toLong)
 
     // crash recovery: lose the ENTIRE key table (worst case of dying
     // between the corpus append and the keys append) — the next batch
@@ -561,12 +620,74 @@ class StreamingSpec extends SparkSuite {
       .toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(in)
     run()
     assert(ids() === s3 + 41L) // re-keyed 31 caught its replay (40)
-    // exactly 8 band keys per corpus doc: the heal re-keyed ONLY the
-    // unkeyed sliver (a corpus-wide re-key would duplicate key rows)
+    // exactly 8 band keys + 1 exact (band -1) key per corpus doc: the
+    // heal re-keyed ONLY the unkeyed sliver (a corpus-wide re-key would
+    // duplicate key rows)
     val healedKeys = spark.read.parquet(keys)
-    assert(healedKeys.count() === ids().size * 8L)
+    assert(healedKeys.count() === ids().size * 9L)
     assert(healedKeys.select($"doc_id").distinct()
       .collect().map(_.getLong(0)).toSet === ids())
+  }
+
+  test("ingestNearDupKeyed: degenerate docs replay-filter through the band -1 exact keys") {
+    import spark.implicits._
+    // the keyed gate never reads corpus text per batch, so its replay
+    // self-filter rides the stored key table alone: near-link bands
+    // can't represent an empty token set (NaN Jaccard), the reserved
+    // band -1 exact fingerprint can
+    val in = tmp("keyed-degen-in")
+    val corpus = tmp("keyed-degen-corpus") + "/data"
+    val keys = tmp("keyed-degen-keys") + "/keys"
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "doc_id LONG, text STRING")
+    def run(ck: String): Unit = graft.streaming.EventStreams
+      .ingestNearDupKeyed(spark, schema, in, corpus, keys, ck,
+        "doc_id", "text", threshold = 0.6, numHashes = 16, bands = 8)
+      .awaitTermination()
+    Seq((1L, ""), (2L, "real words in a real document body"))
+      .toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(in)
+    run(tmp("keyed-degen-ckpt"))
+    def ids(): Set[Long] = spark.read.parquet(corpus).select($"doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(ids() === Set(1L, 2L))
+    run(tmp("keyed-degen-ckpt2")) // full replay — zero growth
+    assert(ids() === Set(1L, 2L))
+    // a later byte-identical degenerate doc is an exact dup of the
+    // stored one and drops the same way
+    Seq((9L, ""), (10L, "novel content this corpus has never seen"))
+      .toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(in)
+    run(tmp("keyed-degen-ckpt3"))
+    assert(ids() === Set(1L, 2L, 10L))
+  }
+
+  test("ingestEmbeddingNearDupKeyed: same-id duplicate rows in one batch land once; zero-norm replays filter") {
+    import spark.implicits._
+    // pair expansion excludes self-pairs (idA < idB), so two rows with
+    // the SAME id — a file replayed inside one trigger — could never
+    // link; the within-batch exact collapse keeps one. And a zero-norm
+    // vector (NaN cosine, never near-links) replay-filters through the
+    // band -1 exact fingerprint like the text gate's degenerates.
+    val in = tmp("emb-degen-in")
+    val corpus = tmp("emb-degen-corpus") + "/data"
+    val keys = tmp("emb-degen-keys") + "/keys"
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "vec_id LONG, embedding ARRAY<FLOAT>")
+    def run(ck: String): Unit = graft.streaming.EventStreams
+      .ingestEmbeddingNearDupKeyed(spark, schema, in, corpus, keys, ck,
+        "vec_id", "embedding", threshold = 0.95, planesPerBand = 4,
+        bands = 4)
+      .awaitTermination()
+    val v = Seq(1f, 0f, 0f, 0f)
+    Seq((7L, v), (7L, v), (8L, Seq(0f, 0f, 0f, 0f)))
+      .toDF("vec_id", "embedding").coalesce(1)
+      .write.mode("append").parquet(in)
+    run(tmp("emb-degen-ckpt"))
+    val stored = spark.read.parquet(corpus)
+    assert(stored.count() === 2) // the same-id duplicate landed once
+    assert(stored.select($"vec_id").collect().map(_.getLong(0)).toSet
+      === Set(7L, 8L))
+    run(tmp("emb-degen-ckpt2")) // full replay incl. the zero-norm row
+    assert(spark.read.parquet(corpus).count() === 2)
   }
 
   test("ingestEmbeddingNearDupKeyed gates re-embedded vectors across batches, restarts, and key loss") {
@@ -610,7 +731,9 @@ class StreamingSpec extends SparkSuite {
     val keyRows = spark.read.parquet(keys)
     assert(keyRows.select($"vec_id").distinct()
       .collect().map(_.getLong(0)).toSet === ids())
-    assert(keyRows.count() === ids().size * 4L) // 4 bands per vector
+    // 4 near-link bands + the band -1 exact-fingerprint row per vector
+    assert(keyRows.count() === ids().size * 5L)
+    assert(keyRows.where($"band" === -1).count() === ids().size.toLong)
 
     // lose the ENTIRE key table (crash between the two appends): the
     // next run must heal it and a replayed vector must self-filter
@@ -624,7 +747,7 @@ class StreamingSpec extends SparkSuite {
     run()
     assert(ids() === s2 + 31L)
     val healedKeys = spark.read.parquet(keys)
-    assert(healedKeys.count() === ids().size * 4L)
+    assert(healedKeys.count() === ids().size * 5L) // 4 bands + band -1
     assert(healedKeys.select($"vec_id").distinct()
       .collect().map(_.getLong(0)).toSet === ids())
   }
@@ -819,7 +942,7 @@ class StreamingSpec extends SparkSuite {
       .awaitTermination()
     assert(spark.read.parquet(corpus).select($"vec_id")
       .collect().map(_.getLong(0)).toSet === Set(1L, 2L))
-    assert(spark.read.parquet(keys).count() === 2 * 4L)
+    assert(spark.read.parquet(keys).count() === 2 * (4L + 1)) // + band -1
   }
 
   test("ingestNearDupKeyed heals past a crash that left an empty corpus and no key table") {
@@ -847,7 +970,7 @@ class StreamingSpec extends SparkSuite {
       .awaitTermination()
     assert(spark.read.parquet(corpus).select($"doc_id")
       .collect().map(_.getLong(0)).toSet === Set(1L, 2L))
-    assert(spark.read.parquet(keys).count() === 2 * 8L)
+    assert(spark.read.parquet(keys).count() === 2 * (8L + 1)) // + band -1
   }
 
   test("sessionize never moves a session's bounds backwards on cross-batch disorder") {
