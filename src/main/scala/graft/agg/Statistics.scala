@@ -80,22 +80,37 @@ object Statistics {
   /** Recursive parquet listing with byte sizes via the Hadoop FS API —
     * O(files) metadata calls, never a data scan (the scale-safe
     * replacement for counting files through `input_file_name()`).
-    * Paths are scheme-normalized; sorted.
+    * Paths are scheme-normalized; sorted. The normalized form is a
+    * JOIN KEY against `input_file_name()` — NOT a readable path (the
+    * scheme is stripped: `s3a://bucket/x` becomes `/bucket/x`, and a
+    * space stays percent-encoded); to read the files back, use
+    * [[listParquetFilesRaw]]'s raw URIs.
     */
   def listParquetFiles(spark: org.apache.spark.sql.SparkSession,
-      dir: String): Seq[(String, Long)] = {
+      dir: String): Seq[(String, Long)] =
+    listParquetFilesRaw(spark, dir).map { case (_, key, len) => (key, len) }
+
+  /** [[listParquetFiles]] carrying the RAW Hadoop URI alongside the
+    * normalized join key: (readableUri, normalizedKey, bytes). Only
+    * the raw URI resolves on the file's own filesystem when fed back
+    * into `spark.read` — the normalized key would resolve against the
+    * session default FS with the scheme stripped.
+    */
+  def listParquetFilesRaw(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Seq[(String, String, Long)] = {
     val root = new org.apache.hadoop.fs.Path(dir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(root)) Seq.empty
     else {
       val it = fs.listFiles(root, true)
-      val buf = Seq.newBuilder[(String, Long)]
+      val buf = Seq.newBuilder[(String, String, Long)]
       while (it.hasNext) {
         val st = it.next()
         if (st.isFile && st.getPath.getName.endsWith(".parquet"))
-          buf += ((uriPath(st.getPath.toUri.toString), st.getLen))
+          buf += ((st.getPath.toString,
+            uriPath(st.getPath.toUri.toString), st.getLen))
       }
-      buf.result().sortBy(_._1)
+      buf.result().sortBy(_._2)
     }
   }
 
@@ -105,9 +120,17 @@ object Statistics {
     * file-count-sized → broadcast.
     */
   def perFileStatsWithSize(spark: org.apache.spark.sql.SparkSession,
-      df: DataFrame, dir: String): DataFrame = {
+      df: DataFrame, dir: String): DataFrame =
+    perFileStatsWithSize(spark, df, listParquetFiles(spark, dir))
+
+  /** [[perFileStatsWithSize]] over a pre-computed `listParquetFiles`
+    * listing — callers that already hold one (the aggregator) avoid a
+    * second O(files) recursive LIST walk.
+    */
+  def perFileStatsWithSize(spark: org.apache.spark.sql.SparkSession,
+      df: DataFrame, listing: Seq[(String, Long)]): DataFrame = {
     import spark.implicits._
-    val sizes = broadcast(listParquetFiles(spark, dir).toDF("file", "bytes"))
+    val sizes = broadcast(listing.toDF("file", "bytes"))
     df.groupBy(regexp_replace(input_file_name(), SchemeRe, "/").as("file"))
       .agg(count(lit(1)).as("records"))
       .join(sizes, Seq("file"), "left")
@@ -128,7 +151,14 @@ object Statistics {
     */
   def fileSizeProfile(spark: org.apache.spark.sql.SparkSession,
       dir: String): Seq[(Int, Long, Long, Long, Long)] =
-    listParquetFiles(spark, dir)
+    fileSizeProfileOf(listParquetFiles(spark, dir))
+
+  /** [[fileSizeProfile]] over a pre-computed listing (see
+    * [[perFileStatsWithSize]]'s listing overload).
+    */
+  def fileSizeProfileOf(listing: Seq[(String, Long)])
+      : Seq[(Int, Long, Long, Long, Long)] =
+    listing
       .groupBy { case (_, len) => 64 - java.lang.Long.numberOfLeadingZeros(math.max(len, 1L)) }
       .map { case (bucket, files) =>
         val sizes = files.map(_._2)

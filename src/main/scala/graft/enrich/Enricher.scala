@@ -231,10 +231,22 @@ object Enricher {
             task.cancel(true); timedOut = true; lastError = "timeout"
             // an interrupt-deaf fetch wedges the worker: swap executors
             // so the NEXT record's fetch actually runs, and reset the
-            // shared fetcher — the abandoned thread may have left its
-            // connection state mid-request
+            // shared fetcher — the abandoned thread may STILL be inside
+            // fetch() on it, which is why the Fetcher contract requires
+            // reset() to swap in fresh state rather than repair shared
+            // state in place (the abandoned thread keeps the orphan)
             timer.replaceIfStuck(finished)
             fetcher.reset()
+          case e: InterruptedException =>
+            // the processor runs under an interruptOnCancel job group
+            // (GraftSession.runCancellable): a cancel interrupts this
+            // task thread while it blocks in task.get. Treating that
+            // as an ordinary fetch failure would clear the interrupt,
+            // back off, retry, and keep fetching the rest of the
+            // partition on a job the user already cancelled — restore
+            // the interrupt status and let the task die.
+            Thread.currentThread().interrupt()
+            throw e
           case e: Exception =>
             lastError = Option(e.getCause).getOrElse(e).getMessage
             fetcher.reset()

@@ -17,7 +17,16 @@ trait Fetcher extends AutoCloseable {
     */
   def fetch(url: String): Map[String, String]
 
-  /** Recover after a failed fetch (reference recreates the driver). */
+  /** Recover after a failed fetch (reference recreates the driver).
+    *
+    * MUST replace internal state (a fresh driver/connection), never
+    * repair shared state in place: after a record TIMEOUT the
+    * enricher abandons the wedged worker thread, which may still be
+    * blocked inside [[fetch]] when reset() and the next record's
+    * fetch run — an in-place mutation would race with it; a swap
+    * leaves the abandoned thread holding only the old, orphaned
+    * state (exactly what recreating a Selenium driver does).
+    */
   def reset(): Unit = ()
 
   override def close(): Unit = ()

@@ -253,15 +253,31 @@ object Staging {
     val root = new Path(outDir)
     val fs = FileSystem.get(root.toUri, spark.sessionState.newHadoopConf())
     var total = 0L
+    val committedNames = Set.newBuilder[String]
     committed.foreach { case (part, attempt, n) =>
       (0 until n.toInt).foreach { seq =>
         val name = f"shard-$part%05d-$seq%04d.tar"
+        committedNames += name
         val src = new Path(root, s"$tmpName/attempt-$attempt/$name")
         val dst = new Path(root, name)
         if (fs.exists(dst)) fs.delete(dst, false) // rerun over old output
         require(fs.rename(src, dst), s"commit rename failed: $src -> $dst")
       }
       total += n
+    }
+    // a rerun into the same outDir only overwrites COLLIDING names: a
+    // previous, larger run's higher-numbered shards would otherwise
+    // survive next to the new set and a downstream read of the
+    // directory returns stale samples alongside the fresh ones — the
+    // cross-run form of the duplicate-sample hazard the attempt
+    // protocol above exists to prevent. Sweep shard-named files this
+    // commit did not produce.
+    val mine = committedNames.result()
+    val ShardName = "shard-\\d{5}-\\d{4}\\.tar".r
+    fs.listStatus(root).foreach { st =>
+      val name = st.getPath.getName
+      if (st.isFile && ShardName.matches(name) && !mine.contains(name))
+        fs.delete(st.getPath, false)
     }
     fs.delete(new Path(root, tmpName), true)
     total

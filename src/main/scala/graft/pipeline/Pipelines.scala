@@ -250,21 +250,30 @@ object Pipelines {
     // rows count as successes), and an all-bad tree is fatal instead of
     // exclude-and-continue. Footer reads are O(files) driver metadata
     // work, the same order as the file census below.
-    val allFiles = Statistics.listParquetFiles(spark, shardsDir).map(_._1)
-    val (okFiles, badFiles) = allFiles.partition { f =>
+    // ONE recursive listing serves validation, the merged read AND the
+    // census/size-profile below (it was previously recomputed four
+    // times — each a full O(files) LIST walk, thousands of sequential
+    // RPCs on an object store). Reads use the RAW URIs: the normalized
+    // form is a join key against input_file_name(), and feeding it
+    // back into spark.read strips the scheme (s3a://bucket/x →
+    // /bucket/x) and keeps percent-encoding (a space in a local
+    // checkout path), resolving against the wrong filesystem.
+    val listed = Statistics.listParquetFilesRaw(spark, shardsDir)
+    val (okListed, badListed) = listed.partition { case (uri, _, _) =>
       (MediaSchema.requiredColumns --
-        spark.read.parquet(f).schema.fieldNames.toSet).isEmpty
+        spark.read.parquet(uri).schema.fieldNames.toSet).isEmpty
     }
-    if (badFiles.nonEmpty)
-      System.err.println(s"[graft] aggregator: excluding ${badFiles.size} " +
+    if (badListed.nonEmpty)
+      System.err.println(s"[graft] aggregator: excluding ${badListed.size} " +
         s"shard file(s) violating the read contract: " +
-        badFiles.take(5).mkString(", "))
-    require(okFiles.nonEmpty,
+        badListed.take(5).map(_._1).mkString(", "))
+    require(okListed.nonEmpty,
       s"no shard in $shardsDir satisfies the read contract " +
         s"(${MediaSchema.requiredColumns.mkString(", ")})")
     val merged =
-      if (badFiles.isEmpty) Sources.parquetTreeMerged(spark, shardsDir)
-      else spark.read.option("mergeSchema", true).parquet(okFiles: _*)
+      if (badListed.isEmpty) Sources.parquetTreeMerged(spark, shardsDir)
+      else spark.read.option("mergeSchema", true)
+        .parquet(okListed.map(_._1): _*)
     val df = MediaSchema.validate(merged) match {
       case Right(ok) => ok
       case Left(missing) =>
@@ -275,26 +284,26 @@ object Pipelines {
       val stats = Statistics.globalStats(df)
       val histogram = Statistics.mediaTypeHistogram(df).collect()
         .map(r => (r.getString(0), r.getLong(1))).toSeq
-      // File census from FS metadata — O(files), not a second data scan.
-      // Counts only contract-passing shards, consistent with the data.
-      val okSet = okFiles.toSet
-      val files = Statistics.listParquetFiles(spark, shardsDir)
-        .filter { case (f, _) => okSet.contains(f) }
-      val fileStats = Statistics.perFileStatsWithSize(spark, df, shardsDir)
+      // File census from the ONE listing above — O(files) FS metadata,
+      // not a second data scan; only contract-passing shards, so the
+      // count is consistent with the data.
+      val okKeys = okListed.map { case (_, key, len) => (key, len) }
+      val fileStats = Statistics.perFileStatsWithSize(spark, df, okKeys)
         .collect()
         .map(r => (r.getString(0), r.getLong(1),
           if (r.isNullAt(2)) 0L else r.getLong(2))).toSeq
 
       Sinks.parquet(df, s"$outDir/combined.parquet", singleFile)
-      Sinks.csv(df.select(df.columns.map(col).toSeq: _*), s"$outDir/combined.csv", singleFile)
+      Sinks.csv(df, s"$outDir/combined.csv", singleFile)
       Sinks.writeText(s"$outDir/statistics.json",
-        Statistics.statsJson(stats, histogram, files.size.toLong))
+        Statistics.statsJson(stats, histogram, okKeys.size.toLong))
       Sinks.writeText(s"$outDir/aggregation_summary.md",
-        Statistics.markdownReport(stats, histogram, files.size.toLong,
+        Statistics.markdownReport(stats, histogram, okKeys.size.toLong,
           fileStats,
-          // layout health rides the same FS-metadata census — no extra
-          // data scan; the small-file warning lands where a user looks
-          sizeProfile = Statistics.fileSizeProfile(spark, shardsDir)))
+          // layout health rides the same listing — the profile covers
+          // the WHOLE tree (bad shards included: they are still layout)
+          sizeProfile = Statistics.fileSizeProfileOf(
+            listed.map { case (_, key, len) => (key, len) })))
       stats
     }
   }

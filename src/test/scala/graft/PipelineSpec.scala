@@ -60,6 +60,33 @@ class PipelineSpec extends SparkSuite {
     assert(md.contains("Total records"))
   }
 
+  test("aggregator handles a shards path containing a space (raw-URI reads)") {
+    // listParquetFiles' normalized form is a JOIN KEY against
+    // input_file_name() — percent-encoded, scheme-stripped. Feeding it
+    // back into spark.read resolved '%20' literally and crashed the
+    // per-file contract validation on any checkout path with a space
+    // (an object-store path would mis-resolve the same way); the
+    // aggregator now reads through listParquetFilesRaw's URIs.
+    val urlPath = writeUrlList(30)
+    val out = Files.createTempDirectory("graft agg spaced").toString
+    val c = Pipelines.processAll(spark, urlPath, out, () => new SyntheticFetcher,
+      batchSize = 30, cursorPath = s"$out/cursor.txt", totalTarget = 30, enrichConfig = fastEnrich)
+    val stats = Pipelines.aggregator(spark, s"$out/shards", s"$out/agg")
+    assert(stats.totalRecords === 30L - c.skippedCount)
+    assert(Sources.parquet(spark, s"$out/agg/combined.parquet").count() === stats.totalRecords)
+  }
+
+  test("urlList yields an empty frame when no object carries a url field") {
+    // '[{"link": ...}]' infers a schema WITHOUT url; 'drop missing'
+    // must mean an empty frame (the reference's u.get('url') filter),
+    // not an UNRESOLVED_COLUMN crash
+    val p = Files.createTempDirectory("graft-nourl").resolve("urls.json")
+    Files.writeString(p, """[{"link": "https://example.org/a"}, {"n": 2}]""")
+    val df = Sources.urlList(spark, p.toString)
+    assert(df.columns.toSeq === Seq("url"))
+    assert(df.count() === 0L)
+  }
+
   test("processor writes processing_summary.md and appends processor.log per batch") {
     val urlPath = writeUrlList(50)
     val out = Files.createTempDirectory("graft-sum").toString

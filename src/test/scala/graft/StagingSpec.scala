@@ -270,6 +270,28 @@ class StagingSpec extends SparkSuite {
       s"$longStem.json"))
   }
 
+  test("writeWebDataset rerun sweeps stale shards from a previous larger run") {
+    import spark.implicits._
+    // run 1 commits two shards; run 2 (fewer samples) produces one —
+    // the commit must not leave run 1's higher-numbered shard next to
+    // the new set, or a directory read returns stale samples alongside
+    // fresh ones (the cross-run form of the duplicate-sample hazard
+    // the attempt protocol prevents within a run)
+    val out = Files.createTempDirectory("graft-wds-rerun")
+    def samples(n: Int) = (0 until n)
+      .map(i => (f"s$i%02d", Map("cls" -> i.toString.getBytes)))
+      .toDF("sample", "files").repartition(1).sortWithinPartitions($"sample")
+    assert(Staging.writeWebDataset(samples(4), out.toString,
+      samplesPerShard = 2) === 2L)
+    assert(Staging.writeWebDataset(samples(2), out.toString,
+      samplesPerShard = 2) === 1L)
+    val names = out.toFile.listFiles().map(_.getName).filter(_.endsWith(".tar")).toSet
+    assert(names === Set("shard-00000-0000.tar"), names.toString)
+    val back = Staging.webdatasetSamples(spark, out.toString)
+      .select($"sample").collect().map(_.getString(0)).toSet
+    assert(back === Set("s00", "s01"))
+  }
+
   test("writeWebDataset shards parse with the host tar when one is present") {
     import spark.implicits._
     // the round-trip test validates the writer only against the
