@@ -82,7 +82,7 @@ object Statistics {
     * replacement for counting files through `input_file_name()`).
     * Paths are scheme-normalized; sorted. The normalized form is a
     * JOIN KEY against `input_file_name()` — NOT a readable path (the
-    * scheme is stripped: `s3a://bucket/x` becomes `/bucket/x`, and a
+    * scheme is stripped: `s3a://<bucket>/x` becomes `/bucket/x`, and a
     * space stays percent-encoded); to read the files back, use
     * [[listParquetFilesRaw]]'s raw URIs.
     */

@@ -255,7 +255,7 @@ object Pipelines {
     // times — each a full O(files) LIST walk, thousands of sequential
     // RPCs on an object store). Reads use the RAW URIs: the normalized
     // form is a join key against input_file_name(), and feeding it
-    // back into spark.read strips the scheme (s3a://bucket/x →
+    // back into spark.read strips the scheme (s3a://<bucket>/x →
     // /bucket/x) and keeps percent-encoding (a space in a local
     // checkout path), resolving against the wrong filesystem.
     val listed = Statistics.listParquetFilesRaw(spark, shardsDir)
