@@ -40,10 +40,23 @@ object Enricher {
     * micro-batch contract bounds it and it is one job instead of two.
     * Callers feeding enrich() an UNBOUNDED frame directly (outside the
     * processor contract) set this flag.
+    *
+    * `windowIndexMaxRows` ENFORCES that contract instead of trusting it
+    * (round-11 hardening): when `distributedIndex = false`, enrich()
+    * first runs a LocalLimit-bounded probe (`limit(bound + 1).count()`,
+    * a short-circuiting job over at most bound + 1 url rows — never a
+    * full scan of an unbounded list) and auto-switches to the
+    * distributed rank above the bound. The indices are bit-identical
+    * either way, so in-contract callers see no behavior change beyond
+    * the ~ms probe job; an out-of-contract caller that forgot the flag
+    * gets the scalable path instead of a driver-killing
+    * single-partition sort. `Int.MaxValue` disables the probe (trust
+    * the caller — the pre-round-11 behavior).
     */
   case class Config(maxAttempts: Int = 2, recordTimeoutMs: Long = 10000,
       backoffMs: Long = 1000, startIndex: Long = 0, numPartitions: Int = 0,
-      distributedIndex: Boolean = false)
+      distributedIndex: Boolean = false,
+      windowIndexMaxRows: Int = 200000)
 
   val deadLetterSchema =
     org.apache.spark.sql.types.StructType(Seq(
@@ -93,13 +106,16 @@ object Enricher {
     * backoffs and slow fetches run in parallel. Callers OUTSIDE that
     * contract (an unbounded url frame fed to enrich() directly) set
     * `Config.distributedIndex` — [[distributedRank]] assigns the
-    * identical indices with no single-partition sort.
+    * identical indices with no single-partition sort — and since round
+    * 11 the contract is enforced, not just documented: a frame larger
+    * than `Config.windowIndexMaxRows` takes the distributed path
+    * automatically (see [[exceedsWindowBound]]).
     */
   def enrich(urls: DataFrame, fetcherFactory: () => Fetcher,
       config: Config = Config()): Enriched = {
     val cfg = config
     val (indexed0, pins) =
-      if (cfg.distributedIndex) {
+      if (cfg.distributedIndex || exceedsWindowBound(urls, cfg)) {
         val (df, pin) = distributedRank(urls, cfg)
         (df, Seq(pin))
       } else {
@@ -139,6 +155,19 @@ object Enricher {
       col("attempt").as("attempts"))
     Enriched(records, dead, unified, pins)
   }
+
+  /** The `maxRecords`-contract probe behind `Config.windowIndexMaxRows`:
+    * true when `urls` holds MORE rows than the bound, measured by a
+    * `limit(bound + 1).count()` — a GlobalLimit plan that stops the
+    * scan as soon as bound + 1 rows exist, so an unbounded input costs
+    * one bounded job, not a full count. The saturating guard keeps
+    * `Int.MaxValue` a valid "trust the caller" opt-out.
+    */
+  private[enrich] def exceedsWindowBound(urls: DataFrame,
+      cfg: Config): Boolean =
+    cfg.windowIndexMaxRows < Int.MaxValue &&
+      urls.select(col("url")).limit(cfg.windowIndexMaxRows + 1).count() >
+        cfg.windowIndexMaxRows
 
   /** The distributed `batch_index` assignment behind
     * `Config.distributedIndex`: range-partition by url, sort within

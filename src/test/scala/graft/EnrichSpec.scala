@@ -133,6 +133,38 @@ class EnrichSpec extends SparkSuite {
     }
   }
 
+  test("oversized frames auto-switch to the distributed index path") {
+    // the maxRecords-contract guard: a frame above windowIndexMaxRows
+    // must take the distributed rank even when the caller left
+    // distributedIndex = false — the analyzed plan of the output
+    // carries no Window operator (the single-partition sort is gone),
+    // an in-bound frame keeps the one-job window form, and the indices
+    // are the same contiguous url-order block either way
+    val fetcher = () => new SyntheticFetcher(
+      failFirstSuffix = "zz", alwaysFailPrefix = "zz")
+    val urls = (0 until 30).map(i => f"https://example.org/w/$i%02d")
+    def hasWindow(out: Enricher.Enriched) =
+      out.records.queryExecution.analyzed.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+      }.nonEmpty
+    val forced = Enricher.enrich(urlDf(urls), fetcher,
+      Enricher.Config(startIndex = 3, windowIndexMaxRows = 10))
+    assert(!hasWindow(forced), "oversized frame must drop the window")
+    val idx = forced.records.orderBy("url").select("batch_index")
+      .collect().map(_.getLong(0))
+    assert(idx.toSeq === (3L until 33L))
+    val inBound = Enricher.enrich(urlDf(urls), fetcher,
+      Enricher.Config(startIndex = 3, windowIndexMaxRows = 30))
+    assert(hasWindow(inBound), "in-contract frame keeps the window form")
+    assert(inBound.records.orderBy("url").select("batch_index")
+      .collect().map(_.getLong(0)).toSeq === (3L until 33L))
+    // Int.MaxValue opts the probe out entirely: window form regardless
+    val opted = Enricher.enrich(urlDf(urls), fetcher,
+      Enricher.Config(windowIndexMaxRows = Int.MaxValue))
+    assert(hasWindow(opted))
+    forced.release(); inBound.release(); opted.release()
+  }
+
   test("media-type-conditional columns: offered section fields masked by type") {
     // a fetcher that OFFERS a volumetric-only field on EVERY page: the
     // P5 masking must null it for non-volumetric types and keep it for
