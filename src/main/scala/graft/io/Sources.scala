@@ -52,10 +52,10 @@ object Sources {
     * job — the operational mode for a 100 TB scan where one truncated
     * upload should cost one shard, not the run. Skipped files are
     * logged by Spark (`ignoreCorruptFiles`), not silent-dropped without
-    * trace; pair with [[graft.agg.Statistics.fileSizeProfile]]'s census
-    * to reconcile expected-vs-read shard counts after a lenient run.
-    * Default reads stay strict: corruption in a pipeline that DIDN'T
-    * opt in should fail loudly.
+    * trace; [[readAndReconcile]] is the one-call form that diffs the
+    * FS census against the shards actually read and hands back the
+    * skipped list with byte sizes. Default reads stay strict:
+    * corruption in a pipeline that DIDN'T opt in should fail loudly.
     *
     * Schema inference reads ONE footer, so when the corrupt shard is
     * the first file in listing order inference itself has nothing to
@@ -69,6 +69,43 @@ object Sources {
       .option("pathGlobFilter", "*.parquet")
       .option("ignoreCorruptFiles", true)
     schema.fold(r)(r.schema).parquet(dir)
+  }
+
+  /** [[readAndReconcile]]'s census-diff report: `expectedFiles` parquet
+    * shards listed under the root, `readFiles` of them contributing at
+    * least one row to the lenient scan, and the `unread` remainder as
+    * (scheme-normalized path, bytes). A shard lands in `unread` either
+    * because `ignoreCorruptFiles` skipped it (the corruption being
+    * reconciled) or because it is a VALID zero-row file — the sizes are
+    * included so a reader can tell a 0-byte/footer-only shard from a
+    * multi-MB one that silently yielded nothing.
+    */
+  case class LenientReadReport(expectedFiles: Long, readFiles: Long,
+      unread: Seq[(String, Long)]) {
+    def clean: Boolean = unread.isEmpty
+  }
+
+  /** [[parquetTreeLenient]] with its reconciliation built in — the
+    * one-call form of the manual recipe that helper's scaladoc used to
+    * prescribe (pair the lenient read with an FS census and diff the
+    * shard lists yourself). Runs the O(files) metadata census plus ONE
+    * per-file count job over the lenient scan (`input_file_name`
+    * grouping — file-count-sized result, like the other census
+    * helpers), then diffs census against files actually read. The
+    * returned frame is the plain lenient scan; consume it as usual.
+    *
+    * Strict reads are untouched: corruption in a pipeline that didn't
+    * opt into this helper still fails loudly via [[parquetTree]].
+    */
+  def readAndReconcile(spark: SparkSession, dir: String,
+      schema: Option[org.apache.spark.sql.types.StructType] = None)
+      : (DataFrame, LenientReadReport) = {
+    val census = graft.agg.Statistics.listParquetFiles(spark, dir)
+    val df = parquetTreeLenient(spark, dir, schema)
+    val read = graft.agg.Statistics.perFileStatsWithSize(spark, df, census)
+      .select("file").collect().map(_.getString(0)).toSet
+    val unread = census.filterNot { case (path, _) => read.contains(path) }
+    (df, LenientReadReport(census.size.toLong, read.size.toLong, unread))
   }
 
   /** U1 on already-loaded frames: union-by-name with null-fill. */

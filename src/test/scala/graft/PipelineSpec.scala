@@ -322,6 +322,31 @@ class PipelineSpec extends SparkSuite {
     assert(withSchema.count() === 2)
   }
 
+  test("readAndReconcile reports the skipped shard with its byte size") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-reconcile").toString
+    val good = Seq((1L, "good"), (2L, "rows")).toDF("id", "v")
+    good.write.parquet(s"$dir/good.parquet")
+    val garbage = "truncated mid-upload".getBytes("UTF-8")
+    Files.write(java.nio.file.Path.of(s"$dir/zz_broken.parquet"), garbage)
+    val (df, report) = Sources.readAndReconcile(spark, dir)
+    // the frame is the plain lenient scan: good rows survive
+    assert(df.count() === 2)
+    // the census-diff names the planted shard, with counts and bytes
+    assert(!report.clean)
+    assert(report.expectedFiles === report.readFiles + 1)
+    assert(report.unread.size === 1)
+    val (path, bytes) = report.unread.head
+    assert(path.endsWith("/zz_broken.parquet"), path)
+    assert(bytes === garbage.length.toLong)
+    // a fully healthy tree reconciles clean
+    val cleanDir = Files.createTempDirectory("graft-reconcile2").toString
+    good.write.parquet(s"$cleanDir/good.parquet")
+    val (df2, report2) = Sources.readAndReconcile(spark, cleanDir)
+    assert(df2.count() === 2)
+    assert(report2.clean && report2.expectedFiles === report2.readFiles)
+  }
+
   test("datasetRelease writes datasheet, manifest, sample and the data card") {
     import spark.implicits._
     val out = Files.createTempDirectory("graft-release").toString
