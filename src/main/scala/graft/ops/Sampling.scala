@@ -342,6 +342,32 @@ object Sampling {
       .orderBy(col("logw_sum").desc, col(idCol))
       .limit(k)
 
+  /** [[importanceTake]] with the selection ORDER made explicit — the
+    * gateable form (round 11, the q121c/q109c promotion discipline):
+    * `rank` plus the exact integer model dot products, no ln-derived
+    * column at the boundary. Sound to hash-gate cross-engine because
+    * the order key `logw_sum` is an exact DECIMAL sum of per-feature
+    * lns QUANTIZED to 1e-6 before any arithmetic
+    * ([[importanceWeightsWithModels]]): an oracle recomputing the same
+    * quantization reproduces the sum bit-exactly unless an ln lands
+    * within a ulp of a 5e-7 rounding boundary (the q109c caveat;
+    * corpus-conditional — re-run the margin audit after any fixture
+    * regeneration). Exact ties break to the lowest id on both engines.
+    *
+    * Plan shape: TakeOrdered top-k, then `row_number` over the
+    * ALREADY-CUT k-row frame (a single-partition window over model-
+    * sized data, bounded by construction — never over the corpus).
+    */
+  def importanceTakeRanked(raw: DataFrame, target: DataFrame,
+      idCol: String, textCol: String, k: Int, buckets: Int = 10000,
+      alpha: Double = 1.0): DataFrame =
+    importanceTake(raw, target, idCol, textCol, k, buckets, alpha)
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("logw_sum").desc, col(idCol))))
+      .select(col("rank"), col(idCol), col("n_features"),
+        col("target_hits"), col("raw_hits"))
+
   /** Partition rows into disjoint, exhaustive splits with the given
     * weights (normalized), e.g. train/val/test = 0.9/0.05/0.05. Adds a
     * `split` column with the split index.

@@ -502,7 +502,8 @@ object CorpusQueries {
   /** q133's bucket SIZES per language — rank terciles depend only on
     * per-language row counts (head = floor(n/3), middle = floor(2n/3) −
     * floor(n/3), tail = the rest), never on the ln values that order
-    * them, so the counts hash-gate even though the assignment can't.
+    * them, so the counts gate unconditionally — the corpus-independent
+    * complement to q133's corpus-conditional assignment gate.
     */
   private def q133b(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -571,10 +572,26 @@ object CorpusQueries {
   }
 
   /** CCNet-style per-language LM buckets: head/middle/tail terciles of
-    * the bigram mean log-prob, trained on the doc_id ≡ 0 mod 5 slice
-    * (q87b's split). Rank-based per language. ln-derived boundaries →
-    * rows-only (the q87 discipline); determinism and bucket semantics
-    * are spec-pinned.
+    * the bigram mean log-prob — SCORING the doc_id ≡ 0 (mod 5) slice
+    * with a model trained on the other four fifths (corpus comes first
+    * in [[Vocab.ccnetBuckets]]'s signature; the pre-round-11 scaladoc
+    * here misstated the split). Rank-based per language. Hash-gated since round
+    * 11 on the (doc_id, lang, n_bigrams, bucket) membership: the order
+    * key `logprob_sum` is an exact DECIMAL sum of 1e-6-quantized lns
+    * that the oracle recomputes bit-exactly (the q109c discipline),
+    * the double mean divides two cross-engine-identical values, and
+    * the tercile comparison mirrors Spark's cume_dist operand-for-
+    * operand — so bucket assignment agrees unless an ln lands within a
+    * ulp of a 5e-7 boundary. `tools/audit_margins.py` measures exactly
+    * that: every distinct model ln sits ≥ 1.9e6 ulps from a rounding
+    * boundary at sf0.01 AND sf0.1 (`bench_history/r11_margin_audit_*`),
+    * so the sums are bit-identical cross-engine. NOTE the soundness
+    * argument here is the ln scan, NOT gap margins: at sf0.1 the
+    * tightest tercile-boundary logprob gap is 2.5e-7, below the 1e-6
+    * worst-case wobble — with bit-identical sums any positive gap (or
+    * an exact tie, broken by doc_id) suffices. Corpus-conditional —
+    * re-audit after any fixture regeneration. The raw `logprob` double
+    * stays off the gated boundary.
     */
   private def q133(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -582,6 +599,7 @@ object CorpusQueries {
     Vocab.ccnetBuckets(
         docs.where($"doc_id" % 5 === 0),
         docs.where($"doc_id" % 5 =!= 0), "doc_id", "text", "lang")
+      .select($"doc_id", $"lang", $"n_bigrams", $"bucket")
       .orderBy($"doc_id")
   }
 
@@ -839,6 +857,47 @@ object CorpusQueries {
         |         / (p.padded_seqs * p.seq_len) AS pad_waste_frac,
         |       CAST(ceil(a.n_tokens / CAST(p.seq_len AS DOUBLE)) AS BIGINT) AS packed_seqs
         |FROM p CROSS JOIN a ORDER BY p.seq_len""".stripMargin,
+    // the BUCKET gate (q133): q87's bigram-LM CTEs on the mod-5 split,
+    // each ln quantized to DECIMAL(25,6) (bit-exact vs Spark — the
+    // q109c discipline), the per-doc mean as one double division of
+    // identical operands, terciles via the same cume_dist window and
+    // the same double constants (CAST(k AS DOUBLE) / 3 — a bare k/3.0
+    // risks DuckDB decimal semantics), ln ties broken by doc_id
+    "q133_ccnet_buckets" ->
+      """WITH tr AS (SELECT string_split_regex(trim(text), ' +') AS toks
+        |            FROM documents WHERE doc_id % 5 <> 0),
+        |u AS (SELECT w1, CAST(count(*) AS BIGINT) AS u
+        |      FROM (SELECT unnest(toks) AS w1 FROM tr) GROUP BY w1),
+        |b AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS b
+        |      FROM (SELECT toks[i] AS w1, toks[i + 1] AS w2
+        |            FROM tr, UNNEST(range(1, len(toks))) AS t(i))
+        |      GROUP BY w1, w2),
+        |v AS (SELECT CAST(count(*) AS BIGINT) AS v FROM u),
+        |co AS (SELECT doc_id, lang, string_split_regex(trim(text), ' +') AS toks
+        |       FROM documents WHERE doc_id % 5 = 0),
+        |dbc AS (SELECT doc_id, w1, w2, CAST(count(*) AS BIGINT) AS c
+        |        FROM (SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+        |              FROM co, UNNEST(range(1, len(toks))) AS t(i))
+        |        GROUP BY doc_id, w1, w2),
+        |j AS (SELECT dbc.doc_id, dbc.c,
+        |        CAST(ln((COALESCE(b.b, 0) + 1.0) / (COALESCE(u.u, 0) + 1.0 * v.v))
+        |          AS DECIMAL(25,6)) * CAST(dbc.c AS DECIMAL(10,0)) AS wlp
+        |      FROM dbc LEFT JOIN b ON b.w1 = dbc.w1 AND b.w2 = dbc.w2
+        |               LEFT JOIN u ON u.w1 = dbc.w1, v),
+        |lm AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+        |              CAST(CAST(sum(wlp) AS DECIMAL(38,6)) AS DOUBLE)
+        |                / CAST(sum(c) AS BIGINT) AS logprob
+        |       FROM j GROUP BY doc_id),
+        |s AS (SELECT lm.doc_id, d.lang, lm.n_bigrams,
+        |             cume_dist() OVER (PARTITION BY d.lang
+        |               ORDER BY lm.logprob DESC, lm.doc_id) AS cd
+        |      FROM lm JOIN (SELECT doc_id, lang FROM documents
+        |                    WHERE doc_id % 5 = 0) d USING (doc_id))
+        |SELECT doc_id, lang, n_bigrams,
+        |       CASE WHEN cd <= CAST(1 AS DOUBLE) / 3 THEN 'head'
+        |            WHEN cd <= CAST(2 AS DOUBLE) / 3 THEN 'middle'
+        |            ELSE 'tail' END AS bucket
+        |FROM s ORDER BY doc_id""".stripMargin,
     // q59's quality/decontamination/dedup CTEs chained with q87's LM
     // CTEs (gated in DECIMAL) and q88's vocab CTEs (gated in integers)
     "q89_ccnet_pipeline" ->

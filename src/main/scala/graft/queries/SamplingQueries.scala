@@ -81,8 +81,9 @@ object SamplingQueries {
     * model = the `lang='en'` slice, raw model = the whole corpus).
     * Emits the exact integer basis — feature counts and the
     * target/raw-model dot products, which fully pin both joined
-    * models — and is hash-checked; the transcendental `logw` selection
-    * itself is q100b (rows-only, the q87/q87b discipline).
+    * models — and is hash-checked; the selection it drives is q100b,
+    * itself hash-gated since round 11 through the quantized-decimal
+    * order key (see [[Sampling.importanceTakeRanked]]).
     */
   private def q100(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -98,16 +99,26 @@ object SamplingQueries {
   }
 
   /** The DSIR selection q100's weights drive: top-50 documents by
-    * importance weight (greedy deterministic cut, ties to low id).
-    * ln-derived ranking → rows-only (see q100's note).
+    * importance weight (greedy deterministic cut, ties to low id) —
+    * hash-gated since round 11 via [[Sampling.importanceTakeRanked]]:
+    * (rank, doc_id, integer model bases), no ln-derived column at the
+    * boundary. The order key is the 1e-6-quantized DECIMAL `logw_sum`,
+    * which the oracle recomputes bit-exactly (the q109c/q121c
+    * discipline); margin audit in `tools/audit_margins.py` — adjacent
+    * distinct sums in the top ~60 clear the 1e-6 quantum by orders of
+    * magnitude at sf0.01/sf0.1. Corpus-conditional: re-audit after any
+    * fixture regeneration.
     */
   private def q100b(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val docs = Tables.documents(s, dir)
-    Sampling.importanceTake(docs, docs.where($"lang" === "en"),
+    Sampling.importanceTakeRanked(docs, docs.where($"lang" === "en"),
         "doc_id", "text", k = 50, buckets = 10000)
-      .select($"doc_id", $"n_features", $"logw")
-      .orderBy($"doc_id")
+      .select($"rank", $"doc_id", $"n_features",
+        // DECIMAL internally; BIGINT at the gated boundary (q100's note)
+        $"target_hits".cast("long").as("target_hits"),
+        $"raw_hits".cast("long").as("raw_hits"))
+      .orderBy($"rank")
   }
 
   /** Curriculum epoch order: quality bands (cutoffs 0.62 / 0.5 — best
@@ -192,6 +203,47 @@ object SamplingQueries {
         |       md5('ep0:' || doc_id) AS shuffle_key
         |FROM q
         |ORDER BY band, shuffle_key, doc_id""".stripMargin,
+    // the SELECTION gate (q100b): q100's CTE chain extended with the
+    // quantized-decimal importance weight — each smoothed ln cast to
+    // DECIMAL(25,6) (the q109c idiom, operand order mirroring
+    // Sampling.importanceWeightsWithModels), target minus raw exact in
+    // decimal, times the exact feature count, decimal-summed — so the
+    // top-50 order is exact decimal arithmetic on both engines; ties
+    // break to the lowest doc_id identically
+    "q100b_dsir_select" ->
+      """WITH ft AS (SELECT doc_id, lang, string_split_regex(trim(text), ' +') AS toks
+        |            FROM documents),
+        |u AS (SELECT doc_id, lang, 'u:' || w AS feat
+        |      FROM (SELECT doc_id, lang, unnest(toks) AS w FROM ft)),
+        |b AS (SELECT doc_id, lang, 'b:' || toks[i] || ' ' || toks[i + 1] AS feat
+        |      FROM ft, UNNEST(range(1, len(toks))) AS t(i)),
+        |f AS (SELECT doc_id, lang,
+        |             ('0x' || substr(md5(feat), 1, 15))::BIGINT % 10000 AS k
+        |      FROM (SELECT * FROM u UNION ALL SELECT * FROM b)),
+        |doc AS (SELECT doc_id, k, CAST(count(*) AS BIGINT) AS c
+        |        FROM f GROUP BY doc_id, k),
+        |tm AS (SELECT k, CAST(count(*) AS BIGINT) AS t FROM f
+        |       WHERE lang = 'en' GROUP BY k),
+        |rm AS (SELECT k, CAST(count(*) AS BIGINT) AS r FROM f GROUP BY k),
+        |tot AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM f WHERE lang = 'en') AS nt,
+        |               (SELECT CAST(count(*) AS BIGINT) FROM f) AS nr),
+        |j AS (SELECT doc.doc_id, doc.c,
+        |        (CAST(ln((COALESCE(tm.t, 0) + 1.0) / (tot.nt + 1.0 * 10000)) AS DECIMAL(25,6))
+        |         - CAST(ln((COALESCE(rm.r, 0) + 1.0) / (tot.nr + 1.0 * 10000)) AS DECIMAL(25,6)))
+        |          * CAST(doc.c AS DECIMAL(10,0)) AS wl,
+        |        CAST(doc.c AS DECIMAL(19,0)) * CAST(COALESCE(tm.t, 0) AS DECIMAL(19,0)) AS th,
+        |        CAST(doc.c AS DECIMAL(19,0)) * CAST(COALESCE(rm.r, 0) AS DECIMAL(19,0)) AS rh
+        |      FROM doc LEFT JOIN tm ON tm.k = doc.k
+        |               LEFT JOIN rm ON rm.k = doc.k
+        |               CROSS JOIN tot),
+        |s AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_features,
+        |             sum(wl) AS sc,
+        |             CAST(sum(th) AS BIGINT) AS target_hits,
+        |             CAST(sum(rh) AS BIGINT) AS raw_hits
+        |      FROM j GROUP BY doc_id)
+        |SELECT CAST(row_number() OVER (ORDER BY sc DESC, doc_id) AS INTEGER) AS rank,
+        |       doc_id, n_features, target_hits, raw_hits
+        |FROM s QUALIFY rank <= 50 ORDER BY rank""".stripMargin,
     // DSIR integer basis: hashed unigram+bigram bucket counts per doc,
     // target (lang='en') and raw bucket models, and the exact decimal
     // dot products that pin both joined models — the same md5 % 10000

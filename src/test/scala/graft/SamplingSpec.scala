@@ -191,4 +191,19 @@ class SamplingSpec extends SparkSuite {
     assert(mw(true) > mw(false),
       s"mean logw en=${mw(true)} rest=${mw(false)}")
   }
+
+  test("importanceTakeRanked ranks exactly importanceTake's selection order") {
+    import spark.implicits._
+    val en = docs.where($"lang" === "en")
+    val viaTake = Sampling.importanceTake(docs, en, "doc_id", "text", k = 20)
+      .orderBy($"logw_sum".desc, $"doc_id")
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    val ranked = Sampling.importanceTakeRanked(docs, en, "doc_id", "text",
+      k = 20)
+    assert(ranked.columns.toSeq ===
+      Seq("rank", "doc_id", "n_features", "target_hits", "raw_hits"))
+    val byRank = ranked.orderBy($"rank").collect()
+    assert(byRank.map(_.getInt(0)).toSeq === (1 to 20))
+    assert(byRank.map(_.getLong(1)).toSeq === viaTake)
+  }
 }
