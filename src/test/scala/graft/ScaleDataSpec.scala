@@ -98,4 +98,60 @@ class ScaleDataSpec extends SparkSuite {
     assert(keepers.select("embedding").distinct().count() ===
       baseKeepers.select("embedding").distinct().count())
   }
+
+  test("tables filter + idOffset: derive only docs/embeddings from a " +
+      "partial source with a collision-safe offset") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-scaledata-partial").toString
+    // outDir (docs+emb only) becomes the SOURCE of a second derivation:
+    // the missing fact tables must never be touched, and the bigger
+    // offset keeps re-replicated ids disjoint (the r10 sf10 flaw)
+    ScaleData.generate(spark, dir, replicas = 2, srcDir = outDir,
+      tables = Set("documents", "embeddings"), idOffset = 10000000000L)
+    assert(!new java.io.File(s"$dir/orders.parquet").exists())
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val n = 2 * 3 * base("documents").count()
+    assert(docs.count() === n)
+    assert(docs.select("doc_id").distinct().count() === n)
+  }
+
+  test("signflip mode: norms and within-replica dot products exact, " +
+      "distinct replica transforms, replica 0 verbatim") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-scaledata-signflip").toString
+    ScaleData.generate(spark, dir, replicas = 3, srcDir = sfDir,
+      tables = Set("embeddings"), embMode = "signflip", signSeed = 42L)
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    // norms bit-preserved (x * ±1f is exact): squared norm matches base
+    val baseN = base("embeddings").select(col("vec_id").as("__b"),
+      aggregate(col("embedding"), lit(0.0d), (a, x) => a + x * x).as("n2"))
+    val outN = emb.select(pmod(col("vec_id"), lit(100000000L)).as("__b"),
+      aggregate(col("embedding"), lit(0.0d),
+        (a, x) => a + x * x).as("n2_out"))
+    assert(outN.join(baseN, Seq("__b"))
+      .where(col("n2_out") =!= col("n2")).count() === 0)
+    // replica 0 is the base verbatim
+    val r0 = emb.where(col("vec_id") < 100000000L)
+    assert(r0.exceptAll(base("embeddings")).count() === 0)
+    // within-replica dot products are EXACT under a shared ±1 diagonal:
+    // check vec 1 · vec 2 in every replica against the base pair
+    def dot(df: org.apache.spark.sql.DataFrame, a: Long, b: Long) = {
+      val va = df.where(col("vec_id") % 100000000L === a)
+        .select(col("vec_id"), col("embedding").as("ea"))
+      val vb = df.where(col("vec_id") % 100000000L === b)
+        .select((col("vec_id") + (a - b)).as("vec_id"),
+          col("embedding").as("eb"))
+      va.join(vb, "vec_id")
+        .select(aggregate(zip_with(col("ea"), col("eb"),
+          (x, y) => x * y), lit(0.0d), (acc, x) => acc + x).as("d"))
+        .collect().map(_.getDouble(0)).toSeq
+    }
+    val dots = dot(emb, 1L, 2L)
+    assert(dots.size === 3)
+    assert(dots.distinct.size === 1, s"within-replica dot changed: $dots")
+    // distinct transforms: non-planted vectors differ across replicas
+    val v1 = emb.where(col("vec_id") % 100000000L === 1L)
+      .select("embedding").distinct().count()
+    assert(v1 === 3L, "each replica must apply a distinct sign pattern")
+  }
 }

@@ -270,41 +270,12 @@ def growth(args):
     return 1 if flagged else 0
 
 
-def anomaly(args):
-    """Transient-host-load detector over ONE interleaved bench line.
-
-    Round 9's official record read 208 s for a 117 s engine: a
-    minutes-long external load window inflated the contiguous
-    alphabetical block q43->q49 in every back-to-back iteration, and
-    min-of-3 couldn't filter it. Since round 10 Bench interleaves at
-    the suite level and emits the raw per-pass matrix ("passes") plus
-    pass-boundary load stamps ("pass_probes"). This mode flags:
-
-      * per-(query, pass) cells far above the query's own cross-pass
-        min (ratio > --ratio AND delta > --abs-floor),
-      * CONTIGUOUS alphabetical runs of >= --min-block flagged queries
-        within one pass -- the load-window signature (independent
-        per-query jitter doesn't line up alphabetically),
-      * elevated pass stamps (> --probe-ratio x the min stamp).
-
-    The reported per-query min stays valid as long as at least one
-    pass of each query is clean; exit 1 when a block is found so the
-    round's record can note the window, exit 2 if ALL passes of some
-    query inside a block are flagged (the min itself is suspect --
-    re-run the bench)."""
-    d = load(args.run)
-    passes = d.get("passes")
-    if not passes:
-        # exit 3 (NOT 1): "could not analyze" must be distinguishable
-        # from the benign "window flagged, min valid" verdict — a caller
-        # accepting exit 1 would otherwise record an anomaly check as
-        # done when no analysis ran at all (pre-r10 line, iters=1 run)
-        print(f"{args.run}: no 'passes' matrix — produced by "
-              "interleaved Bench runs (round 10+) with iters >= 2",
-              file=sys.stderr)
-        return 3
-    names = sorted(passes)
-    flagged = {}  # pass index -> alphabetical indices of flagged queries
+def _analyze_passes(names, passes, probes, args):
+    """Core of the anomaly detector over ONE (names-in-run-order,
+    pass-matrix, boundary-stamps) section; shared by the headline
+    queries matrix and (since round 11) the scale block's per-case
+    per-leg matrices."""
+    flagged = {}  # pass index -> run-order indices of flagged rows
     for qi, q in enumerate(names):
         ts = passes[q]
         ok = [t for t in ts if t >= 0]
@@ -319,11 +290,9 @@ def anomaly(args):
         idx_set = set(idxs)
 
         def neutral(qi):
-            # a query that ERRORED in this pass (or has no usable min)
+            # a row that ERRORED in this pass (or has no usable min)
             # gives no evidence either way — it must not split a load
-            # window into sub-min_block fragments (a window over
-            # q10..q14 with q12 erroring in that pass is still one
-            # window, not two runs of two)
+            # window into sub-min_block fragments
             ts = passes[names[qi]]
             return (i >= len(ts) or ts[i] < 0 or
                     not any(t >= 0 for t in ts))
@@ -344,8 +313,8 @@ def anomaly(args):
                                   for q in qs},
                 })
             run = []
-    probes = d.get("pass_probes") or []
     probe_suspects = []
+    start_suspect = set()
     if probes:
         mnp = min(probes)
         # stamp k is taken at the START of pass k (0-based); stamp k+1
@@ -353,41 +322,111 @@ def anomaly(args):
         # borders (the load window could span either side of it)
         elevated = [k for k, v in enumerate(probes)
                     if v > args.probe_ratio * mnp]
-        probe_suspects = sorted({p for k in elevated for p in (k - 1, k)
-                                 if 0 <= p < len(probes) - 1})
-    # min poisoned: "flagged in every pass" can never trigger — cells
-    # are flagged relative to the row's own min, whose cell has ratio 1
-    # (a query slow in ALL passes is indistinguishable from a genuinely
-    # slow query by its own row alone). The detectable poisoned-min
-    # signature is structural: the query sits inside a flagged block in
-    # some pass AND the pass its min came from is itself load-suspect
-    # per the stamps — conservative by design; the remedy is a re-run.
-    npass = max(len(v) for v in passes.values())
-    block_qs = {q for b in blocks for q in b["queries"]}
-    # for POISONING only a pass whose own START stamp is elevated is
-    # suspect — the looser bordering rule above is informational (a
-    # window beginning exactly at a pass boundary would otherwise
-    # condemn the previous pass's perfectly clean mins)
-    start_suspect = set()
-    if probes:
-        mnp = min(probes)
+        probe_suspects = sorted({pi for k in elevated for pi in (k - 1, k)
+                                 if 0 <= pi < len(probes) - 1})
+        # for POISONING only a pass whose own START stamp is elevated is
+        # suspect — the looser bordering rule above is informational
         start_suspect = {k for k, v in enumerate(probes[:-1])
                          if v > args.probe_ratio * mnp}
+    # min poisoned: the row sits inside a flagged block in some pass AND
+    # the pass its min came from is itself load-suspect per the stamps —
+    # conservative by design; the remedy is a re-run.
+    block_qs = {q for b in blocks for q in b["queries"]}
 
     def argmin_pass(q):
         ts = passes[q]
         ok = [(t, i) for i, t in enumerate(ts) if t >= 0]
         return min(ok)[1] if ok else -1
     poisoned = sorted(q for q in block_qs if argmin_pass(q) in start_suspect)
-    for b in blocks:
-        print(json.dumps(b))
+    n_cells = sum(len(v) for v in flagged.values())
+    return blocks, poisoned, n_cells, probe_suspects
+
+
+def anomaly(args):
+    """Transient-host-load detector over ONE interleaved bench line.
+
+    Round 9's official record read 208 s for a 117 s engine: a
+    minutes-long external load window inflated the contiguous
+    alphabetical block q43->q49 in every back-to-back iteration, and
+    min-of-3 couldn't filter it. Since round 10 Bench interleaves at
+    the suite level and emits the raw per-pass matrix ("passes") plus
+    pass-boundary load stamps ("pass_probes"); since round 11 the
+    scale profile does the same inside the "scale" object (per-case
+    "x1_passes"/"xr_passes" in run order + "scale_probes"), and this
+    mode analyzes BOTH sections. It flags:
+
+      * per-(row, pass) cells far above the row's own cross-pass min
+        (ratio > --ratio AND delta > --abs-floor),
+      * CONTIGUOUS run-order blocks of >= --min-block flagged rows
+        within one pass -- the load-window signature (independent
+        per-row jitter doesn't line up in run order),
+      * elevated pass stamps (> --probe-ratio x the min stamp).
+
+    The reported min stays valid as long as at least one pass of each
+    row is clean; exit 1 when a block is found in either section so
+    the round's record can note the window, exit 2 if some block row's
+    min itself came from a load-suspect pass (re-run), 3 when neither
+    section carries an analyzable matrix."""
+    d = load(args.run)
+    sections = []
+    passes = d.get("passes")
+    if passes:
+        sections.append(("queries", sorted(passes), passes,
+                         d.get("pass_probes") or []))
+    sc = d.get("scale") or {}
+    sc_passes = {}
+    for name, obj in (sc.get("queries") or {}).items():
+        # insertion order IS run order: each pass times every case's
+        # x1 leg then its xr leg, in emitted case order
+        if isinstance(obj, dict) and "x1_passes" in obj:
+            sc_passes[name + ".x1"] = obj["x1_passes"]
+            sc_passes[name + ".xr"] = obj.get("xr_passes", [])
+    if sc_passes:
+        sections.append(("scale", list(sc_passes), sc_passes,
+                         sc.get("scale_probes") or []))
+    if not sections:
+        # exit 3 (NOT 1): "could not analyze" must be distinguishable
+        # from the benign "window flagged, min valid" verdict — a caller
+        # accepting exit 1 would otherwise record an anomaly check as
+        # done when no analysis ran at all (pre-r10 line, iters=1 run)
+        print(f"{args.run}: no 'passes' matrix and no scale pass "
+              "matrices — produced by interleaved Bench runs (round "
+              "10+; scale block round 11+) with iters >= 2",
+              file=sys.stderr)
+        return 3
+    all_blocks, all_poisoned = [], []
+    per_section = {}
+    for label, names, matrix, probes in sections:
+        blocks, poisoned, n_cells, probe_suspects = _analyze_passes(
+            names, matrix, probes, args)
+        for b in blocks:
+            b["section"] = label
+            print(json.dumps(b))
+        all_blocks += blocks
+        all_poisoned += poisoned
+        per_section[label] = {
+            "n_rows": len(names),
+            "n_passes": max(len(v) for v in matrix.values()),
+            "n_flagged_cells": n_cells, "blocks": len(blocks),
+            "probe_suspect_passes": probe_suspects,
+            "pass_probes": probes,
+            "min_poisoned": poisoned,
+        }
+    # back-compat top-level fields mirror the queries section when
+    # present (the pre-r11 shape test_check_bench.sh pins), else the
+    # only section analyzed
+    lead = per_section.get("queries") or per_section[sections[0][0]]
     print(json.dumps({"summary": {
-        "n_queries": len(names), "n_passes": npass,
-        "n_flagged_cells": sum(len(v) for v in flagged.values()),
-        "blocks": len(blocks), "probe_suspect_passes": probe_suspects,
-        "pass_probes": probes, "min_poisoned_queries": poisoned,
-        "ratio": args.ratio, "min_block": args.min_block}}))
-    return 2 if poisoned else (1 if blocks else 0)
+        "n_queries": lead["n_rows"], "n_passes": lead["n_passes"],
+        "n_flagged_cells": sum(v["n_flagged_cells"]
+                               for v in per_section.values()),
+        "blocks": len(all_blocks),
+        "probe_suspect_passes": lead["probe_suspect_passes"],
+        "pass_probes": lead["pass_probes"],
+        "min_poisoned_queries": sorted(all_poisoned),
+        "ratio": args.ratio, "min_block": args.min_block,
+        "sections": per_section}}))
+    return 2 if all_poisoned else (1 if all_blocks else 0)
 
 
 def main():

@@ -88,6 +88,58 @@ test "$rc" -eq 3 || { echo "crash: expected exit 3, got $rc"; exit 1; }
 rc=0; python3 tools/check_bench.py anomaly "$W" >/dev/null 2>&1 || rc=$?
 test "$rc" -eq 3 || { echo "dir input: expected exit 3, got $rc"; exit 1; }
 
+# scale block coverage (round 11): a line whose headline matrix is clean
+# but whose scale block has a one-pass load window must exit 1 with a
+# "scale" section block; legs are rows in run order (case.x1, case.xr)
+py <<'EOF'
+import json
+sq = {f"case_{c}": {"x1": 0.5, "x20": 1.0, "growth": 2.0,
+                    "x1_passes": [0.5, 4.0], "xr_passes": [1.0, 8.0]}
+      for c in "abc"}
+sq["case_z"] = {"x1": 0.4, "x20": 0.8, "growth": 2.0,
+                "x1_passes": [0.4, 0.41], "xr_passes": [0.8, 0.82]}
+json.dump({"queries": {},
+           "passes": {f"q_{c}": [0.5, 0.52, 0.51] for c in "abcdefg"},
+           "pass_probes": [0.015, 0.015, 0.016, 0.015],
+           "scale": {"replicas": 20, "scale_probes": [0.015, 0.14, 0.015],
+                     "queries": sq}},
+          open("/tmp/cbtest_scalewin.json", "w"))
+EOF
+rc=0; out=$(python3 tools/check_bench.py anomaly /tmp/cbtest_scalewin.json) || rc=$?
+test "$rc" -eq 1 || { echo "scale window: expected exit 1, got $rc"; exit 1; }
+echo "$out" | grep -q '"section": "scale"' \
+  || { echo "scale window: expected a scale-section block"; echo "$out"; exit 1; }
+
+# scale poisoned: the pass the scale mins come from started under load
+py <<'EOF'
+import json
+sq = {f"case_{c}": {"x1": 0.5, "x20": 1.0, "growth": 2.0,
+                    "x1_passes": [4.0, 0.5], "xr_passes": [8.0, 1.0]}
+      for c in "abc"}
+json.dump({"queries": {},
+           "scale": {"replicas": 20, "scale_probes": [0.015, 0.14, 0.015],
+                     "queries": sq}},
+          open("/tmp/cbtest_scalepoison.json", "w"))
+EOF
+rc=0; python3 tools/check_bench.py anomaly /tmp/cbtest_scalepoison.json \
+  >/dev/null || rc=$?
+test "$rc" -eq 2 || { echo "scale poisoned: expected exit 2, got $rc"; exit 1; }
+
+# a scale-only line (no headline passes matrix) is still analyzable —
+# NOT the exit-3 could-not-analyze path
+py <<'EOF'
+import json
+sq = {"case_a": {"x1": 0.5, "x20": 1.0, "growth": 2.0,
+                 "x1_passes": [0.5, 0.52], "xr_passes": [1.0, 1.04]}}
+json.dump({"queries": {},
+           "scale": {"replicas": 20, "scale_probes": [0.015, 0.015, 0.015],
+                     "queries": sq}},
+          open("/tmp/cbtest_scaleonly.json", "w"))
+EOF
+rc=0; python3 tools/check_bench.py anomaly /tmp/cbtest_scaleonly.json \
+  >/dev/null || rc=$?
+test "$rc" -eq 0 || { echo "scale-only clean: expected exit 0, got $rc"; exit 1; }
+
 # compare --epoch-normalize with a probe-less side: must exit 3, not
 # silently band raw seconds across a host-speed change (the first r10
 # exit evidence did exactly that against a probe-less r07 baseline)
@@ -153,4 +205,4 @@ rm "$PICKDIR"/r*.json
 rc=0; python3 tools/pick_prev_bench.py "$PICKDIR" r10 >/dev/null || rc=$?
 test "$rc" -eq 1 || { echo "empty pick: expected exit 1, got $rc"; exit 1; }
 
-echo "check_bench anomaly exit contract: 0/1/2/3 + error-gap + crash=3 verified; compare normalize-impossible=3; baseline pick by round tag verified"
+echo "check_bench anomaly exit contract: 0/1/2/3 + error-gap + crash=3 + scale-block coverage verified; compare normalize-impossible=3; baseline pick by round tag verified"
