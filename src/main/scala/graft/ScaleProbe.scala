@@ -34,6 +34,18 @@ import graft.ops.{Decontamination, Dedup, Similarity}
   *   pq_serve_fixed        fixed 200-query eval set vs stored bucketed
   *                         PQ codes table (q149's operator, encode +
   *                         write untimed)
+  *   streaming_ingest_keyed (round 11) fixed doc batch drained as an
+  *                         AvailableNow stream vs pre-seeded corpus +
+  *                         key table — the per-batch-work-independent-
+  *                         of-corpus-size claim in streaming form
+  *
+  * Round 11: every fixed batch is pinned to REPLICA 0 of `fixedDir`
+  * (ids < 10⁸ — base sf0.1 rows, present verbatim in every ScaleData
+  * decade regardless of replica transform), so the same batch probes
+  * sf1, sf10 and sf100 fixtures without construction bias; see the
+  * scaladoc at the batch definitions. Only documents + embeddings are
+  * read — derive probe fixtures with
+  * `ScaleData <out> <R> <src> documents,embeddings ...`.
   *
   * Usage: runMain graft.ScaleProbe [fixedDir] [dir1] [dir2] [iters]
   *   defaults: testdata/sf1, testdata/sf1, testdata/sf10, 2
@@ -70,16 +82,29 @@ object ScaleProbe {
     }
 
     val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
-    // fixed probe sides — the "today's batch" that does NOT grow
+    // scratch area for the streaming case's per-run corpus/keys/input
+    // copies and checkpoints; removed at exit
+    val scratch = java.nio.file.Files
+      .createTempDirectory("graft-scale-probe").toString
+    // Fixed probe sides — the "today's batch" that does NOT grow.
+    // Round 11: pinned to REPLICA 0 of the fixed dir (ids < 10⁸ — the
+    // base sf0.1 rows verbatim), because every ScaleData decade keeps
+    // replica 0 unchanged, so the same batch rows exist IDENTICALLY in
+    // sf1, sf10 and sf100 fixtures whatever the replica transform
+    // (rotation vs sign-flip) — without the pin, a batch drawn from
+    // replicas 1..9 self-matches in its own decade but not in a
+    // differently-transformed larger one, biasing the verify stage of
+    // the growth ratio downward.
     val fixedNeedles = Tables.documents(spark, fixedDir)
-      .where(col("doc_id") % 11 === 0)
+      .where(col("doc_id") < 100000000L && col("doc_id") % 11 === 0)
       .select(substring(col("text"), 10, 40).as("needle"))
     val fixedDocBatch = Tables.documents(spark, fixedDir)
-      .where(col("doc_id") % 30 === 0).select(col("doc_id"), col("text"))
+      .where(col("doc_id") < 100000000L && col("doc_id") % 3 === 0)
+      .select(col("doc_id"), col("text"))
     val fixedVecBatch = Tables.embeddings(spark, fixedDir)
-      .where(col("vec_id") % 10 === 0)
+      .where(col("vec_id") < 100000000L)
     val fixedQueries = Tables.embeddings(spark, fixedDir)
-      .where(col("vec_id") % 100 === 0)
+      .where(col("vec_id") < 100000000L && col("vec_id") % 10 === 0)
 
     // dev loop: SPARK_GRAFT_PROBE_FILTER=pq times only matching cases
     // (substring on the case name); filtered cases report -1
@@ -128,8 +153,49 @@ object ScaleProbe {
         t
       }
 
+      // streaming keyed ingest (round 11, the third-decade claim): the
+      // FIXED replica-0 doc batch drains as one AvailableNow micro-
+      // batched stream against this dir's corpus, whose band-key table
+      // is pre-seeded (untimed) — per-batch work independent of corpus
+      // size is the pass condition. Each iteration re-seeds its own
+      // scratch corpus/keys/checkpoint (fresh tag) so a reused
+      // checkpoint can't turn a repeat into a no-op; streamed ids
+      // shift by 10¹² — disjoint from every fixture's id space
+      // (sf100's ids top out near 10¹¹).
+      val st = ifWanted("streaming_ingest_keyed") {
+        def streamRun(runTag: String): Double = {
+          val base = s"$scratch/stream_${tag}_$runTag"
+          try {
+            docs.select(col("doc_id"), col("text"))
+              .write.mode("overwrite").parquet(s"$base/corpus")
+            Dedup.corpusBandKeys(
+                spark.read.parquet(s"$base/corpus"), "doc_id", "text",
+                numHashes = 16, bands = 4)
+              .write.mode("overwrite").parquet(s"$base/keys")
+            fixedDocBatch
+              .select((col("doc_id") + lit(1000000000000L)).as("doc_id"),
+                col("text"))
+              .repartition(32).write.mode("overwrite").parquet(s"$base/in")
+            val schema = spark.read.parquet(s"$base/in").schema
+            val t0 = System.nanoTime()
+            graft.streaming.EventStreams.ingestNearDupKeyed(spark, schema,
+                s"$base/in", s"$base/corpus", s"$base/keys", s"$base/chk",
+                "doc_id", "text", threshold = 0.95, numHashes = 16,
+                bands = 4)
+              .awaitTermination()
+            (System.nanoTime() - t0) / 1e9
+          } catch { case scala.util.control.NonFatal(ex) =>
+            System.err.println(s"[scale-probe] streaming failed: $ex")
+            -1.0
+          } finally release()
+        }
+        val ts = (1 to iters).map(i => streamRun(s"i$i")).filter(_ > 0)
+        if (ts.isEmpty) -1.0 else ts.min
+      }
+
       Map("ac_verbatim_fixed" -> ac, "exact_substr" -> es,
         "keyed_neardup_fixed" -> kn, "keyed_cosine_fixed" -> kc,
+        "streaming_ingest_keyed" -> st,
         "pq_serve_fixed" -> ifWanted("pq_serve_fixed")(
           pqCase(dir, tag, cells = 16)))
     }
@@ -188,7 +254,7 @@ object ScaleProbe {
     // table — the measurement separating "codes scan grows with the
     // corpus" from "a small query batch reads only its own cells"
     val small = Tables.embeddings(spark, fixedDir)
-      .where(col("vec_id") % 4000 === 0)
+      .where(col("vec_id") < 100000000L && col("vec_id") % 400 === 0)
     val pqSmall1 = ifWanted("pq_serve_small_batch")(
       pqCase(dir1, "d", cells = 16, queries = small))
     val pqSmall2 = ifWanted("pq_serve_small_batch")(
@@ -206,6 +272,12 @@ object ScaleProbe {
     }.mkString("{", ",", "}")
     val line =
       s"""{"probe":"production-shape second decade","sqrt_cells":$sqrtCells,"fixed":"$fixedDir","dir1":"$dir1","dir2":"$dir2","iters":$iters,"cases":$cases}"""
+    try {
+      import java.nio.file.{Files, Path}
+      import java.util.Comparator
+      Files.walk(Path.of(scratch)).sorted(Comparator.reverseOrder[Path]())
+        .forEach(p => Files.deleteIfExists(p))
+    } catch { case scala.util.control.NonFatal(_) => }
     spark.stop()
     println(line)
   }
