@@ -207,4 +207,51 @@ object Layouts {
       .option("maxRecordsPerFile", maxRecordsPerFile)
       .partitionBy(cols: _*)
       .parquet(dir)
+
+  /** The partition column name [[writePrefixPartitioned]] adds. */
+  val PrefixCol = "__pfx"
+
+  /** Write `df` hive-partitioned by a HASH PREFIX of `keyCol`:
+    * `__pfx = pmod(xxhash64(keyCol), prefixes)`. The point-lookup
+    * layout for probe-side tables (stored band-key tables, corpus
+    * text/vector stores): a probe that knows its key set computes the
+    * matching prefix set DRIVER-SIDE (bounded by `prefixes`, never by
+    * the data) and filters on `__pfx` — Hive-style PARTITION PRUNING
+    * then reads only the matching directories, turning the
+    * corpus-proportional scan floor of a full-table probe into work
+    * proportional to the batch's key coverage. A batch whose keys
+    * cover every prefix degrades gracefully to the full scan.
+    *
+    * Trade vs [[writeBucketed]]: bucketing gives zero-exchange JOINS
+    * at a fixed bucket count; prefix partitioning gives scan PRUNING
+    * for small probes. The round-11 third-decade probe measured the
+    * full-scan floor this removes at ~0.3 s per 5M docs single-node —
+    * linear in corpus size, so dominant at the fourth decade.
+    */
+  def writePrefixPartitioned(df: DataFrame, dir: String, keyCol: String,
+      prefixes: Int = 256): Unit = {
+    require(prefixes > 0, "prefixes must be positive")
+    // cluster by the prefix BEFORE partitionBy: the naive write has
+    // every task append to every partition directory (tasks × prefixes
+    // files — measured minutes for a 5M-row store), while one shuffle
+    // to prefix-aligned partitions writes exactly one file per prefix
+    df.withColumn(PrefixCol,
+        org.apache.spark.sql.functions.pmod(
+          org.apache.spark.sql.functions.xxhash64(
+            org.apache.spark.sql.functions.col(keyCol)),
+          org.apache.spark.sql.functions.lit(prefixes.toLong)))
+      .repartition(prefixes, org.apache.spark.sql.functions.col(PrefixCol))
+      .write.mode("overwrite").partitionBy(PrefixCol).parquet(dir)
+  }
+
+  /** The probe-side counterpart of [[writePrefixPartitioned]]: the
+    * prefix expression a reader filters `__pfx` against — MUST match
+    * the writer's (same hash, same modulus) or the prune silently
+    * drops matching rows.
+    */
+  def prefixOf(keyCol: org.apache.spark.sql.Column,
+      prefixes: Int): org.apache.spark.sql.Column =
+    org.apache.spark.sql.functions.pmod(
+      org.apache.spark.sql.functions.xxhash64(keyCol),
+      org.apache.spark.sql.functions.lit(prefixes.toLong))
 }

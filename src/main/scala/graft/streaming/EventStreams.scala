@@ -667,8 +667,17 @@ object EventStreams {
       } else local
     val freshP = fresh.persist()
     try {
-      freshP.write.mode("append").parquet(corpusDir)
-      withExactKeys(freshP).write.mode("append").parquet(keysDir)
+      // ONE file per append (round 11): survivors are micro-batch-sized,
+      // and the default task-count append grew both stores by ~32 tiny
+      // files per batch — after 50 batches every later batch re-listed
+      // and footer-read ~1600 files per store on each of its corpus/keys
+      // scans, measured as a +280 ms/batch latency slope in the
+      // sustained profile (r11_streaming_profile.json) while per-batch
+      // match work stayed constant. A long-running ingest should still
+      // compact periodically ([[graft.io.Layouts.compact]]); one file
+      // per batch makes the slope shallow instead of steep.
+      freshP.coalesce(1).write.mode("append").parquet(corpusDir)
+      withExactKeys(freshP).coalesce(1).write.mode("append").parquet(keysDir)
     } finally freshP.unpersist(blocking = false)
   }
 

@@ -105,6 +105,49 @@ class LayoutsSpec extends SparkSuite {
     }
   }
 
+  test("prefix-partitioned stores: pruned probe matches inline; scans prune") {
+    import graft.ops.Dedup
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir)
+    val corpus = docs.where($"doc_id" % 3 =!= 0)
+    val batch = docs.where($"doc_id" % 3 === 0)
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-prefix-probe").toString
+    Layouts.writePrefixPartitioned(
+      Dedup.corpusBandKeys(corpus, "doc_id", "text"),
+      s"$base/keys", "key", prefixes = 16)
+    Layouts.writePrefixPartitioned(
+      corpus.select($"doc_id", $"text"),
+      s"$base/corpus", "doc_id", prefixes = 16)
+    // identical match semantics vs the inline ground truth
+    val pruned = Dedup.incrementalNearDupsPruned(batch, s"$base/keys",
+      s"$base/corpus", "doc_id", "text", threshold = 0.9, prefixes = 16)
+    val inline = Dedup.incrementalNearDups(
+      batch, corpus, "doc_id", "text", threshold = 0.9)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("idA", "idB").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(rows(pruned) === rows(inline) && rows(inline).nonEmpty)
+    // the layout actually prunes: an isin on a prefix subset reads
+    // strictly fewer files than the full store (partition pruning, not
+    // a post-scan filter)
+    val all = spark.read.parquet(s"$base/corpus")
+    val one = all.where(col(Layouts.PrefixCol).isin(0L, 1L))
+    // count files ACTUALLY read (inputFiles reflects the relation
+    // before partition pruning, so it can't see the prune)
+    def filesRead(df: org.apache.spark.sql.DataFrame) =
+      df.select(input_file_name()).distinct().count()
+    assert(filesRead(one) < filesRead(all),
+      s"${filesRead(one)} vs ${filesRead(all)}")
+    // reader-side prefix expression matches the writer's: every row
+    // lands in the partition its recomputed prefix names
+    val mismatched = spark.read.parquet(s"$base/corpus")
+      .where(col(Layouts.PrefixCol) =!=
+        Layouts.prefixOf($"doc_id", 16))
+      .count()
+    assert(mismatched === 0L)
+  }
+
   test("persisted sign-LSH keys: stored embedding probe matches inline") {
     import graft.ops.Similarity
     import spark.implicits._
