@@ -1,8 +1,9 @@
 #!/usr/bin/env bash
 # Corpus-conditional oracle gate at sf0.1 — run once per round.
 #
-# q135 (Bloom contamination screen), q121c (BM25 ranking) and q109c
-# (NB argmax) are hash-gated on CORPUS-CONDITIONAL arguments: their
+# q135 (Bloom contamination screen), q121c (BM25 ranking), q109c
+# (NB argmax), and since round 11 q100b (DSIR selection) and q133
+# (CCNet buckets) are hash-gated on CORPUS-CONDITIONAL arguments: their
 # oracle equivalence holds because an audited property of the fixture
 # data holds (Bloom FP-freeness at the chosen fpp, no score ties within
 # float ulp of the rank/argmax boundary). The driver's gate runs at
@@ -16,7 +17,7 @@ set -euo pipefail
 cd "$(dirname "$0")/.."
 TAG="${1:-manual}"
 OUT=/tmp/verify_gate_sf01
-QUERIES="q135_contamination_bloom,q121c_bm25_rank_order,q109c_nb_argmax"
+QUERIES="q135_contamination_bloom,q121c_bm25_rank_order,q109c_nb_argmax,q100b_dsir_select,q133_ccnet_buckets"
 
 rm -rf "$OUT"
 SPARK_GRAFT_VERIFY_FILTER="$QUERIES" \
@@ -37,6 +38,18 @@ if [ "$RC" -gt 1 ]; then
   exit "$RC"
 fi
 
+# the q100b/q133 soundness argument is the ln-boundary scan, not the
+# oracle run alone (tools/audit_margins.py): every distinct model ln
+# must clear a 5e-7 rounding boundary by >= 100 ulps, or the quantized
+# sums can diverge cross-engine after a fixture regeneration
+MARGIN_RC=0
+python3 tools/audit_margins.py /root/testdata/sf0.1 \
+  --json /tmp/gate_margins.json || MARGIN_RC=$?
+if [ "$MARGIN_RC" -ne 0 ]; then
+  echo "gate_sf01: margin audit failed (exit $MARGIN_RC)" >&2
+  exit "$MARGIN_RC"
+fi
+
 PASS=$(grep -c '^PASS' /tmp/gate_sf01.log || true)
 FAIL=$(grep -c '^FAIL' /tmp/gate_sf01.log || true)
 python3 - "$TAG" "$PASS" "$FAIL" <<'EOF'
@@ -49,7 +62,9 @@ lines = [l.strip() for l in open("/tmp/gate_sf01.log")
 out = {"gate": "corpus_conditional_sf0.1", "tag": tag, "commit": commit,
        "sf": "/root/testdata/sf0.1", "pass": npass, "fail": nfail,
        "queries": lines,
-       "note": "q135/q121c/q109c hash-gates re-proven at sf0.1; "
+       "margin_audit": json.load(open("/tmp/gate_margins.json")),
+       "note": "q135/q121c/q109c/q100b/q133 hash-gates re-proven at "
+               "sf0.1 (q100b/q133 incl. the ln-boundary margin audit); "
                "re-run after any fixture regeneration"}
 path = f"bench_history/{tag}_sf0.1_oracle_gate.json"
 json.dump(out, open(path, "w"), indent=1)
