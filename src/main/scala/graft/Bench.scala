@@ -465,14 +465,17 @@ object Bench {
       // candidate doc, never per corpus row) and 16/4 banding the inline
       // growth has measured ~1.3–4.6× across runs vs ~0.9–1.8×
       // stored-key — the steady-state corpus-independence claim, as
-      // numbers. Timings are min-of-SPARK_GRAFT_SCALE_ITERS (default 2)
-      // since round 6: single-shot timings swung up to ~3.5× between
-      // runs on JIT/GC/page-cache warmth, and the growth RATIOS
-      // themselves spread ~2–7× between a focused run and a run
-      // following the full query sweep (r6 measured minhash_pairs at
-      // 1.4× focused/min-of-3 and 9.7× in-sweep BEFORE the per-case
-      // cache release below; 5.5× after). Compare ranges across
-      // rounds, not single numbers.
+      // numbers. Timings are min-ACROSS-PASSES since round 11 (the
+      // suite interleaves; see the pass loop below) — rounds 6–10 took
+      // min-of-SPARK_GRAFT_SCALE_ITERS back-to-back, which a load
+      // window spanning one case's iterations could still poison:
+      // single-shot timings swung up to ~3.5× between runs on
+      // JIT/GC/page-cache warmth, and the growth RATIOS themselves
+      // spread ~2–7× between a focused run and a run following the
+      // full query sweep (r6 measured minhash_pairs at 1.4×
+      // focused/min-of-3 and 9.7× in-sweep BEFORE the per-case cache
+      // release below; 5.5× after). Compare ranges across rounds, not
+      // single numbers.
       // 16/4 banding (r=4), not the loose-threshold 16/8 default: at a
       // 0.95 threshold r=2 floods verification with J≈0.3 junk
       // candidates (the SCALE.md band-geometry rule; q67 measured −57%)
