@@ -629,19 +629,25 @@ object Dedup {
         bands, md5Basis)
       .select(col("__id").as("idA"), col("band"), col("key"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // an EMPTY prefix set (empty batch, or no candidates) must yield an
+    // empty frame, not lean on isin()-with-no-arguments semantics: the
+    // limit(0) branch keeps the exact store schema with zero scan work
+    def pruned(dir: String, pfxSet: Seq[Long]): DataFrame = {
+      val store = spark.read.parquet(dir)
+      (if (pfxSet.isEmpty) store.limit(0)
+       else store.where(col(pfx).isin(pfxSet: _*))).drop(pfx)
+    }
     val keyPfx = batchKeys
       .select(graft.io.Layouts.prefixOf(col("key"), prefixes).as("p"))
       .distinct().collect().map(_.getLong(0)).toSeq
-    val corpusKeys = spark.read.parquet(keysDir)
-      .where(col(pfx).isin(keyPfx: _*)).drop(pfx)
-    val cands = probeCandidates(batchKeys, corpusKeys, idCol, maxBucket)
+    val cands = probeCandidates(batchKeys, pruned(keysDir, keyPfx), idCol,
+        maxBucket)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val idPfx = cands
       .select(graft.io.Layouts.prefixOf(col("idB"), prefixes).as("p"))
       .distinct().collect().map(_.getLong(0)).toSeq
-    val corpus = spark.read.parquet(corpusDir)
-      .where(col(pfx).isin(idPfx: _*)).drop(pfx)
-    verifyJaccardCandidates(batch, cands, corpus, idCol, textCol, threshold)
+    verifyJaccardCandidates(batch, cands, pruned(corpusDir, idPfx), idCol,
+      textCol, threshold)
   }
 
   /** Exact blocked near-dup: all pairs within a blocking key above a

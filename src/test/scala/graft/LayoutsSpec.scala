@@ -146,6 +146,13 @@ class LayoutsSpec extends SparkSuite {
         Layouts.prefixOf($"doc_id", 16))
       .count()
     assert(mismatched === 0L)
+    // empty-batch edge: no keys -> empty prefix set -> empty result
+    // with the probe's schema, never an isin()-with-no-arguments plan
+    val empty = Dedup.incrementalNearDupsPruned(batch.limit(0),
+      s"$base/keys", s"$base/corpus", "doc_id", "text", threshold = 0.9,
+      prefixes = 16)
+    assert(empty.columns.toSeq === Seq("idA", "idB", "jaccard"))
+    assert(empty.count() === 0L)
   }
 
   test("persisted sign-LSH keys: stored embedding probe matches inline") {
