@@ -346,23 +346,40 @@ object Similarity {
     val batchKeys = lshKeys(Dedup.spread(batch), idCol, vecCol,
         planesPerBand, bands)
       .withColumnRenamed(idCol, "idA")
-    // restrict the stored table to the batch's probed key set before the
-    // re-cap window (see Dedup.incrementalNearDupsWithKeys): the window
-    // then runs over a batch-sized sliver, never the corpus-sized table
+    val cands = probeCosineCandidates(batchKeys, corpusKeys, idCol,
+      maxBucket)
+    verifyCosineCandidates(batch, cands, corpus, idCol, vecCol, threshold)
+  }
+
+  /** Candidate generation of the keyed cosine probe — the stored table
+    * is restricted to the batch's probed key set BEFORE the re-cap
+    * window (see [[Dedup.incrementalNearDupsWithKeys]]): the window
+    * then runs over a batch-sized sliver, never the corpus-sized table.
+    * Shared by the full-scan and prefix-pruned probe forms.
+    */
+  private def probeCosineCandidates(batchKeys: DataFrame,
+      corpusKeys: DataFrame, idCol: String, maxBucket: Int): DataFrame = {
     val probed = corpusKeys.join(
       broadcast(batchKeys.select(col("band"), col("key")).distinct()),
       Seq("band", "key"), "left_semi")
     val cappedKeys = CapMetrics.cappedByCount(probed,
       "incremental_cosine_corpus", Seq("band", "key"), maxBucket)
-    val cands = batchKeys
+    batchKeys
       .join(cappedKeys.select(col(idCol).as("idB"), col("band"), col("key")),
         Seq("band", "key"))
       .select(col("idA"), col("idB"))
       .distinct()
-    // the corpus side is semi-joined down to the distinct candidate
-    // vectors before the norm kernel runs — kernel work is
-    // min(candidate docs, corpus), never corpus- or pair-proportional
-    // (see Dedup.incrementalNearDupsWithKeys)
+  }
+
+  /** Verification stage of the keyed cosine probe: the corpus side is
+    * semi-joined down to the distinct candidate vectors before the norm
+    * kernel runs — kernel work is min(candidate docs, corpus), never
+    * corpus- or pair-proportional (see
+    * [[Dedup.incrementalNearDupsWithKeys]]).
+    */
+  private def verifyCosineCandidates(batch: DataFrame, cands: DataFrame,
+      corpus: DataFrame, idCol: String, vecCol: String,
+      threshold: Double): DataFrame = {
     val corpusVecs = corpus
       .join(cands.select(col("idB").as(idCol)).distinct(), Seq(idCol),
         "left_semi")
@@ -376,6 +393,47 @@ object Similarity {
         (dotProduct(col("__va"), col("__vb")) / (col("__na") * col("__nb")))
           .as("cosine"))
       .where(col("cosine") > threshold)
+  }
+
+  /** [[incrementalCosineNearDupsWithKeys]] against PREFIX-PARTITIONED
+    * stores — the embedding twin of
+    * [[Dedup.incrementalNearDupsPruned]], same layout
+    * ([[graft.io.Layouts.writePrefixPartitioned]]: key table by a hash
+    * prefix of `key`, vector store by a hash prefix of `idCol`), same
+    * two bounded driver-side prefix collections stated as partition-
+    * pruning `isin` filters, same graceful degradation to a full scan
+    * when the batch saturates the prefix space, and the same
+    * empty-prefix guard. Removes the keyed cosine probe's
+    * corpus-proportional scan floor for small batches — the r11
+    * third-decade probe measured the cosine path at 3.27×/decade with
+    * match output growing ∝ planted cliques; this is the serving form.
+    */
+  def incrementalCosineNearDupsPruned(batch: DataFrame, keysDir: String,
+      corpusDir: String, idCol: String, vecCol: String,
+      threshold: Double, planesPerBand: Int = 8, bands: Int = 4,
+      prefixes: Int = 256, maxBucket: Int = 10000): DataFrame = {
+    val spark = batch.sparkSession
+    val pfx = graft.io.Layouts.PrefixCol
+    def pruned(dir: String, pfxSet: Seq[Long]): DataFrame = {
+      val store = spark.read.parquet(dir)
+      (if (pfxSet.isEmpty) store.limit(0)
+       else store.where(col(pfx).isin(pfxSet: _*))).drop(pfx)
+    }
+    val batchKeys = lshKeys(Dedup.spread(batch), idCol, vecCol,
+        planesPerBand, bands)
+      .withColumnRenamed(idCol, "idA")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val keyPfx = batchKeys
+      .select(graft.io.Layouts.prefixOf(col("key"), prefixes).as("p"))
+      .distinct().collect().map(_.getLong(0)).toSeq
+    val cands = probeCosineCandidates(batchKeys, pruned(keysDir, keyPfx),
+        idCol, maxBucket)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val idPfx = cands
+      .select(graft.io.Layouts.prefixOf(col("idB"), prefixes).as("p"))
+      .distinct().collect().map(_.getLong(0)).toSeq
+    verifyCosineCandidates(batch, cands, pruned(corpusDir, idPfx), idCol,
+      vecCol, threshold)
   }
 
   /** Cluster-balanced ("diverse") sampling: cap every IVF cell at

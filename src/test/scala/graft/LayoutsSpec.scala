@@ -155,6 +155,37 @@ class LayoutsSpec extends SparkSuite {
     assert(empty.count() === 0L)
   }
 
+  test("prefix-partitioned embedding stores: pruned cosine probe matches inline") {
+    import graft.ops.Similarity
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sfDir)
+    val corpus = emb.where($"vec_id" % 3 =!= 0)
+    val batch = emb.where($"vec_id" % 3 === 0)
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-prefix-cosine").toString
+    Layouts.writePrefixPartitioned(
+      Similarity.corpusLshKeys(corpus, "vec_id", "embedding"),
+      s"$base/keys", "key", prefixes = 16)
+    Layouts.writePrefixPartitioned(
+      corpus.select($"vec_id", $"embedding"),
+      s"$base/corpus", "vec_id", prefixes = 16)
+    val pruned = Similarity.incrementalCosineNearDupsPruned(batch,
+      s"$base/keys", s"$base/corpus", "vec_id", "embedding",
+      threshold = 0.3, prefixes = 16)
+    val inline = Similarity.incrementalCosineNearDups(batch, corpus,
+      "vec_id", "embedding", threshold = 0.3)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("idA", "idB").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(rows(pruned) === rows(inline) && rows(inline).nonEmpty)
+    // empty-batch edge, embedding flavor
+    val empty = Similarity.incrementalCosineNearDupsPruned(batch.limit(0),
+      s"$base/keys", s"$base/corpus", "vec_id", "embedding",
+      threshold = 0.3, prefixes = 16)
+    assert(empty.columns.toSeq === Seq("idA", "idB", "cosine"))
+    assert(empty.count() === 0L)
+  }
+
   test("persisted sign-LSH keys: stored embedding probe matches inline") {
     import graft.ops.Similarity
     import spark.implicits._
