@@ -228,6 +228,13 @@ object Layouts {
     * full-scan floor this removes at ~0.3 s per 5M docs single-node —
     * linear in corpus size, so dominant at the fourth decade.
     */
+  /** The marker filename [[writePrefixPartitioned]] drops inside the
+    * store recording its prefix modulus. Underscore-prefixed, so every
+    * parquet reader (Spark's FileIndex, pyarrow dataset discovery)
+    * treats it as hidden — same rule as `_SUCCESS`.
+    */
+  val PrefixMarker = "_graft_prefixes"
+
   def writePrefixPartitioned(df: DataFrame, dir: String, keyCol: String,
       prefixes: Int = 256): Unit = {
     require(prefixes > 0, "prefixes must be positive")
@@ -242,12 +249,69 @@ object Layouts {
           org.apache.spark.sql.functions.lit(prefixes.toLong)))
       .repartition(prefixes, org.apache.spark.sql.functions.col(PrefixCol))
       .write.mode("overwrite").partitionBy(PrefixCol).parquet(dir)
+    // persist the modulus next to the data: a pruned probe whose
+    // `prefixes` argument disagrees with the writer's would compute
+    // DIFFERENT prefix values and silently drop matching rows — in a
+    // correctness-sensitive dedup path. The marker turns that silent
+    // recall loss into a fail-fast at probe time (readPrefixCount).
+    val p = new org.apache.hadoop.fs.Path(dir, PrefixMarker)
+    val fs = p.getFileSystem(
+      df.sparkSession.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(prefixes.toString.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** The prefix modulus a [[writePrefixPartitioned]] store was written
+    * with, from its marker file; None for a store predating the marker
+    * (or any directory that is not a prefix store).
+    */
+  def readPrefixCount(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Option[Int] = {
+    val p = new org.apache.hadoop.fs.Path(dir, PrefixMarker)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try {
+        val bytes = new Array[Byte](32)
+        val n = in.read(bytes)
+        Some(new String(bytes, 0, math.max(0, n), "UTF-8").trim.toInt)
+      } finally in.close()
+    }
+  }
+
+  /** Read a [[writePrefixPartitioned]] store pruned to `pfxSet`,
+    * REQUIRING the store's recorded modulus to equal `prefixes` — the
+    * probe-side entry every pruned reader must use. A mismatched (or
+    * differently-hashed) prefix computation would prune away MATCHING
+    * rows with no error; the marker check fails fast instead. A store
+    * with no marker also fails: every writer stamps one, so an
+    * unstamped directory was not written by [[writePrefixPartitioned]]
+    * and its `__pfx` values cannot be trusted to match [[prefixOf]].
+    * An empty `pfxSet` yields an empty frame with the store's schema
+    * (zero scan work) — `isin()` with no arguments is not leaned on.
+    */
+  def readPrefixPruned(spark: org.apache.spark.sql.SparkSession,
+      dir: String, pfxSet: Seq[Long], prefixes: Int): DataFrame = {
+    val recorded = readPrefixCount(spark, dir)
+    require(recorded.contains(prefixes),
+      s"prefix-pruned read of $dir with prefixes=$prefixes but the store " +
+        s"records ${recorded.fold("no marker")(_.toString)} — a mismatch " +
+        "silently drops matching rows; re-write the store with " +
+        s"Layouts.writePrefixPartitioned(..., prefixes = $prefixes)")
+    val store = spark.read.parquet(dir)
+    val pruned =
+      if (pfxSet.isEmpty) store.limit(0)
+      else store.where(org.apache.spark.sql.functions.col(PrefixCol)
+        .isin(pfxSet: _*))
+    pruned.drop(PrefixCol)
   }
 
   /** The probe-side counterpart of [[writePrefixPartitioned]]: the
     * prefix expression a reader filters `__pfx` against — MUST match
     * the writer's (same hash, same modulus) or the prune silently
-    * drops matching rows.
+    * drops matching rows. [[readPrefixPruned]] enforces the modulus
+    * half of that contract via the store marker.
     */
   def prefixOf(keyCol: org.apache.spark.sql.Column,
       prefixes: Int): org.apache.spark.sql.Column =

@@ -616,7 +616,10 @@ object Dedup {
     *
     * Two bounded driver actions run eagerly (the prefix collections);
     * the batch-key frame is persisted across them and left for the
-    * ContextCleaner like the other operators' small pins.
+    * ContextCleaner like the other operators' small pins. Both store
+    * reads go through [[graft.io.Layouts.readPrefixPruned]], which
+    * REQUIRES the stores' recorded prefix modulus to equal `prefixes` —
+    * a writer/reader mismatch would silently drop matching rows.
     */
   def incrementalNearDupsPruned(batch: DataFrame, keysDir: String,
       corpusDir: String, idCol: String, textCol: String,
@@ -624,30 +627,23 @@ object Dedup {
       prefixes: Int = 256, maxBucket: Int = 10000,
       md5Basis: Boolean = false): DataFrame = {
     val spark = batch.sparkSession
-    val pfx = graft.io.Layouts.PrefixCol
     val batchKeys = bandedKeys(spread(batch), idCol, textCol, numHashes,
         bands, md5Basis)
       .select(col("__id").as("idA"), col("band"), col("key"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // an EMPTY prefix set (empty batch, or no candidates) must yield an
-    // empty frame, not lean on isin()-with-no-arguments semantics: the
-    // limit(0) branch keeps the exact store schema with zero scan work
-    def pruned(dir: String, pfxSet: Seq[Long]): DataFrame = {
-      val store = spark.read.parquet(dir)
-      (if (pfxSet.isEmpty) store.limit(0)
-       else store.where(col(pfx).isin(pfxSet: _*))).drop(pfx)
-    }
     val keyPfx = batchKeys
       .select(graft.io.Layouts.prefixOf(col("key"), prefixes).as("p"))
       .distinct().collect().map(_.getLong(0)).toSeq
-    val cands = probeCandidates(batchKeys, pruned(keysDir, keyPfx), idCol,
-        maxBucket)
+    val cands = probeCandidates(batchKeys,
+        graft.io.Layouts.readPrefixPruned(spark, keysDir, keyPfx, prefixes),
+        idCol, maxBucket)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val idPfx = cands
       .select(graft.io.Layouts.prefixOf(col("idB"), prefixes).as("p"))
       .distinct().collect().map(_.getLong(0)).toSeq
-    verifyJaccardCandidates(batch, cands, pruned(corpusDir, idPfx), idCol,
-      textCol, threshold)
+    verifyJaccardCandidates(batch, cands,
+      graft.io.Layouts.readPrefixPruned(spark, corpusDir, idPfx, prefixes),
+      idCol, textCol, threshold)
   }
 
   /** Exact blocked near-dup: all pairs within a blocking key above a
@@ -1147,10 +1143,32 @@ object Dedup {
     * that probability (the q52b/q67b/q71b twin discipline; equality on
     * the test corpus is spec-pinned).
     *
+    * `maxGroup` caps the fingerprint fan-out — the round-11 weak
+    * finding: unlike every sibling detector (minhash `maxBucket`,
+    * containment `maxDocsPerShingle`, IVF cell caps), a hot fingerprint
+    * here had NO bound, and on a mass-duplicated corpus one viral
+    * k-gram produces an unbounded first-occurrence window group
+    * (measured 17–42× growth on 10–20× replica fixtures). Fingerprints
+    * occurring more than `maxGroup` times are dropped WHOLE — none of
+    * their windows mark tokens as duplicates, so every copy survives
+    * the rewrite untouched (never a partial group: a partial drop would
+    * remove some copies of a viral phrase and keep others, an arbitrary
+    * split) — and the drops are accounted by [[CapMetrics]] under
+    * `exact_substr_fp`. An over-cap fingerprint at production scale IS
+    * boilerplate (a phrase repeated > 100k times is template chrome,
+    * not a document-level copy): route it to [[boilerplateShingles]] /
+    * span removal rather than first-occurrence dedup. The default cap
+    * is far above any honest group at oracle scale (q138/q138b
+    * semantics unchanged); the group count is one map-side-combined
+    * aggregate over the gram stream plus an AQE-broadcast anti-join of
+    * the (usually tiny) over-cap tail — the [[CapMetrics.cappedByCount]]
+    * shape, never a buffering window.
+    *
     * @return `idCol, n_tokens, n_removed, clean_text`
     */
   def exactSubstrDedup(df: DataFrame, idCol: String, textCol: String,
-      k: Int = 50, md5Basis: Boolean = true): DataFrame = {
+      k: Int = 50, md5Basis: Boolean = true,
+      maxGroup: Int = 100000): DataFrame = {
     val toks = spread(df).select(col(idCol).as("__id"),
       TextAnalysis.tokens(col(textCol)).as("__t"))
     // one (pos, fingerprint) row per window start; docs shorter than k
@@ -1168,6 +1186,13 @@ object Dedup {
                   .as("h"))))
           .otherwise(array())).as("__g"))
       .select(col("__id"), col("__g.pos").as("pos"), col("__g.h").as("h"))
+    // fingerprint fan-out cap (scaladoc above): over-cap groups drop
+    // WHOLE before the first-occurrence window, so a viral k-gram can
+    // neither explode the window group nor the covered-span expansion
+    val cappedGrams =
+      if (maxGroup == Int.MaxValue) grams
+      else CapMetrics.cappedByCount(grams, "exact_substr_fp", Seq("h"),
+        maxGroup)
     // first-occurrence survivor via ONE row_number window over the
     // fingerprint: every gram row shuffles once and sorts within its h
     // partition. (Measured alternative at 100k docs: a map-side-
@@ -1177,7 +1202,7 @@ object Dedup {
     // so the window form stays.)
     val firstW = Window.partitionBy(col("h"))
       .orderBy(col("__id"), col("pos"))
-    val dupSpans = grams
+    val dupSpans = cappedGrams
       .withColumn("__rn", row_number().over(firstW))
       .where(col("__rn") > 1)
       .select(col("__id"),

@@ -413,12 +413,6 @@ object Similarity {
       threshold: Double, planesPerBand: Int = 8, bands: Int = 4,
       prefixes: Int = 256, maxBucket: Int = 10000): DataFrame = {
     val spark = batch.sparkSession
-    val pfx = graft.io.Layouts.PrefixCol
-    def pruned(dir: String, pfxSet: Seq[Long]): DataFrame = {
-      val store = spark.read.parquet(dir)
-      (if (pfxSet.isEmpty) store.limit(0)
-       else store.where(col(pfx).isin(pfxSet: _*))).drop(pfx)
-    }
     val batchKeys = lshKeys(Dedup.spread(batch), idCol, vecCol,
         planesPerBand, bands)
       .withColumnRenamed(idCol, "idA")
@@ -426,14 +420,16 @@ object Similarity {
     val keyPfx = batchKeys
       .select(graft.io.Layouts.prefixOf(col("key"), prefixes).as("p"))
       .distinct().collect().map(_.getLong(0)).toSeq
-    val cands = probeCosineCandidates(batchKeys, pruned(keysDir, keyPfx),
+    val cands = probeCosineCandidates(batchKeys,
+        graft.io.Layouts.readPrefixPruned(spark, keysDir, keyPfx, prefixes),
         idCol, maxBucket)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val idPfx = cands
       .select(graft.io.Layouts.prefixOf(col("idB"), prefixes).as("p"))
       .distinct().collect().map(_.getLong(0)).toSeq
-    verifyCosineCandidates(batch, cands, pruned(corpusDir, idPfx), idCol,
-      vecCol, threshold)
+    verifyCosineCandidates(batch, cands,
+      graft.io.Layouts.readPrefixPruned(spark, corpusDir, idPfx, prefixes),
+      idCol, vecCol, threshold)
   }
 
   /** Cluster-balanced ("diverse") sampling: cap every IVF cell at

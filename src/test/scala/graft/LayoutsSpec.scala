@@ -155,6 +155,43 @@ class LayoutsSpec extends SparkSuite {
     assert(empty.count() === 0L)
   }
 
+  test("prefix store marker: recorded modulus round-trips, mismatches fail fast") {
+    import spark.implicits._
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-prefix-marker").toString
+    val df = (1L to 50L).toDF("id")
+    Layouts.writePrefixPartitioned(df, s"$base/store", "id", prefixes = 8)
+    // the marker records the writer's modulus and is invisible to
+    // parquet discovery (the store still reads whole)
+    assert(Layouts.readPrefixCount(spark, s"$base/store") === Some(8))
+    assert(spark.read.parquet(s"$base/store").count() === 50L)
+    // matching modulus reads; the pruned subset is exactly the rows
+    // whose recomputed prefix is in the set
+    val got = Layouts.readPrefixPruned(spark, s"$base/store",
+      Seq(0L, 3L), prefixes = 8)
+    val want = df.where(Layouts.prefixOf($"id", 8).isin(0L, 3L))
+    assert(got.collect().map(_.getLong(0)).sorted
+      === want.collect().map(_.getLong(0)).sorted)
+    // a MISMATCHED modulus would prune away matching rows silently —
+    // the reader refuses instead (the round-11 advisor finding)
+    val e1 = intercept[IllegalArgumentException] {
+      Layouts.readPrefixPruned(spark, s"$base/store", Seq(0L), prefixes = 16)
+    }
+    assert(e1.getMessage.contains("records 8"))
+    // a store with NO marker was not written by writePrefixPartitioned:
+    // its __pfx provenance is unknown, so the pruned read refuses too
+    df.withColumn(Layouts.PrefixCol, Layouts.prefixOf($"id", 8))
+      .write.partitionBy(Layouts.PrefixCol).parquet(s"$base/unstamped")
+    val e2 = intercept[IllegalArgumentException] {
+      Layouts.readPrefixPruned(spark, s"$base/unstamped", Seq(0L),
+        prefixes = 8)
+    }
+    assert(e2.getMessage.contains("no marker"))
+    // overwrite with a different modulus replaces the marker
+    Layouts.writePrefixPartitioned(df, s"$base/store", "id", prefixes = 4)
+    assert(Layouts.readPrefixCount(spark, s"$base/store") === Some(4))
+  }
+
   test("prefix-partitioned embedding stores: pruned cosine probe matches inline") {
     import graft.ops.Similarity
     import spark.implicits._

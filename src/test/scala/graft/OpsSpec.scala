@@ -1406,6 +1406,41 @@ class OpsSpec extends SparkSuite {
     assert(fast === got)
   }
 
+  test("exactSubstrDedup maxGroup drops over-cap fingerprints whole, " +
+      "accounted, never partially") {
+    import spark.implicits._
+    // "v1 v2 v3 v4 v5" is viral: verbatim in 6 docs (fingerprint group
+    // of 6 > cap 5); "c1 c2 c3 c4 c5" is an honest copy in 2 docs
+    // (group of 2 ≤ cap). Unique u<i> tails keep the docs distinct.
+    val df = ((1 to 6).map(i => (i.toLong, s"v1 v2 v3 v4 v5 u$i")) ++
+      Seq((7L, "c1 c2 c3 c4 c5 s7"), (8L, "c1 c2 c3 c4 c5 s8")))
+      .toDF("doc_id", "text")
+    graft.ops.CapMetrics.reset()
+    val out = Dedup.exactSubstrDedup(df, "doc_id", "text", k = 5,
+        maxGroup = 5)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getString(3)))).toMap
+    // over-cap viral group: dropped WHOLE — every copy survives
+    // untouched, including copies 2..6 (a partial drop would have
+    // removed some); the honest 2-doc copy still dedups normally
+    (1 to 6).foreach { i =>
+      assert(out(i.toLong) === ((0L, s"v1 v2 v3 v4 v5 u$i")))
+    }
+    assert(out(7L) === ((0L, "c1 c2 c3 c4 c5 s7")))
+    assert(out(8L) === ((5L, "s8")))
+    // the drop is accounted: 1 group, its 6 member window rows
+    val (g, r) = graft.ops.CapMetrics.dropsFor("exact_substr_fp")
+    assert(g === 1L && r === 6L)
+    // cap ≥ group size ⇒ identical to the uncapped operator (the
+    // q138/q138b oracle-scale contract: the default cap changes nothing)
+    val capped = Dedup.exactSubstrDedup(df, "doc_id", "text", k = 5,
+      maxGroup = 6).collect().map(_.toSeq).toSet
+    val uncapped = Dedup.exactSubstrDedup(df, "doc_id", "text", k = 5,
+      maxGroup = Int.MaxValue).collect().map(_.toSeq).toSet
+    assert(capped === uncapped)
+    assert(capped.exists(_(0) == 1L))
+  }
+
   test("dupShingleFraction: exact shared-shingle density, short docs absent") {
     import spark.implicits._
     val df = Seq(
