@@ -105,12 +105,41 @@ object ScaleData {
       df.write.mode("overwrite").parquet(s"$outDir/$t.parquet")
       println(s"[scale-data] wrote $t: ${spark.read.parquet(s"$outDir/$t.parquet").count()} rows")
     }
+    // fail-fast id-collision guard (the round-10 sf10 fixture flaw,
+    // round-11 advisor finding): re-replicating an already-replicated
+    // source with an idOffset smaller than its id span maps DISTINCT
+    // rows onto DUPLICATE ids (500k rows on 95k ids, measured) —
+    // silently, since every downstream query still runs. One max()
+    // per shifted column of each table actually being derived, before
+    // any row is written.
+    def guardIds(t: String, idCols: String*): Unit =
+      if (tables(t) && replicas > 1) {
+        val d = src(t)
+        val maxes = d.agg(max(col(idCols.head).cast("long")),
+          idCols.tail.map(c => max(col(c).cast("long"))): _*).head()
+        idCols.zipWithIndex.foreach { case (c, i) =>
+          val m = if (maxes.isNullAt(i)) 0L else maxes.getLong(i)
+          require(m < idOffset,
+            s"ScaleData: $t.$c spans to $m >= idOffset $idOffset — " +
+              "replica shifts would collide (distinct rows mapped onto " +
+              "duplicate ids). Derive from the BASE fixture, or pass an " +
+              "idOffset above the source id span.")
+        }
+      }
     def shifted(c: String, k: Int) = (col(c) + lit(k * idOffset)).as(c)
     def suffixed(c: String, k: Int) =
       (if (k == 0) col(c) else concat(col(c), lit(s"_r$k"))).as(c)
     def rep(f: Int => DataFrame): DataFrame =
       (0 until replicas).map(f).reduce(_ unionByName _)
 
+    guardIds("customer", "c_custkey")
+    guardIds("supplier", "s_suppkey")
+    guardIds("part", "p_partkey")
+    guardIds("orders", "o_orderkey", "o_custkey")
+    guardIds("lineitem", "l_orderkey", "l_partkey", "l_suppkey")
+    guardIds("events", "event_id", "user_id")
+    guardIds("documents", "doc_id")
+    guardIds("embeddings", "vec_id")
     write("region", src("region"))
     write("nation", src("nation"))
     lazy val customer = src("customer")

@@ -1,7 +1,6 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.StreamingQueryListener
 
 /** Sustained-load latency profile for the streaming keyed near-dup
   * ingest (VERDICT r10 task 6): the four keyed ingest gates report
@@ -30,13 +29,13 @@ import org.apache.spark.sql.streaming.StreamingQueryListener
   * the once-per-run heal; batch 1 still JIT-warms the per-batch
   * plans). Archive under bench_history/.
   *
-  * Usage: runMain graft.StreamSustained [sfDir] [nBatches=50]
+  * Usage: runMain graft.StreamSustained [sfDir] [nBatches=100]
   */
 object StreamSustained {
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
-    val nBatches = if (args.length > 1) args(1).toInt else 50
+    val nBatches = if (args.length > 1) args(1).toInt else 100
     val spark = GraftSession.local("graft-stream-sustained")
     import graft.ops.Dedup
 
@@ -65,36 +64,36 @@ object StreamSustained {
 
     // per-micro-batch wall time from the engine's own progress events —
     // not wrapped timers, so scheduling gaps between batches don't leak
-    // into a batch's number
-    val series =
-      new java.util.concurrent.ConcurrentLinkedQueue[(Long, Double, Long)]
-    val listener = new StreamingQueryListener {
-      override def onQueryStarted(
-          e: StreamingQueryListener.QueryStartedEvent): Unit = ()
-      override def onQueryProgress(
-          e: StreamingQueryListener.QueryProgressEvent): Unit = {
-        val p = e.progress
-        if (p.numInputRows > 0) {
-          val ms = Option(p.durationMs.get("triggerExecution"))
-            .map(_.longValue).getOrElse(0L)
-          series.add((p.batchId, ms / 1e3, p.numInputRows))
-        }
-      }
-      override def onQueryTerminated(
-          e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
-    }
-    spark.streams.addListener(listener)
+    // into a batch's number. Read from the TERMINATED query's
+    // recentProgress (synchronous — complete once awaitTermination
+    // returns), not a StreamingQueryListener: listener events are
+    // delivered asynchronously, so reading right after termination
+    // could miss the LAST batches — silently truncating the tail the
+    // last-decile p50 and the OLS slope depend on (round-11 advisor
+    // finding). Retention must cover the run: the default keeps only
+    // ~100 updates.
+    spark.conf.set("spark.sql.streaming.numRecentProgressUpdates",
+      (nBatches + 16).toString)
     val schema = spark.read.parquet(s"$dir/in").schema
-    graft.streaming.EventStreams.ingestNearDupKeyed(spark, schema,
-        s"$dir/in", s"$dir/corpus", s"$dir/keys", s"$dir/chk",
+    val query = graft.streaming.EventStreams.ingestNearDupKeyed(spark,
+        schema, s"$dir/in", s"$dir/corpus", s"$dir/keys", s"$dir/chk",
         "doc_id", "text", threshold = 0.95, numHashes = 16, bands = 4,
         maxFilesPerTrigger = 1)
-      .awaitTermination()
-    spark.streams.removeListener(listener)
+    query.awaitTermination()
 
     val corpusRows = spark.read.parquet(s"$dir/corpus").count()
-    import scala.jdk.CollectionConverters._
-    val rows = series.asScala.toSeq.sortBy(_._1)
+    // bounded-store evidence: the compaction lifecycle's pass condition
+    // is that file counts do NOT track batch count
+    val corpusFiles = graft.io.Layouts.dataFileCount(spark, s"$dir/corpus")
+    val keyFiles = graft.io.Layouts.dataFileCount(spark, s"$dir/keys")
+    val rows = query.recentProgress.toSeq
+      .filter(_.numInputRows > 0)
+      .map { p =>
+        val ms = Option(p.durationMs.get("triggerExecution"))
+          .map(_.longValue).getOrElse(0L)
+        (p.batchId, ms / 1e3, p.numInputRows)
+      }
+      .sortBy(_._1)
     val ts = rows.map(_._2)
     def pct(xs: Seq[Double], p: Double): Double =
       if (xs.isEmpty) -1.0
@@ -125,6 +124,6 @@ object StreamSustained {
     } catch { case scala.util.control.NonFatal(_) => }
     spark.stop()
     println(
-      s"""{"profile":"streaming_sustained","sf":"$sfDir","n_batches":${rows.size},"final_corpus_rows":$corpusRows,"p50_sec":${Bench.fmt(pct(ts, 0.5))},"p99_sec":${Bench.fmt(pct(ts, 0.99))},"steady_first_decile_p50":${Bench.fmt(pct(firstDecile, 0.5))},"steady_last_decile_p50":${Bench.fmt(pct(lastDecile, 0.5))},"ols_slope_ms_per_batch":${Bench.fmt(slopeMsPerBatch)},"series":$seriesJson}""")
+      s"""{"profile":"streaming_sustained","sf":"$sfDir","n_batches":${rows.size},"final_corpus_rows":$corpusRows,"final_corpus_files":$corpusFiles,"final_key_files":$keyFiles,"max_store_files":${graft.streaming.EventStreams.DefaultMaxStoreFiles},"p50_sec":${Bench.fmt(pct(ts, 0.5))},"p99_sec":${Bench.fmt(pct(ts, 0.99))},"steady_first_decile_p50":${Bench.fmt(pct(firstDecile, 0.5))},"steady_last_decile_p50":${Bench.fmt(pct(lastDecile, 0.5))},"ols_slope_ms_per_batch":${Bench.fmt(slopeMsPerBatch)},"series":$seriesJson}""")
   }
 }

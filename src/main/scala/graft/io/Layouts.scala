@@ -194,6 +194,91 @@ object Layouts {
     files
   }
 
+  /** Suffixes of [[compactInPlace]]'s staging directories. */
+  private[graft] val CompactTmpSuffix = "__compact"
+  private[graft] val CompactOldSuffix = "__old"
+
+  /** [[compact]] applied IN PLACE via a staged swap — the maintenance
+    * step a long-running ingest gate calls between micro-batches so its
+    * one-file-per-append stores never accumulate unbounded file counts
+    * (each scan pays listing + a footer read per file: the residual
+    * +73 ms/batch latency slope of the round-11 sustained profile).
+    *
+    * Sequence: write the compacted copy to `<dir>__compact`, rename
+    * `dir` → `<dir>__old`, rename the copy → `dir`, delete the old.
+    * Each rename is a single FS metadata operation; the data is never
+    * in only a partial state. A crash at ANY point is repaired by
+    * [[recoverCompaction]] (run it before reading the store):
+    *   - crash before the first rename: `dir` intact, stray tmp deleted;
+    *   - crash between the renames: `dir` missing but `<dir>__old`
+    *     complete — restored;
+    *   - crash after the second rename: `dir` is the compacted store,
+    *     stray old deleted.
+    * Recovery prefers the ORIGINAL (old) over a complete-looking tmp:
+    * the original is complete by construction, and re-running the
+    * compaction is cheap next to adjudicating a half-written copy.
+    *
+    * @return files written
+    */
+  def compactInPlace(spark: org.apache.spark.sql.SparkSession, dir: String,
+      targetBytes: Long = 512L << 20): Int = {
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val d = new org.apache.hadoop.fs.Path(dir)
+    val tmp = new org.apache.hadoop.fs.Path(dir + CompactTmpSuffix)
+    val old = new org.apache.hadoop.fs.Path(dir + CompactOldSuffix)
+    require(fs.exists(d), s"compactInPlace: $dir does not exist")
+    require(!fs.exists(old),
+      s"compactInPlace: stale $old — run recoverCompaction first")
+    val files = compact(spark, dir, dir + CompactTmpSuffix, targetBytes)
+    if (!fs.rename(d, old))
+      throw new java.io.IOException(s"compactInPlace: rename $d -> $old failed")
+    if (!fs.rename(tmp, d)) {
+      // restore before surfacing: the store must never stay missing
+      fs.rename(old, d)
+      throw new java.io.IOException(s"compactInPlace: rename $tmp -> $d failed")
+    }
+    fs.delete(old, true)
+    files
+  }
+
+  /** Repair an interrupted [[compactInPlace]] — idempotent, cheap (two
+    * or three metadata calls), safe to run before every read of a
+    * compaction-managed store. Returns true when a crashed swap was
+    * actually repaired (the store had been left missing).
+    */
+  def recoverCompaction(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Boolean = {
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val d = new org.apache.hadoop.fs.Path(dir)
+    val tmp = new org.apache.hadoop.fs.Path(dir + CompactTmpSuffix)
+    val old = new org.apache.hadoop.fs.Path(dir + CompactOldSuffix)
+    val restored =
+      if (!fs.exists(d) && fs.exists(old)) fs.rename(old, d)
+      else false
+    // stray staging state from any other crash window: the old copy is
+    // redundant once dir exists, and a tmp is re-derivable at any time
+    if (fs.exists(d) && fs.exists(old)) fs.delete(old, true)
+    if (fs.exists(tmp)) fs.delete(tmp, true)
+    restored
+  }
+
+  /** Visible (non-hidden) file count of a store directory — the
+    * compaction trigger's input. One FS listing; counts data files
+    * only (`_`/`.`-prefixed markers and subdirectories excluded).
+    */
+  def dataFileCount(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Int = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) 0
+    else fs.listStatus(p).count { st =>
+      val n = st.getPath.getName
+      st.isFile && !n.startsWith("_") && !n.startsWith(".")
+    }
+  }
+
   /** Hive-style directory partitioning (`dir/col=value/...`): the
     * layout for low-cardinality pruning columns (language, date,
     * source). Readers with an equality/IN predicate on `cols` touch

@@ -520,12 +520,22 @@ object EventStreams {
     * corpus-wide anti-join runs once at (re)start, and the re-key job
     * only on actual recovery.
     */
+  /** Default store-file-count compaction trigger of the keyed ingest
+    * gates: at one appended file per micro-batch per store, a store is
+    * compacted roughly every `DefaultMaxStoreFiles` batches — frequent
+    * enough to keep per-batch listing/footer work bounded (the
+    * round-11 sustained profile's residual slope), rare enough that the
+    * store-sized rewrite amortizes to a small per-batch tax.
+    */
+  val DefaultMaxStoreFiles: Int = 64
+
   def ingestNearDupKeyed(spark: SparkSession, schema: StructType,
       inDir: String, corpusDir: String, keysDir: String,
       checkpointDir: String, idCol: String, textCol: String,
       threshold: Double, numHashes: Int = 16, bands: Int = 8,
       maxFilesPerTrigger: Int = 16,
-      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+      trigger: Trigger = Trigger.AvailableNow(),
+      maxStoreFiles: Int = DefaultMaxStoreFiles): StreamingQuery = {
     // register on the CALLER's session up front: foreachBatch below
     // builds frames from this handle (spark.read.parquet), which may be
     // neither the batch thread's active session (the stream's clone)
@@ -538,7 +548,7 @@ object EventStreams {
       .writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
         ingestNearDupKeyedBatch(spark, batch, corpusDir, keysDir, idCol,
-          textCol, threshold, numHashes, bands, healed)
+          textCol, threshold, numHashes, bands, healed, maxStoreFiles)
         ()
       }
       .option("checkpointLocation", checkpointDir)
@@ -556,10 +566,11 @@ object EventStreams {
   private[graft] def ingestNearDupKeyedBatch(spark: SparkSession,
       batch: DataFrame, corpusDir: String, keysDir: String, idCol: String,
       textCol: String, threshold: Double, numHashes: Int, bands: Int,
-      healed: java.util.concurrent.atomic.AtomicBoolean): Unit = {
+      healed: java.util.concurrent.atomic.AtomicBoolean,
+      maxStoreFiles: Int = DefaultMaxStoreFiles): Unit = {
     import graft.ops.Dedup
     keyedIngestBatch(spark, batch, corpusDir, keysDir, idCol, textCol,
-      healed)(
+      healed, maxStoreFiles)(
       collapse = b => Dedup.nearDupPipeline(b, idCol, textCol, threshold,
         numHashes, bands),
       bandKeys = df => Dedup.corpusBandKeys(df, idCol, textCol, numHashes,
@@ -602,11 +613,18 @@ object EventStreams {
     */
   private def keyedIngestBatch(spark: SparkSession, batch: DataFrame,
       corpusDir: String, keysDir: String, idCol: String,
-      contentCol: String, healed: java.util.concurrent.atomic.AtomicBoolean)(
+      contentCol: String, healed: java.util.concurrent.atomic.AtomicBoolean,
+      maxStoreFiles: Int = DefaultMaxStoreFiles)(
       collapse: DataFrame => DataFrame,
       bandKeys: DataFrame => DataFrame,
       linkedIds: (DataFrame, DataFrame, DataFrame) => DataFrame): Unit = {
     import org.apache.spark.sql.functions.{col, lit, xxhash64}
+    // repair any interrupted store compaction BEFORE the existence
+    // check: a crash mid-swap leaves the store under its __old name,
+    // and reading "corpus missing" then would silently restart the
+    // corpus from this batch. Idempotent metadata-only calls.
+    graft.io.Layouts.recoverCompaction(spark, corpusDir)
+    graft.io.Layouts.recoverCompaction(spark, keysDir)
     val fs = new org.apache.hadoop.fs.Path(corpusDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val corpusExists = fs.exists(new org.apache.hadoop.fs.Path(corpusDir))
@@ -679,6 +697,26 @@ object EventStreams {
       freshP.coalesce(1).write.mode("append").parquet(corpusDir)
       withExactKeys(freshP).coalesce(1).write.mode("append").parquet(keysDir)
     } finally freshP.unpersist(blocking = false)
+    // compaction lifecycle (round 12): one file per append keeps the
+    // per-batch file growth minimal, but over a long run BOTH stores
+    // still gain a file per batch and every later batch re-lists and
+    // footer-reads them all on each of its corpus/keys scans — the
+    // residual +73 ms/batch slope of the round-11 sustained profile.
+    // A file-count trigger bounds that: when a store crosses
+    // `maxStoreFiles`, it is rewritten in place through the staged,
+    // crash-recoverable swap above. Amortized cost: one store-sized
+    // rewrite every ~maxStoreFiles batches; between compactions the
+    // per-batch listing cost is bounded by the trigger, so the
+    // sustained latency series stays flat instead of trending.
+    // maxStoreFiles <= 0 disables (the parity/off switch for specs).
+    if (maxStoreFiles > 0) {
+      Seq(corpusDir, keysDir).foreach { d =>
+        if (graft.io.Layouts.dataFileCount(spark, d) > maxStoreFiles) {
+          graft.io.Layouts.compactInPlace(spark, d)
+          ()
+        }
+      }
+    }
   }
 
   /** [[ingestNearDupKeyed]] for the EMBEDDING modality — the streaming
@@ -709,7 +747,8 @@ object EventStreams {
       checkpointDir: String, idCol: String, vecCol: String,
       threshold: Double, planesPerBand: Int = 8, bands: Int = 4,
       maxFilesPerTrigger: Int = 16,
-      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+      trigger: Trigger = Trigger.AvailableNow(),
+      maxStoreFiles: Int = DefaultMaxStoreFiles): StreamingQuery = {
     // register on the CALLER's session up front (see ingestNearDupKeyed)
     graft.functions.GraftFunctions.register(spark)
     val healed = new java.util.concurrent.atomic.AtomicBoolean(false)
@@ -719,7 +758,8 @@ object EventStreams {
       .writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
         ingestEmbeddingNearDupKeyedBatch(spark, batch, corpusDir, keysDir,
-          idCol, vecCol, threshold, planesPerBand, bands, healed)
+          idCol, vecCol, threshold, planesPerBand, bands, healed,
+          maxStoreFiles)
         ()
       }
       .option("checkpointLocation", checkpointDir)
@@ -734,11 +774,12 @@ object EventStreams {
   private[graft] def ingestEmbeddingNearDupKeyedBatch(spark: SparkSession,
       batch: DataFrame, corpusDir: String, keysDir: String, idCol: String,
       vecCol: String, threshold: Double, planesPerBand: Int, bands: Int,
-      healed: java.util.concurrent.atomic.AtomicBoolean): Unit = {
+      healed: java.util.concurrent.atomic.AtomicBoolean,
+      maxStoreFiles: Int = DefaultMaxStoreFiles): Unit = {
     import graft.ops.{Dedup, Similarity}
     import org.apache.spark.sql.functions.{col, row_number, xxhash64}
     keyedIngestBatch(spark, batch, corpusDir, keysDir, idCol, vecCol,
-      healed)(
+      healed, maxStoreFiles)(
       collapse = { b =>
         // exact within-batch collapse FIRST (the text flavor gets this
         // from nearDupPipeline's exactDedup): byte-identical vectors —

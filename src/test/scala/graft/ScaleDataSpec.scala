@@ -115,6 +115,27 @@ class ScaleDataSpec extends SparkSuite {
     assert(docs.select("doc_id").distinct().count() === n)
   }
 
+  test("id-collision guard: an idOffset inside the source id span fails " +
+      "fast before writing anything") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-scaledata-collide").toString
+    // outDir's documents span 3 replicas of 1e8 blocks — re-replicating
+    // with the DEFAULT 1e8 offset is exactly the round-10 sf10 flaw:
+    // distinct rows map onto duplicate ids. generate() must refuse.
+    val e = intercept[IllegalArgumentException] {
+      ScaleData.generate(spark, dir, replicas = 2, srcDir = outDir,
+        tables = Set("documents"))
+    }
+    assert(e.getMessage.contains("idOffset"), e.getMessage)
+    assert(!new java.io.File(s"$dir/documents.parquet").exists())
+    // replicas = 1 is a pure copy — no shifts, no collision possible,
+    // the guard must not block it
+    ScaleData.generate(spark, dir, replicas = 1, srcDir = outDir,
+      tables = Set("documents"))
+    assert(spark.read.parquet(s"$dir/documents.parquet").count() ===
+      3 * base("documents").count())
+  }
+
   test("signflip mode: norms and within-replica dot products exact, " +
       "distinct replica transforms, replica 0 verbatim") {
     val dir = java.nio.file.Files

@@ -629,6 +629,69 @@ class StreamingSpec extends SparkSuite {
       .collect().map(_.getLong(0)).toSet === ids())
   }
 
+  test("ingestNearDupKeyed compaction bounds store files, identical output, restarts green") {
+    import spark.implicits._
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "doc_id LONG, text STRING")
+    // 20 one-file micro-batches: mostly novel docs, every 5th an exact
+    // replay of batch 0's doc (the gate must keep filtering it while
+    // compactions rewrite the stores underneath)
+    val in = tmp("cmp-in")
+    (0 until 20).foreach { b =>
+      val txt =
+        if (b % 5 == 0) "anchor text replayed every fifth batch verbatim"
+        else s"novel content of batch $b with distinctive token b$b"
+      Seq((100L + b, txt)).toDF("doc_id", "text")
+        .coalesce(1).write.mode("append").parquet(in)
+    }
+    def drive(tag: String, maxStoreFiles: Int,
+        inputDir: String): (String, String) = {
+      val corpus = tmp(s"cmp-corpus-$tag") + "/data"
+      val keys = tmp(s"cmp-keys-$tag") + "/keys"
+      graft.streaming.EventStreams.ingestNearDupKeyed(spark, schema,
+          inputDir, corpus, keys, tmp(s"cmp-ck-$tag"), "doc_id", "text",
+          threshold = 0.6, numHashes = 16, bands = 8,
+          maxFilesPerTrigger = 1, maxStoreFiles = maxStoreFiles)
+        .awaitTermination()
+      (corpus, keys)
+    }
+    def corpusRows(dir: String) = spark.read.parquet(dir)
+      .collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    def keyRows(dir: String) = spark.read.parquet(dir)
+      .select($"doc_id", $"band", $"key").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.get(2).toString)).sorted.toSeq
+    val (corpusOff, keysOff) = drive("off", 0, in) // compaction disabled
+    val (corpusOn, keysOn) = drive("on", 6, in)    // aggressive cadence
+    // identical gate OUTPUT — corpus and key table row multisets —
+    // whether or not compactions rewrote the stores mid-run
+    assert(corpusRows(corpusOn) === corpusRows(corpusOff))
+    assert(keyRows(keysOn) === keyRows(keysOff))
+    assert(corpusRows(corpusOn).nonEmpty)
+    // the trigger bound held: ≤ maxStoreFiles + the few appends since
+    // the last compaction check; the uncompacted twin grew one file per
+    // batch with survivors
+    val onFiles = graft.io.Layouts.dataFileCount(spark, corpusOn)
+    val offFiles = graft.io.Layouts.dataFileCount(spark, corpusOff)
+    assert(onFiles <= 7, s"compacted corpus holds $onFiles files")
+    assert(offFiles > 7, s"uncompacted corpus holds only $offFiles files")
+    assert(graft.io.Layouts.dataFileCount(spark, keysOn) <= 7)
+    // restart across compacted stores: a replay of the anchor still
+    // self-filters, novel content still lands
+    val in2 = tmp("cmp-in2")
+    Seq((200L, "anchor text replayed every fifth batch verbatim"),
+        (201L, "post restart novel material entirely"))
+      .toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(in2)
+    val corpus2 = corpusOn.stripSuffix("/data")
+    graft.streaming.EventStreams.ingestNearDupKeyed(spark, schema,
+        in2, corpusOn, keysOn, tmp("cmp-ck-on2"), "doc_id", "text",
+        threshold = 0.6, numHashes = 16, bands = 8,
+        maxFilesPerTrigger = 1, maxStoreFiles = 6)
+      .awaitTermination()
+    val finalIds = spark.read.parquet(corpusOn)
+      .select($"doc_id").collect().map(_.getLong(0)).toSet
+    assert(finalIds.contains(201L) && !finalIds.contains(200L), s"$corpus2: $finalIds")
+  }
+
   test("ingestNearDupKeyed: degenerate docs replay-filter through the band -1 exact keys") {
     import spark.implicits._
     // the keyed gate never reads corpus text per batch, so its replay
