@@ -1186,7 +1186,65 @@ object Similarity {
     pqAdcServe(codes, emb, idCol, vecCol, queries, queryIdCol, queryVecCol,
       k, codebooks, centroids, nprobe, rerankFactor)
 
+  /** [[pqAdcTopKBatchWithCodes]] against a PREFIX-PARTITIONED codes
+    * store ([[graft.io.Layouts.writePrefixPartitioned]] over
+    * `centroid_id`) — the serving form that removes the unpruned
+    * codes-scan term the round-11 probe isolated in
+    * `pq_serve_sqrtcells` (4.04×/decade where the candidates-only
+    * model predicts √10 ≈ 3.16×). The query batch's probed cell set is
+    * already driver-sized (eval-sized queries × nprobe); its prefix
+    * set — bounded by `prefixes`, never by the corpus — becomes a
+    * Hive partition-pruning filter, so the scan reads only the probed
+    * cells' directories instead of every codes file before the
+    * in-plan `centroid_id isin` applies. The bucketed store's row-group
+    * pruning needs the scan to at least open every file's footer;
+    * partition pruning never lists the non-matching directories at
+    * all — the term that grows with the corpus. Results are identical
+    * to the inline and bucketed forms (LayoutsSpec pins both).
+    *
+    * The store must be written with
+    * `Layouts.writePrefixPartitioned(codesDf, codesDir, "centroid_id",
+    * prefixes)`; the read validates the recorded prefix modulus (a
+    * mismatch fails fast — never a silent candidate loss).
+    */
+  def pqAdcTopKBatchPruned(emb: DataFrame, codesDir: String,
+      idCol: String, vecCol: String,
+      queries: DataFrame, queryIdCol: String, queryVecCol: String, k: Int,
+      codebooks: Array[Array[Array[Float]]],
+      centroids: Array[Array[Float]], nprobe: Int = 2,
+      rerankFactor: Int = 4, prefixes: Int = 64): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    pqAdcServeWith(cells => {
+      // the probed cells' prefix set, computed with the WRITER's exact
+      // hash (xxhash64 over the store's IntegerType centroid_id) via a
+      // local-relation row per cell — model-sized, milliseconds
+      val pfx =
+        if (cells.isEmpty) Seq.empty[Long]
+        else cells.toDF("c")
+          .select(graft.io.Layouts.prefixOf(col("c"), prefixes).as("p"))
+          .distinct().collect().map(_.getLong(0)).toSeq
+      graft.io.Layouts.readPrefixPruned(spark, codesDir, pfx, prefixes)
+    }, emb, idCol, vecCol, queries, queryIdCol, queryVecCol,
+      k, codebooks, centroids, nprobe, rerankFactor)
+  }
+
   private def pqAdcServe(codes: DataFrame, emb: DataFrame,
+      idCol: String, vecCol: String,
+      queries: DataFrame, queryIdCol: String, queryVecCol: String, k: Int,
+      codebooks: Array[Array[Array[Float]]],
+      centroids: Array[Array[Float]], nprobe: Int,
+      rerankFactor: Int): DataFrame =
+    pqAdcServeWith(_ => codes, emb, idCol, vecCol, queries, queryIdCol,
+      queryVecCol, k, codebooks, centroids, nprobe, rerankFactor)
+
+  /** The serve core, with the codes side supplied as a function of the
+    * batch's probed cell set — how the prefix-pruned entry states its
+    * partition filter before the scan exists, while the inline/bucketed
+    * entries ignore the argument (their pruning is the in-plan isin).
+    */
+  private def pqAdcServeWith(codesFor: Seq[Int] => DataFrame,
+      emb: DataFrame,
       idCol: String, vecCol: String,
       queries: DataFrame, queryIdCol: String, queryVecCol: String, k: Int,
       codebooks: Array[Array[Array[Float]]],
@@ -1241,7 +1299,7 @@ object Similarity {
     // row groups, so a small query batch reads only its own cells
     // instead of scanning the whole codes table before the join.
     val probedCells = probes.map(_._2).distinct
-    val corpus = codes.where(col("vnorm") > 0 &&
+    val corpus = codesFor(probedCells.toSeq).where(col("vnorm") > 0 &&
       col("centroid_id").isin(probedCells: _*))
     val scored = excludeSelf(
         corpus.join(probeDf, col("centroid_id") === col("__cell")),

@@ -287,6 +287,97 @@ class LayoutsSpec extends SparkSuite {
     assert(nEx(p) <= nEx(pi), s"stored=${nEx(p)} inline=${nEx(pi)}\n$p")
   }
 
+  test("prefix-partitioned PQ codes: pruned serve matches inline and prunes the scan") {
+    import graft.ops.Similarity
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sfDir)
+    val centroids = Similarity.ivfCentroids(emb, "vec_id", "embedding", 8)
+    val cbs = Similarity.pqCodebooks(emb, "vec_id", "embedding", 8, 8)
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-pq-prefix").toString
+    Layouts.writePrefixPartitioned(
+      Similarity.pqEncode(
+          Similarity.ivfAssign(emb, "embedding", centroids), "embedding", cbs)
+        .select($"vec_id", $"pq_code", $"vnorm", $"centroid_id"),
+      s"$base/codes", "centroid_id", prefixes = 8)
+    // a SMALL batch (2 queries × nprobe 2 cells) — the regime the
+    // partition prune exists for
+    val queries = emb.where($"vec_id".isin(100L, 200L))
+    val pruned = Similarity.pqAdcTopKBatchPruned(emb, s"$base/codes",
+      "vec_id", "embedding", queries, "vec_id", "embedding", k = 5,
+      cbs, centroids, nprobe = 2, prefixes = 8)
+    val inline = Similarity.pqAdcTopKBatch(emb, "vec_id", "embedding",
+      queries, "vec_id", "embedding", k = 5, cbs, centroids, nprobe = 2)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "vec_id", "adc_cosine", "cosine").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+        .toSet
+    assert(rows(pruned) === rows(inline) && rows(inline).nonEmpty)
+    // the store spreads over > nprobe×queries prefixes, so the probed
+    // cells' prefix filter reads strictly fewer files than the store
+    // holds (Hive partition pruning — directories never listed)
+    def filesRead(df: org.apache.spark.sql.DataFrame) =
+      df.select(input_file_name()).distinct().count()
+    val all = spark.read.parquet(s"$base/codes")
+    val cellPfx = Seq(100L, 200L).toDF("vec_id")
+      .join(emb, Seq("vec_id"))
+      .select(graft.functions.GraftFunctions.fn("graft_nearest_centroid",
+        $"embedding", typedLit(centroids.map(_.toSeq).toSeq)))
+    assert(filesRead(Layouts.readPrefixPruned(spark, s"$base/codes",
+        Seq(0L), prefixes = 8)) < filesRead(all))
+    assert(cellPfx.count() === 2L) // sanity: both query vectors resolved
+    // an empty query batch serves an empty result, never a full scan
+    val none = Similarity.pqAdcTopKBatchPruned(emb, s"$base/codes",
+      "vec_id", "embedding", queries.limit(0), "vec_id", "embedding",
+      k = 5, cbs, centroids, nprobe = 2, prefixes = 8)
+    assert(none.count() === 0L)
+  }
+
+  test("compactInPlace swaps safely; recoverCompaction repairs every crash window") {
+    import spark.implicits._
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-compact-swap").toString
+    val dir = s"$base/store"
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def p(s: String) = new org.apache.hadoop.fs.Path(s)
+    def rows() = spark.read.parquet(dir)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    // a many-small-files store: 12 single-row appends
+    (1L to 12L).foreach(i =>
+      Seq(i).toDF("id").coalesce(1).write.mode("append").parquet(dir))
+    val before = rows()
+    assert(Layouts.dataFileCount(spark, dir) === 12)
+    // happy path: same rows, fewer files, no staging leftovers
+    Layouts.compactInPlace(spark, dir)
+    assert(rows() === before)
+    assert(Layouts.dataFileCount(spark, dir) < 12)
+    assert(!fs.exists(p(dir + "__compact")) && !fs.exists(p(dir + "__old")))
+    // crash window 1: died after writing the tmp copy, before any
+    // rename — recovery deletes the stray tmp, store untouched
+    spark.read.parquet(dir).write.parquet(dir + "__compact")
+    assert(!Layouts.recoverCompaction(spark, dir))
+    assert(!fs.exists(p(dir + "__compact")) && rows() === before)
+    // crash window 2: died BETWEEN the renames — the store is missing,
+    // the original is under __old (tmp may also exist) — recovery must
+    // restore the original, preferring it over the tmp copy
+    spark.read.parquet(dir).write.parquet(dir + "__compact")
+    assert(fs.rename(p(dir), p(dir + "__old")))
+    assert(Layouts.recoverCompaction(spark, dir))
+    assert(rows() === before)
+    assert(!fs.exists(p(dir + "__compact")) && !fs.exists(p(dir + "__old")))
+    // crash window 3: died after the second rename — store is the
+    // compacted copy, __old is redundant; recovery just cleans it
+    spark.read.parquet(dir).write.parquet(dir + "__old")
+    assert(!Layouts.recoverCompaction(spark, dir))
+    assert(!fs.exists(p(dir + "__old")) && rows() === before)
+    // a stale __old blocks a new compaction until recovered
+    spark.read.parquet(dir).write.parquet(dir + "__old")
+    intercept[IllegalArgumentException] { Layouts.compactInPlace(spark, dir) }
+    Layouts.recoverCompaction(spark, dir)
+    assert(Layouts.compactInPlace(spark, dir) >= 1 && rows() === before)
+  }
+
   test("replaceBucketed under a non-default database never touches default's directory") {
     import spark.implicits._
     // default.layout_guard is a MANAGED table at <warehouse>/layout_guard
