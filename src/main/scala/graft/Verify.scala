@@ -60,6 +60,37 @@ object Verify {
       s"""{"rows":${row.getLong(0)},"columns":$cols}""")
   }
 
+  /** Oracle-gate demotions (round-12 fail-safe): queries named in the
+    * demotions file ship NO oracle SQL — the driver then records the
+    * honest weaker rows-only check instead of an unsound hash gate.
+    * The file is written by `tools/apply_margin_demotions.py` from the
+    * margin audit (a corpus-conditional gate whose BOTH soundness
+    * arguments eroded after a fixture regeneration gets demoted there);
+    * format `{"<query>": {"source": ..., "reason": ...}}` (a bare
+    * string value is accepted as the reason). Missing file = no
+    * demotions — the shipped default, since all current gates are
+    * sound.
+    */
+  private[graft] def loadDemotions(path: String): Map[String, String] = {
+    val f = new java.io.File(path)
+    if (!f.isFile) Map.empty
+    else {
+      val om = new com.fasterxml.jackson.databind.ObjectMapper()
+      val node = om.readTree(f)
+      import scala.jdk.CollectionConverters._
+      node.fieldNames().asScala.map { k =>
+        val v = node.get(k)
+        k -> (if (v.isObject && v.has("reason")) v.get("reason").asText
+              else v.asText)
+      }.toMap
+    }
+  }
+
+  /** The oracle map actually shipped: `all` minus demoted queries. */
+  private[graft] def gatedOracles(all: Map[String, String],
+      demotions: Map[String, String]): Map[String, String] =
+    all -- demotions.keys
+
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val spark = GraftSession.local("graft-verify")
@@ -92,9 +123,24 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql
+    // demotions: sys.prop override (specs), env override (tools), then
+    // the repo-root file a round's margin audit maintains
+    val demotionsPath = sys.props.getOrElse("graft.demotions",
+      sys.env.getOrElse("SPARK_GRAFT_DEMOTIONS", "demotions.json"))
+    val demotions = loadDemotions(demotionsPath)
+    val applied = demotions.view
+      .filterKeys(SparkEntry.oracleSql.contains).toMap
+    applied.foreach { case (k, why) =>
+      System.err.println(s"[verify] DEMOTED $k to rows-only: $why")
+    }
+    val json = gatedOracles(SparkEntry.oracleSql, demotions)
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // the audit trail CORRECTNESS readers see: why a usually-hash-gated
+    // query shipped rows-only this round (empty object when none did)
+    Files.writeString(Paths.get(s"$outDir/demotions.json"),
+      applied.map { case (k, v) => s"${q(k)}: ${q(v)}" }
+        .mkString("{", ",", "}"))
     spark.stop()
   }
 }

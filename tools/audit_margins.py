@@ -27,12 +27,16 @@ minimum distance to a rounding boundary in ulps of the scaled value.
 
 With every ln clear of its boundary the sums agree bit-for-bit, exact
 ties (identical decimals on both engines) break by doc_id identically,
-and the gate is sound regardless of how small the gaps are — so the
-exit criterion is the ln scan: exit 0 when every distinct model ln
-clears the boundary by --min-ulps (default 100; ~50x the worst
-realistic libm divergence), 1 otherwise, 3 on crash. The gap-margin
-factor stays in the report as defense-in-depth context. Re-run after
-any fixture regeneration — the gates are corpus-conditional.
+and the gate is sound regardless of how small the gaps are. A query is
+therefore SOUND when EITHER argument holds: the ln scan clears
+--min-ulps (default 100; ~50x the worst realistic libm divergence), or
+the gap margins clear --factor x the wobble bound (each argument alone
+suffices; they fail independently). Exit codes (round 12, the
+auto-demotion contract): 0 when every query is sound, 2 when at least
+one query fails BOTH arguments — its "demote" field is true and
+tools/apply_margin_demotions.py must strip its hash gate before the
+round ships — and 3 on crash. Re-run after any fixture regeneration —
+the gates are corpus-conditional.
 
 Usage: tools/audit_margins.py SFDIR [--factor 10] [--min-ulps 100]
        [--json OUT]
@@ -234,14 +238,19 @@ def main():
         "q100b_dsir_select": q100b,
         "q133_ccnet_buckets": q133,
     }
+    # either argument alone makes the gate sound; failing BOTH demotes
+    for k in ("q100b_dsir_select", "q133_ccnet_buckets"):
+        report[k]["sound"] = bool(report[k]["ln_scan"]["ok"]
+                                  or report[k]["gap_margin_ok"])
+        report[k]["demote"] = not report[k]["sound"]
     out = json.dumps(report, indent=1, default=str)
     print(out)
     if args.json:
         with open(args.json, "w") as f:
             f.write(out + "\n")
-    ok = all(report[k]["ln_scan"]["ok"] for k in
-             ("q100b_dsir_select", "q133_ccnet_buckets"))
-    return 0 if ok else 1
+    all_sound = all(report[k]["sound"] for k in
+                    ("q100b_dsir_select", "q133_ccnet_buckets"))
+    return 0 if all_sound else 2
 
 
 if __name__ == "__main__":

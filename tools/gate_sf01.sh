@@ -7,10 +7,19 @@
 # oracle equivalence holds because an audited property of the fixture
 # data holds (Bloom FP-freeness at the chosen fpp, no score ties within
 # float ulp of the rank/argmax boundary). The driver's gate runs at
-# sf0.01; this script re-proves the three at sf0.1 so a fixture
+# sf0.01; this script re-proves the five at sf0.1 so a fixture
 # regeneration cannot silently invalidate the gating arguments between
 # rounds (VERDICT r8 task 6). Evidence lands in
 # bench_history/<tag>_sf0.1_oracle_gate.json.
+#
+# Round 12 (VERDICT r11 task 5 — fail safe on margin erosion): the
+# q100b/q133 margin audit runs FIRST, and a query whose BOTH soundness
+# arguments fail (ln-boundary clearance AND gap margin) is AUTO-DEMOTED
+# to rows-only via tools/apply_margin_demotions.py + demotions.json
+# BEFORE Verify dumps oracle_sql.json — so a regenerated fixture can
+# erode the margins and the round still ships, with the demotion said
+# aloud here and in the Verify dump, never a silently unsound hash
+# gate. A sound re-audit restores the gate on the next run.
 #
 # Usage: tools/gate_sf01.sh [tag]   (default tag: "manual")
 set -euo pipefail
@@ -18,6 +27,30 @@ cd "$(dirname "$0")/.."
 TAG="${1:-manual}"
 OUT=/tmp/verify_gate_sf01
 QUERIES="q135_contamination_bloom,q121c_bm25_rank_order,q109c_nb_argmax,q100b_dsir_select,q133_ccnet_buckets"
+
+# 1. margin audit FIRST — its verdict decides which hash gates ship.
+# Exit 0 = all sound, 2 = demotion needed (a handled outcome, NOT a
+# gate failure), anything else = crash (a crashed audit proves nothing
+# and must fail loudly).
+MARGIN_RC=0
+python3 tools/audit_margins.py /root/testdata/sf0.1 \
+  --json /tmp/gate_margins.json || MARGIN_RC=$?
+if [ "$MARGIN_RC" -ne 0 ] && [ "$MARGIN_RC" -ne 2 ]; then
+  echo "gate_sf01: margin audit crashed (exit $MARGIN_RC)" >&2
+  exit "$MARGIN_RC"
+fi
+
+# 2. apply the audit's verdict to demotions.json (adds double-failure
+# demotions, clears stale ones whose margins are sound again)
+python3 tools/apply_margin_demotions.py /tmp/gate_margins.json \
+  --file demotions.json | tee /tmp/gate_demotions.log
+DEMOTED=$(python3 - <<'EOF'
+import json, os
+d = json.load(open("demotions.json")) if os.path.exists("demotions.json") else {}
+print(sum(1 for k, v in d.items()
+          if isinstance(v, dict) and v.get("source") == "margin_audit"))
+EOF
+)
 
 rm -rf "$OUT"
 SPARK_GRAFT_VERIFY_FILTER="$QUERIES" \
@@ -38,42 +71,41 @@ if [ "$RC" -gt 1 ]; then
   exit "$RC"
 fi
 
-# the q100b/q133 soundness argument is the ln-boundary scan, not the
-# oracle run alone (tools/audit_margins.py): every distinct model ln
-# must clear a 5e-7 rounding boundary by >= 100 ulps, or the quantized
-# sums can diverge cross-engine after a fixture regeneration
-MARGIN_RC=0
-python3 tools/audit_margins.py /root/testdata/sf0.1 \
-  --json /tmp/gate_margins.json || MARGIN_RC=$?
-if [ "$MARGIN_RC" -ne 0 ]; then
-  echo "gate_sf01: margin audit failed (exit $MARGIN_RC)" >&2
-  exit "$MARGIN_RC"
-fi
-
 PASS=$(grep -c '^PASS' /tmp/gate_sf01.log || true)
 FAIL=$(grep -c '^FAIL' /tmp/gate_sf01.log || true)
-python3 - "$TAG" "$PASS" "$FAIL" <<'EOF'
-import json, sys, subprocess, datetime
-tag, npass, nfail = sys.argv[1], int(sys.argv[2]), int(sys.argv[3])
+python3 - "$TAG" "$PASS" "$FAIL" "$DEMOTED" <<'EOF'
+import json, sys, subprocess, os
+tag, npass, nfail, ndem = sys.argv[1], int(sys.argv[2]), int(sys.argv[3]), int(sys.argv[4])
 commit = subprocess.run(["git", "rev-parse", "--short", "HEAD"],
                         capture_output=True, text=True).stdout.strip()
 lines = [l.strip() for l in open("/tmp/gate_sf01.log")
          if l.startswith(("PASS", "FAIL", "SKIP"))]
+demotions = {}
+if os.path.exists("demotions.json"):
+    demotions = json.load(open("demotions.json"))
 out = {"gate": "corpus_conditional_sf0.1", "tag": tag, "commit": commit,
        "sf": "/root/testdata/sf0.1", "pass": npass, "fail": nfail,
+       "margin_demotions": ndem, "demotions_file": demotions,
        "queries": lines,
        "margin_audit": json.load(open("/tmp/gate_margins.json")),
        "note": "q135/q121c/q109c/q100b/q133 hash-gates re-proven at "
-               "sf0.1 (q100b/q133 incl. the ln-boundary margin audit); "
-               "re-run after any fixture regeneration"}
+               "sf0.1 (q100b/q133 incl. the ln-boundary margin audit; "
+               "double-failure auto-demotes to rows-only via "
+               "demotions.json); re-run after any fixture regeneration"}
 path = f"bench_history/{tag}_sf0.1_oracle_gate.json"
 json.dump(out, open(path, "w"), indent=1)
-print(f"wrote {path}: {npass} pass, {nfail} fail")
+print(f"wrote {path}: {npass} pass, {nfail} fail, {ndem} demoted")
 EOF
 # Both assertions matter: FAIL=0 alone passes vacuously when the log has
 # zero PASS/FAIL lines (all queries SKIPped as rows-only, or a filter
 # typo selected nothing) — the gate must have POSITIVELY proven every
-# gated query. The expected count derives from QUERIES so adding a
-# fourth corpus-conditional query can't desynchronize the assertion.
-EXPECTED=$(echo "$QUERIES" | awk -F, '{print NF}')
+# gated query that still ships a hash gate. A margin-demoted query
+# SKIPs by design (its oracle SQL is absent) and is excluded from the
+# expected count — but the demotion itself was said aloud above and is
+# recorded in the evidence JSON.
+EXPECTED=$(( $(echo "$QUERIES" | awk -F, '{print NF}') - DEMOTED ))
+if [ "$DEMOTED" -gt 0 ]; then
+  echo "gate_sf01: WARNING — $DEMOTED hash gate(s) margin-demoted to" \
+       "rows-only this round (see demotions.json); commit the file" >&2
+fi
 test "$FAIL" -eq 0 && test "$PASS" -eq "$EXPECTED"
