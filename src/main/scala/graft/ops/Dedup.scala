@@ -498,17 +498,28 @@ object Dedup {
       .select(col("__id").as(idCol), col("band"), col("key"))
 
   /** The corpus's capped `(idCol, band, key)` MinHash band-key table —
-    * the steady-state ingest asset: compute it ONCE, store it bucketed
-    * by BOTH join keys (`Layouts.writeBucketed(keys, table, "band", N,
-    * "key")` with N = `spark.sql.shuffle.partitions` — a subset
-    * bucketing is ignored by the planner, a mismatched count forces a
-    * re-shuffle), and feed the stored table to
-    * [[incrementalNearDupsWithKeys]] so every future batch probes it
-    * without the 100 TB corpus being re-scanned, re-hashed, or
-    * re-shuffled. Over-cap buckets are dropped at BUILD time (and
-    * counted — [[CapMetrics]]), so the stored table is already probe-
-    * ready. Append new survivors' keys after each batch to keep it
-    * current.
+    * the steady-state ingest asset: compute it ONCE, store it, and feed
+    * the stored table to [[incrementalNearDupsWithKeys]] so every
+    * future batch probes it without the 100 TB corpus being re-scanned,
+    * re-hashed, or re-shuffled. Over-cap buckets are dropped at BUILD
+    * time (and counted — [[CapMetrics]]), so the stored table is
+    * already probe-ready. Append new survivors' keys after each batch
+    * to keep it current.
+    *
+    * Store layout (round-12 decision, `bench_history/
+    * r12_layout_shootout.json`): the single recommended format is
+    * [[graft.io.Layouts.writePrefixPartitioned]] over `key` — the only
+    * layout that also serves the partition-pruned small-batch probes
+    * ([[incrementalNearDupsPruned]]: 1.08×/decade vs 3×-slower full
+    * scans at the third decade), at a measured ≤ ~1.3× cost on
+    * saturating-batch full scans. Bucketing
+    * (`Layouts.writeBucketed(keys, t, "band", N, "key")`) buys nothing
+    * structural for the probe — the stored side is semi-joined against
+    * a BROADCAST of batch keys, so no exchange exists to elide — and
+    * the r11 "bucketed 2× slower at sf10" reading did not reproduce
+    * under the interleaved sbt harness (a tie; measurement artifact).
+    * Deployments that only ever run saturating probes may keep plain
+    * parquet.
     */
   def corpusBandKeys(corpus: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 16, bands: Int = 8, maxBucket: Int = 10000,

@@ -317,12 +317,15 @@ object Similarity {
         lit(planesPerBand), lit(bands))).as(Seq("band", "key")))
 
   /** The corpus's capped `(idCol, band, key)` sign-LSH key table — the
-    * embedding twin of [[Dedup.corpusBandKeys]]: build once, store
-    * bucketed by BOTH join keys (`Layouts.writeBucketed(keys, t,
-    * "band", N, "key")`, N = shuffle partitions), probe with
-    * [[incrementalCosineNearDupsWithKeys]] so the 100 TB embedding
-    * corpus is never re-hashed or re-shuffled per batch. Over-cap
-    * buckets are dropped (and counted) at build time.
+    * embedding twin of [[Dedup.corpusBandKeys]]: build once, store,
+    * probe with [[incrementalCosineNearDupsWithKeys]] so the 100 TB
+    * embedding corpus is never re-hashed or re-shuffled per batch.
+    * Over-cap buckets are dropped (and counted) at build time. Store
+    * layout: same round-12 decision as the text twin —
+    * [[graft.io.Layouts.writePrefixPartitioned]] over `key` is the
+    * single recommended format (serves both the full-scan and the
+    * pruned [[incrementalCosineNearDupsPruned]] regimes; see
+    * `bench_history/r12_layout_shootout.json`).
     */
   def corpusLshKeys(corpus: DataFrame, idCol: String, vecCol: String,
       planesPerBand: Int = 8, bands: Int = 4,
