@@ -1166,20 +1166,24 @@ object Dedup {
     * remove some copies of a viral phrase and keep others, an arbitrary
     * split) — and the drops are accounted by [[CapMetrics]] under
     * `exact_substr_fp`. An over-cap fingerprint at production scale IS
-    * boilerplate (a phrase repeated > 100k times is template chrome,
+    * boilerplate (a phrase repeated 100k times is template chrome,
     * not a document-level copy): route it to [[boilerplateShingles]] /
-    * span removal rather than first-occurrence dedup. The default cap
-    * is far above any honest group at oracle scale (q138/q138b
-    * semantics unchanged); the group count is one map-side-combined
-    * aggregate over the gram stream plus an AQE-broadcast anti-join of
-    * the (usually tiny) over-cap tail — the [[CapMetrics.cappedByCount]]
-    * shape, never a buffering window.
+    * span removal rather than first-occurrence dedup. The cap costs a
+    * second pass over the gram stream (one map-side-combined count
+    * aggregate plus an AQE-broadcast anti-join — the
+    * [[CapMetrics.cappedByCount]] shape, never a buffering window;
+    * measured +85% on the sf0.1 rewrite), so the DEFAULT is the exact
+    * uncapped path — correct at any scale, merely unbounded in
+    * hot-group cost — and corpus-scale deployments opt in with a
+    * finite `maxGroup` (the r12 bench scale case runs maxGroup = 10 on
+    * the 20×-replica mass-dup fixture: 3.8× growth vs the uncapped
+    * twins' 7–24×, drops accounted).
     *
     * @return `idCol, n_tokens, n_removed, clean_text`
     */
   def exactSubstrDedup(df: DataFrame, idCol: String, textCol: String,
       k: Int = 50, md5Basis: Boolean = true,
-      maxGroup: Int = 100000): DataFrame = {
+      maxGroup: Int = Int.MaxValue): DataFrame = {
     val toks = spread(df).select(col(idCol).as("__id"),
       TextAnalysis.tokens(col(textCol)).as("__t"))
     // one (pos, fingerprint) row per window start; docs shorter than k
