@@ -127,6 +127,15 @@ object Verify {
     // the repo-root file a round's margin audit maintains
     val demotionsPath = sys.props.getOrElse("graft.demotions",
       sys.env.getOrElse("SPARK_GRAFT_DEMOTIONS", "demotions.json"))
+    // state the RESOLVED path and whether it was found, every run: the
+    // default is CWD-relative, so Verify launched from any other
+    // directory silently finds no file and fails OPEN past committed
+    // demotions — make that mode loud in the log (r12 advisor finding)
+    val demotionsAbs =
+      Paths.get(demotionsPath).toAbsolutePath.normalize
+    System.err.println(s"[verify] demotions file: $demotionsAbs (" +
+      (if (Files.isRegularFile(demotionsAbs)) "found"
+       else "ABSENT — every hash gate ships") + ")")
     val demotions = loadDemotions(demotionsPath)
     val applied = demotions.view
       .filterKeys(SparkEntry.oracleSql.contains).toMap

@@ -204,6 +204,27 @@ object Layouts {
     * (each scan pays listing + a footer read per file: the residual
     * +73 ms/batch latency slope of the round-11 sustained profile).
     *
+    * SINGLE-WRITER, NO-CONCURRENT-READER: between the two renames the
+    * store path does not exist, and on object stores (s3a) each rename
+    * is itself a non-atomic copy+delete — a reader concurrent with the
+    * swap (or a query holding a cached FileIndex over the old files)
+    * sees FileNotFoundException or a partially-visible store. The
+    * streaming gates satisfy this by construction (one sequential
+    * foreachBatch owns the store); any other caller must hold the same
+    * exclusivity for the duration of the call. For a store that must
+    * stay readable through maintenance, use [[compactGenerational]],
+    * whose live directory never disappears.
+    *
+    * A PREFIX-PARTITIONED store ([[writePrefixPartitioned]] — detected
+    * by its `_graft_prefixes` marker) is re-laid THROUGH the same
+    * partitioning: the read store's `__pfx` column (already
+    * writer-computed — no re-hash, no key column needed) clusters the
+    * rewrite, the marker is re-stamped in the staged copy, and
+    * [[readPrefixPruned]] behaves identically after the swap. Any
+    * OTHER partitioned directory (subdirectories without the marker,
+    * e.g. Hive `col=value` layouts) is refused loudly: [[compact]]
+    * would silently flatten the layout.
+    *
     * Sequence: write the compacted copy to `<dir>__compact`, rename
     * `dir` → `<dir>__old`, rename the copy → `dir`, delete the old.
     * Each rename is a single FS metadata operation; the data is never
@@ -230,7 +251,30 @@ object Layouts {
     require(fs.exists(d), s"compactInPlace: $dir does not exist")
     require(!fs.exists(old),
       s"compactInPlace: stale $old — run recoverCompaction first")
-    val files = compact(spark, dir, dir + CompactTmpSuffix, targetBytes)
+    val prefixes = readPrefixCount(spark, dir)
+    if (prefixes.isEmpty)
+      require(!fs.listStatus(d).exists(_.isDirectory),
+        s"compactInPlace: $dir contains subdirectories but no " +
+          s"$PrefixMarker marker — compacting an unrecognized " +
+          "partitioned layout would silently flatten it; compact the " +
+          "leaf directories individually or re-write via the layout's " +
+          "own writer")
+    val files = prefixes match {
+      case Some(n) =>
+        // re-lay through the recorded partitioning: the stored __pfx
+        // values are the writer's own (marker-verified provenance), so
+        // no key column or re-hash is needed
+        val df = spark.read.parquet(dir)
+        df.repartition(n, df(PrefixCol))
+          .write.mode("overwrite").partitionBy(PrefixCol)
+          .parquet(dir + CompactTmpSuffix)
+        val mp = new org.apache.hadoop.fs.Path(dir + CompactTmpSuffix,
+          PrefixMarker)
+        val out = fs.create(mp, true)
+        try out.write(n.toString.getBytes("UTF-8")) finally out.close()
+        n
+      case None => compact(spark, dir, dir + CompactTmpSuffix, targetBytes)
+    }
     if (!fs.rename(d, old))
       throw new java.io.IOException(s"compactInPlace: rename $d -> $old failed")
     if (!fs.rename(tmp, d)) {
@@ -269,13 +313,232 @@ object Layouts {
     * only (`_`/`.`-prefixed markers and subdirectories excluded).
     */
   def dataFileCount(spark: org.apache.spark.sql.SparkSession,
-      dir: String): Int = {
+      dir: String): Int =
+    listDataFiles(spark, dir).size
+
+  private def listDataFiles(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Seq[org.apache.hadoop.fs.FileStatus] = {
     val p = new org.apache.hadoop.fs.Path(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) 0
-    else fs.listStatus(p).count { st =>
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq.filter { st =>
       val n = st.getPath.getName
       st.isFile && !n.startsWith("_") && !n.startsWith(".")
+    }
+  }
+
+  /** Count of SUB-GRADUATION data files (size < `graduationBytes`) —
+    * the [[compactGenerational]] trigger's input. Counting only files
+    * the generational merge would actually fold keeps the trigger
+    * RELATIVE TO THE POST-COMPACTION FLOOR: graduated files (one per
+    * `targetBytes` of corpus — unavoidable under any layout) never
+    * count, so a store can grow past `maxStoreFiles × targetBytes`
+    * without the trigger wedging open. The round-12 trigger compared
+    * the RAW file count against the cap, so past ~cap × targetBytes of
+    * store the post-compaction count stayed above the cap and every
+    * micro-batch rewrote the whole corpus — the r12 verdict's
+    * compaction wall.
+    */
+  def smallFileCount(spark: org.apache.spark.sql.SparkSession,
+      dir: String, graduationBytes: Long): Int =
+    listDataFiles(spark, dir).count(_.getLen < graduationBytes)
+
+  /** On-disk byte total of a store directory (FS metadata, recursive,
+    * no data pass) — the [[graft.ops.Dedup.incrementalNearDupsAuto]]
+    * dispatch signal. 0 for a missing directory.
+    */
+  def storeBytes(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) 0L else fs.getContentSummary(p).getLength
+  }
+
+  /** Suffix of [[compactGenerational]]'s staging directory and the
+    * commit-manifest filename it drops in the live store (hidden from
+    * parquet readers by its `_` prefix, same rule as `_SUCCESS`).
+    */
+  private[graft] val GenStageSuffix = "__gen"
+  private[graft] val GenManifest = "_graft_gen_commit"
+
+  /** The planned file movement of one staged generational compaction:
+    * `oldNames` are the live store's sub-graduation files the merge
+    * folded (deleted at commit), `newNames` the staged merged files
+    * (moved into the live store at commit).
+    */
+  private[graft] final case class StagedGen(oldNames: Seq[String],
+      newNames: Seq[String])
+
+  /** GENERATIONAL (LSM-tiered) in-place compaction — the maintenance
+    * step for an append-heavy store that must scale past
+    * `maxStoreFiles × targetBytes` bytes, where [[compactInPlace]]'s
+    * whole-store rewrite hits the r12 wall (every trigger rewrites the
+    * entire corpus, O(corpus) per micro-batch). Here each compaction
+    * folds ONLY the sub-graduation files — files smaller than
+    * `targetBytes / 2`, i.e. recent one-file batch appends plus the
+    * previous generations' still-growing residue — into files near
+    * `targetBytes`; files at or above the graduation threshold are
+    * NEVER re-read or rewritten. Per-compaction work is therefore
+    * bounded by (trigger count × append size + targetBytes) —
+    * independent of store size — and a byte is rewritten at most
+    * ~log2(targetBytes / (2 × appendBytes × triggerCount)) times on
+    * its way to graduation (each merge at least doubles the residue it
+    * rides in), not once per trigger for the store's lifetime.
+    *
+    * Unlike [[compactInPlace]], the live directory NEVER disappears:
+    * the merge writes to a `<dir>__gen` staging directory, a one-file
+    * commit manifest ([[GenManifest]], created via tmp-write + rename)
+    * records the exact old→new file movement, staged files move in
+    * under their job-unique names, and the folded originals are
+    * deleted. A crash at any point is repaired by
+    * [[recoverGenerational]]: before the manifest exists the store is
+    * untouched (stray staging deleted); once the manifest exists the
+    * commit ROLLS FORWARD idempotently. Readers between a crash and
+    * recovery may see duplicate rows (staged files in, originals not
+    * yet deleted) — single-owner stores (the streaming gates) run
+    * recovery before every read, closing that window.
+    *
+    * Flat stores only: a prefix/Hive-partitioned directory is refused
+    * ([[compactInPlace]] handles the prefix layout).
+    *
+    * @return files written (0 when below two sub-graduation files —
+    *         nothing worth folding)
+    */
+  def compactGenerational(spark: org.apache.spark.sql.SparkSession,
+      dir: String, targetBytes: Long = 512L << 20): Int = {
+    require(targetBytes > 0, "targetBytes must be positive")
+    stageGenerational(spark, dir, targetBytes) match {
+      case None => 0
+      case Some(g) => commitGenerational(spark, dir, g); g.newNames.size
+    }
+  }
+
+  /** The merge half of [[compactGenerational]]: fold the current
+    * sub-graduation files into `<dir>__gen`, touching nothing in the
+    * live store. Returns the planned movement for
+    * [[commitGenerational]], or None when fewer than two
+    * sub-graduation files exist.
+    */
+  private[graft] def stageGenerational(
+      spark: org.apache.spark.sql.SparkSession, dir: String,
+      targetBytes: Long): Option[StagedGen] = {
+    val d = new org.apache.hadoop.fs.Path(dir)
+    val fs = d.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(d), s"compactGenerational: $dir does not exist")
+    require(readPrefixCount(spark, dir).isEmpty &&
+      !fs.listStatus(d).exists(_.isDirectory),
+      s"compactGenerational: $dir is partitioned — flat stores only " +
+        "(prefix stores go through compactInPlace)")
+    require(!fs.exists(new org.apache.hadoop.fs.Path(dir, GenManifest)),
+      s"compactGenerational: uncommitted manifest in $dir — run " +
+        "recoverGenerational first")
+    val grad = math.max(1L, targetBytes / 2)
+    val small = listDataFiles(spark, dir).filter(_.getLen < grad)
+    if (small.size < 2) None
+    else {
+      val stage = new org.apache.hadoop.fs.Path(dir + GenStageSuffix)
+      fs.delete(stage, true)
+      val bytes = small.map(_.getLen).sum
+      val n = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+      spark.read.parquet(small.map(_.getPath.toString): _*)
+        .repartition(n)
+        .write.mode("overwrite").parquet(dir + GenStageSuffix)
+      // staged part-file names carry the write job's UUID — unique
+      // against everything already in the live store, so the commit
+      // renames can never clobber
+      val newNames = fs.listStatus(stage).toSeq.filter { st =>
+        val nm = st.getPath.getName
+        st.isFile && !nm.startsWith("_") && !nm.startsWith(".")
+      }.map(_.getPath.getName)
+      Some(StagedGen(small.map(_.getPath.getName), newNames))
+    }
+  }
+
+  /** The commit half of [[compactGenerational]] — metadata-only: write
+    * the manifest (the commit point), move staged files in, delete the
+    * folded originals, clean up. Idempotent from the manifest on; a
+    * crash anywhere after the manifest rename is completed by
+    * [[recoverGenerational]]'s roll-forward.
+    */
+  private[graft] def commitGenerational(
+      spark: org.apache.spark.sql.SparkSession, dir: String,
+      g: StagedGen): Unit = {
+    val d = new org.apache.hadoop.fs.Path(dir)
+    val fs = d.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val manifest = new org.apache.hadoop.fs.Path(dir, GenManifest)
+    val tmp = new org.apache.hadoop.fs.Path(dir, GenManifest + ".tmp")
+    val body = (g.oldNames.map("old " + _) ++ g.newNames.map("new " + _))
+      .mkString("", "\n", "\n")
+    val out = fs.create(tmp, true)
+    try out.write(body.getBytes("UTF-8")) finally out.close()
+    // the rename IS the commit: a manifest either exists complete or
+    // not at all — recovery never has to adjudicate a partial one
+    if (!fs.rename(tmp, manifest))
+      throw new java.io.IOException(
+        s"compactGenerational: rename $tmp -> $manifest failed")
+    applyGen(fs, dir, g)
+  }
+
+  /** Roll a committed manifest forward. Every step skips work already
+    * done, so replaying after a crash at any point converges.
+    */
+  private def applyGen(fs: org.apache.hadoop.fs.FileSystem, dir: String,
+      g: StagedGen): Unit = {
+    val stage = new org.apache.hadoop.fs.Path(dir + GenStageSuffix)
+    g.newNames.foreach { n =>
+      val src = new org.apache.hadoop.fs.Path(stage, n)
+      val dst = new org.apache.hadoop.fs.Path(dir, n)
+      if (fs.exists(src)) {
+        if (fs.exists(dst)) { fs.delete(src, false); () } // replayed move
+        else if (!fs.rename(src, dst))
+          throw new java.io.IOException(
+            s"generational commit: rename $src -> $dst failed")
+      } else require(fs.exists(dst),
+        s"generational commit: staged file $n missing from both $stage " +
+          s"and $dir — manifest does not match on-disk state")
+    }
+    g.oldNames.foreach { n =>
+      fs.delete(new org.apache.hadoop.fs.Path(dir, n), false)
+    }
+    fs.delete(new org.apache.hadoop.fs.Path(dir, GenManifest), false)
+    fs.delete(stage, true)
+    ()
+  }
+
+  /** Repair an interrupted [[compactGenerational]] — run before every
+    * read of a generationally-compacted store (the streaming gates do,
+    * each batch). No manifest: the compaction never committed — delete
+    * any stray staging directory, the store is untouched (returns
+    * false). Manifest present: the commit point passed — parse it and
+    * ROLL FORWARD (move remaining staged files in, delete the folded
+    * originals), returning true. Cost on the healthy path: two
+    * metadata existence checks.
+    */
+  def recoverGenerational(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Boolean = {
+    val d = new org.apache.hadoop.fs.Path(dir)
+    val fs = d.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val manifest = new org.apache.hadoop.fs.Path(dir, GenManifest)
+    val stage = new org.apache.hadoop.fs.Path(dir + GenStageSuffix)
+    if (fs.exists(manifest)) {
+      val in = fs.open(manifest)
+      val body = try {
+        val bytes = new Array[Byte](fs.getFileStatus(manifest).getLen.toInt)
+        in.readFully(bytes)
+        new String(bytes, "UTF-8")
+      } finally in.close()
+      val lines = body.split("\n").toSeq.filter(_.nonEmpty)
+      val g = StagedGen(
+        lines.filter(_.startsWith("old ")).map(_.stripPrefix("old ")),
+        lines.filter(_.startsWith("new ")).map(_.stripPrefix("new ")))
+      applyGen(fs, dir, g)
+      true
+    } else {
+      // also reap a stale manifest tmp: its commit never happened
+      fs.delete(new org.apache.hadoop.fs.Path(dir, GenManifest + ".tmp"),
+        false)
+      if (fs.exists(stage)) fs.delete(stage, true)
+      false
     }
   }
 
@@ -356,11 +619,19 @@ object Layouts {
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) None
     else {
+      // readFully, not one read(): a single read may legally return
+      // fewer bytes than the file holds, and a short read truncating
+      // "256" to "25" would VALIDATE a reader running with a wrong
+      // modulus — exactly the silent matching-row drop the marker
+      // exists to prevent (round-12 advisor finding)
+      val len = fs.getFileStatus(p).getLen.toInt
+      require(len > 0 && len <= 32,
+        s"prefix marker $p has implausible length $len")
       val in = fs.open(p)
       try {
-        val bytes = new Array[Byte](32)
-        val n = in.read(bytes)
-        Some(new String(bytes, 0, math.max(0, n), "UTF-8").trim.toInt)
+        val bytes = new Array[Byte](len)
+        in.readFully(bytes)
+        Some(new String(bytes, "UTF-8").trim.toInt)
       } finally in.close()
     }
   }

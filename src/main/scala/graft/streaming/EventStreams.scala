@@ -525,9 +525,26 @@ object EventStreams {
     * compacted roughly every `DefaultMaxStoreFiles` batches — frequent
     * enough to keep per-batch listing/footer work bounded (the
     * round-11 sustained profile's residual slope), rare enough that the
-    * store-sized rewrite amortizes to a small per-batch tax.
+    * generation-sized rewrite amortizes to a small per-batch tax.
+    * Since round 13 the trigger counts only SUB-GRADUATION files
+    * ([[graft.io.Layouts.smallFileCount]]) and the rewrite is
+    * generational ([[graft.io.Layouts.compactGenerational]]) — files
+    * that reached `targetBytes / 2` never count against the trigger
+    * nor get rewritten, so per-batch maintenance work stays O(new
+    * data) at ANY store size instead of degrading to whole-corpus
+    * rewrites past `maxStoreFiles × targetBytes` bytes (the r12
+    * verdict's compaction wall).
     */
   val DefaultMaxStoreFiles: Int = 64
+
+  /** Default target (and 2× the graduation threshold) for the keyed
+    * gates' generational store compaction — [[graft.io.Layouts
+    * .compactGenerational]]'s `targetBytes`. 512 MB: large enough that
+    * scan parallelism is set by data size, small enough that one
+    * generation merge (≤ one residue file + ~`maxStoreFiles` batch
+    * appends) stays a bounded fraction of a steady batch.
+    */
+  val DefaultStoreTargetBytes: Long = 512L << 20
 
   def ingestNearDupKeyed(spark: SparkSession, schema: StructType,
       inDir: String, corpusDir: String, keysDir: String,
@@ -535,7 +552,8 @@ object EventStreams {
       threshold: Double, numHashes: Int = 16, bands: Int = 8,
       maxFilesPerTrigger: Int = 16,
       trigger: Trigger = Trigger.AvailableNow(),
-      maxStoreFiles: Int = DefaultMaxStoreFiles): StreamingQuery = {
+      maxStoreFiles: Int = DefaultMaxStoreFiles,
+      targetBytes: Long = DefaultStoreTargetBytes): StreamingQuery = {
     // register on the CALLER's session up front: foreachBatch below
     // builds frames from this handle (spark.read.parquet), which may be
     // neither the batch thread's active session (the stream's clone)
@@ -548,7 +566,8 @@ object EventStreams {
       .writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
         ingestNearDupKeyedBatch(spark, batch, corpusDir, keysDir, idCol,
-          textCol, threshold, numHashes, bands, healed, maxStoreFiles)
+          textCol, threshold, numHashes, bands, healed, maxStoreFiles,
+          targetBytes)
         ()
       }
       .option("checkpointLocation", checkpointDir)
@@ -567,10 +586,11 @@ object EventStreams {
       batch: DataFrame, corpusDir: String, keysDir: String, idCol: String,
       textCol: String, threshold: Double, numHashes: Int, bands: Int,
       healed: java.util.concurrent.atomic.AtomicBoolean,
-      maxStoreFiles: Int = DefaultMaxStoreFiles): Unit = {
+      maxStoreFiles: Int = DefaultMaxStoreFiles,
+      targetBytes: Long = DefaultStoreTargetBytes): Unit = {
     import graft.ops.Dedup
     keyedIngestBatch(spark, batch, corpusDir, keysDir, idCol, textCol,
-      healed, maxStoreFiles)(
+      healed, maxStoreFiles, targetBytes)(
       collapse = b => Dedup.nearDupPipeline(b, idCol, textCol, threshold,
         numHashes, bands),
       bandKeys = df => Dedup.corpusBandKeys(df, idCol, textCol, numHashes,
@@ -614,17 +634,22 @@ object EventStreams {
   private def keyedIngestBatch(spark: SparkSession, batch: DataFrame,
       corpusDir: String, keysDir: String, idCol: String,
       contentCol: String, healed: java.util.concurrent.atomic.AtomicBoolean,
-      maxStoreFiles: Int = DefaultMaxStoreFiles)(
+      maxStoreFiles: Int = DefaultMaxStoreFiles,
+      targetBytes: Long = DefaultStoreTargetBytes)(
       collapse: DataFrame => DataFrame,
       bandKeys: DataFrame => DataFrame,
       linkedIds: (DataFrame, DataFrame, DataFrame) => DataFrame): Unit = {
     import org.apache.spark.sql.functions.{col, lit, xxhash64}
     // repair any interrupted store compaction BEFORE the existence
-    // check: a crash mid-swap leaves the store under its __old name,
-    // and reading "corpus missing" then would silently restart the
-    // corpus from this batch. Idempotent metadata-only calls.
+    // check: a crash mid-swap leaves the store under its __old name
+    // (legacy whole-store swap) or with an uncommitted/unapplied
+    // generation (manifest roll-forward) — and reading "corpus
+    // missing" then would silently restart the corpus from this
+    // batch. Idempotent metadata-only calls on the healthy path.
     graft.io.Layouts.recoverCompaction(spark, corpusDir)
     graft.io.Layouts.recoverCompaction(spark, keysDir)
+    graft.io.Layouts.recoverGenerational(spark, corpusDir)
+    graft.io.Layouts.recoverGenerational(spark, keysDir)
     val fs = new org.apache.hadoop.fs.Path(corpusDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val corpusExists = fs.exists(new org.apache.hadoop.fs.Path(corpusDir))
@@ -697,22 +722,29 @@ object EventStreams {
       freshP.coalesce(1).write.mode("append").parquet(corpusDir)
       withExactKeys(freshP).coalesce(1).write.mode("append").parquet(keysDir)
     } finally freshP.unpersist(blocking = false)
-    // compaction lifecycle (round 12): one file per append keeps the
-    // per-batch file growth minimal, but over a long run BOTH stores
-    // still gain a file per batch and every later batch re-lists and
-    // footer-reads them all on each of its corpus/keys scans — the
-    // residual +73 ms/batch slope of the round-11 sustained profile.
-    // A file-count trigger bounds that: when a store crosses
-    // `maxStoreFiles`, it is rewritten in place through the staged,
-    // crash-recoverable swap above. Amortized cost: one store-sized
-    // rewrite every ~maxStoreFiles batches; between compactions the
-    // per-batch listing cost is bounded by the trigger, so the
-    // sustained latency series stays flat instead of trending.
-    // maxStoreFiles <= 0 disables (the parity/off switch for specs).
+    // compaction lifecycle (round 13, generational): one file per
+    // append keeps per-batch file growth minimal, but over a long run
+    // BOTH stores still gain a file per batch and every later batch
+    // re-lists and footer-reads them all on each of its corpus/keys
+    // scans — the residual +73 ms/batch slope of the round-11
+    // sustained profile. When a store accumulates more than
+    // `maxStoreFiles` SUB-GRADUATION files (< targetBytes/2 — batch
+    // appends and generation residue; graduated files never count),
+    // only those files fold into a new generation through the
+    // manifest-committed, crash-recoverable merge above. Per-batch
+    // maintenance work is bounded by the generation size — O(new
+    // data), never O(corpus) — which is also what keeps the
+    // compaction stall (the r12 profile's p99 2.5-4× p50) bounded as
+    // the corpus grows: the r12 whole-store rewrite stalled the
+    // stream for a corpus-sized write, and past maxStoreFiles ×
+    // targetBytes of store its raw-count trigger re-fired EVERY batch
+    // (the r12 compaction wall). maxStoreFiles <= 0 disables (the
+    // parity/off switch for specs).
     if (maxStoreFiles > 0) {
       Seq(corpusDir, keysDir).foreach { d =>
-        if (graft.io.Layouts.dataFileCount(spark, d) > maxStoreFiles) {
-          graft.io.Layouts.compactInPlace(spark, d)
+        if (graft.io.Layouts.smallFileCount(spark, d,
+            math.max(1L, targetBytes / 2)) > maxStoreFiles) {
+          graft.io.Layouts.compactGenerational(spark, d, targetBytes)
           ()
         }
       }
@@ -748,7 +780,8 @@ object EventStreams {
       threshold: Double, planesPerBand: Int = 8, bands: Int = 4,
       maxFilesPerTrigger: Int = 16,
       trigger: Trigger = Trigger.AvailableNow(),
-      maxStoreFiles: Int = DefaultMaxStoreFiles): StreamingQuery = {
+      maxStoreFiles: Int = DefaultMaxStoreFiles,
+      targetBytes: Long = DefaultStoreTargetBytes): StreamingQuery = {
     // register on the CALLER's session up front (see ingestNearDupKeyed)
     graft.functions.GraftFunctions.register(spark)
     val healed = new java.util.concurrent.atomic.AtomicBoolean(false)
@@ -759,7 +792,7 @@ object EventStreams {
       .foreachBatch { (batch: DataFrame, _: Long) =>
         ingestEmbeddingNearDupKeyedBatch(spark, batch, corpusDir, keysDir,
           idCol, vecCol, threshold, planesPerBand, bands, healed,
-          maxStoreFiles)
+          maxStoreFiles, targetBytes)
         ()
       }
       .option("checkpointLocation", checkpointDir)
@@ -775,11 +808,12 @@ object EventStreams {
       batch: DataFrame, corpusDir: String, keysDir: String, idCol: String,
       vecCol: String, threshold: Double, planesPerBand: Int, bands: Int,
       healed: java.util.concurrent.atomic.AtomicBoolean,
-      maxStoreFiles: Int = DefaultMaxStoreFiles): Unit = {
+      maxStoreFiles: Int = DefaultMaxStoreFiles,
+      targetBytes: Long = DefaultStoreTargetBytes): Unit = {
     import graft.ops.{Dedup, Similarity}
     import org.apache.spark.sql.functions.{col, row_number, xxhash64}
     keyedIngestBatch(spark, batch, corpusDir, keysDir, idCol, vecCol,
-      healed, maxStoreFiles)(
+      healed, maxStoreFiles, targetBytes)(
       collapse = { b =>
         // exact within-batch collapse FIRST (the text flavor gets this
         // from nearDupPipeline's exactDedup): byte-identical vectors —

@@ -378,6 +378,132 @@ class LayoutsSpec extends SparkSuite {
     assert(Layouts.compactInPlace(spark, dir) >= 1 && rows() === before)
   }
 
+  test("compactInPlace on a prefix store preserves marker, partitioning and pruned reads") {
+    import spark.implicits._
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-compact-prefix").toString
+    val dir = s"$base/store"
+    val df = (1L to 200L).toDF("id")
+    Layouts.writePrefixPartitioned(df, dir, "id", prefixes = 8)
+    // fragment the store: per-row appends into the partition dirs would
+    // complicate the fixture — instead just verify the re-lay path on
+    // the fresh store (one file per prefix in, one per prefix out)
+    val written = Layouts.compactInPlace(spark, dir)
+    assert(written === 8)
+    // marker survives the swap with the original modulus
+    assert(Layouts.readPrefixCount(spark, dir) === Some(8))
+    // partitioning survives: the store still reads whole AND pruned,
+    // with the pruned subset exactly the matching-prefix rows
+    assert(spark.read.parquet(dir).count() === 200L)
+    val got = Layouts.readPrefixPruned(spark, dir, Seq(0L, 5L), prefixes = 8)
+      .collect().map(_.getLong(0)).sorted
+    val want = df.where(Layouts.prefixOf($"id", 8).isin(0L, 5L))
+      .collect().map(_.getLong(0)).sorted
+    assert(got === want && got.nonEmpty)
+    // a partitioned directory WITHOUT the marker is refused loudly:
+    // compacting it would silently flatten an unrecognized layout
+    df.withColumn("part", $"id" % 3)
+      .write.partitionBy("part").parquet(s"$base/hive")
+    val e = intercept[IllegalArgumentException] {
+      Layouts.compactInPlace(spark, s"$base/hive")
+    }
+    assert(e.getMessage.contains("subdirectories"))
+  }
+
+  test("compactGenerational folds only sub-graduation files; crash windows roll forward") {
+    import spark.implicits._
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-compact-gen").toString
+    val dir = s"$base/store"
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def p(s: String) = new org.apache.hadoop.fs.Path(s)
+    def rows() = spark.read.parquet(dir)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    def dataFiles() = fs.listStatus(p(dir)).toSeq.filter { st =>
+      val n = st.getPath.getName
+      st.isFile && !n.startsWith("_") && !n.startsWith(".")
+    }
+    val target = 4096L // graduation threshold 2048
+    // one GRADUATED file (thousands of rows — well over 2 KB) ...
+    (1L to 5000L).toDF("id").coalesce(1).write.mode("append").parquet(dir)
+    val grads = dataFiles().filter(_.getLen >= target / 2)
+    assert(grads.size === 1, s"fixture: ${dataFiles().map(_.getLen)}")
+    val gradName = grads.head.getPath.getName
+    val gradMod = grads.head.getModificationTime
+    // ... plus 10 tiny batch appends
+    (10001L to 10010L).foreach(i =>
+      Seq(i).toDF("id").coalesce(1).write.mode("append").parquet(dir))
+    val before = rows()
+    assert(Layouts.smallFileCount(spark, dir, target / 2) === 10)
+    // the generational fold: small files merge, the graduated file is
+    // NEVER rewritten (same name, same mtime), rows identical, no
+    // staging/manifest leftovers
+    assert(Layouts.compactGenerational(spark, dir, target) >= 1)
+    assert(rows() === before)
+    val after = dataFiles()
+    assert(after.exists(st => st.getPath.getName == gradName &&
+      st.getModificationTime == gradMod), "graduated file was rewritten")
+    assert(Layouts.smallFileCount(spark, dir, target / 2) < 10)
+    assert(!fs.exists(p(dir + Layouts.GenStageSuffix)))
+    assert(!fs.exists(p(s"$dir/${Layouts.GenManifest}")))
+    // residue folding converges: repeated calls reach a fixpoint
+    // (≤ 1 sub-graduation file), after which the call is a no-op
+    var guard = 0
+    while (Layouts.compactGenerational(spark, dir, target) > 0) {
+      guard += 1; assert(guard < 8, "generational fold did not converge")
+    }
+    assert(rows() === before)
+    val files2 = dataFiles().map(_.getPath.getName).toSet
+    assert(Layouts.compactGenerational(spark, dir, target) === 0)
+    assert(dataFiles().map(_.getPath.getName).toSet === files2)
+    // crash window A: staged but NO manifest — recovery deletes the
+    // stray staging, the live store untouched
+    (10011L to 10014L).foreach(i =>
+      Seq(i).toDF("id").coalesce(1).write.mode("append").parquet(dir))
+    val before2 = rows()
+    val staged = Layouts.stageGenerational(spark, dir, target).get
+    assert(fs.exists(p(dir + Layouts.GenStageSuffix)))
+    assert(!Layouts.recoverGenerational(spark, dir))
+    assert(!fs.exists(p(dir + Layouts.GenStageSuffix)) && rows() === before2)
+    // crash window B: manifest committed, nothing applied — recovery
+    // ROLLS FORWARD (staged files in, originals deleted, no dup rows)
+    val staged2 = Layouts.stageGenerational(spark, dir, target).get
+    val manifest = p(s"$dir/${Layouts.GenManifest}")
+    val body = (staged2.oldNames.map("old " + _) ++
+      staged2.newNames.map("new " + _)).mkString("", "\n", "\n")
+    val out = fs.create(manifest, true)
+    try out.write(body.getBytes("UTF-8")) finally out.close()
+    assert(Layouts.recoverGenerational(spark, dir))
+    assert(rows() === before2, "roll-forward duplicated or lost rows")
+    assert(!fs.exists(manifest) && !fs.exists(p(dir + Layouts.GenStageSuffix)))
+    staged2.oldNames.foreach(n => assert(!fs.exists(p(s"$dir/$n"))))
+    // crash window C: manifest committed and PARTIALLY applied (one
+    // staged file moved, originals still present — the duplicate-visible
+    // window) — recovery converges to the exact row multiset
+    (10015L to 10018L).foreach(i =>
+      Seq(i).toDF("id").coalesce(1).write.mode("append").parquet(dir))
+    val before3 = rows()
+    val staged3 = Layouts.stageGenerational(spark, dir, target).get
+    val out3 = fs.create(manifest, true)
+    val body3 = (staged3.oldNames.map("old " + _) ++
+      staged3.newNames.map("new " + _)).mkString("", "\n", "\n")
+    try out3.write(body3.getBytes("UTF-8")) finally out3.close()
+    val moved = staged3.newNames.head
+    assert(fs.rename(p(s"${dir + Layouts.GenStageSuffix}/$moved"),
+      p(s"$dir/$moved")))
+    assert(Layouts.recoverGenerational(spark, dir))
+    assert(rows() === before3)
+    assert(!fs.exists(manifest) && !fs.exists(p(dir + Layouts.GenStageSuffix)))
+    // partitioned stores are refused — flat only
+    assert(staged.newNames.nonEmpty) // (silence unused warning)
+    (1L to 20L).toDF("id").withColumn("part", $"id" % 2)
+      .write.partitionBy("part").parquet(s"$base/part")
+    intercept[IllegalArgumentException] {
+      Layouts.compactGenerational(spark, s"$base/part", target)
+    }
+  }
+
   test("replaceBucketed under a non-default database never touches default's directory") {
     import spark.implicits._
     // default.layout_guard is a MANAGED table at <warehouse>/layout_guard

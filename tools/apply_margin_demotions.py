@@ -38,16 +38,28 @@ SOURCE = "margin_audit"
 def decide(report):
     """Per gated query: demote iff the report says both arguments failed.
 
+    Returns (demotions, audited): `audited` names the gated queries the
+    report actually CONTAINS a verdict for. A gated query ABSENT from
+    the report carries no soundness evidence either way — a truncated
+    or partial report must KEEP any existing demotion for it, never
+    silently restore the hash gate (fail-safe direction; round-12
+    advisor finding).
+
     The audit writes an explicit `demote` field; older reports (or
     hand-crafted ones) may carry only the two argument fields — derive
     the same verdict from those, so the decision NEVER depends on an
     optional field being present.
     """
     out = {}
+    audited = set()
     for q in GATED:
         r = report.get(q)
         if r is None:
+            print("WARNING: gated query %s absent from audit report — "
+                  "keeping any existing demotion (no soundness evidence "
+                  "to clear it)" % q, file=sys.stderr)
             continue
+        audited.add(q)
         if "demote" in r:
             demote = bool(r["demote"])
         else:
@@ -63,20 +75,22 @@ def decide(report):
                     ln.get("min_boundary_ulps", float("nan")),
                     report.get("min_ulps", "?"),
                     r.get("margin_ratio", float("nan"))))
-    return out
+    return out, audited
 
 
 def apply(audit_path, demotions_path):
     report = json.load(open(audit_path))
-    demotions = decide(report)
+    demotions, audited = decide(report)
     existing = {}
     if os.path.exists(demotions_path):
         existing = json.load(open(demotions_path))
-    # drop stale margin-audit entries for queries now sound; keep
+    # drop stale margin-audit entries ONLY for queries the report
+    # explicitly audited as sound; keep demotions for queries the
+    # report is silent on (no evidence = no restore), and keep
     # everything this tool does not own
     kept = {k: v for k, v in existing.items()
             if not (isinstance(v, dict) and v.get("source") == SOURCE
-                    and k in GATED and k not in demotions)}
+                    and k in audited and k not in demotions)}
     for q, reason in demotions.items():
         kept[q] = {"source": SOURCE, "reason": reason}
     changed = kept != existing

@@ -70,7 +70,36 @@ d = json.load(open(sys.argv[1]))
 assert "q100b_dsir_select" not in d, "sound re-audit did not clear demotion"
 assert d["q999_hand_added"]["reason"] == "kept forever"
 EOF
-echo "phase 1 OK: decision, single-vs-double failure, restore, ownership"
+# a TRUNCATED report (gated query entirely absent) must KEEP an
+# existing demotion — absence is not soundness evidence, and clearing
+# on it would silently restore an unsound hash gate (r12 advisor)
+python3 tools/apply_margin_demotions.py "$WORK/audit_double_fail.json" \
+  --file "$WORK/demotions.json" > /dev/null   # re-demote q100b
+cat > "$WORK/audit_truncated.json" <<'EOF'
+{"sfdir": "/seeded/truncated", "factor": 10.0, "min_ulps": 100.0,
+ "q133_ccnet_buckets": {"gap_margin_ok": true, "margin_ratio": 40.0,
+   "ln_scan": {"ok": true, "min_boundary_ulps": 2e6}, "demote": false}}
+EOF
+python3 tools/apply_margin_demotions.py "$WORK/audit_truncated.json" \
+  --file "$WORK/demotions.json" > "$WORK/p1c.log" 2> "$WORK/p1c.err"
+grep -q "absent from audit report" "$WORK/p1c.err" \
+  || fail "truncated report did not warn about the unaudited gate"
+python3 - "$WORK/demotions.json" <<'EOF'
+import json, sys
+d = json.load(open(sys.argv[1]))
+assert "q100b_dsir_select" in d, \
+    "truncated report silently RESTORED a demoted hash gate"
+assert d["q999_hand_added"]["reason"] == "kept forever"
+EOF
+# ... and the sound FULL report still restores it
+python3 tools/apply_margin_demotions.py "$WORK/audit_sound.json" \
+  --file "$WORK/demotions.json" > /dev/null
+python3 - "$WORK/demotions.json" <<'EOF'
+import json, sys
+d = json.load(open(sys.argv[1]))
+assert "q100b_dsir_select" not in d
+EOF
+echo "phase 1 OK: decision, single-vs-double failure, restore, truncation fail-safe, ownership"
 
 # ---- phase 2: end to end through the real audit + Verify ------------
 SF=/root/testdata/sf0.001
