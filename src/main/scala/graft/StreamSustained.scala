@@ -29,13 +29,23 @@ import org.apache.spark.sql.functions._
   * the once-per-run heal; batch 1 still JIT-warms the per-batch
   * plans). Archive under bench_history/.
   *
+  * `targetBytes` scales the generational-compaction file target down
+  * to the toy corpus (production default 512 MB; at the profile's
+  * ~10 MB store nothing would graduate under it and every fold would
+  * remain store-sized, masking exactly the bounded-stall behavior the
+  * profile exists to measure).
+  *
   * Usage: runMain graft.StreamSustained [sfDir] [nBatches=100]
+  *          [targetBytes=default]
   */
 object StreamSustained {
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val nBatches = if (args.length > 1) args(1).toInt else 100
+    val targetBytes =
+      if (args.length > 2) args(2).toLong
+      else graft.streaming.EventStreams.DefaultStoreTargetBytes
     val spark = GraftSession.local("graft-stream-sustained")
     import graft.ops.Dedup
 
@@ -78,7 +88,7 @@ object StreamSustained {
     val query = graft.streaming.EventStreams.ingestNearDupKeyed(spark,
         schema, s"$dir/in", s"$dir/corpus", s"$dir/keys", s"$dir/chk",
         "doc_id", "text", threshold = 0.95, numHashes = 16, bands = 4,
-        maxFilesPerTrigger = 1)
+        maxFilesPerTrigger = 1, targetBytes = targetBytes)
     query.awaitTermination()
 
     val corpusRows = spark.read.parquet(s"$dir/corpus").count()
@@ -124,6 +134,6 @@ object StreamSustained {
     } catch { case scala.util.control.NonFatal(_) => }
     spark.stop()
     println(
-      s"""{"profile":"streaming_sustained","sf":"$sfDir","n_batches":${rows.size},"final_corpus_rows":$corpusRows,"final_corpus_files":$corpusFiles,"final_key_files":$keyFiles,"max_store_files":${graft.streaming.EventStreams.DefaultMaxStoreFiles},"p50_sec":${Bench.fmt(pct(ts, 0.5))},"p99_sec":${Bench.fmt(pct(ts, 0.99))},"steady_first_decile_p50":${Bench.fmt(pct(firstDecile, 0.5))},"steady_last_decile_p50":${Bench.fmt(pct(lastDecile, 0.5))},"ols_slope_ms_per_batch":${Bench.fmt(slopeMsPerBatch)},"series":$seriesJson}""")
+      s"""{"profile":"streaming_sustained","sf":"$sfDir","n_batches":${rows.size},"final_corpus_rows":$corpusRows,"final_corpus_files":$corpusFiles,"final_key_files":$keyFiles,"max_store_files":${graft.streaming.EventStreams.DefaultMaxStoreFiles},"target_bytes":$targetBytes,"p50_sec":${Bench.fmt(pct(ts, 0.5))},"p99_sec":${Bench.fmt(pct(ts, 0.99))},"steady_first_decile_p50":${Bench.fmt(pct(firstDecile, 0.5))},"steady_last_decile_p50":${Bench.fmt(pct(lastDecile, 0.5))},"ols_slope_ms_per_batch":${Bench.fmt(slopeMsPerBatch)},"series":$seriesJson}""")
   }
 }
