@@ -493,16 +493,17 @@ object Bench {
       "exact_substr_dedup_xxh64" ->
         ((dv, _) => Dedup.exactSubstrDedup(dv, "doc_id", "text", k = 20,
           md5Basis = false)),
-      // the round-12 fan-out guardrail, measured on the worst shape this
+      // the fan-out guardrail, measured on the worst shape this
       // fixture can plant: replicas share every base-text window (the
       // appended markers only perturb tail windows), so fingerprint
-      // groups are ~R-sized and maxGroup = 10 drops nearly all of them —
-      // the capped rewrite pays the gram scan + count-agg + anti-join
-      // but neither the hot window groups nor the covered-span
-      // expansion. Pass condition: growth ≈ R (linear in corpus, the
-      // rewrite's floor) vs the uncapped twins' dup-mass-inflated
-      // 24–42×, with the drops accounted under cap_drops
-      // (exact_substr_fp).
+      // groups are ~R-sized and maxGroup = 10 drops nearly all of them
+      // — since r13 the group count rides the first-occurrence window
+      // itself (same WindowExec), so the capped rewrite pays the gram
+      // scan + window but neither the hot groups' dup spans nor the
+      // covered-span expansion. Pass condition: growth ≈ R (linear in
+      // corpus, the rewrite's floor) vs the uncapped twins'
+      // dup-mass-inflated 24–42×, with the drops accounted under
+      // cap_drops (exact_substr_fp).
       "exact_substr_dedup_capped" ->
         ((dv, _) => Dedup.exactSubstrDedup(dv, "doc_id", "text", k = 20,
           md5Basis = false, maxGroup = 10)))

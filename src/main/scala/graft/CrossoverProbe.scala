@@ -82,13 +82,30 @@ object CrossoverProbe {
       Dedup.incrementalNearDupsWithKeys(b,
         spark.read.parquet(s"$scratch/plainkeys"), docs, "doc_id",
         "text", threshold = 0.95, numHashes = 16, bands = 4)
+    // the r13 dispatcher: picks its arm from the stores' markers +
+    // on-disk bytes at the DEFAULT threshold — the probe records the
+    // decision it makes at this corpus scale and times it end to end
+    def auto(b: DataFrame): DataFrame =
+      Dedup.incrementalNearDupsAuto(b, s"$scratch/keys",
+        s"$scratch/corpus", "doc_id", "text", threshold = 0.95,
+        numHashes = 16, bands = 4)
+    val storeBytes = Seq("keys", "corpus")
+      .map(t => t -> graft.io.Layouts.storeBytes(spark, s"$scratch/$t"))
+      .toMap
+    val decision = graft.io.Layouts.prunedDispatch(spark,
+        Seq(s"$scratch/keys", s"$scratch/corpus"))
+      .fold("full")(_ => "pruned")
 
     time1(pruned(batches.head._2)); time1(full(batches.head._2)) // warmup
     val acc =
       scala.collection.mutable.LinkedHashMap[String, List[(Double, Long)]]()
     for (pass <- 1 to iters; (bt, b) <- batches;
-         mode <- Seq("pruned", "full")) {
-      val r = if (mode == "pruned") time1(pruned(b)) else time1(full(b))
+         mode <- Seq("pruned", "full", "auto")) {
+      val r = mode match {
+        case "pruned" => time1(pruned(b))
+        case "full"   => time1(full(b))
+        case _        => time1(auto(b))
+      }
       val k = s"${bt}_$mode"
       acc(k) = acc.getOrElse(k, Nil) :+ r
       System.err.println(s"[crossover] pass $pass $k: $r")
@@ -110,6 +127,8 @@ object CrossoverProbe {
         .forEach(p => Files.deleteIfExists(p))
     } catch { case scala.util.control.NonFatal(_) => }
     spark.stop()
-    println(s"""{"probe":"pruned vs fullscan crossover","dir":"$dir","fixed":"$fixedDir","prefixes":256,"batch_docs":$cnt,"batch_prefix_coverage":$cov,"iters":$iters,"cases":$cases}""")
+    val bytesJson = storeBytes.toSeq.sortBy(_._1)
+      .map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
+    println(s"""{"probe":"pruned vs fullscan crossover","dir":"$dir","fixed":"$fixedDir","prefixes":256,"store_bytes":$bytesJson,"auto_decision":"$decision","prune_min_store_bytes":${graft.io.Layouts.DefaultPruneMinStoreBytes},"batch_docs":$cnt,"batch_prefix_coverage":$cov,"iters":$iters,"cases":$cases}""")
   }
 }

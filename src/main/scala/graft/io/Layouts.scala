@@ -663,6 +663,44 @@ object Layouts {
     pruned.drop(PrefixCol)
   }
 
+  /** Default store-size threshold of [[prunedDispatch]]: the geometric
+    * midpoint of the r12 crossover probe's two corpora
+    * (`bench_history/r12_crossover.json` — at the 500k-doc stores the
+    * full scan won at EVERY batch size because the pruned arm's fixed
+    * cost, two eager driver prefix-collections plus per-prefix
+    * directory listings on two stores, exceeded the whole
+    * corpus-proportional scan floor; at the 5M-doc stores the pruned
+    * probe won at every batch size, 94% prefix coverage included).
+    * Those stores measure ~60 MB and ~600 MB on disk (r13 re-run
+    * records the exact bytes), so the default sits at 256 MB; at the
+    * fourth decade the full-scan floor grows linearly while the pruned
+    * cost stays batch-proportional, so the decision only gets safer
+    * past the threshold.
+    */
+  val DefaultPruneMinStoreBytes: Long = 256L << 20
+
+  /** The pruned-vs-fullscan DISPATCH decision for a probe over
+    * `dirs` (typically a key table + its corpus/vector store): returns
+    * the common prefix modulus when EVERY store is prefix-partitioned
+    * ([[writePrefixPartitioned]] marker present), the moduli agree,
+    * and the combined on-disk size reaches `minBytes` — the corpus
+    * scale at which partition pruning's fixed per-probe cost pays for
+    * itself (the r12 crossover: CORPUS SCALE, not batch size or prefix
+    * coverage, picks the arm). None directs the caller to the
+    * full-scan probe. Pure FS metadata: one marker read and one
+    * content summary per store, no data pass, no Spark job.
+    */
+  def prunedDispatch(spark: org.apache.spark.sql.SparkSession,
+      dirs: Seq[String],
+      minBytes: Long = DefaultPruneMinStoreBytes): Option[Int] = {
+    require(dirs.nonEmpty, "prunedDispatch needs at least one store")
+    val moduli = dirs.map(readPrefixCount(spark, _))
+    val common = moduli.head
+    if (common.isEmpty || moduli.exists(_ != common)) None
+    else if (dirs.map(storeBytes(spark, _)).sum < minBytes) None
+    else common
+  }
+
   /** The probe-side counterpart of [[writePrefixPartitioned]]: the
     * prefix expression a reader filters `__pfx` against — MUST match
     * the writer's (same hash, same modulus) or the prune silently

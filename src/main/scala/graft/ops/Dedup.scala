@@ -657,6 +657,49 @@ object Dedup {
       idCol, textCol, threshold)
   }
 
+  /** AUTO-DISPATCHED incremental near-dup probe over STORED tables
+    * (round-13 task 4): picks [[incrementalNearDupsPruned]] or the
+    * full-scan [[incrementalNearDupsWithKeys]] from FS metadata alone
+    * — [[graft.io.Layouts.prunedDispatch]] reads each store's prefix
+    * marker and on-disk byte total; the pruned arm runs only when both
+    * stores are prefix-partitioned with one modulus AND their combined
+    * size reaches `pruneMinStoreBytes`. The r12 crossover probe
+    * (`bench_history/r12_crossover.json`) showed CORPUS SCALE, not
+    * batch size or prefix coverage, picks the winning arm: below the
+    * threshold the pruned probe's fixed cost (two eager driver prefix
+    * collections + per-prefix listings on two stores) exceeds the
+    * whole full-scan floor at every batch size; above it the pruned
+    * arm won at every batch size including 94% prefix coverage — so
+    * the dispatcher keys on store bytes with batch shape ignored.
+    * Match semantics identical between arms (spec-pinned); a plain
+    * (unstamped) store pair always takes the full-scan arm, so the
+    * dispatcher is safe to adopt as the single serving entry.
+    */
+  def incrementalNearDupsAuto(batch: DataFrame, keysDir: String,
+      corpusDir: String, idCol: String, textCol: String,
+      threshold: Double, numHashes: Int = 16, bands: Int = 8,
+      maxBucket: Int = 10000, md5Basis: Boolean = false,
+      pruneMinStoreBytes: Long =
+        graft.io.Layouts.DefaultPruneMinStoreBytes): DataFrame = {
+    val spark = batch.sparkSession
+    graft.io.Layouts.prunedDispatch(spark, Seq(keysDir, corpusDir),
+        pruneMinStoreBytes) match {
+      case Some(prefixes) =>
+        incrementalNearDupsPruned(batch, keysDir, corpusDir, idCol,
+          textCol, threshold, numHashes, bands, prefixes, maxBucket,
+          md5Basis)
+      case None =>
+        // whole-store read; __pfx (present on a prefix store read
+        // below its byte threshold, absent on a plain store) is
+        // dropped either way — drop() of a missing column is a no-op
+        incrementalNearDupsWithKeys(batch,
+          spark.read.parquet(keysDir).drop(graft.io.Layouts.PrefixCol),
+          spark.read.parquet(corpusDir).drop(graft.io.Layouts.PrefixCol),
+          idCol, textCol, threshold, numHashes, bands, maxBucket,
+          md5Basis)
+    }
+  }
+
   /** Exact blocked near-dup: all pairs within a blocking key above a
     * Jaccard threshold. Quadratic within blocks — the oracle-checkable
     * ground truth for [[minhashNearDups]]; use only with selective blocks.
@@ -1168,22 +1211,39 @@ object Dedup {
     * `exact_substr_fp`. An over-cap fingerprint at production scale IS
     * boilerplate (a phrase repeated 100k times is template chrome,
     * not a document-level copy): route it to [[boilerplateShingles]] /
-    * span removal rather than first-occurrence dedup. The cap costs a
-    * second pass over the gram stream (one map-side-combined count
-    * aggregate plus an AQE-broadcast anti-join — the
-    * [[CapMetrics.cappedByCount]] shape, never a buffering window;
-    * measured +85% on the sf0.1 rewrite), so the DEFAULT is the exact
-    * uncapped path — correct at any scale, merely unbounded in
-    * hot-group cost — and corpus-scale deployments opt in with a
-    * finite `maxGroup` (the r12 bench scale case runs maxGroup = 10 on
-    * the 20×-replica mass-dup fixture: 3.8× growth vs the uncapped
+    * span removal rather than first-occurrence dedup.
+    *
+    * The cap is FREE and therefore DEFAULT-ON (round 13; it shipped
+    * opt-in in r12 when its machinery — a second gram-stream pass
+    * through [[CapMetrics.cappedByCount]]'s count-agg + anti-join —
+    * measured +85% on the sf0.1 rewrite): the group size now rides the
+    * first-occurrence window itself as a `count(*)` over the SAME
+    * (partition, order) spec with an unbounded frame, so Spark
+    * evaluates it in the ONE WindowExec the operator already pays —
+    * same shuffle, same sort, same partition buffer, no extra pass
+    * (r13 probe: capped-vs-uncapped sf0.1 delta within noise). The
+    * buffering-OOM argument against cap windows (see `cappedByCount`'s
+    * scaladoc) does not apply: no NEW window is stacked. Opt out with
+    * `maxGroup = Int.MaxValue` (exact at any group size, unbounded
+    * hot-group cost); the r12 bench scale case runs maxGroup = 10 on
+    * the 20×-replica mass-dup fixture (3.8× growth vs the uncapped
     * twins' 7–24×, drops accounted).
     *
     * @return `idCol, n_tokens, n_removed, clean_text`
     */
+  /** [[exactSubstrDedup]]'s default fingerprint-group cap: far above
+    * any document-level duplication the first-occurrence rewrite is
+    * meant for (the oracle fixtures' largest group is in the tens), so
+    * the default changes nothing at verify scales — encoded in the
+    * q138 oracle SQL, which states the identical `count(*) OVER
+    * (PARTITION BY h) <= cap` predicate — while bounding what one
+    * viral k-gram can cost at corpus scale.
+    */
+  val DefaultExactSubstrMaxGroup: Int = 65536
+
   def exactSubstrDedup(df: DataFrame, idCol: String, textCol: String,
       k: Int = 50, md5Basis: Boolean = true,
-      maxGroup: Int = Int.MaxValue): DataFrame = {
+      maxGroup: Int = DefaultExactSubstrMaxGroup): DataFrame = {
     val toks = spread(df).select(col(idCol).as("__id"),
       TextAnalysis.tokens(col(textCol)).as("__t"))
     // one (pos, fingerprint) row per window start; docs shorter than k
@@ -1201,13 +1261,6 @@ object Dedup {
                   .as("h"))))
           .otherwise(array())).as("__g"))
       .select(col("__id"), col("__g.pos").as("pos"), col("__g.h").as("h"))
-    // fingerprint fan-out cap (scaladoc above): over-cap groups drop
-    // WHOLE before the first-occurrence window, so a viral k-gram can
-    // neither explode the window group nor the covered-span expansion
-    val cappedGrams =
-      if (maxGroup == Int.MaxValue) grams
-      else CapMetrics.cappedByCount(grams, "exact_substr_fp", Seq("h"),
-        maxGroup)
     // first-occurrence survivor via ONE row_number window over the
     // fingerprint: every gram row shuffles once and sorts within its h
     // partition. (Measured alternative at 100k docs: a map-side-
@@ -1217,8 +1270,23 @@ object Dedup {
     // so the window form stays.)
     val firstW = Window.partitionBy(col("h"))
       .orderBy(col("__id"), col("pos"))
-    val dupSpans = cappedGrams
-      .withColumn("__rn", row_number().over(firstW))
+    val ranked = grams.withColumn("__rn", row_number().over(firstW))
+    // fingerprint fan-out cap (scaladoc above): the group size rides
+    // the SAME window spec with an unbounded frame — one WindowExec
+    // evaluates both functions, so the cap costs no extra shuffle,
+    // sort, or pass. Over-cap groups drop WHOLE before the
+    // covered-span expansion (the nondeterministic cappedWhere filter
+    // also fences the __rn predicate from reordering above it), so a
+    // viral k-gram can neither explode the window group's dup spans
+    // nor the expansion.
+    val kept =
+      if (maxGroup == Int.MaxValue) ranked
+      else CapMetrics.cappedWhere(
+        ranked.withColumn("__cnt", count(lit(1)).over(
+          firstW.rowsBetween(Window.unboundedPreceding,
+            Window.unboundedFollowing))),
+        "exact_substr_fp", col("__cnt"), maxGroup, memberRows = true)
+    val dupSpans = kept
       .where(col("__rn") > 1)
       .select(col("__id"),
         explode(sequence(col("pos"), col("pos") + (k - 1))).as("__ti"))

@@ -435,6 +435,37 @@ object Similarity {
       idCol, vecCol, threshold)
   }
 
+  /** AUTO-DISPATCHED incremental cosine near-dup probe over STORED
+    * tables — the embedding-modality twin of
+    * [[graft.ops.Dedup.incrementalNearDupsAuto]] (see there for the
+    * dispatch rationale; the r12 crossover's corpus-scale rule):
+    * [[graft.io.Layouts.prunedDispatch]] picks
+    * [[incrementalCosineNearDupsPruned]] when both stores carry one
+    * prefix modulus and their combined bytes reach
+    * `pruneMinStoreBytes`, else the full-scan
+    * [[incrementalCosineNearDupsWithKeys]]. Match semantics identical
+    * between arms (spec-pinned).
+    */
+  def incrementalCosineNearDupsAuto(batch: DataFrame, keysDir: String,
+      corpusDir: String, idCol: String, vecCol: String,
+      threshold: Double, planesPerBand: Int = 8, bands: Int = 4,
+      maxBucket: Int = 10000,
+      pruneMinStoreBytes: Long =
+        graft.io.Layouts.DefaultPruneMinStoreBytes): DataFrame = {
+    val spark = batch.sparkSession
+    graft.io.Layouts.prunedDispatch(spark, Seq(keysDir, corpusDir),
+        pruneMinStoreBytes) match {
+      case Some(prefixes) =>
+        incrementalCosineNearDupsPruned(batch, keysDir, corpusDir, idCol,
+          vecCol, threshold, planesPerBand, bands, prefixes, maxBucket)
+      case None =>
+        incrementalCosineNearDupsWithKeys(batch,
+          spark.read.parquet(keysDir).drop(graft.io.Layouts.PrefixCol),
+          spark.read.parquet(corpusDir).drop(graft.io.Layouts.PrefixCol),
+          idCol, vecCol, threshold, planesPerBand, bands, maxBucket)
+    }
+  }
+
   /** Cluster-balanced ("diverse") sampling: cap every IVF cell at
     * `perCell` vectors, deterministically (the [[graft.ops.Sampling
     * .stratifiedTake]] md5 order) — dense embedding regions are

@@ -982,9 +982,13 @@ object TextQueries {
     // q138: per-position 5-token window md5s, global first occurrence
     // by (doc_id, pos), covered token indices dropped, text rebuilt.
     // Both engines hash the identical space-joined window string, so
-    // collisions (if any) merge the same groups.
+    // collisions (if any) merge the same groups. The default
+    // fingerprint-group cap is STATED in the SQL (cnt <= cap — groups
+    // past it drop whole), so the oracle proves the capped semantics
+    // against an independent engine rather than relying on the cap
+    // never binding at verify scale.
     "q138_exact_substr" ->
-      """WITH t AS (SELECT doc_id, string_split_regex(trim(text), ' +') AS toks FROM documents),
+      s"""WITH t AS (SELECT doc_id, string_split_regex(trim(text), ' +') AS toks FROM documents),
         |g AS (SELECT doc_id, i AS pos,
         |             md5(array_to_string(list_slice(toks, i, i + 4), ' ')) AS h
         |      FROM (SELECT doc_id, toks,
@@ -992,9 +996,10 @@ object TextQueries {
         |            FROM t)),
         |d AS (SELECT doc_id, pos FROM (
         |        SELECT doc_id, pos,
-        |               row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
+        |               row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn,
+        |               count(*) OVER (PARTITION BY h) AS cnt
         |        FROM g)
-        |      WHERE rn > 1),
+        |      WHERE rn > 1 AND cnt <= ${Dedup.DefaultExactSubstrMaxGroup}),
         |cov AS (SELECT DISTINCT doc_id, unnest(range(pos, pos + 5)) AS ti FROM d),
         |cs AS (SELECT doc_id, list(ti) AS cv FROM cov GROUP BY doc_id)
         |SELECT t.doc_id,

@@ -155,6 +155,73 @@ class LayoutsSpec extends SparkSuite {
     assert(empty.count() === 0L)
   }
 
+  test("incrementalNearDupsAuto dispatches by marker + store bytes; arms agree") {
+    import graft.ops.Dedup
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir)
+    val corpus = docs.where($"doc_id" % 3 =!= 0)
+    val batch = docs.where($"doc_id" % 3 === 0)
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-auto-dispatch").toString
+    Layouts.writePrefixPartitioned(
+      Dedup.corpusBandKeys(corpus, "doc_id", "text"),
+      s"$base/keys", "key", prefixes = 16)
+    Layouts.writePrefixPartitioned(
+      corpus.select($"doc_id", $"text"), s"$base/corpus", "doc_id",
+      prefixes = 16)
+    // the decision: tiny stores sit below the default threshold (full
+    // scan); minBytes = 0 forces the pruned arm; a modulus mismatch or
+    // an unstamped store always full-scans
+    assert(Layouts.prunedDispatch(spark,
+      Seq(s"$base/keys", s"$base/corpus")) === None)
+    assert(Layouts.prunedDispatch(spark,
+      Seq(s"$base/keys", s"$base/corpus"), 0L) === Some(16))
+    Layouts.writePrefixPartitioned(
+      corpus.select($"doc_id", $"text"), s"$base/corpus8", "doc_id",
+      prefixes = 8)
+    assert(Layouts.prunedDispatch(spark,
+      Seq(s"$base/keys", s"$base/corpus8"), 0L) === None)
+    corpus.select($"doc_id", $"text").write.parquet(s"$base/plain")
+    assert(Layouts.prunedDispatch(spark,
+      Seq(s"$base/keys", s"$base/plain"), 0L) === None)
+    // BOTH dispatch outcomes give the inline ground truth's matches
+    val inline = Dedup.incrementalNearDups(batch, corpus, "doc_id",
+      "text", threshold = 0.9)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("idA", "idB").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val viaFull = Dedup.incrementalNearDupsAuto(batch, s"$base/keys",
+      s"$base/corpus", "doc_id", "text", threshold = 0.9)
+    val viaPruned = Dedup.incrementalNearDupsAuto(batch, s"$base/keys",
+      s"$base/corpus", "doc_id", "text", threshold = 0.9,
+      pruneMinStoreBytes = 0L)
+    assert(rows(viaFull) === rows(inline) && rows(inline).nonEmpty)
+    assert(rows(viaPruned) === rows(inline))
+    // embedding flavor: same dispatcher, same equality pins
+    val emb = Tables.embeddings(spark, sfDir)
+    val vCorpus = emb.where($"vec_id" % 3 =!= 0)
+    val vBatch = emb.where($"vec_id" % 3 === 0)
+    Layouts.writePrefixPartitioned(
+      graft.ops.Similarity.corpusLshKeys(vCorpus, "vec_id", "embedding"),
+      s"$base/vkeys", "key", prefixes = 16)
+    Layouts.writePrefixPartitioned(
+      vCorpus.select($"vec_id", $"embedding"), s"$base/vcorpus", "vec_id",
+      prefixes = 16)
+    val vInline = graft.ops.Similarity.incrementalCosineNearDups(
+      vBatch, vCorpus, "vec_id", "embedding", threshold = 0.3)
+    def vRows(df: org.apache.spark.sql.DataFrame) =
+      df.select("idA", "idB").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val vFull = graft.ops.Similarity.incrementalCosineNearDupsAuto(
+      vBatch, s"$base/vkeys", s"$base/vcorpus", "vec_id", "embedding",
+      threshold = 0.3)
+    val vPruned = graft.ops.Similarity.incrementalCosineNearDupsAuto(
+      vBatch, s"$base/vkeys", s"$base/vcorpus", "vec_id", "embedding",
+      threshold = 0.3, pruneMinStoreBytes = 0L)
+    assert(vRows(vFull) === vRows(vInline) && vRows(vInline).nonEmpty)
+    assert(vRows(vPruned) === vRows(vInline))
+  }
+
   test("prefix store marker: recorded modulus round-trips, mismatches fail fast") {
     import spark.implicits._
     val base = java.nio.file.Files

@@ -1439,6 +1439,12 @@ class OpsSpec extends SparkSuite {
       maxGroup = Int.MaxValue).collect().map(_.toSeq).toSet
     assert(capped === uncapped)
     assert(capped.exists(_(0) == 1L))
+    // the r13 DEFAULT (finite cap riding the first-occurrence window)
+    // is value-identical to the explicit uncapped opt-out whenever no
+    // group exceeds it — the q138/q138b oracle-scale contract
+    val default = Dedup.exactSubstrDedup(df, "doc_id", "text", k = 5)
+      .collect().map(_.toSeq).toSet
+    assert(default === uncapped)
   }
 
   test("dupShingleFraction: exact shared-shingle density, short docs absent") {
