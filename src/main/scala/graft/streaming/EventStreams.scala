@@ -871,7 +871,9 @@ object EventStreams {
       codesDir: String, checkpointDir: String, idCol: String,
       vecCol: String, codebooks: Array[Array[Array[Float]]],
       centroids: Array[Array[Float]], maxFilesPerTrigger: Int = 16,
-      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+      trigger: Trigger = Trigger.AvailableNow(),
+      maxStoreFiles: Int = DefaultMaxStoreFiles,
+      targetBytes: Long = DefaultStoreTargetBytes): StreamingQuery = {
     // register on the CALLER's session up front (see ingestNearDupKeyed)
     graft.functions.GraftFunctions.register(spark)
     spark.readStream.schema(schema)
@@ -880,7 +882,7 @@ object EventStreams {
       .writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
         ingestPqIndexBatch(spark, batch, codesDir, idCol, vecCol,
-          codebooks, centroids)
+          codebooks, centroids, maxStoreFiles, targetBytes)
         ()
       }
       .option("checkpointLocation", checkpointDir)
@@ -890,11 +892,29 @@ object EventStreams {
 
   /** One [[ingestPqIndex]] micro-batch, directly callable (the
     * profiling/parity seam, like the other gates' `*Batch` twins).
+    *
+    * Compaction lifecycle (round 13): each batch appends ~one file per
+    * touched cell directory, so over a long run every cell accumulates
+    * a file per touching batch and both the serve-side cell scans and
+    * this gate's own replay-guard reads pay growing listing/footer
+    * work — the keyed gates' r11 slope, per cell. The same
+    * generational policy applies PER CELL DIRECTORY (cell dirs are
+    * flat stores): when a cell exceeds `maxStoreFiles` sub-graduation
+    * files, only those fold ([[graft.io.Layouts.compactGenerational]]).
+    * Work per batch is bounded by (batch's cells × generation size) —
+    * never index-sized. Crash recovery rides the manifest roll-forward
+    * ([[graft.io.Layouts.recoverGenerational]]), run on the batch's
+    * cell directories BEFORE its replay-guard read; a serving query
+    * racing a crashed compaction window should run the same recovery
+    * over its probed cells (or rely on the next ingest batch healing
+    * them). `maxStoreFiles <= 0` disables (parity/off switch).
     */
   private[graft] def ingestPqIndexBatch(spark: SparkSession,
       batch: DataFrame, codesDir: String, idCol: String, vecCol: String,
       codebooks: Array[Array[Array[Float]]],
-      centroids: Array[Array[Float]]): Unit = {
+      centroids: Array[Array[Float]],
+      maxStoreFiles: Int = DefaultMaxStoreFiles,
+      targetBytes: Long = DefaultStoreTargetBytes): Unit = {
     import graft.ops.Similarity
     val encoded = Similarity.pqEncode(
         Similarity.ivfAssign(batch.select(col(idCol), col(vecCol)),
@@ -930,6 +950,12 @@ object EventStreams {
       val cellDirs = cells
         .map(c => new org.apache.hadoop.fs.Path(base, s"centroid_id=$c"))
         .filter(fs.exists).map(_.toString)
+      // repair any crashed per-cell compaction BEFORE the replay-guard
+      // read of those same directories: a committed-but-unapplied
+      // generation would show duplicate rows (harmless to the ids-only
+      // anti-join, wrong for a concurrent serve). Metadata-only on the
+      // healthy path, bounded by the batch's cells.
+      cellDirs.foreach(d => graft.io.Layouts.recoverGenerational(spark, d))
       val fresh =
         if (cellDirs.isEmpty) encoded // none of this batch's cells stored yet
         else {
@@ -953,6 +979,20 @@ object EventStreams {
         }
       fresh.write.mode("append").partitionBy("centroid_id")
         .parquet(codesDir)
+      // per-cell generational fold (scaladoc above): only the batch's
+      // own cells are checked — per-batch maintenance cost is bounded
+      // by the batch's cell count, never the index's
+      if (maxStoreFiles > 0) {
+        cells.foreach { c =>
+          val d = new org.apache.hadoop.fs.Path(base, s"centroid_id=$c")
+            .toString
+          if (graft.io.Layouts.smallFileCount(spark, d,
+              math.max(1L, targetBytes / 2)) > maxStoreFiles) {
+            graft.io.Layouts.compactGenerational(spark, d, targetBytes)
+            ()
+          }
+        }
+      }
     } finally { encoded.unpersist(blocking = false); () }
   }
 

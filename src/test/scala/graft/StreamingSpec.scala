@@ -879,6 +879,57 @@ class StreamingSpec extends SparkSuite {
     assert(spark.read.parquet(codes).count() === n)
   }
 
+  test("ingestPqIndex per-cell compaction bounds cell files, identical index") {
+    import spark.implicits._
+    import graft.ops.Similarity
+    val in = tmp("pq-cmp-in")
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "vec_id LONG, embedding ARRAY<FLOAT>")
+    val rnd = new scala.util.Random(7)
+    def vec() = Seq.fill(4)(rnd.nextGaussian().toFloat)
+    val model = (0L until 40L).map(i => (i, vec())).toDF("vec_id", "embedding")
+    val centroids = Similarity.ivfCentroids(model, "vec_id", "embedding", 2)
+    val cbs = Similarity.pqCodebooks(model, "vec_id", "embedding", 2, 2)
+    // 12 one-file micro-batches, fresh ids each — every batch appends
+    // ~one file into each of the 2 cell directories
+    (0 until 12).foreach { b =>
+      (0L until 8L).map(i => (1000L * b + i, vec()))
+        .toDF("vec_id", "embedding").coalesce(1)
+        .write.mode("append").parquet(in)
+    }
+    def drive(tag: String, maxStoreFiles: Int): String = {
+      val codes = tmp(s"pq-cmp-codes-$tag") + "/codes"
+      graft.streaming.EventStreams.ingestPqIndex(spark, schema, in, codes,
+          tmp(s"pq-cmp-ck-$tag"), "vec_id", "embedding", cbs, centroids,
+          maxFilesPerTrigger = 1, maxStoreFiles = maxStoreFiles)
+        .awaitTermination()
+      codes
+    }
+    def codeRows(dir: String) = spark.read.parquet(dir)
+      .select($"vec_id", $"pq_code", $"vnorm", $"centroid_id").collect()
+      .map(r => (r.getLong(0), r.getSeq[Int](1), r.getDouble(2),
+        r.getInt(3))).toSet
+    val off = drive("off", 0)   // compaction disabled
+    val on = drive("on", 3)     // aggressive per-cell cadence
+    // identical index CONTENT whether or not cells were folded mid-run
+    assert(codeRows(on) === codeRows(off) && codeRows(on).nonEmpty)
+    def cellCounts(dir: String) = new java.io.File(dir).listFiles()
+      .filter(_.isDirectory)
+      .map(d => graft.io.Layouts.dataFileCount(spark, d.getAbsolutePath))
+    // the uncompacted twin's cells track batch count; the folded cells
+    // stay within trigger + a few post-fold appends
+    assert(cellCounts(off).max >= 10, cellCounts(off).mkString(","))
+    assert(cellCounts(on).max <= 5, cellCounts(on).mkString(","))
+    // restart across compacted cells: a fresh-checkpoint replay of the
+    // same input self-filters entirely — the folded index does not grow
+    val n = spark.read.parquet(on).count()
+    graft.streaming.EventStreams.ingestPqIndex(spark, schema, in, on,
+        tmp("pq-cmp-ck-on2"), "vec_id", "embedding", cbs, centroids,
+        maxFilesPerTrigger = 1, maxStoreFiles = 3)
+      .awaitTermination()
+    assert(spark.read.parquet(on).count() === n)
+  }
+
   test("ingestPqIndex drops null-id rows, which would defeat the replay guard") {
     import spark.implicits._
     import graft.ops.Similarity
