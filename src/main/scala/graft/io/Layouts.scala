@@ -361,6 +361,27 @@ object Layouts {
   private[graft] val GenStageSuffix = "__gen"
   private[graft] val GenManifest = "_graft_gen_commit"
 
+  /** The staging directory of a [[compactGenerational]] on `dir`: an
+    * UNDERSCORE-PREFIXED sibling with any `=` SANITIZED out of the
+    * name (`_<name with = → ~>__gen`), so that when `dir` is a LEAF of
+    * a partitioned store (a PQ `centroid_id=` cell), the staging never
+    * pollutes the parent's partition discovery. Both halves matter: an
+    * unhidden `centroid_id=5__gen` sibling would be parsed as a
+    * partition value, and Spark's hidden-path filter EXEMPTS `_`/`.`
+    * names that contain `=` (so `_centroid_id=5__gen` still surfaces
+    * as a conflicting partition column — measured, the spec pins the
+    * sanitized form). The sanitized name is `=`-free, so the ordinary
+    * `_SUCCESS`-style hidden rule applies during every fold window and
+    * every crash-to-recovery window.
+    */
+  private[graft] def genStageDir(dir: String): String = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val parent = p.getParent
+    if (parent == null) dir + GenStageSuffix
+    else new org.apache.hadoop.fs.Path(parent,
+      "_" + p.getName.replace('=', '~') + GenStageSuffix).toString
+  }
+
   /** The planned file movement of one staged generational compaction:
     * `oldNames` are the live store's sub-graduation files the merge
     * folded (deleted at commit), `newNames` the staged merged files
@@ -436,13 +457,13 @@ object Layouts {
     val small = listDataFiles(spark, dir).filter(_.getLen < grad)
     if (small.size < 2) None
     else {
-      val stage = new org.apache.hadoop.fs.Path(dir + GenStageSuffix)
+      val stage = new org.apache.hadoop.fs.Path(genStageDir(dir))
       fs.delete(stage, true)
       val bytes = small.map(_.getLen).sum
       val n = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
       spark.read.parquet(small.map(_.getPath.toString): _*)
         .repartition(n)
-        .write.mode("overwrite").parquet(dir + GenStageSuffix)
+        .write.mode("overwrite").parquet(genStageDir(dir))
       // staged part-file names carry the write job's UUID — unique
       // against everything already in the live store, so the commit
       // renames can never clobber
@@ -484,7 +505,7 @@ object Layouts {
     */
   private def applyGen(fs: org.apache.hadoop.fs.FileSystem, dir: String,
       g: StagedGen): Unit = {
-    val stage = new org.apache.hadoop.fs.Path(dir + GenStageSuffix)
+    val stage = new org.apache.hadoop.fs.Path(genStageDir(dir))
     g.newNames.foreach { n =>
       val src = new org.apache.hadoop.fs.Path(stage, n)
       val dst = new org.apache.hadoop.fs.Path(dir, n)
@@ -505,6 +526,29 @@ object Layouts {
     ()
   }
 
+  /** [[recoverGenerational]] across every LEAF directory of a
+    * PARTITIONED store (the PQ codes table's `centroid_id=` cells; any
+    * future hive-laid segment store) — the STORE OWNER's post-crash
+    * entry. The ingest gate heals only the cells its batches touch, so
+    * a crashed per-cell commit in a cell no later batch lands in would
+    * otherwise stay unhealed indefinitely, and a serving query over it
+    * would see the duplicate-visible window forever. Run this once at
+    * serving startup / owner restart; per-serve-call recovery is NOT
+    * the design (it would pay a listing + two metadata probes per leaf
+    * per call). Returns the number of leaves actually repaired.
+    */
+  def recoverPartitionedGenerational(
+      spark: org.apache.spark.sql.SparkSession, dir: String): Int = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) 0
+    else fs.listStatus(p).toSeq
+      .filter(st => st.isDirectory &&
+        !st.getPath.getName.startsWith("_") &&
+        !st.getPath.getName.startsWith("."))
+      .count(st => recoverGenerational(spark, st.getPath.toString))
+  }
+
   /** Repair an interrupted [[compactGenerational]] — run before every
     * read of a generationally-compacted store (the streaming gates do,
     * each batch). No manifest: the compaction never committed — delete
@@ -519,7 +563,7 @@ object Layouts {
     val d = new org.apache.hadoop.fs.Path(dir)
     val fs = d.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val manifest = new org.apache.hadoop.fs.Path(dir, GenManifest)
-    val stage = new org.apache.hadoop.fs.Path(dir + GenStageSuffix)
+    val stage = new org.apache.hadoop.fs.Path(genStageDir(dir))
     if (fs.exists(manifest)) {
       val in = fs.open(manifest)
       val body = try {
@@ -688,7 +732,12 @@ object Layouts {
     * itself (the r12 crossover: CORPUS SCALE, not batch size or prefix
     * coverage, picks the arm). None directs the caller to the
     * full-scan probe. Pure FS metadata: one marker read and one
-    * content summary per store, no data pass, no Spark job.
+    * content summary per store, no data pass, no Spark job — but the
+    * content summary is a RECURSIVE listing (file-count-proportional;
+    * on object stores, paged LIST calls), so a tight serving loop
+    * should dispatch ONCE per store generation and then invoke the
+    * chosen explicit arm; the auto entries are the convenience form,
+    * not the hot-loop form.
     */
   def prunedDispatch(spark: org.apache.spark.sql.SparkSession,
       dirs: Seq[String],

@@ -904,10 +904,13 @@ object EventStreams {
     * Work per batch is bounded by (batch's cells × generation size) —
     * never index-sized. Crash recovery rides the manifest roll-forward
     * ([[graft.io.Layouts.recoverGenerational]]), run on the batch's
-    * cell directories BEFORE its replay-guard read; a serving query
-    * racing a crashed compaction window should run the same recovery
-    * over its probed cells (or rely on the next ingest batch healing
-    * them). `maxStoreFiles <= 0` disables (parity/off switch).
+    * cell directories BEFORE its replay-guard read; the STORE OWNER
+    * should additionally run
+    * [[graft.io.Layouts.recoverPartitionedGenerational]] once at
+    * serving startup — the gate heals only cells its batches touch,
+    * so a crashed commit in a cell no later batch lands in would
+    * otherwise stay in its duplicate-visible window indefinitely.
+    * `maxStoreFiles <= 0` disables (parity/off switch).
     */
   private[graft] def ingestPqIndexBatch(spark: SparkSession,
       batch: DataFrame, codesDir: String, idCol: String, vecCol: String,

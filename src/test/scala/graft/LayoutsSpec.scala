@@ -512,7 +512,7 @@ class LayoutsSpec extends SparkSuite {
     assert(after.exists(st => st.getPath.getName == gradName &&
       st.getModificationTime == gradMod), "graduated file was rewritten")
     assert(Layouts.smallFileCount(spark, dir, target / 2) < 10)
-    assert(!fs.exists(p(dir + Layouts.GenStageSuffix)))
+    assert(!fs.exists(p(Layouts.genStageDir(dir))))
     assert(!fs.exists(p(s"$dir/${Layouts.GenManifest}")))
     // residue folding converges: repeated calls reach a fixpoint
     // (≤ 1 sub-graduation file), after which the call is a no-op
@@ -530,9 +530,9 @@ class LayoutsSpec extends SparkSuite {
       Seq(i).toDF("id").coalesce(1).write.mode("append").parquet(dir))
     val before2 = rows()
     val staged = Layouts.stageGenerational(spark, dir, target).get
-    assert(fs.exists(p(dir + Layouts.GenStageSuffix)))
+    assert(fs.exists(p(Layouts.genStageDir(dir))))
     assert(!Layouts.recoverGenerational(spark, dir))
-    assert(!fs.exists(p(dir + Layouts.GenStageSuffix)) && rows() === before2)
+    assert(!fs.exists(p(Layouts.genStageDir(dir))) && rows() === before2)
     // crash window B: manifest committed, nothing applied — recovery
     // ROLLS FORWARD (staged files in, originals deleted, no dup rows)
     val staged2 = Layouts.stageGenerational(spark, dir, target).get
@@ -543,7 +543,7 @@ class LayoutsSpec extends SparkSuite {
     try out.write(body.getBytes("UTF-8")) finally out.close()
     assert(Layouts.recoverGenerational(spark, dir))
     assert(rows() === before2, "roll-forward duplicated or lost rows")
-    assert(!fs.exists(manifest) && !fs.exists(p(dir + Layouts.GenStageSuffix)))
+    assert(!fs.exists(manifest) && !fs.exists(p(Layouts.genStageDir(dir))))
     staged2.oldNames.foreach(n => assert(!fs.exists(p(s"$dir/$n"))))
     // crash window C: manifest committed and PARTIALLY applied (one
     // staged file moved, originals still present — the duplicate-visible
@@ -557,11 +557,11 @@ class LayoutsSpec extends SparkSuite {
       staged3.newNames.map("new " + _)).mkString("", "\n", "\n")
     try out3.write(body3.getBytes("UTF-8")) finally out3.close()
     val moved = staged3.newNames.head
-    assert(fs.rename(p(s"${dir + Layouts.GenStageSuffix}/$moved"),
+    assert(fs.rename(p(s"${Layouts.genStageDir(dir)}/$moved"),
       p(s"$dir/$moved")))
     assert(Layouts.recoverGenerational(spark, dir))
     assert(rows() === before3)
-    assert(!fs.exists(manifest) && !fs.exists(p(dir + Layouts.GenStageSuffix)))
+    assert(!fs.exists(manifest) && !fs.exists(p(Layouts.genStageDir(dir))))
     // partitioned stores are refused — flat only
     assert(staged.newNames.nonEmpty) // (silence unused warning)
     (1L to 20L).toDF("id").withColumn("part", $"id" % 2)
@@ -569,6 +569,54 @@ class LayoutsSpec extends SparkSuite {
     intercept[IllegalArgumentException] {
       Layouts.compactGenerational(spark, s"$base/part", target)
     }
+  }
+
+  test("generational staging of a partition leaf is discovery-hidden; owner recovery heals all leaves") {
+    import spark.implicits._
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-gen-leaf").toString
+    val store = s"$base/codes"
+    val fs = new org.apache.hadoop.fs.Path(store)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def p(s: String) = new org.apache.hadoop.fs.Path(s)
+    // a two-cell hive store with fragmented leaves (the PQ codes shape)
+    (0 until 6).foreach { b =>
+      Seq((10L * b, b % 2), (10L * b + 1, (b + 1) % 2))
+        .toDF("id", "cell").repartition(1)
+        .write.mode("append").partitionBy("cell").parquet(store)
+    }
+    val before = spark.read.parquet(store)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).sorted.toSeq
+    val leaf = s"$store/cell=1"
+    // the staging dir is an UNDERSCORE-PREFIXED sibling, so partition
+    // discovery never tries to parse it as a partition value — an
+    // unhidden "cell=1__gen" sibling would break (or silently retype)
+    // every whole-store read during a fold or crash window
+    assert(Layouts.genStageDir(leaf).endsWith("/_cell~1__gen"))
+    val staged = Layouts.stageGenerational(spark, leaf, 4096L).get
+    assert(fs.exists(p(Layouts.genStageDir(leaf))))
+    // whole-store read stays intact (schema AND rows) with the staging
+    // present — the crash window a serving query can race
+    val during = spark.read.parquet(store)
+    assert(during.columns.toSeq.sorted === Seq("cell", "id"))
+    assert(during.collect().map(r => (r.getLong(0), r.getInt(1)))
+      .sorted.toSeq === before)
+    // simulate a crash AFTER the commit point in that one leaf: the
+    // gate only heals cells its batches touch, so the OWNER entry must
+    // find and roll this forward
+    val manifest = p(s"$leaf/${Layouts.GenManifest}")
+    val body = (staged.oldNames.map("old " + _) ++
+      staged.newNames.map("new " + _)).mkString("", "\n", "\n")
+    val out = fs.create(manifest, true)
+    try out.write(body.getBytes("UTF-8")) finally out.close()
+    assert(Layouts.recoverPartitionedGenerational(spark, store) === 1)
+    assert(spark.read.parquet(store)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).sorted.toSeq
+      === before)
+    assert(!fs.exists(manifest) &&
+      !fs.exists(p(Layouts.genStageDir(leaf))))
+    // idempotent: nothing left to repair
+    assert(Layouts.recoverPartitionedGenerational(spark, store) === 0)
   }
 
   test("replaceBucketed under a non-default database never touches default's directory") {
