@@ -13,6 +13,14 @@ import org.apache.spark.sql.DataFrame
   */
 object Layouts {
 
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  /** Warning sink — package-private so specs can pin that a warning
+    * actually fired (slf4j output is not capturable from ScalaTest
+    * without appender surgery). Production path: slf4j WARN.
+    */
+  private[graft] var warnSink: String => Unit = m => log.warn(m)
+
   /** Parse `spark.sql.warehouse.dir` — a stringified Hadoop Path, which
     * does NOT percent-encode characters illegal in a URI (a space in
     * the checkout path). A raw `new java.net.URI(...)` would throw
@@ -213,14 +221,25 @@ object Layouts {
     * foreachBatch owns the store); any other caller must hold the same
     * exclusivity for the duration of the call. For a store that must
     * stay readable through maintenance, use [[compactGenerational]],
-    * whose live directory never disappears.
+    * whose live directory never disappears — but note its commits are
+    * consistent only under the single-owner read schedule (recovery
+    * before read): a reader CONCURRENT with any generational commit
+    * may transiently double-count rows (its scaladoc).
     *
     * A PREFIX-PARTITIONED store ([[writePrefixPartitioned]] — detected
     * by its `_graft_prefixes` marker) is re-laid THROUGH the same
     * partitioning: the read store's `__pfx` column (already
     * writer-computed — no re-hash, no key column needed) clusters the
     * rewrite, the marker is re-stamped in the staged copy, and
-    * [[readPrefixPruned]] behaves identically after the swap. Any
+    * [[readPrefixPruned]] behaves identically after the swap.
+    * `targetBytes` applies to the prefix arm too (round-13 advisor
+    * finding — the r13 arm always wrote exactly one file per prefix,
+    * so a caller-tuned target had no effect and a hot prefix cell
+    * could emerge far over it): per-prefix byte totals come from leaf
+    * directory metadata (no data pass), and a prefix over
+    * `targetBytes` is sub-split by a deterministic row-hash salt into
+    * `ceil(prefixBytes / targetBytes)` groups — file sizes land NEAR
+    * the target (hash assignment, not exact packing). Any
     * OTHER partitioned directory (subdirectories without the marker,
     * e.g. Hive `col=value` layouts) is refused loudly: [[compact]]
     * would silently flatten the layout.
@@ -263,16 +282,44 @@ object Layouts {
       case Some(n) =>
         // re-lay through the recorded partitioning: the stored __pfx
         // values are the writer's own (marker-verified provenance), so
-        // no key column or re-hash is needed
+        // no key column or re-hash is needed. Per-prefix file counts
+        // from leaf directory metadata honor targetBytes (scaladoc):
+        // the common case (every prefix fits one file) keeps the plain
+        // one-file-per-prefix shuffle; oversized prefixes sub-split by
+        // a deterministic row-hash salt so no cell emerges far over
+        // the target.
+        val filesFor: Seq[(Long, Long)] = fs.listStatus(d).toSeq
+          .filter(st => st.isDirectory &&
+            st.getPath.getName.startsWith(PrefixCol + "="))
+          .map { st =>
+            val k = st.getPath.getName.stripPrefix(PrefixCol + "=").toLong
+            val b = fs.getContentSummary(st.getPath).getLength
+            (k, math.max(1L, (b + targetBytes - 1) / targetBytes))
+          }
         val df = spark.read.parquet(dir)
-        df.repartition(n, df(PrefixCol))
-          .write.mode("overwrite").partitionBy(PrefixCol)
+        val relaid =
+          if (filesFor.forall(_._2 == 1L)) df.repartition(n, df(PrefixCol))
+          else {
+            import org.apache.spark.sql.functions.{broadcast, col, lit,
+              pmod, xxhash64}
+            val fmap = broadcast(spark.createDataFrame(filesFor)
+              .toDF("__pfxl", "__nf"))
+            val dataCols = df.columns.filter(_ != PrefixCol).map(col).toSeq
+            df.withColumn("__pfxl", col(PrefixCol).cast("long"))
+              .join(fmap, Seq("__pfxl"))
+              .withColumn("__salt",
+                pmod(xxhash64(dataCols: _*), col("__nf")))
+              .repartition(filesFor.map(_._2).sum.toInt,
+                col("__pfxl"), col("__salt"))
+              .drop("__pfxl", "__nf", "__salt")
+          }
+        relaid.write.mode("overwrite").partitionBy(PrefixCol)
           .parquet(dir + CompactTmpSuffix)
         val mp = new org.apache.hadoop.fs.Path(dir + CompactTmpSuffix,
           PrefixMarker)
         val out = fs.create(mp, true)
         try out.write(n.toString.getBytes("UTF-8")) finally out.close()
-        n
+        filesFor.map(_._2).sum.toInt
       case None => compact(spark, dir, dir + CompactTmpSuffix, targetBytes)
     }
     if (!fs.rename(d, old))
@@ -363,23 +410,35 @@ object Layouts {
 
   /** The staging directory of a [[compactGenerational]] on `dir`: an
     * UNDERSCORE-PREFIXED sibling with any `=` SANITIZED out of the
-    * name (`_<name with = → ~>__gen`), so that when `dir` is a LEAF of
-    * a partitioned store (a PQ `centroid_id=` cell), the staging never
-    * pollutes the parent's partition discovery. Both halves matter: an
-    * unhidden `centroid_id=5__gen` sibling would be parsed as a
-    * partition value, and Spark's hidden-path filter EXEMPTS `_`/`.`
-    * names that contain `=` (so `_centroid_id=5__gen` still surfaces
-    * as a conflicting partition column — measured, the spec pins the
+    * name, so that when `dir` is a LEAF of a partitioned store (a PQ
+    * `centroid_id=` cell), the staging never pollutes the parent's
+    * partition discovery. Both halves matter: an unhidden
+    * `centroid_id=5__gen` sibling would be parsed as a partition
+    * value, and Spark's hidden-path filter EXEMPTS `_`/`.` names that
+    * contain `=` (so `_centroid_id=5__gen` still surfaces as a
+    * conflicting partition column — measured, the spec pins the
     * sanitized form). The sanitized name is `=`-free, so the ordinary
     * `_SUCCESS`-style hidden rule applies during every fold window and
     * every crash-to-recovery window.
+    *
+    * The encoding is COLLISION-FREE (`~` → `~t` first, then `=` →
+    * `~e`): the round-13 single-character `=` → `~` mapping was not
+    * injective, so two sibling stores whose names differ only by `=`
+    * vs `~` (e.g. leaves `a=b` and `a~b`) shared one staging directory
+    * — interleaved compactions of both would clobber each other's
+    * staging, and the no-manifest recovery path could delete the OTHER
+    * store's live staging (round-13 advisor finding). A crashed
+    * staging directory written under the old encoding is not found by
+    * recovery after this change; it is hidden (`_`-prefixed, `=`-free)
+    * and harmless, and the next compaction stages fresh.
     */
   private[graft] def genStageDir(dir: String): String = {
     val p = new org.apache.hadoop.fs.Path(dir)
     val parent = p.getParent
     if (parent == null) dir + GenStageSuffix
     else new org.apache.hadoop.fs.Path(parent,
-      "_" + p.getName.replace('=', '~') + GenStageSuffix).toString
+      "_" + p.getName.replace("~", "~t").replace("=", "~e") +
+        GenStageSuffix).toString
   }
 
   /** The planned file movement of one staged generational compaction:
@@ -414,10 +473,18 @@ object Layouts {
     * deleted. A crash at any point is repaired by
     * [[recoverGenerational]]: before the manifest exists the store is
     * untouched (stray staging deleted); once the manifest exists the
-    * commit ROLLS FORWARD idempotently. Readers between a crash and
-    * recovery may see duplicate rows (staged files in, originals not
-    * yet deleted) — single-owner stores (the streaming gates) run
-    * recovery before every read, closing that window.
+    * commit ROLLS FORWARD idempotently.
+    *
+    * CONSISTENCY IS SINGLE-OWNER ONLY (round-13 advisor finding): the
+    * duplicate-visible window — staged files moved in before the
+    * folded originals are deleted — opens during EVERY routine commit,
+    * not only in the crash-to-recovery window. A reader concurrent
+    * with ANY commit may transiently double-count rows. Generational
+    * compaction is read-consistent only under the single-owner read
+    * schedule (recovery-before-read, then no commit until the read
+    * finishes), which the streaming gates satisfy by construction
+    * (one sequential foreachBatch owns the store and runs recovery
+    * before every read); it is NOT a concurrent-reader-safe store.
     *
     * Flat stores only: a prefix/Hive-partitioned directory is refused
     * ([[compactInPlace]] handles the prefix layout).
@@ -619,6 +686,18 @@ object Layouts {
     * for small probes. The round-11 third-decade probe measured the
     * full-scan floor this removes at ~0.3 s per 5M docs single-node —
     * linear in corpus size, so dominant at the fourth decade.
+    *
+    * MINIMUM BUILD SIZE: do not prefix-lay a store expected to stay
+    * below ~[[DefaultPruneMinStoreBytes]] (256 MB). Below that scale
+    * the pruned probe never dispatches ([[prunedDispatch]] correctly
+    * picks the full scan), and FULL-SCANNING a prefix layout costs
+    * ~2.7× a plain store — 256 directory listings instead of one
+    * (`bench_history/r13_crossover_auto.json`, sf10: 5.29 s vs 2.0 s
+    * for the same probe). The layout only pays once the corpus grows
+    * past the dispatch threshold; a batch-built store that never will
+    * should stay plain parquet. Stamping a store below the threshold
+    * logs a warning (it is not an error — a store BUILT small that
+    * GROWS past 256 MB via appends is the intended lifecycle).
     */
   /** The marker filename [[writePrefixPartitioned]] drops inside the
     * store recording its prefix modulus. Underscore-prefixed, so every
@@ -651,6 +730,19 @@ object Layouts {
       df.sparkSession.sparkContext.hadoopConfiguration)
     val out = fs.create(p, true)
     try out.write(prefixes.toString.getBytes("UTF-8")) finally out.close()
+    // minimum-build-size rule (scaladoc): a store this small full-scans
+    // ~2.7× slower than plain parquet and the pruned probe won't
+    // dispatch for it — warn, don't fail (appends may grow it past the
+    // threshold later)
+    val written = fs.getContentSummary(
+      new org.apache.hadoop.fs.Path(dir)).getLength
+    if (written < DefaultPruneMinStoreBytes)
+      warnSink(s"[graft] writePrefixPartitioned: $dir is " +
+        s"${written >> 20} MB, below the ${DefaultPruneMinStoreBytes >> 20}" +
+        " MB pruned-dispatch threshold — below it the pruned probe " +
+        "never runs and full scans pay the per-prefix listing overhead " +
+        "(~2.7× a plain store, r13_crossover_auto.json); keep plain " +
+        "parquet unless the store will grow past the threshold")
   }
 
   /** The prefix modulus a [[writePrefixPartitioned]] store was written

@@ -1229,6 +1229,16 @@ object Dedup {
     * the 20×-replica mass-dup fixture (3.8× growth vs the uncapped
     * twins' 7–24×, drops accounted).
     *
+    * BEHAVIOR CHANGE (round 13, restated per the r13 advisor): the
+    * default moved from exact (`maxGroup = Int.MaxValue`, r12) to
+    * capped at 65536. Fingerprint groups ABOVE the cap are no longer
+    * deduplicated by default — every copy survives, with only the
+    * CapMetrics accounting and its WARN log as the signal. Callers on
+    * mass-duplication corpora who relied on the exact rewrite must
+    * pass `maxGroup = Int.MaxValue` explicitly. The capped semantics
+    * are oracle-pinned (the q138 SQL states the cap predicate) and
+    * spec-pinned; see SCALE.md "Release notes".
+    *
     * @return `idCol, n_tokens, n_removed, clean_text`
     */
   /** [[exactSubstrDedup]]'s default fingerprint-group cap: far above

@@ -477,6 +477,63 @@ class LayoutsSpec extends SparkSuite {
     assert(e.getMessage.contains("subdirectories"))
   }
 
+  test("compactInPlace prefix arm honors targetBytes: oversized prefixes sub-split") {
+    import spark.implicits._
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-compact-prefix-tb").toString
+    val dir = s"$base/store"
+    // 4 prefixes over incompressible-ish text so each leaf lands well
+    // over the tiny target below (the r13 arm wrote exactly ONE file
+    // per prefix regardless of targetBytes — the advisor finding)
+    val df = (1L to 4000L).toDF("id")
+      .withColumn("t", md5(concat($"id".cast("string"), lit("pad"))))
+    Layouts.writePrefixPartitioned(df, dir, "id", prefixes = 4)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val leafBytes = fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .filter(_.isDirectory)
+      .map(st => fs.getContentSummary(st.getPath).getLength)
+    val target = leafBytes.max / 3 // every prefix needs >= 3 files
+    val written = Layouts.compactInPlace(spark, dir, target)
+    assert(written > 4, s"expected sub-split beyond one file per prefix, got $written")
+    // rows and pruned reads survive the sub-split re-lay
+    assert(spark.read.parquet(dir).count() === 4000L)
+    assert(Layouts.readPrefixCount(spark, dir) === Some(4))
+    val got = Layouts.readPrefixPruned(spark, dir, Seq(2L), prefixes = 4)
+      .select("id").collect().map(_.getLong(0)).sorted
+    val want = df.where(Layouts.prefixOf($"id", 4) === 2L)
+      .select("id").collect().map(_.getLong(0)).sorted
+    assert(got === want && got.nonEmpty)
+    // each leaf now holds multiple files, none grossly over target
+    // (hash salt assignment is approximate, not exact packing)
+    val leaves = fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .filter(_.isDirectory)
+    leaves.foreach { st =>
+      val files = fs.listStatus(st.getPath).filter(_.isFile)
+      assert(files.length >= 2, s"${st.getPath} not sub-split")
+      files.foreach(f => assert(f.getLen <= 4 * target,
+        s"${f.getPath} is ${f.getLen} B vs target $target"))
+    }
+    // a LARGE target restores the one-file-per-prefix floor
+    assert(Layouts.compactInPlace(spark, dir, 512L << 20) === 4)
+  }
+
+  test("writePrefixPartitioned warns below the pruned-dispatch threshold") {
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-prefix-warn").toString + "/store"
+    val warnings = scala.collection.mutable.ArrayBuffer.empty[String]
+    val prev = Layouts.warnSink
+    Layouts.warnSink = warnings += _
+    try Layouts.writePrefixPartitioned((1L to 100L).toDF("id"), dir, "id",
+      prefixes = 4)
+    finally Layouts.warnSink = prev
+    // a ~KB store is far below DefaultPruneMinStoreBytes: the
+    // minimum-build-size rule must fire (and name the threshold)
+    assert(warnings.exists(w => w.contains(dir) &&
+      w.contains((Layouts.DefaultPruneMinStoreBytes >> 20).toString)))
+  }
+
   test("compactGenerational folds only sub-graduation files; crash windows roll forward") {
     import spark.implicits._
     val base = java.nio.file.Files
@@ -592,7 +649,15 @@ class LayoutsSpec extends SparkSuite {
     // discovery never tries to parse it as a partition value — an
     // unhidden "cell=1__gen" sibling would break (or silently retype)
     // every whole-store read during a fold or crash window
-    assert(Layouts.genStageDir(leaf).endsWith("/_cell~1__gen"))
+    // the encoding is collision-free ('~' → "~t" before '=' → "~e"):
+    // the r13 single-char '=' → '~' mapping sent sibling leaves
+    // "a=b" and "a~b" to ONE staging dir, so interleaved compactions
+    // could clobber each other's staging (r13 advisor finding)
+    assert(Layouts.genStageDir(leaf).endsWith("/_cell~e1__gen"))
+    assert(Layouts.genStageDir(s"$store/cell~e1") !==
+      Layouts.genStageDir(s"$store/cell=1"))
+    assert(Layouts.genStageDir(s"$store/a~b") !==
+      Layouts.genStageDir(s"$store/a=b"))
     val staged = Layouts.stageGenerational(spark, leaf, 4096L).get
     assert(fs.exists(p(Layouts.genStageDir(leaf))))
     // whole-store read stays intact (schema AND rows) with the staging
