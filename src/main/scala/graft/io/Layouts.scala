@@ -270,6 +270,7 @@ object Layouts {
     require(fs.exists(d), s"compactInPlace: $dir does not exist")
     require(!fs.exists(old),
       s"compactInPlace: stale $old — run recoverCompaction first")
+    val genBefore = readStoreGeneration(spark, dir)
     val prefixes = readPrefixCount(spark, dir)
     if (prefixes.isEmpty)
       require(!fs.listStatus(d).exists(_.isDirectory),
@@ -330,6 +331,11 @@ object Layouts {
       throw new java.io.IOException(s"compactInPlace: rename $tmp -> $d failed")
     }
     fs.delete(old, true)
+    // the swap dropped the old store's generation marker with the old
+    // store — restamp PAST it, not from the fresh dir's implicit 0
+    // (gen 1 → compact → gen 1 again would let a cached dispatch skip
+    // re-validation across a real store change)
+    setStoreGeneration(spark, dir, genBefore + 1)
     files
   }
 
@@ -565,6 +571,8 @@ object Layouts {
       throw new java.io.IOException(
         s"compactGenerational: rename $tmp -> $manifest failed")
     applyGen(fs, dir, g)
+    bumpStoreGeneration(spark, dir)
+    ()
   }
 
   /** Roll a committed manifest forward. Every step skips work already
@@ -643,6 +651,9 @@ object Layouts {
         lines.filter(_.startsWith("old ")).map(_.stripPrefix("old ")),
         lines.filter(_.startsWith("new ")).map(_.stripPrefix("new ")))
       applyGen(fs, dir, g)
+      // the rolled-forward commit changed the store's file set: any
+      // cached per-generation dispatch over it must re-validate
+      bumpStoreGeneration(spark, dir)
       true
     } else {
       // also reap a stale manifest tmp: its commit never happened
@@ -743,6 +754,8 @@ object Layouts {
         "never runs and full scans pay the per-prefix listing overhead " +
         "(~2.7× a plain store, r13_crossover_auto.json); keep plain " +
         "parquet unless the store will grow past the threshold")
+    bumpStoreGeneration(df.sparkSession, dir)
+    ()
   }
 
   /** The prefix modulus a [[writePrefixPartitioned]] store was written
@@ -826,10 +839,11 @@ object Layouts {
     * full-scan probe. Pure FS metadata: one marker read and one
     * content summary per store, no data pass, no Spark job — but the
     * content summary is a RECURSIVE listing (file-count-proportional;
-    * on object stores, paged LIST calls), so a tight serving loop
-    * should dispatch ONCE per store generation and then invoke the
-    * chosen explicit arm; the auto entries are the convenience form,
-    * not the hot-loop form.
+    * on object stores, paged LIST calls). Tight serving loops should
+    * use [[prunedDispatchCached]] (which the auto entries do): it
+    * re-runs this full dispatch only when a store's GENERATION marker
+    * changed, so generation-stamped stores pay one small-file read per
+    * call instead of the recursive summary.
     */
   def prunedDispatch(spark: org.apache.spark.sql.SparkSession,
       dirs: Seq[String],
@@ -840,6 +854,102 @@ object Layouts {
     if (common.isEmpty || moduli.exists(_ != common)) None
     else if (dirs.map(storeBytes(spark, _)).sum < minBytes) None
     else common
+  }
+
+  /** The marker filename recording a store's GENERATION: a counter the
+    * store's writers and compactions bump
+    * ([[bumpStoreGeneration]]) so serving loops can cache
+    * metadata-derived decisions ([[prunedDispatchCached]]) per
+    * generation instead of re-running [[prunedDispatch]]'s recursive
+    * content summary on every call (round-13 verdict note 3).
+    * Underscore-prefixed → hidden from every parquet reader, like
+    * [[PrefixMarker]]. Read-modify-write under the store's
+    * single-writer ownership (the same assumption every compaction
+    * here already makes); a torn concurrent read sees an
+    * absent/partial marker and degrades to generation 0 — a cache
+    * MISS, never a stale hit.
+    */
+  val GenerationMarker = "_graft_store_gen"
+
+  /** The store's current generation — 0 for a store with no marker
+    * (legacy stores, or any directory not generation-stamped). One
+    * small-file read; tolerant of a torn/absent marker (degrades to
+    * 0, which [[prunedDispatchCached]] treats as "never cache").
+    */
+  def readStoreGeneration(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(dir, GenerationMarker)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) 0L
+    else try {
+      val len = fs.getFileStatus(p).getLen.toInt
+      if (len <= 0 || len > 32) 0L
+      else {
+        val in = fs.open(p)
+        try {
+          val bytes = new Array[Byte](len)
+          in.readFully(bytes)
+          new String(bytes, "UTF-8").trim.toLong
+        } finally in.close()
+      }
+    } catch { case scala.util.control.NonFatal(_) => 0L }
+  }
+
+  /** Bump the store's generation marker (creating it at 1) — call
+    * after any append, compaction, or re-lay of a store that serving
+    * loops dispatch over. The streaming gates bump their stores once
+    * per micro-batch (two metadata ops — noise next to the appends
+    * themselves). Returns the new generation.
+    */
+  def bumpStoreGeneration(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Long =
+    setStoreGeneration(spark, dir, readStoreGeneration(spark, dir) + 1)
+
+  private[graft] def setStoreGeneration(
+      spark: org.apache.spark.sql.SparkSession, dir: String,
+      gen: Long): Long = {
+    val p = new org.apache.hadoop.fs.Path(dir, GenerationMarker)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(gen.toString.getBytes("UTF-8")) finally out.close()
+    gen
+  }
+
+  private val dispatchCache = new java.util.concurrent.ConcurrentHashMap[
+    (Seq[String], Long), (Seq[Long], Option[Int])]()
+
+  /** [[prunedDispatch]] cached PER STORE GENERATION — the tight-serving-
+    * loop form the r13 verdict asked for: the uncached dispatch's
+    * content summary is a RECURSIVE listing (file-count-proportional;
+    * paged LIST calls on object stores), too heavy to re-run per probe.
+    * Here each call reads only the stores' generation markers (one
+    * small file each); the full dispatch re-runs ONLY when some
+    * store's generation changed since the cached decision. Stores
+    * without generation markers (every generation reads 0) are NEVER
+    * cached — a plain mtime-invisible mutation of an unstamped store
+    * must not pin a stale decision — so legacy stores pay exactly the
+    * uncached cost and stamped stores ([[bumpStoreGeneration]] is
+    * wired into [[writePrefixPartitioned]], the in-place/generational
+    * compactions, and the streaming gates' appends) get the cache.
+    * Staleness is bounded by the bump discipline; a stale decision is
+    * at worst slower (both arms are semantically identical) or a LOUD
+    * [[readPrefixPruned]] modulus mismatch — never silent wrongness.
+    */
+  def prunedDispatchCached(spark: org.apache.spark.sql.SparkSession,
+      dirs: Seq[String],
+      minBytes: Long = DefaultPruneMinStoreBytes): Option[Int] = {
+    val gens = dirs.map(readStoreGeneration(spark, _))
+    if (gens.contains(0L)) prunedDispatch(spark, dirs, minBytes)
+    else {
+      val key = (dirs, minBytes)
+      val hit = dispatchCache.get(key)
+      if (hit != null && hit._1 == gens) hit._2
+      else {
+        val dec = prunedDispatch(spark, dirs, minBytes)
+        dispatchCache.put(key, (gens, dec))
+        dec
+      }
+    }
   }
 
   /** The probe-side counterpart of [[writePrefixPartitioned]]: the

@@ -682,7 +682,7 @@ object Dedup {
       pruneMinStoreBytes: Long =
         graft.io.Layouts.DefaultPruneMinStoreBytes): DataFrame = {
     val spark = batch.sparkSession
-    graft.io.Layouts.prunedDispatch(spark, Seq(keysDir, corpusDir),
+    graft.io.Layouts.prunedDispatchCached(spark, Seq(keysDir, corpusDir),
         pruneMinStoreBytes) match {
       case Some(prefixes) =>
         incrementalNearDupsPruned(batch, keysDir, corpusDir, idCol,

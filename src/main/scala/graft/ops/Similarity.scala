@@ -453,7 +453,7 @@ object Similarity {
       pruneMinStoreBytes: Long =
         graft.io.Layouts.DefaultPruneMinStoreBytes): DataFrame = {
     val spark = batch.sparkSession
-    graft.io.Layouts.prunedDispatch(spark, Seq(keysDir, corpusDir),
+    graft.io.Layouts.prunedDispatchCached(spark, Seq(keysDir, corpusDir),
         pruneMinStoreBytes) match {
       case Some(prefixes) =>
         incrementalCosineNearDupsPruned(batch, keysDir, corpusDir, idCol,

@@ -457,8 +457,12 @@ class LayoutsSpec extends SparkSuite {
     // the fresh store (one file per prefix in, one per prefix out)
     val written = Layouts.compactInPlace(spark, dir)
     assert(written === 8)
-    // marker survives the swap with the original modulus
+    // marker survives the swap with the original modulus; the
+    // generation advances PAST the pre-swap value (the swap drops the
+    // old marker with the old directory — a reset to 1 would let a
+    // cached dispatch skip re-validation across a real store change)
     assert(Layouts.readPrefixCount(spark, dir) === Some(8))
+    assert(Layouts.readStoreGeneration(spark, dir) === 2L)
     // partitioning survives: the store still reads whole AND pruned,
     // with the pruned subset exactly the matching-prefix rows
     assert(spark.read.parquet(dir).count() === 200L)
@@ -475,6 +479,45 @@ class LayoutsSpec extends SparkSuite {
       Layouts.compactInPlace(spark, s"$base/hive")
     }
     assert(e.getMessage.contains("subdirectories"))
+  }
+
+  test("prunedDispatchCached re-validates only on generation change") {
+    import spark.implicits._
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-dispatch-cache").toString
+    def p(s: String) = new org.apache.hadoop.fs.Path(s)
+    val fs = p(base).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Layouts.writePrefixPartitioned((1L to 500L).toDF("id"),
+      s"$base/a", "id", prefixes = 8)
+    Layouts.writePrefixPartitioned((1L to 500L).toDF("id"),
+      s"$base/b", "id", prefixes = 8)
+    val dirs = Seq(s"$base/a", s"$base/b")
+    // every writer stamps generation 1 at build
+    assert(Layouts.readStoreGeneration(spark, s"$base/a") === 1L)
+    assert(Layouts.prunedDispatchCached(spark, dirs, 0L) === Some(8))
+    // mutate WITHOUT a generation bump (drop b's prefix marker): the
+    // fresh dispatch answers None, but the cached entry does NOT
+    // re-validate — generations unchanged, cached decision returned.
+    // (Stale decisions are loud-safe: readPrefixPruned rejects a
+    // modulus mismatch; they are never silently wrong.)
+    assert(fs.delete(p(s"$base/b/${Layouts.PrefixMarker}"), false))
+    assert(Layouts.prunedDispatch(spark, dirs, 0L) === None)
+    assert(Layouts.prunedDispatchCached(spark, dirs, 0L) === Some(8))
+    // a generation bump forces re-validation
+    Layouts.bumpStoreGeneration(spark, s"$base/b")
+    assert(Layouts.prunedDispatchCached(spark, dirs, 0L) === None)
+    // UNSTAMPED stores (generation 0 anywhere) are never cached: the
+    // cached entry recomputes on every call, so a mutation is seen
+    // immediately even without a bump
+    Layouts.writePrefixPartitioned((1L to 500L).toDF("id"),
+      s"$base/c", "id", prefixes = 8)
+    Layouts.writePrefixPartitioned((1L to 500L).toDF("id"),
+      s"$base/d", "id", prefixes = 8)
+    val dirs2 = Seq(s"$base/c", s"$base/d")
+    assert(fs.delete(p(s"$base/c/${Layouts.GenerationMarker}"), false))
+    assert(Layouts.prunedDispatchCached(spark, dirs2, 0L) === Some(8))
+    assert(fs.delete(p(s"$base/d/${Layouts.PrefixMarker}"), false))
+    assert(Layouts.prunedDispatchCached(spark, dirs2, 0L) === None)
   }
 
   test("compactInPlace prefix arm honors targetBytes: oversized prefixes sub-split") {
@@ -562,8 +605,11 @@ class LayoutsSpec extends SparkSuite {
     assert(Layouts.smallFileCount(spark, dir, target / 2) === 10)
     // the generational fold: small files merge, the graduated file is
     // NEVER rewritten (same name, same mtime), rows identical, no
-    // staging/manifest leftovers
+    // staging/manifest leftovers; the commit stamps a generation (the
+    // store was built by raw appends, so it starts unstamped at 0)
+    assert(Layouts.readStoreGeneration(spark, dir) === 0L)
     assert(Layouts.compactGenerational(spark, dir, target) >= 1)
+    assert(Layouts.readStoreGeneration(spark, dir) === 1L)
     assert(rows() === before)
     val after = dataFiles()
     assert(after.exists(st => st.getPath.getName == gradName &&
