@@ -36,6 +36,29 @@ object Dedup {
     else df
   }
 
+  /** Pin a SMALL (batch- or candidate-proportional — never
+    * corpus-proportional) intermediate that the downstream plan
+    * references more than once. Without it, Catalyst inlines the full
+    * subtree at every reference — the keyed near-dup probe's candidate
+    * plan reached 12 parquet scans / 20 exchanges with the corpus-key
+    * kernel subtree evaluated up to 4× (`plans/r14/q67_*_before.txt`),
+    * and exchange reuse cannot collapse it because the duplicated
+    * kernels sit ABOVE their subtree's exchange.
+    *
+    * LAZY persist, no forcing action: every reference reads one shared
+    * InMemoryRelation (planning substitutes the cache; per-partition
+    * block locks make a concurrent first computation compute-once).
+    * Measured against an eager persist-then-count pin (r14): the eager
+    * job cost more than it saved on every shape tried — q67-family
+    * −36% lazy vs −25% eager vs unpinned — and for cheap duplicated
+    * subtrees (the NB/DSIR model aggregations) BOTH pin forms lost to
+    * plain recomputation, so pin only where the duplicated subtree
+    * carries per-row kernel work. The persisted frame is left for the
+    * ContextCleaner like the other operators' small pins.
+    */
+  private[ops] def pinSmall(df: DataFrame): DataFrame =
+    df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
   /** Whitespace-token set of a document (order-insensitive). */
   def tokenSet(text: Column): Column = array_distinct(TextAnalysis.tokens(text))
 
@@ -565,18 +588,26 @@ object Dedup {
     * sliver, join back to batch keys — shared by the full-scan and the
     * prefix-pruned probe forms.
     */
-  private def probeCandidates(batchKeys: DataFrame, corpusKeys: DataFrame,
+  private def probeCandidates(batchKeys0: DataFrame, corpusKeys: DataFrame,
       idCol: String, maxBucket: Int): DataFrame = {
-    val probed = corpusKeys.join(
+    // Every frame pinned here is batch-proportional (batch keys, the
+    // probed corpus sliver, capped candidate pairs) — never corpus-
+    // proportional — so the pins are scale-safe at any corpus size.
+    // batchKeys: referenced by the broadcast key set AND the join back;
+    // probed: referenced twice inside cappedByCount (count agg + anti-
+    // join) — unpinned, each leg re-ran the corpus-key kernel;
+    // cands: referenced twice by verify (corpus semi-join + pair join).
+    val batchKeys = pinSmall(batchKeys0)
+    val probed = pinSmall(corpusKeys.join(
       broadcast(batchKeys.select(col("band"), col("key")).distinct()),
-      Seq("band", "key"), "left_semi")
+      Seq("band", "key"), "left_semi"))
     val cappedKeys = CapMetrics.cappedByCount(probed,
       "incremental_neardup_corpus", Seq("band", "key"), maxBucket)
-    batchKeys
+    pinSmall(batchKeys
       .join(cappedKeys.select(col(idCol).as("idB"), col("band"), col("key")),
         Seq("band", "key"))
       .select(col("idA"), col("idB"))
-      .distinct()
+      .distinct())
   }
 
   /** Verification stage of the keyed probe: the corpus side is
@@ -587,8 +618,8 @@ object Dedup {
     * probe: measured as the dominant term of the keyed probe's growth)
     * and never pair-proportional (a clique idB would re-tokenize per
     * matching idA). cands is referenced twice; it ends in a distinct
-    * aggregate, so AQE's exchange reuse evaluates the candidate subplan
-    * once.
+    * aggregate AND probeCandidates pins it, so the candidate subplan
+    * evaluates once.
     */
   private def verifyJaccardCandidates(batch: DataFrame, cands: DataFrame,
       corpus: DataFrame, idCol: String, textCol: String,

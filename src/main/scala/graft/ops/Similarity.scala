@@ -360,18 +360,23 @@ object Similarity {
     * then runs over a batch-sized sliver, never the corpus-sized table.
     * Shared by the full-scan and prefix-pruned probe forms.
     */
-  private def probeCosineCandidates(batchKeys: DataFrame,
+  private def probeCosineCandidates(batchKeys0: DataFrame,
       corpusKeys: DataFrame, idCol: String, maxBucket: Int): DataFrame = {
-    val probed = corpusKeys.join(
+    // Same lazy pins as Dedup.probeCandidates (see pinSmall's scaladoc):
+    // every frame is batch-proportional, and each was referenced twice
+    // downstream — unpinned, Catalyst re-inlined the LSH kernel subtree
+    // per reference (plans/r14/q74_*_before.txt: 12 scans / 20 exchanges).
+    val batchKeys = Dedup.pinSmall(batchKeys0)
+    val probed = Dedup.pinSmall(corpusKeys.join(
       broadcast(batchKeys.select(col("band"), col("key")).distinct()),
-      Seq("band", "key"), "left_semi")
+      Seq("band", "key"), "left_semi"))
     val cappedKeys = CapMetrics.cappedByCount(probed,
       "incremental_cosine_corpus", Seq("band", "key"), maxBucket)
-    batchKeys
+    Dedup.pinSmall(batchKeys
       .join(cappedKeys.select(col(idCol).as("idB"), col("band"), col("key")),
         Seq("band", "key"))
       .select(col("idA"), col("idB"))
-      .distinct()
+      .distinct())
   }
 
   /** Verification stage of the keyed cosine probe: the corpus side is
