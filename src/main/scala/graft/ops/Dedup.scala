@@ -442,7 +442,22 @@ object Dedup {
     */
   def minhashNearDups(df: DataFrame, idCol: String, textCol: String,
       threshold: Double, numHashes: Int = 64, bands: Int = 4,
-      md5Basis: Boolean = false, maxBucket: Int = 1000): DataFrame = {
+      md5Basis: Boolean = false, maxBucket: Int = 1000): DataFrame =
+    scoredCandidatePairs(df, idCol, textCol, numHashes, bands, md5Basis,
+      maxBucket)
+      .where(col("jaccard") >= threshold)
+      .distinct()
+
+  /** The shared banded front half of [[minhashNearDups]] and
+    * [[lshRecallAudit]]: in-bucket candidate pairs with their exact
+    * Jaccard, NOT yet threshold-filtered or cross-band deduplicated —
+    * minhashNearDups filters BEFORE its distinct (so the dedup exchange
+    * carries only survivors), the audit needs the unfiltered candidate
+    * set once for both of its counters.
+    */
+  private def scoredCandidatePairs(df: DataFrame, idCol: String,
+      textCol: String, numHashes: Int, bands: Int, md5Basis: Boolean,
+      maxBucket: Int): DataFrame = {
     val keyed = bandedKeys(spread(df), idCol, textCol, numHashes, bands,
       md5Basis, carry = Seq("__toks" ->
         graftFn("graft_token_hashes", TextAnalysis.tokens(col(textCol)))))
@@ -468,8 +483,6 @@ object Dedup {
         .as("__p"))
       .select(col("__p.idA").as("idA"), col("__p.idB").as("idB"),
         col("__p.jaccard").as("jaccard"))
-      .where(col("jaccard") >= threshold)
-      .distinct()
   }
 
   /** Incremental near-dup: batch documents whose token-set Jaccard with
@@ -1179,17 +1192,24 @@ object Dedup {
       md5Basis: Boolean = false): DataFrame = {
     val truth = blockedJaccardPairs(
       df.withColumn("__blk", lit(1)), idCol, textCol, "__blk", threshold)
-    val cand = lshCandidates(df, idCol, textCol, numHashes, bands,
-      maxBucket = 1000, md5Basis = md5Basis)
-    val det = minhashNearDups(df, idCol, textCol, threshold, numHashes,
-      bands, md5Basis)
+    // ONE banded pass serves both counters (r14): the candidate set and
+    // the detected set used to be two full pipelines (lshCandidates +
+    // minhashNearDups — bandedKeys, bucket groupBy and pair explode each
+    // ran twice); the scored candidate pairs are pair-proportional, so
+    // pin them and count twice. Set-identical to the two-pipeline form:
+    // candidates = distinct scored pairs (jaccard is functionally
+    // determined by the pair), detected = the threshold filter of the
+    // same distinct set (filter-before- vs after-distinct commute).
+    val scored = pinSmall(scoredCandidatePairs(df, idCol, textCol,
+      numHashes, bands, md5Basis, maxBucket = 1000).distinct())
     // zero-denominator guard: a corpus with no pairs at the threshold
     // (or no candidates) reads as a PERFECT detector — recall /
     // candidate_precision 1.0 — rather than an unexplained NULL the
     // "@return recall" contract never mentions
     truth.agg(count(lit(1)).as("n_truth"))
-      .crossJoin(cand.agg(count(lit(1)).as("n_candidates")))
-      .crossJoin(det.agg(count(lit(1)).as("n_detected")))
+      .crossJoin(scored.agg(count(lit(1)).as("n_candidates")))
+      .crossJoin(scored.where(col("jaccard") >= threshold)
+        .agg(count(lit(1)).as("n_detected")))
       .select(col("n_truth"), col("n_candidates"), col("n_detected"),
         when(col("n_truth") === 0, lit(1.0))
           .otherwise(col("n_detected").cast("double") / col("n_truth"))
@@ -1447,10 +1467,14 @@ object Dedup {
     val pairs = minhashNearDups(df, idCol, textCol, threshold, numHashes,
       bands, md5Basis)
     val g = df.select(col(idCol), col(groupCol))
-    val cross = pairs
+    // pinned: `cross` is pair-proportional and referenced twice (the idA
+    // and idB legs of the touched-id union) — unpinned, the whole banded
+    // pipeline upstream re-ran per leg (q95's r14 before plan: 7 parquet
+    // scans / 10 exchanges for a 1-input query)
+    val cross = pinSmall(pairs
       .join(g.select(col(idCol).as("idA"), col(groupCol).as("__ga")), Seq("idA"))
       .join(g.select(col(idCol).as("idB"), col(groupCol).as("__gb")), Seq("idB"))
-      .where(col("__ga") =!= col("__gb"))
+      .where(col("__ga") =!= col("__gb")))
     val touched = cross.select(col("idA").as(idCol))
       .unionByName(cross.select(col("idB").as(idCol)))
       .distinct()
