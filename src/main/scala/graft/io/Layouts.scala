@@ -15,11 +15,25 @@ object Layouts {
 
   private val log = org.slf4j.LoggerFactory.getLogger(getClass)
 
-  /** Warning sink — package-private so specs can pin that a warning
-    * actually fired (slf4j output is not capturable from ScalaTest
-    * without appender surgery). Production path: slf4j WARN.
+  /** Warning listeners — additive and thread-safe so specs can pin that
+    * a warning actually fired (slf4j output is not capturable from
+    * ScalaTest without appender surgery). The previous seam was a
+    * swap-a-global-var hook; a concurrent caller from another thread
+    * (streaming micro-batches, parallel suites in the shared forked
+    * JVM) could append to the spec's unsynchronized buffer mid-swap and
+    * corrupt it — the r14 driver-run flake. slf4j WARN always fires;
+    * listeners observe without replacing it.
     */
-  private[graft] var warnSink: String => Unit = m => log.warn(m)
+  private val warnListeners =
+    new java.util.concurrent.CopyOnWriteArrayList[String => Unit]
+  private[graft] def addWarnListener(l: String => Unit): Unit =
+    warnListeners.add(l)
+  private[graft] def removeWarnListener(l: String => Unit): Unit =
+    warnListeners.remove(l)
+  private[graft] def warnSink(m: String): Unit = {
+    log.warn(m)
+    warnListeners.forEach(l => l(m))
+  }
 
   /** Parse `spark.sql.warehouse.dir` — a stringified Hadoop Path, which
     * does NOT percent-encode characters illegal in a URI (a space in

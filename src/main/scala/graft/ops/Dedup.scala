@@ -53,11 +53,22 @@ object Dedup {
     * −36% lazy vs −25% eager vs unpinned — and for cheap duplicated
     * subtrees (the NB/DSIR model aggregations) BOTH pin forms lost to
     * plain recomputation, so pin only where the duplicated subtree
-    * carries per-row kernel work. The persisted frame is left for the
-    * ContextCleaner like the other operators' small pins.
+    * carries per-row kernel work.
+    *
+    * Lifecycle: SQL-cached Datasets are held strongly by the
+    * CacheManager and are NOT reclaimed by the ContextCleaner, so a
+    * caller that runs many probe+action cycles in one session (the
+    * streaming ingest gates) must release them — wrap the
+    * probe-and-act cycle in [[PinScope.withScope]] and every pin under
+    * it unpersists when the cycle's actions complete. One-shot batch
+    * queries may skip the scope (the bench/verify harnesses clear the
+    * cache between queries).
     */
-  private[ops] def pinSmall(df: DataFrame): DataFrame =
-    df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  private[graft] def pinSmall(df: DataFrame): DataFrame = {
+    val pinned = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    PinScope.track(pinned)
+    pinned
+  }
 
   /** Whitespace-token set of a document (order-insensitive). */
   def tokenSet(text: Column): Column = array_distinct(TextAnalysis.tokens(text))
@@ -682,17 +693,15 @@ object Dedup {
       prefixes: Int = 256, maxBucket: Int = 10000,
       md5Basis: Boolean = false): DataFrame = {
     val spark = batch.sparkSession
-    val batchKeys = bandedKeys(spread(batch), idCol, textCol, numHashes,
-        bands, md5Basis)
-      .select(col("__id").as("idA"), col("band"), col("key"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val batchKeys = pinSmall(bandedKeys(spread(batch), idCol, textCol,
+        numHashes, bands, md5Basis)
+      .select(col("__id").as("idA"), col("band"), col("key")))
     val keyPfx = batchKeys
       .select(graft.io.Layouts.prefixOf(col("key"), prefixes).as("p"))
       .distinct().collect().map(_.getLong(0)).toSeq
-    val cands = probeCandidates(batchKeys,
+    val cands = pinSmall(probeCandidates(batchKeys,
         graft.io.Layouts.readPrefixPruned(spark, keysDir, keyPfx, prefixes),
-        idCol, maxBucket)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        idCol, maxBucket))
     val idPfx = cands
       .select(graft.io.Layouts.prefixOf(col("idB"), prefixes).as("p"))
       .distinct().collect().map(_.getLong(0)).toSeq
@@ -1195,21 +1204,24 @@ object Dedup {
     // ONE banded pass serves both counters (r14): the candidate set and
     // the detected set used to be two full pipelines (lshCandidates +
     // minhashNearDups — bandedKeys, bucket groupBy and pair explode each
-    // ran twice); the scored candidate pairs are pair-proportional, so
-    // pin them and count twice. Set-identical to the two-pipeline form:
-    // candidates = distinct scored pairs (jaccard is functionally
-    // determined by the pair), detected = the threshold filter of the
-    // same distinct set (filter-before- vs after-distinct commute).
-    val scored = pinSmall(scoredCandidatePairs(df, idCol, textCol,
-      numHashes, bands, md5Basis, maxBucket = 1000).distinct())
+    // ran twice). Set-identical to the two-pipeline form: candidates =
+    // distinct scored pairs (jaccard is functionally determined by the
+    // pair), detected = the threshold filter of the same distinct set
+    // (filter-before- vs after-distinct commute). r15: both counters
+    // fold into ONE aggregation pass (count + conditional count), so the
+    // pair-proportional frame is referenced once — no pin (the r14 pin
+    // violated pinSmall's batch-proportional contract: 15.9M pairs from
+    // 100k docs at 20× replicas) and no second counting pass.
+    val scored = scoredCandidatePairs(df, idCol, textCol,
+      numHashes, bands, md5Basis, maxBucket = 1000).distinct()
     // zero-denominator guard: a corpus with no pairs at the threshold
     // (or no candidates) reads as a PERFECT detector — recall /
     // candidate_precision 1.0 — rather than an unexplained NULL the
     // "@return recall" contract never mentions
     truth.agg(count(lit(1)).as("n_truth"))
-      .crossJoin(scored.agg(count(lit(1)).as("n_candidates")))
-      .crossJoin(scored.where(col("jaccard") >= threshold)
-        .agg(count(lit(1)).as("n_detected")))
+      .crossJoin(scored.agg(count(lit(1)).as("n_candidates"),
+        count(when(col("jaccard") >= threshold, lit(1)))
+          .as("n_detected")))
       .select(col("n_truth"), col("n_candidates"), col("n_detected"),
         when(col("n_truth") === 0, lit(1.0))
           .otherwise(col("n_detected").cast("double") / col("n_truth"))
@@ -1467,16 +1479,21 @@ object Dedup {
     val pairs = minhashNearDups(df, idCol, textCol, threshold, numHashes,
       bands, md5Basis)
     val g = df.select(col(idCol), col(groupCol))
-    // pinned: `cross` is pair-proportional and referenced twice (the idA
-    // and idB legs of the touched-id union) — unpinned, the whole banded
+    // `cross` is pair-proportional and was referenced twice (the idA and
+    // idB legs of a touched-id union) — unpinned, the whole banded
     // pipeline upstream re-ran per leg (q95's r14 before plan: 7 parquet
-    // scans / 10 exchanges for a 1-input query)
-    val cross = pinSmall(pairs
+    // scans / 10 exchanges for a 1-input query); the r14 fix pinned it,
+    // violating pinSmall's batch-proportional contract. r15: explode the
+    // pair into its two endpoints instead — ONE reference, one banded
+    // pipeline in the plan, nothing pinned. Same distinct id set: the
+    // union of the idA and idB legs is exactly the multiset of exploded
+    // endpoints, and distinct() collapses both identically.
+    val cross = pairs
       .join(g.select(col(idCol).as("idA"), col(groupCol).as("__ga")), Seq("idA"))
       .join(g.select(col(idCol).as("idB"), col(groupCol).as("__gb")), Seq("idB"))
-      .where(col("__ga") =!= col("__gb")))
-    val touched = cross.select(col("idA").as(idCol))
-      .unionByName(cross.select(col("idB").as(idCol)))
+      .where(col("__ga") =!= col("__gb"))
+    val touched = cross
+      .select(explode(array(col("idA"), col("idB"))).as(idCol))
       .distinct()
       .withColumn("__x", lit(1L))
     g.join(touched, Seq(idCol), "left")
@@ -1560,5 +1577,45 @@ object Dedup {
       .select(col("idA"), col("idB"),
         hammingDistance(col("__sa"), col("__sb")).as("hamming"))
       .where(col("hamming") <= maxBits)
+  }
+}
+
+/** Deterministic release scope for [[Dedup.pinSmall]] pins.
+  *
+  * SQL-cached Datasets are held strongly by the session's CacheManager
+  * and never reclaimed by the ContextCleaner, so operators that pin
+  * per-invocation intermediates (the keyed probes) would grow the cache
+  * without bound under a long-running caller — ~3 entries per streaming
+  * micro-batch (r14 advisor finding). A caller that owns the action
+  * wraps probe-construction AND the action in [[withScope]]; every pin
+  * created under it is unpersisted (non-blocking) when the body
+  * returns. Scopes are thread-local (a structured-streaming batch body
+  * runs on one thread) and nest; pins created with no active scope keep
+  * the old behavior (released by the harness cache clear / session end).
+  */
+private[graft] object PinScope {
+  private val active =
+    new ThreadLocal[scala.collection.mutable.ArrayBuffer[DataFrame]]
+
+  /** Record `df` with the innermost active scope on this thread
+    * (no-op when none is active).
+    */
+  def track(df: DataFrame): Unit = {
+    val buf = active.get()
+    if (buf != null) { buf += df; () }
+  }
+
+  /** Run `body` — construction plus the actions that consume the
+    * pinned frames — then unpersist every pin it created.
+    */
+  def withScope[T](body: => T): T = {
+    val outer = active.get()
+    val buf = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    active.set(buf)
+    try body
+    finally {
+      active.set(outer)
+      buf.foreach(_.unpersist(blocking = false))
+    }
   }
 }

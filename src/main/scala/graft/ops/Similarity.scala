@@ -421,17 +421,15 @@ object Similarity {
       threshold: Double, planesPerBand: Int = 8, bands: Int = 4,
       prefixes: Int = 256, maxBucket: Int = 10000): DataFrame = {
     val spark = batch.sparkSession
-    val batchKeys = lshKeys(Dedup.spread(batch), idCol, vecCol,
-        planesPerBand, bands)
-      .withColumnRenamed(idCol, "idA")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val batchKeys = Dedup.pinSmall(lshKeys(Dedup.spread(batch), idCol,
+        vecCol, planesPerBand, bands)
+      .withColumnRenamed(idCol, "idA"))
     val keyPfx = batchKeys
       .select(graft.io.Layouts.prefixOf(col("key"), prefixes).as("p"))
       .distinct().collect().map(_.getLong(0)).toSeq
-    val cands = probeCosineCandidates(batchKeys,
+    val cands = Dedup.pinSmall(probeCosineCandidates(batchKeys,
         graft.io.Layouts.readPrefixPruned(spark, keysDir, keyPfx, prefixes),
-        idCol, maxBucket)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        idCol, maxBucket))
     val idPfx = cands
       .select(graft.io.Layouts.prefixOf(col("idB"), prefixes).as("p"))
       .distinct().collect().map(_.getLong(0)).toSeq

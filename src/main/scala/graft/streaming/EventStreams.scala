@@ -456,6 +456,10 @@ object EventStreams {
       .parquet(inDir)
       .writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
+        // probe pins (Dedup.pinSmall under incrementalNearDups) release
+        // when the batch's append completes — unscoped they'd accumulate
+        // in the CacheManager for the stream's lifetime (r14 advisor)
+        graft.ops.PinScope.withScope {
         val cPath = new org.apache.hadoop.fs.Path(corpusDir)
         val corpusExists = cPath
           .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -483,6 +487,7 @@ object EventStreams {
             novel.join(linked, Seq(idCol), "left_anti")
           } else local
         fresh.write.mode("append").parquet(corpusDir)
+        }
         ()
       }
       .option("checkpointLocation", checkpointDir)
@@ -656,6 +661,11 @@ object EventStreams {
     def withExactKeys(df: DataFrame): DataFrame =
       bandKeys(df).unionByName(df.select(col(idCol),
         lit(-1).as("band"), xxhash64(col(contentCol)).as("key")))
+    // probe pins (Dedup.pinSmall under the keyed probes built by
+    // `linkedIds`) release when this batch's appends complete —
+    // unscoped they accumulated ~3 CacheManager entries per micro-batch
+    // for the stream's lifetime (r14 advisor finding)
+    graft.ops.PinScope.withScope {
     // `local` feeds the probe's batch-key derivation, the candidate
     // joins AND the final anti-join; an explicit persist was A/B'd
     // (StreamProfile, round 9) and did NOT move the per-batch time —
@@ -722,6 +732,7 @@ object EventStreams {
       freshP.coalesce(1).write.mode("append").parquet(corpusDir)
       withExactKeys(freshP).coalesce(1).write.mode("append").parquet(keysDir)
     } finally freshP.unpersist(blocking = false)
+    } // PinScope.withScope
     // compaction lifecycle (round 13, generational): one file per
     // append keeps per-batch file growth minimal, but over a long run
     // BOTH stores still gain a file per batch and every later batch

@@ -79,6 +79,14 @@ class LayoutsSpec extends SparkSuite {
     def rows(df: org.apache.spark.sql.DataFrame) =
       df.select("idA", "idB").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(rows(viaStore) === rows(inline) && rows(inline).nonEmpty)
+    // the keyed probe above left its lazy pins (Dedup.pinSmall)
+    // registered with the CacheManager; the steady-state query below
+    // contains plan-equal fragments (the batch band keys) that cache
+    // substitution would silently replace with InMemoryRelations —
+    // hiding the bucketed scan this test pins (the r14 driver-run
+    // failure). Drop them: the property under test is the stored
+    // table's layout, not cache interplay.
+    spark.catalog.clearCache()
     // steady-state plan: the stored key table is scanned, never rebuilt —
     // its (band, key) bucketing matches the join requirement exactly, so
     // only the batch side exchanges (its spread + window shuffles) and
@@ -565,15 +573,21 @@ class LayoutsSpec extends SparkSuite {
     import spark.implicits._
     val dir = java.nio.file.Files
       .createTempDirectory("graft-prefix-warn").toString + "/store"
-    val warnings = scala.collection.mutable.ArrayBuffer.empty[String]
-    val prev = Layouts.warnSink
-    Layouts.warnSink = warnings += _
+    // additive listener into a synchronized list: concurrent warnings
+    // from other threads (streaming micro-batches of another suite in
+    // the shared forked JVM) may also land here — harmless, the
+    // assertion filters by this test's unique temp dir
+    val warnings =
+      java.util.Collections.synchronizedList(new java.util.ArrayList[String])
+    val listener: String => Unit = m => { warnings.add(m); () }
+    Layouts.addWarnListener(listener)
     try Layouts.writePrefixPartitioned((1L to 100L).toDF("id"), dir, "id",
       prefixes = 4)
-    finally Layouts.warnSink = prev
+    finally Layouts.removeWarnListener(listener)
     // a ~KB store is far below DefaultPruneMinStoreBytes: the
     // minimum-build-size rule must fire (and name the threshold)
-    assert(warnings.exists(w => w.contains(dir) &&
+    import scala.jdk.CollectionConverters._
+    assert(warnings.asScala.exists(w => w.contains(dir) &&
       w.contains((Layouts.DefaultPruneMinStoreBytes >> 20).toString)))
   }
 
