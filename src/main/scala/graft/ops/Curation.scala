@@ -61,14 +61,15 @@ object Curation {
     * the bigram model joins by key because the MODEL IS DATA); the
     * flagged-id set broadcasts; dedup is the one corpus-wide shuffle.
     * The corpus parquet is re-scanned once per gate (narrow
-    * two-column projections with the quality predicate pushed into each
-    * derived scan) — at 100 TB persist the post-quality slice once and
-    * feed it to the gates instead. Persistence is deliberately left to
-    * the CALLER here: an in-op eager MEMORY_AND_DISK cache of the text
-    * slice was measured SLOWER at test scale (2.3 s vs 2.0 s at sf0.1
-    * — writing text blocks costs more than the kernel recompute it
-    * saves), unlike [[curateAndDedup]]'s id-only cache, which is skinny
-    * enough to win at every scale.
+    * two-column projections, each restricted to quality survivors by an
+    * id join against the PINNED skinny quality frame — id + the two
+    * numeric quality columns, [[graft.ops.Dedup.pinSmall]]), so the
+    * quality kernel runs once instead of once per gate. The text itself
+    * is deliberately NOT cached: an in-op eager MEMORY_AND_DISK cache
+    * of the text slice was measured SLOWER at test scale (r14, 2.3 s
+    * vs 2.0 s at sf0.1 — writing text blocks costs more than the
+    * kernel recompute it saves), while the skinny pin follows
+    * [[curateAndDedup]]'s id-only cache, which wins at every scale.
     *
     * @return survivors: `idCol, n_tokens, dup_2gram_frac, n_bigrams,
     *         n_oov` — all exact integer/ratio-of-integer columns. The
@@ -91,14 +92,24 @@ object Curation {
     require(minTokens >= 2,
       s"minTokens must be >= 2 (a < 2-token document has no bigrams and " +
         s"cannot be LM-gated), got $minTokens")
-    val scored = corpus.select(col(idCol), col(textCol),
+    // The quality stage is pinned SKINNY — id + the two numeric quality
+    // columns, never the text (r14 measured an eager TEXT cache slower,
+    // 2.3 s vs 2.0 s at sf0.1: writing text blocks costs more than the
+    // kernel recompute it saves; the id-only cache in curateAndDedup is
+    // the winning precedent). Unpinned, the quality kernel (tokenCount +
+    // the gram-stats dupGramFraction) re-ran inside every derived scan —
+    // 4 evaluations in q89's r14 plan. Each gate re-reads the text from
+    // the (columnar, cheap) source scan and drops non-survivors with an
+    // id join against the pinned frame instead of re-running the kernel.
+    val qual = Dedup.pinSmall(corpus.select(col(idCol),
         TextAnalysis.tokenCount(col(textCol)).cast("long").as("n_tokens"),
         TextAnalysis.dupGramFraction(col(textCol), 2).as("dup_2gram_frac"))
       .where(col("n_tokens") >= minTokens &&
-        col("dup_2gram_frac") <= maxDupGramFraction)
-    // the later gates score only quality survivors — the predicate rides
+        col("dup_2gram_frac") <= maxDupGramFraction))
+    // the later gates score only quality survivors — the id join rides
     // each derived scan, so gate work shrinks with the quality cut
-    val slim = scored.select(col(idCol), col(textCol))
+    val slim = corpus.select(col(idCol), col(textCol))
+      .join(qual.select(col(idCol)), Seq(idCol))
     val lm = Vocab.bigramLogProb(slim, reference, idCol, textCol)
       .where(col("logprob_sum") >=
         lit(lmThreshold.setScale(6, BigDecimal.RoundingMode.HALF_UP)
@@ -110,7 +121,8 @@ object Curation {
     val flagged = Decontamination.contaminationScores(
         slim, bench, idCol, textCol, n = contaminationN)
       .select(col(idCol))
-    val gated = scored
+    val gated = slim
+      .join(qual, Seq(idCol))
       .join(lm, Seq(idCol))
       .join(oov, Seq(idCol))
       .join(broadcast(flagged), Seq(idCol), "left_anti")
