@@ -539,13 +539,17 @@ object Bench {
     // read clean (r10's minhash_pairs read 14.4 s in-sweep vs 4.1 s in
     // an isolated same-code re-run and needed a manual adjudication).
     // Now the FULL case suite runs SPARK_GRAFT_SCALE_ITERS times
-    // (default 2) — both legs of every case once per pass — with a
-    // cheap load stamp at each pass boundary; the per-leg min is taken
-    // ACROSS passes and the raw per-pass matrices + stamps ride the
-    // scale object for `check_bench.py anomaly` (which covers the
-    // scale block since round 11).
+    // (default 3 since r15 — the r13/r14 verdicts' de-noising task:
+    // min-of-2 left same-record x1 passes disagreeing 15×, e.g.
+    // exact_substr_dedup_xxh64 [22.77, 1.497] in BENCH_r14; a third
+    // pass costs one more case-suite sweep and gives the min a
+    // JIT/page-cache-warm majority) — both legs of every case once per
+    // pass — with a cheap load stamp at each pass boundary; the per-leg
+    // min is taken ACROSS passes and the raw per-pass matrices + stamps
+    // ride the scale object for `check_bench.py anomaly` (which covers
+    // the scale block since round 11).
     val scaleIters = math.max(1,
-      sys.env.getOrElse("SPARK_GRAFT_SCALE_ITERS", "2").toInt)
+      sys.env.getOrElse("SPARK_GRAFT_SCALE_ITERS", "3").toInt)
 
     val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
     def bucketed(table: String, keys: DataFrame): DataFrame = {

@@ -374,15 +374,22 @@ object TextQueries {
   /** q106's oracle-proving twin on the per-needle `contains` basis
     * ([[Decontamination.verbatimMatches]] — the broadcast nested-loop
     * join whose semantics DuckDB can state directly as `position(needle
-    * IN text) > 0`). Checked by the SAME SQL as q106, so the automaton
-    * and contains bases are proven bit-identical at oracle scale; the
-    * AC basis is the headline because this form is O(needles × text)
-    * per document (the sf1 scale-killer: 33.9 s vs 1.0 s).
+    * IN text) > 0`). The needle slice is FIXED at the first 500 doc ids
+    * (r15, the r13-verdict cap): a proof twin needs a representative
+    * needle set, not one growing with the corpus — uncapped, this
+    * O(needles × text) form was the suite's top bench cost at sf0.1
+    * (2.57 s, 454 needles) and the documented sf1 scale-killer (33.9 s
+    * vs 1.0 s, 14× growth). Every oracle-gate scale factor has doc ids
+    * < 500, so the cap is a no-op there (byte-identical results,
+    * verified sf0.001/sf0.01) and the automaton/contains bit-identity
+    * proof is unchanged at oracle scale; q106b's oracle SQL states the
+    * same cap. The AC headline q106 deliberately keeps the UNCAPPED,
+    * corpus-growing needle set — scaling that is the automaton's job.
     */
   private def q106b(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val docs = Tables.documents(s, dir)
-    val needles = docs.where($"doc_id" % 11 === 0)
+    val needles = docs.where($"doc_id" % 11 === 0 && $"doc_id" < 500)
       .select(substring($"text", 10, 40).as("needle"))
     Decontamination.verbatimMatches(docs, needles, "doc_id", "text",
         "needle", minChars = 20)
@@ -1095,12 +1102,15 @@ object TextQueries {
         |FROM documents d JOIN n ON position(n.needle IN d.text) > 0
         |ORDER BY d.doc_id, n.needle""".stripMargin,
     // the contains path must be BIT-IDENTICAL to the automaton path —
-    // same oracle as q106 (the AC headline); renamed from
-    // q106b_verbatim_leak_ac in round 9 when the bases swapped roles
+    // q106's oracle plus the fixed needle window (doc_id < 500, r15 cap;
+    // a no-op at every oracle-gate scale factor, where all doc ids are
+    // < 500 — so the two bases still prove bit-identity there); renamed
+    // from q106b_verbatim_leak_ac in round 9 when the bases swapped roles
     "q106b_verbatim_leak_contains" ->
       """WITH n AS (SELECT DISTINCT substr(text, 10, 40) AS needle
         |           FROM documents
-        |           WHERE doc_id % 11 = 0 AND length(substr(text, 10, 40)) >= 20)
+        |           WHERE doc_id % 11 = 0 AND doc_id < 500
+        |             AND length(substr(text, 10, 40)) >= 20)
         |SELECT d.doc_id, n.needle
         |FROM documents d JOIN n ON position(n.needle IN d.text) > 0
         |ORDER BY d.doc_id, n.needle""".stripMargin,
