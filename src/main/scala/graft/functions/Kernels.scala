@@ -518,6 +518,72 @@ object Kernels {
     * (min(('0x' || substr(md5(j || ':' || tok),1,15))::BIGINT) per j).
     * Empty inputs yield Long.MaxValue rows, as [[minhash]] does.
     */
+  private val uPrefix = "u:".getBytes(java.nio.charset.StandardCharsets.UTF_8)
+  private val bPrefix = "b:".getBytes(java.nio.charset.StandardCharsets.UTF_8)
+  private val spaceByte = " ".getBytes(java.nio.charset.StandardCharsets.UTF_8)
+
+  /** DSIR hashed n-gram feature buckets over a token array: the unigram
+    * feature `u:<tok>` per token plus the bigram feature `b:<a> <b>` per
+    * adjacent pair, each hashed to
+    * `('0x' || substr(md5(feat), 1, 15))::BIGINT % buckets` — value-
+    * identical (unigrams first, then bigrams) to the built-in chain
+    * `pmod(conv(substring(md5(encode(f, "UTF-8")), 1, 15), 16, 10), b)`
+    * it replaces, but with the digest fed incrementally (prefix bytes,
+    * token bytes, separator): no feature-string concat, no 32-char hex
+    * encode, no substring, no radix re-parse. The built-in chain's 5
+    * short-lived allocations per feature made the 32-thread sf1 bench
+    * GC-bound on the DSIR queries (q100 21.1 s at 32 cores vs 7.2 s at
+    * 8 — an inverted core ratio; r15). Null tokens (never produced by
+    * split, handled for parity) keep the old null-feature semantics.
+    */
+  def ngramBuckets(tokens: ArrayData, buckets: Int): ArrayData = {
+    val n = tokens.numElements()
+    val m = n + math.max(n - 1, 0)
+    val d = md5Local.get()
+    var hasNull = false
+    val tokBytes = new Array[Array[Byte]](n)
+    var i = 0
+    while (i < n) {
+      if (tokens.isNullAt(i)) hasNull = true
+      else tokBytes(i) = tokens.getUTF8String(i).getBytes
+      i += 1
+    }
+    def uni(i: Int): Long = {
+      d.reset(); d.update(uPrefix); d.update(tokBytes(i))
+      (longFromDigest(d.digest()) >>> 4) % buckets
+    }
+    def bi(j: Int): Long = {
+      d.reset(); d.update(bPrefix); d.update(tokBytes(j))
+      d.update(spaceByte); d.update(tokBytes(j + 1))
+      (longFromDigest(d.digest()) >>> 4) % buckets
+    }
+    if (!hasNull) {
+      val out = new Array[Long](m)
+      i = 0
+      while (i < n) { out(i) = uni(i); i += 1 }
+      var j = 0
+      while (j < n - 1) { out(n + j) = bi(j); j += 1 }
+      new GenericArrayData(out)
+    } else {
+      // parity slow path: a null token makes its features null, exactly
+      // like concat/md5 over a null element in the expression chain
+      val out = new Array[Any](m)
+      i = 0
+      while (i < n) {
+        out(i) = if (tokBytes(i) == null) null else uni(i)
+        i += 1
+      }
+      var j = 0
+      while (j < n - 1) {
+        out(n + j) =
+          if (tokBytes(j) == null || tokBytes(j + 1) == null) null
+          else bi(j)
+        j += 1
+      }
+      new GenericArrayData(out)
+    }
+  }
+
   def minhashMd5(tokens: ArrayData, k: Int): ArrayData = {
     val prefixes = minhashPrefixCache.computeIfAbsent(k,
       kk => Array.tabulate(kk)(j =>

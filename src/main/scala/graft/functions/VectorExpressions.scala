@@ -328,6 +328,32 @@ case class MinHashMd5(child: Expression, numHashes: Int)
     copy(child = c)
 }
 
+/** ngram_buckets(tokens, buckets): DSIR hashed n-gram feature buckets —
+  * unigram + adjacent-bigram features of a token array, each mapped to
+  * `('0x' || substr(md5(feat), 1, 15))::BIGINT % buckets`. The zero-
+  * allocation kernel twin of the built-in
+  * pmod(conv(substring(md5(...))), ...) chain (see
+  * [[Kernels.ngramBuckets]]); value-identical, oracle-checkable.
+  */
+case class NgramBuckets(child: Expression, buckets: Int)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) if buckets > 0 => TypeCheckSuccess
+    case _ => TypeCheckFailure(s"$prettyName requires array<string> and buckets > 0")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = true)
+  override def prettyName: String = "graft_ngram_buckets"
+
+  override def nullSafeEval(a: Any): Any =
+    Kernels.ngramBuckets(
+      a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], buckets)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      a => s"graft.functions.Kernels.ngramBuckets($a, $buckets)")
+  override protected def withNewChildInternal(c: Expression): NgramBuckets =
+    copy(child = c)
+}
+
 /** nearest_centroid(vec, centroids-literal): index of the most-cosine-
   * similar row of a small 2-D float-array model. The model arrives as a
   * foldable literal (typedLit), is unpacked once at plan time, and rides
@@ -620,6 +646,7 @@ object GraftFunctions {
       intArg(args(1), "planesPerBand"), intArg(args(2), "bands"))),
     "graft_simhash_md5" -> (args => SimHashMd5(args(0))),
     "graft_minhash_md5" -> (args => MinHashMd5(args(0), intArg(args(1), "numHashes"))),
+    "graft_ngram_buckets" -> (args => NgramBuckets(args(0), intArg(args(1), "buckets"))),
     "graft_jaccard_sorted" -> (args => JaccardSorted(args(0), args(1))),
     "graft_nearest_centroid" -> (args => NearestCentroid(args(0), centroidsArg(args(1)))),
     "graft_bpe_apply" -> (args => BpeApply(args(0), stringPairsArg(args(1)))),

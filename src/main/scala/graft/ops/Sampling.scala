@@ -237,16 +237,17 @@ object Sampling {
     * per row, fully codegen'd.
     */
   private[graft] def hashedNgramBuckets(textCol: String,
-      buckets: Int): Column = {
-    val t = TextAnalysis.tokens(col(textCol))
-    val n1 = greatest(size(t) - 1, lit(0))
-    val bi = zip_with(slice(t, lit(1), n1), slice(t, lit(2), n1),
-      (a, b) => concat(lit("b:"), a, lit(" "), b))
-    val feats = concat(transform(t, x => concat(lit("u:"), x)), bi)
-    transform(feats, f =>
-      pmod(conv(substring(md5(encode(f, "UTF-8")), 1, 15), 16, 10)
-        .cast("long"), lit(buckets.toLong)))
-  }
+      buckets: Int): Column =
+    // one-pass codegen'd kernel (r15): value-identical to the previous
+    // built-in chain — transform(concat(u:/b: features),
+    // pmod(conv(substring(md5(encode(f)), 1, 15), 16, 10), buckets)) —
+    // whose 5 short-lived allocations per feature (feature concat, hex
+    // string, substring, radix parse, cast) made the 32-thread sf1 DSIR
+    // queries GC-bound (q100 21.1 s at 32 cores vs 7.2 s at 8; r15).
+    // The kernel feeds the digest incrementally and emits longs
+    // directly; SamplingSpec pins kernel-vs-chain equality.
+    graft.functions.GraftFunctions.fn("graft_ngram_buckets",
+      TextAnalysis.tokens(col(textCol)), lit(buckets))
 
   /** DSIR-style importance weights (Xie et al. 2023, arXiv:2302.03169):
     * score every raw document by how much more likely its hashed n-gram

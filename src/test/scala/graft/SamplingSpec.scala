@@ -206,4 +206,32 @@ class SamplingSpec extends SparkSuite {
     assert(byRank.map(_.getInt(0)).toSeq === (1 to 20))
     assert(byRank.map(_.getLong(1)).toSeq === viaTake)
   }
+
+  test("graft_ngram_buckets kernel equals the built-in md5 expression chain") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // the exact chain hashedNgramBuckets shipped before r15 — the
+    // oracle-checkable definition the kernel must reproduce bit-for-bit
+    def chain(textCol: String, buckets: Int) = {
+      val t = graft.ops.TextAnalysis.tokens(col(textCol))
+      val n1 = greatest(size(t) - 1, lit(0))
+      val bi = zip_with(slice(t, lit(1), n1), slice(t, lit(2), n1),
+        (a, b) => concat(lit("b:"), a, lit(" "), b))
+      val feats = concat(transform(t, x => concat(lit("u:"), x)), bi)
+      transform(feats, f =>
+        pmod(conv(substring(md5(encode(f, "UTF-8")), 1, 15), 16, 10)
+          .cast("long"), lit(buckets.toLong)))
+    }
+    // corpus texts + edge shapes (empty string -> one "" token and no
+    // bigram; single token; repeated tokens; unicode)
+    val edge = Seq("", "one", "a a a", "héllo wörld méh").toDF("text")
+      .withColumn("doc_id", lit(-1L))
+    val all = docs.select($"doc_id", $"text")
+      .unionByName(edge.select($"doc_id", $"text"))
+    val cmp = all.select(
+        Sampling.hashedNgramBuckets("text", 10000).as("kern"),
+        chain("text", 10000).as("chain"))
+      .where(not($"kern" <=> $"chain"))
+    assert(cmp.count() === 0L)
+  }
 }
